@@ -1,0 +1,195 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators (north-star extension).
+  *
+  * Tiers, in increasing fuzziness:
+  *   1. exact        — content-hash group-by (one shuffle keyed on hash)
+  *   2. ngramJaccard — exact set similarity via shingle-inverted-index
+  *                      join (no O(n²) crossJoin: only pairs sharing a
+  *                      shingle are materialized)
+  *   3. minHashLsh   — MinHash signatures + banded LSH bucket join
+  *                      (the 100 TB path: candidate generation is a
+  *                      bucket equi-join, verification only on
+  *                      candidates)
+  *   4. simHash      — 64-bit SimHash fingerprints for hamming-distance
+  *                      near-dup detection
+  *   5. embeddingNearDup — cosine-threshold pairs over embeddings
+  *
+  * Hashing is *portable*: every hash is derived from md5 hex (a SQL
+  * standard available in any oracle engine) via 30-bit universal hashing
+  * `(a·h + b) mod P`, so results are reproducible outside Spark. At
+  * cluster scale the md5 can be swapped for `xxhash64` (one codegen'd
+  * expression, no shuffle-shape change) — the algorithms are agnostic to
+  * the underlying hash family.
+  */
+object Dedup {
+
+  /** Largest prime below 2^30 — keeps `a·h + b` within int64. */
+  val P: Long = 1073741789L
+
+  /** Deterministic universal-hash coefficients for seed `i`. */
+  def hashCoeffs(i: Int): (Long, Long) = {
+    val a = (2654435761L * (i + 1)) % (P - 1) + 1
+    val b = (40503L * (i + 7919)) % P
+    (a, b)
+  }
+
+  /** 30-bit integer hash of a string column via md5 prefix. */
+  def h30(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long") % P
+
+  /** Word tokens (whitespace split of trimmed text). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Distinct word n-gram shingles; empty array when fewer than n
+    * tokens (NB `sequence(1,0)` in Spark is the *descending* [1,0], so
+    * the short-input case must be guarded explicitly).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 1. Exact dedup: representative (min id) per content hash. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, shingle) exploded pairs — the inverted index. */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+
+  /** 2. Exact n-gram Jaccard pairs ≥ threshold, via inverted-index join.
+    * Shuffles are keyed on shingle then on (id_a, id_b) — both
+    * fine-grained keys that distribute evenly. `maxDf` (optional)
+    * drops shingles appearing in more than that many docs — the
+    * standard stop-shingle guard against quadratic blowup on very
+    * common n-grams at corpus scale.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+    val sh0 = shingleIndex(docs, idCol, textCol, n)
+    val sh = maxDf match {
+      case Some(m) =>
+        val df = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= m).select("shingle")
+        sh0.join(df, Seq("shingle"))
+      case None => sh0
+    }
+    val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val pairs = sh.as("a").join(sh.as("b"), Seq("shingle"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** MinHash signature: for seed i, min over the shingle set of the
+    * universal hash `(a_i·h30(shingle) + b_i) mod P`. Docs with fewer
+    * than n tokens have no signature (empty shingle set).
+    */
+  def minHashSignature(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n)
+      .withColumn("h", h30(col("shingle")))
+    val aggs = (0 until numHashes).map { i =>
+      val (a, b) = hashCoeffs(i)
+      min((col("h") * a + b) % P).as(s"mh_$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** 3. MinHash + banded LSH candidate pairs with signature-estimated
+    * Jaccard. `numHashes` must be divisible by `bands`. Candidate
+    * generation is an equi-join on (band, band-key) — the band key is
+    * the band's signature slice itself (joined as a string), so no
+    * second-level hash is needed and the oracle can reproduce it.
+    */
+  def minHashLshCandidates(docs: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 32,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = minHashSignature(docs, idCol, textCol, n, numHashes)
+
+    val buckets = sig.select(col("doc_id"), explode(array(
+      (0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws("-", (bnd * rows until (bnd + 1) * rows)
+            .map(i => col(s"mh_$i")): _*).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "bkey"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    // estimated jaccard = fraction of agreeing signature positions
+    val sigA = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "id_a" else s"a_$c"): _*)
+    val sigB = sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") "id_b" else s"b_$c"): _*)
+    val agree = (0 until numHashes)
+      .map(i => (col(s"a_mh_$i") === col(s"b_mh_$i")).cast("int"))
+      .reduce(_ + _)
+    cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+      .withColumn("est_jaccard", agree.cast("double") / numHashes)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 4. 64-bit SimHash fingerprint per document, as a 16-char hex
+    * string. Bit j of a token's md5 votes +1/−1; fingerprint bit j is
+    * the vote sign. Each token *occurrence* votes (no dedup), matching
+    * classic SimHash with unit weights.
+    */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("token"))
+      .withColumn("th", md5(col("token")))
+    val votes = (0 until 64).map { j =>
+      val hexChar = substring(col("th"), j / 4 + 1, 1)
+      val hv = (instr(lit("0123456789abcdef"), hexChar) - 1).cast("int")
+      val bit = shiftright(hv, 3 - j % 4) % 2
+      sum(bit * 2 - 1).as(s"v_$j")
+    }
+    val voted = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val nibbles = (0 until 16).map { d =>
+      val nib = (0 until 4).map { b =>
+        when(col(s"v_${d * 4 + b}") > 0, lit(1 << (3 - b))).otherwise(lit(0))
+      }.reduce(_ + _)
+      substring(lit("0123456789abcdef"), nib + 1, lit(1))
+    }
+    voted.select(col("doc_id"), concat(nibbles: _*).as("simhash_hex"))
+  }
+
+  /** 5. Embedding-cosine near-duplicate pairs above a threshold.
+    * Exact all-pairs here; at scale, route through
+    * Similarity.bucketedTopK-style LSH pruning first.
+    */
+  def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("score", Similarity.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analytics.Dedup
+
+/** Near-duplicate detection queries (north-star dedup tier) over
+  * `documents` / `embeddings`, each hash-checked against a DuckDB oracle
+  * built from the same portable md5-derived hashing (see
+  * [[graft.analytics.Dedup]]).
+  *
+  * The oracle SQL for minhash/simhash is *generated* from the same
+  * coefficient arrays the Spark plan uses, so both engines evaluate the
+  * identical integer arithmetic.
+  */
+object DedupQueries {
+
+  private val P = Dedup.P
+
+  /** DuckDB expression: distinct word-3-gram shingles of `text`. */
+  private def duckShingles(n: Int): String =
+    s"""list_distinct([array_to_string(t[i:i+${n - 1}], ' ')
+       |  for i in generate_series(1, greatest(len(t) - ${n - 1}, 0))])"""
+      .stripMargin
+
+  private def duckShingleIndex(n: Int): String =
+    s"""SELECT doc_id, unnest(${duckShingles(n)}) AS shingle
+       |FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |      FROM documents)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Inverted-index n-gram Jaccard: candidate pairs share >=1 shingle;
+    // two shuffles (shingle key, then pair key) — never O(n²).
+    Q("q19_ngram_jaccard", Some(s"""
+      WITH sh AS (${duckShingleIndex(3)}),
+      sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        CAST(inter AS BIGINT) AS inter,
+        CAST(sa.set_size AS BIGINT) AS size_a,
+        CAST(sb.set_size AS BIGINT) AS size_b,
+        CAST(inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // MinHash + banded LSH: 32 portable hashes, 16 bands × 2 rows.
+    // Candidate generation is the (band, bkey) equi-join; est_jaccard
+    // verified from full signatures.
+    {
+      val numHashes = 32
+      val bands = 16
+      val rows = numHashes / bands
+      val coeffs = (0 until numHashes).map(Dedup.hashCoeffs)
+      val mhExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+        s"MIN((h * $a + $b) % $P) AS mh_$i"
+      }.mkString(",\n          ")
+      val bandSelects = (0 until bands).map { bnd =>
+        val ks = (bnd * rows until (bnd + 1) * rows)
+          .map(i => s"mh_$i").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, concat_ws('-', $ks) AS bkey FROM sig"
+      }.mkString("\n        UNION ALL ")
+      val agree = (0 until numHashes)
+        .map(i => s"CAST(sa.mh_$i = sb.mh_$i AS INT)").mkString(" + ")
+      Q("q20_minhash_lsh", Some(s"""
+      WITH sh AS (${duckShingleIndex(3)}),
+      hashes AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % $P AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id,
+          $mhExprs
+        FROM hashes GROUP BY doc_id),
+      buckets AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b USING (band, bkey)
+        WHERE a.doc_id < b.doc_id)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        CAST($agree AS DOUBLE) / $numHashes AS est_jaccard
+      FROM cand
+      JOIN sig sa ON id_a = sa.doc_id
+      JOIN sig sb ON id_b = sb.doc_id
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+        Dedup.minHashLshCandidates(Tables.load(s, dir, "documents"),
+            "doc_id", "text", n = 3, numHashes = numHashes, bands = bands)
+          .orderBy("id_a", "id_b")
+      }
+    },
+
+    // 64-bit SimHash fingerprints (md5 bit votes per token occurrence).
+    {
+      val voteExprs = (0 until 64).map { j =>
+        s"""SUM(((strpos('0123456789abcdef', substr(th, ${j / 4 + 1}, 1)) - 1) >> ${3 - j % 4}) % 2 * 2 - 1) AS v_$j"""
+      }.mkString(",\n          ")
+      val nibbleExprs = (0 until 16).map { d =>
+        val nib = (0 until 4).map { b =>
+          s"CASE WHEN v_${d * 4 + b} > 0 THEN ${1 << (3 - b)} ELSE 0 END"
+        }.mkString(" + ")
+        s"substr('0123456789abcdef', ($nib) + 1, 1)"
+      }.mkString(" || ")
+      Q("q21_simhash", Some(s"""
+      WITH tok AS (
+        SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS th
+        FROM documents),
+      votes AS (
+        SELECT doc_id,
+          $voteExprs
+        FROM tok GROUP BY doc_id)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, $nibbleExprs AS simhash_hex
+      FROM votes ORDER BY doc_id""")) { (s, dir) =>
+        Dedup.simHash(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .orderBy("doc_id")
+      }
+    },
+
+    // Embedding-cosine near-dup pairs (threshold chosen to exercise the
+    // tail of the corpus similarity distribution).
+    Q("q22_embedding_near_dup", Some("""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1] * x[2]), (acc, v) -> acc + v)
+          / (sqrt(list_reduce(list_transform(a.embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v))
+           * sqrt(list_reduce(list_transform(b.embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v))) AS score
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1] * x[2]), (acc, v) -> acc + v)
+          / (sqrt(list_reduce(list_transform(a.embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v))
+           * sqrt(list_reduce(list_transform(b.embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v))) >= 0.4
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      Dedup.embeddingNearDups(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")
+    }
+  )
+}
