@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analytics.{Dedup, TextAnalysis => TA}
+
+/** Text-analysis queries (north-star tier: language-ID, quality
+  * scoring, token counting, fingerprinting) over `documents`. Oracle
+  * SQL is generated from the same stopword lists / coefficients the
+  * Spark expressions use.
+  */
+object TextQueries {
+
+  private def inList(lang: String): String =
+    TA.stopwords(lang).map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB: stopword-hit ratio for one language over token list `t`. */
+  private def duckScore(lang: String): String =
+    s"len(list_filter(t, x -> x IN (${inList(lang)})))::DOUBLE / len(t)::DOUBLE"
+
+  val all: Seq[Q] = Seq(
+
+    // Stopword-profile language identification; argmax with
+    // alphabetical tie-break mirrors TextAnalysis.langPredict's fold.
+    {
+      val cases = TA.langs.map { l =>
+        val others = TA.langs.filter(_ != l)
+          .map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN s_$l > 0 AND $others THEN '$l'"
+      }.mkString("\n          ")
+      Q("q25_lang_id", Some(s"""
+      SELECT doc_id, s_de, s_en, s_es, s_fr,
+        CASE $cases ELSE 'und' END AS predicted
+      FROM (
+        SELECT doc_id,
+          ${TA.langs.map(l => s"${duckScore(l)} AS s_$l").mkString(",\n          ")}
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents))
+      ORDER BY doc_id""")) { (s, dir) =>
+        val d = Tables.load(s, dir, "documents")
+        d.select(col("doc_id") +:
+            TA.langs.map(l => TA.langScore(col("text"), l).as(s"s_$l")) :+
+            TA.langPredict(col("text")).as("predicted"): _*)
+          .orderBy("doc_id")
+      }
+    },
+
+    // Gopher-style quality gates + composite score.
+    Q("q26_doc_quality", Some("""
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, mean_token_len,
+        stop_ratio, punct_ratio,
+        (CAST(n_tokens BETWEEN 20 AND 100000 AS INT)
+         + CAST(mean_token_len BETWEEN 3.0 AND 10.0 AS INT)
+         + CAST(stop_ratio >= 0.01 AS INT)
+         + CAST(punct_ratio <= 0.1 AS INT))::DOUBLE / 4 AS quality_score
+      FROM (
+        SELECT doc_id, len(t) AS n_tokens,
+          length(regexp_replace(text, '\s', '', 'g'))::DOUBLE / len(t)::DOUBLE AS mean_token_len,
+          len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for')))::DOUBLE / len(t)::DOUBLE AS stop_ratio,
+          length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / greatest(length(text), 1)::DOUBLE AS punct_ratio
+        FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
+              FROM documents))
+      ORDER BY doc_id""")) { (s, dir) =>
+      val t = col("text")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.wsTokenCount(t).cast("long").as("n_tokens"),
+          TA.meanTokenLen(t).as("mean_token_len"),
+          TA.stopRatio(t).as("stop_ratio"),
+          TA.punctRatio(t).as("punct_ratio"),
+          TA.qualityScore(t).as("quality_score"))
+        .orderBy("doc_id")
+    },
+
+    // Whitespace vs BPE-ish sub-word token counts per document.
+    Q("q27_token_counts", Some(s"""
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '${TA.bpeRegex.replace("'", "''")}')) AS BIGINT) AS bpe_tokens
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+          TA.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Order-sensitive polynomial rolling-hash fingerprint (Horner fold
+    // over portable 30-bit token hashes).
+    Q("q28_doc_fingerprint", Some(s"""
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(0::BIGINT,
+            list_transform(string_split_regex(trim(text), '\\s+'),
+              tok -> CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % ${Dedup.P})),
+          (acc, h) -> (acc * 131 + h) % ${Dedup.P}) AS fingerprint
+      FROM documents ORDER BY doc_id""")) { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.rollingFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }
+  )
+}
