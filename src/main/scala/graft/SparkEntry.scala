@@ -14,7 +14,8 @@ object SparkEntry {
   /** Registry of all engine queries. */
   def registry: Seq[Q] =
     StarQueries.all ++ EventQueries.all ++ DocQueries.all ++
-      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all
+      DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
+      NlpQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. */
