@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.CleanFunctions
+import graft.warehouse.{DateDim, Idempotency, Merge, Scd2}
+
+/** Warehouse-layer queries: the ON CONFLICT merge rewrite, SCD2
+  * lookup-or-insert, generated date dimension, and idempotency keys
+  * (SURVEY §2.1 S10–S15, §2.4 W6, §2.5 J6), exercised on corpus tables
+  * with full DuckDB oracles.
+  */
+object WarehouseQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ON CONFLICT (c_custkey) DO UPDATE SET (c_acctbal, c_mktsegment):
+    // incoming batch = latest order per customer (10% mapped to novel
+    // keys to exercise the insert path). Matched rows keep c_name /
+    // c_nationkey from the target — the partial-update contract.
+    Q("q32_merge_upsert", Some("""
+      WITH latest AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders),
+      inc AS (
+        SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS c_custkey,
+          'upd-' || o_orderkey AS c_name,
+          CAST(o_custkey % 25 AS INT) AS c_nationkey,
+          o_totalprice AS c_acctbal,
+          'RELOADED' AS c_mktsegment
+        FROM latest WHERE rn = 1)
+      SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+        CASE WHEN t.c_custkey IS NOT NULL THEN t.c_name ELSE s.c_name END AS c_name,
+        CASE WHEN t.c_custkey IS NOT NULL THEN t.c_nationkey ELSE s.c_nationkey END AS c_nationkey,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+        CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+      FROM customer t FULL OUTER JOIN inc s ON t.c_custkey = s.c_custkey
+      ORDER BY c_custkey""")) { (s, dir) =>
+      val customer = Tables.load(s, dir, "customer")
+      val orders = Tables.load(s, dir, "orders")
+      val incoming = orders
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+            .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)))
+        .filter(col("rn") === 1)
+        .select(
+          when(col("o_custkey") % 10 === 0, col("o_custkey") + 1000000)
+            .otherwise(col("o_custkey")).as("c_custkey"),
+          concat(lit("upd-"), col("o_orderkey")).as("c_name"),
+          (col("o_custkey") % 25).cast("int").as("c_nationkey"),
+          col("o_totalprice").as("c_acctbal"),
+          lit("RELOADED").as("c_mktsegment"))
+      Merge.upsert(customer, incoming, keys = Seq("c_custkey"),
+          updateCols = Seq("c_acctbal", "c_mktsegment"),
+          tiebreak = Seq(col("c_name").desc))
+        .orderBy("c_custkey")
+    },
+
+    // SCD2 lookup-or-insert: current dim rows win, novel hashes are
+    // appended with content-derived surrogate keys and the SCD2
+    // envelope (degenerate SCD2 exactly as the reference loader:
+    // nothing ever expires).
+    Q("q33_scd2_locations", Some("""
+      WITH shaped AS (
+        SELECT DISTINCT
+          md5(printf('%.6f,%.6f', c_acctbal, CAST(c_nationkey AS DOUBLE))) AS location_hash,
+          c_acctbal AS latitude, CAST(c_nationkey AS DOUBLE) AS longitude
+        FROM customer),
+      existing AS (
+        SELECT DISTINCT
+          md5(printf('%.6f,%.6f', c_acctbal, CAST(c_nationkey AS DOUBLE))) AS location_hash,
+          c_acctbal AS latitude, CAST(c_nationkey AS DOUBLE) AS longitude
+        FROM customer WHERE c_custkey <= 500),
+      novel AS (
+        SELECT * FROM shaped
+        WHERE location_hash NOT IN (SELECT location_hash FROM existing))
+      SELECT location_hash,
+        CAST('0x' || substr(location_hash, 1, 15) AS BIGINT) AS location_key,
+        latitude, longitude, effective_date, is_current, is_new
+      FROM (
+        SELECT location_hash, latitude, longitude,
+          '2026-01-01' AS effective_date, TRUE AS is_current,
+          FALSE AS is_new
+        FROM existing
+        UNION ALL
+        SELECT location_hash, latitude, longitude,
+          '2026-03-01' AS effective_date, TRUE AS is_current, TRUE AS is_new
+        FROM novel)
+      ORDER BY location_hash""")) { (s, dir) =>
+      val customer = Tables.load(s, dir, "customer")
+      def shaped(df: org.apache.spark.sql.DataFrame) = df.select(
+        CleanFunctions.locationHash(col("c_acctbal"), col("c_nationkey"))
+          .as("location_hash"),
+        col("c_acctbal").as("latitude"),
+        col("c_nationkey").cast("double").as("longitude"))
+      val existing = shaped(customer.filter(col("c_custkey") <= 500))
+        .dropDuplicates("location_hash")
+        .withColumn("effective_date", lit("2026-01-01"))
+        .withColumn("is_current", lit(true))
+      val incoming = shaped(customer)
+      Scd2.lookupOrInsert(existing, incoming, "location_hash",
+          "location_key", lit("2026-03-01"))
+        .withColumn("location_key",
+          Scd2.surrogateKey(col("location_hash")))
+        .select("location_hash", "location_key", "latitude", "longitude",
+          "effective_date", "is_current", "is_new")
+        .orderBy("location_hash")
+    },
+
+    // W6 generated date dimension, 2020-01-01..2030-12-31 (4018 rows),
+    // EXTRACT(DOW) convention (Sunday = 0).
+    Q("q34_date_dim", Some("""
+      SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+        strftime(d, '%Y-%m-%d') AS full_date,
+        CAST(dayofweek(d) AS INT) AS day_of_week,
+        dayname(d) AS day_name,
+        CAST(day(d) AS INT) AS day_of_month,
+        CAST(dayofyear(d) AS INT) AS day_of_year,
+        CAST(weekofyear(d) AS INT) AS week_of_year,
+        CAST(month(d) AS INT) AS month_number,
+        monthname(d) AS month_name,
+        CAST(quarter(d) AS INT) AS quarter,
+        CAST(year(d) AS INT) AS year,
+        dayofweek(d) IN (0, 6) AS is_weekend,
+        CASE WHEN month(d) IN (3,4,5) THEN 'Spring'
+             WHEN month(d) IN (6,7,8) THEN 'Summer'
+             WHEN month(d) IN (9,10,11) THEN 'Autumn'
+             ELSE 'Winter' END AS season_northern,
+        CASE WHEN month(d) IN (9,10,11) THEN 'Spring'
+             WHEN month(d) IN (12,1,2) THEN 'Summer'
+             WHEN month(d) IN (3,4,5) THEN 'Autumn'
+             ELSE 'Winter' END AS season_southern,
+        FALSE AS is_growing_season
+      FROM (SELECT CAST(unnest(generate_series(DATE '2020-01-01',
+              DATE '2030-12-31', INTERVAL 1 DAY)) AS DATE) AS d)
+      ORDER BY date_key""")) { (s, _) =>
+      DateDim.build(s)
+        .withColumn("full_date", date_format(col("full_date"), "yyyy-MM-dd"))
+        .orderBy("date_key")
+    },
+
+    // S15 idempotency keys: sha256(type:key) insert-if-new — the batch
+    // rewrite of ON CONFLICT DO NOTHING RETURNING.
+    Q("q35_idempotency", Some("""
+      WITH existing AS (
+        SELECT sha256(event_type || ':' || CAST(event_id AS VARCHAR)) AS key_hash
+        FROM events WHERE event_id < 4000),
+      batch AS (SELECT * FROM events WHERE event_id >= 3000)
+      SELECT event_id,
+        sha256(event_type || ':' || CAST(event_id AS VARCHAR)) AS key_hash
+      FROM batch
+      WHERE sha256(event_type || ':' || CAST(event_id AS VARCHAR))
+        NOT IN (SELECT key_hash FROM existing)
+      ORDER BY event_id""")) { (s, dir) =>
+      val events = Tables.load(s, dir, "events")
+      val keyTable = events.filter(col("event_id") < 4000)
+        .select(Idempotency.keyHash(col("event_type"), col("event_id"))
+          .as("key_hash"))
+      Idempotency.novelRows(events.filter(col("event_id") >= 3000),
+          keyTable, col("event_type"), col("event_id"))
+        .select("event_id", "key_hash")
+        .orderBy("event_id")
+    }
+  )
+}
