@@ -1,0 +1,267 @@
+package graft.quality
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality rules (SURVEY §1.1 "quality-rule config",
+  * §2.6–2.7, §3.3): the reference's `data-quality.yml` vocabulary
+  * (`.github/workflows/data-quality.yml:55-325`) parsed from YAML and
+  * compiled to `Column` predicates / aggregation jobs — a rule-to-
+  * expression compiler, no interpretation at row level.
+  *
+  * Rule vocabulary: range, regex, enum, not_null, unique,
+  * cross_validations (SQL boolean expressions), referential_integrity
+  * (anti-joins), freshness (max age vs an as-of date), completeness
+  * (non-null ratio thresholds), anomalies (SQL conditions incl. window
+  * functions, evaluated via `spark.sql`).
+  */
+sealed trait Rule {
+  def table: String
+  def name: String
+  def severity: String
+}
+final case class RangeRule(table: String, column: String, min: Double,
+    max: Double, severity: String) extends Rule {
+  def name = s"range_${table}_$column"
+}
+final case class RegexRule(table: String, column: String, pattern: String,
+    severity: String) extends Rule {
+  def name = s"regex_${table}_$column"
+}
+final case class EnumRule(table: String, column: String,
+    values: Seq[String], severity: String) extends Rule {
+  def name = s"enum_${table}_$column"
+}
+final case class NotNullRule(table: String, column: String) extends Rule {
+  def name = s"not_null_${table}_$column"
+  def severity = "critical"
+}
+final case class UniqueRule(table: String, columns: Seq[String])
+    extends Rule {
+  def name = s"unique_${table}_${columns.mkString("_")}"
+  def severity = "critical"
+}
+final case class CrossRule(table: String, ruleName: String,
+    expression: String, severity: String) extends Rule {
+  def name = s"cross_${table}_$ruleName"
+}
+final case class RefIntegrityRule(table: String, column: String,
+    refTable: String, refColumn: String) extends Rule {
+  def name = s"ri_${table}_${column}"
+  def severity = "error"
+}
+final case class FreshnessRule(table: String, dateColumn: String,
+    maxAgeDays: Int) extends Rule {
+  def name = s"freshness_$table"
+  def severity = "warning"
+}
+final case class CompletenessRule(table: String, column: String,
+    thresholdPct: Double) extends Rule {
+  def name = s"completeness_${table}_$column"
+  def severity = "warning"
+}
+final case class AnomalyRule(table: String, ruleName: String,
+    condition: String, severity: String) extends Rule {
+  def name = s"anomaly_$ruleName"
+}
+
+object QualityConfig {
+
+  /** Parse the `data-quality.yml` vocabulary into rules. Supported
+    * top-level sections: `tables` (validations / not_null_columns /
+    * unique_columns / cross_validations), `referential_integrity`,
+    * `freshness` (with a `date_column` extension, since a lake table
+    * declares its own event-time column), `completeness`
+    * (`table_thresholds` applied per declared `columns`), `anomalies`.
+    */
+  def parse(yaml: String): Seq[Rule] = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](yaml).asScala
+    def m(o: Object): collection.Map[String, Object] =
+      o.asInstanceOf[java.util.Map[String, Object]].asScala
+    def l(o: Object): Seq[Object] =
+      o.asInstanceOf[java.util.List[Object]].asScala.toSeq
+    def d(o: Object): Double = o.toString.toDouble
+    val rules = Seq.newBuilder[Rule]
+
+    for ((table, tObj) <- root.get("tables").map(m).getOrElse(Map())) {
+      val t = m(tObj)
+      for (c <- t.get("not_null_columns").map(l).getOrElse(Nil))
+        rules += NotNullRule(table, c.toString)
+      for (u <- t.get("unique_columns").map(l).getOrElse(Nil))
+        rules += UniqueRule(table, Seq(u.toString))
+      for ((colName, vObj) <- t.get("validations").map(m).getOrElse(Map())) {
+        val v = m(vObj)
+        val sev = v.get("critical") match {
+          case Some(b) if b.toString == "true" => "critical"
+          case _ => "warning"
+        }
+        v("type").toString match {
+          case "range" =>
+            rules += RangeRule(table, colName, d(v("min")), d(v("max")), sev)
+          case "regex" =>
+            rules += RegexRule(table, colName, v("pattern").toString, sev)
+          case "enum" =>
+            rules += EnumRule(table, colName,
+              l(v("values")).map(_.toString), sev)
+        }
+      }
+      for (cvObj <- t.get("cross_validations").map(l).getOrElse(Nil)) {
+        val cv = m(cvObj)
+        val sev = cv.get("critical") match {
+          case Some(b) if b.toString == "true" => "critical"
+          case _ => "warning"
+        }
+        rules += CrossRule(table, cv("name").toString,
+          cv("expression").toString, sev)
+      }
+    }
+    for ((ref, rObj) <- root.get("referential_integrity").map(m)
+        .getOrElse(Map())) {
+      val Array(table, column) = ref.split("\\.", 2)
+      val Array(refTable, refCol) =
+        m(rObj)("references").toString.split("\\.", 2)
+      rules += RefIntegrityRule(table, column, refTable, refCol)
+    }
+    for ((table, fObj) <- root.get("freshness").map(m).getOrElse(Map())) {
+      val f = m(fObj)
+      val days = f.get("max_age_days").map(_.toString.toInt)
+        .orElse(f.get("max_age_hours").map(h =>
+          math.max(1, h.toString.toInt / 24)))
+        .getOrElse(365)
+      rules += FreshnessRule(table, f("date_column").toString, days)
+    }
+    for ((table, cObj) <- root.get("completeness").map(m)
+        .getOrElse(Map()) if table != "global_threshold") {
+      val c = m(cObj)
+      val threshold = d(c("threshold_percent"))
+      for (colName <- l(c("columns")))
+        rules += CompletenessRule(table, colName.toString, threshold)
+    }
+    for ((ruleName, aObj) <- root.get("anomalies").map(m).getOrElse(Map())) {
+      val a = m(aObj)
+      rules += AnomalyRule(a("table").toString, ruleName,
+        a("condition").toString, a("severity").toString)
+    }
+    rules.result()
+  }
+}
+
+object QualitySuite {
+
+  /** Compile one rule into (violation-count, row-count) over its
+    * table. Violation semantics per rule type:
+    *   - range/regex/enum: non-null values outside the domain
+    *   - not_null: null values
+    *   - unique: rows beyond the first per key
+    *   - cross: rows where the boolean SQL expression is NOT true
+    *   - referential: fact rows whose key misses the dimension
+    *   - freshness: 0/1 — whole table stale vs `asOf`
+    *   - completeness: 0/1 — non-null ratio below threshold
+    *   - anomaly: rows where the (window-capable) condition is true
+    */
+  def violationCount(spark: SparkSession, tables: Map[String, DataFrame],
+      rule: Rule, asOf: Column): (Long, Long) = {
+    val df = tables(rule.table)
+    val total = df.count()
+    val violations: Long = rule match {
+      case RangeRule(_, c, lo, hi, _) =>
+        df.filter(col(c).isNotNull && !col(c).between(lo, hi)).count()
+      case RegexRule(_, c, p, _) =>
+        df.filter(col(c).isNotNull && !col(c).rlike(p)).count()
+      case EnumRule(_, c, vs, _) =>
+        df.filter(col(c).isNotNull && !col(c).isin(vs: _*)).count()
+      case NotNullRule(_, c) => df.filter(col(c).isNull).count()
+      case UniqueRule(_, cs) =>
+        total - df.select(cs.map(col): _*).distinct().count()
+      case CrossRule(_, _, e, _) =>
+        df.filter(!coalesce(expr(e), lit(false))).count()
+      case RefIntegrityRule(_, c, refT, refC) =>
+        df.filter(col(c).isNotNull).join(tables(refT)
+            .select(col(refC).as(c)).distinct(), Seq(c), "left_anti")
+          .count()
+      case FreshnessRule(_, dc, maxDays) =>
+        val stale = df.agg(max(col(dc)).as("mx"))
+          .select((datediff(asOf, col("mx").cast("date")) > maxDays)
+            .as("stale"))
+          .collect()(0).getBoolean(0)
+        if (stale) 1L else 0L
+      case CompletenessRule(_, c, pct) =>
+        val ratio = df.agg((count(col(c)) * lit(100.0) / count(lit(1)))
+          .as("r")).collect()(0).getDouble(0)
+        if (ratio < pct) 1L else 0L
+      case AnomalyRule(_, _, cond, _) =>
+        val view = s"__q_${rule.table}"
+        df.createOrReplaceTempView(view)
+        spark.sql(
+          s"SELECT count(*) AS n FROM (SELECT ($cond) AS a FROM $view) WHERE a")
+          .collect()(0).getLong(0)
+    }
+    (violations, total)
+  }
+
+  /** Violation-count aggregate expression for rules that can share one
+    * scan of their table (everything except unique / referential /
+    * anomaly). */
+  private def aggExpr(rule: Rule, asOf: Column): Option[Column] =
+    rule match {
+      case RangeRule(_, c, lo, hi, _) => Some(
+        coalesce(sum(when(col(c).isNotNull && !col(c).between(lo, hi),
+          1L)), lit(0L)))
+      case RegexRule(_, c, p, _) => Some(
+        coalesce(sum(when(col(c).isNotNull && !col(c).rlike(p), 1L)),
+          lit(0L)))
+      case EnumRule(_, c, vs, _) => Some(
+        coalesce(sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L)),
+          lit(0L)))
+      case NotNullRule(_, c) => Some(
+        coalesce(sum(when(col(c).isNull, 1L)), lit(0L)))
+      case CrossRule(_, _, e, _) => Some(
+        coalesce(sum(when(!coalesce(expr(e), lit(false)), 1L)), lit(0L)))
+      case FreshnessRule(_, dc, maxDays) => Some(
+        when(datediff(asOf, max(col(dc)).cast("date")) > maxDays, 1L)
+          .otherwise(0L))
+      case CompletenessRule(_, c, pct) => Some(
+        when(count(col(c)) * lit(100.0) / count(lit(1)) < pct, 1L)
+          .otherwise(0L))
+      case _ => None
+    }
+
+  /** Run every rule and return the quality report as a DataFrame:
+    * (rule_name, table_name, severity, n_violations, n_rows, passed).
+    *
+    * Scale posture: all range/regex/enum/not-null/cross/freshness/
+    * completeness rules for a table are fused into ONE conditional
+    * aggregation — a single scan per table regardless of rule count.
+    * Only unique (distinct), referential (anti-join) and anomaly
+    * (window) rules run their own jobs, since they genuinely need a
+    * shuffle of their own.
+    */
+  def report(spark: SparkSession, tables: Map[String, DataFrame],
+      rules: Seq[Rule], asOf: Column): DataFrame = {
+    val results = scala.collection.mutable.Map[String, (Long, Long)]()
+    for ((table, tableRules) <- rules.groupBy(_.table)) {
+      val df = tables(table)
+      val fused = tableRules.flatMap(r => aggExpr(r, asOf).map(r -> _))
+      if (fused.nonEmpty) {
+        val aggs = count(lit(1)).as("__total") +:
+          fused.zipWithIndex.map { case ((_, e), i) => e.as(s"__v$i") }
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val total = row.getLong(0)
+        fused.zipWithIndex.foreach { case ((r, _), i) =>
+          results(r.name) = (row.getLong(i + 1), total)
+        }
+      }
+      for (r <- tableRules if aggExpr(r, asOf).isEmpty)
+        results(r.name) = violationCount(spark, tables, r, asOf)
+    }
+    val rows = rules.map { r =>
+      val (v, n) = results(r.name)
+      (r.name, r.table, r.severity, v, n, v == 0L)
+    }
+    spark.createDataFrame(rows)
+      .toDF("rule_name", "table_name", "severity", "n_violations",
+        "n_rows", "passed")
+  }
+}
