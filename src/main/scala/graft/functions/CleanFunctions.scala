@@ -138,16 +138,18 @@ object CleanFunctions {
   }
 
   /** F12 raw-threshold variant used at parse time
-    * (`etl/extract/soil_api.py:118-139`) — no normalization, different
-    * cascade. */
+    * (`etl/extract/soil_api.py:118-139`) — same cascade as the
+    * normalized variant but applied to raw (unnormalized) values;
+    * Python truthiness: null OR zero input → null. */
   def classifyTextureRaw(clay: Column, sand: Column, silt: Column): Column =
-    when(clay.isNull || sand.isNull || silt.isNull, lit(null))
-      .when(sand >= 85, "Sand")
-      .when(sand >= 70, "Sandy Loam")
+    when(clay.isNull || sand.isNull || silt.isNull ||
+      clay === 0 || sand === 0 || silt === 0, lit(null))
+      .when(sand >= 85 && silt + clay * 1.5 < 15, "Sand")
+      .when(silt >= 80 && clay < 12, "Silt")
       .when(clay >= 40, "Clay")
-      .when(clay >= 27 && sand <= 45, "Clay Loam")
+      .when(sand >= 52 && silt + clay * 2 < 50, "Sandy Loam")
       .when(silt >= 50 && clay < 27, "Silt Loam")
-      .when(silt >= 80, "Silt")
+      .when(clay >= 27 && clay < 40 && sand > 20, "Clay Loam")
       .otherwise("Loam")
 
   /** W1 — MD5 location hash over "%.6f,%.6f"

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{CleanFunctions, NlpExtract, RecordCleaners, TextClean}
+import graft.sources.{OpenMeteoSource, ScrapedTextSource, SoilGridsSource}
+import graft.warehouse.{Merge, Scd2}
+
+/** The reference's orchestrated ETL phases (SURVEY §3.1–3.2,
+  * `etl/orchestrator.py`) as single declarative Spark jobs: each phase
+  * is read → parse → clean → key → merge, with the hash→surrogate
+  * lookup as a broadcast join (never a driver-side dict) and the
+  * upserts as [[Merge.upsert]] rewrites. No driver loops anywhere —
+  * at 100 TB each phase is one distributed job.
+  */
+object Pipeline {
+
+  /** Location dimension maintenance shared by both phases
+    * (S10/W1/J5): hash incoming coordinates, look up current dim rows,
+    * insert novel ones with content-derived surrogate keys.
+    */
+  def upsertLocations(existingDim: DataFrame, coords: DataFrame,
+      effectiveDate: Column): DataFrame = {
+    val incoming = coords.select(
+      round(col("latitude"), 6).as("latitude"),
+      round(col("longitude"), 6).as("longitude"))
+      .withColumn("location_hash",
+        CleanFunctions.locationHash(col("latitude"), col("longitude")))
+    Scd2.lookupOrInsert(existingDim, incoming, "location_hash",
+      "location_key", effectiveDate)
+  }
+
+  /** Weather phase (SURVEY §3.2): captured Open-Meteo JSON → zip to
+    * rows → F4 clean → location join on hash → W3 date_key projection →
+    * merge into the fact keyed (date_key, location_key) with the
+    * reference's partial-update column set.
+    */
+  def runWeather(spark: SparkSession, jsonPath: String,
+      existingDim: DataFrame, existingFact: DataFrame,
+      effectiveDate: Column): (DataFrame, DataFrame) = {
+    val parsed = OpenMeteoSource.parse(OpenMeteoSource.read(spark, jsonPath))
+    val cleaned = RecordCleaners.cleanWeatherData(parsed)
+      .withColumn("location_hash",
+        CleanFunctions.locationHash(round(col("latitude"), 6),
+          round(col("longitude"), 6)))
+    val dim = upsertLocations(existingDim,
+      cleaned.select("latitude", "longitude"), effectiveDate)
+    val keyed = cleaned.join(
+      broadcast(dim.filter(col("is_current"))
+        .select("location_hash", "location_key")),
+      Seq("location_hash"))
+    val fact = RecordCleaners.transformWeather(keyed, col("location_key"))
+    val merged = Merge.upsert(existingFact, fact,
+      keys = Seq("date_key", "location_key"),
+      updateCols = Seq("temp_max_c", "temp_min_c", "temp_mean_c",
+        "precipitation_mm"),
+      tiebreak = Seq(col("latitude").desc))
+    (dim, merged)
+  }
+
+  /** Soil phase (SURVEY §3.1): captured SoilGrids JSON → nested parse
+    * (with coordinate quarantine) → F3 clean → location join → W2
+    * projection → merge keyed (location_key, extraction_date) updating
+    * texture/pH/metadata only.
+    */
+  def runSoil(spark: SparkSession, jsonPath: String,
+      existingDim: DataFrame, existingSoil: DataFrame,
+      extractionDate: Column): (DataFrame, DataFrame, DataFrame) = {
+    val (parsed, quarantine) =
+      SoilGridsSource.extract(SoilGridsSource.read(spark, jsonPath))
+    val (cleaned, _) = RecordCleaners.cleanSoilData(parsed)
+    val hashed = cleaned.withColumn("location_hash",
+      CleanFunctions.locationHash(col("latitude"), col("longitude")))
+    val dim = upsertLocations(existingDim,
+      hashed.select("latitude", "longitude"), extractionDate)
+    val keyed = hashed.join(
+      broadcast(dim.filter(col("is_current"))
+        .select("location_hash", "location_key")),
+      Seq("location_hash"))
+    val soilDim = RecordCleaners.transformSoil(keyed, col("location_key"),
+      extractionDate)
+    val merged = Merge.upsert(existingSoil, soilDim,
+      keys = Seq("location_key", "extraction_date"),
+      updateCols = Seq("soil_texture", "ph_level_0_5cm", "metadata"),
+      tiebreak = Seq(col("metadata").desc))
+    (dim, merged, quarantine)
+  }
+
+  /** Crop phase (SURVEY §3.1): scraped (crop_name, html, source,
+    * reliability) rows → priority resolution → HTML-to-text → T11–T16
+    * extraction → F5 clean → W4 projection → merge keyed crop_name
+    * with the reference's partial-update column set
+    * (`postgres_loader.py:154-159`).
+    */
+  def runCrop(scraped: DataFrame, existingCrop: DataFrame,
+      extractionDate: Column): DataFrame = {
+    val texts = ScrapedTextSource.resolvePriority(
+      scraped.withColumn("raw_text",
+        ScrapedTextSource.htmlToText(col("html"))))
+    val e = NlpExtract.extractRequirements(col("raw_text"))
+    val extracted = texts.select(col("crop_name"),
+      e.getField("temp_min_c").as("temp_min_c"),
+      e.getField("temp_max_c").as("temp_max_c"),
+      e.getField("water_mm_day").as("water_mm_day"),
+      e.getField("sunlight_hours").as("sunlight_hours"),
+      e.getField("ph_min").as("ph_min"),
+      e.getField("ph_max").as("ph_max"),
+      e.getField("confidence_score").as("confidence_score"),
+      e.getField("raw_evidence").as("raw_evidence"))
+    val cleaned = RecordCleaners.cleanCropRequirements(extracted,
+      passthrough = Seq("raw_evidence"))
+    val cropDim = RecordCleaners.transformCrop(cleaned, extractionDate)
+    Merge.upsert(existingCrop, cropDim, keys = Seq("crop_name"),
+      updateCols = Seq("optimal_temp_min_c", "optimal_temp_max_c",
+        "water_requirement_mm_day", "extraction_confidence",
+        "extraction_date"),
+      tiebreak = Seq(col("extraction_confidence").desc))
+  }
+}

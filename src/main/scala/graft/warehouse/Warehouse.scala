@@ -87,8 +87,12 @@ object Scd2 {
     * Returns the updated dimension with `is_new` marking this batch's
     * inserts.
     */
-  def lookupOrInsert(existing: DataFrame, incoming: DataFrame,
+  def lookupOrInsert(existing0: DataFrame, incoming: DataFrame,
       hashCol: String, keyCol: String, effectiveDate: Column): DataFrame = {
+    // tolerate a dimension produced by a previous lookupOrInsert round
+    val existing =
+      if (existing0.columns.contains("is_new")) existing0.drop("is_new")
+      else existing0
     val novel = incoming
       .dropDuplicates(hashCol)
       .join(existing.filter(col("is_current")).select(hashCol),

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Shared local SparkSession for specs, plus single-value evaluation
+  * helpers. */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSpec.session
+  import org.apache.spark.sql.functions._
+
+  /** Evaluate a Column over a single empty row. */
+  def eval(c: Column): Any =
+    spark.range(1).select(c.as("v")).collect()(0).get(0)
+
+  /** Evaluate a Column over one row with a string input column `s`. */
+  def evalStr(input: String, f: Column => Column): Any = {
+    import spark.implicits._
+    Seq(input).toDF("s").select(f(col("s")).as("v")).collect()(0).get(0)
+  }
+
+  /** Evaluate a Column over one row with a double input column `x`. */
+  def evalNum(input: java.lang.Double, f: Column => Column): Any = {
+    import spark.implicits._
+    Seq(Option(input).map(_.doubleValue)).toDF("x")
+      .select(f(col("x")).as("v")).collect()(0).get(0)
+  }
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
