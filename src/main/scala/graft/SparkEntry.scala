@@ -15,7 +15,8 @@ object SparkEntry {
   def registry: Seq[Q] =
     StarQueries.all ++ EventQueries.all ++ DocQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
-      NlpQueries.all ++ WarehouseQueries.all ++ QualityQueries.all
+      NlpQueries.all ++ WarehouseQueries.all ++ QualityQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. */

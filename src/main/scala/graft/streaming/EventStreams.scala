@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.8). The reference's
+  * "near-real-time" is a daily batch pull with a 24 h freshness SLA;
+  * this module provides the true streaming upgrade path for the same
+  * contracts: windowed rollups (the streaming form of q11), stateful
+  * spike detection (the streaming form of anomaly WN1/q06),
+  * sessionization, and streaming freshness.
+  *
+  * Scale posture: every operator keys its state by a fine-grained
+  * column (event_type, user_id), so state distributes across
+  * executors; watermarks bound state size; no global ordering is ever
+  * required.
+  */
+object EventStreams {
+
+  /** Event record matching the corpus events table (minus the
+    * free-form props). */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** A spike alert: consecutive per-user values differing by more than
+    * the threshold (streaming WN1). */
+  case class Spike(user_id: Long, event_id: Long, value: Double,
+      prev_value: Double, delta: Double)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-based streaming read of an events directory (parquet parts
+    * appear as micro-batches). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window rollup with watermark — the streaming form of
+    * q11_hourly_rollup: per (window, event_type) counts and exact
+    * decimal sums. */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours",
+      window_ : String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window mean value per event type. */
+  def slidingAvg(events: DataFrame, watermark: String = "2 hours",
+      window_ : String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1)).cast("double")).as("avg_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("avg_value"))
+
+  /** Session windows per user with an inactivity gap. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Stateful spike detection — the streaming WN1: per-user last-value
+    * state via `flatMapGroupsWithState`; emits an alert whenever
+    * |value − previous| exceeds `threshold`. State is one double per
+    * user, so it is O(|users|) across the cluster and needs no
+    * watermark to stay bounded.
+    */
+  def spikes(events: Dataset[Event], threshold: Double): Dataset[Spike] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), Spike](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event],
+            state: GroupState[(Long, Double)]) =>
+          // order within the micro-batch by event time, then id
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var prev = state.getOption
+          val out = Seq.newBuilder[Spike]
+          for (e <- sorted) {
+            prev.foreach { case (_, pv) =>
+              if (math.abs(e.value - pv) > threshold)
+                out += Spike(userId, e.event_id, e.value, pv, e.value - pv)
+            }
+            prev = Some((e.event_id, e.value))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming freshness monitor: max event time per type, compared
+    * against the processing-time SLA downstream (A3's streaming
+    * form). */
+  def freshness(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(max(col("ts")).as("latest_ts"),
+        count(lit(1)).as("n_events"))
+}

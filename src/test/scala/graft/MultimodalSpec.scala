@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+
+/** Multimodal plumbing: binary payloads, typed metadata, partition-
+  * batched decode, metadata transforms, frame fan-out. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  def media = Seq(
+    MediaRow(1, "image", "hello world".getBytes("UTF-8"),
+      MediaMeta("png", 64, 48, 3, 0, 1)),
+    MediaRow(2, "video", "frame data bytes".getBytes("UTF-8"),
+      MediaMeta("mp4", 320, 240, 3, 0, 9)),
+    MediaRow(3, "audio", Array[Byte](), MediaMeta("wav", 0, 0, 1, 16000, 1)))
+
+  test("feature extraction is deterministic and schema-typed") {
+    val f = Multimodal.extractFeatures(media.toDS()).orderBy("media_id")
+      .collect()
+    assert(f(0).n_bytes == 11)
+    assert(f(0).checksum ==
+      "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(f(0).features.length == 8)
+    assert(f(2).features.forall(_ == 0f)) // empty payload
+    // determinism: second run bit-identical
+    val f2 = Multimodal.extractFeatures(media.toDS()).orderBy("media_id")
+      .collect()
+    assert(f.zip(f2).forall { case (a, b) =>
+      a.features.sameElements(b.features) })
+  }
+
+  test("resize rewrites metadata only") {
+    val r = Multimodal.resize(media.toDF(), 128, 96)
+      .filter(col("media_id") === 1)
+      .select("meta.width", "meta.height", "meta.format").collect()(0)
+    assert(r.getInt(0) == 128 && r.getInt(1) == 96 &&
+      r.getString(2) == "png")
+  }
+
+  test("frame sampling fans out every stride-th frame of videos only") {
+    val frames = Multimodal.sampleFrames(media.toDF(), stride = 4)
+      .orderBy("media_id", "frame_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.toSeq == Seq((2L, 0), (2L, 4), (2L, 8)))
+  }
+
+  test("synthesized corpus from documents has valid media schema") {
+    val docs = Seq((1L, "abc def", 7L), (2L, "xyz", 3L))
+      .toDF("doc_id", "text", "n_chars")
+    val m = Multimodal.synthesizeCorpus(docs)
+    assert(m.schema("content").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val kinds = m.select("kind").collect().map(_.getString(0)).toSet
+    assert(kinds.subsetOf(Set("image", "audio", "video")))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Spike}
+
+/** Structured Streaming semantics over an in-memory source: windowed
+  * rollups, stateful spike detection, sessionization (SURVEY §2.8).
+  */
+class StreamingSpec extends SparkSpec {
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  def events: Seq[Event] = Seq(
+    Event(1, ts("2026-01-01 10:05:00"), 7, "click", 10.0),
+    Event(2, ts("2026-01-01 10:20:00"), 7, "click", 12.0),
+    Event(3, ts("2026-01-01 10:40:00"), 7, "view", 300.0),
+    Event(4, ts("2026-01-01 11:10:00"), 7, "click", 11.0),
+    Event(5, ts("2026-01-01 10:30:00"), 9, "click", 50.0),
+    Event(6, ts("2026-01-01 12:45:00"), 9, "click", 55.0))
+
+  test("streaming hourly rollup matches batch semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.hourlyRollup(mem.toDF())
+      .writeStream.format("memory").queryName("rollup")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rollup")
+      .orderBy("window_start", "event_type")
+      .select("event_type", "n_events", "total_value")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("click", 3L, 72.0),   // 10-11h: 10+12+50
+      ("view", 1L, 300.0),
+      ("click", 1L, 11.0),   // 11-12h
+      ("click", 1L, 55.0)))  // 12-13h
+  }
+
+  test("stateful spike detection fires across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.spikes(mem.toDS(), threshold = 150.0)
+      .writeStream.format("memory").queryName("spikes")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(events.take(3): _*)   // batch 1: user 7 → 10,12,300
+    q.processAllAvailable()
+    mem.addData(events.drop(3): _*)   // batch 2: user 7 → 11 (Δ-289)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spikes").orderBy("event_id")
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        r.getAs[Double]("delta")))
+    // 12→300 fires in batch 1; 300→11 fires in batch 2 via kept state
+    assert(got.toSeq == Seq((3L, 288.0), (4L, -289.0)))
+  }
+
+  test("sessionization groups by inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.sessionize(mem.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions").orderBy("user_id", "session_start")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events")))
+    // user 7: 10:05/10:20/10:40/11:10 chain into one session (the
+    // 11:10 event lands exactly on the 10:40+30min boundary, which
+    // session_window treats as within-gap); user 9: two sessions
+    assert(got.toSeq == Seq((7L, 4L), (9L, 1L), (9L, 1L)))
+  }
+}
