@@ -180,14 +180,36 @@ object Dedup {
   }
 
   /** 5. Embedding-cosine near-duplicate pairs above a threshold.
-    * Exact all-pairs here; at scale, route through
-    * Similarity.bucketedTopK-style LSH pruning first.
+    * Exact all-pairs — O(n²) cosines; correctness baseline for tiny
+    * corpora and for validating [[embeddingNearDupsBucketed]] recall.
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
     val a = emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
     val b = emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("score", Similarity.cosine(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+
+  /** 5b. LSH-bucketed near-dup pairs — the corpus-scale path: only
+    * pairs sharing the `bits`-dim sign bucket are scored, turning the
+    * all-pairs scan into a bucket equi-join (candidate count ≈
+    * n²/2^bits under a centered distribution). Deterministic: the
+    * bucketing is a pure expression, so results are reproducible (and
+    * oracle-checkable) — the trade is recall, not stability.
+    */
+  def embeddingNearDupsBucketed(emb: DataFrame, idCol: String,
+      embCol: String, threshold: Double, bits: Int): DataFrame = {
+    val bucketed = emb.select(col(idCol), col(embCol),
+      Similarity.signBucket(col(embCol), bits).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(embCol).as("emb_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(embCol).as("emb_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
       .withColumn("score", Similarity.cosine(col("emb_a"), col("emb_b")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{Dedup, Similarity, TextAnalysis}
+
+/** Near-dup operator semantics on controlled corpora. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "completely different content entirely unrelated"),
+    (4L, "the quick brown fox jumps over the lazy dog"),
+    (5L, "a b")) // fewer than 3 tokens → no shingles
+    .toDF("doc_id", "text")
+
+  test("shingles: short docs yield empty sets, no descending-sequence bug") {
+    val s = docs.select(col("doc_id"),
+      size(Dedup.shingles(col("text"), 3)).as("n")).orderBy("doc_id")
+      .collect().map(_.getInt(1))
+    assert(s.toSeq == Seq(7, 7, 3, 7, 0))
+  }
+
+  test("exact dedup groups identical texts") {
+    val g = Dedup.exact(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("ngram jaccard finds the near-pair, skips unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash-LSH candidates include the exact duplicate at est 1.0") {
+    val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text")
+      .filter(col("id_a") === 1 && col("id_b") === 4).collect()
+    assert(cand.length == 1)
+    assert(cand(0).getAs[Double]("est_jaccard") == 1.0)
+  }
+
+  test("simhash: identical texts share fingerprints, different differ") {
+    val fp = Dedup.simHash(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(_.getString(1))
+    assert(fp(0) == fp(3) && fp(0) != fp(2))
+    assert(fp(0).matches("[0-9a-f]{16}"))
+  }
+
+  test("bucketed near-dups are a subset of exact near-dups") {
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        math.sin(i * 0.7 + j * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.embeddingNearDupsBucketed(
+        emb, "vec_id", "embedding", 0.9, bits = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact))
+    assert(bucketed.nonEmpty) // high-cosine pairs share sign buckets
+  }
+
+  test("language-ID picks the profile with most stopword hits") {
+    assert(evalStr("der hund und die katze ist nicht hier",
+      TextAnalysis.langPredict) == "de")
+    assert(evalStr("the dog and the cat is here",
+      TextAnalysis.langPredict) == "en")
+    assert(evalStr("xyzzy plugh", TextAnalysis.langPredict) == "und")
+  }
+}
