@@ -16,7 +16,7 @@ object SparkEntry {
     StarQueries.all ++ EventQueries.all ++ DocQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
       NlpQueries.all ++ WarehouseQueries.all ++ QualityQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. */

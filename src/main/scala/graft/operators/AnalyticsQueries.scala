@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.analytics.Suitability
+
+/** Analytical endpoint queries (SURVEY §7): the compatibility
+  * materialized view and the crop-suitability scoring fact, computed
+  * over dims derived deterministically from corpus tables (nation →
+  * locations+soil, part brands → crops, events → per-location weather
+  * aggregates) so both engines evaluate identical inputs.
+  */
+object AnalyticsQueries {
+
+  /** Shared DuckDB CTEs for the derived dimensions. */
+  private val duckDims = """
+      locs AS (
+        SELECT n_nationkey AS location_key,
+          n_nationkey * 3.0 - 30 AS latitude,
+          n_regionkey * 20.0 AS longitude,
+          TRUE AS is_current,
+          4.0 + (n_nationkey % 9) * 0.5 AS ph_level_0_5cm
+        FROM nation),
+      crops AS (
+        SELECT p_brand AS crop_name,
+          5.0 + bn % 15 AS optimal_temp_min_c,
+          15.0 + bn % 15 AS optimal_temp_max_c,
+          2.0 + bn % 8 AS water_requirement_mm_day,
+          5.0 + (bn % 4) * 0.5 AS soil_ph_preference_min,
+          6.5 + (bn % 4) * 0.5 AS soil_ph_preference_max
+        FROM (SELECT DISTINCT p_brand,
+                CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS bn
+              FROM part))"""
+
+  private def sparkDims(s: org.apache.spark.sql.SparkSession,
+      dir: String) = {
+    val nation = Tables.load(s, dir, "nation")
+    val locs = nation.select(
+      col("n_nationkey").as("location_key"),
+      (col("n_nationkey") * 3.0 - 30).as("latitude"),
+      (col("n_regionkey") * 20.0).as("longitude"),
+      lit(true).as("is_current"))
+    val soil = nation.select(
+      col("n_nationkey").as("location_key"),
+      (lit(4.0) + (col("n_nationkey") % 9) * 0.5).as("ph_level_0_5cm"))
+    val bn = regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int")
+    val crops = Tables.load(s, dir, "part")
+      .select(col("p_brand")).distinct()
+      .select(col("p_brand").as("crop_name"),
+        (lit(5.0) + bn % 15).as("optimal_temp_min_c"),
+        (lit(15.0) + bn % 15).as("optimal_temp_max_c"),
+        (lit(2.0) + bn % 8).as("water_requirement_mm_day"),
+        (lit(5.0) + (bn % 4) * 0.5).as("soil_ph_preference_min"),
+        (lit(6.5) + (bn % 4) * 0.5).as("soil_ph_preference_max"))
+    (locs, soil, crops)
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // mv_location_crop_compatibility: location ⋈ soil × crop with the
+    // pH CASE (reference db/init/01-schema.sql:254-272).
+    Q("q39_compat_mv", Some(s"""
+      WITH $duckDims
+      SELECT l.location_key, l.latitude, l.longitude, c.crop_name,
+        c.optimal_temp_min_c, c.optimal_temp_max_c, l.ph_level_0_5cm,
+        CASE WHEN l.ph_level_0_5cm BETWEEN c.soil_ph_preference_min
+                  AND c.soil_ph_preference_max
+             THEN 'Compatible' ELSE 'Incompatible' END AS ph_compatibility
+      FROM locs l CROSS JOIN crops c
+      ORDER BY location_key, crop_name""")) { (s, dir) =>
+      val (locs, soil, crops) = sparkDims(s, dir)
+      Suitability.compatibilityMatrix(locs, soil, crops)
+        .orderBy("location_key", "crop_name")
+    },
+
+    // fact_crop_suitability scoring (reference declares the table but
+    // never computes it — schema db/init/01-schema.sql:203-217):
+    // weather reduced per location BEFORE the dimension joins.
+    Q("q40_crop_suitability", Some(s"""
+      WITH $duckDims,
+      weather AS (
+        SELECT CAST(user_id % 25 AS INT) AS location_key,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(COUNT(value) AS DOUBLE) / 10.0 AS temp_avg_c,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+            / CAST(COUNT(value) AS DOUBLE) / 50.0 AS water_avail_mm
+        FROM events GROUP BY 1),
+      scored AS (
+        SELECT l.location_key, c.crop_name,
+          '2026-01-01' AS analysis_date,
+          1.0 - least(1.0, abs(w.temp_avg_c
+            - (c.optimal_temp_min_c + c.optimal_temp_max_c) / 2.0) / 20.0)
+            AS temp_match_score,
+          least(1.0, w.water_avail_mm / c.water_requirement_mm_day)
+            AS water_adequacy_score,
+          CASE WHEN l.ph_level_0_5cm BETWEEN c.soil_ph_preference_min
+                    AND c.soil_ph_preference_max THEN 1.0
+               ELSE 1.0 - least(1.0,
+                 greatest(c.soil_ph_preference_min - l.ph_level_0_5cm,
+                   l.ph_level_0_5cm - c.soil_ph_preference_max) / 2.0)
+          END AS soil_ph_match_score
+        FROM locs l JOIN weather w USING (location_key)
+        CROSS JOIN crops c)
+      SELECT location_key, crop_name, analysis_date, temp_match_score,
+        water_adequacy_score, soil_ph_match_score,
+        temp_match_score * 0.4 + water_adequacy_score * 0.3
+          + soil_ph_match_score * 0.3 AS overall_suitability_score,
+        CASE WHEN temp_match_score <= water_adequacy_score
+              AND temp_match_score <= soil_ph_match_score
+             THEN 'temperature'
+             WHEN water_adequacy_score <= temp_match_score
+              AND water_adequacy_score <= soil_ph_match_score
+             THEN 'water' ELSE 'soil_ph' END AS limiting_factor,
+        CASE WHEN temp_match_score * 0.4 + water_adequacy_score * 0.3
+                  + soil_ph_match_score * 0.3 >= 0.8
+             THEN 'Highly suitable'
+             WHEN temp_match_score * 0.4 + water_adequacy_score * 0.3
+                  + soil_ph_match_score * 0.3 >= 0.5
+             THEN 'Moderately suitable'
+             ELSE 'Not recommended' END AS recommendation_text
+      FROM scored ORDER BY location_key, crop_name""")) { (s, dir) =>
+      val (locs, soil, crops) = sparkDims(s, dir)
+      val weatherAgg = Tables.load(s, dir, "events")
+        .groupBy((col("user_id") % 25).cast("int").as("location_key"))
+        .agg(
+          (sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+            count(col("value")).cast("double") / 10.0).as("temp_avg_c"),
+          (sum(col("value").cast(DecimalType(18, 2))).cast("double") /
+            count(col("value")).cast("double") / 50.0)
+            .as("water_avail_mm"))
+      Suitability.score(locs, soil, crops, weatherAgg, lit("2026-01-01"))
+        .orderBy("location_key", "crop_name")
+    }
+  )
+}

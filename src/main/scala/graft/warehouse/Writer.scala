@@ -1,0 +1,54 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned lake writers — the Spark analogue of the reference's
+  * monthly RANGE partitioning of `fact_weather` (W7,
+  * `db/init/01-schema.sql:139-181`): physical layout comes from
+  * `partitionBy` at write time and partition pruning at read time, so
+  * there is no DDL to maintain and no plpgsql partition-creation loop
+  * to port.
+  */
+object Writer {
+
+  /** Write a fact partitioned by year/month derived from a date-key
+    * column (yyyymmdd int) — the reference's monthly range layout. */
+  def writeMonthlyPartitioned(fact: DataFrame, dateKeyCol: String,
+      path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    fact
+      .withColumn("part_year", (col(dateKeyCol) / 10000).cast("int"))
+      .withColumn("part_month", (col(dateKeyCol) / 100 % 100).cast("int"))
+      .write.mode(mode)
+      .partitionBy("part_year", "part_month")
+      .parquet(path)
+
+  /** Read back with partition pruning available on part_year /
+    * part_month. */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
+
+/** Skew mitigation for hot join keys (SURVEY §7 "salt skewed merge
+  * keys"): fan the build side out over `buckets` salt values and
+  * spread the probe side deterministically, so one hot key no longer
+  * lands on a single reducer. AQE's skew-join handles most cases at
+  * runtime; explicit salting is for the pathological keys AQE cannot
+  * split (e.g. a single key bigger than an executor).
+  */
+object SkewJoin {
+
+  /** Equi-join `left ⋈ right` on `keys` with `buckets`-way salting.
+    * `left` is the large/skewed side: each row gets a deterministic
+    * salt derived from its whole row hash; `right` is replicated once
+    * per salt value. Result equals the plain inner join, row-for-row.
+    */
+  def saltedInnerJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], buckets: Int): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(buckets.toLong)))
+    val expanded = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets - 1L))))
+    salted.join(expanded, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.warehouse.{SkewJoin, Writer}
+
+/** Physical-layout utilities: monthly partitioned writes with pruning,
+  * salted joins equal to their plain form. */
+class WriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("W7 monthly partitioned write prunes at read time") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val fact = Seq(
+      (20240115, 1L, 5.0), (20240220, 2L, 6.0), (20250115, 3L, 7.0))
+      .toDF("date_key", "location_key", "temp")
+    Writer.writeMonthlyPartitioned(fact, "date_key", dir)
+    // layout: part_year=YYYY/part_month=M directories
+    val years = new java.io.File(dir).list().filter(_.startsWith("part_year="))
+    assert(years.toSet == Set("part_year=2024", "part_year=2025"))
+
+    val pruned = Writer.readPartitioned(spark, dir)
+      .filter(col("part_year") === 2024 && col("part_month") === 1)
+    assert(pruned.count() == 1)
+    // the partition filter must reach the scan, not a post-filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("part_year"))
+  }
+
+  test("salted join equals plain join row-for-row") {
+    // skewed left: one hot key
+    val left = (1 to 500).map(i => (if (i % 5 == 0) 1L else i.toLong, i))
+      .toDF("k", "v")
+    val right = Seq((1L, "hot"), (2L, "a"), (7L, "b")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).orderBy("k", "v", "name")
+    val salted = SkewJoin.saltedInnerJoin(left, right, Seq("k"), 8)
+      .select(plain.columns.map(col): _*).orderBy("k", "v", "name")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+}
