@@ -16,7 +16,8 @@ object SparkEntry {
     StarQueries.all ++ EventQueries.all ++ DocQueries.all ++
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
       NlpQueries.all ++ WarehouseQueries.all ++ QualityQueries.all ++
-      MultimodalQueries.all ++ AnalyticsQueries.all
+      MultimodalQueries.all ++ AnalyticsQueries.all ++
+      AdvancedQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. */

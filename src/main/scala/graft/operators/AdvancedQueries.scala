@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
+import graft.Tables
+import graft.analytics.{AsOfJoin, RangeJoin}
+
+/** Advanced operator tier: semi-structured JSON columns, rollup
+  * grouping sets, batch sliding windows, as-of joins, and binned range
+  * joins — each with a DuckDB oracle (DuckDB's native ASOF JOIN and
+  * inequality joins verify our scale-path rewrites row-for-row).
+  */
+object AdvancedQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Semi-structured props column (JSONB analogue, SURVEY §1.2):
+    // typed from_json parse, bucket aggregation. Oracle extracts the
+    // field with a regex so it needs no JSON extension — values match
+    // the real JSON parse because props is canonical {"k": N}.
+    Q("q41_props_json", Some("""
+      SELECT CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS INT) AS k_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        CAST(MIN(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS INT) AS min_k,
+        CAST(MAX(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT)) AS INT) AS max_k
+      FROM events
+      GROUP BY 1 ORDER BY k_bucket""")) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val k = from_json(col("props"),
+        StructType(Seq(StructField("k", IntegerType)))).getField("k")
+      e.select(k.as("k"), col("value"))
+        .groupBy((col("k") % 10).cast("int").as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("k_bucket")
+    },
+
+    // ROLLUP grouping sets with grouping_id — subtotals and grand
+    // total in one pass (partial aggregation per grouping set).
+    Q("q42_rollup", Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")) {
+      (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      li.rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(10, 2))).cast("double")
+            .as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
+    // Batch sliding windows (1 h window / 30 min slide): every event
+    // lands in exactly two windows; the oracle fans each row out to
+    // both window starts arithmetically.
+    Q("q43_sliding_window", Some("""
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                         - INTERVAL '30 minutes']) AS ws,
+          event_type, value
+        FROM events)
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      e.groupBy(window(col("ts"), "1 hour", "30 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("total_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+
+    // As-of join: each error event picks up the latest prior click of
+    // the same user. Our union+carry-forward rewrite (one key shuffle,
+    // no range explosion) is verified against DuckDB's native
+    // ASOF LEFT JOIN.
+    Q("q44_asof_join", Some("""
+      WITH clicks AS (
+        SELECT user_id, ts, arg_max(event_id, event_id) AS click_id,
+          arg_max(value, event_id) AS click_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts),
+      errors AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE event_type = 'error')
+      SELECT e.event_id, e.user_id,
+        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+        e.value, c.click_id AS asof_click_id,
+        c.click_value AS asof_click_value
+      FROM errors e ASOF LEFT JOIN clicks c
+        ON e.user_id = c.user_id AND e.ts >= c.ts
+      ORDER BY e.event_id""")) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      val clicks = e.filter(col("event_type") === "click")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      val errors = e.filter(col("event_type") === "error")
+        .select("event_id", "user_id", "ts", "value")
+      AsOfJoin.lastPrior(errors, clicks, Seq("user_id"), "ts",
+          Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value"), col("asof_click_id"), col("asof_click_value"))
+        .orderBy("event_id")
+    },
+
+    // Range join: event values against overlapping brand-derived
+    // value brackets. The binned equi-join rewrite is verified against
+    // DuckDB's native inequality join.
+    Q("q45_range_join", Some("""
+      WITH brackets AS (
+        SELECT p_brand, bn * 18.0 AS lo, bn * 18.0 + 30.0 AS hi
+        FROM (SELECT DISTINCT p_brand,
+                CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS bn
+              FROM part))
+      SELECT e.event_id, b.p_brand, e.value, b.lo
+      FROM events e JOIN brackets b
+        ON e.value >= b.lo AND e.value < b.hi
+      ORDER BY event_id, p_brand""")) { (s, dir) =>
+      val bn = regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int")
+      val brackets = Tables.load(s, dir, "part")
+        .select(col("p_brand")).distinct()
+        .select(col("p_brand"), (bn * 18.0).as("lo"),
+          (bn * 18.0 + 30.0).as("hi"))
+      val events = Tables.load(s, dir, "events")
+        .select("event_id", "value")
+      RangeJoin.pointInInterval(events, brackets, "value", "lo", "hi",
+          binWidth = 30.0)
+        .select("event_id", "p_brand", "value", "lo")
+        .orderBy("event_id", "p_brand")
+    }
+  )
+}
