@@ -48,36 +48,42 @@ object NlpExtract {
     "pH.*?range.*?(\\d+\\.?\\d*).*?(?:to|-).*?(\\d+\\.?\\d*)",
     "(?:acidic|alkaline).*?pH\\s+(\\d+\\.?\\d*)\\s*(?:to|-)\\s*(\\d+\\.?\\d*)")
 
-  /** Gate-passing match index (1-based) for `pattern`; null when none.
+  /** First gate-passing (value, evidence) across a pattern cascade;
+    * returns a struct col with fields v1..vN and `evidence`.
+    *
     * `allMatches = true` mirrors the reference's `re.finditer` loop
     * (first gate-passing match anywhere); `false` mirrors `re.search`
     * (only the first match is gate-tested).
+    *
+    * Perf shape: the expensive full-text `regexp_extract_all` runs
+    * exactly ONCE per pattern per row — it is bound through a
+    * single-element-array `transform` lambda (expressions have no
+    * `let`, but a higher-order-function argument is evaluated once),
+    * and groups are re-extracted from each *matched substring* (tiny
+    * strings, deterministic same groups since the patterns use no
+    * anchors/lookaround). The naive form re-scanned the full text
+    * ~5× per pattern.
     */
-  private def firstValidIdx(text: Column, pattern: String, groups: Int,
-      gate: Seq[Column] => Column, allMatches: Boolean): Column = {
-    val p = "(?i)" + pattern
-    val gs = (1 to groups).map(g =>
-      regexp_extract_all(text, lit(p), lit(g)))
-    val idxs =
-      if (allMatches) sequence(lit(1), size(gs.head))
-      else array(lit(1))
-    val valid = filter(idxs, i =>
-      gate((1 to groups).map(g => element_at(gs(g - 1), i))))
-    when(size(gs.head) > 0, get(valid, lit(0))).otherwise(lit(null))
-  }
-
-  /** First gate-passing (value, evidence) across a pattern cascade;
-    * returns a struct col with fields v1..vN and `evidence`. */
   private def cascade(text: Column, patterns: Seq[String], groups: Int,
       gate: Seq[Column] => Column, allMatches: Boolean = false): Column =
     patterns.map { pat =>
-      val idx = firstValidIdx(text, pat, groups, gate, allMatches)
-      val g0 = regexp_extract_all(text, lit("(?i)" + pat), lit(0))
-      val fields = (1 to groups).map { g =>
-        try_element_at(regexp_extract_all(text, lit("(?i)" + pat), lit(g)),
-          idx).cast("double").as(s"v$g")
-      } :+ try_element_at(g0, idx).as("evidence")
-      when(idx.isNotNull, struct(fields: _*))
+      val p = "(?i)" + pat
+      val grp = (m: Column, g: Int) => regexp_extract(m, p, g)
+      val res = get(transform(
+        array(regexp_extract_all(text, lit(p), lit(0))),
+        ms => {
+          val idxs =
+            if (allMatches) sequence(lit(1), size(ms))
+            else array(lit(1))
+          val valid = filter(idxs, i => i <= size(ms) &&
+            gate((1 to groups).map(g => grp(element_at(ms, i), g))))
+          val idx = when(size(ms) > 0, get(valid, lit(0)))
+          val m0 = try_element_at(ms, idx)
+          struct((1 to groups).map(g =>
+            grp(m0, g).cast("double").as(s"v$g")) :+
+            m0.as("evidence"): _*)
+        }), lit(0))
+      when(res.getField("evidence").isNotNull, res)
     }.reduce(coalesce(_, _))
 
   private def between(c: Column, lo: Double, hi: Double): Column =
