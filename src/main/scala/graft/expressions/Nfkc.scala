@@ -1,0 +1,49 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** NFKC unicode normalization as a native Catalyst expression
+  * (SURVEY §2.9 T1). The cleaning pipeline's default is a Scala UDF;
+  * this is the codegen'd upgrade path — `doGenCode` emits a direct
+  * `java.text.Normalizer` call inside WholeStageCodegen, so the hot
+  * path has no UDF serialization boundary and stays fused with the
+  * surrounding expressions.
+  */
+case class Nfkc(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfkc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString,
+      java.text.Normalizer.Form.NFKC))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), " +
+        "java.text.Normalizer.Form.NFKC))")
+
+  override protected def withNewChildInternal(newChild: Expression): Nfkc =
+    copy(child = newChild)
+}
+
+/** Engine extension entry point: register with
+  * `spark.sql.extensions=graft.expressions.GraftExtensions` (or
+  * `.withExtensions`) and `nfkc(...)` becomes available to SQL and to
+  * `call_function`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier("nfkc"),
+      new ExpressionInfo(classOf[Nfkc].getName, "nfkc"),
+      (children: Seq[Expression]) => Nfkc(children.head)))
+}
