@@ -59,6 +59,46 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rn")
   }
 
+  /** IVF (inverted-file) approximate top-k. The codebook is the first
+    * `codebookSize` corpus vectors (deterministic; swap in k-means
+    * centroids without changing the shape). Every corpus vector is
+    * assigned to its nearest centroid cell via a broadcast join against
+    * the (tiny) codebook; queries probe their `nprobe` nearest cells;
+    * exact cosine runs only on same-cell candidates. All joins are
+    * equi-joins on cell id — candidate count ≈ |corpus|·nprobe/|cells|.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      codebookSize: Int, nprobe: Int): DataFrame = {
+    val centroids = corpus.filter(col("vec_id") < codebookSize)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("cent_emb"))
+    def assign(df: DataFrame, idCol: String, embCol: String,
+        probes: Int): DataFrame = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("__cscore").desc, col("centroid_id"))
+      df.crossJoin(broadcast(centroids))
+        .withColumn("__cscore", cosine(col(embCol), col("cent_emb")))
+        .withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") <= probes)
+        .select(col(idCol), col(embCol),
+          col("centroid_id").as("cell"))
+    }
+    val corpusCells = assign(corpus.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+      "neighbor_id", "c_emb", 1)
+    val queryCells = assign(queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", nprobe)
+    val scored = corpusCells.join(queryCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "score", "rn")
+  }
+
   /** Approximate top-k: candidates restricted to the query's sign
     * bucket. At scale this replaces the all-pairs scan with a
     * bucket-equi-join (shuffle keyed on bucket id).

@@ -27,6 +27,19 @@ object Writer {
     * part_month. */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Save as a bucketed (+ sorted) catalog table: co-locates join keys
+    * at write time so repeated fact-fact joins on `keys` need no
+    * shuffle at all — the big-join analogue of the reference's
+    * composite B-tree indexes. Bucket counts must match across the
+    * tables being joined.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
 }
 
 /** Skew mitigation for hot join keys (SURVEY §7 "salt skewed merge

@@ -28,6 +28,27 @@ class WriterSpec extends SparkSpec {
       plan.contains("part_year"))
   }
 
+  test("bucketed tables join with zero exchanges") {
+    val a = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("k", "v")
+    val b = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("k", "name")
+    Writer.writeBucketed(a, "graft_bkt_a", Seq("k"), 4)
+    Writer.writeBucketed(b, "graft_bkt_b", Seq("k"), 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bkt_a")
+        .join(spark.table("graft_bkt_b"), "k")
+      assert(j.count() == 1000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
   test("salted join equals plain join row-for-row") {
     // skewed left: one hot key
     val left = (1 to 500).map(i => (if (i % 5 == 0) 1L else i.toLong, i))
