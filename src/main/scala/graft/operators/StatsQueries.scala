@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
+import graft.Tables
+
+/** Order statistics and moment aggregates. Percentiles use exact
+  * interpolated quantiles (Spark `percentile` ≡ DuckDB
+  * `quantile_cont`); variance/stddev/correlation are computed from
+  * exact decimal power sums and finished in double arithmetic — the
+  * one-pass streaming formulas Spark's built-in `var_samp`/`corr` use
+  * accumulate doubles in partition order and are NOT reproducible
+  * bit-for-bit, so the engine recomputes them deterministically.
+  */
+object StatsQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // Exact interpolated percentiles per group.
+    Q("q47_percentiles", Some("""
+      SELECT event_type,
+        quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.9) AS p90,
+        quantile_cont(value, 0.99) AS p99,
+        CAST(MIN(value) AS DOUBLE) AS vmin,
+        CAST(MAX(value) AS DOUBLE) AS vmax
+      FROM events GROUP BY event_type ORDER BY event_type""")) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      e.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.9)).as("p90"),
+          percentile(col("value"), lit(0.99)).as("p99"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .orderBy("event_type")
+    },
+
+    // Deterministic moments: mean / sample variance / stddev /
+    // correlation (value vs props.k) from exact decimal power sums.
+    Q("q48_moments", Some("""
+      SELECT event_type, CAST(n AS BIGINT) AS n, sx / n AS mean_value,
+        (sxx - sx * sx / n) / (n - 1) AS var_value,
+        sqrt((sxx - sx * sx / n) / (n - 1)) AS std_value,
+        (n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+          AS corr_value_k
+      FROM (
+        SELECT event_type,
+          CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS DOUBLE) AS sy,
+          CAST(SUM(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+             * CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS DOUBLE) AS syy,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))
+             * CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)) AS DOUBLE) AS sxy
+        FROM events GROUP BY event_type)
+      ORDER BY event_type""")) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+      val dv = col("value").cast(DecimalType(18, 2))
+      val k = from_json(col("props"),
+        StructType(Seq(StructField("k", IntegerType)))).getField("k")
+        .cast("long")
+      val agg = e.groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(dv).cast("double").as("sx"),
+          sum(dv * dv).cast("double").as("sxx"),
+          sum(k).cast("double").as("sy"),
+          sum(k * k).cast("double").as("syy"),
+          sum(dv * k).cast("double").as("sxy"))
+      agg.select(col("event_type"), col("n").cast("long").as("n"),
+          (col("sx") / col("n")).as("mean_value"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)).as("var_value"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+            (col("n") - 1)).as("std_value"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+            .as("corr_value_k"))
+        .orderBy("event_type")
+    }
+  )
+}

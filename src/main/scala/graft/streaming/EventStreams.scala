@@ -113,4 +113,21 @@ object EventStreams {
     events.groupBy(col("event_type"))
       .agg(max(col("ts")).as("latest_ts"),
         count(lit(1)).as("n_events"))
+
+  /** Streaming exact dedup by id — the streaming form of the
+    * idempotency-key gate (S15): duplicates arriving within the
+    * watermark horizon are dropped; state is bounded by the watermark.
+    */
+  def dedupeStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the static dimension is read once
+    * per micro-batch and broadcast — the streaming form of the
+    * hash→surrogate lookup (J5). No state, no watermark needed for
+    * stream-static inner joins.
+    */
+  def enrich(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
 }

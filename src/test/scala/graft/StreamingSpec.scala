@@ -61,6 +61,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((3L, 288.0), (4L, -289.0)))
   }
 
+  test("streaming dedup drops within-watermark duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupeStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(events.head, events.head, events(1))   // dup in batch
+    q.processAllAvailable()
+    mem.addData(events.head)                           // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
+  test("stream-static enrichment join broadcasts the dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (9L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventStreams.enrich(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("enriched").groupBy("tier").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("gold" -> 4L, "basic" -> 2L))
+  }
+
   test("sessionization groups by inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
