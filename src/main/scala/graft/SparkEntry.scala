@@ -17,7 +17,8 @@ object SparkEntry {
       DedupQueries.all ++ SimilarityQueries.all ++ TextQueries.all ++
       NlpQueries.all ++ WarehouseQueries.all ++ QualityQueries.all ++
       MultimodalQueries.all ++ AnalyticsQueries.all ++
-      AdvancedQueries.all ++ StatsQueries.all ++ TimeSeriesQueries.all
+      AdvancedQueries.all ++ StatsQueries.all ++ TimeSeriesQueries.all ++
+      MiscQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. */

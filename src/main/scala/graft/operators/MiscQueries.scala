@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analytics.Dedup
+
+/** Breadth tier: set operations, edit-distance fuzzy matching, and
+  * reproducible dataset splitting.
+  */
+object MiscQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // INTERSECT / EXCEPT set operations: build customers who ordered
+    // in 1998 vs customers in the BUILDING segment.
+    Q("q51_set_ops", Some("""
+      WITH ordered98 AS (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'),
+      building AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      SELECT 'both' AS cohort, CAST(COUNT(*) AS BIGINT) AS n FROM
+        (SELECT * FROM ordered98 INTERSECT SELECT * FROM building)
+      UNION ALL
+      SELECT 'ordered_only', CAST(COUNT(*) AS BIGINT) FROM
+        (SELECT * FROM ordered98 EXCEPT SELECT * FROM building)
+      UNION ALL
+      SELECT 'building_only', CAST(COUNT(*) AS BIGINT) FROM
+        (SELECT * FROM building EXCEPT SELECT * FROM ordered98)
+      ORDER BY cohort""")) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey")).distinct()
+      val b = Tables.load(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val counts = Seq(
+        ("both", o.intersect(b)),
+        ("ordered_only", o.except(b)),
+        ("building_only", b.except(o)))
+      counts.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("cohort"),
+          col("n"))
+      }.reduce(_.unionByName(_)).orderBy("cohort")
+    },
+
+    // Fuzzy dictionary matching via levenshtein: noisy brand labels
+    // (vowels stripped) resolved to the nearest clean brand — the
+    // edit-distance upgrade of F10 crop-name standardization. The
+    // dictionary side is broadcast; per-label argmin via window.
+    Q("q52_fuzzy_match", Some("""
+      WITH dict AS (SELECT DISTINCT p_brand FROM part),
+      noisy AS (
+        SELECT DISTINCT regexp_replace(p_brand, '[ae]', '', 'g') AS label
+        FROM part)
+      SELECT label, p_brand AS matched, CAST(dist AS INT) AS dist FROM (
+        SELECT n.label, d.p_brand,
+          levenshtein(n.label, d.p_brand) AS dist,
+          ROW_NUMBER() OVER (PARTITION BY n.label
+            ORDER BY levenshtein(n.label, d.p_brand), d.p_brand) AS rn
+        FROM noisy n CROSS JOIN dict d) t
+      WHERE rn = 1 ORDER BY label""")) { (s, dir) =>
+      val part = Tables.load(s, dir, "part")
+      val dict = part.select("p_brand").distinct()
+      val noisy = part
+        .select(regexp_replace(col("p_brand"), "[ae]", "").as("label"))
+        .distinct()
+      val w = Window.partitionBy("label")
+        .orderBy(col("dist"), col("p_brand"))
+      noisy.crossJoin(broadcast(dict))
+        .withColumn("dist", levenshtein(col("label"), col("p_brand")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("label"), col("p_brand").as("matched"),
+          col("dist").cast("int").as("dist"))
+        .orderBy("label")
+    },
+
+    // Reproducible train/val/test split by portable content hash —
+    // stable across engines, runs, and partitionings (unlike
+    // rand()-based sampling), the standard trick for dataset splits.
+    Q("q53_train_split", Some(s"""
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM (
+        SELECT CASE
+            WHEN h % 10 < 8 THEN 'train'
+            WHEN h % 10 = 8 THEN 'validation'
+            ELSE 'test' END AS split, n_chars
+        FROM (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                % ${Dedup.P} AS h, n_chars
+              FROM documents))
+      GROUP BY split ORDER BY split""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val h = Dedup.h30(col("doc_id").cast("string"))
+      d.select(
+          when(h % 10 < 8, "train")
+            .when(h % 10 === 8, "validation")
+            .otherwise("test").as("split"),
+          col("n_chars"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .orderBy("split")
+    }
+  )
+}
