@@ -17,10 +17,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT/codegen/parquet-footer paths
-    try SparkEntry.queries.get("q01_pricing_summary")
-      .foreach(_(spark, sfDir).write.format("noop").mode("overwrite").save())
-    catch { case _: Throwable => }
+    // untimed warmup: JIT/codegen/parquet-footer paths, one cheap
+    // query per table family
+    for (w <- Seq("q01_pricing_summary", "q13_completeness",
+        "q12_doc_token_stats", "q37_media_stats"))
+      try SparkEntry.queries.get(w)
+        .foreach(_(spark, sfDir).write.format("noop").mode("overwrite")
+          .save())
+      catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.analytics.{AsOfJoin, RangeJoin, Suitability}
+
+/** Boundary semantics of the as-of join, range join, and suitability
+  * scoring math. */
+class AdvancedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("as-of join: inclusive boundary, no-prior nulls, latest wins") {
+    val left = Seq(
+      (1L, ts("2026-01-01 10:00:00"), "e1"),
+      (1L, ts("2026-01-01 12:00:00"), "e2"),
+      (2L, ts("2026-01-01 09:00:00"), "e3")) // user 2 has no quotes
+      .toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2026-01-01 09:30:00"), 100.0),
+      (1L, ts("2026-01-01 10:00:00"), 200.0),  // equal-ts: counts (<=)
+      (1L, ts("2026-01-01 11:00:00"), 300.0))
+      .toDF("user_id", "ts", "quote")
+    val got = AsOfJoin.lastPrior(left, right, Seq("user_id"), "ts",
+        Seq("quote")).orderBy("tag")
+      .collect().map(r => (r.getAs[String]("tag"),
+        Option(r.get(r.fieldIndex("asof_quote")))))
+    assert(got.toSeq == Seq(
+      ("e1", Some(200.0)),  // equal timestamp included
+      ("e2", Some(300.0)),  // latest prior
+      ("e3", None)))        // no prior → null
+  }
+
+  test("range join: half-open boundaries, bin edges exact") {
+    val points = Seq((1L, 0.0), (2L, 29.999), (3L, 30.0), (4L, 60.0))
+      .toDF("id", "v")
+    val ivals = Seq(("a", 0.0, 30.0), ("b", 30.0, 60.0), ("c", 25.0, 35.0))
+      .toDF("name", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, ivals, "v", "lo", "hi",
+        binWidth = 30.0)
+      .select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "a"), (2L, "c"),
+      (3L, "b"), (3L, "c")))
+    // 30.0 excluded from a (half-open hi); 60.0 excluded from b
+  }
+
+  test("suitability scores: band membership, caps, clamps") {
+    assert(eval(Suitability.tempMatch(lit(20.0), lit(15.0), lit(25.0)))
+      == 1.0)                                     // at band center
+    assert(eval(Suitability.tempMatch(lit(60.0), lit(15.0), lit(25.0)))
+      == 0.0)                                     // ≥20°C away → 0
+    assert(eval(Suitability.waterAdequacy(lit(99.0), lit(3.0))) == 1.0)
+    assert(eval(Suitability.waterAdequacy(lit(1.5), lit(3.0))) == 0.5)
+    assert(eval(Suitability.phMatch(lit(6.5), lit(6.0), lit(7.0))) == 1.0)
+    assert(eval(Suitability.phMatch(lit(8.0), lit(6.0), lit(7.0))) == 0.5)
+    assert(eval(Suitability.phMatch(lit(3.0), lit(6.0), lit(7.0))) == 0.0)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.quality._
+
+/** Quality-rule compiler semantics: YAML parsing, per-rule violation
+  * counting, fused-report correctness. */
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  val yaml = """
+tables:
+  t:
+    not_null_columns: [a]
+    unique_columns: [a]
+    validations:
+      b:
+        type: range
+        min: 0.0
+        max: 10.0
+        critical: true
+      c:
+        type: enum
+        values: [x, y]
+      d:
+        type: regex
+        pattern: "^[a-z]+$"
+    cross_validations:
+      - name: b_lt_100
+        expression: "b < 100"
+referential_integrity:
+  t.a:
+    references: r.k
+freshness:
+  t:
+    max_age_days: 10
+    date_column: dt
+completeness:
+  t:
+    threshold_percent: 90.0
+    columns: [b]
+anomalies:
+  big_jump:
+    table: t
+    condition: "abs(b - LAG(b) OVER (ORDER BY a)) > 5"
+    severity: warning
+"""
+
+  lazy val rules = QualityConfig.parse(yaml)
+
+  test("parser produces the full rule set with severities") {
+    assert(rules.size == 10)
+    val byName = rules.map(r => r.name -> r).toMap
+    assert(byName("range_t_b").severity == "critical")
+    assert(byName("enum_t_c").severity == "warning")
+    assert(byName("not_null_t_a").severity == "critical")
+    assert(byName("ri_t_a").asInstanceOf[RefIntegrityRule]
+      .refTable == "r")
+    assert(byName("freshness_t").asInstanceOf[FreshnessRule]
+      .maxAgeDays == 10)
+    assert(byName("anomaly_big_jump").severity == "warning")
+  }
+
+  test("report counts violations per rule (fused + individual paths)") {
+    val t = Seq(
+      (Some(1L), 5.0, "x", "ok", "2026-01-01"),
+      (Some(1L), 55.0, "z", "BAD", "2025-01-01"),   // dup a, range, enum, regex
+      (None, -3.0, "y", "fine", "2026-01-02"))      // null a, range
+      .toDF("a", "b", "c", "d", "dt")
+    val r = Seq(1L).toDF("k")
+    val rep = QualitySuite.report(spark, Map("t" -> t, "r" -> r),
+        rules, lit("2026-01-05").cast("date"))
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(rep("range_t_b") == 2)       // 55, -3
+    assert(rep("enum_t_c") == 1)        // z
+    assert(rep("regex_t_d") == 1)       // BAD
+    assert(rep("not_null_t_a") == 1)
+    assert(rep("unique_t_a") == 1)      // {1,1,null} → 3 rows, 2 distinct
+    assert(rep("cross_t_b_lt_100") == 0)
+    assert(rep("ri_t_a") == 0)          // both non-null a=1 exist in r
+    assert(rep("freshness_t") == 0)     // max dt 4 days old < 10
+    assert(rep("completeness_t_b") == 0)
+    assert(rep("anomaly_big_jump") == 2) // 5→55, 55→-3
+  }
+}
