@@ -85,7 +85,10 @@ object Dedup {
         sh0.join(df, Seq("shingle"))
       case None => sh0
     }
-    val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    // set sizes come straight from the (already-distinct) shingle
+    // array — a narrow projection, NOT a re-explode + group-by
+    val sizes = docs.select(col(idCol).as("doc_id"),
+      size(shingles(col(textCol), n)).cast("long").as("set_size"))
     val pairs = sh.as("a").join(sh.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
