@@ -78,6 +78,52 @@ object StatsQueries {
               sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
             .as("corr_value_k"))
         .orderBy("event_type")
+    },
+
+    // Column profiler — the ANALYZE-statistics analog: one scan per
+    // table computing rows/nulls/distincts/extremes per column (the
+    // stats a cost-based optimizer or data catalog collects).
+    {
+      val cols = Seq("l_quantity", "l_discount", "l_returnflag",
+        "l_shipdate")
+      val duckRows = cols.map { c =>
+        val mm = c match {
+          case "l_shipdate" =>
+            s"strftime(MIN($c), '%Y-%m-%d') AS min_value, strftime(MAX($c), '%Y-%m-%d') AS max_value"
+          case "l_returnflag" =>
+            s"MIN($c) AS min_value, MAX($c) AS max_value"
+          case _ =>
+            s"printf('%.2f', MIN($c)) AS min_value, printf('%.2f', MAX($c)) AS max_value"
+        }
+        s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+           |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $mm
+           |FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL ")
+      Q("q54_profile", Some(s"""
+      SELECT column_name, n_rows, n_nulls, n_distinct,
+        min_value, max_value
+      FROM ($duckRows) ORDER BY column_name""")) { (s, dir) =>
+        val li = Tables.load(s, dir, "lineitem")
+        // NB format AFTER min/max — formatting first would compare
+        // strings lexicographically
+        val fmt: String => org.apache.spark.sql.Column => org.apache.spark.sql.Column = {
+          case "l_shipdate" => date_format(_, "yyyy-MM-dd")
+          case "l_returnflag" => identity
+          case _ => format_string("%.2f", _)
+        }
+        cols.map { c =>
+          li.agg(count(lit(1)).as("n_rows"),
+              (count(lit(1)) - count(col(c))).as("n_nulls"),
+              countDistinct(col(c)).as("n_distinct"),
+              fmt(c)(min(col(c))).as("min_value"),
+              fmt(c)(max(col(c))).as("max_value"))
+            .select(lit(c).as("column_name"), col("n_rows"),
+              col("n_nulls"), col("n_distinct"), col("min_value"),
+              col("max_value"))
+        }.reduce(_.unionByName(_)).orderBy("column_name")
+      }
     }
   )
 }
