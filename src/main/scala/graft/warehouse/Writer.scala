@@ -1,6 +1,6 @@
 package graft.warehouse
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned lake writers — the Spark analogue of the reference's
@@ -40,6 +40,29 @@ object Writer {
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+
+  /** Z-order key: interleave the low `bits` bits of two non-negative
+    * integer dimensions so rows close in BOTH dimensions sort near
+    * each other. Sorting/range-partitioning files by this key makes
+    * parquet min-max stats prune selective filters on either dimension
+    * — the multi-dimensional upgrade of single-column sort layout.
+    */
+  def zorderKey(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      (shiftright(a.cast("long"), i) % 2) * math.pow(2, 2 * i).toLong +
+        (shiftright(b.cast("long"), i) % 2) * math.pow(2, 2 * i + 1).toLong
+    }.reduce(_ + _)
+
+  /** Write sorted by z-order of (dimA, dimB): range partition on the
+    * interleaved key, sort within partitions — file-level min-max
+    * stats then cover both dimensions. */
+  def writeZOrdered(df: DataFrame, dimA: String, dimB: String,
+      path: String, partitions: Int): Unit =
+    df.withColumn("__z", zorderKey(col(dimA), col(dimB)))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }
 
 /** Skew mitigation for hot join keys (SURVEY §7 "salt skewed merge

@@ -49,6 +49,19 @@ class WriterSpec extends SparkSpec {
     }
   }
 
+  test("z-order key interleaves bits; layout clusters both dims") {
+    // interleave(3, 5): a=0b011, b=0b101 → z = 0b100111 = 39
+    val z = eval(Writer.zorderKey(lit(3L), lit(5L), bits = 4))
+    assert(z == 39L)
+    // locality: sorting by z groups a 2x2 tile together
+    val df = (for (a <- 0 until 8; b <- 0 until 8) yield (a, b))
+      .toDF("a", "b")
+      .withColumn("z", Writer.zorderKey(col("a"), col("b"), 3))
+    val tile = df.filter(col("a") < 2 && col("b") < 2)
+      .agg(max("z")).collect()(0).getLong(0)
+    assert(tile == 3L) // the 2x2 origin tile owns the 4 smallest keys
+  }
+
   test("salted join equals plain join row-for-row") {
     // skewed left: one hot key
     val left = (1 to 500).map(i => (if (i % 5 == 0) 1L else i.toLong, i))
