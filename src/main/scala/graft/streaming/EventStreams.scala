@@ -130,4 +130,28 @@ object EventStreams {
   def enrich(events: DataFrame, dim: DataFrame,
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
+
+  /** Streaming upsert into a warehouse table: each micro-batch is
+    * merged into the accumulated state with the same ON CONFLICT
+    * rewrite the batch loader uses ([[graft.warehouse.Merge.upsert]])
+    * — the foreachBatch pattern that turns any batch sink into a
+    * streaming one with exactly-once-per-batch semantics (checkpointed
+    * batch ids make retried batches idempotent: the merge keys dedupe
+    * them).
+    *
+    * `getTarget`/`setTarget` abstract the table storage (in production
+    * a lake table read/overwrite; in tests an in-memory holder).
+    */
+  def mergeStream(events: DataFrame, keys: Seq[String],
+      updateCols: Seq[String],
+      getTarget: () => DataFrame,
+      setTarget: DataFrame => Unit,
+      tiebreak: Seq[org.apache.spark.sql.Column]) =
+    events.writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val merged = graft.warehouse.Merge.upsert(
+          getTarget(), batch.toDF(), keys, updateCols, tiebreak)
+        setTarget(merged.localCheckpoint(true))
+      }
 }

@@ -41,6 +41,27 @@ object Writer {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** Idempotent daily reload: with dynamic partition overwrite, only
+    * the partitions present in `fact` are replaced — re-running a
+    * day's load rewrites that day alone, other partitions untouched
+    * (the lake analogue of the reference's keyed upsert for
+    * append-mostly facts).
+    */
+  def overwritePartitions(fact: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = fact.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try fact.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Z-order key: interleave the low `bits` bits of two non-negative
     * integer dimensions so rows close in BOTH dimensions sort near
     * each other. Sorting/range-partitioning files by this key makes

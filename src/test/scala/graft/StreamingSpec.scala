@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.{Event, Spike}
@@ -90,6 +91,28 @@ class StreamingSpec extends SparkSpec {
     val got = spark.table("enriched").groupBy("tier").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(got == Map("gold" -> 4L, "basic" -> 2L))
+  }
+
+  test("foreachBatch streaming merge upserts each micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    var target = Seq((7L, "seed", 0.0)).toDF("user_id", "tag", "value")
+    val mem = MemoryStream[Event]
+    val q = EventStreams.mergeStream(
+      mem.toDF().selectExpr("user_id", "event_type AS tag", "value"),
+      keys = Seq("user_id"), updateCols = Seq("value"),
+      getTarget = () => target, setTarget = df => target = df,
+      tiebreak = Seq(col("value").desc)).start()
+    mem.addData(events.take(2): _*)   // user 7: values 10, 12
+    q.processAllAvailable()
+    mem.addData(events(4))            // user 9: value 50 (insert)
+    q.processAllAvailable()
+    q.stop()
+    val got = target.orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // user 7: tag kept from target ('seed'), value updated (last-writer
+    // 12.0 by desc tiebreak); user 9 inserted whole
+    assert(got.toSeq == Seq((7L, "seed", 12.0), (9L, "click", 50.0)))
   }
 
   test("sessionization groups by inactivity gap") {

@@ -49,6 +49,23 @@ class WriterSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite replaces only touched partitions") {
+    val dir = Files.createTempDirectory("graft_dyn").toString
+    val day1 = Seq((20240101, 1L, 5.0), (20240102, 2L, 6.0))
+      .toDF("date_key", "location_key", "temp")
+      .withColumn("part_day", col("date_key"))
+    Writer.overwritePartitions(day1, dir, Seq("part_day"))
+    // reload day 2 only, with corrected data
+    val day2fix = Seq((20240102, 2L, 99.0))
+      .toDF("date_key", "location_key", "temp")
+      .withColumn("part_day", col("date_key"))
+    Writer.overwritePartitions(day2fix, dir, Seq("part_day"))
+    val got = spark.read.parquet(dir).orderBy("date_key")
+      .select("date_key", "temp").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((20240101, 5.0), (20240102, 99.0)))
+  }
+
   test("z-order key interleaves bits; layout clusters both dims") {
     // interleave(3, 5): a=0b011, b=0b101 → z = 0b100111 = 39
     val z = eval(Writer.zorderKey(lit(3L), lit(5L), bits = 4))
