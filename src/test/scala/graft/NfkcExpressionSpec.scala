@@ -32,4 +32,11 @@ class NfkcExpressionSpec extends SparkSpec {
     // "*(n)" prefixes mark WholeStageCodegen stages in the plan string
     assert(plan.contains("*(1) Project [nfkc("))
   }
+
+  test("expression participates in constant folding") {
+    // foldable literal input ⇒ Catalyst folds the call away entirely
+    val plan = spark.sql("SELECT nfkc('ﬁve') AS v")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("five") && !plan.contains("nfkc("))
+  }
 }
