@@ -77,7 +77,10 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+    // the index feeds both sides of the pair self-join — persist it so
+    // the explode+hash runs once, not once per join side
     val sh0 = shingleIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = maxDf match {
       case Some(m) =>
         val df = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -130,7 +133,12 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // signatures are read four times (both band-join sides, both
+    // verification sides) and are tiny relative to the corpus
+    // (numHashes longs per doc) — persist instead of recomputing the
+    // shingle explode + hash + 32-way min aggregation each time
     val sig = minHashSignature(docs, idCol, textCol, n, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val buckets = sig.select(col("doc_id"), explode(array(
       (0 until bands).map { bnd =>
