@@ -78,7 +78,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
     // the index feeds both sides of the pair self-join — persist it so
-    // the explode+hash runs once, not once per join side
+    // the explode+hash runs once, not once per join side (unpersisted
+    // after the result is materialized below)
     val sh0 = shingleIndex(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = maxDf match {
@@ -88,15 +89,24 @@ object Dedup {
         sh0.join(df, Seq("shingle"))
       case None => sh0
     }
-    // set sizes come straight from the (already-distinct) shingle
-    // array — a narrow projection, NOT a re-explode + group-by
-    val sizes = docs.select(col(idCol).as("doc_id"),
-      size(shingles(col(textCol), n)).cast("long").as("set_size"))
+    // set sizes must reflect the SAME shingle universe as the pair
+    // intersections: with a df cap the sizes come from the filtered
+    // index (otherwise jaccard is systematically underestimated and
+    // exact duplicates dominated by common shingles are missed);
+    // without a cap the (already-distinct) array size is a narrow
+    // projection needing no re-explode
+    val sizes = maxDf match {
+      case Some(_) =>
+        sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+      case None =>
+        docs.select(col(idCol).as("doc_id"),
+          size(shingles(col(textCol), n)).cast("long").as("set_size"))
+    }
     val pairs = sh.as("a").join(sh.as("b"), Seq("shingle"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
+    val result = pairs
       .join(sizes.withColumnRenamed("doc_id", "id_a")
         .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("doc_id", "id_b")
@@ -105,6 +115,11 @@ object Dedup {
         (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+      // materialize, then release the pinned index — otherwise every
+      // invocation leaks cached blocks for the session's lifetime
+      .localCheckpoint(true)
+    sh0.unpersist(false)
+    result
   }
 
   /** MinHash signature: for seed i, min over the shingle set of the
@@ -160,9 +175,12 @@ object Dedup {
     val agree = (0 until numHashes)
       .map(i => (col(s"a_mh_$i") === col(s"b_mh_$i")).cast("int"))
       .reduce(_ + _)
-    cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+    val result = cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
       .withColumn("est_jaccard", agree.cast("double") / numHashes)
       .select("id_a", "id_b", "est_jaccard")
+      .localCheckpoint(true)
+    sig.unpersist(false)
+    result
   }
 
   /** 4. 64-bit SimHash fingerprint per document, as a 16-char hex

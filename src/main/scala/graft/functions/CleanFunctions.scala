@@ -113,8 +113,11 @@ object CleanFunctions {
     val mapped = cropNameMap.foldLeft(lit(null).cast("string")) {
       case (acc, (k, v)) => when(lowered === k, lit(v)).otherwise(acc)
     }
+    // unmapped names get Python title() semantics (capitalize after ANY
+    // non-letter), not initcap — 'winter-wheat' must become
+    // 'Winter-Wheat' exactly as the reference's name.title()
     when(c.isNull || trim(c) === "", lit("Unknown"))
-      .otherwise(coalesce(mapped, initcap(lowered)))
+      .otherwise(coalesce(mapped, TextClean.pyTitle(lowered)))
   }
 
   /** F12 — USDA texture-triangle classifier, normalized-input variant

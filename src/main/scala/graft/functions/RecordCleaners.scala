@@ -56,9 +56,13 @@ object RecordCleaners {
   def cleanWeatherData(df: DataFrame): DataFrame = {
     val tMax = CleanFunctions.cleanTemperature(col("temp_max"))
     val tMin = CleanFunctions.cleanTemperature(col("temp_min"))
-    def nonNeg(c: Column): Column =
-      when(c.isNull, lit(null))
-        .otherwise(greatest(lit(0d), CleanFunctions.cleanNumeric(c)))
+    // NB guard the sanitized value too: greatest() skips nulls, so
+    // NaN/Inf (cleanNumeric → null) must not turn into a fabricated 0.0
+    def nonNeg(c: Column): Column = {
+      val cleaned = CleanFunctions.cleanNumeric(c)
+      when(c.isNull || cleaned.isNull, lit(null))
+        .otherwise(greatest(lit(0d), cleaned))
+    }
     df.select(
       col("latitude"), col("longitude"),
       date_format(try_to_date(col("date")), "yyyy-MM-dd").as("date"),

@@ -137,9 +137,12 @@ object TextClean {
     array_join(transform(split(c, "\n"), perLine), "\n")
   }
 
-  /** T10 — full cleaning pipeline (`cleaners.py:78-103`). */
+  /** T10 — full cleaning pipeline (`cleaners.py:78-103`). Null input
+    * yields the empty string, matching the reference's
+    * `if not text: return ""` guard. */
   def clean(c: Column, aggressive: Boolean = false): Column = {
-    val base = normalizeUnits(expandAbbreviations(nfkc(c)))
+    val base = normalizeUnits(expandAbbreviations(nfkc(coalesce(c,
+      lit("")))))
     val mid =
       if (aggressive)
         standardizeNumbers(removeReferences(removeCitations(base)))

@@ -147,11 +147,11 @@ anomalies:
            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
           (SELECT count(*) FROM lineitem)
         UNION ALL SELECT 'unique_events_event_id', 'events', 'critical',
-          (SELECT count(*) - count(DISTINCT event_id) FROM events),
+          (SELECT count(event_id) - count(DISTINCT event_id) FROM events),
           (SELECT count(*) FROM events)
         UNION ALL SELECT 'unique_customer_c_custkey', 'customer',
           'critical',
-          (SELECT count(*) - count(DISTINCT c_custkey) FROM customer),
+          (SELECT count(c_custkey) - count(DISTINCT c_custkey) FROM customer),
           (SELECT count(*) FROM customer))
       SELECT rule_name, table_name, severity,
         CAST(n_violations AS BIGINT) AS n_violations,

@@ -50,11 +50,16 @@ object Pipeline {
         .select("location_hash", "location_key")),
       Seq("location_hash"))
     val fact = RecordCleaners.transformWeather(keyed, col("location_key"))
+    // tiebreak must be a total order WITHIN the key group — every
+    // non-key column, compared as one struct (latitude alone would tie:
+    // it is functionally dependent on location_key)
+    val factOrder = struct(fact.columns
+      .filterNot(Set("date_key", "location_key")).map(col): _*).desc
     val merged = Merge.upsert(existingFact, fact,
       keys = Seq("date_key", "location_key"),
       updateCols = Seq("temp_max_c", "temp_min_c", "temp_mean_c",
         "precipitation_mm"),
-      tiebreak = Seq(col("latitude").desc))
+      tiebreak = Seq(factOrder))
     (dim, merged)
   }
 
@@ -79,10 +84,13 @@ object Pipeline {
       Seq("location_hash"))
     val soilDim = RecordCleaners.transformSoil(keyed, col("location_key"),
       extractionDate)
+    val soilOrder = struct(soilDim.columns
+      .filterNot(Set("location_key", "extraction_date")).map(col): _*)
+      .desc
     val merged = Merge.upsert(existingSoil, soilDim,
       keys = Seq("location_key", "extraction_date"),
       updateCols = Seq("soil_texture", "ph_level_0_5cm", "metadata"),
-      tiebreak = Seq(col("metadata").desc))
+      tiebreak = Seq(soilOrder))
     (dim, merged, quarantine)
   }
 
@@ -110,10 +118,13 @@ object Pipeline {
     val cleaned = RecordCleaners.cleanCropRequirements(extracted,
       passthrough = Seq("raw_evidence"))
     val cropDim = RecordCleaners.transformCrop(cleaned, extractionDate)
+    val cropOrder = struct(cropDim.columns
+      .filterNot(_ == "crop_name").filterNot(_ == "source_urls")
+      .map(col): _*).desc
     Merge.upsert(existingCrop, cropDim, keys = Seq("crop_name"),
       updateCols = Seq("optimal_temp_min_c", "optimal_temp_max_c",
         "water_requirement_mm_day", "extraction_confidence",
         "extraction_date"),
-      tiebreak = Seq(col("extraction_confidence").desc))
+      tiebreak = Seq(col("extraction_confidence").desc, cropOrder))
   }
 }

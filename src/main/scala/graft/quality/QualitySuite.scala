@@ -164,41 +164,37 @@ object QualitySuite {
   def violationCount(spark: SparkSession, tables: Map[String, DataFrame],
       rule: Rule, asOf: Column): (Long, Long) = {
     val df = tables(rule.table)
-    val total = df.count()
-    val violations: Long = rule match {
-      case RangeRule(_, c, lo, hi, _) =>
-        df.filter(col(c).isNotNull && !col(c).between(lo, hi)).count()
-      case RegexRule(_, c, p, _) =>
-        df.filter(col(c).isNotNull && !col(c).rlike(p)).count()
-      case EnumRule(_, c, vs, _) =>
-        df.filter(col(c).isNotNull && !col(c).isin(vs: _*)).count()
-      case NotNullRule(_, c) => df.filter(col(c).isNull).count()
-      case UniqueRule(_, cs) =>
-        total - df.select(cs.map(col): _*).distinct().count()
-      case CrossRule(_, _, e, _) =>
-        df.filter(!coalesce(expr(e), lit(false))).count()
-      case RefIntegrityRule(_, c, refT, refC) =>
-        df.filter(col(c).isNotNull).join(tables(refT)
-            .select(col(refC).as(c)).distinct(), Seq(c), "left_anti")
-          .count()
-      case FreshnessRule(_, dc, maxDays) =>
-        val stale = df.agg(max(col(dc)).as("mx"))
-          .select((datediff(asOf, col("mx").cast("date")) > maxDays)
-            .as("stale"))
-          .collect()(0).getBoolean(0)
-        if (stale) 1L else 0L
-      case CompletenessRule(_, c, pct) =>
-        val ratio = df.agg((count(col(c)) * lit(100.0) / count(lit(1)))
-          .as("r")).collect()(0).getDouble(0)
-        if (ratio < pct) 1L else 0L
-      case AnomalyRule(_, _, cond, _) =>
-        val view = s"__q_${rule.table}"
-        df.createOrReplaceTempView(view)
-        spark.sql(
-          s"SELECT count(*) AS n FROM (SELECT ($cond) AS a FROM $view) WHERE a")
-          .collect()(0).getLong(0)
+    // fusable rules share the aggExpr definitions (one source of truth
+    // for the semantics; also null-safe on empty tables, where the
+    // old collect-and-unbox forms NPE'd)
+    aggExpr(rule, asOf) match {
+      case Some(e) =>
+        val row = df.agg(count(lit(1)).as("__t"), e.as("__v")).collect()(0)
+        (row.getLong(1), row.getLong(0))
+      case None =>
+        val total = df.count()
+        val violations: Long = rule match {
+          case UniqueRule(_, cs) =>
+            // null keys don't violate uniqueness (SQL semantics; also
+            // matches COUNT(col) - COUNT(DISTINCT col) oracles)
+            val nonNull = df.filter(cs.map(col(_).isNotNull)
+              .reduce(_ && _))
+            nonNull.count() - nonNull.select(cs.map(col): _*)
+              .distinct().count()
+          case RefIntegrityRule(_, c, refT, refC) =>
+            df.filter(col(c).isNotNull).join(tables(refT)
+                .select(col(refC).as(c)).distinct(), Seq(c), "left_anti")
+              .count()
+          case AnomalyRule(_, _, cond, _) =>
+            val view = s"__q_${rule.table}"
+            df.createOrReplaceTempView(view)
+            spark.sql(s"SELECT count(*) AS n FROM " +
+                s"(SELECT ($cond) AS a FROM $view) WHERE a")
+              .collect()(0).getLong(0)
+          case other => sys.error(s"unhandled rule ${other.name}")
+        }
+        (violations, total)
     }
-    (violations, total)
   }
 
   /** Violation-count aggregate expression for rules that can share one

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -39,13 +39,21 @@ object OpenMeteoSource {
 
   /** S5 — zip the parallel daily arrays into rows. The zip is bounded
     * by `len(daily.time)` (the reference iterates time only), while
-    * shorter/missing arrays null-pad.
+    * shorter/missing arrays null-pad. A metric that is absent from the
+    * response entirely reads as a NULL array — it must be coalesced to
+    * an empty array first, because `arrays_zip` of any null input is
+    * null (which would silently drop the whole response instead of
+    * null-padding like the reference's `_safe_get`).
     */
   def parse(raw: DataFrame): DataFrame = {
+    def arr(c: Column, tpe: String): Column =
+      coalesce(c, array().cast(s"array<$tpe>"))
     val zipped = arrays_zip(
-      col("daily.time").as("date") +:
-        metrics.map { case (api, rec) => col(s"daily.$api").as(rec) } :+
-        col("daily.weather_code").as("weather_code"): _*)
+      arr(col("daily.time"), "string").as("date") +:
+        metrics.map { case (api, rec) =>
+          arr(col(s"daily.$api"), "double").as(rec)
+        } :+
+        arr(col("daily.weather_code"), "int").as("weather_code"): _*)
     raw.select(col("latitude"), col("longitude"),
         size(col("daily.time")).as("__n"),
         posexplode(zipped).as(Seq("pos", "z")))

@@ -165,10 +165,16 @@ object AuditLog {
       recordsProcessed.as("records_processed"),
       errorMessage.as("error_message"))
 
-  /** Latest entry per batch — the queryable state of the audit table. */
+  /** Latest entry per batch — the queryable state of the audit table.
+    * Equal-timestamp ties rank terminal states over RUNNING explicitly
+    * (alphabetical status order would rank RUNNING above FAILED and
+    * report a dead batch as in-flight).
+    */
   def latest(log: DataFrame): DataFrame = {
+    val terminalRank = when(col("status") === "SUCCESS", 3)
+      .when(col("status") === "FAILED", 2).otherwise(1)
     val w = Window.partitionBy("batch_id")
-      .orderBy(col("event_time").desc, col("status").desc)
+      .orderBy(col("event_time").desc, terminalRank.desc)
     log.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -75,6 +75,8 @@ class CleanFunctionsSpec extends SparkSpec {
     assert(evalStr("ORYZA SATIVA", standardizeCropName) == "Rice")
     assert(evalStr("sweet sorghum", standardizeCropName) == "Sweet Sorghum")
     assert(evalStr("", standardizeCropName) == "Unknown")
+    // python title() semantics: capitalize after ANY non-letter
+    assert(evalStr("winter-wheat", standardizeCropName) == "Winter-Wheat")
   }
 
   test("F12 texture: golden classes (normalized variant)") {

@@ -76,6 +76,36 @@ class SourcesSpec extends SparkSpec {
     assert(paris.getAs[Double]("temp_min") == -5.0)
   }
 
+  test("S5 missing metric key null-pads instead of dropping the response") {
+    val p = java.nio.file.Files.createTempFile("meteo_missing", ".jsonl")
+    java.nio.file.Files.writeString(p,
+      """{"latitude": 1.0, "longitude": 2.0, "daily": {"time": ["2024-05-01"], "temperature_2m_max": [20.0]}}""")
+    val rows = OpenMeteoSource.parse(
+      OpenMeteoSource.read(spark, p.toString)).collect()
+    assert(rows.length == 1)
+    val r = rows(0)
+    assert(r.getAs[Double]("temp_max") == 20.0)
+    assert(r.isNullAt(r.fieldIndex("humidity")))    // absent key
+    assert(r.isNullAt(r.fieldIndex("weather_code")))
+  }
+
+  test("F4 NaN precipitation stays null, not a fabricated 0.0") {
+    import spark.implicits._
+    val parsed = Seq((1.0, 2.0, "2024-01-01", Double.NaN, -1.0))
+      .toDF("latitude", "longitude", "date", "precipitation",
+        "wind_speed")
+      .withColumn("temp_max", lit(null).cast("double"))
+      .withColumn("temp_min", lit(null).cast("double"))
+      .withColumn("temp_mean", lit(null).cast("double"))
+      .withColumn("evapotranspiration", lit(null).cast("double"))
+      .withColumn("solar_radiation", lit(null).cast("double"))
+      .withColumn("humidity", lit(null).cast("double"))
+      .withColumn("weather_code", lit(null).cast("int"))
+    val r = RecordCleaners.cleanWeatherData(parsed).collect()(0)
+    assert(r.isNullAt(r.fieldIndex("precipitation"))) // NaN → null
+    assert(r.getAs[Double]("wind_speed") == 0.0)      // -1 → clamped 0
+  }
+
   test("S7 html-to-text drops script/style and tags") {
     val html = "<html><style>p{}</style><div>Wheat <b>needs</b> " +
       "water &amp; sun.</div><script>x()</script></html>"

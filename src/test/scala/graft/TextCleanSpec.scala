@@ -69,5 +69,10 @@ class TextCleanSpec extends SparkSpec {
     // the reference's chain.
     assert(evalStr("Opt. temp 20°c  to 25°c", s => clean(s)) ==
       "optimal. temperature 20°c to 25°c")
+    // null → "" per the reference's `if not text: return ""` guard
+    import spark.implicits._
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(clean(org.apache.spark.sql.functions.col("s")).as("v"))
+      .collect()(0).getString(0) == "")
   }
 }
