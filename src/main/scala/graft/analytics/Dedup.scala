@@ -183,30 +183,22 @@ object Dedup {
     result
   }
 
-  /** 4. 64-bit SimHash fingerprint per document, as a 16-char hex
-    * string. Bit j of a token's md5 votes +1/−1; fingerprint bit j is
-    * the vote sign. Each token *occurrence* votes (no dedup), matching
-    * classic SimHash with unit weights.
+  /** 64-bit SimHash of one text value as a 16-char hex string — the
+    * native [[graft.expressions.SimHash64]] expression: per-row
+    * compiled code, zero exchange. */
+  def simHashHex(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.SimHash64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text)))
+
+  /** 4. SimHash fingerprints for a corpus — map-only ([[simHashHex]]
+    * per row; the round-1 shape exploded tokens into a 64-aggregate
+    * groupBy, shuffling the entire token stream for what is a per-row
+    * computation).
     */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("token"))
-      .withColumn("th", md5(col("token")))
-    val votes = (0 until 64).map { j =>
-      val hexChar = substring(col("th"), j / 4 + 1, 1)
-      val hv = (instr(lit("0123456789abcdef"), hexChar) - 1).cast("int")
-      val bit = shiftright(hv, 3 - j % 4) % 2
-      sum(bit * 2 - 1).as(s"v_$j")
-    }
-    val voted = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val nibbles = (0 until 16).map { d =>
-      val nib = (0 until 4).map { b =>
-        when(col(s"v_${d * 4 + b}") > 0, lit(1 << (3 - b))).otherwise(lit(0))
-      }.reduce(_ + _)
-      substring(lit("0123456789abcdef"), nib + 1, lit(1))
-    }
-    voted.select(col("doc_id"), concat(nibbles: _*).as("simhash_hex"))
-  }
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      simHashHex(col(textCol)).as("simhash_hex"))
 
   /** 5. Embedding-cosine near-duplicate pairs above a threshold.
     * Exact all-pairs — O(n²) cosines; correctness baseline for tiny

@@ -42,15 +42,45 @@ object TextAnalysis {
       size(toks).cast("double")
   }
 
-  /** Predicted language: argmax score, earliest language wins ties. */
-  def langPredict(text: Column): Column = {
-    val scores = langs.map(l => l -> langScore(text, l))
-    scores.foldRight(lit("und")) { case ((l, s), acc) =>
-      val others = scores.filter(_._1 != l).map(_._2)
-      when(s > 0 && others.foldLeft(lit(true))((c, o) => c && s >= o),
-        lit(l)).otherwise(acc)
-    }
-  }
+  /** All language scores as one array ([[langs]] order) over an
+    * already-bound token array — a single pass over the tokens per
+    * language. */
+  private def langScoresArr(toks: Column): Column =
+    array(langs.map { l =>
+      size(filter(toks, t => t.isin(stopwords(l): _*))).cast("double") /
+        size(toks).cast("double")
+    }: _*)
+
+  /** Argmax over a score array: earliest language wins exact ties,
+    * "und" when no profile hit at all. */
+  private def predictFromScores(ss: Column): Column =
+    when(array_max(ss) > 0,
+      element_at(array(langs.map(lit): _*),
+        array_position(ss, array_max(ss)).cast("int")))
+      .otherwise(lit("und"))
+
+  /** Predicted language: argmax score, earliest language wins ties.
+    * Single tokenize + one filter pass per language — the tokens and
+    * the score array are bound through HOF arguments (evaluated once;
+    * Spark does no CSE across HOF lambdas, so the naive
+    * compare-each-to-all form costs O(L²) tokenize passes per row).
+    */
+  def langPredict(text: Column): Column =
+    get(transform(array(tokens(text)), toks =>
+      get(transform(array(langScoresArr(toks)),
+        ss => predictFromScores(ss)), lit(0))), lit(0))
+
+  /** One-pass language profile: struct(s_<lang>…, predicted) — all
+    * four scores and the argmax from a single tokenize. Callers should
+    * project it through a generator (`explode(array(...))`) so
+    * projection collapse cannot re-inline the struct per output field.
+    */
+  def langProfile(text: Column): Column =
+    get(transform(array(tokens(text)), toks =>
+      get(transform(array(langScoresArr(toks)), ss =>
+        struct(langs.zipWithIndex.map { case (l, i) =>
+          element_at(ss, i + 1).as(s"s_$l")
+        } :+ predictFromScores(ss).as("predicted"): _*)), lit(0))), lit(0))
 
   // --- quality scoring (Gopher-style repetition/shape gates) --------
 
@@ -67,19 +97,42 @@ object TextAnalysis {
   /** English stopword-hit ratio (a Gopher-style "natural text" gate). */
   def stopRatio(text: Column): Column = langScore(text, "en")
 
+  /** One-pass quality profile: struct(n_tokens, mean_token_len,
+    * stop_ratio, punct_ratio, quality_score) from a single tokenize —
+    * tokens and the metric vector are bound through HOF arguments so
+    * nothing re-evaluates. Project through `explode(array(...))` (see
+    * [[langProfile]]). */
+  def qualityProfile(text: Column): Column =
+    get(transform(array(tokens(text)), toks => {
+      val metrics = array(
+        size(toks).cast("double"),
+        length(regexp_replace(text, "\\s", "")).cast("double") /
+          size(toks).cast("double"),
+        size(filter(toks, t => t.isin(stopwords("en"): _*))).cast("double") /
+          size(toks).cast("double"),
+        punctRatio(text))
+      get(transform(array(metrics), m => {
+        val gates = Seq(
+          element_at(m, 1).between(20.0, 100000.0),
+          element_at(m, 2).between(3.0, 10.0),
+          element_at(m, 3) >= 0.01,
+          element_at(m, 4) <= 0.1)
+        struct(
+          element_at(m, 1).cast("long").as("n_tokens"),
+          element_at(m, 2).as("mean_token_len"),
+          element_at(m, 3).as("stop_ratio"),
+          element_at(m, 4).as("punct_ratio"),
+          (gates.map(_.cast("int")).reduce(_ + _).cast("double") /
+            gates.size).as("quality_score"))
+      }), lit(0))
+    }), lit(0))
+
   /** Composite document quality score in [0,1]: equal-weight gates on
     * token count, mean token length, stopword presence, and low
     * punctuation density.
     */
-  def qualityScore(text: Column): Column = {
-    val nTok = size(tokens(text))
-    val gates = Seq(
-      nTok.between(20, 100000),
-      meanTokenLen(text).between(3.0, 10.0),
-      stopRatio(text) >= 0.01,
-      punctRatio(text) <= 0.1)
-    gates.map(_.cast("int")).reduce(_ + _).cast("double") / gates.size
-  }
+  def qualityScore(text: Column): Column =
+    qualityProfile(text).getField("quality_score")
 
   // --- token counting ----------------------------------------------
 

@@ -41,9 +41,14 @@ case class Nfkc(child: Expression) extends UnaryExpression {
   * `call_function`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("nfkc"),
       new ExpressionInfo(classOf[Nfkc].getName, "nfkc"),
       (children: Seq[Expression]) => Nfkc(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+  }
 }

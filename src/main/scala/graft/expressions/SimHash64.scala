@@ -1,0 +1,76 @@
+package graft.expressions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit SimHash of a text value as a 16-char hex string, as a native
+  * Catalyst expression — the whole tokenize → md5 → 64-bit vote →
+  * fingerprint computation runs per row in compiled code, so SimHash
+  * is map-only with zero exchange at any corpus size.
+  *
+  * Semantics (shared with the DuckDB oracle and the round-1 shuffle
+  * formulation): tokens are `split(trim(text), "\\s+")` — ASCII-space
+  * trim exactly as Spark's/DuckDB's `trim`, regex split keeping
+  * leading empties; every token *occurrence* votes ±1 per bit of the
+  * first 64 bits of `md5(token)` (hex chars MSB-first); fingerprint
+  * bit j is set iff vote j is strictly positive.
+  *
+  * Why not a `Column`-expression fold: an `aggregate` HOF over the
+  * token array is interpreted and allocates a 64-wide array per token
+  * (measured 3.5× *slower* than the groupBy shuffle at sf0.1), while
+  * this compiled loop beats both.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // trim ASCII spaces only (Spark/DuckDB trim semantics, narrower
+    // than java.lang.String#trim which strips all chars <= 0x20)
+    var start = 0
+    var end = text.length
+    while (start < end && text.charAt(start) == ' ') start += 1
+    while (end > start && text.charAt(end - 1) == ' ') end -= 1
+    val toks = SimHash64.ws.split(text.substring(start, end), -1)
+    val votes = new Array[Int](64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < toks.length) {
+      val d = md.digest(toks(i).getBytes(StandardCharsets.UTF_8))
+      var j = 0
+      while (j < 64) {
+        votes(j) += (((d(j >> 3) >> (7 - (j & 7))) & 1) << 1) - 1
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Byte](16)
+    var n = 0
+    while (n < 16) {
+      var nib = 0
+      var b = 0
+      while (b < 4) {
+        if (votes(n * 4 + b) > 0) nib |= 1 << (3 - b)
+        b += 1
+      }
+      out(n) = SimHash64.hex(nib)
+      n += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+object SimHash64 {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val hex = "0123456789abcdef".getBytes(StandardCharsets.US_ASCII)
+}

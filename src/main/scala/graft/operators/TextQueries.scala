@@ -38,9 +38,14 @@ object TextQueries {
               FROM documents))
       ORDER BY doc_id""")) { (s, dir) =>
         val d = Tables.load(s, dir, "documents")
-        d.select(col("doc_id") +:
-            TA.langs.map(l => TA.langScore(col("text"), l).as(s"s_$l")) :+
-            TA.langPredict(col("text")).as("predicted"): _*)
+        // explode(array(struct)) is a generator barrier: the one-pass
+        // profile evaluates once per row; a plain multi-column select
+        // would be projection-collapsed back into 5 re-evaluations
+        d.select(col("doc_id"),
+            explode(array(TA.langProfile(col("text")))).as("r"))
+          .select(col("doc_id") +:
+            TA.langs.map(l => col(s"r.s_$l").as(s"s_$l")) :+
+            col("r.predicted").as("predicted"): _*)
           .orderBy("doc_id")
       }
     },
@@ -61,14 +66,14 @@ object TextQueries {
         FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS t
               FROM documents))
       ORDER BY doc_id""")) { (s, dir) =>
-      val t = col("text")
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
-          TA.wsTokenCount(t).cast("long").as("n_tokens"),
-          TA.meanTokenLen(t).as("mean_token_len"),
-          TA.stopRatio(t).as("stop_ratio"),
-          TA.punctRatio(t).as("punct_ratio"),
-          TA.qualityScore(t).as("quality_score"))
+          explode(array(TA.qualityProfile(col("text")))).as("r"))
+        .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+          col("r.mean_token_len").as("mean_token_len"),
+          col("r.stop_ratio").as("stop_ratio"),
+          col("r.punct_ratio").as("punct_ratio"),
+          col("r.quality_score").as("quality_score"))
         .orderBy("doc_id")
     },
 
