@@ -65,8 +65,10 @@ object NlpExtract {
     * ~5× per pattern.
     */
   private def cascade(text: Column, patterns: Seq[String], groups: Int,
-      gate: Seq[Column] => Column, allMatches: Boolean = false): Column =
-    patterns.map { pat =>
+      gate: Seq[Column] => Column, allMatches: Boolean = false,
+      guards: Seq[Column] = Nil): Column = {
+    val gs = if (guards.isEmpty) patterns.map(_ => lit(true)) else guards
+    patterns.zip(gs).map { case (pat, g) =>
       val p = "(?i)" + pat
       val grp = (m: Column, g: Int) => regexp_extract(m, p, g)
       val res = get(transform(
@@ -83,31 +85,55 @@ object NlpExtract {
             grp(m0, g).cast("double").as(s"v$g")) :+
             m0.as("evidence"): _*)
         }), lit(0))
-      when(res.getField("evidence").isNotNull, res)
+      // bind `res` once (a bare when(cond, res) evaluates the whole
+      // pattern scan twice — once for the condition, once for the
+      // value; fallback expressions get no CSE), and pre-gate the scan
+      // behind a cheap substring guard implied by the pattern, so
+      // non-mentioning documents skip the regex entirely
+      when(g, get(transform(array(res), r =>
+        when(r.getField("evidence").isNotNull, r)), lit(0)))
     }.reduce(coalesce(_, _))
+  }
 
   private def between(c: Column, lo: Double, hi: Double): Column =
     c.cast("double").between(lo, hi)
 
   /** T11 — temperature range: struct(v1=min, v2=max, evidence); both
-    * values gated to [-10, 50] (`nlp_extractor.py:117-130`). */
-  def temperatureRange(text: Column): Column =
+    * values gated to [-10, 50] (`nlp_extractor.py:117-130`). Guards:
+    * each pattern's mandatory literal ("temp", "optimal", "grow"); the
+    * bare `N°C to N°C` pattern has no selective literal and stays
+    * unguarded. */
+  def temperatureRange(text: Column): Column = {
+    val lowered = lower(text)
     cascade(text, temperaturePatterns, 2,
       gs => between(gs(0), -10, 50) && between(gs(1), -10, 50),
-      allMatches = true)
+      allMatches = true,
+      guards = Seq(lowered.contains("temp"), lit(true),
+        lowered.contains("optimal"), lowered.contains("grow")))
+  }
 
   /** T12 — water mm/day: struct(v1, evidence), gate [0.1, 50]
     * (`nlp_extractor.py:132-144`). */
-  def waterRequirement(text: Column): Column =
-    cascade(text, waterPatterns, 1, gs => between(gs(0), 0.1, 50))
+  def waterRequirement(text: Column): Column = {
+    val lowered = lower(text)
+    cascade(text, waterPatterns, 1, gs => between(gs(0), 0.1, 50),
+      guards = Seq(
+        lowered.contains("mm") || lowered.contains("millimeter"),
+        lowered.contains("water"), lowered.contains("irrigation"),
+        lowered.contains("require")))
+  }
 
   /** T13 — sunlight hours with qualitative fallback: numeric gate
     * [0, 24]; else "full sun" → 6.0, "partial shade" → 3.0
     * (`nlp_extractor.py:146-164`). */
   def sunlightHours(text: Column): Column = {
-    val numeric = cascade(text, sunlightPatterns, 1,
-      gs => between(gs(0), 0, 24))
     val lowered = lower(text)
+    val numeric = cascade(text, sunlightPatterns, 1,
+      gs => between(gs(0), 0, 24),
+      guards = Seq(
+        lowered.contains("sun") || lowered.contains("light"),
+        lowered.contains("sun"), lowered.contains("full sun"),
+        lowered.contains("light")))
     coalesce(numeric,
       when(lowered.contains("full sun"),
         struct(lit(6.0).as("v1"),
@@ -119,9 +145,12 @@ object NlpExtract {
 
   /** T14 — pH range: struct(v1=min, v2=max, evidence), both in [3, 9]
     * (`nlp_extractor.py:166-178`). */
-  def phRange(text: Column): Column =
+  def phRange(text: Column): Column = {
+    val lowered = lower(text)
     cascade(text, phPatterns, 2,
-      gs => between(gs(0), 3.0, 9.0) && between(gs(1), 3.0, 9.0))
+      gs => between(gs(0), 3.0, 9.0) && between(gs(1), 3.0, 9.0),
+      guards = phPatterns.map(_ => lowered.contains("ph")))
+  }
 
   /** T15 — confidence score (`nlp_extractor.py:180-196`). */
   def confidence(hasTemp: Column, hasWater: Column, hasSun: Column,
@@ -133,29 +162,40 @@ object NlpExtract {
   }
 
   /** T16 — full extraction: one struct column with the reference's
-    * `ExtractedRequirements` fields (`nlp_extractor.py:70-115`). */
-  def extractRequirements(text: Column): Column = {
-    val t = temperatureRange(text)
-    val w = waterRequirement(text)
-    val s = sunlightHours(text)
-    val p = phRange(text)
-    val nEvidence = Seq(t, w, s, p)
-      .map(_.isNotNull.cast("int")).reduce(_ + _)
-    struct(
-      t.getField("v1").as("temp_min_c"),
-      t.getField("v2").as("temp_max_c"),
-      w.getField("v1").as("water_mm_day"),
-      s.getField("v1").as("sunlight_hours"),
-      p.getField("v1").as("ph_min"),
-      p.getField("v2").as("ph_max"),
-      confidence(t.isNotNull, w.isNotNull, s.isNotNull, p.isNotNull,
-        nEvidence).as("confidence_score"),
-      lit("hybrid_regex_spark").as("extraction_method"),
-      slice(filter(array(
-        t.getField("evidence"), w.getField("evidence"),
-        s.getField("evidence"), p.getField("evidence")),
-        e => e.isNotNull), 1, 5).as("raw_evidence"))
-  }
+    * `ExtractedRequirements` fields (`nlp_extractor.py:70-115`). The
+    * four cascade families are bound once through a HOF argument —
+    * each family result is referenced 4–5 times below, and fallback
+    * expressions get no CSE, so the naive form re-ran every regex
+    * per reference. Callers projecting multiple fields should go
+    * through a generator barrier (`explode(array(...))`) for the same
+    * reason. */
+  def extractRequirements(text: Column): Column =
+    get(transform(array(struct(
+        temperatureRange(text).as("t"),
+        waterRequirement(text).as("w"),
+        sunlightHours(text).as("s"),
+        phRange(text).as("p"))), r => {
+      val t = r.getField("t")
+      val w = r.getField("w")
+      val s = r.getField("s")
+      val p = r.getField("p")
+      val nEvidence = Seq(t, w, s, p)
+        .map(_.isNotNull.cast("int")).reduce(_ + _)
+      struct(
+        t.getField("v1").as("temp_min_c"),
+        t.getField("v2").as("temp_max_c"),
+        w.getField("v1").as("water_mm_day"),
+        s.getField("v1").as("sunlight_hours"),
+        p.getField("v1").as("ph_min"),
+        p.getField("v2").as("ph_max"),
+        confidence(t.isNotNull, w.isNotNull, s.isNotNull, p.isNotNull,
+          nEvidence).as("confidence_score"),
+        lit("hybrid_regex_spark").as("extraction_method"),
+        slice(filter(array(
+          t.getField("evidence"), w.getField("evidence"),
+          s.getField("evidence"), p.getField("evidence")),
+          e => e.isNotNull), 1, 5).as("raw_evidence"))
+    }), lit(0))
 
   /** T17 — simple numeric-pair extractor
     * (`etl/utils/validators.py:19-31`): (min, max) of the first two

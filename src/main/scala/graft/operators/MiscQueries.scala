@@ -69,7 +69,9 @@ object MiscQueries {
         .distinct()
       val w = Window.partitionBy("label")
         .orderBy(col("dist"), col("p_brand"))
-      noisy.crossJoin(broadcast(dict))
+      // dict is a distinct set derived from a scaling table — let AQE
+      // size it at runtime instead of force-broadcasting the aggregate
+      noisy.crossJoin(dict)
         .withColumn("dist", levenshtein(col("label"), col("p_brand")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)

@@ -132,19 +132,24 @@ object NlpQueries {
               col("p_partkey") % 7 + 2, col("p_partkey") % 7 + 3),
             when(col("p_partkey") % 7 === 0, " Prefers full sun.")
               .otherwise("")).as("text"))
-        val e = NlpExtract.extractRequirements(col("text"))
-        val pair = NlpExtract.extractNumericPair(col("text"),
-          "(?i)" + "(-?\\d+\\.?\\d*)\\s*(?:°?[Cc])?")
-        docs.select(col("p_partkey"),
-            e.getField("temp_min_c").as("temp_min_c"),
-            e.getField("temp_max_c").as("temp_max_c"),
-            e.getField("water_mm_day").as("water_mm_day"),
-            e.getField("sunlight_hours").as("sunlight_hours"),
-            e.getField("ph_min").as("ph_min"),
-            e.getField("ph_max").as("ph_max"),
-            pair.getField("lo").as("pair_lo"),
-            pair.getField("hi").as("pair_hi"),
-            e.getField("confidence_score").as("confidence_score"))
+        // generator barrier: the extraction struct is materialized once
+        // per row; a flat select would projection-collapse into one full
+        // cascade evaluation per output field
+        docs.select(col("p_partkey"), explode(array(struct(
+            NlpExtract.extractRequirements(col("text")).as("e"),
+            NlpExtract.extractNumericPair(col("text"),
+              "(?i)" + "(-?\\d+\\.?\\d*)\\s*(?:°?[Cc])?").as("pair"))))
+            .as("r"))
+          .select(col("p_partkey"),
+            col("r.e.temp_min_c").as("temp_min_c"),
+            col("r.e.temp_max_c").as("temp_max_c"),
+            col("r.e.water_mm_day").as("water_mm_day"),
+            col("r.e.sunlight_hours").as("sunlight_hours"),
+            col("r.e.ph_min").as("ph_min"),
+            col("r.e.ph_max").as("ph_max"),
+            col("r.pair.lo").as("pair_lo"),
+            col("r.pair.hi").as("pair_hi"),
+            col("r.e.confidence_score").as("confidence_score"))
           .orderBy("p_partkey")
       }
     },

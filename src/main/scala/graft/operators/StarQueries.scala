@@ -70,8 +70,10 @@ object StarQueries {
       val c = Tables.load(s, dir, "customer")
       val n = Tables.load(s, dir, "nation")
       val r = Tables.load(s, dir, "region")
+      // customer scales with SF — no hard broadcast hint (AQE/stats
+      // pick the strategy); nation/region are constant-size dims
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -129,7 +131,8 @@ object StarQueries {
       LIMIT 10""")) { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      // customer scales with SF — leave the join strategy to AQE/stats
+      o.join(c, col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(sum(col("o_totalprice").cast(DecimalType(12, 2)))
           .cast("double").as("total_spent"),
@@ -152,7 +155,8 @@ object StarQueries {
       val brands = Tables.load(s, dir, "part").select("p_brand").distinct()
       val k = expr(
         "(r_regionkey * 7 + ascii(substr(p_brand, length(p_brand), 1))) % 3")
-      r.crossJoin(broadcast(brands))
+      // brands is a derived distinct set — AQE sizes it at runtime
+      r.crossJoin(brands)
         .select(col("r_name"), col("p_brand"),
           when(k === 0, "HIGH").when(k === 1, "MEDIUM").otherwise("LOW")
             .as("compatibility"))

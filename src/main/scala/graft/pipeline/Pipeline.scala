@@ -45,9 +45,12 @@ object Pipeline {
           round(col("longitude"), 6)))
     val dim = upsertLocations(existingDim,
       cleaned.select("latitude", "longitude"), effectiveDate)
+    // the location dim grows with distinct coordinates — no hard
+    // broadcast hint; AQE broadcasts it while it fits and degrades to a
+    // shuffle join when it no longer does
     val keyed = cleaned.join(
-      broadcast(dim.filter(col("is_current"))
-        .select("location_hash", "location_key")),
+      dim.filter(col("is_current"))
+        .select("location_hash", "location_key"),
       Seq("location_hash"))
     val fact = RecordCleaners.transformWeather(keyed, col("location_key"))
     // tiebreak must be a total order WITHIN the key group — every
@@ -78,9 +81,11 @@ object Pipeline {
       CleanFunctions.locationHash(col("latitude"), col("longitude")))
     val dim = upsertLocations(existingDim,
       hashed.select("latitude", "longitude"), extractionDate)
+    // location dim grows with distinct coordinates — AQE-gated join
+    // strategy, no hard broadcast hint (see runWeather)
     val keyed = hashed.join(
-      broadcast(dim.filter(col("is_current"))
-        .select("location_hash", "location_key")),
+      dim.filter(col("is_current"))
+        .select("location_hash", "location_key"),
       Seq("location_hash"))
     val soilDim = RecordCleaners.transformSoil(keyed, col("location_key"),
       extractionDate)
@@ -105,16 +110,20 @@ object Pipeline {
     val texts = ScrapedTextSource.resolvePriority(
       scraped.withColumn("raw_text",
         ScrapedTextSource.htmlToText(col("html"))))
-    val e = NlpExtract.extractRequirements(col("raw_text"))
+    // generator barrier: materialize the extraction struct once per row
+    // before fanning out to fields (see NlpExtract.extractRequirements)
     val extracted = texts.select(col("crop_name"),
-      e.getField("temp_min_c").as("temp_min_c"),
-      e.getField("temp_max_c").as("temp_max_c"),
-      e.getField("water_mm_day").as("water_mm_day"),
-      e.getField("sunlight_hours").as("sunlight_hours"),
-      e.getField("ph_min").as("ph_min"),
-      e.getField("ph_max").as("ph_max"),
-      e.getField("confidence_score").as("confidence_score"),
-      e.getField("raw_evidence").as("raw_evidence"))
+        explode(array(NlpExtract.extractRequirements(col("raw_text"))))
+          .as("e"))
+      .select(col("crop_name"),
+        col("e.temp_min_c").as("temp_min_c"),
+        col("e.temp_max_c").as("temp_max_c"),
+        col("e.water_mm_day").as("water_mm_day"),
+        col("e.sunlight_hours").as("sunlight_hours"),
+        col("e.ph_min").as("ph_min"),
+        col("e.ph_max").as("ph_max"),
+        col("e.confidence_score").as("confidence_score"),
+        col("e.raw_evidence").as("raw_evidence"))
     val cleaned = RecordCleaners.cleanCropRequirements(extracted,
       passthrough = Seq("raw_evidence"))
     val cropDim = RecordCleaners.transformCrop(cleaned, extractionDate)
