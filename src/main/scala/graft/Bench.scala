@@ -5,11 +5,19 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Queries execute into
   * the `noop` sink so the whole plan (including projections that a
   * bare count() would prune away) runs end-to-end without sink I/O.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) after an
+  * untimed warmup; the JSON carries the per-query MEDIAN, taming the
+  * 20-30% JIT/page-cache run-to-run variance so round-over-round
+  * regressions are attributable. A query that throws is listed in
+  * `failed` with time -1 (excluded from the total) and the process
+  * exits non-zero — a failure can never read as a speedup.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,19 +33,30 @@ object Bench {
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite")
           .save())
       catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val times = scala.collection.mutable.Map[String, List[Double]]()
+    val failed = scala.collection.mutable.SortedSet[String]()
+    for (r <- 1 to runs; (name, fn) <- names) {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        times(name) = ((System.nanoTime() - t0) / 1e9) ::
+          times.getOrElse(name, Nil)
+      } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name run $r failed: ${e.getMessage}")
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val qs = names.map { case (n, _) =>
+      n -> times.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0)
+    }
+    val total = qs.collect { case (_, t) if t >= 0 => t }.sum
+    val qJson = qs.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"failed":$fJson}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

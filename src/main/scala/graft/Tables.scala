@@ -22,6 +22,14 @@ object Tables {
     * reader rejects. Read it as raw nanos (legacy conf) and floor-truncate
     * to microseconds — exactly what DuckDB does when it reads the same
     * file, so oracle comparisons see identical instants.
+    *
+    * The conf is deliberately left set on the session (not
+    * save/restored): it is consulted again when the lazy scan executes,
+    * so restoring it right after this call would break the very read it
+    * enabled. Session-wide effect: any OTHER nanos-timestamped parquet
+    * read through the same session also surfaces raw longs — in this
+    * engine every corpus read routes through [[load]], and `events` is
+    * the only nanos table.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -115,9 +115,13 @@ object Dedup {
         (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
-      // materialize, then release the pinned index — otherwise every
-      // invocation leaks cached blocks for the session's lifetime
-      .localCheckpoint(true)
+      // materialize the (small) pair result while the index is still
+      // cached, then release the index. persist+count keeps lineage
+      // (an evicted/lost result partition recomputes from source —
+      // slower but correct), unlike executor-local checkpointing which
+      // loses the blocks with the executor on a real cluster.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
     sh0.unpersist(false)
     result
   }
@@ -178,7 +182,10 @@ object Dedup {
     val result = cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
       .withColumn("est_jaccard", agree.cast("double") / numHashes)
       .select("id_a", "id_b", "est_jaccard")
-      .localCheckpoint(true)
+      // see ngramJaccardPairs: materialize-then-release, keeping
+      // recompute lineage rather than executor-local checkpoint blocks
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count()
     sig.unpersist(false)
     result
   }

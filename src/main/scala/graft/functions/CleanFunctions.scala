@@ -10,6 +10,11 @@ import org.apache.spark.sql.types.DecimalType
   * cleaners (`etl/transform/cleaners.py`) as pure Catalyst `Column`
   * expressions — fully codegen'd, no UDFs, so they vectorize inside
   * WholeStageCodegen and scale linearly with input splits.
+  *
+  * Rounding is `bround` (HALF_EVEN) throughout: Python's `round` —
+  * what every reference cleaner calls — is banker's rounding, so
+  * Spark's default HALF_UP `round` would diverge on values landing
+  * exactly on a .5 boundary of the target scale.
   */
 object CleanFunctions {
 
@@ -20,7 +25,7 @@ object CleanFunctions {
 
   /** F2 — coordinate precision normalize (round 6 dp,
     * `etl/utils/validators.py:14-17`). */
-  def normalizeCoord(c: Column): Column = round(c, 6)
+  def normalizeCoord(c: Column): Column = bround(c, 6)
 
   /** Generic clamp (`cleaners.py:526-530`): null stays null. */
   def clamp(c: Column, lo: Double, hi: Double): Column =
@@ -30,7 +35,7 @@ object CleanFunctions {
     * round 3. */
   def cleanNumeric(c: Column): Column = {
     val d = c.cast("double")
-    round(when(isnan(d) || d === Double.PositiveInfinity ||
+    bround(when(isnan(d) || d === Double.PositiveInfinity ||
       d === Double.NegativeInfinity, lit(null)).otherwise(d), 3)
   }
 
@@ -38,16 +43,16 @@ object CleanFunctions {
     * [0,1]→×100, [0,100] keep, else null. */
   def cleanPercentage(c: Column): Column =
     when(c.isNull, lit(null))
-      .when(c.between(0, 1), round(c * 100, 2))
-      .when(c.between(0, 100), round(c, 2))
+      .when(c.between(0, 1), bround(c * 100, 2))
+      .when(c.between(0, 100), bround(c, 2))
       .otherwise(lit(null))
 
   /** F8 — pH scale fix (`cleaners.py:388-399`):
     * [0,14] keep, (14,140] → /10 (SoilGrids stores pH×10), else null. */
   def cleanPh(c: Column): Column =
     when(c.isNull, lit(null))
-      .when(c.between(0, 14), round(c, 2))
-      .when(c.between(0, 140), round(c / 10, 2))
+      .when(c.between(0, 14), bround(c, 2))
+      .when(c.between(0, 140), bround(c / 10, 2))
       .otherwise(lit(null))
 
   /** F9 — temperature clean (`cleaners.py:401-413`):
@@ -55,7 +60,7 @@ object CleanFunctions {
   def cleanTemperature(c: Column): Column = {
     val conv = when(c > 60, (c - 32) * 5.0 / 9.0).otherwise(c)
     when(c.isNull, lit(null))
-      .when(conv.between(-50, 60), round(conv, 1))
+      .when(conv.between(-50, 60), bround(conv, 1))
       .otherwise(lit(null))
   }
 
@@ -72,9 +77,9 @@ object CleanFunctions {
     */
   def normalizeWater(c: Column): Column =
     when(c.isNull, lit(null))
-      .when(c.between(1.0, 40.0), round(c, 2))
-      .when(c >= 0.01 && c < 1.0, round(c * 10, 2))
-      .when(c > 40.0 && c <= 350.0, round(c / 7, 2))
+      .when(c.between(1.0, 40.0), bround(c, 2))
+      .when(c >= 0.01 && c < 1.0, bround(c * 10, 2))
+      .when(c > 40.0 && c <= 350.0, bround(c / 7, 2))
       .otherwise(lit(null))
 
   /** F4 — inverted min/max repair (`cleaners.py:279-283`): swap applies

@@ -27,8 +27,8 @@ object RecordCleaners {
     val sand = CleanFunctions.cleanPercentage(col("sand_0_5cm"))
     val silt = CleanFunctions.cleanPercentage(col("silt_0_5cm"))
     val cleaned = df.filter(ok).select(
-      round(col("latitude"), 6).as("latitude"),
-      round(col("longitude"), 6).as("longitude"),
+      bround(col("latitude"), 6).as("latitude"),
+      bround(col("longitude"), 6).as("longitude"),
       clay.as("clay_content"), sand.as("sand_content"),
       silt.as("silt_content"),
       CleanFunctions.cleanPh(col("ph_0_5cm")).as("ph_level"),
@@ -99,9 +99,9 @@ object RecordCleaners {
     val pBoth = pMin.isNotNull && pMax.isNotNull
     df.select(Seq(
       CleanFunctions.standardizeCropName(col("crop_name")).as("crop_name"),
-      when(tBoth, when(tOk, round(tLo, 1))).otherwise(tMin)
+      when(tBoth, when(tOk, bround(tLo, 1))).otherwise(tMin)
         .as("temp_min_c"),
-      when(tBoth, when(tOk, round(tHi, 1))).otherwise(tMax)
+      when(tBoth, when(tOk, bround(tHi, 1))).otherwise(tMax)
         .as("temp_max_c"),
       CleanFunctions.normalizeWater(col("water_mm_day")).as("water_mm_day"),
       CleanFunctions.clamp(col("sunlight_hours"), 0, 24)

@@ -163,6 +163,125 @@ anomalies:
       val rules = QualityConfig.parse(corpusYaml)
       QualitySuite.report(s, tables, rules, lit("2026-01-01").cast("date"))
         .orderBy("rule_name")
+    },
+
+    // ETL gates (`etl_gates` section of data-quality.yml) evaluated
+    // against a synthesized audit log (20 batches derived from events:
+    // RUNNING at batch start, SUCCESS/FAILED at batch end, every 5th
+    // batch missing its row count) plus two base rules feeding the
+    // transform-phase meta-gates.
+    Q("q56_etl_gates", Some("""
+      WITH batches AS (
+        SELECT event_id % 20 AS batch_id, min(ts) AS start_ts,
+          max(ts) AS end_ts, count(*) AS n_events
+        FROM events GROUP BY 1),
+      lat AS (
+        SELECT batch_id,
+          CASE WHEN batch_id % 7 = 0 THEN 'FAILED'
+               ELSE 'SUCCESS' END AS status,
+          CASE WHEN batch_id % 5 = 0 THEN NULL ELSE n_events END AS records,
+          (epoch_us(end_ts) - epoch_us(start_ts)) / 60000000.0 AS dur_min
+        FROM batches),
+      props_nulls AS (SELECT count(*) AS n FROM events WHERE props IS NULL),
+      range_viol AS (
+        SELECT count(*) AS n FROM events
+        WHERE value IS NOT NULL AND value NOT BETWEEN 0.0 AND 350.0),
+      r AS (
+        SELECT 'not_null_events_props' AS rule_name,
+          'events' AS table_name, 'critical' AS severity,
+          (SELECT n FROM props_nulls) AS n_violations,
+          (SELECT count(*) FROM events) AS n_rows
+        UNION ALL SELECT 'range_events_value', 'events', 'critical',
+          (SELECT n FROM range_viol), (SELECT count(*) FROM events)
+        UNION ALL SELECT 'gate_extract_min_source_availability',
+          'etl_audit_log', 'critical',
+          (SELECT CASE WHEN SUM(CASE WHEN status <> 'RUNNING' THEN 1
+             ELSE 0 END)::DOUBLE / count(*) < 0.95 THEN 1 ELSE 0 END
+           FROM lat),
+          (SELECT count(*) FROM lat)
+        UNION ALL SELECT 'gate_extract_max_error_rate',
+          'etl_audit_log', 'critical',
+          (SELECT CASE WHEN SUM(CASE WHEN status = 'FAILED' THEN 1
+             ELSE 0 END)::DOUBLE / count(*) > 0.1 THEN 1 ELSE 0 END
+           FROM lat),
+          (SELECT count(*) FROM lat)
+        UNION ALL SELECT 'gate_load_min_rows_loaded',
+          'etl_audit_log', 'critical',
+          (SELECT count(*) FROM lat
+           WHERE status = 'SUCCESS' AND COALESCE(records, 0) < 300),
+          (SELECT count(*) FROM lat)
+        UNION ALL SELECT 'gate_load_max_load_time_minutes',
+          'etl_audit_log', 'critical',
+          (SELECT count(*) FROM lat
+           WHERE status <> 'RUNNING' AND dur_min > 10000),
+          (SELECT count(*) FROM lat)
+        UNION ALL SELECT 'gate_load_verify_row_count',
+          'etl_audit_log', 'critical',
+          (SELECT count(*) FROM lat
+           WHERE status = 'SUCCESS' AND records IS NULL),
+          (SELECT count(*) FROM lat)
+        UNION ALL SELECT 'gate_transform_min_validation_pass_rate',
+          'etl_audit_log', 'critical',
+          (SELECT CASE WHEN (
+             (CASE WHEN (SELECT n FROM props_nulls) = 0 THEN 1 ELSE 0 END) +
+             (CASE WHEN (SELECT n FROM range_viol) = 0 THEN 1 ELSE 0 END)
+             )::DOUBLE / 2 < 0.95 THEN 1 ELSE 0 END),
+          2
+        UNION ALL SELECT 'gate_transform_max_null_rate',
+          'etl_audit_log', 'critical',
+          (SELECT CASE WHEN (SELECT n FROM props_nulls)::DOUBLE /
+             (SELECT count(*) FROM events) > 0.001 THEN 1 ELSE 0 END),
+          (SELECT count(*) FROM events))
+      SELECT rule_name, table_name, severity,
+        CAST(n_violations AS BIGINT) AS n_violations,
+        CAST(n_rows AS BIGINT) AS n_rows,
+        n_violations = 0 AS passed
+      FROM r ORDER BY rule_name""")) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val batches = ev.groupBy((col("event_id") % 20).as("batch_id"))
+        .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          count(lit(1)).as("n_events"))
+      val running = batches.select(col("batch_id"),
+        lit("agro_etl").as("pipeline_name"), lit("RUNNING").as("status"),
+        col("start_ts").as("event_time"),
+        lit(null).cast("long").as("records_processed"),
+        lit(null).cast("string").as("error_message"))
+      val terminal = batches.select(col("batch_id"),
+        lit("agro_etl").as("pipeline_name"),
+        when(col("batch_id") % 7 === 0, "FAILED").otherwise("SUCCESS")
+          .as("status"),
+        col("end_ts").as("event_time"),
+        when(col("batch_id") % 5 === 0, lit(null).cast("long"))
+          .otherwise(col("n_events")).as("records_processed"),
+        when(col("batch_id") % 7 === 0, lit("load failed"))
+          .otherwise(lit(null).cast("string")).as("error_message"))
+      val audit = running.unionByName(terminal)
+      val gatesYaml = """
+tables:
+  events:
+    not_null_columns: [props]
+    validations:
+      value:
+        type: range
+        min: 0.0
+        max: 350.0
+        critical: true
+etl_gates:
+  extract:
+    min_source_availability: 0.95
+    max_error_rate: 0.1
+  transform:
+    min_validation_pass_rate: 0.95
+    max_null_rate: 0.001
+  load:
+    min_rows_loaded: 300
+    max_load_time_minutes: 10000
+    verify_row_count: true
+"""
+      QualitySuite.report(s,
+          Map("events" -> ev, "etl_audit_log" -> audit),
+          QualityConfig.parse(gatesYaml), lit("2026-01-01").cast("date"))
+        .orderBy("rule_name")
     }
   )
 }

@@ -110,6 +110,72 @@ object WarehouseQueries {
         .orderBy("location_hash")
     },
 
+    // Partition-scoped incremental merge: orders written as a
+    // (part_year, part_month)-partitioned fact; a batch touching only
+    // 1998-03 is merged through Merge.upsertPartitioned (prune target
+    // to touched partitions → upsert → dynamic partition overwrite).
+    // The oracle mirrors the semantics: full-outer merge within the
+    // touched partition, byte-passthrough everywhere else. The spec
+    // (WriterSpec) proves untouched partitions keep identical bytes.
+    Q("q55_partition_merge", Some("""
+      WITH target AS (
+        SELECT o_orderkey,
+          CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_key,
+          CAST(year(o_orderdate) AS INT) AS part_year,
+          CAST(month(o_orderdate) AS INT) AS part_month,
+          o_totalprice, o_orderstatus
+        FROM orders),
+      inc AS (
+        SELECT CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey + 10000000
+                    ELSE o_orderkey END AS o_orderkey,
+          date_key,
+          o_totalprice + CAST(100.0 AS DOUBLE) AS o_totalprice,
+          'RELOADED' AS o_orderstatus
+        FROM target WHERE part_year = 1998 AND part_month = 3),
+      touched AS (
+        SELECT * FROM target WHERE part_year = 1998 AND part_month = 3),
+      merged AS (
+        SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+          CASE WHEN t.o_orderkey IS NOT NULL THEN t.date_key
+               ELSE s.date_key END AS date_key,
+          CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+               ELSE t.o_totalprice END AS o_totalprice,
+          CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+               ELSE t.o_orderstatus END AS o_orderstatus
+        FROM touched t FULL OUTER JOIN inc s ON t.o_orderkey = s.o_orderkey)
+      SELECT o_orderkey, date_key, o_totalprice, o_orderstatus FROM merged
+      UNION ALL
+      SELECT o_orderkey, date_key, o_totalprice, o_orderstatus FROM target
+      WHERE NOT (part_year = 1998 AND part_month = 3)
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      val base = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int")
+          .as("date_key"),
+        year(col("o_orderdate")).as("part_year"),
+        month(col("o_orderdate")).as("part_month"),
+        col("o_totalprice"), col("o_orderstatus"))
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_q55_" + Integer.toHexString(dir.hashCode)
+      base.write.mode("overwrite")
+        .partitionBy("part_year", "part_month").parquet(path)
+      val inc = base
+        .filter(col("part_year") === 1998 && col("part_month") === 3)
+        .select(
+          when(col("o_orderkey") % 10 === 0, col("o_orderkey") + 10000000)
+            .otherwise(col("o_orderkey")).as("o_orderkey"),
+          col("date_key"), col("part_year"), col("part_month"),
+          (col("o_totalprice") + 100.0).as("o_totalprice"),
+          lit("RELOADED").as("o_orderstatus"))
+      Merge.upsertPartitioned(s, path, inc, keys = Seq("o_orderkey"),
+        updateCols = Seq("o_totalprice", "o_orderstatus"),
+        tiebreak = Seq(col("date_key").desc),
+        partitionCols = Seq("part_year", "part_month"))
+      s.read.parquet(path)
+        .select("o_orderkey", "date_key", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey")
+    },
+
     // W6 generated date dimension, 2020-01-01..2030-12-31 (4018 rows),
     // EXTRACT(DOW) convention (Sunday = 0).
     Q("q34_date_dim", Some("""
@@ -140,6 +206,77 @@ object WarehouseQueries {
       DateDim.build(s)
         .withColumn("full_date", date_format(col("full_date"), "yyyy-MM-dd"))
         .orderBy("date_key")
+    },
+
+    // True SCD2 close-out (the expire extension of q33's degenerate
+    // lookupOrInsert): dim v1 = latest order value per customer before
+    // 1998; incoming = latest overall. Customers whose value changed
+    // get their current row closed (expiration_date set, is_current
+    // flipped) plus a new version row with a (hash, effective_date)
+    // version key; unchanged rows pass through; novel keys insert.
+    Q("q57_scd2_expire", Some("""
+      WITH latest_all AS (
+        SELECT o_custkey, o_totalprice AS totalprice,
+          md5(printf('%.2f', o_totalprice)) AS row_hash,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders),
+      inc AS (
+        SELECT o_custkey, totalprice, row_hash
+        FROM latest_all WHERE rn = 1),
+      latest_before AS (
+        SELECT o_custkey, o_totalprice AS totalprice,
+          md5(printf('%.2f', o_totalprice)) AS row_hash,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      existing AS (
+        SELECT o_custkey, totalprice, row_hash,
+          CAST('0x' || substr(md5(row_hash || '2026-01-01'), 1, 15)
+            AS BIGINT) AS version_key,
+          '2026-01-01' AS effective_date,
+          '9999-12-31' AS expiration_date, TRUE AS is_current
+        FROM latest_before WHERE rn = 1),
+      merged AS (
+        SELECT e.o_custkey, e.totalprice, e.row_hash, e.version_key,
+          e.effective_date,
+          CASE WHEN i.row_hash IS NOT NULL AND i.row_hash <> e.row_hash
+               THEN '2026-03-01' ELSE e.expiration_date
+            END AS expiration_date,
+          CASE WHEN i.row_hash IS NOT NULL AND i.row_hash <> e.row_hash
+               THEN FALSE ELSE e.is_current END AS is_current
+        FROM existing e LEFT JOIN inc i USING (o_custkey)
+        UNION ALL
+        SELECT i.o_custkey, i.totalprice, i.row_hash,
+          CAST('0x' || substr(md5(i.row_hash || '2026-03-01'), 1, 15)
+            AS BIGINT),
+          '2026-03-01', '9999-12-31', TRUE
+        FROM inc i LEFT JOIN existing e USING (o_custkey)
+        WHERE e.row_hash IS NULL OR i.row_hash <> e.row_hash)
+      SELECT o_custkey, totalprice, row_hash, version_key,
+        effective_date, expiration_date, is_current
+      FROM merged ORDER BY o_custkey, is_current""")) { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      def latest(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"),
+          col("o_totalprice").as("totalprice"),
+          md5(format_string("%.2f", col("o_totalprice"))).as("row_hash"))
+      val existing = latest(orders.filter(
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")))
+        .withColumn("version_key",
+          Scd2.versionKey(col("row_hash"), lit("2026-01-01")))
+        .withColumn("effective_date", lit("2026-01-01"))
+        .withColumn("expiration_date", lit("9999-12-31"))
+        .withColumn("is_current", lit(true))
+      Scd2.expireAndInsert(existing, latest(orders), Seq("o_custkey"),
+          "row_hash", "version_key", lit("2026-03-01"))
+        .select("o_custkey", "totalprice", "row_hash", "version_key",
+          "effective_date", "expiration_date", "is_current")
+        .orderBy("o_custkey", "is_current")
     },
 
     // S15 idempotency keys: sha256(type:key) insert-if-new — the batch

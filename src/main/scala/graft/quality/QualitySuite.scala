@@ -65,6 +65,16 @@ final case class AnomalyRule(table: String, ruleName: String,
     condition: String, severity: String) extends Rule {
   def name = s"anomaly_$ruleName"
 }
+/** ETL pipeline quality gate (`data-quality.yml:346-361` `etl_gates`):
+  * a per-phase threshold evaluated against the audit table (extract /
+  * load phases) or against the rest of the report itself (transform
+  * phase). Boolean gates carry 1.0 / 0.0. */
+final case class GateRule(phase: String, metric: String, value: Double)
+    extends Rule {
+  def table = "etl_audit_log"
+  def name = s"gate_${phase}_$metric"
+  def severity = "critical"
+}
 
 object QualityConfig {
 
@@ -89,8 +99,13 @@ object QualityConfig {
       val t = m(tObj)
       for (c <- t.get("not_null_columns").map(l).getOrElse(Nil))
         rules += NotNullRule(table, c.toString)
-      for (u <- t.get("unique_columns").map(l).getOrElse(Nil))
-        rules += UniqueRule(table, Seq(u.toString))
+      // unique_columns is ONE composite key (dim_soil declares
+      // [location_key, extraction_date] mirroring the schema's
+      // UNIQUE(location_key, extraction_date)) — per-column rules
+      // would flag every location with two extraction dates
+      val uniqueCols = t.get("unique_columns").map(l).getOrElse(Nil)
+        .map(_.toString)
+      if (uniqueCols.nonEmpty) rules += UniqueRule(table, uniqueCols)
       for ((colName, vObj) <- t.get("validations").map(m).getOrElse(Map())) {
         val v = m(vObj)
         val sev = v.get("critical") match {
@@ -130,7 +145,11 @@ object QualityConfig {
         .orElse(f.get("max_age_hours").map(h =>
           math.max(1, h.toString.toInt / 24)))
         .getOrElse(365)
-      rules += FreshnessRule(table, f("date_column").toString, days)
+      // date_column is a lake extension (the reference's entries name
+      // none — its runner knows each table's date column a priori);
+      // entries without one are skipped rather than crashing the parse
+      for (dc <- f.get("date_column").map(_.toString))
+        rules += FreshnessRule(table, dc, days)
     }
     for ((table, cObj) <- root.get("completeness").map(m)
         .getOrElse(Map()) if table != "global_threshold") {
@@ -144,6 +163,13 @@ object QualityConfig {
       rules += AnomalyRule(a("table").toString, ruleName,
         a("condition").toString, a("severity").toString)
     }
+    for ((phase, gObj) <- root.get("etl_gates").map(m).getOrElse(Map());
+        (metric, v) <- m(gObj))
+      rules += GateRule(phase, metric, v.toString match {
+        case "true" => 1.0
+        case "false" => 0.0
+        case other => other.toDouble
+      })
     rules.result()
   }
 }
@@ -236,8 +262,9 @@ object QualitySuite {
     */
   def report(spark: SparkSession, tables: Map[String, DataFrame],
       rules: Seq[Rule], asOf: Column): DataFrame = {
+    val (gateRules, baseRules) = rules.partition(_.isInstanceOf[GateRule])
     val results = scala.collection.mutable.Map[String, (Long, Long)]()
-    for ((table, tableRules) <- rules.groupBy(_.table)) {
+    for ((table, tableRules) <- baseRules.groupBy(_.table)) {
       val df = tables(table)
       val fused = tableRules.flatMap(r => aggExpr(r, asOf).map(r -> _))
       if (fused.nonEmpty) {
@@ -252,6 +279,10 @@ object QualitySuite {
       for (r <- tableRules if aggExpr(r, asOf).isEmpty)
         results(r.name) = violationCount(spark, tables, r, asOf)
     }
+    results ++= evalGates(
+      gateRules.collect { case g: GateRule => g },
+      tables.get("etl_audit_log"),
+      baseRules.map(r => r -> results(r.name)))
     val rows = rules.map { r =>
       val (v, n) = results(r.name)
       (r.name, r.table, r.severity, v, n, v == 0L)
@@ -259,5 +290,70 @@ object QualitySuite {
     spark.createDataFrame(rows)
       .toDF("rule_name", "table_name", "severity", "n_violations",
         "n_rows", "passed")
+  }
+
+  /** Evaluate ETL gates. Extract/load gates read the audit table (one
+    * fused aggregation over latest-state-per-batch joined to batch
+    * start times); transform gates are meta-rules over the rest of the
+    * report (validation pass rate, not-null violation rate). Violation
+    * counts: per-batch gates count offending batches; rate gates are
+    * whole-log 0/1 (like completeness).
+    */
+  private def evalGates(gates: Seq[GateRule], audit: Option[DataFrame],
+      base: Seq[(Rule, (Long, Long))]): Map[String, (Long, Long)] = {
+    val out = scala.collection.mutable.Map[String, (Long, Long)]()
+    val (transformGates, auditGates) = gates.partition(_.phase == "transform")
+    val nRules = base.size.toLong
+    val passedRules = base.count(_._2._1 == 0L).toLong
+    val nnViol = base.collect { case (_: NotNullRule, (v, _)) => v }.sum
+    val nnTotal = base.collect { case (_: NotNullRule, (_, t)) => t }.sum
+    for (g <- transformGates) g.metric match {
+      case "min_validation_pass_rate" =>
+        val bad = nRules > 0 && passedRules.toDouble / nRules < g.value
+        out(g.name) = (if (bad) 1L else 0L, nRules)
+      case "max_null_rate" =>
+        val bad = nnTotal > 0 && nnViol.toDouble / nnTotal > g.value
+        out(g.name) = (if (bad) 1L else 0L, nnTotal)
+      case _ => out(g.name) = (0L, nRules)
+    }
+    if (auditGates.nonEmpty) audit match {
+      case None =>
+        auditGates.foreach(g => out(g.name) = (0L, 0L))
+      case Some(log) =>
+        val latest = graft.warehouse.AuditLog.latest(log)
+        val starts = log.groupBy("batch_id")
+          .agg(min(col("event_time")).as("__start"))
+        val j = latest.join(starts, Seq("batch_id"))
+        val terminal = col("status") =!= "RUNNING"
+        val success = col("status") === "SUCCESS"
+        val durMin = (unix_micros(col("event_time")) -
+          unix_micros(col("__start"))) / 6e7
+        val aggs = auditGates.map { g =>
+          ((g.phase, g.metric) match {
+            case ("extract", "min_source_availability") =>
+              when(sum(terminal.cast("long")).cast("double") /
+                count(lit(1)) < g.value, 1L).otherwise(0L)
+            case ("extract", "max_error_rate") =>
+              when(sum((col("status") === "FAILED").cast("long"))
+                .cast("double") / count(lit(1)) > g.value, 1L).otherwise(0L)
+            case ("load", "min_rows_loaded") =>
+              coalesce(sum(when(success &&
+                coalesce(col("records_processed"), lit(0L)) < g.value,
+                1L)), lit(0L))
+            case ("load", "max_load_time_minutes") =>
+              coalesce(sum(when(terminal && durMin > g.value, 1L)),
+                lit(0L))
+            case ("load", "verify_row_count") if g.value > 0 =>
+              coalesce(sum(when(success &&
+                col("records_processed").isNull, 1L)), lit(0L))
+            case _ => lit(0L)
+          }).as(g.name)
+        }
+        val row = j.agg(count(lit(1)).as("__n"), aggs: _*).collect()(0)
+        auditGates.zipWithIndex.foreach { case (g, i) =>
+          out(g.name) = (row.getLong(i + 1), row.getLong(0))
+        }
+    }
+    out.toMap
   }
 }

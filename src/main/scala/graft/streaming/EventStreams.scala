@@ -139,8 +139,12 @@ object EventStreams {
     * batch ids make retried batches idempotent: the merge keys dedupe
     * them).
     *
-    * `getTarget`/`setTarget` abstract the table storage (in production
-    * a lake table read/overwrite; in tests an in-memory holder).
+    * `getTarget`/`setTarget` abstract the table storage. This variant
+    * is the in-memory test harness — the per-batch `localCheckpoint`
+    * truncates the otherwise batch-over-batch-growing plan lineage,
+    * an executor-local materialization acceptable only in single-node
+    * use. Production streams should use [[mergeStreamToPath]], where
+    * the lake table itself is the cross-batch state.
     */
   def mergeStream(events: DataFrame, keys: Seq[String],
       updateCols: Seq[String],
@@ -153,5 +157,24 @@ object EventStreams {
         val merged = graft.warehouse.Merge.upsert(
           getTarget(), batch.toDF(), keys, updateCols, tiebreak)
         setTarget(merged.localCheckpoint(true))
+      }
+
+  /** Durable streaming upsert: each micro-batch merges into a
+    * partitioned lake table via
+    * [[graft.warehouse.Merge.upsertPartitioned]] — only the partitions
+    * the batch touches are read and rewritten, and the table on
+    * storage IS the cross-batch state, so there is no in-memory
+    * lineage to truncate and executor loss costs nothing but a batch
+    * retry (whose merge keys make it idempotent).
+    */
+  def mergeStreamToPath(events: DataFrame, path: String,
+      keys: Seq[String], updateCols: Seq[String],
+      tiebreak: Seq[org.apache.spark.sql.Column],
+      partitionCols: Seq[String]) =
+    events.writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        graft.warehouse.Merge.upsertPartitioned(batch.sparkSession,
+          path, batch.toDF(), keys, updateCols, tiebreak, partitionCols)
       }
 }

@@ -50,6 +50,13 @@ class CleanFunctionsSpec extends SparkSpec {
     assert(evalNum(1000.0, normalizeWater) == null)
   }
 
+  test("rounding is banker's (HALF_EVEN), matching Python round") {
+    // 6.125 sits exactly on the scale-2 boundary: Python round gives
+    // 6.12 (to-even); Spark's default HALF_UP round would give 6.13
+    assert(evalNum(6.125, cleanPh) == 6.12)
+    assert(evalNum(6.135, cleanPh) == 6.14)
+  }
+
   test("F7 percentage: 0-1 scale multiplies; over-100 nulls") {
     assert(evalNum(0.45, cleanPercentage) == 45.0)
     assert(evalNum(45.0, cleanPercentage) == 45.0)

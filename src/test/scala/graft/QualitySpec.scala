@@ -61,6 +61,60 @@ anomalies:
     assert(byName("anomaly_big_jump").severity == "warning")
   }
 
+  test("unique_columns is one composite key; freshness needs date_column") {
+    val y = """
+tables:
+  dim_soil:
+    unique_columns: [location_key, extraction_date]
+freshness:
+  dim_soil:
+    max_age_days: 365
+"""
+    val rs = QualityConfig.parse(y)
+    // the reference's dim_soil declares UNIQUE(location_key,
+    // extraction_date) — one composite rule, not two per-column rules
+    assert(rs.collect { case u: UniqueRule => u.columns } ==
+      Seq(Seq("location_key", "extraction_date")))
+    // reference freshness entries carry no date_column → skipped, not
+    // a NoSuchElementException
+    assert(!rs.exists(_.isInstanceOf[FreshnessRule]))
+    val soil = Seq((1L, "2026-01-01"), (1L, "2026-02-01"), (2L, "2026-01-01"))
+      .toDF("location_key", "extraction_date")
+    val rep = QualitySuite.report(spark, Map("dim_soil" -> soil), rs,
+        lit("2026-01-05").cast("date"))
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    // one location with two extraction dates is NOT a violation
+    assert(rep("unique_dim_soil_location_key_extraction_date") == 0)
+  }
+
+  test("etl gates evaluate against the audit log") {
+    val audit = Seq(
+      (1L, "RUNNING", "2026-01-01 00:00:00", None: Option[Long]),
+      (1L, "SUCCESS", "2026-01-01 00:30:00", Some(500L)),
+      (2L, "RUNNING", "2026-01-01 00:00:00", None: Option[Long]),
+      (2L, "FAILED", "2026-01-01 02:00:00", None: Option[Long]),
+      (3L, "RUNNING", "2026-01-01 00:00:00", None: Option[Long]),
+      (3L, "SUCCESS", "2026-01-01 00:10:00", Some(5L)))
+      .toDF("batch_id", "status", "event_time", "records_processed")
+      .withColumn("event_time", col("event_time").cast("timestamp"))
+      .withColumn("pipeline_name", lit("p"))
+      .withColumn("error_message", lit(null).cast("string"))
+    val y = """
+etl_gates:
+  extract:
+    max_error_rate: 0.1
+  load:
+    min_rows_loaded: 100
+    max_load_time_minutes: 60
+"""
+    val rep = QualitySuite.report(spark, Map("etl_audit_log" -> audit),
+        QualityConfig.parse(y), lit("2026-01-05").cast("date"))
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(rep("gate_extract_max_error_rate") == 1)     // 1/3 > 0.1
+    assert(rep("gate_load_min_rows_loaded") == 1)       // batch 3: 5 rows
+    assert(rep("gate_load_max_load_time_minutes") == 1) // batch 2: 120 min
+  }
+
   test("report counts violations per rule (fused + individual paths)") {
     val t = Seq(
       (Some(1L), 5.0, "x", "ok", "2026-01-01"),

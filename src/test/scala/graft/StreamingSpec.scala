@@ -115,6 +115,30 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((7L, "seed", 12.0), (9L, "click", 50.0)))
   }
 
+  test("foreachBatch path merge accumulates in the lake table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_smerge")
+      .toString + "/t"
+    val mem = MemoryStream[Event]
+    val q = EventStreams.mergeStreamToPath(
+      mem.toDF().selectExpr("user_id", "event_type AS tag", "value")
+        .withColumn("part_mod", (col("user_id") % 2).cast("int")),
+      dir, keys = Seq("user_id"), updateCols = Seq("value"),
+      tiebreak = Seq(col("value").desc),
+      partitionCols = Seq("part_mod")).start()
+    mem.addData(events.take(2): _*)   // user 7: values 10, 12
+    q.processAllAvailable()
+    mem.addData(events(4))            // user 9: value 50 (insert)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(dir).orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("value")))
+    // batch 1 creates the table (user 7 deduped to 12.0 by tiebreak);
+    // batch 2 merges user 9 into the existing table
+    assert(got.toSeq == Seq((7L, 12.0), (9L, 50.0)))
+  }
+
   test("sessionization groups by inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -53,9 +53,48 @@ class WarehouseSpec extends SparkSpec {
     assert(rows(1).getAs[Boolean]("is_new"))
   }
 
+  test("SCD2 expireAndInsert closes changed rows, keeps history") {
+    val existing = Seq(
+      (1L, "a1", "hA", 100L, "2026-01-01", "9999-12-31", true),
+      (2L, "b1", "hB", 200L, "2026-01-01", "9999-12-31", true),
+      // a pre-existing closed version must pass through untouched
+      (2L, "b0", "hB0", 199L, "2025-01-01", "2026-01-01", false))
+      .toDF("nk", "attr", "row_hash", "dim_key",
+        "effective_date", "expiration_date", "is_current")
+    val incoming = Seq(
+      (1L, "a1", "hA"),   // unchanged
+      (2L, "b2", "hC"),   // changed -> close + new version
+      (3L, "c1", "hD"))   // novel key
+      .toDF("nk", "attr", "row_hash")
+    val out = Scd2.expireAndInsert(existing, incoming, Seq("nk"),
+        "row_hash", "dim_key", lit("2026-03-01"))
+      .orderBy("nk", "effective_date").collect()
+      .map(r => (r.getAs[Long]("nk"), r.getAs[String]("attr"),
+        r.getAs[String]("expiration_date"), r.getAs[Boolean]("is_current")))
+    assert(out.toSeq == Seq(
+      (1L, "a1", "9999-12-31", true),          // untouched
+      (2L, "b0", "2026-01-01", false),         // history passthrough
+      (2L, "b1", "2026-03-01", false),         // closed out
+      (2L, "b2", "9999-12-31", true),          // new version
+      (3L, "c1", "9999-12-31", true)))         // novel insert
+    // version keys reproducible and distinct per (hash, effective)
+    val k1 = eval(Scd2.versionKey(lit("hC"), lit("2026-03-01")))
+    val k2 = eval(Scd2.versionKey(lit("hC"), lit("2026-04-01")))
+    assert(k1 != k2 && k1 == eval(Scd2.versionKey(lit("hC"), lit("2026-03-01"))))
+  }
+
   test("surrogate keys are deterministic 60-bit hash prefixes") {
     val k1 = eval(Scd2.surrogateKey(lit("00ff" * 8)))
     assert(k1 == java.lang.Long.parseLong("00ff00ff00ff00f", 16))
+  }
+
+  test("wide surrogate key splits the hash into two 60-bit halves") {
+    val h = "0123456789abcdef0123456789abcdef"
+    val wide = eval(Scd2.surrogateKeyWide(lit(h)))
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(wide.getLong(0) == java.lang.Long.parseLong(h.substring(0, 15), 16))
+    assert(wide.getLong(1) == java.lang.Long.parseLong(h.substring(15, 30), 16))
+    assert(wide.getLong(0) == eval(Scd2.surrogateKey(lit(h))))
   }
 
   test("W6 date dim: 4018 rows, correct attributes") {

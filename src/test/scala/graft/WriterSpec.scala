@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.warehouse.{SkewJoin, Writer}
+import graft.warehouse.{Merge, SkewJoin, Writer}
 
 /** Physical-layout utilities: monthly partitioned writes with pruning,
   * salted joins equal to their plain form. */
@@ -64,6 +64,45 @@ class WriterSpec extends SparkSpec {
       .select("date_key", "temp").collect()
       .map(r => (r.getInt(0), r.getDouble(1)))
     assert(got.toSeq == Seq((20240101, 5.0), (20240102, 99.0)))
+  }
+
+  test("partition-scoped merge leaves untouched partitions byte-identical") {
+    val dir = Files.createTempDirectory("graft_pmerge").toString
+    val target = Seq(
+      (1L, 20240105, 5.0, "A"), (2L, 20240120, 6.0, "A"),
+      (3L, 20240210, 7.0, "B"), (4L, 20240305, 8.0, "C"))
+      .toDF("k", "date_key", "v", "status")
+      .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
+    target.write.mode("overwrite").partitionBy("part_month").parquet(dir)
+    def files(sub: String): Map[String, Seq[Byte]] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    val before1 = files("part_month=1")
+    val before3 = files("part_month=3")
+    // the batch touches only month 2: update k=3 (v only), insert k=30
+    val inc = Seq((3L, 20240210, 70.0, "IGNORED"), (30L, 20240215, 9.0, "N"))
+      .toDF("k", "date_key", "v", "status")
+      .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
+    Merge.upsertPartitioned(spark, dir, inc, keys = Seq("k"),
+      updateCols = Seq("v"), tiebreak = Seq(col("status").desc),
+      partitionCols = Seq("part_month"))
+    // untouched partitions: same files, same bytes
+    assert(files("part_month=1") == before1)
+    assert(files("part_month=3") == before3)
+    // merged content: partial update on k=3 (status kept), insert k=30
+    val got = spark.read.parquet(dir).orderBy("k")
+      .select("k", "v", "status").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 5.0, "A"), (2L, 6.0, "A"),
+      (3L, 70.0, "B"), (4L, 8.0, "C"), (30L, 9.0, "N")))
+    // first-load path: nonexistent target is written whole
+    val fresh = Files.createTempDirectory("graft_pmerge_f").toString + "/t"
+    Merge.upsertPartitioned(spark, fresh, inc, keys = Seq("k"),
+      updateCols = Seq("v"), tiebreak = Seq(col("status").desc),
+      partitionCols = Seq("part_month"))
+    assert(spark.read.parquet(fresh).count() == 2)
   }
 
   test("z-order key interleaves bits; layout clusters both dims") {
