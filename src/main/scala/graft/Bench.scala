@@ -36,20 +36,35 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val times = scala.collection.mutable.Map[String, List[Double]]()
     val failed = scala.collection.mutable.SortedSet[String]()
-    for (r <- 1 to runs; (name, fn) <- names) {
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times(name) = ((System.nanoTime() - t0) / 1e9) ::
-          times.getOrElse(name, Nil)
-      } catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name run $r failed: ${e.getMessage}")
+    for (r <- 1 to runs) {
+      // drop persisted frames from the previous pass: operators that
+      // persist internally (dedup indexes/results) would otherwise be
+      // plan-cache hits on runs 2+ and the median would report cached
+      // reads instead of cold compute
+      spark.catalog.clearCache()
+      for ((name, fn) <- names) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          times(name) = ((System.nanoTime() - t0) / 1e9) ::
+            times.getOrElse(name, Nil)
+        } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name run $r failed: ${e.getMessage}")
+        }
       }
     }
-    def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // a query that failed ANY run reports -1 and never contributes to
+    // the total — mixed-run medians would make flaky queries
+    // incomparable across rounds
     val qs = names.map { case (n, _) =>
-      n -> times.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0)
+      n -> (if (failed.contains(n)) -1.0
+        else times.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0))
     }
     val total = qs.collect { case (_, t) if t >= 0 => t }.sum
     val qJson = qs.map { case (k, v) => "\"" + k + "\":" + v }

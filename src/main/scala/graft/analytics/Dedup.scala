@@ -74,6 +74,11 @@ object Dedup {
     * drops shingles appearing in more than that many docs — the
     * standard stop-shingle guard against quadratic blowup on very
     * common n-grams at corpus scale.
+    *
+    * The returned frame is PERSISTED (already materialized — reading
+    * it triggers no recompute); the caller owns `unpersist()` once
+    * done with it. The internal shingle index is released before
+    * returning.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
@@ -146,6 +151,8 @@ object Dedup {
     * generation is an equi-join on (band, band-key) — the band key is
     * the band's signature slice itself (joined as a string), so no
     * second-level hash is needed and the oracle can reproduce it.
+    * The returned frame is persisted; caller owns `unpersist()` (see
+    * [[ngramJaccardPairs]]).
     */
   def minHashLshCandidates(docs: DataFrame, idCol: String,
       textCol: String, n: Int = 3, numHashes: Int = 32,
@@ -201,11 +208,14 @@ object Dedup {
   /** 4. SimHash fingerprints for a corpus — map-only ([[simHashHex]]
     * per row; the round-1 shape exploded tokens into a 64-aggregate
     * groupBy, shuffling the entire token stream for what is a per-row
-    * computation).
+    * computation). Null-text docs are dropped, matching the
+    * explode+groupBy formulation (and the oracle), where a null token
+    * array produced no rows to aggregate.
     */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      simHashHex(col(textCol)).as("simhash_hex"))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        simHashHex(col(textCol)).as("simhash_hex"))
 
   /** 5. Embedding-cosine near-duplicate pairs above a threshold.
     * Exact all-pairs — O(n²) cosines; correctness baseline for tiny

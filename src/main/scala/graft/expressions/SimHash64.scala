@@ -40,7 +40,7 @@ case class SimHash64(child: Expression) extends UnaryExpression
     while (end > start && text.charAt(end - 1) == ' ') end -= 1
     val toks = SimHash64.ws.split(text.substring(start, end), -1)
     val votes = new Array[Int](64)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = SimHash64.md5.get()
     var i = 0
     while (i < toks.length) {
       val d = md.digest(toks(i).getBytes(StandardCharsets.UTF_8))
@@ -73,4 +73,11 @@ case class SimHash64(child: Expression) extends UnaryExpression
 object SimHash64 {
   private val ws = java.util.regex.Pattern.compile("\\s+")
   private val hex = "0123456789abcdef".getBytes(StandardCharsets.US_ASCII)
+  // one digest instance per executor thread — getInstance() per row
+  // would put a JCA provider lookup in the hot loop (digest() resets
+  // the instance after each token, so reuse is safe)
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 }

@@ -132,7 +132,10 @@ object NlpExtract {
       gs => between(gs(0), 0, 24),
       guards = Seq(
         lowered.contains("sun") || lowered.contains("light"),
-        lowered.contains("sun"), lowered.contains("full sun"),
+        lowered.contains("sun"),
+        // pattern 3 is full\s+sun — any whitespace run between the
+        // words, so the guard must not assume a single space
+        lowered.contains("full") && lowered.contains("sun"),
         lowered.contains("light")))
     coalesce(numeric,
       when(lowered.contains("full sun"),

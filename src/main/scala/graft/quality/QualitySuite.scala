@@ -318,7 +318,11 @@ object QualitySuite {
     }
     if (auditGates.nonEmpty) audit match {
       case None =>
-        auditGates.foreach(g => out(g.name) = (0L, 0L))
+        // critical gates must never silently pass because the data to
+        // evaluate them is missing — same contract as a base rule
+        // whose table is absent from the map
+        sys.error("etl_gates declared but no 'etl_audit_log' table " +
+          "was supplied to evaluate them against")
       case Some(log) =>
         val latest = graft.warehouse.AuditLog.latest(log)
         val starts = log.groupBy("batch_id")

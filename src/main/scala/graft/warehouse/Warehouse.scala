@@ -1,6 +1,6 @@
 package graft.warehouse
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -92,20 +92,28 @@ object Merge {
   def upsertPartitioned(spark: SparkSession, path: String,
       incoming: DataFrame, keys: Seq[String], updateCols: Seq[String],
       tiebreak: Seq[Column], partitionCols: Seq[String]): Unit = {
+    // an empty batch is a no-op on BOTH branches — writing it on first
+    // load would create a data-less directory that poisons every later
+    // read ("unable to infer schema")
+    val partRows = incoming
+      .select(partitionCols.map(col): _*).distinct().collect()
+    if (partRows.isEmpty) return
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
+    // a directory holding no data files (e.g. the debris of a crashed
+    // commit: _SUCCESS / _temporary only) counts as absent
+    val hasData = fs.exists(p) && fs.listStatus(p)
+      .exists(s => !s.getPath.getName.startsWith("_"))
+    if (!hasData) {
       // first load: per-key dedup (the in-batch half of upsert), all
       // partitions written fresh
       val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
       incoming.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
-        .write.partitionBy(partitionCols: _*).parquet(path)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(path)
       return
     }
-    val partRows = incoming
-      .select(partitionCols.map(col): _*).distinct().collect()
-    if (partRows.isEmpty) return
     val touched = partRows.map(r => partitionCols.zipWithIndex
         .map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _))
       .reduce(_ || _)
@@ -187,7 +195,9 @@ object Scd2 {
     *
     * `incoming` carries the natural key, the tracked attributes, and
     * `hashCol` (the attribute hash that defines "changed"), and is
-    * expected to be unique per natural key (deduped defensively).
+    * expected to be unique per natural key; in-batch duplicates are
+    * collapsed deterministically (greatest whole-row struct wins), so
+    * re-runs of the same batch always mint the same versions.
     */
   def expireAndInsert(existing0: DataFrame, incoming: DataFrame,
       naturalKey: Seq[String], hashCol: String, keyCol: String,
@@ -200,7 +210,12 @@ object Scd2 {
     val effType = existing.schema("effective_date").dataType
     val current = existing.filter(col("is_current"))
     val history = existing.filter(!col("is_current"))
-    val inc = incoming.dropDuplicates(naturalKey)
+    val dedupW = Window.partitionBy(naturalKey.map(col): _*)
+      .orderBy(struct(incoming.columns
+        .filterNot(naturalKey.contains).map(col): _*).desc)
+    val inc = incoming
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter(col("__rn") === 1).drop("__rn")
       .select(incoming.columns.map(c => col(c).as(s"__i_$c")): _*)
     val cond = naturalKey.map(k => col(k) <=> col(s"__i_$k")).reduce(_ && _)
     val j = current.join(inc, cond, "full_outer")

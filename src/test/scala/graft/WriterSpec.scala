@@ -103,6 +103,18 @@ class WriterSpec extends SparkSpec {
       updateCols = Seq("v"), tiebreak = Seq(col("status").desc),
       partitionCols = Seq("part_month"))
     assert(spark.read.parquet(fresh).count() == 2)
+    // empty first batch: no-op — must NOT create a data-less directory
+    // that would poison later reads
+    val none = Files.createTempDirectory("graft_pmerge_e").toString + "/t"
+    Merge.upsertPartitioned(spark, none, inc.filter(lit(false)),
+      keys = Seq("k"), updateCols = Seq("v"),
+      tiebreak = Seq(col("status").desc), partitionCols = Seq("part_month"))
+    assert(!new java.io.File(none).exists())
+    // and a later real batch still initializes the table
+    Merge.upsertPartitioned(spark, none, inc, keys = Seq("k"),
+      updateCols = Seq("v"), tiebreak = Seq(col("status").desc),
+      partitionCols = Seq("part_month"))
+    assert(spark.read.parquet(none).count() == 2)
   }
 
   test("z-order key interleaves bits; layout clusters both dims") {
