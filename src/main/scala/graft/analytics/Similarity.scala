@@ -59,19 +59,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rn")
   }
 
-  /** IVF (inverted-file) approximate top-k. The codebook is the first
-    * `codebookSize` corpus vectors (deterministic; swap in k-means
-    * centroids without changing the shape). Every corpus vector is
-    * assigned to its nearest centroid cell via a broadcast join against
-    * the (tiny) codebook; queries probe their `nprobe` nearest cells;
-    * exact cosine runs only on same-cell candidates. All joins are
+  /** Deterministic spherical k-means codebook: `iterations` Lloyd
+    * rounds from a first-k init. Per-dimension sums run on
+    * floor(v·2²⁰) integer quantizations — exact and associative, so
+    * the centroids are bit-identical whatever the partitioning or
+    * aggregation merge order (raw double sums would make the codebook
+    * nondeterministic run to run, unfixable for an oracle). Cell means
+    * need no normalization: cosine assignment is scale-invariant.
+    * Empty cells keep their previous centroid. Each round is one
+    * broadcast assign + one map-side-combining groupBy over the
+    * corpus — k·dim driver state never exceeds the codebook itself.
+    */
+  def kmeansCodebook(corpus: DataFrame, idCol: String, embCol: String,
+      k: Int, dim: Int, iterations: Int): DataFrame = {
+    val q = 1048576L // 2^20 quantization step
+    var cent = corpus.filter(col(idCol) < k)
+      .select(col(idCol).cast("int").as("centroid_id"),
+        col(embCol).cast("array<double>").as("cent_emb"))
+    for (_ <- 1 to iterations) {
+      val w = Window.partitionBy("__vid")
+        .orderBy(col("__cs").desc, col("centroid_id"))
+      val assigned = corpus
+        .select(col(idCol).as("__vid"),
+          col(embCol).cast("array<double>").as("__emb"))
+        .crossJoin(broadcast(cent))
+        .withColumn("__cs", cosine(col("__emb"), col("cent_emb")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("centroid_id"), col("__emb"))
+      val sums = (0 until dim).map(i =>
+        sum(floor(element_at(col("__emb"), i + 1) * q).cast("long"))
+          .as(s"__s$i"))
+      val means = assigned.groupBy("centroid_id")
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("centroid_id"), array((0 until dim).map(i =>
+          col(s"__s$i") / col("__n") / q): _*).as("new_emb"))
+      cent = cent.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
+    }
+    cent
+  }
+
+  /** IVF (inverted-file) approximate top-k over an explicit codebook
+    * (e.g. [[kmeansCodebook]]). Every corpus vector is assigned to its
+    * nearest centroid cell via a broadcast join against the (tiny)
+    * codebook; queries probe their `nprobe` nearest cells; exact
+    * cosine runs only on same-cell candidates. All joins are
     * equi-joins on cell id — candidate count ≈ |corpus|·nprobe/|cells|.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      codebookSize: Int, nprobe: Int): DataFrame = {
-    val centroids = corpus.filter(col("vec_id") < codebookSize)
-      .select(col("vec_id").as("centroid_id"),
-        col("embedding").as("cent_emb"))
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
     def assign(df: DataFrame, idCol: String, embCol: String,
         probes: Int): DataFrame = {
       val w = Window.partitionBy(idCol)
@@ -98,6 +136,18 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "score", "rn")
   }
+
+  /** IVF top-k with the first-`codebookSize` corpus vectors as the
+    * codebook — the zero-training baseline; [[kmeansCodebook]] +
+    * [[ivfTopKWith]] is the trained upgrade with the same probe shape.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      codebookSize: Int, nprobe: Int): DataFrame =
+    ivfTopKWith(queries, corpus,
+      corpus.filter(col("vec_id") < codebookSize)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cent_emb")),
+      k, nprobe)
 
   /** Approximate top-k: candidates restricted to the query's sign
     * bucket. At scale this replaces the all-pairs scan with a

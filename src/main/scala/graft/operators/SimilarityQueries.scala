@@ -111,6 +111,81 @@ object SimilarityQueries {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 16), emb,
           k = 5, codebookSize = 16, nprobe = 2)
         .orderBy("query_id", "rn")
+    },
+
+    // IVF with a TRAINED codebook: 2 Lloyd rounds of deterministic
+    // spherical k-means (integer-quantized per-dimension sums — exact
+    // and associative, so centroids are reproducible under any
+    // partitioning) then the same cell-probe shape as q46. The oracle
+    // unrolls both iterations as CTE pairs generated from the same
+    // constants.
+    {
+      val kC = 8; val dim = 64; val iters = 2
+      def assignCte(i: Int): String = s"""
+      assign$i AS (
+        SELECT centroid_id, embedding FROM (
+          SELECT e.embedding, c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN cent${i - 1} c) t
+        WHERE rn = 1)"""
+      def centCte(i: Int): String = s"""
+      cent$i AS (
+        SELECT c0.centroid_id, COALESCE(m.cent_emb, c0.cent_emb) AS cent_emb
+        FROM cent${i - 1} c0 LEFT JOIN (
+          SELECT centroid_id, list(m ORDER BY pos) AS cent_emb FROM (
+            SELECT centroid_id, g.i AS pos,
+              SUM(CAST(floor(embedding[g.i] * 1048576.0) AS BIGINT))
+                / COUNT(*) / 1048576.0 AS m
+            FROM assign$i, generate_series(1, $dim) AS g(i)
+            GROUP BY centroid_id, g.i) s
+          GROUP BY centroid_id) m
+        ON c0.centroid_id = m.centroid_id)"""
+      Q("q58_ivf_kmeans", Some(s"""
+      WITH cent0 AS (
+        SELECT CAST(vec_id AS INT) AS centroid_id,
+          embedding::DOUBLE[] AS cent_emb
+        FROM embeddings WHERE vec_id < $kC),
+      ${(1 to iters).map(i => assignCte(i) + "," + centCte(i))
+        .mkString(",")},
+      corpus_cells AS (
+        SELECT neighbor_id, c_emb, centroid_id AS cell FROM (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb,
+            c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS crn
+          FROM embeddings e CROSS JOIN cent$iters c) t
+        WHERE crn <= 1),
+      query_cells AS (
+        SELECT query_id, q_emb, centroid_id AS cell FROM (
+          SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+            c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS crn
+          FROM embeddings e CROSS JOIN cent$iters c
+          WHERE e.vec_id < 16) t
+        WHERE crn <= 2),
+      scored AS (
+        SELECT q.query_id, cc.neighbor_id,
+          ${duckCosine("q.q_emb::DOUBLE[]", "cc.c_emb::DOUBLE[]")} AS score
+        FROM query_cells q JOIN corpus_cells cc USING (cell)
+        WHERE q.query_id <> cc.neighbor_id)
+      SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rn FROM (
+        SELECT query_id, neighbor_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id) AS rn
+        FROM scored) t
+      WHERE rn <= 5 ORDER BY query_id, rn""")) { (s, dir) =>
+        val emb = Tables.load(s, dir, "embeddings")
+        val codebook = Similarity.kmeansCodebook(emb, "vec_id",
+          "embedding", k = kC, dim = dim, iterations = iters)
+        Similarity.ivfTopKWith(emb.filter(col("vec_id") < 16), emb,
+            codebook, k = 5, nprobe = 2)
+          .orderBy("query_id", "rn")
+      }
     }
   )
 }

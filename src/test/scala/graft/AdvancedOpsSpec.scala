@@ -46,6 +46,35 @@ class AdvancedOpsSpec extends SparkSpec {
     // 30.0 excluded from a (half-open hi); 60.0 excluded from b
   }
 
+  test("k-means codebook separates clusters and is deterministic") {
+    import spark.implicits._
+    import graft.analytics.Similarity
+    // two obvious directional clusters in 4-d; first-2 init starts with
+    // one member of each
+    val vecs = Seq(
+      (0L, Array(1f, 0.1f, 0f, 0f)), (1L, Array(0f, 0.1f, 1f, 0.2f)),
+      (2L, Array(0.9f, 0f, 0.1f, 0f)), (3L, Array(0.1f, 0f, 0.9f, 0.1f)),
+      (4L, Array(0.95f, 0.05f, 0f, 0.05f)), (5L, Array(0f, 0.2f, 1.1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.kmeansCodebook(vecs, "vec_id", "embedding",
+      k = 2, dim = 4, iterations = 3)
+    val cents = cb.orderBy("centroid_id").collect()
+      .map(r => r.getSeq[Double](1).toArray)
+    assert(cents.length == 2)
+    // centroid 0 points along dim 1, centroid 1 along dim 3
+    assert(cents(0)(0) > cents(0)(2) && cents(1)(2) > cents(1)(0))
+    // bit-identical across re-runs (quantized associative sums)
+    val again = Similarity.kmeansCodebook(vecs, "vec_id", "embedding",
+        k = 2, dim = 4, iterations = 3)
+      .orderBy("centroid_id").collect().map(_.getSeq[Double](1).toArray)
+    assert(cents.zip(again).forall { case (a, b) => a.sameElements(b) })
+    // an unassignable (empty) cell keeps its previous centroid: k=3
+    // with only two clusters leaves at least one cell stable
+    val cb3 = Similarity.kmeansCodebook(vecs, "vec_id", "embedding",
+      k = 3, dim = 4, iterations = 2)
+    assert(cb3.count() == 3)
+  }
+
   test("suitability scores: band membership, caps, clamps") {
     assert(eval(Suitability.tempMatch(lit(20.0), lit(15.0), lit(25.0)))
       == 1.0)                                     // at band center
