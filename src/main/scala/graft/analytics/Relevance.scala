@@ -1,0 +1,102 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance operators (north-star text tier): TF-IDF term
+  * weighting and BM25 ranked retrieval — the quality-filtering /
+  * retrieval primitives of a training-data pipeline.
+  *
+  * Scale shape: everything is inverted-index algebra — explode to
+  * (doc, term), aggregate, equi-join on term, aggregate on
+  * (query, doc). No all-pairs products, no driver-side loops; the only
+  * driver scalar is the corpus document count (one number).
+  *
+  * Determinism: BM25's per-(query, doc) sum over matched terms is a
+  * term-sorted left fold, not a float `sum()` — double addition is not
+  * associative, so an unordered aggregate would vary with partitioning
+  * (and can never hash-match an oracle). `ln` itself is NOT
+  * bit-portable across libm implementations (Java vs C differ in the
+  * last ulp on ~0.1% of inputs), so oracle comparisons round scores to
+  * a tolerance; the operators expose the exact doubles.
+  */
+object Relevance {
+
+  /** Lowercased whitespace tokens. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** (doc_id, term, tf): term occurrence counts per document. */
+  def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** (term, df): number of documents containing each term. */
+  def docFreqs(termFreqs: DataFrame): DataFrame =
+    termFreqs.groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Smooth idf (sklearn convention): ln((N+1)/(df+1)) + 1. */
+  def smoothIdf(df: Column, nDocs: Long): Column =
+    log((lit(nDocs) + 1.0) / (df + 1.0)) + 1.0
+
+  /** BM25 idf: ln(1 + (N − df + 0.5)/(df + 0.5)). */
+  def bm25Idf(df: Column, nDocs: Long): Column =
+    log(lit(1.0) + (lit(nDocs) - df + 0.5) / (df + 0.5))
+
+  /** (doc_id, term, tf, df, tfidf): per-document term weights.
+    * One explode + two aggregations; df joins back on term.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.count()
+    val tf = termFreqs(docs, idCol, textCol)
+    tf.join(docFreqs(tf), Seq("term"))
+      .withColumn("tfidf", col("tf") * smoothIdf(col("df"), n))
+      .select("doc_id", "term", "tf", "df", "tfidf")
+  }
+
+  /** BM25 scores for every (query, candidate document) pair sharing at
+    * least one term. `queries` is (query_id, text); matching is an
+    * equi-join of distinct query terms against the (term → doc)
+    * inverted index, so only documents sharing a term with the query
+    * are ever scored. The per-(query, doc) score is a term-sorted left
+    * fold (see class doc).
+    */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val n = docs.count()
+    val tf = termFreqs(docs, idCol, textCol)
+    val withDf = tf.join(docFreqs(tf), Seq("term"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // total corpus tokens is an exact long sum → avgdl is one
+    // deterministic double division
+    val totalTokens = dl.agg(sum(col("dl"))).collect()(0).getLong(0)
+    val avgdl = totalTokens.toDouble / n
+    val qterms = queries.select(col("query_id"),
+        explode(tokens(col("text"))).as("term"))
+      .distinct()
+    val parts = qterms.join(withDf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("part",
+        bm25Idf(col("df"), n) * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl)))
+    parts.groupBy("query_id", "doc_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("part")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("part")).as("score"))
+  }
+
+  /** BM25 ranked retrieval: top-`k` documents per query, near-ties
+    * broken by doc_id. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scores(docs, idCol, textCol, queries, k1, b)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "doc_id", "score", "rn")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analytics.Relevance
+
+/** TF-IDF / BM25 relevance queries over `documents`. Scores contain
+  * `ln`, which is not bit-portable across libm implementations (Java
+  * vs C differ in the last ulp on ~0.1% of inputs), so the oracle
+  * contract rounds scores to 4 decimals — `bround(x,4)` and DuckDB
+  * `round_even(x,4)` were verified bit-identical over 200k
+  * ln-distributed samples — and ranks on the ROUNDED score (+ id
+  * tiebreak), making rank deterministic in both engines too.
+  */
+object RelevanceQueries {
+
+  private val tokSql =
+    "unnest(string_split_regex(trim(lower(text)), '\\s+'))"
+
+  /** Shared DuckDB CTEs: term freqs, doc freqs, corpus size. */
+  private val baseCtes = s"""
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+          SELECT doc_id, $tokSql AS term FROM documents) tk
+        GROUP BY doc_id, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n FROM documents)"""
+
+  val all: Seq[Q] = Seq(
+
+    // Smooth TF-IDF (sklearn convention): top-10 terms per document
+    // for the first 20 docs, ranked by rounded weight.
+    Q("q59_tfidf", Some(s"""
+      WITH $baseCtes,
+      w AS (
+        SELECT t.doc_id, t.term,
+          round_even(t.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0), 4)
+            AS tfidf4
+        FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n
+        WHERE t.doc_id < 20)
+      SELECT doc_id, term, tfidf4, CAST(rn AS INT) AS rn FROM (
+        SELECT doc_id, term, tfidf4,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY tfidf4 DESC, term) AS rn
+        FROM w) t
+      WHERE rn <= 10 ORDER BY doc_id, rn""")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf4").desc, col("term"))
+      Relevance.tfidf(docs, "doc_id", "text")
+        .filter(col("doc_id") < 20)
+        .withColumn("tfidf4", bround(col("tfidf"), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("term"), col("tfidf4"),
+          col("rn").cast("int").as("rn"))
+        .orderBy("doc_id", "rn")
+    },
+
+    // BM25 ranked retrieval (k1=1.2, b=0.75): three literal queries
+    // against the inverted index; per-(query, doc) score is a
+    // term-sorted left fold in BOTH engines (float addition is not
+    // associative — an unordered SUM could never hash-match).
+    Q("q60_bm25", Some(s"""
+      WITH $baseCtes,
+      q(query_id, text) AS (VALUES
+        (1, 'hash join filter'),
+        (2, 'stream window batch'),
+        (3, 'vector scan merge')),
+      qt AS (SELECT DISTINCT query_id, $tokSql AS term FROM q),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      stats AS (
+        SELECT (SELECT SUM(tf) FROM tf)::DOUBLE / (SELECT n FROM n)
+          AS avgdl),
+      parts AS (
+        SELECT qt.query_id, t.doc_id, t.term,
+          ln(1.0 + ((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+            * (t.tf * (1.2 + 1)) /
+            (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+              (SELECT avgdl FROM stats))) AS part
+        FROM qt JOIN tf t USING (term)
+        JOIN dfreq d ON t.term = d.term
+        JOIN dl ON t.doc_id = dl.doc_id),
+      scored AS (
+        SELECT query_id, doc_id,
+          round_even(list_reduce(
+            list_prepend(0.0, list(part ORDER BY term)),
+            (acc, v) -> acc + v), 4) AS s4
+        FROM parts GROUP BY query_id, doc_id)
+      SELECT query_id, doc_id, s4, CAST(rn AS INT) AS rn FROM (
+        SELECT query_id, doc_id, s4,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY s4 DESC, doc_id) AS rn
+        FROM scored) t
+      WHERE rn <= 5 ORDER BY query_id, rn""")) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val queries = Seq(
+        (1, "hash join filter"),
+        (2, "stream window batch"),
+        (3, "vector scan merge")).toDF("query_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("s4").desc, col("doc_id"))
+      Relevance.bm25Scores(docs, "doc_id", "text", queries)
+        .withColumn("s4", bround(col("score"), 4))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("query_id"), col("doc_id"), col("s4"),
+          col("rn").cast("int").as("rn"))
+        .orderBy("query_id", "rn")
+    }
+  )
+}

@@ -46,6 +46,32 @@ class AdvancedOpsSpec extends SparkSpec {
     // 30.0 excluded from a (half-open hi); 60.0 excluded from b
   }
 
+  test("BM25 ranks term-dense docs first; tf-idf discounts common terms") {
+    import spark.implicits._
+    import graft.analytics.Relevance
+    val docs = Seq(
+      (1L, "spark shuffle join spark shuffle"),   // both query terms, dense
+      (2L, "spark filter scan filter scan scan"), // one query term
+      (3L, "the the the the the the"),            // no query terms
+      (4L, "spark shuffle"))                      // both terms, short doc
+      .toDF("doc_id", "text")
+    val queries = Seq((1, "spark shuffle")).toDF("query_id", "text")
+    val top = Relevance.bm25TopK(docs, "doc_id", "text", queries, k = 4)
+      .orderBy("rn").collect().map(_.getLong(1))
+    // docs with both terms outrank the single-term doc; doc 3 never
+    // appears (no shared term — inverted index prunes it entirely)
+    assert(top.length == 3)
+    assert(top.toSet == Set(1L, 2L, 4L))
+    assert(top.indexOf(2L) == 2)
+    // tf-idf: a corpus-wide term ("spark" in 3/4 docs) weighs less
+    // than a rare one ("join" in 1/4) at equal tf
+    val w = Relevance.tfidf(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1).collect()
+      .map(r => r.getString(1) -> r.getDouble(4)).toMap
+    assert(w("join") > w("spark") / 2) // tf(spark)=2 vs tf(join)=1
+    assert(w("join") * 2 > w("spark")) // idf(join) > idf(spark)
+  }
+
   test("k-means codebook separates clusters and is deterministic") {
     import spark.implicits._
     import graft.analytics.Similarity
