@@ -217,6 +217,54 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         simHashHex(col(textCol)).as("simhash_hex"))
 
+  /** Connected components over near-duplicate pairs: turns pairwise
+    * matches (from [[ngramJaccardPairs]] / [[minHashLshCandidates]] /
+    * [[embeddingNearDupsBucketed]]) into dedup GROUPS — (doc_id,
+    * cluster_rep) where the representative is the smallest id in the
+    * component, the standard keep-one-per-cluster contract.
+    *
+    * Iterative min-label propagation: each round joins labels to
+    * neighbors and takes the min — integer-only arithmetic, so the
+    * fixpoint is deterministic under any partitioning. Rounds needed =
+    * component diameter; near-dup clusters are small and dense, so a
+    * handful of rounds converge (the loop stops at the first
+    * unchanged round). For adversarial long-chain graphs at corpus
+    * scale the large-star/small-star variant halves diameters per
+    * round — same join shapes, noted as the upgrade path.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    labels.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
+      val next = labels.withColumnRenamed("label", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"),
+          col("old"))
+        .persist(lvl)
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      val prev = labels
+      labels = next.select("id", "label").persist(lvl)
+      labels.count()
+      next.unpersist(false)
+      prev.unpersist(false)
+      i += 1
+    }
+    edges.unpersist(false)
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
   /** 5. Embedding-cosine near-duplicate pairs above a threshold.
     * Exact all-pairs — O(n²) cosines; correctness baseline for tiny
     * corpora and for validating [[embeddingNearDupsBucketed]] recall.

@@ -126,6 +126,42 @@ object DedupQueries {
       }
     },
 
+    // Dedup clusters: connected components over the q19 n-gram
+    // Jaccard pairs — (doc, representative) where the rep is the
+    // component's min id. The oracle computes min-reachable via a
+    // recursive CTE; Spark converges to the same integer fixpoint by
+    // min-label propagation.
+    Q("q61_dedup_clusters", Some(s"""
+      WITH RECURSIVE sh AS (${duckShingleIndex(3)}),
+      sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) /
+          CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.5),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src)
+      SELECT CAST(id AS BIGINT) AS doc_id,
+        CAST(MIN(r) AS BIGINT) AS cluster_rep
+      FROM reach GROUP BY id ORDER BY doc_id""")) { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 3, threshold = 0.5)
+      val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy("doc_id")
+      pairs.unpersist(false)
+      out
+    },
+
     // Embedding-cosine near-dup pairs via sign-bucket LSH pruning —
     // the corpus-scale path (candidates ≈ n²/2^bits instead of n²);
     // the exact all-pairs variant is the tiny-corpus baseline and is

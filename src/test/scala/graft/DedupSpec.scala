@@ -66,6 +66,19 @@ class DedupSpec extends SparkSpec {
     assert(bucketed.nonEmpty) // high-cosine pairs share sign buckets
   }
 
+  test("connected components: chains merge, singletons keep min rep") {
+    import spark.implicits._
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; {10,11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 7L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val got = graft.analytics.Dedup
+      .connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L),
+      (7L, 5L), (9L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
   test("language-ID picks the profile with most stopword hits") {
     assert(evalStr("der hund und die katze ist nicht hier",
       TextAnalysis.langPredict) == "de")
