@@ -1,0 +1,37 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / rebalancing operators for training-data
+  * pipelines. Everything keys off the portable content hash
+  * ([[Dedup.h30]]), never `rand()`: the same row set is selected on
+  * every run, engine, and partitioning — resumable pipelines and
+  * reproducible ablations depend on that.
+  */
+object Sampling {
+
+  /** Per-group fraction sample: keep a row iff
+    * `h30(key) % denom < fraction · denom`. Map-only (no shuffle); the
+    * expected kept share of every group is `fraction` with
+    * deterministic membership. */
+  def hashFraction(df: DataFrame, keyCol: Column, fraction: Double,
+      denom: Int = 1000000): Column =
+    Dedup.h30(keyCol.cast("string")) % denom <
+      lit((fraction * denom).toLong)
+
+  /** Cap each group at `perGroup` rows, chosen by hash order (a
+    * deterministic "reservoir"): rank rows within their group by
+    * (h30(key), key) and keep the first `perGroup`. One shuffle on the
+    * group column — the standard way to flatten a skewed source mix
+    * (e.g. equalize languages) without a driver-side plan.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: Column,
+      perGroup: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(Dedup.h30(keyCol.cast("string")), keyCol)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perGroup).drop("__rk")
+  }
+}

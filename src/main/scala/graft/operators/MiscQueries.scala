@@ -106,6 +106,33 @@ object MiscQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"))
         .orderBy("split")
+    },
+
+    // Deterministic source-mix rebalancing: cap every language at 60
+    // docs chosen by portable-hash order (Sampling.capPerGroup) — the
+    // reproducible form of "equalize languages before training".
+    Q("q62_balanced_sample", Some(s"""
+      WITH ranked AS (
+        SELECT lang, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % ${Dedup.P}, doc_id) AS rk
+        FROM documents)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+        CAST(SUM(CASE WHEN rk <= 60 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(SUM(CASE WHEN rk <= 60 THEN n_chars ELSE 0 END) AS BIGINT)
+          AS kept_chars
+      FROM ranked GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val kept = graft.analytics.Sampling
+        .capPerGroup(d, "lang", col("doc_id"), 60)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("kept_chars"))
+      d.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .join(kept, Seq("lang"))
+        .select("lang", "n_total", "n_kept", "kept_chars")
+        .orderBy("lang")
     }
   )
 }

@@ -66,6 +66,28 @@ class DedupSpec extends SparkSpec {
     assert(bucketed.nonEmpty) // high-cosine pairs share sign buckets
   }
 
+  test("hash sampling is deterministic and caps groups exactly") {
+    import spark.implicits._
+    import graft.analytics.Sampling
+    val df = (1 to 200).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val capped = Sampling.capPerGroup(df, "g", col("id"), 10)
+    val byG = capped.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("a" -> 10L, "b" -> 10L))
+    // same rows every run
+    val again = Sampling.capPerGroup(df, "g", col("id"), 10)
+    assert(capped.orderBy("id").collect().toSeq ==
+      again.orderBy("id").collect().toSeq)
+    // fraction filter keeps a stable subset of roughly the right size
+    val frac = df.filter(Sampling.hashFraction(df, col("id"), 0.3))
+    val n = frac.count()
+    assert(n > 30 && n < 90)
+    assert(frac.orderBy("id").collect().toSeq ==
+      df.filter(Sampling.hashFraction(df, col("id"), 0.3))
+        .orderBy("id").collect().toSeq)
+  }
+
   test("connected components: chains merge, singletons keep min rep") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; {10,11}
