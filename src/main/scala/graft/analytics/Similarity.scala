@@ -19,18 +19,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Left-fold sum of an array<double> column. */
-  private def asum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
-  /** Cosine similarity between two array<float|double> columns. */
+  /** Cosine similarity between two array<float|double> columns — the
+    * native [[graft.expressions.CosineSim]] expression (compiled
+    * single pass, bit-identical to the original HOF fold). */
   def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    val dot = asum(zip_with(ad, bd, (x, y) => x * y))
-    val na = asum(zip_with(ad, ad, (x, y) => x * y))
-    val nb = asum(zip_with(bd, bd, (x, y) => x * y))
-    dot / (sqrt(na) * sqrt(nb))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.CosineSim(
+      ColumnBridge.expression(a.cast("array<double>")),
+      ColumnBridge.expression(b.cast("array<double>"))))
   }
 
   /** Sign-bit LSH bucket id from the first `bits` dimensions

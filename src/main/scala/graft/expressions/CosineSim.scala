@@ -1,0 +1,49 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity of two array<double> columns as a native
+  * expression — one compiled pass accumulating dot, ‖a‖², ‖b‖²
+  * simultaneously, replacing three interpreted `zip_with`+`aggregate`
+  * HOF passes (~77 µs/pair) in the similarity/ANN hot paths.
+  *
+  * Bit-compatible with the HOF formulation (and therefore with every
+  * existing oracle): each accumulator is the same left fold
+  * `0.0 + x₁·y₁ + x₂·y₂ + …` in identical IEEE order, and the result
+  * is `dot / (sqrt(na) · sqrt(nb))`. Null parity too: mismatched
+  * lengths or a null element yield null, exactly as `zip_with`'s
+  * null-padding and null-propagating arithmetic did.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
