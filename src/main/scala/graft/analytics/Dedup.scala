@@ -30,6 +30,24 @@ object Dedup {
   /** Largest prime below 2^30 — keeps `a·h + b` within int64. */
   val P: Long = 1073741789L
 
+  /** Materialize a result durably and CUT ITS LINEAGE via a reliable
+    * checkpoint (a staged write to the checkpoint dir — on a cluster a
+    * shared filesystem, fault-tolerant; defaulted to the local tmpdir
+    * when unset). Lineage truncation is the point: unpersisting an
+    * internal index after `persist+count` INVALIDATES every dependent
+    * cache entry (Spark rebuilds dependents lazily), silently forcing
+    * a full recompute on the next access — measured as a 2-3×
+    * slowdown on q19/q20/q61 before this was understood. A
+    * checkpointed frame is a LogicalRDD with no dependency to
+    * invalidate. */
+  private[analytics] def materialize(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        System.getProperty("java.io.tmpdir") + "/graft-checkpoints")
+    df.checkpoint(eager = true)
+  }
+
   /** Deterministic universal-hash coefficients for seed `i`. */
   def hashCoeffs(i: Int): (Long, Long) = {
     val a = (2654435761L * (i + 1)) % (P - 1) + 1
@@ -75,10 +93,9 @@ object Dedup {
     * standard stop-shingle guard against quadratic blowup on very
     * common n-grams at corpus scale.
     *
-    * The returned frame is PERSISTED (already materialized — reading
-    * it triggers no recompute); the caller owns `unpersist()` once
-    * done with it. The internal shingle index is released before
-    * returning.
+    * The returned frame is checkpoint-materialized (reading it
+    * triggers no recompute and no cache bookkeeping); the internal
+    * shingle index is released before returning.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
@@ -120,15 +137,12 @@ object Dedup {
         (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
-      // materialize the (small) pair result while the index is still
-      // cached, then release the index. persist+count keeps lineage
-      // (an evicted/lost result partition recomputes from source —
-      // slower but correct), unlike executor-local checkpointing which
-      // loses the blocks with the executor on a real cluster.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count()
+    // stage the (small) pair result while the index is still cached,
+    // then release the index — see [[materialize]] for why this must
+    // be a lineage-cutting checkpoint, not persist+count
+    val out = materialize(result)
     sh0.unpersist(false)
-    result
+    out
   }
 
   /** MinHash signature: for seed i, min over the shingle set of the
@@ -151,7 +165,7 @@ object Dedup {
     * generation is an equi-join on (band, band-key) — the band key is
     * the band's signature slice itself (joined as a string), so no
     * second-level hash is needed and the oracle can reproduce it.
-    * The returned frame is persisted; caller owns `unpersist()` (see
+    * The returned frame is checkpoint-materialized (see
     * [[ngramJaccardPairs]]).
     */
   def minHashLshCandidates(docs: DataFrame, idCol: String,
@@ -186,13 +200,10 @@ object Dedup {
     val agree = (0 until numHashes)
       .map(i => (col(s"a_mh_$i") === col(s"b_mh_$i")).cast("int"))
       .reduce(_ + _)
-    val result = cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
-      .withColumn("est_jaccard", agree.cast("double") / numHashes)
-      .select("id_a", "id_b", "est_jaccard")
-      // see ngramJaccardPairs: materialize-then-release, keeping
-      // recompute lineage rather than executor-local checkpoint blocks
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    result.count()
+    val result = materialize(
+      cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+        .withColumn("est_jaccard", agree.cast("double") / numHashes)
+        .select("id_a", "id_b", "est_jaccard"))
     sig.unpersist(false)
     result
   }
@@ -228,40 +239,45 @@ object Dedup {
     * fixpoint is deterministic under any partitioning. Rounds needed =
     * component diameter; near-dup clusters are small and dense, so a
     * handful of rounds converge (the loop stops at the first
-    * unchanged round). For adversarial long-chain graphs at corpus
-    * scale the large-star/small-star variant halves diameters per
-    * round — same join shapes, noted as the upgrade path.
+    * unchanged round); exceeding `maxIter` without converging RAISES
+    * rather than returning silently-wrong intermediate labels. For
+    * adversarial long-chain graphs at corpus scale the
+    * large-star/small-star variant halves diameters per round — same
+    * join shapes, noted as the upgrade path.
+    *
+    * Each round's labels are checkpoint-materialized ([[materialize]])
+    * — the standard practice for iterative algorithms: it bounds the
+    * plan (no per-round lineage growth) and leaves no cache entries to
+    * invalidate. The returned frame is likewise materialized.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist(lvl)
-    labels.count()
+    val edges = materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(
+          pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = materialize(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr"))
-      val next = labels.withColumnRenamed("label", "old")
+      val next = materialize(labels.withColumnRenamed("label", "old")
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("old"), coalesce(col("nbr"), col("old"))).as("label"),
-          col("old"))
-        .persist(lvl)
+          col("old")))
       converged = next.filter(col("label") =!= col("old")).isEmpty
-      val prev = labels
-      labels = next.select("id", "label").persist(lvl)
-      labels.count()
-      next.unpersist(false)
-      prev.unpersist(false)
+      labels = next.select("id", "label")
       i += 1
     }
-    edges.unpersist(false)
+    if (!converged)
+      sys.error(s"connectedComponents did not converge in $maxIter " +
+        "rounds (component diameter exceeds the cap) — raise maxIter " +
+        "or switch to the large-star/small-star variant")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 

@@ -44,12 +44,15 @@ object Relevance {
     log(lit(1.0) + (lit(nDocs) - df + 0.5) / (df + 0.5))
 
   /** (doc_id, term, tf, df, tfidf): per-document term weights.
-    * One explode + two aggregations; df joins back on term.
+    * One tokenize pass: df comes from a count window over term
+    * (shuffle on term), not a second aggregation joined back — the
+    * term-frequency explode runs exactly once.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.count()
-    val tf = termFreqs(docs, idCol, textCol)
-    tf.join(docFreqs(tf), Seq("term"))
+    termFreqs(docs, idCol, textCol)
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .withColumn("tfidf", col("tf") * smoothIdf(col("df"), n))
       .select("doc_id", "term", "tf", "df", "tfidf")
   }
@@ -61,11 +64,19 @@ object Relevance {
     * are ever scored. The per-(query, doc) score is a term-sorted left
     * fold (see class doc).
     */
+  /** Returned frame is checkpoint-materialized (the internal inverted
+    * index feeds three consumers and is released before returning —
+    * see [[Dedup.materialize]] for why the staging must cut lineage
+    * rather than persist+count). */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val n = docs.count()
+    // the term-frequency index feeds df-window, doc lengths, and the
+    // corpus token total — persist so the tokenize explode runs once
     val tf = termFreqs(docs, idCol, textCol)
-    val withDf = tf.join(docFreqs(tf), Seq("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withDf = tf.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("term")))
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     // total corpus tokens is an exact long sum → avgdl is one
     // deterministic double division
@@ -79,11 +90,13 @@ object Relevance {
       .withColumn("part",
         bm25Idf(col("df"), n) * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl)))
-    parts.groupBy("query_id", "doc_id")
+    val scored = Dedup.materialize(parts.groupBy("query_id", "doc_id")
       .agg(aggregate(
         array_sort(collect_list(struct(col("term"), col("part")))),
         lit(0.0),
-        (acc, x) => acc + x.getField("part")).as("score"))
+        (acc, x) => acc + x.getField("part")).as("score")))
+    tf.unpersist(false)
+    scored
   }
 
   /** BM25 ranked retrieval: top-`k` documents per query, near-ties

@@ -12,14 +12,22 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Per-group fraction sample: keep a row iff
+  /** Fraction-sample predicate: keep a row iff
     * `h30(key) % denom < fraction · denom`. Map-only (no shuffle); the
     * expected kept share of every group is `fraction` with
-    * deterministic membership. */
-  def hashFraction(df: DataFrame, keyCol: Column, fraction: Double,
+    * deterministic membership. A pure Column — bound to whatever frame
+    * it is filtered on. */
+  def hashFraction(keyCol: Column, fraction: Double,
       denom: Int = 1000000): Column =
     Dedup.h30(keyCol.cast("string")) % denom <
       lit((fraction * denom).toLong)
+
+  /** Row rank within its group by hash order — the ranking
+    * [[capPerGroup]] filters on, exposed so single-pass aggregations
+    * can mark kept/overflow rows without a second scan. */
+  def groupHashRank(groupCol: String, keyCol: Column): Column =
+    row_number().over(Window.partitionBy(groupCol)
+      .orderBy(Dedup.h30(keyCol.cast("string")), keyCol))
 
   /** Cap each group at `perGroup` rows, chosen by hash order (a
     * deterministic "reservoir"): rank rows within their group by
@@ -28,10 +36,7 @@ object Sampling {
     * (e.g. equalize languages) without a driver-side plan.
     */
   def capPerGroup(df: DataFrame, groupCol: String, keyCol: Column,
-      perGroup: Int): DataFrame = {
-    val w = Window.partitionBy(groupCol)
-      .orderBy(Dedup.h30(keyCol.cast("string")), keyCol)
-    df.withColumn("__rk", row_number().over(w))
+      perGroup: Int): DataFrame =
+    df.withColumn("__rk", groupHashRank(groupCol, keyCol))
       .filter(col("__rk") <= perGroup).drop("__rk")
-  }
 }

@@ -69,9 +69,20 @@ object Similarity {
   def kmeansCodebook(corpus: DataFrame, idCol: String, embCol: String,
       k: Int, dim: Int, iterations: Int): DataFrame = {
     val q = 1048576L // 2^20 quantization step
-    var cent = corpus.filter(col(idCol) < k)
+    val sess = corpus.sparkSession
+    import sess.implicits._
+    // the codebook is MODEL state (k·dim doubles) — collecting it each
+    // round keeps the per-round plan flat; leaving it as lineage embeds
+    // the previous round twice per iteration (join + broadcast) and
+    // grows the plan ~2^iterations
+    def collected(df: DataFrame): DataFrame =
+      df.collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
+        .sortBy(_._1)
+        .toDF("centroid_id", "cent_emb")
+    var cent = collected(corpus.filter(col(idCol) < k)
       .select(col(idCol).cast("int").as("centroid_id"),
-        col(embCol).cast("array<double>").as("cent_emb"))
+        col(embCol).cast("array<double>").as("cent_emb")))
     for (_ <- 1 to iterations) {
       val w = Window.partitionBy("__vid")
         .orderBy(col("__cs").desc, col("centroid_id"))
@@ -90,9 +101,9 @@ object Similarity {
         .agg(count(lit(1)).as("__n"), sums: _*)
         .select(col("centroid_id"), array((0 until dim).map(i =>
           col(s"__s$i") / col("__n") / q): _*).as("new_emb"))
-      cent = cent.join(means, Seq("centroid_id"), "left")
+      cent = collected(cent.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
-          coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
+          coalesce(col("new_emb"), col("cent_emb")).as("cent_emb")))
     }
     cent
   }

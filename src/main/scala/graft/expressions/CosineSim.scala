@@ -1,6 +1,6 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -9,23 +9,50 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * expression — one compiled pass accumulating dot, ‖a‖², ‖b‖²
   * simultaneously, replacing three interpreted `zip_with`+`aggregate`
   * HOF passes (~77 µs/pair) in the similarity/ANN hot paths.
+  * `doGenCode` emits a static call, so the expression stays inside
+  * WholeStageCodegen rather than falling back to interpreted eval.
   *
   * Bit-compatible with the HOF formulation (and therefore with every
   * existing oracle): each accumulator is the same left fold
   * `0.0 + x₁·y₁ + x₂·y₂ + …` in identical IEEE order, and the result
   * is `dot / (sqrt(na) · sqrt(nb))`. Null parity too: mismatched
   * lengths or a null element yield null, exactly as `zip_with`'s
-  * null-padding and null-propagating arithmetic did.
+  * null-padding and null-propagating arithmetic did — hence the
+  * `nullable` override (the inherited child-based nullability would
+  * make codegen unbox a null result).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r =
+         |  graft.expressions.CosineSim.compute($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Shared by eval and generated code (static forwarder). Returns
+    * null for length mismatch or null elements — see class doc. */
+  def compute(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = x.numElements()
     if (y.numElements() != n) return null
     var dot = 0.0
@@ -41,9 +68,6 @@ case class CosineSim(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
-
-  override protected def withNewChildrenInternal(newLeft: Expression,
-      newRight: Expression): CosineSim = copy(left = newLeft, right = newRight)
 }

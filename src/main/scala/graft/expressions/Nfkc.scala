@@ -53,7 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) =>
-        CosineSim(children.head, children(1))))
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => CosineSim(a, b)
+        case other => throw new IllegalArgumentException(
+          s"cosine_sim expects 2 arguments, got ${other.length}")
+      }))
   }
 }

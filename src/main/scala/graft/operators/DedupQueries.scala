@@ -156,10 +156,8 @@ object DedupQueries {
       FROM reach GROUP BY id ORDER BY doc_id""")) { (s, dir) =>
       val pairs = Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)
-      val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
         .orderBy("doc_id")
-      pairs.unpersist(false)
-      out
     },
 
     // Embedding-cosine near-dup pairs via sign-bucket LSH pruning —

@@ -124,15 +124,19 @@ object MiscQueries {
         CAST(SUM(CASE WHEN rk <= 60 THEN n_chars ELSE 0 END) AS BIGINT)
           AS kept_chars
       FROM ranked GROUP BY lang ORDER BY lang""")) { (s, dir) =>
+      // single pass mirroring the oracle: rank in-group by hash order,
+      // then one grouped aggregation with conditional sums (a
+      // kept-vs-total join would re-scan AND drop a null lang group);
+      // nulls-last ordering matches DuckDB's ASC default
       val d = Tables.load(s, dir, "documents")
-      val kept = graft.analytics.Sampling
-        .capPerGroup(d, "lang", col("doc_id"), 60)
-        .groupBy("lang").agg(count(lit(1)).as("n_kept"),
-          sum(col("n_chars")).cast("long").as("kept_chars"))
-      d.groupBy("lang").agg(count(lit(1)).as("n_total"))
-        .join(kept, Seq("lang"))
-        .select("lang", "n_total", "n_kept", "kept_chars")
-        .orderBy("lang")
+      d.withColumn("rk",
+          graft.analytics.Sampling.groupHashRank("lang", col("doc_id")))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_total"),
+          sum(when(col("rk") <= 60, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rk") <= 60, col("n_chars")).otherwise(0L))
+            .cast("long").as("kept_chars"))
+        .orderBy(col("lang").asc_nulls_last)
     }
   )
 }

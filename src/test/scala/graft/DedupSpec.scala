@@ -80,11 +80,11 @@ class DedupSpec extends SparkSpec {
     assert(capped.orderBy("id").collect().toSeq ==
       again.orderBy("id").collect().toSeq)
     // fraction filter keeps a stable subset of roughly the right size
-    val frac = df.filter(Sampling.hashFraction(df, col("id"), 0.3))
+    val frac = df.filter(Sampling.hashFraction(col("id"), 0.3))
     val n = frac.count()
     assert(n > 30 && n < 90)
     assert(frac.orderBy("id").collect().toSeq ==
-      df.filter(Sampling.hashFraction(df, col("id"), 0.3))
+      df.filter(Sampling.hashFraction(col("id"), 0.3))
         .orderBy("id").collect().toSeq)
   }
 
