@@ -124,6 +124,47 @@ object StatsQueries {
               col("max_value"))
         }.reduce(_.unionByName(_)).orderBy("column_name")
       }
+    },
+
+    // KMV distinct-count sketch (native bounded-state aggregate with
+    // map-side partials) vs exact COUNT(DISTINCT), per event type.
+    // The oracle reproduces the k smallest md5-derived hashes and the
+    // (k-1)*P/h_k arithmetic — the sketch is hash-deterministic.
+    Q("q63_kmv_distinct", Some(s"""
+      WITH src AS (
+        SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+      h AS (
+        SELECT DISTINCT event_type,
+          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % ${graft.analytics.Dedup.P} AS h
+        FROM src),
+      ranked AS (
+        SELECT event_type, h,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM h),
+      kmv AS (
+        SELECT event_type,
+          CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+               ELSE 63.0 * ${graft.analytics.Dedup.P} / MAX(h) END
+            AS kmv_estimate
+        FROM ranked WHERE rk <= 64 GROUP BY event_type),
+      ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM src GROUP BY event_type)
+      SELECT event_type,
+        CAST(exact_distinct AS BIGINT) AS exact_distinct, kmv_estimate
+      FROM ex JOIN kmv USING (event_type)
+      ORDER BY event_type""")) { (s, dir) =>
+      import graft.analytics.{Dedup, Sketches}
+      Tables.load(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).cast("long").as("exact_distinct"),
+          Sketches.kmvDistinct(
+            Dedup.h30(col("user_id").cast("string")), 64)
+            .as("kmv_estimate"))
+        .orderBy("event_type")
     }
   )
 }

@@ -66,6 +66,27 @@ class DedupSpec extends SparkSpec {
     assert(bucketed.nonEmpty) // high-cosine pairs share sign buckets
   }
 
+  test("KMV sketch: exact below k, estimate within bounds above") {
+    import spark.implicits._
+    import graft.analytics.{Dedup, Sketches}
+    val small = (1 to 40).map(i => ("a", i.toLong)).toDF("g", "id")
+    val big = (1 to 5000).map(i => ("b", i.toLong)).toDF("g", "id")
+    val got = small.unionByName(big)
+      .groupBy("g")
+      .agg(Sketches.kmvDistinct(Dedup.h30($"id".cast("string")), 64)
+        .as("est"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") == 40.0)                       // below k: exact
+    assert(got("b") > 3500 && got("b") < 7000)     // KMV estimate band
+    // duplicates do not move the estimate (distinct semantics)
+    val dup = big.unionByName(big)
+      .groupBy("g")
+      .agg(Sketches.kmvDistinct(Dedup.h30($"id".cast("string")), 64)
+        .as("est"))
+      .collect()(0).getDouble(1)
+    assert(dup == got("b"))
+  }
+
   test("hash sampling is deterministic and caps groups exactly") {
     import spark.implicits._
     import graft.analytics.Sampling
