@@ -131,6 +131,24 @@ object EventStreams {
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key))
 
+  /** Stream-stream interval correlation: join two event streams on a
+    * key where the right event lands within [left.ts, left.ts +
+    * within]. Both sides carry watermarks of the same horizon, so the
+    * join state is bounded — Spark drops buffered rows once the
+    * watermark passes the interval, the standard shape for
+    * click→conversion attribution at unbounded scale. Right-side
+    * columns come back `r_`-prefixed.
+    */
+  def correlate(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String = "ts", within: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark(tsCol, within)
+    val r = right.toDF(right.columns.map("r_" + _): _*)
+      .withWatermark(s"r_$tsCol", within)
+    l.join(r, expr(
+      s"$key = r_$key AND r_$tsCol >= $tsCol AND " +
+        s"r_$tsCol <= $tsCol + INTERVAL $within"))
+  }
+
   /** Streaming upsert into a warehouse table: each micro-batch is
     * merged into the accumulated state with the same ON CONFLICT
     * rewrite the batch loader uses ([[graft.warehouse.Merge.upsert]])

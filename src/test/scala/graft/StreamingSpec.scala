@@ -139,6 +139,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((7L, 12.0), (9L, 50.0)))
   }
 
+  test("stream-stream interval join correlates within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = EventStreams.correlate(
+        clicks.toDF().filter(col("event_type") === "click"),
+        views.toDF().filter(col("event_type") === "view"),
+        key = "user_id", within = "25 minutes")
+      .selectExpr("event_id", "r_event_id")
+      .writeStream.format("memory").queryName("corr")
+      .outputMode(OutputMode.Append).start()
+    clicks.addData(events: _*)
+    views.addData(events: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("corr").orderBy("event_id", "r_event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // user 7's view at 10:40 falls within 25 min of the 10:20 click
+    // only (10:05 is 35 min earlier; 11:10 is after the view)
+    assert(got.toSeq == Seq((2L, 3L)))
+  }
+
   test("sessionization groups by inactivity gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
