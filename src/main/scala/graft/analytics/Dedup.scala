@@ -31,20 +31,40 @@ object Dedup {
   val P: Long = 1073741789L
 
   /** Materialize a result durably and CUT ITS LINEAGE via a reliable
-    * checkpoint (a staged write to the checkpoint dir — on a cluster a
-    * shared filesystem, fault-tolerant; defaulted to the local tmpdir
-    * when unset). Lineage truncation is the point: unpersisting an
-    * internal index after `persist+count` INVALIDATES every dependent
-    * cache entry (Spark rebuilds dependents lazily), silently forcing
-    * a full recompute on the next access — measured as a 2-3×
-    * slowdown on q19/q20/q61 before this was understood. A
-    * checkpointed frame is a LogicalRDD with no dependency to
-    * invalidate. */
+    * checkpoint (a staged write to the configured checkpoint dir — on
+    * a cluster a shared filesystem, fault-tolerant). Lineage
+    * truncation is the point: unpersisting an internal index after
+    * `persist+count` INVALIDATES every dependent cache entry (Spark
+    * rebuilds dependents lazily), silently forcing a full recompute on
+    * the next access — measured as a 2-3× slowdown on q19/q20/q61
+    * before this was understood. A checkpointed frame is a LogicalRDD
+    * with no dependency to invalidate.
+    *
+    * Checkpoint dir handling: in local mode an unset dir defaults to
+    * the JVM tmpdir and is deleted on JVM exit (checkpoint files are
+    * otherwise never reclaimed unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on). On a
+    * real cluster a driver-local default would scatter partition files
+    * across executors' disks and fail on read — so there we FAIL FAST
+    * and require an explicit shared `setCheckpointDir`. */
   private[analytics] def materialize(df: DataFrame): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        System.getProperty("java.io.tmpdir") + "/graft-checkpoints")
+    if (sc.getCheckpointDir.isEmpty) {
+      if (!sc.isLocal)
+        sys.error("graft: reliable checkpointing on a cluster needs " +
+          "an explicit shared checkpoint dir — call " +
+          "sparkContext.setCheckpointDir(<shared path>) first")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-checkpoints")
+      sc.setCheckpointDir(dir.toString)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(dir.toFile)
+      }))
+    }
     df.checkpoint(eager = true)
   }
 

@@ -31,9 +31,12 @@ object Relevance {
         explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
-  /** (term, df): number of documents containing each term. */
-  def docFreqs(termFreqs: DataFrame): DataFrame =
-    termFreqs.groupBy("term").agg(count(lit(1)).as("df"))
+  /** Adds `df` (number of documents containing the term) to a
+    * [[termFreqs]] frame via a count window over term — one shuffle,
+    * no second aggregation joined back. */
+  def withDocFreq(termFreqs: DataFrame): DataFrame =
+    termFreqs.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("term")))
 
   /** Smooth idf (sklearn convention): ln((N+1)/(df+1)) + 1. */
   def smoothIdf(df: Column, nDocs: Long): Column =
@@ -50,9 +53,7 @@ object Relevance {
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.count()
-    termFreqs(docs, idCol, textCol)
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    withDocFreq(termFreqs(docs, idCol, textCol))
       .withColumn("tfidf", col("tf") * smoothIdf(col("df"), n))
       .select("doc_id", "term", "tf", "df", "tfidf")
   }
@@ -62,12 +63,12 @@ object Relevance {
     * equi-join of distinct query terms against the (term → doc)
     * inverted index, so only documents sharing a term with the query
     * are ever scored. The per-(query, doc) score is a term-sorted left
-    * fold (see class doc).
+    * fold (see class doc). The returned frame is
+    * checkpoint-materialized: the internal inverted index feeds three
+    * consumers and is released before returning — see
+    * [[Dedup.materialize]] for why the staging must cut lineage rather
+    * than persist+count.
     */
-  /** Returned frame is checkpoint-materialized (the internal inverted
-    * index feeds three consumers and is released before returning —
-    * see [[Dedup.materialize]] for why the staging must cut lineage
-    * rather than persist+count). */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val n = docs.count()
@@ -75,8 +76,7 @@ object Relevance {
     // corpus token total — persist so the tokenize explode runs once
     val tf = termFreqs(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withDf = tf.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    val withDf = withDocFreq(tf)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     // total corpus tokens is an exact long sum → avgdl is one
     // deterministic double division

@@ -3,9 +3,10 @@ package graft.expressions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** KMV (k-minimum-values) distinct-count sketch as a native aggregate:
   * the buffer is the set of the `k` smallest distinct hash values seen,
@@ -26,6 +27,12 @@ case class KmvSketch(child: Expression, k: Int, hashSpace: Long,
     extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
   require(k >= 2, "KMV needs k >= 2")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct expects a pre-hashed LONG input (use Dedup.h30), " +
+        s"got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
     new java.util.TreeSet[java.lang.Long]()
