@@ -62,6 +62,29 @@ object Writer {
     }
   }
 
+  /** Compact the small files of selected partitions (the debris of
+    * many incremental [[graft.warehouse.Merge.upsertPartitioned]] /
+    * streaming loads) into `filesPerPartition` files each, leaving
+    * every other partition's bytes untouched — read the touched
+    * partitions with a pruning filter, repartition on the partition
+    * columns (+ a bounded salt when >1 file), rewrite via dynamic
+    * partition overwrite. Run it on the partitions a merge touched,
+    * not the whole table.
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+      partitionCols: Seq[String], predicate: Column,
+      filesPerPartition: Int = 1): Unit = {
+    val touched = spark.read.parquet(path).filter(predicate)
+    val distributed =
+      if (filesPerPartition <= 1)
+        touched.repartition(partitionCols.map(col): _*)
+      else
+        touched.repartition((partitionCols.map(col) :+
+          pmod(xxhash64(touched.columns.map(col): _*),
+            lit(filesPerPartition.toLong))): _*)
+    overwritePartitions(distributed, path, partitionCols)
+  }
+
   /** Z-order key: interleave the low `bits` bits of two non-negative
     * integer dimensions so rows close in BOTH dimensions sort near
     * each other. Sorting/range-partitioning files by this key makes

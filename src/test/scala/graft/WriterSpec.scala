@@ -117,6 +117,33 @@ class WriterSpec extends SparkSpec {
     assert(spark.read.parquet(none).count() == 2)
   }
 
+  test("compaction merges small files, leaves other partitions alone") {
+    val dir = Files.createTempDirectory("graft_compact").toString
+    // month 1 written as many small files; month 2 as one
+    val m1 = (1 to 100).map(i => (i.toLong, 1, i * 1.0))
+      .toDF("k", "part_month", "v").repartition(8)
+    val m2 = Seq((200L, 2, 5.0)).toDF("k", "part_month", "v")
+    m1.unionByName(m2).write.mode("overwrite")
+      .partitionBy("part_month").parquet(dir)
+    def files(sub: String) = new java.io.File(s"$dir/$sub").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files("part_month=1").length > 1)
+    val m2Before = files("part_month=2")
+      .map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    Writer.compactPartitions(spark, dir, Seq("part_month"),
+      col("part_month") === 1)
+    assert(files("part_month=1").length == 1)
+    // untouched partition byte-identical
+    assert(files("part_month=2").map(f => f.getName ->
+      java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap == m2Before)
+    // data intact
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 101)
+    assert(got.filter(col("part_month") === 1)
+      .agg(sum(col("v"))).collect()(0).getDouble(0) == 5050.0)
+  }
+
   test("z-order key interleaves bits; layout clusters both dims") {
     // interleave(3, 5): a=0b011, b=0b101 → z = 0b100111 = 39
     val z = eval(Writer.zorderKey(lit(3L), lit(5L), bits = 4))
