@@ -66,6 +66,45 @@ object Pipeline {
     (dim, merged)
   }
 
+  /** Weather phase, incremental lake form: identical transform chain
+    * to [[runWeather]], but the fact lands through
+    * [[Merge.upsertPartitioned]] into a (part_year, part_month)-
+    * partitioned table — a daily load reads and rewrites only the
+    * partitions its batch touches, never the whole fact (the
+    * reference's monthly RANGE-partition intent,
+    * `db/init/01-schema.sql:160-181`, composed end-to-end). Returns
+    * the updated location dimension; the fact table on storage is the
+    * merge target.
+    */
+  def runWeatherIncremental(spark: SparkSession, jsonPath: String,
+      existingDim: DataFrame, factPath: String,
+      effectiveDate: Column): DataFrame = {
+    val parsed = OpenMeteoSource.parse(OpenMeteoSource.read(spark, jsonPath))
+    val cleaned = RecordCleaners.cleanWeatherData(parsed)
+      .withColumn("location_hash",
+        CleanFunctions.locationHash(bround(col("latitude"), 6),
+          bround(col("longitude"), 6)))
+    val dim = upsertLocations(existingDim,
+      cleaned.select("latitude", "longitude"), effectiveDate)
+    val keyed = cleaned.join(
+      dim.filter(col("is_current"))
+        .select("location_hash", "location_key"),
+      Seq("location_hash"))
+    val fact = RecordCleaners.transformWeather(keyed, col("location_key"))
+      .withColumn("part_year", (col("date_key") / 10000).cast("int"))
+      .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
+    val factOrder = struct(fact.columns
+      .filterNot(Set("date_key", "location_key", "part_year",
+        "part_month")).map(col): _*).desc
+    Merge.upsertPartitioned(spark, factPath, fact,
+      keys = Seq("date_key", "location_key"),
+      updateCols = Seq("temp_max_c", "temp_min_c", "temp_mean_c",
+        "precipitation_mm"),
+      tiebreak = Seq(factOrder),
+      partitionCols = Seq("part_year", "part_month"))
+    dim
+  }
+
   /** Soil phase (SURVEY §3.1): captured SoilGrids JSON → nested parse
     * (with coordinate quarantine) → F3 clean → location join → W2
     * projection → merge keyed (location_key, extraction_date) updating

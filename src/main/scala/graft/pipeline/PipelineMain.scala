@@ -92,26 +92,17 @@ object PipelineMain {
     }
 
     if (mode == "weather" || mode == "full") {
-      val factSchema = StructType(Seq(
-        StructField("location_key", LongType),
-        StructField("date_key", IntegerType),
-        StructField("latitude", DoubleType),
-        StructField("longitude", DoubleType),
-        StructField("temp_max_c", DoubleType),
-        StructField("temp_min_c", DoubleType),
-        StructField("temp_mean_c", DoubleType),
-        StructField("precipitation_mm", DoubleType),
-        StructField("evapotranspiration_mm", DoubleType),
-        StructField("solar_radiation_mj_m2", DoubleType),
-        StructField("humidity_percent", DoubleType),
-        StructField("wind_speed_ms", DoubleType),
-        StructField("weather_code", IntegerType)))
-      val (dim, fact) = Pipeline.runWeather(spark,
+      // the fact is the scaling table: it lands through the
+      // partition-scoped incremental merge into a monthly-partitioned
+      // lake table (only touched partitions rewritten), not through a
+      // stage-then-promote full rewrite. The dim keeps stage/promote
+      // (small, and its plan reads the current dim files).
+      val dim = Pipeline.runWeatherIncremental(spark,
         s"$fixtures/openmeteo.jsonl", load("dim_location", dimSchema),
-        load("fact_weather", factSchema), today)
+        s"$out/fact_weather", today)
       stage("dim_location", dim.drop("is_new"))
-      stage("fact_weather", fact)
-      promote("dim_location", "fact_weather")
+      promote("dim_location")
+      spark.catalog.refreshByPath(s"$out/fact_weather")
       println(s"[pipeline] weather: ${spark.read.parquet(s"$out/fact_weather").count()} fact rows")
     }
 

@@ -61,6 +61,28 @@ class PipelineSpec extends SparkSpec {
     assert(fact2.exceptAll(f).count() == 0)
   }
 
+  test("incremental weather phase merges into a partitioned lake fact") {
+    val factPath = java.nio.file.Files
+      .createTempDirectory("graft_pipe_fact").toString + "/fact_weather"
+    val dim = Pipeline.runWeatherIncremental(spark,
+      "src/test/resources/fixtures/openmeteo.jsonl",
+      emptyDim.drop("location_key").withColumn("location_key", lit(0L)),
+      factPath, lit("2026-01-01"))
+    assert(dim.count() == 2)
+    val fact = spark.read.parquet(factPath)
+    assert(fact.count() == 4)
+    // monthly partition layout exists
+    assert(new java.io.File(s"$factPath/part_year=2024").exists())
+    // idempotent re-run: same batch merges to the same table
+    Pipeline.runWeatherIncremental(spark,
+      "src/test/resources/fixtures/openmeteo.jsonl",
+      dim.drop("is_new"), factPath, lit("2026-02-01"))
+    spark.catalog.refreshByPath(factPath)
+    val again = spark.read.parquet(factPath)
+    assert(again.count() == 4)
+    assert(again.exceptAll(spark.read.parquet(factPath)).count() == 0)
+  }
+
   test("soil phase: fixture to merged soil dimension with quarantine") {
     val soilSchema = StructType(Seq(
       StructField("location_key", LongType),
