@@ -247,6 +247,14 @@ object QualitySuite {
       case CompletenessRule(_, c, pct) => Some(
         when(count(col(c)) * lit(100.0) / count(lit(1)) < pct, 1L)
           .otherwise(0L))
+      // a window-free anomaly condition is just a row predicate —
+      // fuse it into the single table scan instead of running a
+      // dedicated spark.sql job (window-bearing conditions keep their
+      // own job: they genuinely need the extra shuffle)
+      case AnomalyRule(_, _, cond, _)
+          if !cond.toUpperCase.contains("OVER") => Some(
+        coalesce(sum(when(coalesce(expr(cond), lit(false)), 1L)),
+          lit(0L)))
       case _ => None
     }
 
