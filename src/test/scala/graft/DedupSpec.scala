@@ -36,6 +36,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("maxDf drops stop-shingles from pairs AND set sizes") {
+    import spark.implicits._
+    val docs = Seq((1L, "x common"), (2L, "x common"),
+      (3L, "common y"), (4L, "common z")).toDF("doc_id", "text")
+    // without a cap: (1,2) share both tokens (j=1.0); every other pair
+    // shares only 'common' (j=1/3, below threshold)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, threshold = 0.5).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(exact.toSeq == Seq((1L, 2L, 2L, 2L, 2L, 1.0)))
+    // maxDf=2 drops 'common' (df=4): candidates come from 'x' alone
+    // and set sizes shrink to the CAPPED universe (1 each) — sizes
+    // from the unfiltered index would report j=1/3 and miss the pair
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, threshold = 0.5, maxDf = Some(2)).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(capped.toSeq == Seq((1L, 2L, 1L, 1L, 1L, 1.0)))
+  }
+
   test("minhash-LSH candidates include the exact duplicate at est 1.0") {
     val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text")
       .filter(col("id_a") === 1 && col("id_b") === 4).collect()
