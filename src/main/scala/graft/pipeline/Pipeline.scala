@@ -30,13 +30,18 @@ object Pipeline {
       "location_key", effectiveDate)
   }
 
-  /** Weather phase (SURVEY §3.2): captured Open-Meteo JSON → zip to
-    * rows → F4 clean → location join on hash → W3 date_key projection →
-    * merge into the fact keyed (date_key, location_key) with the
-    * reference's partial-update column set.
+  /** The reference's partial-update column set for the weather fact
+    * (`postgres_loader.py:118-123`). */
+  val weatherUpdateCols: Seq[String] =
+    Seq("temp_max_c", "temp_min_c", "temp_mean_c", "precipitation_mm")
+
+  /** Weather transform chain shared by the full-merge and incremental
+    * forms (SURVEY §3.2): captured Open-Meteo JSON → zip to rows → F4
+    * clean → location join on hash → W3 date_key projection. Returns
+    * (updated dim, keyed fact batch).
     */
-  def runWeather(spark: SparkSession, jsonPath: String,
-      existingDim: DataFrame, existingFact: DataFrame,
+  def weatherBatch(spark: SparkSession, jsonPath: String,
+      existingDim: DataFrame,
       effectiveDate: Column): (DataFrame, DataFrame) = {
     val parsed = OpenMeteoSource.parse(OpenMeteoSource.read(spark, jsonPath))
     val cleaned = RecordCleaners.cleanWeatherData(parsed)
@@ -52,56 +57,61 @@ object Pipeline {
       dim.filter(col("is_current"))
         .select("location_hash", "location_key"),
       Seq("location_hash"))
-    val fact = RecordCleaners.transformWeather(keyed, col("location_key"))
-    // tiebreak must be a total order WITHIN the key group — every
-    // non-key column, compared as one struct (latitude alone would tie:
-    // it is functionally dependent on location_key)
-    val factOrder = struct(fact.columns
-      .filterNot(Set("date_key", "location_key")).map(col): _*).desc
+    (dim, RecordCleaners.transformWeather(keyed, col("location_key")))
+  }
+
+  /** Tiebreak over every non-key column as one struct — a total order
+    * WITHIN the key group (latitude alone would tie: it is
+    * functionally dependent on location_key). */
+  private def weatherTiebreak(fact: DataFrame): Column =
+    struct(fact.columns.filterNot(Set("date_key", "location_key",
+      "part_year", "part_month")).map(col): _*).desc
+
+  /** Weather phase: [[weatherBatch]] merged into an in-memory fact
+    * keyed (date_key, location_key). */
+  def runWeather(spark: SparkSession, jsonPath: String,
+      existingDim: DataFrame, existingFact: DataFrame,
+      effectiveDate: Column): (DataFrame, DataFrame) = {
+    val (dim, fact) = weatherBatch(spark, jsonPath, existingDim,
+      effectiveDate)
     val merged = Merge.upsert(existingFact, fact,
       keys = Seq("date_key", "location_key"),
-      updateCols = Seq("temp_max_c", "temp_min_c", "temp_mean_c",
-        "precipitation_mm"),
-      tiebreak = Seq(factOrder))
+      updateCols = weatherUpdateCols,
+      tiebreak = Seq(weatherTiebreak(fact)))
     (dim, merged)
   }
 
-  /** Weather phase, incremental lake form: identical transform chain
-    * to [[runWeather]], but the fact lands through
-    * [[Merge.upsertPartitioned]] into a (part_year, part_month)-
-    * partitioned table — a daily load reads and rewrites only the
-    * partitions its batch touches, never the whole fact (the
-    * reference's monthly RANGE-partition intent,
-    * `db/init/01-schema.sql:160-181`, composed end-to-end). Returns
-    * the updated location dimension; the fact table on storage is the
-    * merge target.
-    */
+  /** Adds the monthly partition columns the lake fact is laid out by. */
+  def withMonthParts(fact: DataFrame): DataFrame =
+    fact.withColumn("part_year", (col("date_key") / 10000).cast("int"))
+      .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
+
+  /** Merge a (part_year, part_month)-augmented weather batch into the
+    * path-backed monthly-partitioned fact: only the partitions the
+    * batch touches are read and rewritten
+    * ([[Merge.upsertPartitioned]]) — the reference's monthly
+    * RANGE-partition intent (`db/init/01-schema.sql:160-181`)
+    * composed end-to-end. */
+  def weatherMerge(spark: SparkSession, factPath: String,
+      batch: DataFrame): Unit =
+    Merge.upsertPartitioned(spark, factPath, batch,
+      keys = Seq("date_key", "location_key"),
+      updateCols = weatherUpdateCols,
+      tiebreak = Seq(weatherTiebreak(batch)),
+      partitionCols = Seq("part_year", "part_month"))
+
+  /** Weather phase, incremental lake form: [[weatherBatch]] →
+    * [[withMonthParts]] → [[weatherMerge]]. Returns the updated
+    * location dimension; the fact table on storage is the merge
+    * target. Callers needing a durable dim-before-fact commit order
+    * should stage the batch and promote the dim before merging (see
+    * `PipelineMain`). */
   def runWeatherIncremental(spark: SparkSession, jsonPath: String,
       existingDim: DataFrame, factPath: String,
       effectiveDate: Column): DataFrame = {
-    val parsed = OpenMeteoSource.parse(OpenMeteoSource.read(spark, jsonPath))
-    val cleaned = RecordCleaners.cleanWeatherData(parsed)
-      .withColumn("location_hash",
-        CleanFunctions.locationHash(bround(col("latitude"), 6),
-          bround(col("longitude"), 6)))
-    val dim = upsertLocations(existingDim,
-      cleaned.select("latitude", "longitude"), effectiveDate)
-    val keyed = cleaned.join(
-      dim.filter(col("is_current"))
-        .select("location_hash", "location_key"),
-      Seq("location_hash"))
-    val fact = RecordCleaners.transformWeather(keyed, col("location_key"))
-      .withColumn("part_year", (col("date_key") / 10000).cast("int"))
-      .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
-    val factOrder = struct(fact.columns
-      .filterNot(Set("date_key", "location_key", "part_year",
-        "part_month")).map(col): _*).desc
-    Merge.upsertPartitioned(spark, factPath, fact,
-      keys = Seq("date_key", "location_key"),
-      updateCols = Seq("temp_max_c", "temp_min_c", "temp_mean_c",
-        "precipitation_mm"),
-      tiebreak = Seq(factOrder),
-      partitionCols = Seq("part_year", "part_month"))
+    val (dim, fact) = weatherBatch(spark, jsonPath, existingDim,
+      effectiveDate)
+    weatherMerge(spark, factPath, withMonthParts(fact))
     dim
   }
 

@@ -94,16 +94,46 @@ object PipelineMain {
     if (mode == "weather" || mode == "full") {
       // the fact is the scaling table: it lands through the
       // partition-scoped incremental merge into a monthly-partitioned
-      // lake table (only touched partitions rewritten), not through a
-      // stage-then-promote full rewrite. The dim keeps stage/promote
-      // (small, and its plan reads the current dim files).
-      val dim = Pipeline.runWeatherIncremental(spark,
+      // lake table (only touched partitions rewritten), never a full
+      // rewrite. Commit order: the batch is STAGED, then the dim is
+      // promoted, then the staged batch merges — so every
+      // location_key visible in the fact already exists in the dim
+      // even if a crash lands between the steps (a crashed merge
+      // re-runs idempotently).
+      val factPath = s"$out/fact_weather"
+      // one-time migration: a fact written by the pre-partitioned
+      // layout (flat parquet, no part_year dirs) is rewritten
+      // partitioned before the first incremental merge
+      val factDir = new java.io.File(factPath)
+      if (factDir.exists &&
+          !factDir.listFiles().exists(_.getName.startsWith("part_year="))) {
+        val flat = spark.read.parquet(factPath)
+        Pipeline.withMonthParts(flat)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("part_year", "part_month")
+          .parquet(s"${factPath}_migrated")
+        spark.read.parquet(s"${factPath}_migrated").write
+          .mode(SaveMode.Overwrite)
+          .partitionBy("part_year", "part_month").parquet(factPath)
+        spark.catalog.refreshByPath(factPath)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(s"${factPath}_migrated"))
+        println("[pipeline] weather: migrated flat fact to monthly partitions")
+      }
+      val (dim, fact) = Pipeline.weatherBatch(spark,
         s"$fixtures/openmeteo.jsonl", load("dim_location", dimSchema),
-        s"$out/fact_weather", today)
+        today)
       stage("dim_location", dim.drop("is_new"))
+      stage("fact_batch", Pipeline.withMonthParts(fact))
       promote("dim_location")
-      spark.catalog.refreshByPath(s"$out/fact_weather")
-      println(s"[pipeline] weather: ${spark.read.parquet(s"$out/fact_weather").count()} fact rows")
+      Pipeline.weatherMerge(spark, factPath,
+        spark.read.parquet(s"$out/fact_batch_new"))
+      spark.catalog.refreshByPath(factPath)
+      val nFact = if (new java.io.File(factPath).exists)
+        spark.read.parquet(factPath).count() else 0L
+      println(s"[pipeline] weather: $nFact fact rows")
     }
 
     if (mode == "crop" || mode == "full") {

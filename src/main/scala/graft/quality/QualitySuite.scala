@@ -247,16 +247,33 @@ object QualitySuite {
       case CompletenessRule(_, c, pct) => Some(
         when(count(col(c)) * lit(100.0) / count(lit(1)) < pct, 1L)
           .otherwise(0L))
-      // a window-free anomaly condition is just a row predicate —
-      // fuse it into the single table scan instead of running a
-      // dedicated spark.sql job (window-bearing conditions keep their
-      // own job: they genuinely need the extra shuffle)
-      case AnomalyRule(_, _, cond, _)
-          if !cond.toUpperCase.contains("OVER") => Some(
-        coalesce(sum(when(coalesce(expr(cond), lit(false)), 1L)),
-          lit(0L)))
       case _ => None
     }
+
+  /** A plain-predicate anomaly condition fuses into the single table
+    * scan; one containing a window or aggregate function needs its own
+    * job. Decided by ANALYZING the condition against the table — a
+    * textual "contains OVER" test would wrongly fuse aggregate
+    * conditions like `count(*) = 0` (which explode inside a
+    * conditional aggregation). Analysis failures defer to the
+    * spark.sql path so the real error surfaces there. */
+  private def fusableAnomaly(df: DataFrame, cond: String): Boolean =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.WindowExpression
+      import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+      val analyzed = df.select(expr(cond).as("__a"))
+        .queryExecution.analyzed
+      !analyzed.exists(_.expressions.exists(_.exists {
+        case _: AggregateExpression => true
+        case _: WindowExpression => true
+        case _ => false
+      }))
+    } catch { case _: Throwable => false }
+
+  /** Fused form of a plain-predicate anomaly count (see
+    * [[fusableAnomaly]]). */
+  private def anomalyAgg(cond: String): Column =
+    coalesce(sum(when(coalesce(expr(cond), lit(false)), 1L)), lit(0L))
 
   /** Run every rule and return the quality report as a DataFrame:
     * (rule_name, table_name, severity, n_violations, n_rows, passed).
@@ -274,7 +291,13 @@ object QualitySuite {
     val results = scala.collection.mutable.Map[String, (Long, Long)]()
     for ((table, tableRules) <- baseRules.groupBy(_.table)) {
       val df = tables(table)
-      val fused = tableRules.flatMap(r => aggExpr(r, asOf).map(r -> _))
+      // plain-predicate anomalies join the fused single scan; window/
+      // aggregate conditions keep their own spark.sql job
+      val fused = tableRules.flatMap {
+        case r @ AnomalyRule(_, _, cond, _) if fusableAnomaly(df, cond) =>
+          Some(r -> anomalyAgg(cond))
+        case r => aggExpr(r, asOf).map(r -> _)
+      }
       if (fused.nonEmpty) {
         val aggs = count(lit(1)).as("__total") +:
           fused.zipWithIndex.map { case ((_, e), i) => e.as(s"__v$i") }
@@ -284,7 +307,7 @@ object QualitySuite {
           results(r.name) = (row.getLong(i + 1), total)
         }
       }
-      for (r <- tableRules if aggExpr(r, asOf).isEmpty)
+      for (r <- tableRules if !fused.exists(_._1 eq r))
         results(r.name) = violationCount(spark, tables, r, asOf)
     }
     results ++= evalGates(

@@ -74,6 +74,21 @@ object Writer {
   def compactPartitions(spark: SparkSession, path: String,
       partitionCols: Seq[String], predicate: Column,
       filesPerPartition: Int = 1): Unit = {
+    // the predicate selects PARTITIONS; a row-granular predicate would
+    // silently drop the non-matching rows of every touched partition
+    // (the filter is per-row but the overwrite replaces whole
+    // partition directories) — reject anything referencing non-
+    // partition columns
+    val refs = org.apache.spark.sql.graft.ColumnBridge
+      .expression(predicate).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }
+    val bad = refs.filterNot(partitionCols.contains)
+    require(bad.isEmpty,
+      s"compactPartitions predicate may reference only partition " +
+        s"columns ${partitionCols.mkString("[", ",", "]")}; " +
+        s"found ${bad.mkString(", ")}")
     val touched = spark.read.parquet(path).filter(predicate)
     val distributed =
       if (filesPerPartition <= 1)

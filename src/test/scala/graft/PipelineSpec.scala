@@ -73,14 +73,22 @@ class PipelineSpec extends SparkSpec {
     assert(fact.count() == 4)
     // monthly partition layout exists
     assert(new java.io.File(s"$factPath/part_year=2024").exists())
-    // idempotent re-run: same batch merges to the same table
+    // idempotent re-run: same batch merges to the same CONTENT —
+    // snapshot the first run before re-merging (comparing the live
+    // table to itself would be a tautology)
+    val before = fact.collect().toSeq
     Pipeline.runWeatherIncremental(spark,
       "src/test/resources/fixtures/openmeteo.jsonl",
       dim.drop("is_new"), factPath, lit("2026-02-01"))
     spark.catalog.refreshByPath(factPath)
+    val cols = fact.columns.sorted
+    def shape(rows: Seq[org.apache.spark.sql.Row],
+        schema: org.apache.spark.sql.types.StructType) =
+      rows.map(r => cols.map(c => r.get(schema.fieldIndex(c))).toSeq)
+        .sortBy(_.mkString("|"))
     val again = spark.read.parquet(factPath)
-    assert(again.count() == 4)
-    assert(again.exceptAll(spark.read.parquet(factPath)).count() == 0)
+    assert(shape(again.collect().toSeq, again.schema) ==
+      shape(before, fact.schema))
   }
 
   test("soil phase: fixture to merged soil dimension with quarantine") {

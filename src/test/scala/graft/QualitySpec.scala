@@ -61,6 +61,28 @@ anomalies:
     assert(byName("anomaly_big_jump").severity == "warning")
   }
 
+  test("anomaly fusion: plain predicates fuse, aggregates keep spark.sql") {
+    val y = """
+anomalies:
+  plain_extreme:
+    table: t
+    condition: "b > 50"
+    severity: critical
+  agg_empty:
+    table: t
+    condition: "count(*) = 0"
+    severity: critical
+"""
+    val t = Seq((1L, 10.0), (2L, 60.0), (3L, 70.0)).toDF("a", "b")
+    val rep = QualitySuite.report(spark, Map("t" -> t),
+        QualityConfig.parse(y), lit("2026-01-05").cast("date"))
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(rep("anomaly_plain_extreme") == 2) // 60, 70
+    // an aggregate condition must NOT be fused into the row scan
+    // (nested aggregate would explode) — it runs via spark.sql
+    assert(rep("anomaly_agg_empty") == 0)     // table is not empty
+  }
+
   test("unique_columns is one composite key; freshness needs date_column") {
     val y = """
 tables:
