@@ -81,6 +81,15 @@ class WarehouseSpec extends SparkSpec {
     val k1 = eval(Scd2.versionKey(lit("hC"), lit("2026-03-01")))
     val k2 = eval(Scd2.versionKey(lit("hC"), lit("2026-04-01")))
     assert(k1 != k2 && k1 == eval(Scd2.versionKey(lit("hC"), lit("2026-03-01"))))
+    // in-batch duplicates collapse deterministically (greatest
+    // whole-row struct wins) — same winner on every run
+    val dupIncoming = Seq((2L, "b2", "hC"), (2L, "b9", "hZ"))
+      .toDF("nk", "attr", "row_hash")
+    val winner = Scd2.expireAndInsert(existing, dupIncoming, Seq("nk"),
+        "row_hash", "dim_key", lit("2026-03-01"))
+      .filter(col("is_current") && col("nk") === 2L)
+      .collect().map(_.getAs[String]("attr"))
+    assert(winner.toSeq == Seq("b9")) // greatest (attr, hash) struct
   }
 
   test("surrogate keys are deterministic 60-bit hash prefixes") {

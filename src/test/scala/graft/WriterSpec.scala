@@ -144,6 +144,25 @@ class WriterSpec extends SparkSpec {
       .agg(sum(col("v"))).collect()(0).getDouble(0) == 5050.0)
   }
 
+  test("partition-scoped merge handles null partition values") {
+    val dir = Files.createTempDirectory("graft_pmerge_n").toString + "/t"
+    val target = Seq((1L, Some(1), 5.0), (2L, None, 6.0), (3L, Some(2), 7.0))
+      .toDF("k", "part_m", "v")
+    Merge.upsertPartitioned(spark, dir, target, keys = Seq("k"),
+      updateCols = Seq("v"), tiebreak = Seq(col("v").desc),
+      partitionCols = Seq("part_m"))
+    // batch touches ONLY the null partition (the <=> comparison must
+    // match it; a plain === would silently never match)
+    val inc = Seq((2L, None: Option[Int], 60.0), (20L, None: Option[Int], 8.0))
+      .toDF("k", "part_m", "v")
+    Merge.upsertPartitioned(spark, dir, inc, keys = Seq("k"),
+      updateCols = Seq("v"), tiebreak = Seq(col("v").desc),
+      partitionCols = Seq("part_m"))
+    val got = spark.read.parquet(dir).orderBy("k").select("k", "v")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 5.0), (2L, 60.0), (3L, 7.0), (20L, 8.0)))
+  }
+
   test("z-order key interleaves bits; layout clusters both dims") {
     // interleave(3, 5): a=0b011, b=0b101 → z = 0b100111 = 39
     val z = eval(Writer.zorderKey(lit(3L), lit(5L), bits = 4))
