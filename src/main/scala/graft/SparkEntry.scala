@@ -18,7 +18,7 @@ object SparkEntry {
       NlpQueries.all ++ WarehouseQueries.all ++ QualityQueries.all ++
       MultimodalQueries.all ++ AnalyticsQueries.all ++
       AdvancedQueries.all ++ StatsQueries.all ++ TimeSeriesQueries.all ++
-      MiscQueries.all ++ RelevanceQueries.all
+      MiscQueries.all ++ RelevanceQueries.all ++ BehaviorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. */

@@ -1,0 +1,103 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** User-behavior analytics over an event stream: gap-based
+  * sessionization, ordered conversion funnels, and cohort retention.
+  * The batch counterparts of `streaming/EventStreams.sessionize` —
+  * the same semantics a warehouse user gets from the reference's SQL
+  * layer, expressed as Spark plans that scale:
+  *
+  *   - sessionization is two per-user window functions (lag + running
+  *     sum) over one hash partition by user — one shuffle, state never
+  *     leaves the executor;
+  *   - the funnel is a fold over each user's time-ordered event types
+  *     (`aggregate` HOF) — one shuffle to group, no per-step re-join
+  *     of the fact table (the naive conditional-agg cascade shuffles
+  *     the events once per funnel step);
+  *   - retention joins each event to its user's cohort week on the
+  *     same user key and distinct-counts (cohort, offset, user).
+  */
+object Behavior {
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the user's previous event exceeds `gapSec`. Adds `session_idx`
+    * (0-based per user, time-ordered). Timestamp comparison is
+    * integer microseconds, so session boundaries are deterministic.
+    */
+  def sessionize(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val prev = lag(unix_micros(col("ts")), 1).over(w)
+    val isNew = when(prev.isNull ||
+      unix_micros(col("ts")) - prev > gapSec * 1000000L, 1L)
+      .otherwise(0L)
+    events.withColumn("session_idx",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+  }
+
+  /** Per-session aggregates: bounds, duration (exact integer µs),
+    * event count, exact-decimal value total, purchase count. */
+  def sessionStats(events: DataFrame, gapSec: Long): DataFrame =
+    sessionize(events, gapSec)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("total_value"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+
+  /** Ordered-funnel stage per user: the highest stage `k` such that
+    * the user's time-ordered events contain `steps(0) … steps(k-1)`
+    * as a subsequence. One groupBy shuffle; the per-user scan is a
+    * left fold over the sorted event types with a string stage
+    * accumulator ("0", "1", …) — no per-step self-join of the fact.
+    */
+  def funnelStage(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val sorted = array_sort(collect_list(
+      struct(col("ts"), col("event_id"), col("event_type"))))
+    val fold = (acc: Column, x: Column) => {
+      val et = x.getField("event_type")
+      steps.zipWithIndex.foldLeft(acc) { case (els, (step, i)) =>
+        when(acc === lit(i.toString) && et === step,
+          lit((i + 1).toString)).otherwise(els)
+      }
+    }
+    events.groupBy("user_id")
+      .agg(aggregate(sorted, lit("0"), fold).cast("int").as("stage"))
+  }
+
+  /** Funnel report: one row per step with the number of users whose
+    * ordered events reached at least that step. */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val stages = funnelStage(events, steps)
+    val aggs = steps.zipWithIndex.map { case (step, i) =>
+      sum((col("stage") >= i + 1).cast("long")).as(s"n_${step}")
+    }
+    stages.agg(count(lit(1)).as("n_users"), aggs: _*)
+  }
+
+  /** Weekly cohort retention: users bucketed by the week (Monday
+    * start) of their first event; counts distinct active users per
+    * (cohort_week, week_offset). */
+  def weeklyRetention(events: DataFrame): DataFrame = {
+    val cohorts = events.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    events.select(col("user_id"),
+        date_trunc("week", col("ts")).as("activity_week"))
+      .join(cohorts, Seq("user_id"))
+      .groupBy(
+        date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        floor(datediff(col("activity_week").cast("date"),
+          col("cohort_week").cast("date")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+}

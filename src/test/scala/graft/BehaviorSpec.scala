@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.analytics.Behavior
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, Long, String, Double)*) =
+    rows.toDF("event_id", "tss", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+
+  test("sessionize: gap strictly over threshold starts a new session") {
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 1.0),
+      // exactly 1800 s later — same session (strict > comparison)
+      (2L, "2024-01-01 10:30:00", 7L, "click", 1.0),
+      // 1801 s later — new session
+      (3L, "2024-01-01 11:00:01", 7L, "view", 1.0))
+    val got = Behavior.sessionize(e, 1800)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("sessionize: sessions are per-user; stats aggregate correctly") {
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 2.0),
+      (2L, "2024-01-01 10:10:00", 1L, "purchase", 3.5),
+      (3L, "2024-01-01 10:05:00", 2L, "view", 1.0))
+    val got = Behavior.sessionStats(e, 1800)
+      .orderBy("user_id", "session_idx").collect()
+    assert(got.length === 2)
+    val s1 = got(0)
+    assert(s1.getAs[Long]("n_events") === 2L)
+    assert(s1.getAs[Long]("duration_us") === 600000000L)
+    assert(s1.getAs[Double]("total_value") === 5.5)
+    assert(s1.getAs[Long]("n_purchases") === 1L)
+    assert(got(1).getAs[Long]("n_events") === 1L)
+  }
+
+  test("funnel: steps must appear in order") {
+    val e = events(
+      // user 1: click before view, then view — only stage 1
+      (1L, "2024-01-01 09:00:00", 1L, "click", 0.0),
+      (2L, "2024-01-01 09:01:00", 1L, "view", 0.0),
+      // user 2: full ordered funnel
+      (3L, "2024-01-01 09:00:00", 2L, "view", 0.0),
+      (4L, "2024-01-01 09:01:00", 2L, "click", 0.0),
+      (5L, "2024-01-01 09:02:00", 2L, "purchase", 0.0),
+      // user 3: purchase without prior click — stage 1 only
+      (6L, "2024-01-01 09:00:00", 3L, "view", 0.0),
+      (7L, "2024-01-01 09:01:00", 3L, "purchase", 0.0))
+    val stages = Behavior.funnelStage(e, Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(stages === Map(1L -> 1, 2L -> 3, 3L -> 1))
+    val f = Behavior.funnel(e, Seq("view", "click", "purchase")).collect()(0)
+    assert(f.getAs[Long]("n_users") === 3L)
+    assert(f.getAs[Long]("n_view") === 3L)
+    assert(f.getAs[Long]("n_click") === 1L)
+    assert(f.getAs[Long]("n_purchase") === 1L)
+  }
+
+  test("funnel: a user whose first matching step is later still counts") {
+    val e = events(
+      (1L, "2024-01-01 09:00:00", 1L, "error", 0.0),
+      (2L, "2024-01-01 09:01:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 09:02:00", 1L, "click", 0.0))
+    val stages = Behavior.funnelStage(e, Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(stages === Map(1L -> 2))
+  }
+
+  test("weeklyRetention: offsets measured from first-event week") {
+    val e = events(
+      // user 1: first event Tue week0, active again week2
+      (1L, "2024-01-02 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-16 10:00:00", 1L, "view", 0.0),
+      // user 2: single event in week1
+      (3L, "2024-01-10 10:00:00", 2L, "view", 0.0))
+    val got = Behavior.weeklyRetention(e)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+}
