@@ -18,7 +18,8 @@ object SparkEntry {
       NlpQueries.all ++ WarehouseQueries.all ++ QualityQueries.all ++
       MultimodalQueries.all ++ AnalyticsQueries.all ++
       AdvancedQueries.all ++ StatsQueries.all ++ TimeSeriesQueries.all ++
-      MiscQueries.all ++ RelevanceQueries.all ++ BehaviorQueries.all
+      MiscQueries.all ++ RelevanceQueries.all ++ BehaviorQueries.all ++
+      CorpusQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. */

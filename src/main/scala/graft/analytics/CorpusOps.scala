@@ -1,0 +1,113 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for LLM training pipelines: PII
+  * redaction, eval-set decontamination, repetition quality signals,
+  * and fixed-window chunking. All map-only except decontamination
+  * (one shingle equi-join) — at 100 TB these run as a single pass
+  * over the corpus with no driver-side state.
+  *
+  * Regex patterns are deliberately kept in the RE2-compatible subset
+  * (no backreferences / lookaround) so the same pattern runs under
+  * Java regex (Spark) and RE2 (DuckDB oracle, and most scale-out
+  * scan engines) with identical semantics.
+  */
+object CorpusOps {
+
+  /** PII patterns: email, dashed international-ish phone, IPv4. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Count occurrences of `pattern` in `c` (0 for null input). */
+  def piiCount(c: Column, pattern: String): Column =
+    coalesce(size(regexp_extract_all(c, lit(pattern), lit(0))), lit(0))
+      .cast("long")
+
+  /** Replace email/phone/IPv4 matches with typed placeholder tags.
+    * Order matters: emails first (their local parts can contain
+    * digits that the looser patterns must not see first). */
+  def redactPii(c: Column): Column = {
+    val e = regexp_replace(c, EmailRe, "<EMAIL>")
+    val p = regexp_replace(e, PhoneRe, "<PHONE>")
+    regexp_replace(p, Ipv4Re, "<IP>")
+  }
+
+  /** All word n-grams (duplicates kept), position-ordered; empty for
+    * fewer than n tokens. NB `sequence(1,0)` is descending [1,0], so
+    * the short-input case is guarded explicitly. */
+  def ngramsAll(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style repetition signals per document: duplicate-n-gram
+    * fraction for n = 1, 2, 3. Map-only; the token array is bound
+    * once behind a generator barrier (HOFs get no CSE — every
+    * reference to an unbound `split` would re-tokenize). */
+  def repetitionSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val bound = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(array(split(trim(col(textCol)), "\\s+"))).as("toks"))
+    def dupFrac(n: Int): Column = {
+      val total = greatest(size(col("toks")) - (n - 1), lit(0))
+      val distinctN = size(array_distinct(ngramsAll(col("toks"), n)))
+      when(total === 0, lit(0.0))
+        .otherwise(lit(1.0) - distinctN.cast("double") /
+          total.cast("double"))
+    }
+    bound.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      dupFrac(1).as("dup_unigram_frac"),
+      dupFrac(2).as("dup_bigram_frac"),
+      dupFrac(3).as("dup_trigram_frac"))
+  }
+
+  /** Eval-set decontamination: for each corpus doc, the fraction of
+    * its distinct `n`-gram shingles that also occur in `bench`. One
+    * equi-join on shingle — the bench side is a distinct shingle set
+    * (small for real eval suites; not force-broadcast so AQE can
+    * decide from measured size). Docs with no shingles are omitted,
+    * as are bench docs themselves (caller pre-splits the frames). */
+  def contamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val corpusSh = Dedup.shingleIndex(corpus, idCol, textCol, n)
+    val benchSh = Dedup.shingleIndex(bench, idCol, textCol, n)
+      .select("shingle").distinct()
+      .withColumn("hit", lit(1L))
+    corpusSh.join(benchSh, Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double"))
+  }
+
+  /** Fixed-window token chunking with overlap (window 32 / stride 24
+    * style): one output row per chunk with its 0-based index, token
+    * count, and content hash. Map-only explode — the chunker a
+    * training pipeline runs immediately before packing. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val bound = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(array(split(trim(col(textCol)), "\\s+"))).as("toks"))
+    bound
+      .select(col("doc_id"), size(col("toks")).as("n"), col("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n"), lit(stride))).as("start"),
+        col("toks"), col("n"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_idx"),
+        least(lit(window), col("n") - col("start") + 1).cast("long")
+          .as("n_chunk_tokens"),
+        md5(array_join(slice(col("toks"), col("start"), lit(window)), " "))
+          .as("chunk_hash"))
+  }
+}

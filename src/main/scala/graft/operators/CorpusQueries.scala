@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analytics.CorpusOps
+
+/** Corpus-preparation queries over `documents`: PII redaction,
+  * eval-set decontamination, repetition signals, token chunking
+  * ([[graft.analytics.CorpusOps]]). The corpus texts are synthetic
+  * word salad with no embedded PII, so q67 derives deterministic
+  * PII spans from `doc_id` (same construction in Spark and the
+  * oracle) to prove the detect/redact path end to end on real data
+  * volume.
+  */
+object CorpusQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // PII detect + redact. The enriched text is bound once behind a
+    // generator barrier: the three counters and the redaction chain
+    // each reference it, and regex evaluation is the dominant cost.
+    Q("q67_pii_scrub", Some("""
+      WITH enr AS (
+        SELECT doc_id, concat(text, ' Contact user', doc_id,
+          '@example.org or +1-555-',
+          lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' from 10.',
+          CAST(doc_id % 256 AS VARCHAR), '.',
+          CAST((doc_id * 3 + 7) % 256 AS VARCHAR), '.',
+          CAST(doc_id % 250 + 1 AS VARCHAR), '.') AS txt
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(txt,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(txt,
+          '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(txt,
+          '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        md5(regexp_replace(regexp_replace(regexp_replace(txt,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          '<EMAIL>', 'g'),
+          '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+          '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'))
+          AS redacted_hash
+      FROM enr ORDER BY doc_id""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val id = col("doc_id")
+      val enriched = concat(col("text"), lit(" Contact user"),
+        id.cast("string"), lit("@example.org or +1-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"), lit(" from 10."),
+        (id % 256).cast("string"), lit("."),
+        ((id * 3 + 7) % 256).cast("string"), lit("."),
+        (id % 250 + 1).cast("string"), lit("."))
+      d.where(col("text").isNotNull)
+        .select(id, explode(array(enriched)).as("txt"))
+        .select(id,
+          CorpusOps.piiCount(col("txt"), CorpusOps.EmailRe).as("n_emails"),
+          CorpusOps.piiCount(col("txt"), CorpusOps.PhoneRe).as("n_phones"),
+          CorpusOps.piiCount(col("txt"), CorpusOps.Ipv4Re).as("n_ips"),
+          md5(CorpusOps.redactPii(col("txt"))).as("redacted_hash"))
+        .orderBy("doc_id")
+    },
+
+    // Eval-set decontamination: src0 docs stand in for a benchmark
+    // suite; every other doc reports its 5-gram overlap fraction.
+    Q("q68_decontaminate", Some("""
+      WITH tok AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), sh AS (
+        SELECT doc_id, source,
+          unnest(list_distinct(CASE WHEN len(t) >= 5
+            THEN list_transform(generate_series(1, len(t) - 4),
+                 i -> array_to_string(t[i:i+4], ' '))
+            ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+        FROM tok
+      ), bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE source = 'src0'
+      ), corp AS (
+        SELECT doc_id, shingle FROM sh WHERE source <> 'src0'
+      )
+      SELECT c.doc_id,
+        CAST(count(*) AS BIGINT) AS n_shingles,
+        CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_contaminated,
+        CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+      FROM corp c LEFT JOIN bench b USING (shingle)
+      GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      CorpusOps.contamination(
+          d.where(col("source") =!= "src0"),
+          d.where(col("source") === "src0"),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
+
+    // Repetition quality signals (duplicate n-gram fractions).
+    Q("q69_repetition", Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+      )
+      SELECT doc_id,
+        CAST(len(t) AS BIGINT) AS n_tokens,
+        CASE WHEN len(t) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                  / CAST(len(t) AS DOUBLE) END AS dup_unigram_frac,
+        CASE WHEN greatest(len(t) - 1, 0) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                    generate_series(1, len(t) - 1),
+                    i -> array_to_string(t[i:i+1], ' ')))) AS DOUBLE)
+                  / CAST(len(t) - 1 AS DOUBLE) END AS dup_bigram_frac,
+        CASE WHEN greatest(len(t) - 2, 0) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> array_to_string(t[i:i+2], ' ')))) AS DOUBLE)
+                  / CAST(len(t) - 2 AS DOUBLE) END AS dup_trigram_frac
+      FROM tok ORDER BY doc_id""")) { (s, dir) =>
+      CorpusOps.repetitionSignals(
+          Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // Overlapping token chunking (window 32, stride 24).
+    Q("q70_chunks", Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), st AS (
+        SELECT doc_id, t,
+          unnest(generate_series(1, len(t), 24)) AS start
+        FROM tok
+      )
+      SELECT doc_id,
+        CAST((start - 1) // 24 AS BIGINT) AS chunk_idx,
+        CAST(least(32, len(t) - start + 1) AS BIGINT) AS n_chunk_tokens,
+        md5(array_to_string(t[start:start+31], ' ')) AS chunk_hash
+      FROM st ORDER BY doc_id, chunk_idx""")) { (s, dir) =>
+      CorpusOps.chunk(Tables.load(s, dir, "documents"),
+          "doc_id", "text", window = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")
+    }
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("redactPii replaces emails, phones, and IPv4s with tags") {
+    val in = "mail a.smith+x@corp.example.co, call +44-555-1234 " +
+      "or 555-123-4567, host 192.168.0.1 done"
+    val got = evalStr(in, CorpusOps.redactPii)
+    assert(got ===
+      "mail <EMAIL>, call <PHONE> or <PHONE>, host <IP> done")
+  }
+
+  test("piiCount counts matches and is 0 on null/clean text") {
+    assert(evalStr("a@b.io c@d.org", c =>
+      CorpusOps.piiCount(c, CorpusOps.EmailRe)) === 2L)
+    assert(evalStr("no pii here", c =>
+      CorpusOps.piiCount(c, CorpusOps.EmailRe)) === 0L)
+    val nullCount = Seq(Option.empty[String]).toDF("s")
+      .select(CorpusOps.piiCount(col("s"), CorpusOps.Ipv4Re))
+      .collect()(0).getLong(0)
+    assert(nullCount === 0L)
+  }
+
+  test("ipv4 pattern respects word boundaries") {
+    // version-like dotted numbers with >3-digit runs must not match
+    assert(evalStr("build 1.2.3.4567 vs 10.0.0.1", c =>
+      CorpusOps.piiCount(c, CorpusOps.Ipv4Re)) === 1L)
+  }
+
+  test("repetitionSignals: exact fractions on a known doc") {
+    val d = Seq((1L, "a b a b a"), (2L, "x"), (3L, null))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.repetitionSignals(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length === 2) // null text dropped
+    val r1 = got(0)
+    // tokens: a b a b a → 5 tokens, 2 distinct
+    assert(r1.getAs[Long]("n_tokens") === 5L)
+    assert(r1.getAs[Double]("dup_unigram_frac") === 1.0 - 2.0 / 5.0)
+    // bigrams: ab ba ab ba → 4 total, 2 distinct
+    assert(r1.getAs[Double]("dup_bigram_frac") === 1.0 - 2.0 / 4.0)
+    // trigrams: aba bab aba → 3 total, 2 distinct
+    assert(r1.getAs[Double]("dup_trigram_frac") === 1.0 - 2.0 / 3.0)
+    // single token: no bigrams/trigrams → 0.0 by definition
+    val r2 = got(1)
+    assert(r2.getAs[Long]("n_tokens") === 1L)
+    assert(r2.getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(r2.getAs[Double]("dup_trigram_frac") === 0.0)
+  }
+
+  test("contamination: overlap fraction against the bench set") {
+    val corpus = Seq((1L, "a b c d e f"), (2L, "z z z z z"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val got = CorpusOps.contamination(corpus, bench, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    // doc 1 shingles: "a b c d e", "b c d e f" → 1 of 2 in bench
+    assert(got(0).getAs[Long]("n_shingles") === 2L)
+    assert(got(0).getAs[Long]("n_contaminated") === 1L)
+    assert(got(0).getAs[Double]("contamination") === 0.5)
+    // doc 2: one distinct shingle, not in bench
+    assert(got(1).getAs[Long]("n_contaminated") === 0L)
+  }
+
+  test("chunk: window/stride boundaries and trailing partial chunk") {
+    val text = (1 to 40).map(i => s"t$i").mkString(" ")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val got = CorpusOps.chunk(d, "doc_id", "text", window = 32,
+        stride = 24).orderBy("chunk_idx").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("chunk_idx") === 0L)
+    assert(got(0).getAs[Long]("n_chunk_tokens") === 32L)
+    assert(got(1).getAs[Long]("chunk_idx") === 1L)
+    // tokens 25..40 → 16-token trailing chunk
+    assert(got(1).getAs[Long]("n_chunk_tokens") === 16L)
+    // overlap: chunk 1 starts at token 25, inside chunk 0's window
+    val h0 = got(0).getAs[String]("chunk_hash")
+    val h1 = got(1).getAs[String]("chunk_hash")
+    assert(h0 !== h1)
+  }
+
+  test("chunk: short doc yields exactly one chunk") {
+    val d = Seq((1L, "only three tokens")).toDF("doc_id", "text")
+    val got = CorpusOps.chunk(d, "doc_id", "text", 32, 24).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("n_chunk_tokens") === 3L)
+  }
+}
