@@ -79,21 +79,31 @@ object Dedup {
   def h30(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long") % P
 
+  /** 60-bit integer hash via md5 prefix — portable (DuckDB:
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`) and wide enough that
+    * cross-doc collisions are negligible (~k²/2⁶¹ for k distinct
+    * shingles). Used as the shingle join key: an 8-byte long
+    * shuffles and compares cheaper than the shingle text. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Word tokens (whitespace split of trimmed text). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Distinct word n-gram shingles; empty array when fewer than n
-    * tokens (NB `sequence(1,0)` in Spark is the *descending* [1,0], so
-    * the short-input case must be guarded explicitly).
-    */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * tokens, and (for parity with the original guarded-HOF
+    * formulation) empty rather than null for null text. The
+    * tokenize → slide → join → dedup pipeline is the native
+    * [[graft.expressions.WordNgrams]] expression — the interpreted
+    * HOF version dominated every shingle-based dedup query
+    * (~4 s of q19's 8 s at sf0.1 was index build alone). */
+  def shingles(text: Column, n: Int): Column =
+    coalesce(
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.WordNgrams(
+          org.apache.spark.sql.graft.ColumnBridge.expression(text),
+          n, distinct = true)),
+      array().cast("array<string>"))
 
   /** 1. Exact dedup: representative (min id) per content hash. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -121,14 +131,19 @@ object Dedup {
       n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
     // the index feeds both sides of the pair self-join — persist it so
     // the explode+hash runs once, not once per join side (unpersisted
-    // after the result is materialized below)
+    // after the result is materialized below). The join/groupBy key is
+    // the 60-bit [[h60]] of the shingle, not the shingle text: an
+    // 8-byte long halves the exchange payload and compares cheaper,
+    // and a cross-doc collision (which would inflate `inter` by 1) has
+    // probability ~k²/2⁶¹. The oracle joins on the same hash.
     val sh0 = shingleIndex(docs, idCol, textCol, n)
+      .select(col("doc_id"), h60(col("shingle")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = maxDf match {
       case Some(m) =>
-        val df = sh0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= m).select("shingle")
-        sh0.join(df, Seq("shingle"))
+        val df = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= m).select("h")
+        sh0.join(df, Seq("h"))
       case None => sh0
     }
     // set sizes must reflect the SAME shingle universe as the pair
@@ -144,7 +159,7 @@ object Dedup {
         docs.select(col(idCol).as("doc_id"),
           size(shingles(col(textCol), n)).cast("long").as("set_size"))
     }
-    val pairs = sh.as("a").join(sh.as("b"), Seq("shingle"))
+    val pairs = sh.as("a").join(sh.as("b"), Seq("h"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))

@@ -51,6 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, n, d) => WordNgrams(c,
+          n.eval().asInstanceOf[Number].intValue(),
+          d.eval().asInstanceOf[Boolean])
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams expects (text, n, distinct), got ${other.length}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (children: Seq[Expression]) => children match {

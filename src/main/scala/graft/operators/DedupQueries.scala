@@ -34,10 +34,12 @@ object DedupQueries {
     // two shuffles (shingle key, then pair key) — never O(n²).
     Q("q19_ngram_jaccard", Some(s"""
       WITH sh AS (${duckShingleIndex(3)}),
+      shh AS (SELECT doc_id,
+        ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
       sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
         CAST(inter AS BIGINT) AS inter,
@@ -133,10 +135,12 @@ object DedupQueries {
     // min-label propagation.
     Q("q61_dedup_clusters", Some(s"""
       WITH RECURSIVE sh AS (${duckShingleIndex(3)}),
+      shh AS (SELECT doc_id,
+        ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
       sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
       cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-        FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+        FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2),
       pairs AS (
         SELECT id_a, id_b FROM cand
