@@ -35,36 +35,34 @@ object CorpusOps {
     regexp_replace(p, Ipv4Re, "<IP>")
   }
 
-  /** All word n-grams (duplicates kept), position-ordered; empty for
-    * fewer than n tokens. NB `sequence(1,0)` is descending [1,0], so
-    * the short-input case is guarded explicitly. */
-  def ngramsAll(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-
   /** Gopher-style repetition signals per document: duplicate-n-gram
-    * fraction for n = 1, 2, 3. Map-only; the token array is bound
-    * once behind a generator barrier (HOFs get no CSE — every
-    * reference to an unbound `split` would re-tokenize). */
+    * fraction for n = 1, 2, 3. Map-only, built on the native
+    * [[graft.expressions.WordNgrams]] expression (the interpreted
+    * HOF version cost 2.2 s at sf0.1; each native call re-tokenizes
+    * in compiled code, which is far cheaper than one interpreted
+    * slice/join pass). */
   def repetitionSignals(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val bound = docs.where(col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        explode(array(split(trim(col(textCol)), "\\s+"))).as("toks"))
+    def native(c: Column, n: Int, distinct: Boolean): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.WordNgrams(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c),
+          n, distinct))
+    val text = col(textCol)
+    val nTokens = size(native(text, 1, distinct = false))
     def dupFrac(n: Int): Column = {
-      val total = greatest(size(col("toks")) - (n - 1), lit(0))
-      val distinctN = size(array_distinct(ngramsAll(col("toks"), n)))
+      val total = greatest(nTokens - (n - 1), lit(0))
+      val distinctN = size(native(text, n, distinct = true))
       when(total === 0, lit(0.0))
         .otherwise(lit(1.0) - distinctN.cast("double") /
           total.cast("double"))
     }
-    bound.select(col("doc_id"),
-      size(col("toks")).cast("long").as("n_tokens"),
-      dupFrac(1).as("dup_unigram_frac"),
-      dupFrac(2).as("dup_bigram_frac"),
-      dupFrac(3).as("dup_trigram_frac"))
+    docs.where(text.isNotNull)
+      .select(col(idCol).as("doc_id"),
+        nTokens.cast("long").as("n_tokens"),
+        dupFrac(1).as("dup_unigram_frac"),
+        dupFrac(2).as("dup_bigram_frac"),
+        dupFrac(3).as("dup_trigram_frac"))
   }
 
   /** Eval-set decontamination: for each corpus doc, the fraction of
