@@ -86,6 +86,34 @@ object CorpusOps {
           col("n_shingles").cast("double"))
   }
 
+  /** Concat-and-split sequence packing over chunked documents: chunks
+    * are laid end to end in (doc_id, chunk_idx) order within a shard
+    * and a chunk belongs to the training sequence where its first
+    * token lands (`floor(exclusive-cumsum / budget)`). Packing is a
+    * running sum, so it is per-shard sequential by nature — the shard
+    * key (`doc_id % shards`) keeps it embarrassingly parallel with
+    * deterministic output instead of a single global-order window.
+    * Sequences fill to ~budget tokens (a chunk that starts near the
+    * boundary overruns by at most chunk_len - 1; training loaders
+    * split the concatenated stream exactly there).
+    */
+  def packSequences(chunks: DataFrame, budget: Int,
+      shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id", "chunk_idx")
+      .rowsBetween(Long.MinValue, -1)
+    chunks
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)))
+      .withColumn("cum_excl",
+        coalesce(sum(col("n_chunk_tokens")).over(w), lit(0L)))
+      .groupBy(col("shard"),
+        floor(col("cum_excl") / budget).cast("long").as("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_chunk_tokens")).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
   /** Fixed-window token chunking with overlap (window 32 / stride 24
     * style): one output row per chunk with its 0-based index, token
     * count, and content hash. Map-only explode — the chunker a

@@ -316,6 +316,79 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — the documented upgrade path of
+    * [[connectedComponents]]: min-label propagation needs
+    * diameter-many rounds, star contraction O(log²) (in practice a
+    * handful), so adversarial long-chain graphs converge where
+    * propagation would hit its iteration cap. Same join shapes (a
+    * groupBy-min and an equi-join per half-step), integer-only
+    * arithmetic, deterministic fixpoint.
+    *
+    * Contract matches [[connectedComponents]]: (doc_id, cluster_rep)
+    * with the component's min id as representative, one row per node
+    * appearing in `pairs`.
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String,
+      bCol: String, maxIter: Int = 35): DataFrame = {
+    // canonical larger-first undirected edge set
+    var edges = materialize(pairs
+      .select(greatest(col(aCol), col(bCol)).as("x"),
+        least(col(aCol), col(bCol)).as("y"))
+      .where(col("x") =!= col("y")).distinct())
+    var edgeCount = edges.count()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star: for every node u, attach each strictly-larger
+      // neighbor v to m = min(Γ(u) ∪ {u}); u's view covers each edge
+      // from its smaller endpoint, so the result is again larger-first
+      val bidir = edges.select(col("x").as("u"), col("y").as("v"))
+        .unionByName(edges.select(col("y").as("u"), col("x").as("v")))
+      val mins = bidir.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = bidir.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("x"), col("m").as("y")).distinct()
+      // small-star: edges are (x, y) with y < x; attach x and all its
+      // smaller neighbors to m = min of them
+      val sMins = large.groupBy("x").agg(min(col("y")).as("m"))
+      val small = large.join(sMins, Seq("x"))
+        .where(col("y") =!= col("m"))
+        .select(col("y").as("x"), col("m").as("y"))
+        .unionByName(sMins.select(col("x"), col("m").as("y")))
+        .distinct()
+      // both sides are distinct sets, so equal counts + one-sided
+      // containment ⇒ equality; the count gate (a metadata-cheap job
+      // on a checkpointed frame) skips the anti-join on every round
+      // where the edge count still moved
+      val next = materialize(small)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.exceptAll(edges).isEmpty
+      edgeCount = nextCount
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      sys.error(s"connectedComponentsStar did not converge in $maxIter " +
+        "rounds — raise maxIter")
+    // fixpoint is a star forest: every non-root points at its root.
+    // Nodes absent from the forest (self-pairs, singletons the caller
+    // fed in) are their own representative, matching
+    // [[connectedComponents]].
+    val stars = edges.select(col("x").as("doc_id"),
+        col("y").as("cluster_rep"))
+      .unionByName(edges.select(col("y").as("doc_id"),
+        col("y").as("cluster_rep")).distinct())
+    val nodes = pairs.select(col(aCol).as("doc_id"))
+      .unionByName(pairs.select(col(bCol).as("doc_id"))).distinct()
+    materialize(stars.unionByName(
+      nodes.join(stars, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_rep"))))
+  }
+
   /** 5. Embedding-cosine near-duplicate pairs above a threshold.
     * Exact all-pairs — O(n²) cosines; correctness baseline for tiny
     * corpora and for validating [[embeddingNearDupsBucketed]] recall.

@@ -141,6 +141,42 @@ object CorpusQueries {
       CorpusOps.chunk(Tables.load(s, dir, "documents"),
           "doc_id", "text", window = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Sequence packing: non-overlapping 32-token chunks laid end to
+    // end per shard (doc_id % 16), split into ~512-token training
+    // sequences at the running-sum boundary.
+    Q("q72_pack_sequences", Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), ch AS (
+        SELECT doc_id,
+          CAST((start - 1) // 32 AS BIGINT) AS chunk_idx,
+          CAST(least(32, len(t) - start + 1) AS BIGINT) AS n_chunk_tokens
+        FROM (SELECT doc_id, t,
+                unnest(generate_series(1, len(t), 32)) AS start
+              FROM tok)
+      ), cum AS (
+        SELECT doc_id, chunk_idx, n_chunk_tokens, doc_id % 16 AS shard,
+          COALESCE(SUM(n_chunk_tokens) OVER (
+            PARTITION BY doc_id % 16 ORDER BY doc_id, chunk_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_excl
+        FROM ch
+      )
+      SELECT CAST(shard AS BIGINT) AS shard,
+        CAST(floor(cum_excl / 512) AS BIGINT) AS seq_id,
+        CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens,
+        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM cum GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      val chunks = CorpusOps.chunk(Tables.load(s, dir, "documents"),
+        "doc_id", "text", window = 32, stride = 32)
+      CorpusOps.packSequences(chunks, budget = 512, shards = 16)
+        .select(col("shard").cast("long").as("shard"), col("seq_id"),
+          col("n_chunks"), col("n_tokens"), col("n_docs"))
+        .orderBy("shard", "seq_id")
     }
   )
 }

@@ -28,6 +28,43 @@ object DedupQueries {
        |FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
        |      FROM documents)""".stripMargin
 
+  /** Shared MinHash/LSH oracle pieces (32 hashes, 16 bands × 2 rows):
+    * CTE chain `sh → hashes → sig → buckets → cand` plus the
+    * signature-agreement expression — generated from the same
+    * coefficients the Spark plan uses. q20 selects the scored
+    * candidates; q71 clusters them. */
+  private val MhNumHashes = 32
+  private val MhBands = 16
+  private def mhAgree: String = (0 until MhNumHashes)
+    .map(i => s"CAST(sa.mh_$i = sb.mh_$i AS INT)").mkString(" + ")
+  private def mhCtes: String = {
+    val rows = MhNumHashes / MhBands
+    val coeffs = (0 until MhNumHashes).map(Dedup.hashCoeffs)
+    val mhExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((h * $a + $b) % $P) AS mh_$i"
+    }.mkString(",\n          ")
+    val bandSelects = (0 until MhBands).map { bnd =>
+      val ks = (bnd * rows until (bnd + 1) * rows)
+        .map(i => s"mh_$i").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws('-', $ks) AS bkey FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""sh AS (${duckShingleIndex(3)}),
+      hashes AS (
+        SELECT doc_id,
+          CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % $P AS h
+        FROM sh),
+      sig AS (
+        SELECT doc_id,
+          $mhExprs
+        FROM hashes GROUP BY doc_id),
+      buckets AS (
+        $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM buckets a JOIN buckets b USING (band, bkey)
+        WHERE a.doc_id < b.doc_id)"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // Inverted-index n-gram Jaccard: candidate pairs share >=1 shingle;
@@ -59,47 +96,18 @@ object DedupQueries {
     // MinHash + banded LSH: 32 portable hashes, 16 bands × 2 rows.
     // Candidate generation is the (band, bkey) equi-join; est_jaccard
     // verified from full signatures.
-    {
-      val numHashes = 32
-      val bands = 16
-      val rows = numHashes / bands
-      val coeffs = (0 until numHashes).map(Dedup.hashCoeffs)
-      val mhExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
-        s"MIN((h * $a + $b) % $P) AS mh_$i"
-      }.mkString(",\n          ")
-      val bandSelects = (0 until bands).map { bnd =>
-        val ks = (bnd * rows until (bnd + 1) * rows)
-          .map(i => s"mh_$i").mkString(", ")
-        s"SELECT doc_id, $bnd AS band, concat_ws('-', $ks) AS bkey FROM sig"
-      }.mkString("\n        UNION ALL ")
-      val agree = (0 until numHashes)
-        .map(i => s"CAST(sa.mh_$i = sb.mh_$i AS INT)").mkString(" + ")
-      Q("q20_minhash_lsh", Some(s"""
-      WITH sh AS (${duckShingleIndex(3)}),
-      hashes AS (
-        SELECT doc_id,
-          CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % $P AS h
-        FROM sh),
-      sig AS (
-        SELECT doc_id,
-          $mhExprs
-        FROM hashes GROUP BY doc_id),
-      buckets AS (
-        $bandSelects),
-      cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM buckets a JOIN buckets b USING (band, bkey)
-        WHERE a.doc_id < b.doc_id)
+    Q("q20_minhash_lsh", Some(s"""
+      WITH $mhCtes
       SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-        CAST($agree AS DOUBLE) / $numHashes AS est_jaccard
+        CAST($mhAgree AS DOUBLE) / $MhNumHashes AS est_jaccard
       FROM cand
       JOIN sig sa ON id_a = sa.doc_id
       JOIN sig sb ON id_b = sb.doc_id
       ORDER BY id_a, id_b""")) { (s, dir) =>
-        Dedup.minHashLshCandidates(Tables.load(s, dir, "documents"),
-            "doc_id", "text", n = 3, numHashes = numHashes, bands = bands)
-          .orderBy("id_a", "id_b")
-      }
+      Dedup.minHashLshCandidates(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, numHashes = MhNumHashes,
+          bands = MhBands)
+        .orderBy("id_a", "id_b")
     },
 
     // 64-bit SimHash fingerprints (md5 bit votes per token occurrence).
@@ -189,6 +197,36 @@ object DedupQueries {
             "vec_id", "embedding", threshold = 0.35, bits = bits)
           .orderBy("id_a", "id_b")
       }
+    },
+
+    // The full 100 TB dedup chain: minhash signatures → banded LSH
+    // candidates → est-jaccard filter → large-star/small-star
+    // connected components. Same recursive-CTE oracle shape as q61
+    // but clustering the LSH candidates, and exercising the star
+    // variant (q61 exercises min-label propagation).
+    Q("q71_lsh_clusters", Some(s"""
+      WITH RECURSIVE $mhCtes,
+      scored AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE ($mhAgree) * 2 >= $MhNumHashes),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM scored
+        UNION SELECT id_b, id_a FROM scored),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src)
+      SELECT CAST(id AS BIGINT) AS doc_id,
+        CAST(MIN(r) AS BIGINT) AS cluster_rep
+      FROM reach GROUP BY id ORDER BY doc_id""")) { (s, dir) =>
+      val cand = Dedup.minHashLshCandidates(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = MhNumHashes, bands = MhBands)
+        .where(col("est_jaccard") >= 0.5)
+      Dedup.connectedComponentsStar(cand, "id_a", "id_b")
+        .orderBy("doc_id")
     }
   )
 }

@@ -83,6 +83,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(h0 !== h1)
   }
 
+  test("packSequences: fills to budget, splits at the running sum") {
+    // 5 chunks of 30 tokens in one shard (doc_ids ≡ 0 mod 4):
+    // cum_excl 0,30,60,90,120 with budget 64 → seqs 0,0,0 | 1,1
+    val chunks = Seq(
+      (0L, 0L, 30L), (0L, 1L, 30L), (4L, 0L, 30L),
+      (8L, 0L, 30L), (8L, 1L, 30L))
+      .toDF("doc_id", "chunk_idx", "n_chunk_tokens")
+    val got = CorpusOps.packSequences(chunks, budget = 64, shards = 4)
+      .orderBy("shard", "seq_id").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("n_chunks") === 3L)
+    assert(got(0).getAs[Long]("n_tokens") === 90L)
+    assert(got(1).getAs[Long]("n_chunks") === 2L)
+    assert(got(1).getAs[Long]("n_docs") === 1L)
+  }
+
+  test("packSequences: shards pack independently") {
+    val chunks = Seq((0L, 0L, 50L), (1L, 0L, 50L))
+      .toDF("doc_id", "chunk_idx", "n_chunk_tokens")
+    val got = CorpusOps.packSequences(chunks, budget = 64, shards = 2)
+      .collect()
+    // different shards → both start at seq 0
+    assert(got.length === 2)
+    assert(got.forall(_.getAs[Long]("seq_id") === 0L))
+  }
+
   test("chunk: short doc yields exactly one chunk") {
     val d = Seq((1L, "only three tokens")).toDF("doc_id", "text")
     val got = CorpusOps.chunk(d, "doc_id", "text", 32, 24).collect()

@@ -143,6 +143,46 @@ class DedupSpec extends SparkSpec {
       (7L, 5L), (9L, 1L), (10L, 10L), (11L, 10L)))
   }
 
+  test("star CC matches min-label propagation on a mixed graph") {
+    import spark.implicits._
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 9L), (5L, 7L), (11L, 10L))
+      .toDF("id_a", "id_b")
+    val star = graft.analytics.Dedup
+      .connectedComponentsStar(pairs, "id_a", "id_b")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L),
+      (7L, 5L), (9L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("star CC converges on a long chain within few rounds") {
+    import spark.implicits._
+    // path graph 0-1-2-…-59: diameter 59; min-label propagation would
+    // need 59 rounds (its default cap raises), star contraction a
+    // handful
+    val chain = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.analytics.Dedup
+      .connectedComponentsStar(chain, "id_a", "id_b", maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 60)
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("star CC matches propagation on a deterministic random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(120)((rnd.nextInt(80).toLong,
+      rnd.nextInt(80).toLong)).filter(p => p._1 != p._2)
+      .toDF("id_a", "id_b")
+    val a = graft.analytics.Dedup
+      .connectedComponents(pairs, "id_a", "id_b", maxIter = 80)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = graft.analytics.Dedup
+      .connectedComponentsStar(pairs, "id_a", "id_b")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("language-ID picks the profile with most stopword hits") {
     assert(evalStr("der hund und die katze ist nicht hier",
       TextAnalysis.langPredict) == "de")
