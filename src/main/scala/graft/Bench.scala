@@ -33,12 +33,9 @@ object Bench {
         .foreach(_(spark, sfDir).write.format("noop").mode("overwrite")
           .save())
       catch { case _: Throwable => }
-    // Optional comma-separated name filter for local perf iteration on
-    // a few queries; the driver never sets it (full run).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+    val only = SparkEntry.nameFilter()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only(n) }
     val times = scala.collection.mutable.Map[String, List[Double]]()
     val failed = scala.collection.mutable.SortedSet[String]()
     for (r <- 1 to runs) {

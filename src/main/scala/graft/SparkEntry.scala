@@ -34,4 +34,20 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+
+  /** Shared `SPARK_GRAFT_ONLY` comma-separated name filter for the
+    * Verify/Bench mains (local iteration on a few queries; the driver
+    * never sets it). Warns on names matching no query, so a typo
+    * doesn't silently run nothing. */
+  private[graft] def nameFilter(): String => Boolean =
+    sys.env.get("SPARK_GRAFT_ONLY") match {
+      case None => _ => true
+      case Some(s) =>
+        val names = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names -- queries.keySet
+        if (unknown.nonEmpty)
+          System.err.println("[graft] SPARK_GRAFT_ONLY names match " +
+            s"no query: ${unknown.toSeq.sorted.mkString(", ")}")
+        names.contains _
+    }
 }

@@ -34,8 +34,12 @@ object Behavior {
     val isNew = when(prev.isNull ||
       unix_micros(col("ts")) - prev > gapSec * 1000000L, 1L)
       .otherwise(0L)
-    events.withColumn("session_idx",
-      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    // a null event time carries no position on the session timeline —
+    // drop it (like the other null-input operators) instead of
+    // minting a phantom session per null row
+    events.where(col("ts").isNotNull)
+      .withColumn("session_idx",
+        sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
   }
 
   /** Per-session aggregates: bounds, duration (exact integer µs),

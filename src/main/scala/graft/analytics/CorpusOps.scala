@@ -43,16 +43,12 @@ object CorpusOps {
     * slice/join pass). */
   def repetitionSignals(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    def native(c: Column, n: Int, distinct: Boolean): Column =
-      org.apache.spark.sql.graft.ColumnBridge.column(
-        graft.expressions.WordNgrams(
-          org.apache.spark.sql.graft.ColumnBridge.expression(c),
-          n, distinct))
     val text = col(textCol)
-    val nTokens = size(native(text, 1, distinct = false))
+    val nTokens = size(Dedup.tokens(text))
     def dupFrac(n: Int): Column = {
       val total = greatest(nTokens - (n - 1), lit(0))
-      val distinctN = size(native(text, n, distinct = true))
+      val distinctN =
+        size(graft.expressions.WordNgrams.column(text, n, distinct = true))
       when(total === 0, lit(0.0))
         .otherwise(lit(1.0) - distinctN.cast("double") /
           total.cast("double"))
@@ -123,7 +119,7 @@ object CorpusOps {
     require(window > 0 && stride > 0, "window and stride must be positive")
     val bound = docs.where(col(textCol).isNotNull)
       .select(col(idCol).as("doc_id"),
-        explode(array(split(trim(col(textCol)), "\\s+"))).as("toks"))
+        explode(array(Dedup.tokens(col(textCol)))).as("toks"))
     bound
       .select(col("doc_id"), size(col("toks")).as("n"), col("toks"))
       .select(col("doc_id"),

@@ -99,10 +99,7 @@ object Dedup {
     * (~4 s of q19's 8 s at sf0.1 was index build alone). */
   def shingles(text: Column, n: Int): Column =
     coalesce(
-      org.apache.spark.sql.graft.ColumnBridge.column(
-        graft.expressions.WordNgrams(
-          org.apache.spark.sql.graft.ColumnBridge.expression(text),
-          n, distinct = true)),
+      graft.expressions.WordNgrams.column(text, n, distinct = true),
       array().cast("array<string>"))
 
   /** 1. Exact dedup: representative (min id) per content hash. */

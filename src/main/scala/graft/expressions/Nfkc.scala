@@ -14,7 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * path has no UDF serialization boundary and stays fused with the
   * surrounding expressions.
   */
-case class Nfkc(child: Expression) extends UnaryExpression {
+case class Nfkc(child: Expression) extends UnaryExpression
+    with RequiresStringInput {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "nfkc"
@@ -54,9 +55,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (children: Seq[Expression]) => children match {
-        case Seq(c, n, d) => WordNgrams(c,
-          n.eval().asInstanceOf[Number].intValue(),
-          d.eval().asInstanceOf[Boolean])
+        case Seq(c, n, d) =>
+          // n/distinct parameterize the expression itself, so they
+          // must be non-null literals — reject clearly at analysis
+          // time (a bare eval() would NPE on NULL and silently unbox
+          // a null distinct to false)
+          def litArg(e: Expression, what: String): Any = {
+            if (!e.foldable) throw new IllegalArgumentException(
+              s"word_ngrams: $what must be a literal")
+            val v = e.eval()
+            if (v == null) throw new IllegalArgumentException(
+              s"word_ngrams: $what must not be NULL")
+            v
+          }
+          val nV = litArg(n, "n") match {
+            case num: Number => num.intValue()
+            case other => throw new IllegalArgumentException(
+              s"word_ngrams: n must be an integer, got $other")
+          }
+          val dV = litArg(d, "distinct") match {
+            case b: Boolean => b
+            case other => throw new IllegalArgumentException(
+              s"word_ngrams: distinct must be a boolean, got $other")
+          }
+          WordNgrams(c, nV, dV)
         case other => throw new IllegalArgumentException(
           s"word_ngrams expects (text, n, distinct), got ${other.length}")
       }))

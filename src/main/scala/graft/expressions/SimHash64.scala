@@ -25,7 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * this compiled loop beats both.
   */
 case class SimHash64(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+    with CodegenFallback with RequiresStringInput {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "simhash64"

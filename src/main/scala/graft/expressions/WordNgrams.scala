@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     row simply contributes nothing).
   */
 case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with RequiresStringInput {
 
   require(n >= 1, "n must be >= 1")
 
@@ -94,4 +95,11 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
 object WordNgrams {
   private val ws = java.util.regex.Pattern.compile("\\s+")
   private val empty = new GenericArrayData(new Array[Any](0))
+
+  /** Column-API entry point — the one place the ColumnBridge idiom
+    * for this expression lives. */
+  def column(c: org.apache.spark.sql.Column, n: Int,
+      distinct: Boolean): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(WordNgrams(
+      org.apache.spark.sql.graft.ColumnBridge.expression(c), n, distinct))
 }

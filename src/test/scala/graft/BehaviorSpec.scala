@@ -25,6 +25,18 @@ class BehaviorSpec extends SparkSpec {
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("sessionize: null event times are dropped, not phantom sessions") {
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 7L, "view", 1.0),
+      (2L, "2024-01-01 10:10:00", 7L, "click", 1.0))
+      .unionByName(Seq((3L, 7L, "view", 1.0))
+        .toDF("event_id", "user_id", "event_type", "value")
+        .withColumn("ts", lit(null).cast("timestamp")))
+    val got = Behavior.sessionize(e, 1800)
+      .select("event_id", "session_idx").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("sessionize: sessions are per-user; stats aggregate correctly") {
     val e = events(
       (1L, "2024-01-01 10:00:00", 1L, "view", 2.0),

@@ -55,6 +55,25 @@ class WordNgramsSpec extends SparkSpec {
     assert(got.head === Seq("b a", "a b"))
   }
 
+  test("word_ngrams rejects NULL/non-literal parameters at analysis") {
+    val nullN = intercept[Exception](
+      spark.sql("SELECT word_ngrams('a b', NULL, true)"))
+    assert(nullN.getMessage.contains("must not be NULL"))
+    val nullD = intercept[Exception](
+      spark.sql("SELECT word_ngrams('a b', 2, NULL)"))
+    assert(nullD.getMessage.contains("must not be NULL"))
+    val nonLit = intercept[Exception](
+      Seq(2).toDF("n").select(expr("word_ngrams('a b', n, true)"))
+        .collect())
+    assert(nonLit.getMessage.contains("must be a literal"))
+  }
+
+  test("non-string input is an analysis error, not an executor crash") {
+    val err = intercept[Exception](
+      Seq(1L).toDF("x").select(Dedup.shingles(col("x"), 2)).collect())
+    assert(err.getMessage.toLowerCase.contains("string"))
+  }
+
   test("word_ngrams is registered as a SQL function") {
     val got = spark.sql(
       "SELECT word_ngrams('x y z', 2, true) AS g")
