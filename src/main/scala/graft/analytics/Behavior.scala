@@ -74,18 +74,27 @@ object Behavior {
           lit((i + 1).toString)).otherwise(els)
       }
     }
-    events.groupBy("user_id")
+    // non-step events cannot advance the fold, so they are dropped
+    // BEFORE the group shuffle (at corpus scale the funnel types are
+    // a sliver of the stream); users with no step events are stage 0
+    // and simply absent from the result
+    events.where(col("event_type").isin(steps: _*))
+      .groupBy("user_id")
       .agg(aggregate(sorted, lit("0"), fold).cast("int").as("stage"))
   }
 
   /** Funnel report: one row per step with the number of users whose
-    * ordered events reached at least that step. */
+    * ordered events reached at least that step. `n_users` counts every
+    * user in the stream (a map-side-combined distinct count), not just
+    * those with funnel events. */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
-    val stages = funnelStage(events, steps)
     val aggs = steps.zipWithIndex.map { case (step, i) =>
       sum((col("stage") >= i + 1).cast("long")).as(s"n_${step}")
     }
-    stages.agg(count(lit(1)).as("n_users"), aggs: _*)
+    val stepCounts = funnelStage(events, steps)
+      .agg(aggs.head, aggs.tail: _*)
+    events.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(stepCounts)
   }
 
   /** Weekly cohort retention: users bucketed by the week (Monday

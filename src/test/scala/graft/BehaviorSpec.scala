@@ -75,6 +75,19 @@ class BehaviorSpec extends SparkSpec {
     assert(f.getAs[Long]("n_purchase") === 1L)
   }
 
+  test("funnel: users with only non-step events count in n_users only") {
+    val e = events(
+      (1L, "2024-01-01 09:00:00", 1L, "error", 0.0),
+      (2L, "2024-01-01 09:01:00", 2L, "view", 0.0))
+    val f = Behavior.funnel(e, Seq("view", "click", "purchase")).collect()(0)
+    assert(f.getAs[Long]("n_users") === 2L)
+    assert(f.getAs[Long]("n_view") === 1L)
+    // and funnelStage omits the step-less user entirely
+    val stages = Behavior.funnelStage(e, Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(stages === Map(2L -> 1))
+  }
+
   test("funnel: a user whose first matching step is later still counts") {
     val e = events(
       (1L, "2024-01-01 09:00:00", 1L, "error", 0.0),
