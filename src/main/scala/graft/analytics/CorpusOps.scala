@@ -82,6 +82,37 @@ object CorpusOps {
           col("n_shingles").cast("double"))
   }
 
+  /** Map-only decontamination via a broadcast Bloom filter of the
+    * bench shingle set — the shape for when the corpus is 100 TB but
+    * the eval suite is not: a few hundred MB of Bloom bits replace
+    * the shingle equi-join ([[contamination]]) with a pure map pass
+    * over the corpus, no shuffle of corpus shingles at all.
+    *
+    * One-sided error: no false negatives (every truly contaminated
+    * shingle is counted), false positives bounded by `fpp` — the
+    * reported fraction is an upper bound on the exact join's, which
+    * is the safe direction for a decontamination gate. The membership
+    * probe is a Scala UDF: Bloom membership has no public built-in
+    * Column function, and the probe is a leaf predicate with no
+    * expression fusion to lose.
+    */
+  def contaminationBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      expectedBenchShingles: Long, fpp: Double): DataFrame = {
+    val bloom = Dedup.shingleIndex(bench, idCol, textCol, n)
+      .stat.bloomFilter("shingle", expectedBenchShingles, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val hit = udf((s: String) =>
+      if (s == null) false else bc.value.mightContainString(s))
+    Dedup.shingleIndex(corpus, idCol, textCol, n)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(hit(col("shingle")).cast("long")).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double"))
+  }
+
   /** Concat-and-split sequence packing over chunked documents: chunks
     * are laid end to end in (doc_id, chunk_idx) order within a shard
     * and a chunk belongs to the training sequence where its first

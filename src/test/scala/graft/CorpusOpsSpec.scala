@@ -83,6 +83,26 @@ class CorpusOpsSpec extends SparkSpec {
     assert(h0 !== h1)
   }
 
+  test("contaminationBloom: upper-bounds the exact join, no false negatives") {
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def doc() = Seq.fill(12)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val corpus = (1L to 40L).map(i => (i, doc())).toDF("doc_id", "text")
+    val bench = (100L to 104L).map(i => (i, doc())).toDF("doc_id", "text")
+    val exact = CorpusOps.contamination(corpus, bench, "doc_id", "text", 3)
+      .select("doc_id", "n_shingles", "n_contaminated")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val bloom = CorpusOps.contaminationBloom(corpus, bench, "doc_id",
+        "text", 3, expectedBenchShingles = 100, fpp = 0.001)
+      .select("doc_id", "n_shingles", "n_contaminated")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(bloom.keySet === exact.keySet)
+    for ((id, (nSh, nCont)) <- exact) {
+      assert(bloom(id)._1 === nSh)
+      assert(bloom(id)._2 >= nCont, s"false negative for doc $id")
+    }
+  }
+
   test("packSequences: fills to budget, splits at the running sum") {
     // 5 chunks of 30 tokens in one shard (doc_ids ≡ 0 mod 4):
     // cum_excl 0,30,60,90,120 with budget 64 → seqs 0,0,0 | 1,1

@@ -43,6 +43,22 @@ class WordNgramsSpec extends SparkSpec {
     }
   }
 
+  test("native shingles match the HOF formulation on a random sweep") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab \t\n  cde  "
+    val sweep = Seq.fill(400)(
+      (0 until rnd.nextInt(30)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (n <- Seq(1, 2, 3)) {
+      val df = sweep.toDF("s")
+      val got = df.select(Dedup.shingles(col("s"), n)).as[Seq[String]]
+        .collect()
+      val want = df.select(hofShingles(col("s"), n)).as[Seq[String]]
+        .collect()
+      assert(got.toSeq === want.toSeq, s"n=$n")
+    }
+  }
+
   test("null text yields an empty array (explode-compatible)") {
     val got = Seq(Option.empty[String]).toDF("s")
       .select(Dedup.shingles(col("s"), 3)).as[Seq[String]].collect()
