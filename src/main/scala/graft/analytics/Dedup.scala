@@ -340,21 +340,25 @@ object Dedup {
     while (!converged && i < maxIter) {
       // large-star: for every node u, attach each strictly-larger
       // neighbor v to m = min(Γ(u) ∪ {u}); u's view covers each edge
-      // from its smaller endpoint, so the result is again larger-first
+      // from its smaller endpoint, so the result is again larger-first.
+      // Neighborhood minima come from a window over the same partition
+      // the rows already need — one exchange, not a groupBy + join-back
+      // pair re-shuffling both sides
+      val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
       val bidir = edges.select(col("x").as("u"), col("y").as("v"))
         .unionByName(edges.select(col("y").as("u"), col("x").as("v")))
-      val mins = bidir.groupBy("u")
-        .agg(least(min(col("v")), first(col("u"))).as("m"))
-      val large = bidir.join(mins, Seq("u"))
+      val large = bidir
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
         .where(col("v") > col("u"))
         .select(col("v").as("x"), col("m").as("y")).distinct()
       // small-star: edges are (x, y) with y < x; attach x and all its
       // smaller neighbors to m = min of them
-      val sMins = large.groupBy("x").agg(min(col("y")).as("m"))
-      val small = large.join(sMins, Seq("x"))
+      val wX = org.apache.spark.sql.expressions.Window.partitionBy("x")
+      val withMin = large.withColumn("m", min(col("y")).over(wX))
+      val small = withMin
         .where(col("y") =!= col("m"))
         .select(col("y").as("x"), col("m").as("y"))
-        .unionByName(sMins.select(col("x"), col("m").as("y")))
+        .unionByName(withMin.select(col("x"), col("m").as("y")))
         .distinct()
       // both sides are distinct sets, so equal counts + one-sided
       // containment ⇒ equality; the count gate (a metadata-cheap job
