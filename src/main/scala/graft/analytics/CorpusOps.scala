@@ -82,6 +82,19 @@ object CorpusOps {
           col("n_shingles").cast("double"))
   }
 
+  /** URL curation for web corpora: host/TLD extraction plus a
+    * blocklist gate. Map-only — `parse_url` is a built-in expression,
+    * the blocklist is a literal `isin` for small lists (swap for a
+    * broadcast join or Bloom probe when it grows). Malformed URLs
+    * yield null host (`try_parse_url`; plain `parse_url` raises under
+    * ANSI) and are flagged rather than dropped. */
+  def urlFacets(urls: Column, blockedTlds: Seq[String]): Seq[Column] = {
+    val host = try_parse_url(urls, lit("HOST"))
+    val tld = element_at(split(host, "\\."), -1)
+    Seq(host.as("host"), tld.as("tld"),
+      (host.isNull || tld.isin(blockedTlds: _*)).as("blocked"))
+  }
+
   /** Map-only decontamination via a broadcast Bloom filter of the
     * bench shingle set — the shape for when the corpus is 100 TB but
     * the eval suite is not: a few hundred MB of Bloom bits replace

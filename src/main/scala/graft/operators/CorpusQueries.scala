@@ -177,6 +177,42 @@ object CorpusQueries {
         .select(col("shard").cast("long").as("shard"), col("seq_id"),
           col("n_chunks"), col("n_tokens"), col("n_docs"))
         .orderBy("shard", "seq_id")
+    },
+
+    // URL curation: host/TLD facets + blocklist gate over synthetic
+    // source URLs (the corpus carries none; doc_id-derived URLs — a
+    // sliver malformed on purpose — exercise the real parse path).
+    Q("q73_url_curation", Some("""
+      WITH urls AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 13 = 0 THEN 'not a url'
+               ELSE concat('https://', source,
+                 CASE WHEN doc_id % 7 = 0 THEN '.biz' ELSE '.org' END,
+                 '/doc/', doc_id) END AS url
+        FROM documents
+      ), facets AS (
+        SELECT doc_id,
+          NULLIF(regexp_extract(url, '^[a-z]+://([^/:]+)', 1), '')
+            AS host,
+          NULLIF(regexp_extract(NULLIF(regexp_extract(url,
+            '^[a-z]+://([^/:]+)', 1), ''), '([^.]+)$', 1), '') AS tld
+        FROM urls
+      )
+      SELECT tld, (host IS NULL OR tld IN ('biz')) AS blocked,
+        CAST(count(*) AS BIGINT) AS n_urls,
+        CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+      FROM facets GROUP BY 1, 2
+      ORDER BY tld NULLS FIRST, blocked""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val url = when(col("doc_id") % 13 === 0, lit("not a url"))
+        .otherwise(concat(lit("https://"), col("source"),
+          when(col("doc_id") % 7 === 0, lit(".biz")).otherwise(lit(".org")),
+          lit("/doc/"), col("doc_id").cast("string")))
+      d.select(CorpusOps.urlFacets(url, blockedTlds = Seq("biz")): _*)
+        .groupBy("tld", "blocked")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy(col("tld").asc_nulls_first, col("blocked"))
     }
   )
 }

@@ -83,6 +83,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(h0 !== h1)
   }
 
+  test("urlFacets: host/tld extraction and blocklist gate") {
+    val got = Seq("https://sub.example.org/p?x=1", "https://spam.biz/x",
+        "not a url")
+      .toDF("url")
+      .select(CorpusOps.urlFacets(col("url"), Seq("biz")): _*)
+      .collect()
+    assert(got(0).getAs[String]("host") === "sub.example.org")
+    assert(got(0).getAs[String]("tld") === "org")
+    assert(got(0).getAs[Boolean]("blocked") === false)
+    assert(got(1).getAs[String]("tld") === "biz")
+    assert(got(1).getAs[Boolean]("blocked") === true)
+    assert(got(2).getAs[String]("host") === null)
+    assert(got(2).getAs[Boolean]("blocked") === true)
+  }
+
   test("contaminationBloom: upper-bounds the exact join, no false negatives") {
     val rnd = new scala.util.Random(3)
     val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
