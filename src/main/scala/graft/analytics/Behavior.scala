@@ -85,16 +85,21 @@ object Behavior {
 
   /** Funnel report: one row per step with the number of users whose
     * ordered events reached at least that step. `n_users` counts every
-    * user in the stream (a map-side-combined distinct count), not just
-    * those with funnel events. */
+    * distinct user in the stream — including a null-user group, which
+    * `countDistinct` would drop while the stage sums kept it — not
+    * just users with funnel events; step counts are 0 (not null) when
+    * no event matches any step. */
   def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val users = events.select("user_id").distinct()
+      .agg(count(lit(1)).as("n_users"))
+    if (steps.isEmpty) return users
     val aggs = steps.zipWithIndex.map { case (step, i) =>
-      sum((col("stage") >= i + 1).cast("long")).as(s"n_${step}")
+      coalesce(sum((col("stage") >= i + 1).cast("long")), lit(0L))
+        .as(s"n_${step}")
     }
     val stepCounts = funnelStage(events, steps)
       .agg(aggs.head, aggs.tail: _*)
-    events.agg(countDistinct(col("user_id")).as("n_users"))
-      .crossJoin(stepCounts)
+    users.crossJoin(stepCounts)
   }
 
   /** Weekly cohort retention: users bucketed by the week (Monday

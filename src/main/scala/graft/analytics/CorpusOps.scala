@@ -73,14 +73,21 @@ object CorpusOps {
     val benchSh = Dedup.shingleIndex(bench, idCol, textCol, n)
       .select("shingle").distinct()
       .withColumn("hit", lit(1L))
-    corpusSh.join(benchSh, Seq("shingle"), "left")
-      .groupBy("doc_id")
+    contaminationTail(corpusSh.join(benchSh, Seq("shingle"), "left"),
+      coalesce(col("hit"), lit(0L)))
+  }
+
+  /** Shared per-doc aggregation of an indexed (doc_id, shingle [, …])
+    * frame with a 0/1 hit column: shingle count, contaminated count,
+    * and their ratio. */
+  private def contaminationTail(indexed: DataFrame,
+      hit: Column): DataFrame =
+    indexed.groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        sum(hit.cast("long")).as("n_contaminated"))
       .withColumn("contamination",
         col("n_contaminated").cast("double") /
           col("n_shingles").cast("double"))
-  }
 
   /** URL curation for web corpora: host/TLD extraction plus a
     * blocklist gate. Map-only — `parse_url` is a built-in expression,
@@ -90,9 +97,11 @@ object CorpusOps {
     * ANSI) and are flagged rather than dropped. */
   def urlFacets(urls: Column, blockedTlds: Seq[String]): Seq[Column] = {
     val host = try_parse_url(urls, lit("HOST"))
-    val tld = element_at(split(host, "\\."), -1)
-    Seq(host.as("host"), tld.as("tld"),
-      (host.isNull || tld.isin(blockedTlds: _*)).as("blocked"))
+    val tld = substring_index(host, ".", -1)
+    // case-insensitive gate: 'SPAM.BIZ' must not evade a 'biz' block
+    val blocked = host.isNull ||
+      lower(tld).isin(blockedTlds.map(_.toLowerCase): _*)
+    Seq(host.as("host"), tld.as("tld"), blocked.as("blocked"))
   }
 
   /** Map-only decontamination via a broadcast Bloom filter of the
@@ -117,13 +126,8 @@ object CorpusOps {
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val hit = udf((s: String) =>
       if (s == null) false else bc.value.mightContainString(s))
-    Dedup.shingleIndex(corpus, idCol, textCol, n)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(hit(col("shingle")).cast("long")).as("n_contaminated"))
-      .withColumn("contamination",
-        col("n_contaminated").cast("double") /
-          col("n_shingles").cast("double"))
+    contaminationTail(Dedup.shingleIndex(corpus, idCol, textCol, n),
+      hit(col("shingle")).cast("long"))
   }
 
   /** Concat-and-split sequence packing over chunked documents: chunks

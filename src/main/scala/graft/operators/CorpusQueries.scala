@@ -198,7 +198,7 @@ object CorpusQueries {
             '^[a-z]+://([^/:]+)', 1), ''), '([^.]+)$', 1), '') AS tld
         FROM urls
       )
-      SELECT tld, (host IS NULL OR tld IN ('biz')) AS blocked,
+      SELECT tld, (host IS NULL OR lower(tld) IN ('biz')) AS blocked,
         CAST(count(*) AS BIGINT) AS n_urls,
         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
       FROM facets GROUP BY 1, 2

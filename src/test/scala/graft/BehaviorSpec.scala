@@ -88,6 +88,34 @@ class BehaviorSpec extends SparkSpec {
     assert(stages === Map(2L -> 1))
   }
 
+  test("funnel: zero step counts (not null) when no step events exist") {
+    val e = events((1L, "2024-01-01 09:00:00", 1L, "error", 0.0))
+    val f = Behavior.funnel(e, Seq("view", "click", "purchase")).collect()(0)
+    assert(f.getAs[Long]("n_users") === 1L)
+    assert(f.getAs[Long]("n_view") === 0L)
+    assert(f.getAs[Long]("n_purchase") === 0L)
+  }
+
+  test("funnel: a null-user group counts as one user") {
+    val e = events((1L, "2024-01-01 09:00:00", 1L, "view", 0.0))
+      .unionByName(Seq(("2024-01-01 09:01:00", "view"))
+        .toDF("tss", "event_type")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+        .withColumn("event_id", lit(2L))
+        .withColumn("user_id", lit(null).cast("long"))
+        .withColumn("value", lit(0.0))
+        .select("event_id", "user_id", "event_type", "value", "ts"))
+    val f = Behavior.funnel(e, Seq("view", "click", "purchase")).collect()(0)
+    assert(f.getAs[Long]("n_users") === 2L)
+    assert(f.getAs[Long]("n_view") === 2L)
+  }
+
+  test("funnel: empty step list degenerates to the user count") {
+    val e = events((1L, "2024-01-01 09:00:00", 1L, "view", 0.0))
+    val f = Behavior.funnel(e, Seq.empty).collect()(0)
+    assert(f.getAs[Long]("n_users") === 1L)
+  }
+
   test("funnel: a user whose first matching step is later still counts") {
     val e = events(
       (1L, "2024-01-01 09:00:00", 1L, "error", 0.0),

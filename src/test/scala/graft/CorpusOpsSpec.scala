@@ -98,6 +98,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2).getAs[Boolean]("blocked") === true)
   }
 
+  test("urlFacets: blocklist gate is case-insensitive") {
+    val got = Seq("https://SPAM.BIZ/x")
+      .toDF("url")
+      .select(CorpusOps.urlFacets(col("url"), Seq("biz")): _*)
+      .collect()
+    assert(got(0).getAs[Boolean]("blocked") === true)
+  }
+
   test("contaminationBloom: upper-bounds the exact join, no false negatives") {
     val rnd = new scala.util.Random(3)
     val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
