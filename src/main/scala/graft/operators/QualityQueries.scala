@@ -73,6 +73,109 @@ anomalies:
     severity: critical
 """
 
+  /** The reference's `custom_validations` block VERBATIM
+    * (`.github/workflows/data-quality.yml:298-325`) — named SQL
+    * validations the task requires matching, run over star-schema
+    * views derived from the corpus tables. */
+  val refCustomYaml: String = """
+custom_validations:
+  - name: "soil_texture_composition"
+    description: "Clay + Sand + Silt should equal 100% (±5%)"
+    sql: |
+      SELECT location_key, extraction_date
+      FROM dim_soil
+      WHERE ABS((COALESCE(clay_content_0_5cm, 0) +
+                 COALESCE(sand_content_0_5cm, 0) +
+                 COALESCE(silt_content_0_5cm, 0)) - 100) > 5
+    severity: warning
+
+  - name: "crop_temperature_range"
+    description: "Crop max temp should be greater than min temp"
+    sql: |
+      SELECT crop_key, crop_name
+      FROM dim_crop
+      WHERE temp_max_c <= temp_min_c
+    severity: critical
+
+  - name: "future_weather_data"
+    description: "Weather data should not be from the future"
+    sql: |
+      SELECT location_key, date_key
+      FROM fact_weather
+      WHERE date_key > CURRENT_DATE
+    severity: critical
+"""
+
+  /** Rule document exercising `monitoring.metrics`
+    * (`data-quality.yml:327-341`): the reference's three metric
+    * declarations verbatim, plus the `date_columns` lake extension
+    * (the reference's runner knows each table's date column a priori)
+    * and a completeness section feeding the score / completeness
+    * metrics. Alert routing (`alerts:`) is operational and out of
+    * scope. */
+  val monitoringYaml: String = """
+completeness:
+  fact_soil:
+    threshold_percent: 95.0
+    columns: [moisture, ph]
+  fact_weather:
+    threshold_percent: 99.0
+    columns: [temp_c]
+monitoring:
+  metrics:
+    - name: "daily_record_count"
+      tables: [fact_weather, fact_soil]
+      schedule: "0 9 * * *"
+      date_columns:
+        fact_weather: date_key
+        fact_soil: sample_date
+    - name: "weekly_quality_score"
+      schedule: "0 9 * * 1"
+    - name: "monthly_completeness_report"
+      schedule: "0 9 1 * *"
+"""
+
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+
+  /** dim_soil / dim_crop / fact_weather star views derived
+    * deterministically from the corpus tables (integer arithmetic
+    * only, so Spark and the DuckDB oracle agree bit-for-bit), with
+    * violations of all three custom validations injected:
+    * composition off by (p_partkey%15)-7 (violating when |Δ|>5, plus
+    * null clay every 13th part), temp_max ⋚ temp_min as independent
+    * moduli, and weather dates pushed up to 39 years forward. */
+  private def starViews(s: SparkSession, dir: String)
+      : Map[String, DataFrame] = {
+    val part = Tables.load(s, dir, "part")
+    val orders = Tables.load(s, dir, "orders")
+    val dimSoil = part.select(
+      col("p_partkey").as("location_key"),
+      date_add(lit("2025-01-01").cast("date"),
+        (col("p_partkey") % 28).cast("int")).as("extraction_date"),
+      when(col("p_partkey") % 13 === 0, lit(null).cast("double"))
+        .otherwise(((col("p_partkey") * 3) % 60).cast("double"))
+        .as("clay_content_0_5cm"),
+      ((col("p_size") * 7) % 60).cast("double")
+        .as("sand_content_0_5cm"),
+      (lit(100) - (col("p_partkey") * 3) % 60 -
+        (col("p_size") * 7) % 60 + col("p_partkey") % 15 - 7)
+        .cast("double").as("silt_content_0_5cm"))
+    val dimCrop = part.select(
+      col("p_partkey").as("crop_key"),
+      col("p_name").as("crop_name"),
+      (col("p_size") % 30).cast("double").as("temp_min_c"),
+      (col("p_partkey") % 37).cast("double").as("temp_max_c"))
+    val factWeather = orders.select(
+      col("o_custkey").as("location_key"),
+      date_add(col("o_orderdate").cast("date"),
+        ((col("o_orderkey") % 40) * 365).cast("int")).as("date_key"),
+      when(col("o_orderkey") % 17 === 0, lit(null).cast("double"))
+        .otherwise((col("o_orderkey") % 45).cast("double"))
+        .as("temp_c"))
+    Map("dim_soil" -> dimSoil, "dim_crop" -> dimCrop,
+      "fact_weather" -> factWeather)
+  }
+
   val all: Seq[Q] = Seq(
     Q("q36_quality_report", Some("""
       WITH r AS (
@@ -282,6 +385,135 @@ etl_gates:
           Map("events" -> ev, "etl_audit_log" -> audit),
           QualityConfig.parse(gatesYaml), lit("2026-01-01").cast("date"))
         .orderBy("rule_name")
+    },
+
+    // The reference's three custom_validations run verbatim (their SQL
+    // via spark.sql over the derived star views; CURRENT_DATE bound to
+    // the suite's asOf date). Oracle re-derives the views as CTEs and
+    // recomputes each violation count.
+    Q("q74_custom_validations", Some("""
+      WITH dim_soil AS (
+        SELECT p_partkey AS location_key,
+          CASE WHEN p_partkey % 13 = 0 THEN NULL
+               ELSE CAST((p_partkey * 3) % 60 AS DOUBLE) END
+            AS clay_content_0_5cm,
+          CAST((p_size * 7) % 60 AS DOUBLE) AS sand_content_0_5cm,
+          CAST(100 - (p_partkey * 3) % 60 - (p_size * 7) % 60
+               + p_partkey % 15 - 7 AS DOUBLE) AS silt_content_0_5cm
+        FROM part),
+      dim_crop AS (
+        SELECT p_partkey AS crop_key, p_name AS crop_name,
+          CAST(p_size % 30 AS DOUBLE) AS temp_min_c,
+          CAST(p_partkey % 37 AS DOUBLE) AS temp_max_c
+        FROM part),
+      fact_weather AS (
+        SELECT o_custkey AS location_key,
+          CAST(o_orderdate AS DATE)
+            + CAST((o_orderkey % 40) * 365 AS INT) AS date_key
+        FROM orders),
+      r AS (
+        SELECT 'custom_crop_temperature_range' AS rule_name,
+          'dim_crop' AS table_name, 'critical' AS severity,
+          (SELECT count(*) FROM dim_crop
+           WHERE temp_max_c <= temp_min_c) AS n_violations,
+          (SELECT count(*) FROM dim_crop) AS n_rows
+        UNION ALL SELECT 'custom_future_weather_data', 'fact_weather',
+          'critical',
+          (SELECT count(*) FROM fact_weather
+           WHERE date_key > DATE '2026-01-01'),
+          (SELECT count(*) FROM fact_weather)
+        UNION ALL SELECT 'custom_soil_texture_composition', 'dim_soil',
+          'warning',
+          (SELECT count(*) FROM dim_soil
+           WHERE ABS((COALESCE(clay_content_0_5cm, 0) +
+                      COALESCE(sand_content_0_5cm, 0) +
+                      COALESCE(silt_content_0_5cm, 0)) - 100) > 5),
+          (SELECT count(*) FROM dim_soil))
+      SELECT rule_name, table_name, severity,
+        CAST(n_violations AS BIGINT) AS n_violations,
+        CAST(n_rows AS BIGINT) AS n_rows,
+        n_violations = 0 AS passed
+      FROM r ORDER BY rule_name""")) { (s, dir) =>
+      QualitySuite.report(s, starViews(s, dir),
+          QualityConfig.parse(refCustomYaml),
+          lit("2026-01-01").cast("date"))
+        .orderBy("rule_name")
+    },
+
+    // monitoring.metrics compiled and computed: per-day record counts,
+    // the suite's pass-rate score, and per-column completeness
+    // percentages (all double math is count arithmetic — exact and
+    // engine-portable).
+    Q("q76_monitoring_metrics", Some("""
+      WITH fact_weather AS (
+        SELECT o_custkey AS location_key,
+          CAST(o_orderdate AS DATE)
+            + CAST((o_orderkey % 40) * 365 AS INT) AS date_key,
+          CASE WHEN o_orderkey % 17 = 0 THEN NULL
+               ELSE CAST(o_orderkey % 45 AS DOUBLE) END AS temp_c
+        FROM orders),
+      fact_soil AS (
+        SELECT l_suppkey AS location_key,
+          CAST(l_shipdate AS DATE) AS sample_date,
+          CASE WHEN l_orderkey % 11 = 0 THEN NULL
+               ELSE CAST(l_linenumber AS DOUBLE) END AS moisture,
+          CASE WHEN l_partkey % 29 = 0 THEN NULL
+               ELSE 6.5 END AS ph
+        FROM lineitem),
+      m AS (
+        SELECT 'daily_record_count' AS metric_name,
+          'fact_weather' AS target, CAST(date_key AS VARCHAR) AS bucket,
+          CAST(count(*) AS DOUBLE) AS metric_value
+        FROM fact_weather GROUP BY date_key
+        UNION ALL
+        SELECT 'daily_record_count', 'fact_soil',
+          CAST(sample_date AS VARCHAR), CAST(count(*) AS DOUBLE)
+        FROM fact_soil GROUP BY sample_date
+        UNION ALL
+        SELECT 'weekly_quality_score', '(all)', '2026-01-01',
+          CAST((CASE WHEN (SELECT CAST(count(moisture) AS DOUBLE) * 100.0
+                           / count(*) FROM fact_soil) >= 95.0
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN (SELECT CAST(count(ph) AS DOUBLE) * 100.0
+                           / count(*) FROM fact_soil) >= 95.0
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN (SELECT CAST(count(temp_c) AS DOUBLE) * 100.0
+                           / count(*) FROM fact_weather) >= 99.0
+                THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / 3
+        UNION ALL
+        SELECT 'monthly_completeness_report', 'fact_soil.moisture',
+          '2026-01-01',
+          (SELECT CAST(count(moisture) AS DOUBLE) * 100.0 / count(*)
+           FROM fact_soil)
+        UNION ALL
+        SELECT 'monthly_completeness_report', 'fact_soil.ph',
+          '2026-01-01',
+          (SELECT CAST(count(ph) AS DOUBLE) * 100.0 / count(*)
+           FROM fact_soil)
+        UNION ALL
+        SELECT 'monthly_completeness_report', 'fact_weather.temp_c',
+          '2026-01-01',
+          (SELECT CAST(count(temp_c) AS DOUBLE) * 100.0 / count(*)
+           FROM fact_weather))
+      SELECT metric_name, target, bucket, metric_value
+      FROM m ORDER BY metric_name, target, bucket""")) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val factSoil = li.select(
+        col("l_suppkey").as("location_key"),
+        col("l_shipdate").cast("date").as("sample_date"),
+        when(col("l_orderkey") % 11 === 0, lit(null).cast("double"))
+          .otherwise(col("l_linenumber").cast("double")).as("moisture"),
+        when(col("l_partkey") % 29 === 0, lit(null).cast("double"))
+          .otherwise(lit(6.5)).as("ph"))
+      val tables = Map(
+        "fact_weather" -> starViews(s, dir)("fact_weather"),
+        "fact_soil" -> factSoil)
+      val rules = QualityConfig.parse(monitoringYaml)
+      val defs = QualityConfig.parseMetrics(monitoringYaml)
+      val asOf = lit("2026-01-01").cast("date")
+      val rep = QualitySuite.report(s, tables, rules, asOf)
+      QualitySuite.metrics(s, tables, defs, rules, rep, asOf)
+        .orderBy("metric_name", "target", "bucket")
     }
   )
 }

@@ -65,6 +65,34 @@ final case class AnomalyRule(table: String, ruleName: String,
     condition: String, severity: String) extends Rule {
   def name = s"anomaly_$ruleName"
 }
+/** Named SQL validation (`data-quality.yml:298-325` `custom_validations`):
+  * a SELECT returning the violating rows, run verbatim via `spark.sql`
+  * over the suite's tables registered as temp views. The violation
+  * count is the returned row count. `CURRENT_DATE` in the SQL is bound
+  * to the suite's `asOf` date, which makes the check reproducible and
+  * backfillable (the reference's `future_weather_data` rule is
+  * wall-clock-dependent as written). `table` is the first FROM target,
+  * used for the report's table_name / n_rows columns. */
+final case class CustomSqlRule(ruleName: String, sql: String,
+    severity: String) extends Rule {
+  def name = s"custom_$ruleName"
+  val table: String = CustomSqlRule.fromTable(sql).getOrElse("(sql)")
+}
+object CustomSqlRule {
+  private val From = "(?is).*?\\bfrom\\s+([a-z_][a-z0-9_]*)".r
+  def fromTable(sql: String): Option[String] =
+    From.findFirstMatchIn(sql).map(_.group(1).toLowerCase)
+}
+/** Monitoring metric (`data-quality.yml:327-341` `monitoring.metrics`):
+  * a named metric query over the suite's tables and/or its own report.
+  * The cron `schedule` and the `alerts` routing block are operational
+  * concerns (they belong to whatever invokes the suite) and are
+  * deliberately not compiled — only the metric computation is engine
+  * surface. `dateColumns` is the same lake extension freshness uses:
+  * the reference's runner knows each table's date column a priori.
+  */
+final case class MetricDef(metricName: String, tables: Seq[String],
+    schedule: String, dateColumns: Map[String, String])
 /** ETL pipeline quality gate (`data-quality.yml:346-361` `etl_gates`):
   * a per-phase threshold evaluated against the audit table (extract /
   * load phases) or against the rest of the report itself (transform
@@ -152,16 +180,32 @@ object QualityConfig {
         rules += FreshnessRule(table, dc, days)
     }
     for ((table, cObj) <- root.get("completeness").map(m)
-        .getOrElse(Map()) if table != "global_threshold") {
-      val c = m(cObj)
-      val threshold = d(c("threshold_percent"))
-      for (colName <- l(c("columns")))
-        rules += CompletenessRule(table, colName.toString, threshold)
+        .getOrElse(Map())) table match {
+      // `global_threshold` is a settings-level default for tables the
+      // config doesn't name — there is no table list to apply it to at
+      // parse time, so it stays declarative
+      case "global_threshold" => ()
+      // the reference's shape: per-table thresholds with no column
+      // list → ONE whole-table rule (column "*", the non-null ratio
+      // over every column of the table at run time)
+      case "table_thresholds" =>
+        for ((t, pct) <- m(cObj))
+          rules += CompletenessRule(t, "*", d(pct))
+      case _ =>
+        val c = m(cObj)
+        val threshold = d(c("threshold_percent"))
+        for (colName <- l(c("columns")))
+          rules += CompletenessRule(table, colName.toString, threshold)
     }
     for ((ruleName, aObj) <- root.get("anomalies").map(m).getOrElse(Map())) {
       val a = m(aObj)
       rules += AnomalyRule(a("table").toString, ruleName,
         a("condition").toString, a("severity").toString)
+    }
+    for (cvObj <- root.get("custom_validations").map(l).getOrElse(Nil)) {
+      val cv = m(cvObj)
+      rules += CustomSqlRule(cv("name").toString, cv("sql").toString,
+        cv.get("severity").map(_.toString).getOrElse("warning"))
     }
     for ((phase, gObj) <- root.get("etl_gates").map(m).getOrElse(Map());
         (metric, v) <- m(gObj))
@@ -171,6 +215,30 @@ object QualityConfig {
         case other => other.toDouble
       })
     rules.result()
+  }
+
+  /** Parse `monitoring.metrics` into [[MetricDef]]s. `tables` is
+    * optional (score / completeness metrics range over the whole
+    * suite); `date_columns` is the lake extension mapping each table
+    * to its event-date column for daily bucketing. */
+  def parseMetrics(yaml: String): Seq[MetricDef] = {
+    val root = new org.yaml.snakeyaml.Yaml()
+      .load[java.util.Map[String, Object]](yaml).asScala
+    def m(o: Object): collection.Map[String, Object] =
+      o.asInstanceOf[java.util.Map[String, Object]].asScala
+    def l(o: Object): Seq[Object] =
+      o.asInstanceOf[java.util.List[Object]].asScala.toSeq
+    for (mObj <- root.get("monitoring").map(m)
+        .flatMap(_.get("metrics")).map(l).getOrElse(Nil).toSeq) yield {
+      val mm = m(mObj)
+      MetricDef(
+        mm("name").toString,
+        mm.get("tables").map(l).getOrElse(Nil).map(_.toString),
+        mm.get("schedule").map(_.toString).getOrElse(""),
+        mm.get("date_columns").map(m).getOrElse(Map()).map {
+          case (k, v) => k -> v.toString
+        }.toMap)
+    }
   }
 }
 
@@ -188,12 +256,37 @@ object QualitySuite {
     *   - anomaly: rows where the (window-capable) condition is true
     */
   def violationCount(spark: SparkSession, tables: Map[String, DataFrame],
-      rule: Rule, asOf: Column): (Long, Long) = {
+      rule: Rule, asOf: Column): (Long, Long) = rule match {
+    case CustomSqlRule(_, sqlText, _) =>
+      tables.foreach { case (n, t) => t.createOrReplaceTempView(n) }
+      val v = spark.sql(bindAsOf(spark, sqlText, asOf)).count()
+      (v, tables.get(rule.table).map(_.count()).getOrElse(v))
+    case _ => violationCountBase(spark, tables, rule, asOf)
+  }
+
+  /** Bind `CURRENT_DATE` in a custom-validation SQL to the suite's
+    * `asOf` date (rendered once — a scalar, not data). A wall-clock
+    * CURRENT_DATE would make the suite non-reproducible and
+    * non-backfillable. */
+  private def bindAsOf(spark: SparkSession, sql: String,
+      asOf: Column): String = {
+    lazy val lit = spark.range(1)
+      .select(asOf.cast("date").cast("string")).head.getString(0)
+    "(?i)\\bCURRENT_DATE\\b".r.replaceAllIn(sql, _ => s"DATE'$lit'")
+  }
+
+  private def violationCountBase(spark: SparkSession,
+      tables: Map[String, DataFrame], rule: Rule,
+      asOf: Column): (Long, Long) = {
     val df = tables(rule.table)
     // fusable rules share the aggExpr definitions (one source of truth
     // for the semantics; also null-safe on empty tables, where the
     // old collect-and-unbox forms NPE'd)
-    aggExpr(rule, asOf) match {
+    (rule match {
+      case CompletenessRule(_, "*", pct) =>
+        Some(wholeTableCompletenessAgg(df, pct))
+      case r => aggExpr(r, asOf)
+    }) match {
       case Some(e) =>
         val row = df.agg(count(lit(1)).as("__t"), e.as("__v")).collect()(0)
         (row.getLong(1), row.getLong(0))
@@ -275,6 +368,19 @@ object QualitySuite {
   private def anomalyAgg(cond: String): Column =
     coalesce(sum(when(coalesce(expr(cond), lit(false)), 1L)), lit(0L))
 
+  /** Whole-table completeness (the reference's `table_thresholds`
+    * shape, compiled as column "*"): non-null cells ×100 / total cells
+    * across every column, 0/1 against the threshold. Needs the frame's
+    * schema, so it can't live in [[aggExpr]]. */
+  private def wholeTableCompletenessAgg(df: DataFrame,
+      pct: Double): Column = {
+    val nonNull = df.columns.toSeq
+      .map(c => count(col(c)).cast("double")).reduce(_ + _)
+    when(nonNull * lit(100.0) /
+      (count(lit(1)) * lit(df.columns.length.toDouble)) < pct, 1L)
+      .otherwise(0L)
+  }
+
   /** Run every rule and return the quality report as a DataFrame:
     * (rule_name, table_name, severity, n_violations, n_rows, passed).
     *
@@ -287,8 +393,15 @@ object QualitySuite {
     */
   def report(spark: SparkSession, tables: Map[String, DataFrame],
       rules: Seq[Rule], asOf: Column): DataFrame = {
-    val (gateRules, baseRules) = rules.partition(_.isInstanceOf[GateRule])
+    val (gateRules, rest) = rules.partition(_.isInstanceOf[GateRule])
+    val (customRules, baseRules) =
+      rest.partition(_.isInstanceOf[CustomSqlRule])
     val results = scala.collection.mutable.Map[String, (Long, Long)]()
+    // custom SQL validations run their own spark.sql job (arbitrary
+    // SELECTs can't fuse into the per-table scan); they still count as
+    // validations for the transform-phase meta-gates below
+    for (r <- customRules)
+      results(r.name) = violationCount(spark, tables, r, asOf)
     for ((table, tableRules) <- baseRules.groupBy(_.table)) {
       val df = tables(table)
       // plain-predicate anomalies join the fused single scan; window/
@@ -296,6 +409,8 @@ object QualitySuite {
       val fused = tableRules.flatMap {
         case r @ AnomalyRule(_, _, cond, _) if fusableAnomaly(df, cond) =>
           Some(r -> anomalyAgg(cond))
+        case r @ CompletenessRule(_, "*", pct) =>
+          Some(r -> wholeTableCompletenessAgg(df, pct))
         case r => aggExpr(r, asOf).map(r -> _)
       }
       if (fused.nonEmpty) {
@@ -313,7 +428,7 @@ object QualitySuite {
     results ++= evalGates(
       gateRules.collect { case g: GateRule => g },
       tables.get("etl_audit_log"),
-      baseRules.map(r => r -> results(r.name)))
+      (baseRules ++ customRules).map(r => r -> results(r.name)))
     val rows = rules.map { r =>
       val (v, n) = results(r.name)
       (r.name, r.table, r.severity, v, n, v == 0L)
@@ -321,6 +436,83 @@ object QualitySuite {
     spark.createDataFrame(rows)
       .toDF("rule_name", "table_name", "severity", "n_violations",
         "n_rows", "passed")
+  }
+
+  /** Compute `monitoring.metrics` rows:
+    * (metric_name, target, bucket, metric_value).
+    *
+    *   - record-count metrics (`daily_record_count`): per declared
+    *     table, row count per event day (bucket = the day; one
+    *     map-side-combining aggregation per table). A table with no
+    *     `date_columns` entry degrades to a single whole-table count
+    *     bucketed at `asOf`.
+    *   - quality-score metrics (`weekly_quality_score`): rules passed
+    *     ×100 / rules total over the supplied report (bucket = asOf,
+    *     target = "(all)") — the report is already computed, so this
+    *     adds one tiny aggregation.
+    *   - completeness metrics (`monthly_completeness_report`): non-null
+    *     percentage per completeness column, all columns of a table
+    *     fused into ONE scan (target = "table.column", bucket = asOf).
+    *
+    * The cron schedules decide WHEN the caller runs this; the metric
+    * itself is schedule-free, so every variant is computed as-of now.
+    * Unknown metric names raise — a declared metric must never be
+    * silently dropped.
+    */
+  def metrics(spark: SparkSession, tables: Map[String, DataFrame],
+      defs: Seq[MetricDef], rules: Seq[Rule], report: DataFrame,
+      asOf: Column): DataFrame = {
+    val bucketAsOf = asOf.cast("date").cast("string")
+    def shaped(name: String, target: Column, bucket: Column,
+        value: Column)(df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric_name"), target.as("target"),
+        bucket.as("bucket"), value.cast("double").as("metric_value"))
+    val frames = defs.flatMap { d =>
+      d.metricName match {
+        case n if n.contains("record_count") =>
+          d.tables.map { t =>
+            val df = tables(t)
+            d.dateColumns.get(t) match {
+              case Some(dc) =>
+                shaped(n, lit(t), col("bucket"), col("__n"))(
+                  df.groupBy(col(dc).cast("date").cast("string")
+                    .as("bucket")).agg(count(lit(1)).as("__n")))
+              case None =>
+                shaped(n, lit(t), bucketAsOf, col("__n"))(
+                  df.agg(count(lit(1)).as("__n")))
+            }
+          }
+        case n if n.contains("quality_score") =>
+          Seq(shaped(n, lit("(all)"), bucketAsOf, col("__score"))(
+            report.agg((sum(col("passed").cast("long")) * lit(100.0) /
+              count(lit(1))).as("__score"))))
+        case n if n.contains("completeness") =>
+          val byTable = rules.collect { case c: CompletenessRule => c }
+            .groupBy(_.table).toSeq.sortBy(_._1)
+          byTable.map { case (t, cs0) =>
+            // whole-table rules ("*", the reference's table_thresholds
+            // shape) expand to every column of the frame for reporting
+            val cs = cs0.flatMap {
+              case CompletenessRule(t2, "*", pct) =>
+                tables(t2).columns.toSeq
+                  .map(cn => CompletenessRule(t2, cn, pct))
+              case c => Seq(c)
+            }.distinctBy(_.column)
+            val aggs = cs.map(c => (count(col(c.column)) * lit(100.0) /
+              count(lit(1))).as(c.column))
+            // one fused scan per table; the 1-row aggregate is then
+            // exploded to a row per column
+            val one = tables(t).agg(aggs.head, aggs.tail: _*)
+            shaped(n, concat(lit(t + "."), col("e.c")), bucketAsOf,
+              col("e.v"))(
+              one.select(explode(array(cs.map(c => struct(
+                lit(c.column).as("c"),
+                col(c.column).cast("double").as("v"))): _*)).as("e")))
+          }
+        case other => sys.error(s"unknown monitoring metric '$other'")
+      }
+    }
+    frames.reduceLeft(_ unionByName _)
   }
 
   /** Evaluate ETL gates. Extract/load gates read the audit table (one

@@ -158,4 +158,133 @@ etl_gates:
     assert(rep("completeness_t_b") == 0)
     assert(rep("anomaly_big_jump") == 2) // 5→55, 55→-3
   }
+
+  test("custom_validations: reference SQL rules with asOf-bound CURRENT_DATE") {
+    val dimSoil = Seq(
+      (1L, "2025-01-01", Some(30.0), 30.0, 40.0),  // sums to 100
+      (2L, "2025-01-02", Some(30.0), 30.0, 50.0),  // 110 → violation
+      (3L, "2025-01-03", None, 60.0, 45.0))        // null clay → 105, |Δ|=5 not >5
+      .toDF("location_key", "extraction_date", "clay_content_0_5cm",
+        "sand_content_0_5cm", "silt_content_0_5cm")
+    val dimCrop = Seq(
+      (1L, "wheat", 5.0, 30.0),
+      (2L, "maize", 20.0, 15.0),   // max < min → violation
+      (3L, "rice", 10.0, 10.0))    // max == min → violation
+      .toDF("crop_key", "crop_name", "temp_min_c", "temp_max_c")
+    val factWeather = Seq((1L, "2019-06-01"), (1L, "2023-06-01"),
+        (2L, "2020-01-01"))
+      .toDF("location_key", "date_key")
+      .withColumn("date_key", col("date_key").cast("date"))
+    val rep = QualitySuite.report(spark,
+        Map("dim_soil" -> dimSoil, "dim_crop" -> dimCrop,
+          "fact_weather" -> factWeather),
+        QualityConfig.parse(graft.operators.QualityQueries.refCustomYaml),
+        lit("2020-01-01").cast("date"))
+      .collect().map(x => x.getString(0) ->
+        (x.getString(1), x.getString(2), x.getLong(3), x.getLong(4))).toMap
+    assert(rep("custom_soil_texture_composition") ==
+      ("dim_soil", "warning", 1L, 3L))
+    assert(rep("custom_crop_temperature_range") ==
+      ("dim_crop", "critical", 2L, 3L))
+    // 2023-06-01 is in the PAST of the wall clock but the FUTURE of the
+    // 2020 asOf — counting it proves CURRENT_DATE is bound to asOf
+    // (reproducible / backfillable), not to the machine clock
+    assert(rep("custom_future_weather_data") ==
+      ("fact_weather", "critical", 1L, 3L))
+  }
+
+  test("monitoring metrics: daily counts, pass-rate score, completeness") {
+    val y = """
+completeness:
+  fact_soil:
+    threshold_percent: 80.0
+    columns: [moisture]
+monitoring:
+  metrics:
+    - name: daily_record_count
+      tables: [fact_soil]
+      schedule: "0 9 * * *"
+      date_columns:
+        fact_soil: sample_date
+    - name: weekly_quality_score
+    - name: monthly_completeness_report
+"""
+    val fs = Seq(("2026-01-01", Some(1.0)), ("2026-01-01", None),
+        ("2026-01-02", Some(2.0)), ("2026-01-02", Some(3.0)))
+      .toDF("sample_date", "moisture")
+      .withColumn("sample_date", col("sample_date").cast("date"))
+    val rules = QualityConfig.parse(y)
+    val defs = QualityConfig.parseMetrics(y)
+    assert(defs.map(_.metricName) == Seq("daily_record_count",
+      "weekly_quality_score", "monthly_completeness_report"))
+    val asOf = lit("2026-02-01").cast("date")
+    val tables = Map("fact_soil" -> fs)
+    val rep = QualitySuite.report(spark, tables, rules, asOf)
+    val m = QualitySuite.metrics(spark, tables, defs, rules, rep, asOf)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2))
+        -> x.getDouble(3)).toMap
+    assert(m(("daily_record_count", "fact_soil", "2026-01-01")) == 2.0)
+    assert(m(("daily_record_count", "fact_soil", "2026-01-02")) == 2.0)
+    // moisture 75% complete < 80% threshold → the one rule fails → 0
+    assert(m(("weekly_quality_score", "(all)", "2026-02-01")) == 0.0)
+    assert(m(("monthly_completeness_report", "fact_soil.moisture",
+      "2026-02-01")) == 75.0)
+  }
+
+  test("a declared metric with an unknown name raises, never drops") {
+    val e = intercept[RuntimeException] {
+      QualitySuite.metrics(spark, Map(),
+        Seq(MetricDef("bogus_metric", Nil, "", Map())), Nil,
+        spark.emptyDataFrame, lit("2026-01-01").cast("date"))
+    }
+    assert(e.getMessage.contains("bogus_metric"))
+  }
+
+  test("table_thresholds compiles to whole-table completeness rules") {
+    val y = """
+completeness:
+  global_threshold: 95.0
+  table_thresholds:
+    t: 80.0
+"""
+    val rs = QualityConfig.parse(y)
+    assert(rs == Seq(CompletenessRule("t", "*", 80.0)))
+    // 3 rows × 2 cols = 6 cells, 2 null → 66.7% < 80% → violated
+    val t = Seq((Some(1L), Some(1.0)), (None, Some(2.0)), (None, None))
+      .toDF("a", "b")
+    val rep = QualitySuite.report(spark, Map("t" -> t), rs,
+        lit("2026-01-05").cast("date"))
+      .collect().map(x => x.getString(0) -> x.getLong(3)).toMap
+    assert(rep("completeness_t_*") == 1)
+  }
+
+  test("the reference's own data-quality.yml compiles end-to-end") {
+    val p = java.nio.file.Paths
+      .get("/root/reference/.github/workflows/data-quality.yml")
+    assume(java.nio.file.Files.exists(p),
+      "reference config not present in this environment")
+    val y = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val rs = QualityConfig.parse(y)
+    val custom = rs.collect { case c: CustomSqlRule => c }
+    assert(custom.map(c => c.ruleName -> c.severity).toMap == Map(
+      "soil_texture_composition" -> "warning",
+      "crop_temperature_range" -> "critical",
+      "future_weather_data" -> "critical"))
+    assert(custom.map(c => c.ruleName -> c.table).toMap == Map(
+      "soil_texture_composition" -> "dim_soil",
+      "crop_temperature_range" -> "dim_crop",
+      "future_weather_data" -> "fact_weather"))
+    val defs = QualityConfig.parseMetrics(y)
+    assert(defs.map(_.metricName) == Seq("daily_record_count",
+      "weekly_quality_score", "monthly_completeness_report"))
+    assert(defs.head.tables == Seq("fact_weather", "fact_soil"))
+    // the rest of the file's vocabulary compiles too — nothing dropped
+    assert(rs.collect { case CompletenessRule(t, "*", _) => t }.sorted ==
+      Seq("dim_crop", "dim_location", "dim_soil", "fact_crop_suitability",
+        "fact_soil", "fact_weather"))
+    assert(rs.count(_.isInstanceOf[RangeRule]) >= 10)
+    assert(rs.exists(_.isInstanceOf[UniqueRule]))
+    assert(rs.exists(_.isInstanceOf[GateRule]))
+    assert(rs.exists(_.isInstanceOf[AnomalyRule]))
+  }
 }
