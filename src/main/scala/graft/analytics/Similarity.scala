@@ -156,6 +156,27 @@ object Similarity {
           col("embedding").as("cent_emb")),
       k, nprobe)
 
+  /** Per-query recall@k of an approximate top-k result against the
+    * exact one (both shaped like the `*TopK` outputs — at least
+    * `query_id, neighbor_id`). Queries with an empty approximate
+    * candidate set (possible under LSH/IVF pruning) surface as
+    * recall 0 rather than disappearing — `queryIds` is the driving
+    * side. The join is an equi-semi-join on (query_id, neighbor_id):
+    * hit counting never rescans the corpus.
+    */
+  def recallAtK(queryIds: DataFrame, exact: DataFrame, approx: DataFrame,
+      k: Int, method: String): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("__h"))
+    queryIds.join(hits, Seq("query_id"), "left")
+      .select(lit(method).as("method"), col("query_id"),
+        coalesce(col("__h"), lit(0L)).cast("int").as("hits"),
+        (coalesce(col("__h"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's sign
     * bucket. At scale this replaces the all-pairs scan with a
     * bucket-equi-join (shuffle keyed on bucket id).

@@ -139,8 +139,10 @@ object DedupQueries {
     // Dedup clusters: connected components over the q19 n-gram
     // Jaccard pairs — (doc, representative) where the rep is the
     // component's min id. The oracle computes min-reachable via a
-    // recursive CTE; Spark converges to the same integer fixpoint by
-    // min-label propagation.
+    // recursive CTE; Spark reaches the same integer fixpoint by
+    // large-star/small-star contraction (O(log² d) rounds, never
+    // diameter-bound — the 100 TB path; min-label propagation is
+    // kept as a DedupSpec-only equivalence witness).
     Q("q61_dedup_clusters", Some(s"""
       WITH RECURSIVE sh AS (${duckShingleIndex(3)}),
       shh AS (SELECT doc_id,
@@ -168,7 +170,7 @@ object DedupQueries {
       FROM reach GROUP BY id ORDER BY doc_id""")) { (s, dir) =>
       val pairs = Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)
-      Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
         .orderBy("doc_id")
     },
 
@@ -202,8 +204,8 @@ object DedupQueries {
     // The full 100 TB dedup chain: minhash signatures → banded LSH
     // candidates → est-jaccard filter → large-star/small-star
     // connected components. Same recursive-CTE oracle shape as q61
-    // but clustering the LSH candidates, and exercising the star
-    // variant (q61 exercises min-label propagation).
+    // but clustering the LSH candidates instead of the exact
+    // n-gram Jaccard pairs.
     Q("q71_lsh_clusters", Some(s"""
       WITH RECURSIVE $mhCtes,
       scored AS (

@@ -186,6 +186,102 @@ object SimilarityQueries {
             codebook, k = 5, nprobe = 2)
           .orderBy("query_id", "rn")
       }
+    },
+
+    // ANN quality measurement: recall@5 of the two approximate paths —
+    // IVF cell-probe (q46's codebook/probe shape, via ivfTopKWith) and
+    // sign-bucket LSH (q24's bucketing) — against the exact brute-force
+    // top-5, one row per (method, query). This is the "how good is the
+    // approximation?" number an ANN user needs before trading recall
+    // for the pruned scan. Deterministic: every top-k (exact and
+    // approximate) breaks score ties on neighbor_id in both engines,
+    // so the hit sets — not just the averages — are reproducible.
+    // Queries whose candidate set came up empty surface as recall 0.
+    {
+      val bits = 8
+      val duckBucket = (tbl: String) => (0 until bits).map(i =>
+        s"CASE WHEN $tbl.embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END")
+        .mkString(" + ")
+      Q("q75_ann_recall", Some(s"""
+      WITH exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} DESC,
+              c.vec_id) AS rn
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 16) t
+        WHERE rn <= 5),
+      lsh AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} DESC,
+              c.vec_id) AS rn
+          FROM embeddings q JOIN embeddings c
+            ON (${duckBucket("q")}) = (${duckBucket("c")})
+           AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 16) t
+        WHERE rn <= 5),
+      centroids AS (
+        SELECT vec_id AS centroid_id, embedding AS cent_emb
+        FROM embeddings WHERE vec_id < 16),
+      corpus_cells AS (
+        SELECT neighbor_id, c_emb, centroid_id AS cell FROM (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb,
+            c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb::DOUBLE[]")} DESC,
+              c.centroid_id) AS crn
+          FROM embeddings e CROSS JOIN centroids c) t
+        WHERE crn <= 1),
+      query_cells AS (
+        SELECT query_id, q_emb, centroid_id AS cell FROM (
+          SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+            c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb::DOUBLE[]")} DESC,
+              c.centroid_id) AS crn
+          FROM embeddings e CROSS JOIN centroids c
+          WHERE e.vec_id < 16) t
+        WHERE crn <= 2),
+      ivf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.query_id, cc.neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              ${duckCosine("q.q_emb::DOUBLE[]", "cc.c_emb::DOUBLE[]")} DESC,
+              cc.neighbor_id) AS rn
+          FROM query_cells q JOIN corpus_cells cc USING (cell)
+          WHERE q.query_id <> cc.neighbor_id) t
+        WHERE rn <= 5),
+      approx AS (
+        SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+        UNION ALL
+        SELECT 'lsh_bucket' AS method, query_id, neighbor_id FROM lsh),
+      hit_counts AS (
+        SELECT a.method, a.query_id, COUNT(*) AS h
+        FROM approx a JOIN exact e USING (query_id, neighbor_id)
+        GROUP BY 1, 2)
+      SELECT m.method, q.vec_id AS query_id,
+        CAST(COALESCE(h.h, 0) AS INT) AS hits,
+        CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+      FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh_bucket') m
+      CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 16) q
+      LEFT JOIN hit_counts h
+        ON h.method = m.method AND h.query_id = q.vec_id
+      ORDER BY m.method, q.vec_id""")) { (s, dir) =>
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+        val qids = queries.select(col("vec_id").as("query_id"))
+        val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+        val ivf = Similarity.ivfTopK(queries, emb, k = 5,
+          codebookSize = 16, nprobe = 2)
+        val lsh = Similarity.bucketedTopK(queries, emb, k = 5, bits = bits)
+        Similarity.recallAtK(qids, exact, ivf, k = 5, method = "ivf")
+          .union(Similarity.recallAtK(qids, exact, lsh, k = 5,
+            method = "lsh_bucket"))
+          .orderBy("method", "query_id")
+      }
     }
   )
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.analytics.Similarity
+
+/** ANN-tier quality: recall@k of the approximate paths (IVF cell-probe
+  * with a trained codebook, sign-bucket LSH) measured against the exact
+  * brute-force top-k on a seeded clustered corpus — the spec-side
+  * counterpart of the q75 oracle query, with explicit recall floors.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val Dim = 16
+  private val K = 5
+
+  /** Seeded clustered corpus: 4 well-separated ±1 sign-pattern cluster
+    * directions in 16-d (mutually orthogonal, distinct sign patterns in
+    * the leading dimensions — sign-LSH needs zero-centered data), 30
+    * vectors each, small deterministic jitter that never flips a sign.
+    * Cosine structure is strong, so a good ANN path should recover most
+    * exact neighbors.
+    */
+  private lazy val corpus: DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val centers = Seq(
+      Array.tabulate(Dim)(_ => 1.0f),
+      Array.tabulate(Dim)(i => if (i < 8) -1.0f else 1.0f),
+      Array.tabulate(Dim)(i => if (i % 2 == 0) 1.0f else -1.0f),
+      Array.tabulate(Dim)(i => if (i % 2 == 0) -1.0f else 1.0f))
+    val rows = (0L until 120L).map { id =>
+      val c = centers((id % 4).toInt)
+      val v = c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f)
+      (id, v.toSeq)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private lazy val queries = corpus.filter(col("vec_id") < 8)
+  private lazy val qids = queries.select(col("vec_id").as("query_id"))
+  private lazy val exact = Similarity.bruteForceTopK(queries, corpus, K)
+
+  private def avgRecall(approx: DataFrame, method: String): Double = {
+    val rec = Similarity.recallAtK(qids, exact, approx, K, method)
+    assert(rec.count() === 8, "one recall row per query")
+    rec.agg(avg("recall")).collect()(0).getDouble(0)
+  }
+
+  test("IVF with trained k-means codebook reaches recall@5 >= 0.9 " +
+      "at nprobe=2 of 4 cells") {
+    val codebook = Similarity.kmeansCodebook(corpus, "vec_id",
+      "embedding", k = 4, dim = Dim, iterations = 2)
+    val ivf = Similarity.ivfTopKWith(queries, corpus, codebook,
+      k = K, nprobe = 2)
+    val r = avgRecall(ivf, "ivf")
+    assert(r >= 0.9, s"trained-IVF recall@5 was $r")
+  }
+
+  test("sign-bucket LSH reaches recall@5 >= 0.7 at 6 bits on the " +
+      "clustered corpus") {
+    val lsh = Similarity.bucketedTopK(queries, corpus, k = K, bits = 6)
+    val r = avgRecall(lsh, "lsh_bucket")
+    assert(r >= 0.7, s"LSH recall@5 was $r")
+  }
+
+  test("recallAtK reports 0 (not a missing row) for queries with an " +
+      "empty approximate candidate set") {
+    val empty = exact.filter(lit(false))
+    val rec = Similarity.recallAtK(qids, exact, empty, K, "none")
+      .collect()
+    assert(rec.length === 8)
+    assert(rec.forall(_.getAs[Double]("recall") === 0.0))
+    assert(rec.forall(_.getAs[Int]("hits") === 0))
+  }
+
+  test("exact path is its own fixpoint: recall@5 of bruteForceTopK " +
+      "against itself is 1.0") {
+    val r = avgRecall(exact, "exact")
+    assert(r === 1.0)
+  }
+}
