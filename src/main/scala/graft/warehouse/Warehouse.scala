@@ -82,12 +82,13 @@ object Merge {
     *
     * The only driver-side collect is the distinct partition *tuples*
     * of the batch (bounded by touched-partition count, never data).
-    * The merged scan finishes inside the write job's tasks before the
-    * commit phase swaps the touched partition directories, so the
-    * read-modify-write round-trip over the same path is safe; a
-    * partially-failed commit leaves the same torn-partition exposure
-    * as any non-transactional parquet overwrite (a table format adds
-    * the atomic swap, not a different merge shape).
+    * Writes go through [[Writer.overwritePartitionsAtomic]]: the merged
+    * result is staged to a hidden sibling directory first (so the
+    * target scan and the write never overlap on the same path), then
+    * swapped in partition-by-partition with metadata renames — a crash
+    * during the write job leaves the target byte-identical, and a
+    * crash during the swap leaves every partition fully old or fully
+    * new, never torn.
     */
   def upsertPartitioned(spark: SparkSession, path: String,
       incoming: DataFrame, keys: Seq[String], updateCols: Seq[String],
@@ -106,12 +107,11 @@ object Merge {
       .exists(s => !s.getPath.getName.startsWith("_"))
     if (!hasData) {
       // first load: per-key dedup (the in-batch half of upsert), all
-      // partitions written fresh
+      // partitions staged fresh then swapped in
       val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
-      incoming.withColumn("__rn", row_number().over(w))
+      val deduped = incoming.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy(partitionCols: _*).parquet(path)
+      Writer.overwritePartitionsAtomic(deduped, path, partitionCols)
       return
     }
     val touched = partRows.map(r => partitionCols.zipWithIndex
@@ -119,7 +119,7 @@ object Merge {
       .reduce(_ || _)
     val target = spark.read.parquet(path).filter(touched)
     val merged = upsert(target, incoming, keys, updateCols, tiebreak)
-    Writer.overwritePartitions(merged, path, partitionCols)
+    Writer.overwritePartitionsAtomic(merged, path, partitionCols)
   }
 }
 

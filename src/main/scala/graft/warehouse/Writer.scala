@@ -62,6 +62,80 @@ object Writer {
     }
   }
 
+  /** Dynamic-partition overwrite with a staged atomic swap — closes
+    * the torn-partition window of writing straight into the target:
+    *
+    *  1. the full job writes to a hidden sibling staging directory
+    *     (`.<name>__stage__<uuid>`), target bytes untouched;
+    *  2. each staged leaf partition directory is then swapped into
+    *     place with two filesystem renames (old dir aside to a hidden
+    *     trash dir, staged dir in).
+    *
+    * A failure during the (long, data-moving) write job leaves the
+    * target byte-identical — the common crash case costs nothing. A
+    * failure during the (short, metadata-only) swap leaves every
+    * partition either fully old or fully new, never a half-written mix
+    * of part files; in that case the staging and trash directories are
+    * deliberately NOT deleted (they may hold the only complete copy of
+    * a mid-swap partition) — both are dot-prefixed, so readers of the
+    * target never see them, and a re-run of the same load supersedes
+    * them. Rename-per-directory is atomic on HDFS and local
+    * filesystems; object stores without atomic rename need a table
+    * format instead.
+    */
+  def overwritePartitionsAtomic(fact: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val spark = fact.sparkSession
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val id = java.util.UUID.randomUUID().toString
+    val stage = new org.apache.hadoop.fs.Path(target.getParent,
+      s".${target.getName}__stage__$id")
+    val trash = new org.apache.hadoop.fs.Path(target.getParent,
+      s".${target.getName}__old__$id")
+    try fact.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(stage.toString)
+    catch { case e: Throwable => fs.delete(stage, true); throw e }
+    // leaf partition dirs of the staging write, relative to it
+    def leaves(dir: org.apache.hadoop.fs.Path,
+        depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(dir)
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
+        .flatMap(s => leaves(s.getPath, depth - 1))
+    var swapStarted = false
+    try {
+      // relativize over fs-qualified URIs — listStatus returns
+      // scheme-qualified paths, a bare `new Path(str)` does not
+      val stageUri = fs.makeQualified(stage).toUri
+      val rels = leaves(stage, partitionCols.length)
+        .map(p => stageUri.relativize(fs.makeQualified(p).toUri).getPath)
+      require(rels.forall(r => r.nonEmpty && !r.startsWith("/")),
+        s"staging layout not relative to $stage: $rels")
+      if (!fs.exists(target)) fs.mkdirs(target)
+      def mv(from: org.apache.hadoop.fs.Path,
+          to: org.apache.hadoop.fs.Path): Unit =
+        require(fs.rename(from, to), s"rename $from -> $to failed")
+      rels.foreach { rel =>
+        swapStarted = true
+        val dest = new org.apache.hadoop.fs.Path(target, rel)
+        if (fs.exists(dest)) {
+          val aside = new org.apache.hadoop.fs.Path(trash, rel)
+          fs.mkdirs(aside.getParent)
+          mv(dest, aside)
+        }
+        fs.mkdirs(dest.getParent)
+        mv(new org.apache.hadoop.fs.Path(stage, rel), dest)
+      }
+      fs.delete(stage, true)
+      fs.delete(trash, true)
+    } catch {
+      case e: Throwable =>
+        if (!swapStarted) { fs.delete(stage, true); fs.delete(trash, true) }
+        throw e
+    }
+  }
+
   /** Compact the small files of selected partitions (the debris of
     * many incremental [[graft.warehouse.Merge.upsertPartitioned]] /
     * streaming loads) into `filesPerPartition` files each, leaving

@@ -117,6 +117,65 @@ class WriterSpec extends SparkSpec {
     assert(spark.read.parquet(none).count() == 2)
   }
 
+  test("atomic swap behaves as dynamic partition overwrite") {
+    val dir = Files.createTempDirectory("graft_atomdyn").toString + "/t"
+    val day1 = Seq((20240101, 1L, 5.0), (20240102, 2L, 6.0))
+      .toDF("date_key", "location_key", "temp")
+      .withColumn("part_day", col("date_key"))
+    Writer.overwritePartitionsAtomic(day1, dir, Seq("part_day"))
+    val day2fix = Seq((20240102, 2L, 99.0))
+      .toDF("date_key", "location_key", "temp")
+      .withColumn("part_day", col("date_key"))
+    Writer.overwritePartitionsAtomic(day2fix, dir, Seq("part_day"))
+    val got = spark.read.parquet(dir).orderBy("date_key")
+      .select("date_key", "temp").collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((20240101, 5.0), (20240102, 99.0)))
+    // no staging/trash debris left beside the target after success
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles().map(_.getName).toSeq == Seq("t"))
+  }
+
+  test("atomic swap: a batch failing mid-write leaves the target " +
+      "byte-identical and readable") {
+    val dir = Files.createTempDirectory("graft_atomfail").toString + "/t"
+    val init = Seq((1L, 20240105, 5.0, "A"), (2L, 20240210, 6.0, "B"))
+      .toDF("k", "date_key", "v", "status")
+      .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
+    Merge.upsertPartitioned(spark, dir, init, keys = Seq("k"),
+      updateCols = Seq("v"), tiebreak = Seq(col("status").desc),
+      partitionCols = Seq("part_month"))
+    def snapshot(): Map[String, Seq[Byte]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(f =>
+        f.getPath -> java.nio.file.Files.readAllBytes(f.toPath).toSeq)
+        .toMap
+    }
+    val before = snapshot()
+    // the batch fails inside the write job (per-row raise_error), after
+    // the partition-tuple collect and the target scan have succeeded —
+    // the dangerous window for a non-staged writer
+    val bad = Seq((1L, 20240106, 50.0, "A"), (9L, 20240215, 9.0, "X"))
+      .toDF("k", "date_key", "v", "status")
+      .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
+      .withColumn("v", when(col("k") === 9L,
+        raise_error(lit("boom"))).otherwise(col("v")))
+    intercept[Exception] {
+      Merge.upsertPartitioned(spark, dir, bad, keys = Seq("k"),
+        updateCols = Seq("v"), tiebreak = Seq(col("status").desc),
+        partitionCols = Seq("part_month"))
+    }
+    assert(snapshot() == before, "target bytes changed by a failed write")
+    val got = spark.read.parquet(dir).orderBy("k")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 5.0), (2L, 6.0)))
+    // failed-before-swap staging is cleaned up; nothing visible beside
+    // the target
+    val parent = new java.io.File(dir).getParentFile
+    assert(parent.listFiles().map(_.getName).toSeq == Seq("t"))
+  }
+
   test("compaction merges small files, leaves other partitions alone") {
     val dir = Files.createTempDirectory("graft_compact").toString
     // month 1 written as many small files; month 2 as one
