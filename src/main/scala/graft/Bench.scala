@@ -2,22 +2,44 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Queries execute into
-  * the `noop` sink so the whole plan (including projections that a
-  * bare count() would prune away) runs end-to-end without sink I/O.
+  * SPARK_GRAFT_SF_DIR and prints the results as JSON on stdout.
+  * Queries execute into the `noop` sink so the whole plan (including
+  * projections that a bare count() would prune away) runs end-to-end
+  * without sink I/O.
   *
   * Each query runs `SPARK_GRAFT_BENCH_RUNS` times (default 3) after an
-  * untimed warmup; the JSON carries the per-query MEDIAN, taming the
-  * 20-30% JIT/page-cache run-to-run variance so round-over-round
-  * regressions are attributable. A query that throws is listed in
-  * `failed` with time -1 (excluded from the total) and the process
-  * exits non-zero — a failure can never read as a speedup.
+  * untimed warmup; iterative/high-variance queries (k-means, connected
+  * components, sketch/session aggregations — observed swinging 2-3× on
+  * identical binaries across rounds) run `SPARK_GRAFT_BENCH_RUNS_ITER`
+  * times (default 5). The JSON carries the per-query MEDIAN, taming
+  * JIT/page-cache run-to-run variance so round-over-round regressions
+  * are attributable. A query that throws is listed in `failed` with
+  * time -1 (excluded from the total) and the process exits non-zero —
+  * a failure can never read as a speedup.
+  *
+  * Output contract (the harness keeps only a ~2 KB stdout TAIL):
+  *  1. the full result line — per-query medians keyed by the short
+  *     `qNN` id, millisecond precision, so the whole line fits inside
+  *     the tail window;
+  *  2. a final compact headline `{"metric":"total",...,"n":…,
+  *     "failed":[…]}` — whatever else scrolls off, the total survives.
+  * The verbose map (full query names, nanosecond precision) goes to
+  * stderr for human debugging.
   */
 object Bench {
+
+  /** Queries whose runtime is dominated by multi-round iterative jobs;
+    * their medians need more samples to be comparable across rounds. */
+  private val IterativeQueries = Set(
+    "q58_ivf_kmeans", "q61_dedup_clusters", "q63_kmv_distinct",
+    "q64_sessionize")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val iterRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_ITER", "5")
+      .toInt.max(runs)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,15 +58,19 @@ object Bench {
     val only = SparkEntry.nameFilter()
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only(n) }
+    def runsFor(n: String): Int =
+      if (IterativeQueries.contains(n)) iterRuns else runs
+    val maxRuns = names.map { case (n, _) => runsFor(n) }
+      .maxOption.getOrElse(runs)
     val times = scala.collection.mutable.Map[String, List[Double]]()
     val failed = scala.collection.mutable.SortedSet[String]()
-    for (r <- 1 to runs) {
+    for (r <- 1 to maxRuns) {
       // drop persisted frames from the previous pass: operators that
       // persist internally (dedup indexes/results) would otherwise be
       // plan-cache hits on runs 2+ and the median would report cached
       // reads instead of cold compute
       spark.catalog.clearCache()
-      for ((name, fn) <- names) {
+      for ((name, fn) <- names if r <= runsFor(name)) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -69,10 +95,19 @@ object Bench {
         else times.get(n).filter(_.nonEmpty).map(median).getOrElse(-1.0))
     }
     val total = qs.collect { case (_, t) if t >= 0 => t }.sum
-    val qJson = qs.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def ms(x: Double): Double = math.rint(x * 1000) / 1000
+    // short qNN keys + ms precision keep the whole line under the
+    // harness's ~2 KB stdout-tail capture
+    val qJson = qs.map { case (k, v) =>
+      "\"" + k.split("_").head + "\":" + ms(v) }.mkString("{", ",", "}")
     val fJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"failed":$fJson}""")
+    val verbose = qs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    System.err.println(s"""[bench-full] {"queries":$verbose}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"runs_iter":$iterRuns,"failed":$fJson}""")
+    // final compact headline — the last stdout line, so a tail capture
+    // of any length contains the total
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${qs.size},"failed":$fJson}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
