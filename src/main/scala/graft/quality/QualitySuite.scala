@@ -71,17 +71,45 @@ final case class AnomalyRule(table: String, ruleName: String,
   * count is the returned row count. `CURRENT_DATE` in the SQL is bound
   * to the suite's `asOf` date, which makes the check reproducible and
   * backfillable (the reference's `future_weather_data` rule is
-  * wall-clock-dependent as written). `table` is the first FROM target,
-  * used for the report's table_name / n_rows columns. */
+  * wall-clock-dependent as written). `table` — used for the report's
+  * table_name / n_rows columns — is the explicit YAML `table:` key if
+  * given, else the first FROM target that is not a CTE defined in the
+  * statement. */
 final case class CustomSqlRule(ruleName: String, sql: String,
-    severity: String) extends Rule {
+    severity: String, tableOverride: Option[String] = None) extends Rule {
   def name = s"custom_$ruleName"
-  val table: String = CustomSqlRule.fromTable(sql).getOrElse("(sql)")
+  val table: String = tableOverride
+    .getOrElse(CustomSqlRule.fromTable(sql).getOrElse("(sql)"))
 }
 object CustomSqlRule {
-  private val From = "(?is).*?\\bfrom\\s+([a-z_][a-z0-9_]*)".r
-  def fromTable(sql: String): Option[String] =
-    From.findFirstMatchIn(sql).map(_.group(1).toLowerCase)
+  private val From = "(?i)\\bfrom\\s+([a-z_][a-z0-9_]*)".r
+  private val CteName =
+    "(?i)(?:\\bwith\\s+|,\\s*)([a-z_][a-z0-9_]*)\\s+as\\s*\\(".r
+  /** The MAIN query's first FROM target: the first FROM at parenthesis
+    * depth 0 (i.e. outside CTE bodies and subqueries) that does not
+    * name a CTE defined in the statement — so
+    * `WITH cte AS (... FROM a) SELECT ... FROM b` attributes to `b`,
+    * and a scalar subquery ahead of the main FROM is skipped. Falls
+    * back to the first non-CTE FROM at any depth (e.g. when the main
+    * query selects FROM a CTE — the CTE's base table is the best
+    * attribution available). A parenthesis inside a string literal
+    * shifts the depth heuristic, never the executed SQL; the explicit
+    * YAML `table:` key overrides the heuristic entirely. */
+  def fromTable(sql: String): Option[String] = {
+    val ctes = CteName.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+    val depth = new Array[Int](sql.length + 1)
+    for (i <- sql.indices)
+      depth(i + 1) = depth(i) + (sql(i) match {
+        case '(' => 1
+        case ')' => -1
+        case _ => 0
+      })
+    val targets = From.findAllMatchIn(sql)
+      .map(mm => (depth(mm.start), mm.group(1).toLowerCase)).toSeq
+    targets.collectFirst { case (0, t) if !ctes.contains(t) => t }
+      .orElse(targets.collectFirst { case (_, t) if !ctes.contains(t) => t })
+      .orElse(targets.headOption.map(_._2))
+  }
 }
 /** Monitoring metric (`data-quality.yml:327-341` `monitoring.metrics`):
   * a named metric query over the suite's tables and/or its own report.
@@ -205,7 +233,8 @@ object QualityConfig {
     for (cvObj <- root.get("custom_validations").map(l).getOrElse(Nil)) {
       val cv = m(cvObj)
       rules += CustomSqlRule(cv("name").toString, cv("sql").toString,
-        cv.get("severity").map(_.toString).getOrElse("warning"))
+        cv.get("severity").map(_.toString).getOrElse("warning"),
+        cv.get("table").map(_.toString))
     }
     for ((phase, gObj) <- root.get("etl_gates").map(m).getOrElse(Map());
         (metric, v) <- m(gObj))
@@ -257,17 +286,35 @@ object QualitySuite {
     */
   def violationCount(spark: SparkSession, tables: Map[String, DataFrame],
       rule: Rule, asOf: Column): (Long, Long) = rule match {
-    case CustomSqlRule(_, sqlText, _) =>
-      tables.foreach { case (n, t) => t.createOrReplaceTempView(n) }
-      val v = spark.sql(bindAsOf(spark, sqlText, asOf)).count()
-      (v, tables.get(rule.table).map(_.count()).getOrElse(v))
+    case c: CustomSqlRule =>
+      // n_rows is 0 (not the violation count) when the rule's table is
+      // not among the supplied frames — a fallback equal to
+      // n_violations read as a fully-violating table
+      (runCustom(spark, tables, c, asOf),
+        tables.get(c.table).map(_.count()).getOrElse(0L))
     case _ => violationCountBase(spark, tables, rule, asOf)
+  }
+
+  /** Run one custom SQL validation: the suite's tables are registered
+    * as temp views for the duration of the query and dropped
+    * afterwards, so nothing lingers in the session catalog. A
+    * pre-existing temp view with the same name as a suite table is
+    * replaced and then dropped — callers sharing a session should not
+    * reuse suite table names for unrelated views. */
+  private def runCustom(spark: SparkSession,
+      tables: Map[String, DataFrame], rule: CustomSqlRule,
+      asOf: Column): Long = {
+    tables.foreach { case (n, t) => t.createOrReplaceTempView(n) }
+    try spark.sql(bindAsOf(spark, rule.sql, asOf)).count()
+    finally tables.keys.foreach(spark.catalog.dropTempView(_))
   }
 
   /** Bind `CURRENT_DATE` in a custom-validation SQL to the suite's
     * `asOf` date (rendered once — a scalar, not data). A wall-clock
     * CURRENT_DATE would make the suite non-reproducible and
-    * non-backfillable. */
+    * non-backfillable. Plain textual substitution: an occurrence
+    * inside a string literal or comment is rewritten too (none of the
+    * reference's validations contain one). */
   private def bindAsOf(spark: SparkSession, sql: String,
       asOf: Column): String = {
     lazy val lit = spark.range(1)
@@ -397,11 +444,7 @@ object QualitySuite {
     val (customRules, baseRules) =
       rest.partition(_.isInstanceOf[CustomSqlRule])
     val results = scala.collection.mutable.Map[String, (Long, Long)]()
-    // custom SQL validations run their own spark.sql job (arbitrary
-    // SELECTs can't fuse into the per-table scan); they still count as
-    // validations for the transform-phase meta-gates below
-    for (r <- customRules)
-      results(r.name) = violationCount(spark, tables, r, asOf)
+    val tableTotals = scala.collection.mutable.Map[String, Long]()
     for ((table, tableRules) <- baseRules.groupBy(_.table)) {
       val df = tables(table)
       // plain-predicate anomalies join the fused single scan; window/
@@ -418,12 +461,29 @@ object QualitySuite {
           fused.zipWithIndex.map { case ((_, e), i) => e.as(s"__v$i") }
         val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         val total = row.getLong(0)
+        tableTotals(table) = total
         fused.zipWithIndex.foreach { case ((r, _), i) =>
           results(r.name) = (row.getLong(i + 1), total)
         }
       }
       for (r <- tableRules if !fused.exists(_._1 eq r))
         results(r.name) = violationCount(spark, tables, r, asOf)
+    }
+    // custom SQL validations run their own spark.sql job (arbitrary
+    // SELECTs can't fuse into the per-table scan) but reuse the fused
+    // scans' row totals for n_rows — no extra full-table scan per
+    // rule; they still count as validations for the transform-phase
+    // meta-gates below. Views are registered once for the whole batch
+    // and dropped afterwards.
+    if (customRules.nonEmpty) {
+      def totalOf(t: String): Long = tableTotals.getOrElseUpdate(t,
+        tables.get(t).map(_.count()).getOrElse(0L))
+      tables.foreach { case (n, t) => t.createOrReplaceTempView(n) }
+      try for (r <- customRules) {
+        val c = r.asInstanceOf[CustomSqlRule]
+        results(c.name) = (spark.sql(bindAsOf(spark, c.sql, asOf)).count(),
+          totalOf(c.table))
+      } finally tables.keys.foreach(spark.catalog.dropTempView(_))
     }
     results ++= evalGates(
       gateRules.collect { case g: GateRule => g },
@@ -512,7 +572,13 @@ object QualitySuite {
         case other => sys.error(s"unknown monitoring metric '$other'")
       }
     }
-    frames.reduceLeft(_ unionByName _)
+    if (frames.isEmpty) {
+      // no monitoring block (or every def ranged over zero tables):
+      // an empty frame with the metrics schema, not a crash
+      import spark.implicits._
+      Seq.empty[(String, String, String, Double)]
+        .toDF("metric_name", "target", "bucket", "metric_value")
+    } else frames.reduceLeft(_ unionByName _)
   }
 
   /** Evaluate ETL gates. Extract/load gates read the audit table (one

@@ -193,6 +193,65 @@ etl_gates:
       ("fact_weather", "critical", 1L, 3L))
   }
 
+  test("custom rule table attribution: CTE-leading SQL, explicit " +
+      "table key, missing table, view cleanup") {
+    val y = """
+custom_validations:
+  - name: cte_lead
+    severity: warning
+    sql: >
+      WITH cte AS (SELECT k FROM qv_aux)
+      SELECT qv_t.k FROM qv_t JOIN cte ON qv_t.k = cte.k
+      WHERE qv_t.v > 10
+  - name: explicit
+    severity: warning
+    table: qv_aux
+    sql: SELECT * FROM qv_t WHERE v > 10
+"""
+    val rules = QualityConfig.parse(y)
+    val byName = rules.collect { case c: CustomSqlRule => c }
+      .map(c => c.ruleName -> c).toMap
+    // heuristic: first depth-0 FROM that is not a CTE → the main
+    // query's table, not the CTE body's
+    assert(byName("cte_lead").table == "qv_t")
+    // explicit YAML table: key wins over the heuristic
+    assert(byName("explicit").table == "qv_aux")
+    val t = Seq((1L, 5.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val aux = Seq(Tuple1(2L), Tuple1(3L)).toDF("k")
+    val rep = QualitySuite.report(spark,
+        Map("qv_t" -> t, "qv_aux" -> aux), rules,
+        lit("2026-01-01").cast("date"))
+      .collect().map(x => x.getString(0) ->
+        (x.getString(1), x.getLong(3), x.getLong(4))).toMap
+    assert(rep("custom_cte_lead") == ("qv_t", 2L, 3L))
+    assert(rep("custom_explicit") == ("qv_aux", 2L, 2L))
+    // the batch's temp views are dropped after the report — nothing
+    // lingers in the shared session catalog
+    assert(!spark.catalog.tableExists("qv_t"))
+    assert(!spark.catalog.tableExists("qv_aux"))
+    // a rule whose table is absent from the map reports n_rows 0, not
+    // the violation count
+    val (v0, n0) = QualitySuite.violationCount(spark, Map("qv_t" -> t),
+      CustomSqlRule("m", "SELECT * FROM qv_t WHERE v > 10", "warning",
+        Some("absent")), lit("2026-01-01").cast("date"))
+    assert((v0, n0) == (2L, 0L))
+  }
+
+  test("metrics with no monitoring defs returns an empty, " +
+      "well-shaped frame") {
+    val asOf = lit("2026-01-01").cast("date")
+    val m = QualitySuite.metrics(spark, Map(), Nil, Nil,
+      spark.emptyDataFrame, asOf)
+    assert(m.columns.toSeq ==
+      Seq("metric_name", "target", "bucket", "metric_value"))
+    assert(m.count() == 0)
+    // a record_count metric ranging over zero tables likewise
+    val m2 = QualitySuite.metrics(spark, Map(),
+      Seq(MetricDef("daily_record_count", Nil, "", Map())), Nil,
+      spark.emptyDataFrame, asOf)
+    assert(m2.count() == 0)
+  }
+
   test("monitoring metrics: daily counts, pass-rate score, completeness") {
     val y = """
 completeness:
