@@ -10,13 +10,15 @@ import org.apache.spark.sql.types._
   * training-data pipeline needs.
   *
   * The Spark-side plumbing — schemas, partitioning, the
-  * `mapPartitions` batch shape, row fan-out — is real and tested. The
-  * codec itself is a clearly-marked STUB (`fakeDecode`): this
-  * container has no image/audio libraries, so decode produces a
-  * deterministic feature digest of the bytes. Swapping in a real codec
-  * changes only the function body, not the distributed shape: the
-  * partition iterator is exactly where a JNI/FFmpeg/ImageIO call would
-  * batch.
+  * `mapPartitions` batch shape, row fan-out — is real and tested.
+  * IMAGE decode is real too: the JRE's built-in `javax.imageio`
+  * (PNG/JPEG/GIF/BMP, zero added dependencies) runs inside the
+  * partition iterator, and undecodable image bytes fall back to the
+  * byte-statistics digest. Audio/video decode remains a
+  * clearly-marked STUB (`fakeDecode`) — this container ships no media
+  * libraries — and swapping in a real codec changes only the function
+  * body, not the distributed shape: the partition iterator is exactly
+  * where a JNI/FFmpeg call would batch.
   */
 object Multimodal {
 
@@ -60,9 +62,49 @@ object Multimodal {
         (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
         .as("meta"))
 
-  /** STUB — deterministic fake decode. A real implementation would
-    * decode `bytes` with an image/audio library here; the container
-    * ships none, so this derives an 8-dim feature vector from byte
+  /** Real image decode via the JRE's `javax.imageio` — no added
+    * dependencies. Returns None when no installed reader understands
+    * the bytes (corrupt payloads, audio/video containers), letting the
+    * caller fall back to [[fakeDecode]]. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes == null || bytes.length < 8) None
+    else try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** 8-dim feature vector from a decoded image: normalized width /
+    * height / band count, mean R/G/B, mean luma (Rec.601), and aspect
+    * ratio. Deterministic in the pixel content. A full pixel pass per
+    * image — at scale the codec, not this loop, dominates. */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    var r = 0.0; var g = 0.0; var b = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        r += ((p >> 16) & 0xff) / 255.0
+        g += ((p >> 8) & 0xff) / 255.0
+        b += (p & 0xff) / 255.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    val (mr, mg, mb) = (r / n, g / n, b / n)
+    Array(
+      w / 4096f, h / 4096f,
+      img.getColorModel.getNumComponents / 4f,
+      mr.toFloat, mg.toFloat, mb.toFloat,
+      (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat,
+      (w.toFloat / h).min(8f) / 8f)
+  }
+
+  /** STUB — deterministic fake decode for the modalities with no
+    * in-container codec (audio/video) and for undecodable image
+    * payloads. A real implementation would decode `bytes` with a media
+    * library here; this derives an 8-dim feature vector from byte
     * statistics. Deterministic in the input bytes. */
   def fakeDecode(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(8)(0f)
@@ -87,8 +129,14 @@ object Multimodal {
       rows.map { r =>
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(r.content).map("%02x".format(_)).mkString
-        MediaFeatures(r.media_id, r.kind, r.content.length, digest,
-          fakeDecode(r.content))
+        // image rows get the real ImageIO decode; audio/video (and
+        // image bytes no reader understands) use the stub digest
+        val feats =
+          if (r.kind == "image")
+            decodeImage(r.content).map(imageFeatures)
+              .getOrElse(fakeDecode(r.content))
+          else fakeDecode(r.content)
+        MediaFeatures(r.media_id, r.kind, r.content.length, digest, feats)
       }
     }
   }

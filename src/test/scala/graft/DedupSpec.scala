@@ -57,6 +57,45 @@ class DedupSpec extends SparkSpec {
     assert(capped.toSeq == Seq((1L, 2L, 1L, 1L, 1L, 1.0)))
   }
 
+  test("skew rehearsal: a shingle in 50% of docs blows up candidate " +
+      "pairs quadratically; maxDf bounds it") {
+    import spark.implicits._
+    // 200 docs; 'common' appears in docs 0-99 (df=100 — one shingle in
+    // HALF the corpus, the classic boilerplate/stop-shingle skew), the
+    // rest are unique tokens. Two genuine duplicate pairs: (0,1) share
+    // all their tokens, (150,151) likewise.
+    val docs = (0L until 200L).map { i =>
+      val text =
+        if (i <= 1) "common dupA dupB"
+        else if (i < 100) s"common u$i"
+        else if (i == 150L || i == 151L) "rareX rareY"
+        else s"u$i only$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    // threshold ~0 makes every candidate pair survive the jaccard
+    // filter, so the row count IS the candidate-pair count the join
+    // materialized. Unguarded: C(100,2) pairs from 'common' alone
+    // (+1 disjoint rare pair) — the n² hot-key blowup a 100 TB corpus
+    // cannot afford.
+    val unguarded = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.01).count()
+    assert(unguarded == 100L * 99 / 2 + 1,
+      s"expected 4951 candidate pairs from the hot shingle, got $unguarded")
+    // maxDf=50 drops 'common' (df=100) from the inverted index: the
+    // candidate space collapses to the genuinely-shared rare shingles
+    val guarded = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.01, maxDf = Some(50)).count()
+    assert(guarded == 2L,
+      s"expected 2 candidate pairs under the maxDf guard, got $guarded")
+    // and the guard costs no recall at a real threshold: both true
+    // duplicate pairs are still found
+    val found = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 1, threshold = 0.5, maxDf = Some(50))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((0L, 1L), (150L, 151L)))
+  }
+
   test("minhash-LSH candidates include the exact duplicate at est 1.0") {
     val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text")
       .filter(col("id_a") === 1 && col("id_b") === 4).collect()

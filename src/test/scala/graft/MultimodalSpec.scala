@@ -31,6 +31,47 @@ class MultimodalSpec extends SparkSpec {
       a.features.sameElements(b.features) })
   }
 
+  /** Encode a solid-color PNG in memory — real bytes, no fixtures. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real PNG bytes round-trip through the partition-batch decode") {
+    val red = pngBytes(6, 4, 0xff0000)
+    val gray = pngBytes(3, 3, 0x808080)
+    val rows = Seq(
+      MediaRow(10, "image", red, MediaMeta("png", 6, 4, 3, 0, 1)),
+      MediaRow(11, "image", gray, MediaMeta("png", 3, 3, 3, 0, 1)),
+      // an "image" payload no reader understands falls back to the stub
+      MediaRow(12, "image", "not an image".getBytes("UTF-8"),
+        MediaMeta("png", 1, 1, 3, 0, 1)))
+    val f = Multimodal.extractFeatures(rows.toDS()).orderBy("media_id")
+      .collect()
+    // pure red 6x4: dims, meanR=1, meanG=meanB=0, luma=0.299
+    val fr = f(0).features
+    assert(fr(0) == 6 / 4096f && fr(1) == 4 / 4096f)
+    assert(fr(3) == 1f && fr(4) == 0f && fr(5) == 0f)
+    assert(math.abs(fr(6) - 0.299f) < 1e-4)
+    // mid-gray 3x3: all channels 128/255
+    val fg = f(1).features
+    assert(math.abs(fg(3) - 128 / 255f) < 1e-4)
+    assert(fg(3) == fg(4) && fg(4) == fg(5))
+    // undecodable bytes: identical to the stub digest
+    assert(f(2).features.sameElements(
+      Multimodal.fakeDecode("not an image".getBytes("UTF-8"))))
+    // decode is deterministic: re-encoding the same pixels yields the
+    // same features
+    val again = Multimodal.extractFeatures(
+      Seq(MediaRow(10, "image", pngBytes(6, 4, 0xff0000),
+        MediaMeta("png", 6, 4, 3, 0, 1))).toDS()).collect()(0)
+    assert(again.features.sameElements(fr))
+  }
+
   test("resize rewrites metadata only") {
     val r = Multimodal.resize(media.toDF(), 128, 96)
       .filter(col("media_id") === 1)
