@@ -38,8 +38,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val iterRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS_ITER", "5")
-      .toInt.max(runs)
+    // iterative default: 5 on a default run, but follow an explicit
+    // SPARK_GRAFT_BENCH_RUNS (a RUNS=1 smoke run shouldn't still pay
+    // five passes of the slowest queries)
+    val iterRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS_ITER").map(_.toInt)
+      .getOrElse(if (sys.env.contains("SPARK_GRAFT_BENCH_RUNS")) runs
+        else 5)
+      .max(runs)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -161,19 +161,29 @@ object Similarity {
     * `query_id, neighbor_id`). Queries with an empty approximate
     * candidate set (possible under LSH/IVF pruning) surface as
     * recall 0 rather than disappearing — `queryIds` is the driving
-    * side. The join is an equi-semi-join on (query_id, neighbor_id):
-    * hit counting never rescans the corpus.
+    * side. The denominator is the per-query EXACT result size capped
+    * at k, so a corpus with fewer than k neighbors per query can still
+    * reach recall 1.0 (a fixed /k would bound it at |corpus|/k); a
+    * query with no exact neighbors at all scores the vacuous 1.0.
+    * The join is an equi-semi-join on (query_id, neighbor_id): hit
+    * counting never rescans the corpus.
     */
   def recallAtK(queryIds: DataFrame, exact: DataFrame, approx: DataFrame,
       k: Int, method: String): DataFrame = {
-    val hits = exact.select("query_id", "neighbor_id")
+    val exactSel = exact.select("query_id", "neighbor_id")
+    val exactCounts = exactSel.groupBy("query_id")
+      .agg(count(lit(1)).as("__ec"))
+    val hits = exactSel
       .join(approx.select("query_id", "neighbor_id"),
         Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("__h"))
     queryIds.join(hits, Seq("query_id"), "left")
+      .join(exactCounts, Seq("query_id"), "left")
       .select(lit(method).as("method"), col("query_id"),
         coalesce(col("__h"), lit(0L)).cast("int").as("hits"),
-        (coalesce(col("__h"), lit(0L)).cast("double") / lit(k.toDouble))
+        when(coalesce(col("__ec"), lit(0L)) === 0L, lit(1.0))
+          .otherwise(coalesce(col("__h"), lit(0L)).cast("double") /
+            least(lit(k.toLong), col("__ec")))
           .as("recall"))
   }
 

@@ -62,15 +62,44 @@ object Multimodal {
         (col("n_chars") % 30 + 1).cast("int").as("n_frames"))
         .as("meta"))
 
+  /** Upper bound on decoded pixels (64 Mpx ≈ a 256 MB ARGB raster):
+    * an untrusted corpus can contain a few-KB payload whose header
+    * declares gigapixel dimensions — the raster allocation, not the
+    * file size, is the bomb. Checked from the header BEFORE decoding. */
+  val MaxDecodePixels: Long = 64L * 1024 * 1024
+
+  // ImageIO's default InputStream path spools through a temp FILE per
+  // decode; the payload is already fully in memory, so that is a
+  // create/write/delete disk round-trip per row in the hot loop
+  private lazy val imageIoInit: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image decode via the JRE's `javax.imageio` — no added
     * dependencies. Returns None when no installed reader understands
-    * the bytes (corrupt payloads, audio/video containers), letting the
-    * caller fall back to [[fakeDecode]]. */
-  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    if (bytes == null || bytes.length < 8) None
-    else try Option(javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes)))
-    catch { case _: Exception => None }
+    * the bytes (corrupt payloads, audio/video containers) or when the
+    * header declares more than [[MaxDecodePixels]], letting the caller
+    * fall back to [[fakeDecode]]. Dimensions come from the header via
+    * the reader BEFORE the pixel decode, so an oversized payload is
+    * rejected without allocating its raster. */
+  def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length < 8) return None
+    imageIoInit
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, true, true)
+        val px = reader.getWidth(0).toLong * reader.getHeight(0).toLong
+        if (px <= 0 || px > MaxDecodePixels) None
+        else Option(reader.read(0))
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    } catch { case _: Exception => None }
+  }
 
   /** 8-dim feature vector from a decoded image: normalized width /
     * height / band count, mean R/G/B, mean luma (Rec.601), and aspect

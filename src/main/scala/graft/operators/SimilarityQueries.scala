@@ -261,14 +261,19 @@ object SimilarityQueries {
       hit_counts AS (
         SELECT a.method, a.query_id, COUNT(*) AS h
         FROM approx a JOIN exact e USING (query_id, neighbor_id)
-        GROUP BY 1, 2)
+        GROUP BY 1, 2),
+      exact_counts AS (
+        SELECT query_id, COUNT(*) AS ec FROM exact GROUP BY 1)
       SELECT m.method, q.vec_id AS query_id,
         CAST(COALESCE(h.h, 0) AS INT) AS hits,
-        CAST(COALESCE(h.h, 0) AS DOUBLE) / 5.0 AS recall
+        CASE WHEN COALESCE(ec.ec, 0) = 0 THEN 1.0
+             ELSE CAST(COALESCE(h.h, 0) AS DOUBLE) / LEAST(5, ec.ec)
+        END AS recall
       FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh_bucket') m
       CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 16) q
       LEFT JOIN hit_counts h
         ON h.method = m.method AND h.query_id = q.vec_id
+      LEFT JOIN exact_counts ec ON ec.query_id = q.vec_id
       ORDER BY m.method, q.vec_id""")) { (s, dir) =>
         val emb = Tables.load(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 16)

@@ -83,8 +83,12 @@ final case class CustomSqlRule(ruleName: String, sql: String,
 }
 object CustomSqlRule {
   private val From = "(?i)\\bfrom\\s+([a-z_][a-z0-9_]*)".r
+  // covers `WITH name AS (`, `WITH RECURSIVE name AS (`, the
+  // SQL-standard column-list form `WITH name(cols) AS (`, and
+  // follow-on `, name AS (` members
   private val CteName =
-    "(?i)(?:\\bwith\\s+|,\\s*)([a-z_][a-z0-9_]*)\\s+as\\s*\\(".r
+    ("(?i)(?:\\bwith\\s+(?:recursive\\s+)?|,\\s*)" +
+      "([a-z_][a-z0-9_]*)\\s*(?:\\([^)]*\\))?\\s*as\\s*\\(").r
   /** The MAIN query's first FROM target: the first FROM at parenthesis
     * depth 0 (i.e. outside CTE bodies and subqueries) that does not
     * name a CTE defined in the statement — so
@@ -295,17 +299,24 @@ object QualitySuite {
     case _ => violationCountBase(spark, tables, rule, asOf)
   }
 
-  /** Run one custom SQL validation: the suite's tables are registered
-    * as temp views for the duration of the query and dropped
-    * afterwards, so nothing lingers in the session catalog. A
-    * pre-existing temp view with the same name as a suite table is
-    * replaced and then dropped — callers sharing a session should not
-    * reuse suite table names for unrelated views. */
+  /** Run one custom SQL validation — see [[runCustomBatch]]. */
   private def runCustom(spark: SparkSession,
       tables: Map[String, DataFrame], rule: CustomSqlRule,
-      asOf: Column): Long = {
+      asOf: Column): Long =
+    runCustomBatch(spark, tables, Seq(rule), asOf)(rule.name)
+
+  /** Run a batch of custom SQL validations over ONE registration of
+    * the suite's tables as temp views, dropped afterwards so nothing
+    * lingers in the session catalog. A pre-existing temp view with the
+    * same name as a suite table is replaced and then dropped — callers
+    * sharing a session should not reuse suite table names for
+    * unrelated views. Returns rule name → violation count. */
+  private def runCustomBatch(spark: SparkSession,
+      tables: Map[String, DataFrame], rules: Seq[CustomSqlRule],
+      asOf: Column): Map[String, Long] = {
     tables.foreach { case (n, t) => t.createOrReplaceTempView(n) }
-    try spark.sql(bindAsOf(spark, rule.sql, asOf)).count()
+    try rules.map(r =>
+      r.name -> spark.sql(bindAsOf(spark, r.sql, asOf)).count()).toMap
     finally tables.keys.foreach(spark.catalog.dropTempView(_))
   }
 
@@ -478,12 +489,10 @@ object QualitySuite {
     if (customRules.nonEmpty) {
       def totalOf(t: String): Long = tableTotals.getOrElseUpdate(t,
         tables.get(t).map(_.count()).getOrElse(0L))
-      tables.foreach { case (n, t) => t.createOrReplaceTempView(n) }
-      try for (r <- customRules) {
-        val c = r.asInstanceOf[CustomSqlRule]
-        results(c.name) = (spark.sql(bindAsOf(spark, c.sql, asOf)).count(),
-          totalOf(c.table))
-      } finally tables.keys.foreach(spark.catalog.dropTempView(_))
+      val customs = customRules.collect { case c: CustomSqlRule => c }
+      val counts = runCustomBatch(spark, tables, customs, asOf)
+      for (c <- customs)
+        results(c.name) = (counts(c.name), totalOf(c.table))
     }
     results ++= evalGates(
       gateRules.collect { case g: GateRule => g },

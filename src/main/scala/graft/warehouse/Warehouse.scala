@@ -99,6 +99,11 @@ object Merge {
     val partRows = incoming
       .select(partitionCols.map(col): _*).distinct().collect()
     if (partRows.isEmpty) return
+    // restore any partition a previously crashed swap parked in a
+    // trash dir BEFORE reading the target — the scan's file index is
+    // built at read time, and the hasData probe below must not mistake
+    // a mid-swap-emptied table for a first load
+    Writer.recoverPartitions(spark, path, partitionCols)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a directory holding no data files (e.g. the debris of a crashed

@@ -65,6 +65,10 @@ object Writer {
   /** Dynamic-partition overwrite with a staged atomic swap — closes
     * the torn-partition window of writing straight into the target:
     *
+    *  0. debris of a previously crashed swap on the same target is
+    *     recovered first: any partition that went aside to a trash dir
+    *     but never received its replacement is renamed back, then all
+    *     debris is cleared;
     *  1. the full job writes to a hidden sibling staging directory
     *     (`.<name>__stage__<uuid>`), target bytes untouched;
     *  2. each staged leaf partition directory is then swapped into
@@ -74,20 +78,26 @@ object Writer {
     * A failure during the (long, data-moving) write job leaves the
     * target byte-identical — the common crash case costs nothing. A
     * failure during the (short, metadata-only) swap leaves every
-    * partition either fully old or fully new, never a half-written mix
-    * of part files; in that case the staging and trash directories are
-    * deliberately NOT deleted (they may hold the only complete copy of
-    * a mid-swap partition) — both are dot-prefixed, so readers of the
-    * target never see them, and a re-run of the same load supersedes
-    * them. Rename-per-directory is atomic on HDFS and local
-    * filesystems; object stores without atomic rename need a table
-    * format instead.
+    * partition fully old, fully new, or (for the one partition caught
+    * between its two renames) parked in the trash dir — never a
+    * half-written mix of part files; the staging and trash directories
+    * are deliberately NOT deleted on a mid-swap failure (they may hold
+    * the only complete copy of that partition). Both are dot-prefixed,
+    * so readers of the target never see them, and the next
+    * `overwritePartitionsAtomic` on the same target restores the
+    * parked partition via step 0 before doing anything else — a re-run
+    * of a crashed load therefore merges against the complete old
+    * state, not a hole. Rename-per-directory is atomic on HDFS and
+    * local filesystems; object stores without atomic rename need a
+    * table format instead. Concurrent writers to one target are not
+    * supported (same as any non-transactional layout).
     */
   def overwritePartitionsAtomic(fact: DataFrame, path: String,
       partitionCols: Seq[String]): Unit = {
     val spark = fact.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwapDebris(fs, target, partitionCols.length)
     val id = java.util.UUID.randomUUID().toString
     val stage = new org.apache.hadoop.fs.Path(target.getParent,
       s".${target.getName}__stage__$id")
@@ -96,36 +106,20 @@ object Writer {
     try fact.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(stage.toString)
     catch { case e: Throwable => fs.delete(stage, true); throw e }
-    // leaf partition dirs of the staging write, relative to it
-    def leaves(dir: org.apache.hadoop.fs.Path,
-        depth: Int): Seq[org.apache.hadoop.fs.Path] =
-      if (depth == 0) Seq(dir)
-      else fs.listStatus(dir).toSeq
-        .filter(s => s.isDirectory && !s.getPath.getName.startsWith("_"))
-        .flatMap(s => leaves(s.getPath, depth - 1))
     var swapStarted = false
     try {
-      // relativize over fs-qualified URIs — listStatus returns
-      // scheme-qualified paths, a bare `new Path(str)` does not
-      val stageUri = fs.makeQualified(stage).toUri
-      val rels = leaves(stage, partitionCols.length)
-        .map(p => stageUri.relativize(fs.makeQualified(p).toUri).getPath)
-      require(rels.forall(r => r.nonEmpty && !r.startsWith("/")),
-        s"staging layout not relative to $stage: $rels")
+      val rels = leafPartitionRels(fs, stage, partitionCols.length)
       if (!fs.exists(target)) fs.mkdirs(target)
-      def mv(from: org.apache.hadoop.fs.Path,
-          to: org.apache.hadoop.fs.Path): Unit =
-        require(fs.rename(from, to), s"rename $from -> $to failed")
       rels.foreach { rel =>
         swapStarted = true
         val dest = new org.apache.hadoop.fs.Path(target, rel)
         if (fs.exists(dest)) {
           val aside = new org.apache.hadoop.fs.Path(trash, rel)
           fs.mkdirs(aside.getParent)
-          mv(dest, aside)
+          mv(fs, dest, aside)
         }
         fs.mkdirs(dest.getParent)
-        mv(new org.apache.hadoop.fs.Path(stage, rel), dest)
+        mv(fs, new org.apache.hadoop.fs.Path(stage, rel), dest)
       }
       fs.delete(stage, true)
       fs.delete(trash, true)
@@ -134,6 +128,67 @@ object Writer {
         if (!swapStarted) { fs.delete(stage, true); fs.delete(trash, true) }
         throw e
     }
+  }
+
+  private def mv(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path,
+      to: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+
+  /** Leaf partition directories `depth` levels under `base`, as
+    * base-relative paths. Partition dirs always contain `=`; metadata
+    * dirs (`_SUCCESS`, `_temporary`) never do — filtering on the
+    * underscore alone would also drop partition COLUMNS with a leading
+    * underscore. */
+  private def leafPartitionRels(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, depth: Int): Seq[String] = {
+    def walk(dir: org.apache.hadoop.fs.Path,
+        d: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (d == 0) Seq(dir)
+      else fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => walk(s.getPath, d - 1))
+    // relativize over fs-qualified URIs — listStatus returns
+    // scheme-qualified paths, a bare `new Path(str)` does not
+    val baseUri = fs.makeQualified(base).toUri
+    val rels = walk(base, depth)
+      .map(p => baseUri.relativize(fs.makeQualified(p).toUri).getPath)
+    require(rels.forall(r => r.nonEmpty && !r.startsWith("/")),
+      s"partition layout not relative to $base: $rels")
+    rels
+  }
+
+  /** Public entry for swap-debris recovery: callers that READ the
+    * target before writing it (e.g. a read-merge-write like
+    * [[graft.warehouse.Merge.upsertPartitioned]]) must recover BEFORE
+    * the read — the scan's file index is built at read time and would
+    * miss a partition restored later. */
+  def recoverPartitions(spark: SparkSession, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwapDebris(fs, target, partitionCols.length)
+  }
+
+  /** Step 0 of [[overwritePartitionsAtomic]]: restore any partition a
+    * crashed swap left parked in a trash dir (present there, absent
+    * from the target), then delete all stage/trash debris for this
+    * target. Idempotent; a no-op when no debris exists. */
+  private def recoverSwapDebris(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, depth: Int): Unit = {
+    val parent = target.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val debris = fs.listStatus(parent).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(s".${target.getName}__"))
+    for (d <- debris if d.getName.contains("__old__");
+        rel <- leafPartitionRels(fs, d, depth)) {
+      val dest = new org.apache.hadoop.fs.Path(target, rel)
+      if (!fs.exists(dest)) {
+        fs.mkdirs(dest.getParent)
+        mv(fs, new org.apache.hadoop.fs.Path(d, rel), dest)
+      }
+    }
+    debris.foreach(fs.delete(_, true))
   }
 
   /** Compact the small files of selected partitions (the debris of

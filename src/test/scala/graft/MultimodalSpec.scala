@@ -72,6 +72,40 @@ class MultimodalSpec extends SparkSpec {
     assert(again.features.sameElements(fr))
   }
 
+  /** A valid PNG signature + IHDR (correct CRC) declaring huge
+    * dimensions, with no pixel data — the classic few-bytes
+    * decompression-bomb header. */
+  private def bombPng(w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val data = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val typeAndData = "IHDR".getBytes("US-ASCII") ++ data
+    val crc = new java.util.zip.CRC32()
+    crc.update(typeAndData)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(13).array())
+    out.write(typeAndData)
+    out.write(java.nio.ByteBuffer.allocate(4)
+      .putInt(crc.getValue.toInt).array())
+    out.toByteArray
+  }
+
+  test("a decompression-bomb header is rejected before raster " +
+      "allocation and falls back to the stub") {
+    val bomb = bombPng(100000, 100000) // 10 Gpx declared in ~33 bytes
+    assert(Multimodal.decodeImage(bomb).isEmpty)
+    // and through the pipeline: the row degrades to the stub digest,
+    // it does not kill the task
+    val f = Multimodal.extractFeatures(Seq(
+      MediaRow(20, "image", bomb, MediaMeta("png", 0, 0, 3, 0, 1)))
+      .toDS()).collect()(0)
+    assert(f.features.sameElements(Multimodal.fakeDecode(bomb)))
+    // a sane image of the same format still decodes
+    assert(Multimodal.decodeImage(pngBytes(2, 2, 0x123456)).isDefined)
+  }
+
   test("resize rewrites metadata only") {
     val r = Multimodal.resize(media.toDF(), 128, 96)
       .filter(col("media_id") === 1)

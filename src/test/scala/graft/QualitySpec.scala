@@ -216,6 +216,15 @@ custom_validations:
     assert(byName("cte_lead").table == "qv_t")
     // explicit YAML table: key wins over the heuristic
     assert(byName("explicit").table == "qv_aux")
+    // RECURSIVE and column-list CTE forms are recognized too: the main
+    // query selects FROM the CTE, so attribution falls through to the
+    // CTE body's base table
+    assert(CustomSqlRule.fromTable(
+      "WITH RECURSIVE r AS (SELECT x FROM real_t) SELECT * FROM r")
+      .contains("real_t"))
+    assert(CustomSqlRule.fromTable(
+      "WITH c(k) AS (SELECT x FROM real_t) SELECT * FROM c")
+      .contains("real_t"))
     val t = Seq((1L, 5.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
     val aux = Seq(Tuple1(2L), Tuple1(3L)).toDF("k")
     val rep = QualitySuite.report(spark,

@@ -79,4 +79,16 @@ class SimilaritySpec extends SparkSpec {
     val r = avgRecall(exact, "exact")
     assert(r === 1.0)
   }
+
+  test("recall denominator caps at the exact result size on corpora " +
+      "smaller than k") {
+    // 4 vectors, k=5: each query has only 3 exact neighbors; a perfect
+    // approximation must still score 1.0, not 3/5
+    val tiny = corpus.filter(col("vec_id") < 4)
+    val qs = tiny.select(col("vec_id").as("query_id"))
+    val ex = Similarity.bruteForceTopK(tiny, tiny, K)
+    val rec = Similarity.recallAtK(qs, ex, ex, K, "exact")
+    assert(rec.count() === 4)
+    assert(rec.collect().forall(_.getAs[Double]("recall") === 1.0))
+  }
 }

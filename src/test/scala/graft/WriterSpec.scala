@@ -176,6 +176,49 @@ class WriterSpec extends SparkSpec {
     assert(parent.listFiles().map(_.getName).toSeq == Seq("t"))
   }
 
+  test("atomic swap: a partition parked by a crashed swap is restored " +
+      "before the next merge reads the target") {
+    val base = Files.createTempDirectory("graft_atomrec").toString
+    val dir = base + "/t"
+    val init = Seq((1L, 20240105, 5.0, "A"), (2L, 20240210, 6.0, "B"))
+      .toDF("k", "date_key", "v", "status")
+      .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
+    Merge.upsertPartitioned(spark, dir, init, keys = Seq("k"),
+      updateCols = Seq("v"), tiebreak = Seq(col("status").desc),
+      partitionCols = Seq("part_month"))
+    // simulate the narrowest crash window: partition month=1 went
+    // aside to the trash dir but its replacement never landed
+    val trash = new java.io.File(base, ".t__old__crashed")
+    trash.mkdirs()
+    assert(new java.io.File(dir, "part_month=1")
+      .renameTo(new java.io.File(trash, "part_month=1")))
+    assert(!new java.io.File(dir, "part_month=1").exists())
+    // the next merge (touching only month 2) must first restore the
+    // parked partition, then merge against the COMPLETE old state
+    val inc = Seq((2L, 20240211, 60.0, "B"))
+      .toDF("k", "date_key", "v", "status")
+      .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
+    Merge.upsertPartitioned(spark, dir, inc, keys = Seq("k"),
+      updateCols = Seq("v"), tiebreak = Seq(col("status").desc),
+      partitionCols = Seq("part_month"))
+    val got = spark.read.parquet(dir).orderBy("k")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 5.0), (2L, 60.0)))
+    // debris is cleared
+    assert(new java.io.File(base).listFiles().map(_.getName).toSeq ==
+      Seq("t"))
+  }
+
+  test("atomic swap handles underscore-prefixed partition columns") {
+    val dir = Files.createTempDirectory("graft_atomus").toString + "/t"
+    val df = Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v")
+      .withColumn("_day", col("k") + 100)
+    Writer.overwritePartitionsAtomic(df, dir, Seq("_day"))
+    val got = spark.read.parquet(dir)
+    assert(got.count() == 2)
+    assert(got.columns.contains("_day"))
+  }
+
   test("compaction merges small files, leaves other partitions alone") {
     val dir = Files.createTempDirectory("graft_compact").toString
     // month 1 written as many small files; month 2 as one
