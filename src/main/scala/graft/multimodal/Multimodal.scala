@@ -86,18 +86,19 @@ object Multimodal {
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) return None
-      val reader = readers.next()
       try {
-        reader.setInput(iis, true, true)
-        val px = reader.getWidth(0).toLong * reader.getHeight(0).toLong
-        if (px <= 0 || px > MaxDecodePixels) None
-        else Option(reader.read(0))
-      } finally {
-        reader.dispose()
-        iis.close()
-      }
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None // iis still closed by the finally
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            val px = reader.getWidth(0).toLong * reader.getHeight(0).toLong
+            if (px <= 0 || px > MaxDecodePixels) None
+            else Option(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally iis.close()
     } catch { case _: Exception => None }
   }
 

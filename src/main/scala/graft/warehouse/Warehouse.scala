@@ -116,7 +116,8 @@ object Merge {
       val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
       val deduped = incoming.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
-      Writer.overwritePartitionsAtomic(deduped, path, partitionCols)
+      Writer.overwritePartitionsAtomic(deduped, path, partitionCols,
+        recoverFirst = false)
       return
     }
     val touched = partRows.map(r => partitionCols.zipWithIndex
@@ -124,7 +125,8 @@ object Merge {
       .reduce(_ || _)
     val target = spark.read.parquet(path).filter(touched)
     val merged = upsert(target, incoming, keys, updateCols, tiebreak)
-    Writer.overwritePartitionsAtomic(merged, path, partitionCols)
+    Writer.overwritePartitionsAtomic(merged, path, partitionCols,
+      recoverFirst = false)
   }
 }
 

@@ -93,11 +93,14 @@ object Writer {
     * supported (same as any non-transactional layout).
     */
   def overwritePartitionsAtomic(fact: DataFrame, path: String,
-      partitionCols: Seq[String]): Unit = {
+      partitionCols: Seq[String], recoverFirst: Boolean = true): Unit = {
     val spark = fact.sparkSession
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    recoverSwapDebris(fs, target, partitionCols.length)
+    // callers that already ran recoverPartitions (read-merge-write
+    // flows must, before their target read) skip the redundant second
+    // parent-dir listing
+    if (recoverFirst) recoverSwapDebris(fs, target, partitionCols.length)
     val id = java.util.UUID.randomUUID().toString
     val stage = new org.apache.hadoop.fs.Path(target.getParent,
       s".${target.getName}__stage__$id")
@@ -178,9 +181,16 @@ object Writer {
       target: org.apache.hadoop.fs.Path, depth: Int): Unit = {
     val parent = target.getParent
     if (parent == null || !fs.exists(parent)) return
+    // exact-match THIS table's debris: a bare startsWith would also
+    // capture a sibling table whose name extends the target's (target
+    // `events` vs `.events__archive__old__<id>`) — restoring foreign
+    // partitions and deleting the sibling's only recovery copy
+    val debrisRe =
+      ("^\\.\\Q" + target.getName + "\\E__(old|stage)__[A-Za-z0-9-]+$").r
     val debris = fs.listStatus(parent).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith(s".${target.getName}__"))
-    for (d <- debris if d.getName.contains("__old__");
+      .flatMap(p => debrisRe.findFirstMatchIn(p.getName)
+        .map(mm => (p, mm.group(1))))
+    for ((d, kind) <- debris if kind == "old";
         rel <- leafPartitionRels(fs, d, depth)) {
       val dest = new org.apache.hadoop.fs.Path(target, rel)
       if (!fs.exists(dest)) {
@@ -188,7 +198,7 @@ object Writer {
         mv(fs, new org.apache.hadoop.fs.Path(d, rel), dest)
       }
     }
-    debris.foreach(fs.delete(_, true))
+    debris.foreach { case (d, _) => fs.delete(d, true) }
   }
 
   /** Compact the small files of selected partitions (the debris of

@@ -209,6 +209,33 @@ class WriterSpec extends SparkSpec {
       Seq("t"))
   }
 
+  test("debris recovery never touches a sibling table's debris") {
+    val base = Files.createTempDirectory("graft_atomsib").toString
+    val dir = base + "/t"
+    val init = Seq((1L, 20240105, 5.0, "A"))
+      .toDF("k", "date_key", "v", "status")
+      .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
+    Merge.upsertPartitioned(spark, dir, init, keys = Seq("k"),
+      updateCols = Seq("v"), tiebreak = Seq(col("status").desc),
+      partitionCols = Seq("part_month"))
+    // a sibling table t__archive crashed mid-swap: its trash dir name
+    // extends the target's — a prefix match would steal its partition
+    // and delete its only recovery copy
+    val foreign =
+      new java.io.File(base, ".t__archive__old__abc123/part_month=9")
+    foreign.mkdirs()
+    new java.io.File(foreign, "part-0.parquet").createNewFile()
+    val inc = Seq((1L, 20240106, 50.0, "A"))
+      .toDF("k", "date_key", "v", "status")
+      .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
+    Merge.upsertPartitioned(spark, dir, inc, keys = Seq("k"),
+      updateCols = Seq("v"), tiebreak = Seq(col("status").desc),
+      partitionCols = Seq("part_month"))
+    assert(foreign.exists(), "sibling table's debris was deleted")
+    assert(!new java.io.File(dir, "part_month=9").exists(),
+      "sibling table's partition was restored into the wrong table")
+  }
+
   test("atomic swap handles underscore-prefixed partition columns") {
     val dir = Files.createTempDirectory("graft_atomus").toString + "/t"
     val df = Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v")
