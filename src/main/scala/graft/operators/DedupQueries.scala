@@ -229,6 +229,75 @@ object DedupQueries {
         .where(col("est_jaccard") >= 0.5)
       Dedup.connectedComponentsStar(cand, "id_a", "id_b")
         .orderBy("doc_id")
+    },
+
+    // Incremental dedup: docs with doc_id % 5 == 0 play the NEW ingest
+    // batch; the rest are the EXISTING corpus, clustered first from
+    // old-only LSH pairs. New docs are assigned append-only — to the
+    // smallest matched existing cluster rep, else clustered among
+    // themselves — without rescanning the old corpus (only its
+    // (doc_id, rep) assignment table joins in). The oracle replays the
+    // same rep-rewrite + id-offset encoding with two recursive-CTE
+    // component searches.
+    {
+      val Off = 1000000000L
+      Q("q78_incremental_dedup", Some(s"""
+      WITH RECURSIVE $mhCtes,
+      scored AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE ($mhAgree) * 2 >= $MhNumHashes),
+      old_pairs AS (
+        SELECT id_a, id_b FROM scored
+        WHERE id_a % 5 <> 0 AND id_b % 5 <> 0),
+      old_edges AS (
+        SELECT id_a AS src, id_b AS dst FROM old_pairs
+        UNION SELECT id_b, id_a FROM old_pairs),
+      old_reach(id, r) AS (
+        SELECT DISTINCT src, src FROM old_edges
+        UNION
+        SELECT e.dst, old_reach.r FROM old_reach
+        JOIN old_edges e ON old_reach.id = e.src),
+      old_labels AS (SELECT id, MIN(r) AS rep FROM old_reach GROUP BY id),
+      inc_pairs AS (
+        SELECT id_a, id_b FROM scored
+        WHERE id_a % 5 = 0 OR id_b % 5 = 0),
+      e0 AS (
+        SELECT
+          CASE WHEN id_a % 5 <> 0 THEN COALESCE(la.rep, id_a)
+               ELSE id_a + $Off END AS src,
+          CASE WHEN id_b % 5 <> 0 THEN COALESCE(lb.rep, id_b)
+               ELSE id_b + $Off END AS dst
+        FROM inc_pairs
+        LEFT JOIN old_labels la ON id_a = la.id
+        LEFT JOIN old_labels lb ON id_b = lb.id),
+      edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+      comp AS (SELECT id, MIN(r) AS lbl FROM reach GROUP BY id)
+      SELECT CAST(id - $Off AS BIGINT) AS doc_id,
+        CAST(CASE WHEN lbl >= $Off THEN lbl - $Off ELSE lbl END AS BIGINT)
+          AS cluster_rep,
+        CAST(CASE WHEN lbl < $Off THEN 1 ELSE 0 END AS INT)
+          AS joined_existing
+      FROM comp WHERE id >= $Off ORDER BY doc_id""")) { (s, dir) =>
+        val isOld = (c: org.apache.spark.sql.Column) => c % 5 =!= 0
+        val scored = Dedup.minHashLshCandidates(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            n = 3, numHashes = MhNumHashes, bands = MhBands)
+          .where(col("est_jaccard") >= 0.5)
+        val oldLabels = Dedup.connectedComponentsStar(
+          scored.where(isOld(col("id_a")) && isOld(col("id_b"))),
+          "id_a", "id_b")
+        val incPairs = scored.where(
+          !isOld(col("id_a")) || !isOld(col("id_b")))
+        Dedup.incrementalAssign(incPairs, "id_a", "id_b", oldLabels,
+            isOld, offset = Off)
+          .orderBy("doc_id")
+      }
     }
   )
 }

@@ -287,6 +287,45 @@ object SimilarityQueries {
             method = "lsh_bucket"))
           .orderBy("method", "query_id")
       }
+    },
+
+    // int8 scalar-quantized top-k: per-vector max-abs scale, codes =
+    // floor(x·127/scale + 0.5), scoring on exact integer dot products.
+    // The 100 TB angle is memory bandwidth — the corpus scan reads 1
+    // byte/dim instead of 4 — and bit-reproducibility (integer sums
+    // have no accumulation-order sensitivity). Both engines run the
+    // identical floor arithmetic, so codes (and therefore scores)
+    // hash-match exactly.
+    Q("q77_sq8_topk", Some("""
+      WITH coded AS (
+        SELECT vec_id,
+          list_transform(embedding::DOUBLE[], x ->
+            CAST(floor(x * 127.0 /
+              list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+              + 0.5) AS BIGINT)) AS code
+        FROM embeddings
+        WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+      normed AS (
+        SELECT vec_id, code,
+          list_reduce(list_transform(code, x -> x * x),
+            (acc, v) -> acc + v) AS n2
+        FROM coded),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          CAST(list_reduce(list_transform(list_zip(q.code, c.code),
+                 x -> x[1] * x[2]), (acc, v) -> acc + v) AS DOUBLE)
+            / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS score
+        FROM normed q JOIN normed c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 16)
+      SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rn FROM (
+        SELECT query_id, neighbor_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, neighbor_id) AS rn
+        FROM scored) t
+      WHERE rn <= 5 ORDER BY query_id, rn""")) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      Similarity.sq8TopK(emb.filter(col("vec_id") < 16), emb, k = 5)
+        .orderBy("query_id", "rn")
     }
   )
 }

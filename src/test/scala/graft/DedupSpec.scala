@@ -222,6 +222,33 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("incremental assign: new docs join existing clusters " +
+      "append-only, unmatched new docs form fresh clusters") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // existing corpus clusters: {1,2} rep 1, {4,6} rep 4; old doc 3 is
+    // a singleton absent from the assignment table (its own rep).
+    // New batch = ids divisible by 5.
+    val oldLabels = Seq((1L, 1L), (2L, 1L), (4L, 4L), (6L, 4L))
+      .toDF("doc_id", "cluster_rep")
+    val pairs = Seq(
+      (0L, 2L),   // new 0 matches cluster {1,2}       -> rep 1
+      (3L, 5L),   // new 5 matches old singleton 3     -> rep 3
+      (5L, 10L),  // new 10 chains to 5, inherits 3    -> rep 3
+      (15L, 2L),  // new 15 bridges clusters 1 and 4:
+      (15L, 4L),  //   reports the smaller rep; old clusters untouched
+      (20L, 25L)) // new-new only                      -> fresh cluster 20
+      .toDF("id_a", "id_b")
+    val isOld = (c: Column) => c % 5 =!= 0
+    val got = graft.analytics.Dedup
+      .incrementalAssign(pairs, "id_a", "id_b", oldLabels, isOld)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set(
+      (0L, 1L, 1), (5L, 3L, 1), (10L, 3L, 1), (15L, 1L, 1),
+      (20L, 20L, 0), (25L, 20L, 0)))
+  }
+
   test("language-ID picks the profile with most stopword hits") {
     assert(evalStr("der hund und die katze ist nicht hier",
       TextAnalysis.langPredict) == "de")

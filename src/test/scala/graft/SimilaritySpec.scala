@@ -80,6 +80,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r === 1.0)
   }
 
+  test("int8 scalar quantization: codes saturate at exactly ±127 on " +
+      "the max-abs dimension and never exceed it") {
+    val coded = Similarity.sq8Quantize(corpus, "vec_id", "embedding")
+    assert(coded.count() === 120, "no nonzero vector is dropped")
+    val absMax = coded.select(
+      aggregate(col("code"), lit(0L), (a, v) => greatest(a, abs(v)))
+        .as("m"))
+    val stats = absMax.agg(min("m").as("lo"), max("m").as("hi"))
+      .collect()(0)
+    // floor(±scale·127/scale + 0.5) = ±127: every vector's largest
+    // |code| is exactly the int8 ceiling — full dynamic range used,
+    // none overflowed
+    assert(stats.getLong(0) === 127L)
+    assert(stats.getLong(1) === 127L)
+  }
+
+  test("int8-quantized top-k reaches recall@5 >= 0.9 against the " +
+      "exact float path") {
+    val sq8 = Similarity.sq8TopK(queries, corpus, K)
+    val r = avgRecall(sq8, "sq8")
+    assert(r >= 0.9, s"sq8 recall@5 was $r")
+  }
+
   test("recall denominator caps at the exact result size on corpora " +
       "smaller than k") {
     // 4 vectors, k=5: each query has only 3 exact neighbors; a perfect
