@@ -32,7 +32,7 @@ object Bench {
     * their medians need more samples to be comparable across rounds. */
   private val IterativeQueries = Set(
     "q58_ivf_kmeans", "q61_dedup_clusters", "q63_kmv_distinct",
-    "q64_sessionize")
+    "q64_sessionize", "q71_lsh_clusters", "q78_incremental_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
