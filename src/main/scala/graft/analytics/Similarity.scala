@@ -227,8 +227,16 @@ object Similarity {
     val c = sq8Quantize(corpus, "vec_id", "embedding")
       .select(col("vec_id").as("neighbor_id"), col("code").as("c_code"),
         col("norm2").as("c_n"))
-    val dot = aggregate(zip_with(col("q_code"), col("c_code"),
-      (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+    // native compiled integer dot (graft.expressions.DotLong) — the
+    // HOF chain aggregate(zip_with(..)) evaluates interpreted per pair
+    // and dominated the runtime; integer arithmetic is exact, so the
+    // swap is bit-identical
+    val dot = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.expressions.DotLong(
+        ColumnBridge.expression(col("q_code")),
+        ColumnBridge.expression(col("c_code"))))
+    }
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", dot.cast("double") /
         (sqrt(col("q_n").cast("double")) * sqrt(col("c_n").cast("double"))))

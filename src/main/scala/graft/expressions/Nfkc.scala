@@ -90,5 +90,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"cosine_sim expects 2 arguments, got ${other.length}")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => DotLong(a, b)
+        case other => throw new IllegalArgumentException(
+          s"dot_long expects 2 arguments, got ${other.length}")
+      }))
   }
 }

@@ -103,6 +103,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.9, s"sq8 recall@5 was $r")
   }
 
+  test("native dot_long matches the interpreted HOF fold and its " +
+      "null semantics") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Seq.fill(16)(rnd.nextInt(255).toLong - 127),
+      Seq.fill(16)(rnd.nextInt(255).toLong - 127)))
+      .toDF("a", "b")
+    val both = rows.select(
+      expr("dot_long(a, b)").as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+      .collect()
+    assert(both.forall(r => r.getLong(0) === r.getLong(1)))
+    // length mismatch and null element -> null, as with zip_with
+    val edge = spark.sql(
+      """SELECT dot_long(array(1L,2L), array(3L)) AS m,
+        |  dot_long(array(1L, CAST(NULL AS BIGINT)), array(3L,4L)) AS n,
+        |  dot_long(CAST(NULL AS ARRAY<BIGINT>), array(3L)) AS o"""
+        .stripMargin).collect()(0)
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+  }
+
   test("recall denominator caps at the exact result size on corpora " +
       "smaller than k") {
     // 4 vectors, k=5: each query has only 3 exact neighbors; a perfect
