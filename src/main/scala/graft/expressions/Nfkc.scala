@@ -98,5 +98,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"dot_long expects 2 arguments, got ${other.length}")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("pack_i8"),
+      new ExpressionInfo(classOf[PackI8].getName, "pack_i8"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a) => PackI8(a)
+        case other => throw new IllegalArgumentException(
+          s"pack_i8 expects 1 argument, got ${other.length}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_i8"),
+      new ExpressionInfo(classOf[DotI8].getName, "dot_i8"),
+      (children: Seq[Expression]) => children match {
+        case Seq(a, b) => DotI8(a, b)
+        case other => throw new IllegalArgumentException(
+          s"dot_i8 expects 2 arguments, got ${other.length}")
+      }))
   }
 }

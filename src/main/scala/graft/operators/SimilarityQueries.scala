@@ -324,7 +324,9 @@ object SimilarityQueries {
         FROM scored) t
       WHERE rn <= 5 ORDER BY query_id, rn""")) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
-      Similarity.sq8TopK(emb.filter(col("vec_id") < 16), emb, k = 5)
+      // packed-binary path: same integers as the long-array form the
+      // oracle replays (spec-asserted equal), a quarter of the bytes
+      Similarity.sq8TopKPacked(emb.filter(col("vec_id") < 16), emb, k = 5)
         .orderBy("query_id", "rn")
     }
   )

@@ -103,6 +103,38 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.9, s"sq8 recall@5 was $r")
   }
 
+  test("packed int8 path returns the exact same top-k as the " +
+      "long-array path (same integers, quarter the bytes)") {
+    val unpacked = Similarity.sq8TopK(queries, corpus, K)
+      .orderBy("query_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val packed = Similarity.sq8TopKPacked(queries, corpus, K)
+      .orderBy("query_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(packed.toSeq === unpacked.toSeq)
+    // packed codes really are one byte per dimension
+    val lens = Similarity.sq8QuantizePacked(corpus, "vec_id", "embedding")
+      .select(length(col("code")).as("l")).distinct().collect()
+    assert(lens.map(_.getInt(0)).toSeq === Seq(Dim))
+  }
+
+  test("pack_i8 rejects out-of-range values and dot_i8 nulls on " +
+      "length mismatch") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT pack_i8(array(300L))").collect()
+    }
+    assert(e.getMessage.contains("signed-byte range") ||
+      Option(e.getCause).exists(_.getMessage.contains("signed-byte range")))
+    val edge = spark.sql(
+      """SELECT dot_i8(pack_i8(array(1L,2L)), pack_i8(array(3L))) AS m,
+        |  dot_i8(pack_i8(array(1L,2L)), pack_i8(array(3L,4L))) AS n,
+        |  pack_i8(array(1L, CAST(NULL AS BIGINT))) AS p"""
+        .stripMargin).collect()(0)
+    assert(edge.isNullAt(0))
+    assert(edge.getLong(1) === 11L)
+    assert(edge.isNullAt(2))
+  }
+
   test("native dot_long matches the interpreted HOF fold and its " +
       "null semantics") {
     import spark.implicits._
