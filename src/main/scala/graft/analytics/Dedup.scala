@@ -192,6 +192,23 @@ object Dedup {
     sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Banded LSH bucket keys of a [[minHashSignature]] frame:
+    * (doc_id, band, bkey) — `bkey` is the band's signature slice
+    * joined as a string (no second-level hash, oracle-reproducible).
+    * Shared by the batch candidate generator and the streaming
+    * incremental path, which derives OLD-side buckets from the stored
+    * signature state instead of rescanning old documents. */
+  def bandBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    sig.select(col("doc_id"), explode(array(
+      (0 until bands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          concat_ws("-", (bnd * rows until (bnd + 1) * rows)
+            .map(i => col(s"mh_$i")): _*).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+  }
+
   /** 3. MinHash + banded LSH candidate pairs with signature-estimated
     * Jaccard. `numHashes` must be divisible by `bands`. Candidate
     * generation is an equi-join on (band, band-key) — the band key is
@@ -212,13 +229,7 @@ object Dedup {
     val sig = minHashSignature(docs, idCol, textCol, n, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val buckets = sig.select(col("doc_id"), explode(array(
-      (0 until bands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          concat_ws("-", (bnd * rows until (bnd + 1) * rows)
-            .map(i => col(s"mh_$i")): _*).as("bkey"))
-      }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
+    val buckets = bandBuckets(sig, numHashes, bands)
     val cand = buckets.as("a").join(buckets.as("b"), Seq("band", "bkey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -437,13 +448,41 @@ object Dedup {
           .otherwise(col(aCol) + offset).as("src"),
         when(isOld(col(bCol)), coalesce(col("__repB"), col(bCol)))
           .otherwise(col(bCol) + offset).as("dst"))
+    assignFromEncoded(enc, offset)
+  }
+
+  /** [[incrementalAssign]] for callers that already know which side of
+    * each pair is which (e.g. the streaming path, where OLD docs are
+    * "ids present in the stored assignment state" — not expressible as
+    * a column predicate): `newOldPairs` is (new_id, old_id),
+    * `newNewPairs` is (id_a, id_b) with both new. Same encode → star
+    * CC → decode core, same output contract.
+    */
+  def incrementalAssignTagged(newOldPairs: DataFrame,
+      newNewPairs: DataFrame, oldLabels: DataFrame,
+      offset: Long = 1000000000L): DataFrame = {
+    require(offset > 0, "offset must be positive")
+    val lab = oldLabels.select(col("doc_id").as("old_id"),
+      col("cluster_rep").as("__rep"))
+    val e1 = newOldPairs.select(col("new_id"), col("old_id"))
+      .join(lab, Seq("old_id"), "left")
+      .select((col("new_id") + offset).as("src"),
+        coalesce(col("__rep"), col("old_id")).as("dst"))
+    val e2 = newNewPairs.select((col("id_a") + offset).as("src"),
+      (col("id_b") + offset).as("dst"))
+    assignFromEncoded(e1.unionByName(e2), offset)
+  }
+
+  /** Shared decode step: star CC over rep/offset-encoded edges, then
+    * NEW rows only, ids shifted back, `joined_existing` = the
+    * component label landed below the offset (an existing rep). */
+  private def assignFromEncoded(enc: DataFrame, offset: Long): DataFrame =
     connectedComponentsStar(enc, "src", "dst")
       .where(col("doc_id") >= offset)
       .select((col("doc_id") - offset).as("doc_id"),
         when(col("cluster_rep") >= offset, col("cluster_rep") - offset)
           .otherwise(col("cluster_rep")).as("cluster_rep"),
         (col("cluster_rep") < offset).cast("int").as("joined_existing"))
-  }
 
   /** 5. Embedding-cosine near-duplicate pairs above a threshold.
     * Exact all-pairs — O(n²) cosines; correctness baseline for tiny

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.analytics.Dedup
+
+/** Streaming corpus operators: the per-batch form of the dedup tier —
+  * a document stream is incrementally deduplicated against everything
+  * ingested before it, the shape a production training-data pipeline
+  * runs on arrival rather than as a full-corpus recluster.
+  *
+  * Durable state lives on the lake, not in stream memory, and is
+  * SIGNATURE-sized, not corpus-sized:
+  *
+  *   `<statePath>/assignments` — (doc_id, cluster_rep), append-only
+  *   `<statePath>/signatures`  — (doc_id, mh_0..mh_{H-1}), append-only
+  *
+  * Each micro-batch minhashes only its own documents, finds
+  * new-vs-old candidates by joining its band buckets against buckets
+  * DERIVED from the stored signatures (old documents are never
+  * rescanned, never even stored), verifies estimated Jaccard from
+  * signatures alone, and assigns append-only via
+  * [[graft.analytics.Dedup.incrementalAssignTagged]]. Both state
+  * tables only ever receive appends, so a crash between writes leaves
+  * a consistent prefix; replayed batches are dropped by an anti-join
+  * on already-assigned doc ids, making retries idempotent.
+  */
+object CorpusStreams {
+
+  /** Streaming entry: foreachBatch over a documents stream
+    * (`doc_id: long, text: string`), each batch folded into the state
+    * at `statePath` by [[assignBatch]]. */
+  def dedupAssignStream(docs: DataFrame, statePath: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 16,
+      threshold: Double = 0.5) =
+    docs.writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        assignBatch(batch.toDF(), statePath, n, numHashes, bands,
+          threshold)
+      }
+
+  /** One micro-batch of incremental dedup (public so batch backfills
+    * and specs can drive it directly — the streaming wrapper adds
+    * nothing but the trigger).
+    *
+    * Documents too short to shingle (fewer than `n` tokens — no
+    * signature) and documents matching nothing become their own
+    * cluster rep; every batch doc lands in `assignments` exactly once.
+    * Doc ids must be in [0, `offset`).
+    */
+  def assignBatch(batch: DataFrame, statePath: String, n: Int = 3,
+      numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.5,
+      offset: Long = 1L << 40): Unit = {
+    val spark = batch.sparkSession
+    val aPath = s"$statePath/assignments"
+    val sPath = s"$statePath/signatures"
+    val fs = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasAssign = fs.exists(new org.apache.hadoop.fs.Path(aPath))
+    val hasSig = fs.exists(new org.apache.hadoop.fs.Path(sPath))
+    val oldAssign =
+      if (hasAssign) spark.read.parquet(aPath)
+      else spark.range(0).select(col("id").as("doc_id"),
+        col("id").as("cluster_rep"))
+
+    // idempotent replay: a doc already assigned (a retried batch, an
+    // at-least-once source) is dropped, not reclustered
+    val fresh = batch.select(col("doc_id"), col("text"))
+      .dropDuplicates("doc_id")
+      .join(oldAssign, Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newSig = Dedup.minHashSignature(fresh, "doc_id", "text",
+          n, numHashes)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val newB = Dedup.bandBuckets(newSig, numHashes, bands)
+
+      def pre(sig: DataFrame, p: String, idName: String): DataFrame =
+        sig.toDF(sig.columns.map(c =>
+          if (c == "doc_id") idName else s"${p}_$c"): _*)
+      def agree(pa: String, pb: String) = (0 until numHashes)
+        .map(i => (col(s"${pa}_mh_$i") === col(s"${pb}_mh_$i"))
+          .cast("int")).reduce(_ + _)
+        .cast("double") / numHashes
+
+      // within-batch candidates: the standard banded self-join
+      val nn = newB.as("a").join(newB.as("b"), Seq("band", "bkey"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .join(pre(newSig, "a", "id_a"), Seq("id_a"))
+        .join(pre(newSig, "b", "id_b"), Seq("id_b"))
+        .filter(agree("a", "b") >= threshold)
+        .select("id_a", "id_b")
+
+      // batch-vs-corpus candidates: batch buckets against buckets
+      // derived from the signature STATE — the old corpus is never
+      // touched
+      val no =
+        if (!hasSig) spark.range(0).select(col("id").as("new_id"),
+          col("id").as("old_id"))
+        else {
+          val oldSig = spark.read.parquet(sPath)
+          Dedup.bandBuckets(oldSig, numHashes, bands).as("b")
+            .join(newB.as("a"), Seq("band", "bkey"))
+            .select(col("a.doc_id").as("new_id"),
+              col("b.doc_id").as("old_id"))
+            .distinct()
+            .join(pre(newSig, "a", "new_id"), Seq("new_id"))
+            .join(pre(oldSig, "b", "old_id"), Seq("old_id"))
+            .filter(agree("a", "b") >= threshold)
+            .select("new_id", "old_id")
+        }
+
+      val assigned = Dedup.incrementalAssignTagged(no, nn, oldAssign,
+        offset)
+      // every batch doc lands in the state exactly once: matched docs
+      // with their component rep, the rest (unmatched, or too short to
+      // shingle) as their own rep
+      val all = fresh.select("doc_id")
+        .join(assigned.select("doc_id", "cluster_rep"), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      all.write.mode("append").parquet(aPath)
+      newSig.write.mode("append").parquet(sPath)
+      newSig.unpersist(false)
+    } finally fresh.unpersist(false)
+  }
+
+  /** Current accumulated assignment state. */
+  def assignments(spark: SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(s"$statePath/assignments")
+}

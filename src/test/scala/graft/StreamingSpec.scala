@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
-import graft.streaming.EventStreams
+import graft.streaming.{CorpusStreams, EventStreams}
 import graft.streaming.EventStreams.{Event, Spike}
 
 /** Structured Streaming semantics over an in-memory source: windowed
@@ -179,5 +179,68 @@ class StreamingSpec extends SparkSpec {
     // 11:10 event lands exactly on the 10:40+30min boundary, which
     // session_window treats as within-gap); user 9: two sessions
     assert(got.toSeq == Seq((7L, 4L), (9L, 1L), (9L, 1L)))
+  }
+
+  test("streaming incremental dedup folds each batch into durable " +
+      "signature-sized state, append-only and replay-idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-deworm").toString
+    val textA = "the quick brown fox jumps over the lazy dog today"
+    val textB = "completely different words about soil and weather data"
+    val textC = "a third text with nothing shared between the others"
+
+    def state() = CorpusStreams.assignments(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // batch 1: 10 and 11 are near-dups; 12 distinct; 13 too short
+    CorpusStreams.assignBatch(Seq(
+      (10L, textA), (11L, textA + " extra"), (12L, textB), (13L, "hi"))
+      .toDF("doc_id", "text"), dir)
+    assert(state() == Seq((10L, 10L), (11L, 10L), (12L, 12L),
+      (13L, 13L)))
+
+    // batch 2: 20 duplicates batch-1's textA cluster (matched against
+    // stored signatures, old docs never rescanned); 21 is new; 22+23
+    // duplicate each other only -> fresh in-batch cluster
+    CorpusStreams.assignBatch(Seq(
+      (20L, textA), (21L, textC), (22L, textC + " shifted a bit"),
+      (23L, textC + " shifted a bit more"))
+      .toDF("doc_id", "text"), dir)
+    val s2 = state()
+    assert(s2.contains((20L, 10L)), s"20 should join cluster 10: $s2")
+    assert(s2.contains((10L, 10L)) && s2.contains((11L, 10L)))
+    // 21/22/23 share most shingles of textC -> one cluster rep 21
+    assert(s2.contains((22L, 21L)) && s2.contains((23L, 21L)))
+
+    // batch 3 replays doc 20 (at-least-once source) plus one new doc:
+    // the replay is dropped, not reclustered
+    CorpusStreams.assignBatch(Seq(
+      (20L, textA), (30L, textB + " appended"))
+      .toDF("doc_id", "text"), dir)
+    val s3 = state()
+    assert(s3.count(_._1 == 20L) === 1, "replayed doc assigned once")
+    assert(s3.contains((30L, 12L)), s"30 should join textB cluster: $s3")
+  }
+
+  test("dedupAssignStream drives assignBatch through foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-destream").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = CorpusStreams.dedupAssignStream(docs, dir).start()
+    mem.addData((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"))
+    q.processAllAvailable()
+    mem.addData((3L, "alpha beta gamma delta epsilon zeta theta"))
+    q.processAllAvailable()
+    q.stop()
+    val got = CorpusStreams.assignments(spark, dir)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
 }
