@@ -49,6 +49,14 @@ object CorpusStreams {
     * signature) and documents matching nothing become their own
     * cluster rep; every batch doc lands in `assignments` exactly once.
     * Doc ids must be in [0, `offset`).
+    *
+    * Crash-replay note: a batch replayed after a half-written state
+    * (signatures appended, assignments not) can match its own orphaned
+    * signatures as "old". The self/sibling edges this adds point at
+    * unassigned ids, which rep-rewrite leaves as themselves, so the
+    * decoded cluster_rep is identical to the no-crash run; only the
+    * informational `joined_existing` flag can read 1 spuriously for
+    * those docs (and that flag is not persisted).
     */
   def assignBatch(batch: DataFrame, statePath: String, n: Int = 3,
       numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.5,
@@ -124,9 +132,17 @@ object CorpusStreams {
           "left")
         .select(col("doc_id"),
           coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
-      all.write.mode("append").parquet(aPath)
-      newSig.write.mode("append").parquet(sPath)
-      newSig.unpersist(false)
+      // SIGNATURES BEFORE ASSIGNMENTS: the replay gate is the
+      // assignment anti-join, so a crash between the two appends must
+      // leave the batch unassigned (it re-runs whole; the duplicate
+      // signature rows it leaves are harmless — candidate pairs are
+      // distinct()-ed). The reverse order would leave the batch
+      // assigned but signature-less: dropped on replay, unmatchable by
+      // every later near-duplicate, a permanent recall hole.
+      try {
+        newSig.write.mode("append").parquet(sPath)
+        all.write.mode("append").parquet(aPath)
+      } finally newSig.unpersist(false)
     } finally fresh.unpersist(false)
   }
 

@@ -224,6 +224,27 @@ class StreamingSpec extends SparkSpec {
     assert(s3.contains((30L, 12L)), s"30 should join textB cluster: $s3")
   }
 
+  test("crash between state appends is replay-safe: signatures land " +
+      "before assignments, so a half-written batch re-runs whole") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-decrash").toString
+    val textA = "the quick brown fox jumps over the lazy dog today"
+    CorpusStreams.assignBatch(
+      Seq((1L, textA)).toDF("doc_id", "text"), dir)
+    // simulate a crash after batch 2's signature append but before its
+    // assignment append
+    val b2 = Seq((2L, textA + " tail")).toDF("doc_id", "text")
+    graft.analytics.Dedup.minHashSignature(b2, "doc_id", "text", 3, 32)
+      .write.mode("append").parquet(s"$dir/signatures")
+    // the replay still processes doc 2 (the gate is the assignment
+    // table) and its duplicated signature rows change nothing
+    CorpusStreams.assignBatch(b2, dir)
+    val got = CorpusStreams.assignments(spark, dir).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("dedupAssignStream drives assignBatch through foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
