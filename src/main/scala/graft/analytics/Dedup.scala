@@ -209,6 +209,23 @@ object Dedup {
       .select(col("doc_id"), col("bb.band"), col("bb.bkey"))
   }
 
+  /** A [[minHashSignature]] frame with `doc_id` renamed to `idName`
+    * and every `mh_i` column prefixed `p_mh_i` — the join-ready shape
+    * for [[sigAgreement]] verification. Shared by the batch candidate
+    * generator and the streaming incremental path so the estimated-
+    * Jaccard definition lives in exactly one place. */
+  def sigPrefixed(sig: DataFrame, p: String, idName: String): DataFrame =
+    sig.toDF(sig.columns.map(c =>
+      if (c == "doc_id") idName else s"${p}_$c"): _*)
+
+  /** Estimated Jaccard between two [[sigPrefixed]] signature sides:
+    * the fraction of agreeing signature positions. */
+  def sigAgreement(numHashes: Int, pa: String, pb: String): Column =
+    (0 until numHashes)
+      .map(i => (col(s"${pa}_mh_$i") === col(s"${pb}_mh_$i"))
+        .cast("int"))
+      .reduce(_ + _).cast("double") / numHashes
+
   /** 3. MinHash + banded LSH candidate pairs with signature-estimated
     * Jaccard. `numHashes` must be divisible by `bands`. Candidate
     * generation is an equi-join on (band, band-key) — the band key is
@@ -236,16 +253,11 @@ object Dedup {
       .distinct()
 
     // estimated jaccard = fraction of agreeing signature positions
-    val sigA = sig.toDF(sig.columns.map(c =>
-      if (c == "doc_id") "id_a" else s"a_$c"): _*)
-    val sigB = sig.toDF(sig.columns.map(c =>
-      if (c == "doc_id") "id_b" else s"b_$c"): _*)
-    val agree = (0 until numHashes)
-      .map(i => (col(s"a_mh_$i") === col(s"b_mh_$i")).cast("int"))
-      .reduce(_ + _)
+    val sigA = sigPrefixed(sig, "a", "id_a")
+    val sigB = sigPrefixed(sig, "b", "id_b")
     val result = materialize(
       cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
-        .withColumn("est_jaccard", agree.cast("double") / numHashes)
+        .withColumn("est_jaccard", sigAgreement(numHashes, "a", "b"))
         .select("id_a", "id_b", "est_jaccard"))
     sig.unpersist(false)
     result
@@ -441,13 +453,15 @@ object Dedup {
       col("cluster_rep").as("__repA"))
     val labB = oldLabels.select(col("doc_id").as(bCol),
       col("cluster_rep").as("__repB"))
+    val a = checkedId(col(aCol), offset)
+    val b = checkedId(col(bCol), offset)
     val enc = pairs.join(labA, Seq(aCol), "left")
       .join(labB, Seq(bCol), "left")
       .select(
-        when(isOld(col(aCol)), coalesce(col("__repA"), col(aCol)))
-          .otherwise(col(aCol) + offset).as("src"),
-        when(isOld(col(bCol)), coalesce(col("__repB"), col(bCol)))
-          .otherwise(col(bCol) + offset).as("dst"))
+        when(isOld(a), coalesce(col("__repA"), a))
+          .otherwise(a + offset).as("src"),
+        when(isOld(b), coalesce(col("__repB"), b))
+          .otherwise(b + offset).as("dst"))
     assignFromEncoded(enc, offset)
   }
 
@@ -466,12 +480,23 @@ object Dedup {
       col("cluster_rep").as("__rep"))
     val e1 = newOldPairs.select(col("new_id"), col("old_id"))
       .join(lab, Seq("old_id"), "left")
-      .select((col("new_id") + offset).as("src"),
-        coalesce(col("__rep"), col("old_id")).as("dst"))
-    val e2 = newNewPairs.select((col("id_a") + offset).as("src"),
-      (col("id_b") + offset).as("dst"))
+      .select((checkedId(col("new_id"), offset) + offset).as("src"),
+        coalesce(col("__rep"), checkedId(col("old_id"), offset))
+          .as("dst"))
+    val e2 = newNewPairs.select(
+      (checkedId(col("id_a"), offset) + offset).as("src"),
+      (checkedId(col("id_b"), offset) + offset).as("dst"))
     assignFromEncoded(e1.unionByName(e2), offset)
   }
+
+  /** Fail-fast guard for the [0, offset) id contract of the
+    * incremental encodes: an out-of-range id (hash- or
+    * timestamp-derived, for instance) would otherwise be silently
+    * misclassified by the offset decode into garbage assignments. */
+  private def checkedId(c: Column, offset: Long): Column =
+    when(c < 0L || c >= offset, raise_error(concat(
+      lit(s"incremental assign: doc id outside [0, $offset): "),
+      c.cast("string")))).otherwise(c)
 
   /** Shared decode step: star CC over rep/offset-encoded edges, then
     * NEW rows only, ids shifted back, `joined_existing` = the

@@ -236,30 +236,15 @@ object Similarity {
     * exact path is spec-asserted ([[recallAtK]]).
     */
   def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = sq8Quantize(queries, "vec_id", "embedding")
-      .select(col("vec_id").as("query_id"), col("code").as("q_code"),
-        col("norm2").as("q_n"))
-    val c = sq8Quantize(corpus, "vec_id", "embedding")
-      .select(col("vec_id").as("neighbor_id"), col("code").as("c_code"),
-        col("norm2").as("c_n"))
     // native compiled integer dot (graft.expressions.DotLong) — the
     // HOF chain aggregate(zip_with(..)) evaluates interpreted per pair
     // and dominated the runtime; integer arithmetic is exact, so the
     // swap is bit-identical
-    val dot = {
-      import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.graft.ColumnBridge
+    sq8TopKWith(queries, corpus, k, sq8Quantize,
       ColumnBridge.column(graft.expressions.DotLong(
         ColumnBridge.expression(col("q_code")),
-        ColumnBridge.expression(col("c_code"))))
-    }
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", dot.cast("double") /
-        (sqrt(col("q_n").cast("double")) * sqrt(col("c_n").cast("double"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("query_id", "neighbor_id", "score", "rn")
+        ColumnBridge.expression(col("c_code")))))
   }
 
   /** [[sq8TopK]] over packed binary codes ([[sq8QuantizePacked]]) —
@@ -272,15 +257,28 @@ object Similarity {
   def sq8TopKPacked(queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val q = sq8QuantizePacked(queries, "vec_id", "embedding")
+    sq8TopKWith(queries, corpus, k, sq8QuantizePacked,
+      ColumnBridge.column(graft.expressions.DotI8(
+        ColumnBridge.expression(col("q_code")),
+        ColumnBridge.expression(col("c_code")))))
+  }
+
+  /** Shared quantized top-k shape: quantize both sides with
+    * `quantizer`, broadcast the queries, score every candidate with
+    * `dot` over (q_code, c_code) normalized by the precomputed norms,
+    * and keep the per-query top-k with the id tie-break. Packed and
+    * long-array paths differ ONLY in the quantizer + dot expression —
+    * the spec asserting they are identical leans on this single
+    * definition of the scoring shape. */
+  private def sq8TopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+      quantizer: (DataFrame, String, String) => DataFrame,
+      dot: Column): DataFrame = {
+    val q = quantizer(queries, "vec_id", "embedding")
       .select(col("vec_id").as("query_id"), col("code").as("q_code"),
         col("norm2").as("q_n"))
-    val c = sq8QuantizePacked(corpus, "vec_id", "embedding")
+    val c = quantizer(corpus, "vec_id", "embedding")
       .select(col("vec_id").as("neighbor_id"), col("code").as("c_code"),
         col("norm2").as("c_n"))
-    val dot = ColumnBridge.column(graft.expressions.DotI8(
-      ColumnBridge.expression(col("q_code")),
-      ColumnBridge.expression(col("c_code"))))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("score", dot.cast("double") /
         (sqrt(col("q_n").cast("double")) * sqrt(col("c_n").cast("double"))))

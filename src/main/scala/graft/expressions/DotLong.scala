@@ -1,9 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, NullType}
 
 /** Integer dot product of two array<long> columns as a native
   * expression — the compiled hot path of int8-quantized ANN scoring
@@ -25,6 +26,21 @@ case class DotLong(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_long"
+
+  // analysis-time input validation (the RequiresStringInput rationale,
+  // StringInput.scala): a SQL call like dot_long(doc_id, arr) must
+  // fail at analysis, not as an executor ClassCastException mid-job
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) | NullType => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<BIGINT> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotLong.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, NullType}
 
 /** Pack an array<long> of int8-range values into a binary column, one
   * signed byte per element — the at-rest form of the quantized ANN
@@ -27,7 +27,7 @@ case class PackI8(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      case ArrayType(LongType, _) | NullType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
@@ -85,6 +85,24 @@ case class DotI8(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "dot_i8"
+
+  // analysis-time input validation (the RequiresStringInput rationale,
+  // StringInput.scala): wrong-typed SQL calls must fail at analysis,
+  // not as an executor ClassCastException mid-job
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case BinaryType | NullType => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"$prettyName requires two BINARY arguments, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotI8.compute(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])

@@ -72,6 +72,13 @@ object CorpusStreams {
       if (hasAssign) spark.read.parquet(aPath)
       else spark.range(0).select(col("id").as("doc_id"),
         col("id").as("cluster_rep"))
+    // the per-batch star contractions below create reliable
+    // checkpoints; once this batch's results are persisted in the
+    // state tables those files are garbage — snapshot the checkpoint
+    // dir now and reclaim what this batch added (assumes no OTHER
+    // concurrently-running query in this session is checkpointing;
+    // state paths already require a single writer)
+    val ckptBefore = checkpointEntries(spark)
 
     // idempotent replay: a doc already assigned (a retried batch, an
     // at-least-once source) is dropped, not reclustered
@@ -85,22 +92,14 @@ object CorpusStreams {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val newB = Dedup.bandBuckets(newSig, numHashes, bands)
 
-      def pre(sig: DataFrame, p: String, idName: String): DataFrame =
-        sig.toDF(sig.columns.map(c =>
-          if (c == "doc_id") idName else s"${p}_$c"): _*)
-      def agree(pa: String, pb: String) = (0 until numHashes)
-        .map(i => (col(s"${pa}_mh_$i") === col(s"${pb}_mh_$i"))
-          .cast("int")).reduce(_ + _)
-        .cast("double") / numHashes
-
       // within-batch candidates: the standard banded self-join
       val nn = newB.as("a").join(newB.as("b"), Seq("band", "bkey"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
-        .join(pre(newSig, "a", "id_a"), Seq("id_a"))
-        .join(pre(newSig, "b", "id_b"), Seq("id_b"))
-        .filter(agree("a", "b") >= threshold)
+        .join(Dedup.sigPrefixed(newSig, "a", "id_a"), Seq("id_a"))
+        .join(Dedup.sigPrefixed(newSig, "b", "id_b"), Seq("id_b"))
+        .filter(Dedup.sigAgreement(numHashes, "a", "b") >= threshold)
         .select("id_a", "id_b")
 
       // batch-vs-corpus candidates: batch buckets against buckets
@@ -110,15 +109,24 @@ object CorpusStreams {
         if (!hasSig) spark.range(0).select(col("id").as("new_id"),
           col("id").as("old_id"))
         else {
+          // the assignment table is the authority for OLD membership:
+          // a crashed batch's orphan signatures (appended before their
+          // assignments) must not act as old docs — their unassigned
+          // ids would enter components unshifted and could steal the
+          // min from a real existing rep
           val oldSig = spark.read.parquet(sPath)
+            .join(oldAssign.select("doc_id"), Seq("doc_id"),
+              "left_semi")
           Dedup.bandBuckets(oldSig, numHashes, bands).as("b")
             .join(newB.as("a"), Seq("band", "bkey"))
             .select(col("a.doc_id").as("new_id"),
               col("b.doc_id").as("old_id"))
             .distinct()
-            .join(pre(newSig, "a", "new_id"), Seq("new_id"))
-            .join(pre(oldSig, "b", "old_id"), Seq("old_id"))
-            .filter(agree("a", "b") >= threshold)
+            .join(Dedup.sigPrefixed(newSig, "a", "new_id"),
+              Seq("new_id"))
+            .join(Dedup.sigPrefixed(oldSig, "b", "old_id"),
+              Seq("old_id"))
+            .filter(Dedup.sigAgreement(numHashes, "a", "b") >= threshold)
             .select("new_id", "old_id")
         }
 
@@ -143,10 +151,37 @@ object CorpusStreams {
         newSig.write.mode("append").parquet(sPath)
         all.write.mode("append").parquet(aPath)
       } finally newSig.unpersist(false)
-    } finally fresh.unpersist(false)
+    } finally {
+      fresh.unpersist(false)
+      // reclaim this batch's checkpoints — without this a long-running
+      // stream accumulates (CC rounds + 2) checkpointed frames per
+      // micro-batch until the checkpoint disk fills (reliable
+      // checkpoints are otherwise only cleaned at JVM exit)
+      reclaimCheckpoints(spark, ckptBefore)
+    }
   }
 
   /** Current accumulated assignment state. */
   def assignments(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(s"$statePath/assignments")
+
+  /** Entries currently under the session's reliable-checkpoint dir. */
+  private def checkpointEntries(spark: SparkSession): Set[String] =
+    spark.sparkContext.getCheckpointDir.toSet[String].flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.toString).toSet
+      else Set.empty[String]
+    }
+
+  /** Delete checkpoint entries created since `before` — the batch's
+    * results are durably in the state tables, so its checkpointed
+    * intermediates are dead weight. */
+  private def reclaimCheckpoints(spark: SparkSession,
+      before: Set[String]): Unit =
+    for (e <- checkpointEntries(spark) -- before) {
+      val p = new org.apache.hadoop.fs.Path(e)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true): Unit
+    }
 }

@@ -249,6 +249,23 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 0), (25L, 20L, 0)))
   }
 
+  test("incremental assign fails fast on ids outside [0, offset)") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val labels = Seq((1L, 1L)).toDF("doc_id", "cluster_rep")
+    val pairs = Seq((150L, 1L)).toDF("id_a", "id_b")
+    val isOld = (c: Column) => c % 5 =!= 0 // 150 % 5 == 0 -> "new"
+    val e = intercept[Exception] {
+      graft.analytics.Dedup.incrementalAssign(pairs, "id_a", "id_b",
+        labels, isOld, offset = 100L).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("outside [0, 100)")),
+      s"expected range error, got: $msgs")
+  }
+
   test("language-ID picks the profile with most stopword hits") {
     assert(evalStr("der hund und die katze ist nicht hier",
       TextAnalysis.langPredict) == "de")

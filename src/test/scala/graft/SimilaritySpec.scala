@@ -135,6 +135,22 @@ class SimilaritySpec extends SparkSpec {
     assert(edge.isNullAt(2))
   }
 
+  test("dot_long / dot_i8 reject wrong-typed SQL arguments at " +
+      "analysis time") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_long('a', array(1L))").collect()
+    }
+    assert(e1.getMessage.contains("ARRAY<BIGINT>"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_i8('a', 'b')").collect()
+    }
+    assert(e2.getMessage.contains("BINARY"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT pack_i8('a')").collect()
+    }
+    assert(e3.getMessage.contains("array<bigint>"))
+  }
+
   test("native dot_long matches the interpreted HOF fold and its " +
       "null semantics") {
     import spark.implicits._

@@ -231,18 +231,23 @@ class StreamingSpec extends SparkSpec {
       .createTempDirectory("graft-decrash").toString
     val textA = "the quick brown fox jumps over the lazy dog today"
     CorpusStreams.assignBatch(
-      Seq((1L, textA)).toDF("doc_id", "text"), dir)
+      Seq((100L, textA)).toDF("doc_id", "text"), dir)
     // simulate a crash after batch 2's signature append but before its
-    // assignment append
-    val b2 = Seq((2L, textA + " tail")).toDF("doc_id", "text")
+    // assignment append — with a new id SMALLER than the existing rep,
+    // the adversarial case: if the orphan signature were allowed to
+    // act as an "old" doc, id 5 would enter its own component
+    // unshifted and steal the min from rep 100
+    val b2 = Seq((5L, textA + " tail")).toDF("doc_id", "text")
     graft.analytics.Dedup.minHashSignature(b2, "doc_id", "text", 3, 32)
       .write.mode("append").parquet(s"$dir/signatures")
-    // the replay still processes doc 2 (the gate is the assignment
-    // table) and its duplicated signature rows change nothing
+    // the replay still processes doc 5 (the gate is the assignment
+    // table), its orphan signature is excluded from the OLD side (the
+    // assignment table is the membership authority), and it joins the
+    // existing cluster exactly as the no-crash run would
     CorpusStreams.assignBatch(b2, dir)
     val got = CorpusStreams.assignments(spark, dir).orderBy("doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    assert(got == Seq((1L, 1L), (2L, 1L)))
+    assert(got == Seq((5L, 100L), (100L, 100L)))
   }
 
   test("dedupAssignStream drives assignBatch through foreachBatch") {
