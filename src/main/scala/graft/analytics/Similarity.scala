@@ -117,23 +117,39 @@ object Similarity {
     */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    def assign(df: DataFrame, idCol: String, embCol: String,
-        probes: Int): DataFrame = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("__cscore").desc, col("centroid_id"))
-      df.crossJoin(broadcast(centroids))
-        .withColumn("__cscore", cosine(col(embCol), col("cent_emb")))
-        .withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") <= probes)
-        .select(col(idCol), col(embCol),
-          col("centroid_id").as("cell"))
-    }
-    val corpusCells = assign(corpus.select(
+    val corpusCells = assignCells(centroids, corpus.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
       "neighbor_id", "c_emb", 1)
-    val queryCells = assign(queries.select(
+    probeAndScore(corpusCells, queryCellsOf(centroids, queries, nprobe), k)
+  }
+
+  private def queryCellsOf(centroids: DataFrame, queries: DataFrame,
+      nprobe: Int): DataFrame =
+    assignCells(centroids, queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       "query_id", "q_emb", nprobe)
+
+  /** Nearest-`probes` centroid cells per vector (broadcast codebook,
+    * deterministic centroid-id tie-break). */
+  private def assignCells(centroids: DataFrame, df: DataFrame,
+      idCol: String, embCol: String, probes: Int): DataFrame = {
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("__cscore").desc, col("centroid_id"))
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__cscore", cosine(col(embCol), col("cent_emb")))
+      .withColumn("__crn", row_number().over(w))
+      .filter(col("__crn") <= probes)
+      .select(col(idCol), col(embCol),
+        col("centroid_id").as("cell"))
+  }
+
+  /** Probe side of IVF: queries pick `nprobe` cells, exact cosine runs
+    * on same-cell candidates only. `corpusCells` is the (neighbor_id,
+    * c_emb, cell) shape of [[assignCells]] — computed inline by
+    * [[ivfTopKWith]] or read back (pruned) from a persisted index
+    * ([[ivfTopKIndexed]]). */
+  private def probeAndScore(corpusCells: DataFrame,
+      queryCells: DataFrame, k: Int): DataFrame = {
     val scored = corpusCells.join(queryCells, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("q_emb"), col("c_emb")))
@@ -142,6 +158,66 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "score", "rn")
+  }
+
+  /** Build and persist an IVF index: the trained codebook plus the
+    * corpus's cell assignments, as two parquet tables under
+    * `indexPath` (`codebook`, `cells` — the latter partitioned BY
+    * cell, so a probe reads only its nprobe/k fraction of the corpus
+    * via partition pruning). Train once, assign once, then every
+    * query-time call ([[ivfTopKIndexed]]) pays only the probe — the
+    * index-once/query-many shape a production ANN service runs; the
+    * inline [[ivfTopKWith]] re-assigns the corpus every call.
+    */
+  def buildIvfIndex(corpus: DataFrame, indexPath: String, k: Int,
+      dim: Int, iterations: Int): Unit = {
+    val codebook = kmeansCodebook(corpus, "vec_id", "embedding",
+      k, dim, iterations)
+    codebook.write.mode("overwrite").parquet(s"$indexPath/codebook")
+    assignCells(codebook, corpus.select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+        "neighbor_id", "c_emb", 1)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/cells")
+  }
+
+  /** Append new vectors to a persisted IVF index: assign against the
+    * FROZEN stored codebook and append to the cell table — the ingest
+    * path; periodic [[buildIvfIndex]] retrains when drift accumulates.
+    */
+  def appendToIvfIndex(newVectors: DataFrame, indexPath: String): Unit = {
+    val spark = newVectors.sparkSession
+    val codebook = spark.read.parquet(s"$indexPath/codebook")
+    assignCells(codebook, newVectors.select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+        "neighbor_id", "c_emb", 1)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$indexPath/cells")
+  }
+
+  /** Query a persisted IVF index ([[buildIvfIndex]]): probe `nprobe`
+    * cells against the stored codebook and score ONLY those cell
+    * partitions of the stored assignment table. The probed-cell set is
+    * collected to drive partition pruning — it is bounded by the
+    * codebook size (≤ k distinct cells exist, whatever the query
+    * count), so the collect is model-sized, and the resulting `isin`
+    * filter reaches the parquet scan as a partition predicate: a probe
+    * touches nprobe/k of the corpus bytes, which is the point of the
+    * index. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    val codebook = spark.read.parquet(s"$indexPath/codebook")
+    // queryCells evaluates twice (the probed-cell collect here and the
+    // join inside probeAndScore) — it is query-set-sized work against
+    // a broadcast codebook, cheaper than managing a cache entry
+    val queryCells = queryCellsOf(codebook, queries, nprobe)
+    val probed = queryCells.select("cell").distinct().collect()
+      .map(_.getInt(0))
+    val cells = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .select(col("neighbor_id"), col("c_emb"), col("cell"))
+    probeAndScore(cells, queryCells, k)
   }
 
   /** IVF top-k with the first-`codebookSize` corpus vectors as the

@@ -80,6 +80,44 @@ class SimilaritySpec extends SparkSpec {
     assert(r === 1.0)
   }
 
+  test("persisted IVF index: indexed query equals inline IVF, " +
+      "appended vectors become findable, probes prune cell partitions") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfidx").toString
+    Similarity.buildIvfIndex(corpus, dir, k = 4, dim = Dim,
+      iterations = 2)
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSeq
+    val inline = rows(Similarity.ivfTopKWith(queries, corpus, codebook,
+      k = K, nprobe = 2))
+    val indexed = rows(Similarity.ivfTopKIndexed(spark, dir, queries,
+      k = K, nprobe = 2))
+    assert(indexed === inline)
+    // the probed-cell filter reaches the cells scan as a partition
+    // predicate — the read touches nprobe/k of the index, not all of it
+    val plan = Similarity.ivfTopKIndexed(spark, dir, queries.limit(1),
+        k = K, nprobe = 1).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r
+        .findFirstIn(plan).isDefined,
+      s"expected a cell partition filter in:\n$plan")
+    // ingest path: append an exact duplicate of vector 0 under a new
+    // id; the indexed query now ranks it first for query 0 (score 1.0)
+    Similarity.appendToIvfIndex(
+      corpus.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 200).as("vec_id"), col("embedding")),
+      dir)
+    val after = Similarity.ivfTopKIndexed(spark, dir,
+        queries.filter(col("vec_id") === 0), k = K, nprobe = 2)
+      .filter(col("rn") === 1).collect()(0)
+    assert(after.getLong(1) === 200L)
+    assert(after.getDouble(2) > 0.9999)
+  }
+
   test("int8 scalar quantization: codes saturate at exactly ±127 on " +
       "the max-abs dimension and never exceed it") {
     val coded = Similarity.sq8Quantize(corpus, "vec_id", "embedding")
