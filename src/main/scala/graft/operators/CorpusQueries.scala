@@ -213,6 +213,105 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_urls"),
           countDistinct(col("host")).as("n_hosts"))
         .orderBy(col("tld").asc_nulls_first, col("blocked"))
+    },
+
+    // The composed corpus-prep pipeline — the decision a training-data
+    // run makes per document, as ONE declarative plan: language-ID +
+    // quality gates + exact-dup keep-first + eval-set decontamination,
+    // folded into a kept/dropped verdict. Language, quality, and dup
+    // rank come from a single corpus scan (one generator barrier + one
+    // window); contamination joins in from the shingle pass. Oracle
+    // composes the same pieces the standalone queries (q25/q26/q08/
+    // q68) verify individually.
+    {
+      val keepLang = "en"; val minQuality = 0.75; val maxContam = 0.5
+      Q("q79_corpus_prep", Some(s"""
+      WITH tok AS (
+        SELECT doc_id, source, text,
+          string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL),
+      corpus AS (SELECT * FROM tok WHERE source <> 'src0'),
+      lang AS (
+        SELECT doc_id, ${TextQueries.duckLangCase} AS predicted FROM (
+          SELECT doc_id,
+            ${TextQueries.duckLangScores}
+          FROM corpus)),
+      qual AS (
+        SELECT doc_id,
+          (CAST(n_tokens BETWEEN 20 AND 100000 AS INT)
+           + CAST(mean_token_len BETWEEN 3.0 AND 10.0 AS INT)
+           + CAST(stop_ratio >= 0.01 AS INT)
+           + CAST(punct_ratio <= 0.1 AS INT))::DOUBLE / 4 AS quality_score
+        FROM (
+          SELECT doc_id, len(t) AS n_tokens,
+            length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(t)::DOUBLE AS mean_token_len,
+            len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for')))::DOUBLE / len(t)::DOUBLE AS stop_ratio,
+            length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / greatest(length(text), 1)::DOUBLE AS punct_ratio
+          FROM corpus)),
+      dup AS (
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY md5(text)
+            ORDER BY doc_id) > 1 AS INT) AS is_dup
+        FROM corpus),
+      sh AS (
+        SELECT doc_id, source,
+          unnest(list_distinct(CASE WHEN len(t) >= 5
+            THEN list_transform(generate_series(1, len(t) - 4),
+                 i -> array_to_string(t[i:i+4], ' '))
+            ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+        FROM tok),
+      bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+      cont AS (
+        SELECT c.doc_id,
+          CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+        FROM (SELECT doc_id, shingle FROM sh WHERE source <> 'src0') c
+        LEFT JOIN bench b USING (shingle)
+        GROUP BY 1)
+      SELECT c.doc_id, l.predicted, q.quality_score, d.is_dup,
+        COALESCE(ct.contamination, 0.0) AS contamination,
+        CAST(l.predicted = '$keepLang' AND q.quality_score >= $minQuality
+          AND d.is_dup = 0 AND COALESCE(ct.contamination, 0.0) < $maxContam
+          AS INT) AS kept
+      FROM (SELECT doc_id FROM corpus) c
+      JOIN lang l USING (doc_id)
+      JOIN qual q USING (doc_id)
+      JOIN dup d USING (doc_id)
+      LEFT JOIN cont ct USING (doc_id)
+      ORDER BY doc_id""")) { (s, dir) =>
+        import org.apache.spark.sql.expressions.Window
+        import graft.analytics.{TextAnalysis => TA}
+        val d = Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull)
+        val corpus = d.where(col("source") =!= "src0")
+        // language, quality, and dup rank in ONE corpus scan: the
+        // window runs on the raw rows, then one generator barrier
+        // evaluates both per-row profiles exactly once
+        val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+        val base = corpus
+          .withColumn("is_dup",
+            (row_number().over(w) > 1).cast("int"))
+          .select(col("doc_id"), col("is_dup"),
+            explode(array(struct(
+              TA.langProfile(col("text")).as("lp"),
+              TA.qualityProfile(col("text")).as("qp")))).as("r"))
+          .select(col("doc_id"),
+            col("r.lp.predicted").as("predicted"),
+            col("r.qp.quality_score").as("quality_score"),
+            col("is_dup"))
+        val cont = CorpusOps.contamination(corpus,
+            d.where(col("source") === "src0"), "doc_id", "text", n = 5)
+          .select(col("doc_id"), col("contamination"))
+        val contamination = coalesce(col("contamination"), lit(0.0))
+        base.join(cont, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("predicted"), col("quality_score"),
+            col("is_dup"), contamination.as("contamination"),
+            (col("predicted") === keepLang &&
+              col("quality_score") >= minQuality &&
+              col("is_dup") === 0 &&
+              contamination < maxContam).cast("int").as("kept"))
+          .orderBy("doc_id")
+      }
     }
   )
 }

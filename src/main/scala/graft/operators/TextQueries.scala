@@ -18,22 +18,33 @@ object TextQueries {
   private def duckScore(lang: String): String =
     s"len(list_filter(t, x -> x IN (${inList(lang)})))::DOUBLE / len(t)::DOUBLE"
 
+  /** DuckDB: per-language score columns `s_<lang>` over token list
+    * `t` — shared with the composed corpus-prep pipeline (q79). */
+  private[operators] def duckLangScores: String =
+    TA.langs.map(l => s"${duckScore(l)} AS s_$l").mkString(",\n          ")
+
+  /** DuckDB: the argmax CASE over the [[duckLangScores]] columns,
+    * alphabetical tie-break — mirrors TextAnalysis.langPredict. */
+  private[operators] def duckLangCase: String = {
+    val cases = TA.langs.map { l =>
+      val others = TA.langs.filter(_ != l)
+        .map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN s_$l > 0 AND $others THEN '$l'"
+    }.mkString("\n          ")
+    s"CASE $cases ELSE 'und' END"
+  }
+
   val all: Seq[Q] = Seq(
 
     // Stopword-profile language identification; argmax with
     // alphabetical tie-break mirrors TextAnalysis.langPredict's fold.
     {
-      val cases = TA.langs.map { l =>
-        val others = TA.langs.filter(_ != l)
-          .map(o => s"s_$l >= s_$o").mkString(" AND ")
-        s"WHEN s_$l > 0 AND $others THEN '$l'"
-      }.mkString("\n          ")
       Q("q25_lang_id", Some(s"""
       SELECT doc_id, s_de, s_en, s_es, s_fr,
-        CASE $cases ELSE 'und' END AS predicted
+        $duckLangCase AS predicted
       FROM (
         SELECT doc_id,
-          ${TA.langs.map(l => s"${duckScore(l)} AS s_$l").mkString(",\n          ")}
+          $duckLangScores
         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
               FROM documents))
       ORDER BY doc_id""")) { (s, dir) =>
