@@ -195,6 +195,70 @@ object Similarity {
       .parquet(s"$indexPath/cells")
   }
 
+  /** IVF + int8 scalar quantization — the standard
+    * inverted-file-with-scalar-quantizer layout: cells store packed
+    * 1-byte-per-dim codes ([[sq8QuantizePacked]]) instead of float
+    * embeddings, so the index is ~4× smaller than [[buildIvfIndex]]'s
+    * and a probe's scan reads a quarter of the bytes. Training and
+    * cell assignment run on the full-precision embeddings (quantizing
+    * AFTER assignment keeps cell membership exact); only the stored
+    * payload is quantized.
+    */
+  def buildIvfIndexSq8(corpus: DataFrame, indexPath: String, k: Int,
+      dim: Int, iterations: Int): Unit = {
+    val codebook = kmeansCodebook(corpus, "vec_id", "embedding",
+      k, dim, iterations)
+    codebook.write.mode("overwrite").parquet(s"$indexPath/codebook")
+    val cells = assignCells(codebook, corpus.select(
+        col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+        "neighbor_id", "c_emb", 1)
+      .select("neighbor_id", "cell")
+    val codes = sq8QuantizePacked(corpus, "vec_id", "embedding")
+      .select(col("vec_id").as("neighbor_id"), col("code"),
+        col("norm2"))
+    cells.join(codes, Seq("neighbor_id"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexPath/cells_sq8")
+  }
+
+  /** Query an IVF-SQ8 index ([[buildIvfIndexSq8]]): probe cells with
+    * full-precision query embeddings against the stored codebook
+    * (partition-pruned, as in [[ivfTopKIndexed]]), then score the
+    * candidate codes with the compiled int8 dot
+    * ([[graft.expressions.DotI8]]). Approximation is the product of
+    * the two tiers — cell pruning × int8 resolution — and is
+    * spec-floored via [[recallAtK]]. */
+  def ivfTopKIndexedSq8(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val codebook = spark.read.parquet(s"$indexPath/codebook")
+    val queryCells = queryCellsOf(codebook, queries, nprobe)
+    val probed = queryCells.select("cell").distinct().collect()
+      .map(_.getInt(0))
+    val qCodes = sq8QuantizePacked(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("query_id"), col("code").as("q_code"),
+        col("norm2").as("q_n"))
+    val q = queryCells.select("query_id", "cell")
+      .join(qCodes, Seq("query_id"))
+    val cells = spark.read.parquet(s"$indexPath/cells_sq8")
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .select(col("neighbor_id"), col("code").as("c_code"),
+        col("norm2").as("c_n"), col("cell"))
+    val dot = ColumnBridge.column(graft.expressions.DotI8(
+      ColumnBridge.expression(col("q_code")),
+      ColumnBridge.expression(col("c_code"))))
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dot.cast("double") /
+        (sqrt(col("q_n").cast("double")) * sqrt(col("c_n").cast("double"))))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("query_id", "neighbor_id", "score", "rn")
+  }
+
   /** Query a persisted IVF index ([[buildIvfIndex]]): probe `nprobe`
     * cells against the stored codebook and score ONLY those cell
     * partitions of the stored assignment table. The probed-cell set is

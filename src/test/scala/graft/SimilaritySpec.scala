@@ -118,6 +118,34 @@ class SimilaritySpec extends SparkSpec {
     assert(after.getDouble(2) > 0.9999)
   }
 
+  test("IVF-SQ8 index: quantized cell-probe reaches recall@5 >= 0.9 " +
+      "and stores measurably fewer bytes than the float index") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfsq8").toString
+    // 64-dim real corpus for the size comparison (16-dim toy vectors
+    // would be parquet-overhead-dominated)
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    Similarity.buildIvfIndex(emb, s"$dir/f", k = 8, dim = 64,
+      iterations = 1)
+    Similarity.buildIvfIndexSq8(emb, s"$dir/q", k = 8, dim = 64,
+      iterations = 1)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else f.length()
+      walk(new java.io.File(p))
+    }
+    val fB = bytes(s"$dir/f/cells"); val qB = bytes(s"$dir/q/cells_sq8")
+    assert(qB < fB, s"sq8 cells $qB bytes !< float cells $fB bytes")
+    // recall floor on the seeded clustered corpus
+    Similarity.buildIvfIndexSq8(corpus, s"$dir/c", k = 4, dim = Dim,
+      iterations = 2)
+    val sq8 = Similarity.ivfTopKIndexedSq8(spark, s"$dir/c", queries,
+      k = K, nprobe = 2)
+    val r = avgRecall(sq8, "ivf_sq8")
+    assert(r >= 0.9, s"IVF-SQ8 recall@5 was $r")
+  }
+
   test("int8 scalar quantization: codes saturate at exactly ±127 on " +
       "the max-abs dimension and never exceed it") {
     val coded = Similarity.sq8Quantize(corpus, "vec_id", "embedding")
