@@ -165,6 +165,29 @@ object CorpusStreams {
   def assignments(spark: SparkSession, statePath: String): DataFrame =
     spark.read.parquet(s"$statePath/assignments")
 
+  /** Streaming embedding ingest into a persisted IVF index
+    * ([[graft.analytics.Similarity.buildIvfIndex]]): each micro-batch
+    * of (vec_id, embedding) rows is assigned against the FROZEN
+    * stored codebook and appended to the cell table — the index stays
+    * query-fresh at stream latency while retraining remains a
+    * periodic batch job ([[graft.analytics.Similarity.buildIvfIndex]]
+    * rerun). Replayed vectors are dropped by an anti-join on ids
+    * already present (at-least-once sources append idempotently); the
+    * anti-join reads only the id column of the cell table, which
+    * parquet column pruning keeps cheap.
+    */
+  def ivfIngestStream(vectors: DataFrame, indexPath: String) =
+    vectors.writeStream.outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val existing = spark.read.parquet(s"$indexPath/cells")
+          .select(col("neighbor_id").as("vec_id"))
+        val fresh = batch.toDF().dropDuplicates("vec_id")
+          .join(existing, Seq("vec_id"), "left_anti")
+        graft.analytics.Similarity.appendToIvfIndex(fresh, indexPath)
+      }
+
   /** Entries currently under the session's reliable-checkpoint dir. */
   private def checkpointEntries(spark: SparkSession): Set[String] =
     spark.sparkContext.getCheckpointDir.toSet[String].flatMap { d =>

@@ -250,6 +250,45 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((5L, 100L), (100L, 100L)))
   }
 
+  test("ivfIngestStream appends new vectors to a frozen-codebook " +
+      "index, idempotently under replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfstream").toString
+    // seed index from an initial 16-dim batch corpus (deterministic
+    // jitter keeps every vector distinct)
+    val rnd = new scala.util.Random(7)
+    val seed = (0L until 40L).map(i =>
+      (i, Seq.tabulate(16)(d =>
+        (if ((i % 4).toInt == d % 4) 1.0f else 0.1f) +
+          (rnd.nextFloat() - 0.5f) * 0.05f)))
+    graft.analytics.Similarity.buildIvfIndex(
+      seed.toDF("vec_id", "embedding"), dir, k = 4, dim = 16,
+      iterations = 1)
+    assert(spark.read.parquet(s"$dir/cells").count() === 40L)
+    // a direction present nowhere in the seed corpus
+    val unique = Seq.tabulate(16)(d => if (d < 2) 1.0f else -1.0f)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = CorpusStreams.ivfIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), dir).start()
+    mem.addData((100L, unique), (101L, seed(1)._2))
+    q.processAllAvailable()
+    mem.addData((100L, unique), (102L, seed(2)._2)) // 100 replayed
+    q.processAllAvailable()
+    q.stop()
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() === 43L, "3 distinct new vectors appended once")
+    assert(cells.filter(col("neighbor_id") === 100L).count() === 1L)
+    // the ingested unique vector is immediately findable by a query
+    // landing in its cell
+    val top = graft.analytics.Similarity.ivfTopKIndexed(spark, dir,
+        Seq((999L, unique)).toDF("vec_id", "embedding"),
+        k = 1, nprobe = 1)
+      .collect()(0)
+    assert(top.getLong(1) === 100L && top.getDouble(2) > 0.9999)
+  }
+
   test("dedupAssignStream drives assignBatch through foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
