@@ -66,6 +66,11 @@ object CorpusStreams {
     val sPath = s"$statePath/signatures"
     val fs = new org.apache.hadoop.fs.Path(statePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a compactState crash can leave a state dir parked aside — restore
+    // BEFORE the exists checks, or the batch would see "no state" and
+    // re-ingest every doc as new
+    recoverDir(fs, new org.apache.hadoop.fs.Path(aPath))
+    recoverDir(fs, new org.apache.hadoop.fs.Path(sPath))
     val hasAssign = fs.exists(new org.apache.hadoop.fs.Path(aPath))
     val hasSig = fs.exists(new org.apache.hadoop.fs.Path(sPath))
     val oldAssign =
@@ -187,6 +192,60 @@ object CorpusStreams {
           .join(existing, Seq("vec_id"), "left_anti")
         graft.analytics.Similarity.appendToIvfIndex(fresh, indexPath)
       }
+
+  /** Compact the streaming dedup state (per-batch appends leave one
+    * file set per micro-batch; thousands of batches mean thousands of
+    * small files slowing every state read) into `files` parquet files
+    * per table, swapped in with two directory renames. Run only while
+    * the stream is stopped — state paths are single-writer. A crash
+    * mid-swap parks the old dir aside; both [[assignBatch]] and the
+    * next [[compactState]] restore it before reading ([[recoverDir]]),
+    * so no crash point loses state or double-ingests. (The IVF cell
+    * table compacts with the existing partition-scoped
+    * [[graft.warehouse.Writer.compactPartitions]] instead — it is
+    * partitioned by cell.)
+    */
+  def compactState(spark: SparkSession, statePath: String,
+      files: Int = 1): Unit =
+    for (name <- Seq("assignments", "signatures")) {
+      val target = new org.apache.hadoop.fs.Path(s"$statePath/$name")
+      val fs = target
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverDir(fs, target)
+      if (fs.exists(target)) {
+        val id = java.util.UUID.randomUUID().toString
+        val stage = new org.apache.hadoop.fs.Path(target.getParent,
+          s".${target.getName}__compact__$id")
+        val aside = new org.apache.hadoop.fs.Path(target.getParent,
+          s".${target.getName}__old__$id")
+        try spark.read.parquet(target.toString).repartition(files)
+          .write.parquet(stage.toString)
+        catch { case e: Throwable => fs.delete(stage, true); throw e }
+        require(fs.rename(target, aside), s"rename $target aside failed")
+        require(fs.rename(stage, target), s"rename $stage in failed")
+        fs.delete(aside, true): Unit
+      }
+    }
+
+  /** Restore a state dir a crashed [[compactState]] left parked aside
+    * (the dir is missing but a `.<name>__old__<id>` sibling exists),
+    * then clear all compact/old debris for it. The parked OLD dir is
+    * always the restore source — a crash during the stage write leaves
+    * a partial stage, so the stage is never trusted. Idempotent. */
+  private def recoverDir(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    val parent = target.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val re =
+      ("^\\.\\Q" + target.getName + "\\E__(old|compact)__[A-Za-z0-9-]+$").r
+    val debris = fs.listStatus(parent).toSeq.map(_.getPath)
+      .filter(p => re.findFirstIn(p.getName).isDefined)
+    if (!fs.exists(target))
+      debris.find(_.getName.contains("__old__")).foreach { d =>
+        require(fs.rename(d, target), s"recover $d -> $target failed")
+      }
+    debris.foreach(d => if (fs.exists(d)) fs.delete(d, true))
+  }
 
   /** Entries currently under the session's reliable-checkpoint dir. */
   private def checkpointEntries(spark: SparkSession): Set[String] =

@@ -250,6 +250,51 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((5L, 100L), (100L, 100L)))
   }
 
+  test("compactState collapses per-batch append debris without " +
+      "changing the state; a mid-swap crash recovers on next use") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-decompact").toString
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta",
+      "one two three four five six seven",
+      "red orange yellow green blue indigo violet")
+    for ((t, i) <- texts.zipWithIndex)
+      CorpusStreams.assignBatch(
+        Seq((i.toLong, t)).toDF("doc_id", "text"), dir)
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = CorpusStreams.assignments(spark, dir)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(parquetFiles(s"$dir/assignments") >= 3)
+    CorpusStreams.compactState(spark, dir)
+    assert(parquetFiles(s"$dir/assignments") === 1)
+    assert(parquetFiles(s"$dir/signatures") === 1)
+    val after = CorpusStreams.assignments(spark, dir)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.toSeq === before.toSeq)
+    // simulate a crash between compactState's two renames: the
+    // assignments dir is parked aside, target missing
+    val fsPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(dir,
+      ".assignments__old__deadbeef")
+    require(fs.rename(fsPath, aside))
+    // the next batch restores the parked state first — doc 0 is a
+    // replay and must be dropped, not re-ingested as new
+    CorpusStreams.assignBatch(
+      Seq((0L, texts(0)), (9L, "nine ten eleven twelve thirteen fourteen"))
+        .toDF("doc_id", "text"), dir)
+    val got = CorpusStreams.assignments(spark, dir)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.count(_._1 == 0L) === 1)
+    assert(got.map(_._1).toSeq === Seq(0L, 1L, 2L, 9L))
+  }
+
   test("ivfIngestStream appends new vectors to a frozen-codebook " +
       "index, idempotently under replay") {
     import spark.implicits._
