@@ -203,6 +203,13 @@ object Similarity {
     * cell assignment run on the full-precision embeddings (quantizing
     * AFTER assignment keeps cell membership exact); only the stored
     * payload is quantized.
+    *
+    * Zero vectors are EXCLUDED from an SQ8 index (and from SQ8
+    * queries): their cosine is undefined, so [[sq8Quantize]] drops
+    * them. The float index retains them only as a NaN-ordering
+    * artifact of cell assignment — exclusion is the coherent
+    * contract, noted because the two indexes can differ in row count
+    * on a corpus containing zero vectors.
     */
   def buildIvfIndexSq8(corpus: DataFrame, indexPath: String, k: Int,
       dim: Int, iterations: Int): Unit = {
@@ -232,6 +239,10 @@ object Similarity {
       indexPath: String, queries: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
+    // a crashed cell-table compaction may have parked partitions aside
+    // — restore before this read builds its file index
+    graft.warehouse.Writer.recoverPartitions(spark,
+      s"$indexPath/cells_sq8", Seq("cell"))
     val codebook = spark.read.parquet(s"$indexPath/codebook")
     val queryCells = queryCellsOf(codebook, queries, nprobe)
     val probed = queryCells.select("cell").distinct().collect()
@@ -248,15 +259,10 @@ object Similarity {
     val dot = ColumnBridge.column(graft.expressions.DotI8(
       ColumnBridge.expression(col("q_code")),
       ColumnBridge.expression(col("c_code"))))
-    val scored = cells.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", dot.cast("double") /
-        (sqrt(col("q_n").cast("double")) * sqrt(col("c_n").cast("double"))))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("query_id", "neighbor_id", "score", "rn")
+    quantizedScoreTopK(
+      cells.join(broadcast(q), Seq("cell"))
+        .filter(col("query_id") =!= col("neighbor_id")),
+      dot, k)
   }
 
   /** Query a persisted IVF index ([[buildIvfIndex]]): probe `nprobe`
@@ -271,6 +277,10 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queries: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
+    // a crashed cell-table compaction may have parked partitions aside
+    // — restore before this read builds its file index
+    graft.warehouse.Writer.recoverPartitions(spark,
+      s"$indexPath/cells", Seq("cell"))
     val codebook = spark.read.parquet(s"$indexPath/codebook")
     // queryCells evaluates twice (the probed-cell collect here and the
     // join inside probeAndScore) — it is query-set-sized work against
@@ -419,9 +429,20 @@ object Similarity {
     val c = quantizer(corpus, "vec_id", "embedding")
       .select(col("vec_id").as("neighbor_id"), col("code").as("c_code"),
         col("norm2").as("c_n"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", dot.cast("double") /
-        (sqrt(col("q_n").cast("double")) * sqrt(col("c_n").cast("double"))))
+    quantizedScoreTopK(
+      c.join(broadcast(q), col("query_id") =!= col("neighbor_id")),
+      dot, k)
+  }
+
+  /** The one definition of quantized scoring + per-query top-k: input
+    * is candidate pairs carrying (query_id, neighbor_id, q_n, c_n) and
+    * the code columns `dot` reads; every quantized path (broadcast
+    * all-pairs, cell-probe) ends here, so the score expression and the
+    * id tie-break cannot drift between them. */
+  private def quantizedScoreTopK(pairs: DataFrame, dot: Column,
+      k: Int): DataFrame = {
+    val scored = pairs.withColumn("score", dot.cast("double") /
+      (sqrt(col("q_n").cast("double")) * sqrt(col("c_n").cast("double"))))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))

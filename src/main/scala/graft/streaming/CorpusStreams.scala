@@ -166,9 +166,16 @@ object CorpusStreams {
     }
   }
 
-  /** Current accumulated assignment state. */
-  def assignments(spark: SparkSession, statePath: String): DataFrame =
+  /** Current accumulated assignment state. A crashed [[compactState]]
+    * may have parked the table aside — recover before the read builds
+    * its file index, so monitoring/downstream readers never conclude
+    * the state was lost. */
+  def assignments(spark: SparkSession, statePath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$statePath/assignments")
+    recoverDir(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     spark.read.parquet(s"$statePath/assignments")
+  }
 
   /** Streaming embedding ingest into a persisted IVF index
     * ([[graft.analytics.Similarity.buildIvfIndex]]): each micro-batch
@@ -176,20 +183,38 @@ object CorpusStreams {
     * stored codebook and appended to the cell table — the index stays
     * query-fresh at stream latency while retraining remains a
     * periodic batch job ([[graft.analytics.Similarity.buildIvfIndex]]
-    * rerun). Replayed vectors are dropped by an anti-join on ids
-    * already present (at-least-once sources append idempotently); the
-    * anti-join reads only the id column of the cell table, which
-    * parquet column pruning keeps cheap.
+    * rerun). The index must already exist (fail-fast with a clear
+    * message otherwise — there is nothing to assign against without a
+    * codebook).
+    *
+    * With `checkReplays` (default), replayed vectors are dropped by an
+    * exact anti-join on ids already present, so at-least-once sources
+    * append idempotently. That check scans the id column of the WHOLE
+    * cell table each batch — narrow (8 bytes/row, column-pruned) but
+    * O(index size), the honest price of exact idempotency without a
+    * key-value store; sources with exactly-once delivery should pass
+    * `checkReplays = false` and skip it.
     */
-  def ivfIngestStream(vectors: DataFrame, indexPath: String) =
+  def ivfIngestStream(vectors: DataFrame, indexPath: String,
+      checkReplays: Boolean = true) =
     vectors.writeStream.outputMode(OutputMode.Update)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val existing = spark.read.parquet(s"$indexPath/cells")
-          .select(col("neighbor_id").as("vec_id"))
-        val fresh = batch.toDF().dropDuplicates("vec_id")
-          .join(existing, Seq("vec_id"), "left_anti")
+        val cellsPath = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+        val fs = cellsPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        require(fs.exists(cellsPath),
+          s"no IVF index at $indexPath — run buildIvfIndex first")
+        graft.warehouse.Writer.recoverPartitions(spark,
+          cellsPath.toString, Seq("cell"))
+        val deduped = batch.toDF().dropDuplicates("vec_id")
+        val fresh =
+          if (!checkReplays) deduped
+          else deduped.join(
+            spark.read.parquet(cellsPath.toString)
+              .select(col("neighbor_id").as("vec_id")),
+            Seq("vec_id"), "left_anti")
         graft.analytics.Similarity.appendToIvfIndex(fresh, indexPath)
       }
 

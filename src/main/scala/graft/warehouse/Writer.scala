@@ -228,6 +228,10 @@ object Writer {
       s"compactPartitions predicate may reference only partition " +
         s"columns ${partitionCols.mkString("[", ",", "]")}; " +
         s"found ${bad.mkString(", ")}")
+    // recover first (the read below builds its file index immediately),
+    // and land through the ATOMIC swap — compaction rewrites partitions
+    // wholesale, exactly the shape the torn-partition window hurts most
+    recoverPartitions(spark, path, partitionCols)
     val touched = spark.read.parquet(path).filter(predicate)
     val distributed =
       if (filesPerPartition <= 1)
@@ -236,7 +240,8 @@ object Writer {
         touched.repartition((partitionCols.map(col) :+
           pmod(xxhash64(touched.columns.map(col): _*),
             lit(filesPerPartition.toLong))): _*)
-    overwritePartitions(distributed, path, partitionCols)
+    overwritePartitionsAtomic(distributed, path, partitionCols,
+      recoverFirst = false)
   }
 
   /** Z-order key: interleave the low `bits` bits of two non-negative
