@@ -354,7 +354,12 @@ object Similarity {
   def sq8Quantize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     df.select(col(idCol), col(embCol).cast("array<double>").as("__e"))
       .withColumn("__scale", array_max(transform(col("__e"), x => abs(x))))
-      .where(col("__scale") > 0d)
+      // drops zero vectors (cosine undefined) AND non-finite ones: an
+      // Inf scale would quantize every dimension to 0 and divide by a
+      // zero norm, and NaN needs an explicit test — Spark (and DuckDB)
+      // order NaN ABOVE all values, so `NaN > 0` is true
+      .where(col("__scale") > 0d && !isnan(col("__scale")) &&
+        col("__scale") =!= lit(Double.PositiveInfinity))
       .select(col(idCol),
         transform(col("__e"),
           x => floor(x * lit(127.0) / col("__scale") + lit(0.5))).as("code"))

@@ -304,7 +304,10 @@ object SimilarityQueries {
               list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
               + 0.5) AS BIGINT)) AS code
         FROM embeddings
-        WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+        WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0
+          AND NOT isnan(list_max(list_transform(embedding::DOUBLE[], y -> abs(y))))
+          AND list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+            <> 'infinity'::DOUBLE),
       normed AS (
         SELECT vec_id, code,
           list_reduce(list_transform(code, x -> x * x),

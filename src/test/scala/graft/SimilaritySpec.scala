@@ -146,6 +146,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.9, s"IVF-SQ8 recall@5 was $r")
   }
 
+  test("sq8 quantization drops zero and non-finite vectors instead " +
+      "of emitting undefined scores") {
+    import spark.implicits._
+    val pathological = Seq(
+      (1L, Seq(1.0f, 2.0f)),                       // fine
+      (2L, Seq(0.0f, 0.0f)),                       // zero vector
+      (3L, Seq(Float.NaN, 1.0f)),                  // NaN
+      (4L, Seq(Float.PositiveInfinity, 1.0f)),     // Inf
+      (5L, Seq(-3.0f, 0.5f)))                      // fine
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.sq8Quantize(pathological, "vec_id", "embedding")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 5L))
+  }
+
   test("int8 scalar quantization: codes saturate at exactly ±127 on " +
       "the max-abs dimension and never exceed it") {
     val coded = Similarity.sq8Quantize(corpus, "vec_id", "embedding")
