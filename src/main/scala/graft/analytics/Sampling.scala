@@ -29,6 +29,27 @@ object Sampling {
     row_number().over(Window.partitionBy(groupCol)
       .orderBy(Dedup.h30(keyCol.cast("string")), keyCol))
 
+  /** Mixture sampling: per-group deterministic keep-fractions — the
+    * domain-mixing step of training-data assembly ("keep all of wiki,
+    * half of books, a tenth of crawl; exclude the eval source").
+    * One map-only pass, no shuffle: the group column selects its
+    * integer threshold through a literal CASE and membership is the
+    * [[hashFraction]] test. Thresholds are computed DRIVER-side
+    * (`(f·denom).toLong`) so the eval-time arithmetic is pure integer
+    * in any engine — `0.3·10⁶` truncates vs rounds differently across
+    * engines, a hash-mismatch trap the literal sidesteps. Groups
+    * absent from `fractions` keep `defaultFraction`.
+    */
+  def mixtureSample(df: DataFrame, groupCol: String, keyCol: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      denom: Int = 1000000): DataFrame = {
+    val thr = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit((defaultFraction * denom).toLong)) { case (acc, (g, f)) =>
+      when(col(groupCol) === g, lit((f * denom).toLong)).otherwise(acc)
+    }
+    df.filter(Dedup.h30(keyCol.cast("string")) % denom < thr)
+  }
+
   /** Cap each group at `perGroup` rows, chosen by hash order (a
     * deterministic "reservoir"): rank rows within their group by
     * (h30(key), key) and keep the first `perGroup`. One shuffle on the

@@ -137,6 +137,38 @@ object MiscQueries {
           sum(when(col("rk") <= 60, col("n_chars")).otherwise(0L))
             .cast("long").as("kept_chars"))
         .orderBy(col("lang").asc_nulls_last)
+    },
+
+    // Deterministic mixture sampling: per-source keep-fractions — the
+    // domain-mixing step of corpus assembly. src0 (the benchmark
+    // stand-in, q68) is excluded entirely, other sources keep graded
+    // shares. Thresholds are integer literals generated driver-side
+    // into BOTH plans, so membership is identical integer arithmetic
+    // in Spark and DuckDB.
+    {
+      val fr = Map("src0" -> 0.0, "src1" -> 0.5, "src2" -> 0.25)
+      val defaultFr = 0.1
+      val denom = 1000000
+      val cases = fr.toSeq.sortBy(_._1)
+        .map { case (g, f) => s"WHEN '$g' THEN ${(f * denom).toLong}" }
+        .mkString(" ")
+      Q("q80_mixture_sample", Some(s"""
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+          AS BIGINT) % ${graft.analytics.Dedup.P} % $denom
+        < CASE source $cases ELSE ${(defaultFr * denom).toLong} END
+      GROUP BY source ORDER BY source""")) { (s, dir) =>
+        val d = Tables.load(s, dir, "documents")
+        graft.analytics.Sampling.mixtureSample(d, "source",
+            col("doc_id"), fr, defaultFraction = defaultFr,
+            denom = denom)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy("source")
+      }
     }
   )
 }

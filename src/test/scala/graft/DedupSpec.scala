@@ -249,6 +249,24 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 0), (25L, 20L, 0)))
   }
 
+  test("mixture sampling keeps per-group fractions deterministically " +
+      "and excludes zero-fraction groups entirely") {
+    import spark.implicits._
+    import graft.analytics.Sampling
+    val df = (0L until 4000L).map(i => (i, s"g${i % 2}"))
+      .toDF("id", "g")
+    def run() = Sampling.mixtureSample(df, "g", col("id"),
+      Map("g0" -> 0.5, "g1" -> 0.0), defaultFraction = 1.0)
+    val counts = run().groupBy("g").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!counts.contains("g1"), s"zero-fraction group leaked: $counts")
+    assert(math.abs(counts("g0") - 1000L) < 150,
+      s"expected ~half of g0's 2000 rows: $counts")
+    val a = run().select("id").collect().map(_.getLong(0)).sorted
+    val b = run().select("id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq, "same membership on every run")
+  }
+
   test("incremental assign fails fast on ids outside [0, offset)") {
     import spark.implicits._
     import org.apache.spark.sql.Column
