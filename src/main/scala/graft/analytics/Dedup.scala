@@ -283,6 +283,45 @@ object Dedup {
       .select(col(idCol).as("doc_id"),
         simHashHex(col(textCol)).as("simhash_hex"))
 
+  /** 4b. SimHash hamming near-dup PAIRS — completes the simhash tier
+    * (fingerprints alone don't dedup): 64-bit fingerprints split into
+    * 4×16-bit bands; by pigeonhole, any pair within hamming distance 3
+    * agrees on at least one band, so candidate generation is an
+    * exact-recall band equi-join (shuffle keyed on (band, value) —
+    * never all-pairs), and the full distance (summed popcounts of
+    * banded xors) verifies candidates. The classic simhash dedup
+    * layout: map-only fingerprinting + one bucket join, the 100 TB
+    * shape.
+    */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4-band pigeonhole guarantees full recall only for maxHamming <= 3")
+    val fp = simHash(docs, idCol, textCol)
+    val bands = fp.select(col("doc_id") +: (0 until 4).map(i =>
+      conv(substring(col("simhash_hex"), 1 + 4 * i, 4), 16, 10)
+        .cast("long").as(s"b_$i")): _*)
+    val bucket = bands.select(col("doc_id"), explode(array(
+      (0 until 4).map(i => struct(lit(i).as("band"),
+        col(s"b_$i").as("bval"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bval"))
+    val cand = bucket.as("a").join(bucket.as("b"), Seq("band", "bval"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val bA = bands.toDF(bands.columns.map(c =>
+      if (c == "doc_id") "id_a" else s"a_$c"): _*)
+    val bB = bands.toDF(bands.columns.map(c =>
+      if (c == "doc_id") "id_b" else s"b_$c"): _*)
+    val hamming = (0 until 4).map(i =>
+      bit_count(col(s"a_b_$i").bitwiseXOR(col(s"b_b_$i"))))
+      .reduce(_ + _)
+    cand.join(bA, Seq("id_a")).join(bB, Seq("id_b"))
+      .withColumn("hamming", hamming.cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Connected components over near-duplicate pairs: turns pairwise
     * matches (from [[ngramJaccardPairs]] / [[minHashLshCandidates]] /
     * [[embeddingNearDupsBucketed]]) into dedup GROUPS — (doc_id,

@@ -65,6 +65,30 @@ object DedupQueries {
         WHERE a.doc_id < b.doc_id)"""
   }
 
+  /** Shared DuckDB simhash CTE chain `tok → votes → fp(doc_id,
+    * simhash_hex)` — q21 selects the fingerprints, q81 joins them
+    * band-wise; generated once so both replay identical bit votes. */
+  private def simhashCtes: String = {
+    val voteExprs = (0 until 64).map { j =>
+      s"""SUM(((strpos('0123456789abcdef', substr(th, ${j / 4 + 1}, 1)) - 1) >> ${3 - j % 4}) % 2 * 2 - 1) AS v_$j"""
+    }.mkString(",\n          ")
+    val nibbleExprs = (0 until 16).map { d =>
+      val nib = (0 until 4).map { b =>
+        s"CASE WHEN v_${d * 4 + b} > 0 THEN ${1 << (3 - b)} ELSE 0 END"
+      }.mkString(" + ")
+      s"substr('0123456789abcdef', ($nib) + 1, 1)"
+    }.mkString(" || ")
+    s"""tok AS (
+        SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS th
+        FROM documents),
+      votes AS (
+        SELECT doc_id,
+          $voteExprs
+        FROM tok GROUP BY doc_id),
+      fp AS (
+        SELECT doc_id, $nibbleExprs AS simhash_hex FROM votes)"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // Inverted-index n-gram Jaccard: candidate pairs share >=1 shingle;
@@ -111,28 +135,47 @@ object DedupQueries {
     },
 
     // 64-bit SimHash fingerprints (md5 bit votes per token occurrence).
+    Q("q21_simhash", Some(s"""
+      WITH $simhashCtes
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, simhash_hex
+      FROM fp ORDER BY doc_id""")) { (s, dir) =>
+      Dedup.simHash(Tables.load(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // SimHash hamming near-dup pairs: 4×16-bit banded pigeonhole join
+    // (any pair within distance 3 agrees on >=1 band — exact recall
+    // without all-pairs), full distance verified as summed popcounts
+    // of banded xors.
     {
-      val voteExprs = (0 until 64).map { j =>
-        s"""SUM(((strpos('0123456789abcdef', substr(th, ${j / 4 + 1}, 1)) - 1) >> ${3 - j % 4}) % 2 * 2 - 1) AS v_$j"""
-      }.mkString(",\n          ")
-      val nibbleExprs = (0 until 16).map { d =>
-        val nib = (0 until 4).map { b =>
-          s"CASE WHEN v_${d * 4 + b} > 0 THEN ${1 << (3 - b)} ELSE 0 END"
-        }.mkString(" + ")
-        s"substr('0123456789abcdef', ($nib) + 1, 1)"
-      }.mkString(" || ")
-      Q("q21_simhash", Some(s"""
-      WITH tok AS (
-        SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS th
-        FROM documents),
-      votes AS (
+      val hammingExpr = (0 until 4)
+        .map(i => s"bit_count(xor(ba.b_$i, bb.b_$i))").mkString(" + ")
+      Q("q81_simhash_near_dup", Some(s"""
+      WITH $simhashCtes,
+      bands AS (
         SELECT doc_id,
-          $voteExprs
-        FROM tok GROUP BY doc_id)
-      SELECT CAST(doc_id AS BIGINT) AS doc_id, $nibbleExprs AS simhash_hex
-      FROM votes ORDER BY doc_id""")) { (s, dir) =>
-        Dedup.simHash(Tables.load(s, dir, "documents"), "doc_id", "text")
-          .orderBy("doc_id")
+          ${(0 until 4).map(i =>
+            s"CAST('0x' || substr(simhash_hex, ${1 + 4 * i}, 4) " +
+              s"AS BIGINT) AS b_$i").mkString(",\n          ")}
+        FROM fp),
+      bucket AS (
+        ${(0 until 4).map(i =>
+          s"SELECT doc_id, $i AS band, b_$i AS bval FROM bands")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bucket a JOIN bucket b USING (band, bval)
+        WHERE a.doc_id < b.doc_id)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        CAST($hammingExpr AS INT) AS hamming
+      FROM cand
+      JOIN bands ba ON id_a = ba.doc_id
+      JOIN bands bb ON id_b = bb.doc_id
+      WHERE $hammingExpr <= 3
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+        Dedup.simHashNearDups(Tables.load(s, dir, "documents"),
+            "doc_id", "text", maxHamming = 3)
+          .orderBy("id_a", "id_b")
       }
     },
 

@@ -249,6 +249,35 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 0), (25L, 20L, 0)))
   }
 
+  test("simhash banded near-dups find exactly the brute-force pairs " +
+      "within hamming distance 3") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "rain falls on the quiet green field near the old mill"
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                       // exact dup -> hamming 0
+      (2L, base + " tonight"),          // near variant
+      (3L, base.replace("quick", "slow")),
+      (4L, "entirely different words about solar panels and batteries"),
+      (5L, "unrelated text discussing ocean currents and tides today"))
+      .toDF("doc_id", "text")
+    val got = graft.analytics.Dedup
+      .simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    // brute force over the same fingerprints
+    val fps = graft.analytics.Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        BigInt(r.getString(1), 16))).sortBy(_._1)
+    val brute = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = (fa ^ fb).bitCount if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got === brute, s"banded $got vs brute $brute")
+    assert(got.contains((0L, 1L, 0)), "exact dup pair at distance 0")
+  }
+
   test("mixture sampling keeps per-group fractions deterministically " +
       "and excludes zero-fraction groups entirely") {
     import spark.implicits._
