@@ -297,10 +297,15 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "4-band pigeonhole guarantees full recall only for maxHamming <= 3")
+    // bands are read four times (both self-join sides, both
+    // verification sides) and are tiny (4 longs per doc) — persist
+    // instead of re-running tokenize+md5+vote fingerprinting each
+    // time, same rationale as the minhash signature persist
     val fp = simHash(docs, idCol, textCol)
     val bands = fp.select(col("doc_id") +: (0 until 4).map(i =>
       conv(substring(col("simhash_hex"), 1 + 4 * i, 4), 16, 10)
         .cast("long").as(s"b_$i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucket = bands.select(col("doc_id"), explode(array(
       (0 until 4).map(i => struct(lit(i).as("band"),
         col(s"b_$i").as("bval"))): _*)).as("bb"))
@@ -309,17 +314,17 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val bA = bands.toDF(bands.columns.map(c =>
-      if (c == "doc_id") "id_a" else s"a_$c"): _*)
-    val bB = bands.toDF(bands.columns.map(c =>
-      if (c == "doc_id") "id_b" else s"b_$c"): _*)
     val hamming = (0 until 4).map(i =>
       bit_count(col(s"a_b_$i").bitwiseXOR(col(s"b_b_$i"))))
       .reduce(_ + _)
-    cand.join(bA, Seq("id_a")).join(bB, Seq("id_b"))
-      .withColumn("hamming", hamming.cast("int"))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+    val result = materialize(
+      cand.join(sigPrefixed(bands, "a", "id_a"), Seq("id_a"))
+        .join(sigPrefixed(bands, "b", "id_b"), Seq("id_b"))
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(col("hamming") <= maxHamming)
+        .select("id_a", "id_b", "hamming"))
+    bands.unpersist(false)
+    result
   }
 
   /** Connected components over near-duplicate pairs: turns pairwise
@@ -494,12 +499,15 @@ object Dedup {
       col("cluster_rep").as("__repB"))
     val a = checkedId(col(aCol), offset)
     val b = checkedId(col(bCol), offset)
+    // reps from oldLabels are range-checked too — a corrupt stored rep
+    // >= offset would collide with the shifted new-id band and decode
+    // to a nonexistent doc id
     val enc = pairs.join(labA, Seq(aCol), "left")
       .join(labB, Seq(bCol), "left")
       .select(
-        when(isOld(a), coalesce(col("__repA"), a))
+        when(isOld(a), coalesce(checkedId(col("__repA"), offset), a))
           .otherwise(a + offset).as("src"),
-        when(isOld(b), coalesce(col("__repB"), b))
+        when(isOld(b), coalesce(checkedId(col("__repB"), offset), b))
           .otherwise(b + offset).as("dst"))
     assignFromEncoded(enc, offset)
   }
@@ -520,8 +528,8 @@ object Dedup {
     val e1 = newOldPairs.select(col("new_id"), col("old_id"))
       .join(lab, Seq("old_id"), "left")
       .select((checkedId(col("new_id"), offset) + offset).as("src"),
-        coalesce(col("__rep"), checkedId(col("old_id"), offset))
-          .as("dst"))
+        coalesce(checkedId(col("__rep"), offset),
+          checkedId(col("old_id"), offset)).as("dst"))
     val e2 = newNewPairs.select(
       (checkedId(col("id_a"), offset) + offset).as("src"),
       (checkedId(col("id_b"), offset) + offset).as("dst"))
@@ -531,8 +539,12 @@ object Dedup {
   /** Fail-fast guard for the [0, offset) id contract of the
     * incremental encodes: an out-of-range id (hash- or
     * timestamp-derived, for instance) would otherwise be silently
-    * misclassified by the offset decode into garbage assignments. */
-  private def checkedId(c: Column, offset: Long): Column =
+    * misclassified by the offset decode into garbage assignments.
+    * Null passes through (the when-condition is null → otherwise),
+    * which the rep-coalesce paths rely on. Shared with the streaming
+    * ingest, which validates every batch id up front — ids that never
+    * enter a candidate pair still land in the assignment state. */
+  private[graft] def checkedId(c: Column, offset: Long): Column =
     when(c < 0L || c >= offset, raise_error(concat(
       lit(s"incremental assign: doc id outside [0, $offset): "),
       c.cast("string")))).otherwise(c)

@@ -73,10 +73,14 @@ object CorpusStreams {
     recoverDir(fs, new org.apache.hadoop.fs.Path(sPath))
     val hasAssign = fs.exists(new org.apache.hadoop.fs.Path(aPath))
     val hasSig = fs.exists(new org.apache.hadoop.fs.Path(sPath))
-    val oldAssign =
+    // the assignment state is consulted three times per batch (replay
+    // anti-join, orphan-signature semi-join, rep lookup) and grows
+    // with the whole ingested corpus — one read, cached for the batch
+    val oldAssign = (
       if (hasAssign) spark.read.parquet(aPath)
       else spark.range(0).select(col("id").as("doc_id"),
-        col("id").as("cluster_rep"))
+        col("id").as("cluster_rep")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the per-batch star contractions below create reliable
     // checkpoints; once this batch's results are persisted in the
     // state tables those files are garbage — snapshot the checkpoint
@@ -86,11 +90,17 @@ object CorpusStreams {
     val ckptBefore = checkpointEntries(spark)
 
     // idempotent replay: a doc already assigned (a retried batch, an
-    // at-least-once source) is dropped, not reclustered
-    val fresh = batch.select(col("doc_id"), col("text"))
+    // at-least-once source) is dropped, not reclustered. Ids are
+    // range-validated HERE so even docs that never enter a candidate
+    // pair (which would bypass the encode-time guard) fail fast
+    // instead of landing out-of-contract ids in the state
+    val fresh = batch
+      .select(Dedup.checkedId(col("doc_id"), offset).as("doc_id"),
+        col("text"))
       .dropDuplicates("doc_id")
       .join(oldAssign, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var oldSigCache: Option[DataFrame] = None
     try {
       val newSig = Dedup.minHashSignature(fresh, "doc_id", "text",
           n, numHashes)
@@ -119,9 +129,14 @@ object CorpusStreams {
           // assignments) must not act as old docs — their unassigned
           // ids would enter components unshifted and could steal the
           // min from a real existing rep
+          // evaluated twice (band derivation + verification join) —
+          // cached alongside the assignments for the batch
           val oldSig = spark.read.parquet(sPath)
             .join(oldAssign.select("doc_id"), Seq("doc_id"),
               "left_semi")
+            .persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          oldSigCache = Some(oldSig)
           Dedup.bandBuckets(oldSig, numHashes, bands).as("b")
             .join(newB.as("a"), Seq("band", "bkey"))
             .select(col("a.doc_id").as("new_id"),
@@ -158,6 +173,8 @@ object CorpusStreams {
       } finally newSig.unpersist(false)
     } finally {
       fresh.unpersist(false)
+      oldAssign.unpersist(false)
+      oldSigCache.foreach(_.unpersist(false))
       // reclaim this batch's checkpoints — without this a long-running
       // stream accumulates (CC rounds + 2) checkpointed frames per
       // micro-batch until the checkpoint disk fills (reliable

@@ -120,11 +120,16 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF-SQ8 index: quantized cell-probe reaches recall@5 >= 0.9 " +
       "and stores measurably fewer bytes than the float index") {
+    import spark.implicits._
     val dir = java.nio.file.Files
       .createTempDirectory("graft-ivfsq8").toString
-    // 64-dim real corpus for the size comparison (16-dim toy vectors
-    // would be parquet-overhead-dominated)
-    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // 64-dim synthetic corpus for the size comparison (16-dim toy
+    // vectors would be parquet-overhead-dominated; built in-memory so
+    // the suite has no dependency on generated bench data)
+    val rnd11 = new scala.util.Random(11)
+    val emb = (0L until 300L).map(i =>
+      (i, Seq.fill(64)(rnd11.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
     Similarity.buildIvfIndex(emb, s"$dir/f", k = 8, dim = 64,
       iterations = 1)
     Similarity.buildIvfIndexSq8(emb, s"$dir/q", k = 8, dim = 64,
