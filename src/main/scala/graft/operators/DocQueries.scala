@@ -42,6 +42,26 @@ object DocQueries {
         .orderBy("lang")
     },
 
+    // Vocabulary heavy hitters — the corpus census a tokenizer
+    // training run starts from: explode tokens, one map-side-combining
+    // count shuffle keyed on the token, top-100 via
+    // TakeOrderedAndProject (count desc, token asc tie-break). At
+    // 100 TB the combine collapses each partition's counts before the
+    // exchange, so shuffle volume is bounded by |vocab|·partitions,
+    // not corpus tokens.
+    Q("q82_vocab_topk", Some("""
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents WHERE text IS NOT NULL) t
+      GROUP BY token ORDER BY n DESC, token LIMIT 100""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      d.where(col("text").isNotNull)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)
+    },
+
     // T7 whitespace collapse + lowercase normalize (reference
     // cleaners.py:160-175 pipeline tail) — deterministic string output.
     Q("q18_text_normalize", Some("""
