@@ -1,0 +1,702 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.functions.{CleanFunctions, RecordCleaners}
+import graft.pipeline.Pipeline
+import graft.sources.{OpenMeteoSource, ScrapedTextSource, SoilGridsSource}
+import graft.warehouse.{AuditLog, Scd2, Writer}
+
+/** Ingest/cleaning-tier oracle queries (SURVEY §2.1 S1–S9/S14, §2.2
+  * F3/F5/F10/F11, §2.4 W2–W5/W7, §2.5 J5, §2.6 A6): the operators that
+  * through round 6 were covered only by ScalaTest goldens, promoted to
+  * full DuckDB-oracle checks. Inputs are the captured-response JSONL
+  * fixtures (`src/test/resources/fixtures`, mirroring
+  * `/root/reference/tests/test_extractors.py` shapes) read by BOTH
+  * engines — Spark through the schema'd source readers, DuckDB through
+  * `read_json` with the same explicit schema — plus inline literal
+  * frames where the reference's goldens are value tables
+  * (`cleaners.py` golden values, scrape priority, audit lifecycle).
+  */
+object IngestQueries {
+
+  /** Fixture dir: absolute when running under the driver (any cwd),
+    * repo-relative fallback for ad-hoc runs from a checkout clone. */
+  private[operators] val fixturesDir: String = {
+    val abs = new java.io.File("/root/repo/src/test/resources/fixtures")
+    if (abs.isDirectory) abs.getAbsolutePath
+    else new java.io.File("src/test/resources/fixtures").getAbsolutePath
+  }
+  private def soilPath = s"$fixturesDir/soilgrids.jsonl"
+  private def meteoPath = s"$fixturesDir/openmeteo.jsonl"
+
+  /** DuckDB mirror of [[SoilGridsSource.schema]]. */
+  private val duckSoilRead = """
+    read_json('/root/repo/src/test/resources/fixtures/soilgrids.jsonl',
+      format='newline_delimited',
+      columns={'latitude':'DOUBLE','longitude':'DOUBLE',
+        'properties':'STRUCT(layers STRUCT(name VARCHAR, depths STRUCT(range STRUCT(top_depth INTEGER, bottom_depth INTEGER), "values" STRUCT(mean DOUBLE))[])[])',
+        'timeStamp':'VARCHAR'})"""
+
+  /** DuckDB mirror of [[OpenMeteoSource.schema]]. */
+  private val duckMeteoRead = """
+    read_json('/root/repo/src/test/resources/fixtures/openmeteo.jsonl',
+      format='newline_delimited',
+      columns={'latitude':'DOUBLE','longitude':'DOUBLE',
+        'daily':'STRUCT("time" VARCHAR[], temperature_2m_max DOUBLE[], temperature_2m_min DOUBLE[], temperature_2m_mean DOUBLE[], precipitation_sum DOUBLE[], et0_fao_evapotranspiration DOUBLE[], shortwave_radiation_sum DOUBLE[], relative_humidity_2m_mean DOUBLE[], wind_speed_10m_max DOUBLE[], weather_code INTEGER[])'})"""
+
+  /** `get_value(prop)` navigation (`soil_api.py:85-93`) in DuckDB list
+    * functions: first layer named `prop`, first depth with
+    * top_depth = 0, its values.mean. */
+  private def duckLayer(prop: String): String =
+    s"""list_filter(list_filter(properties.layers, l -> l.name = '$prop')[1].depths,
+      d -> d.range.top_depth = 0)[1]."values".mean"""
+
+  /** Shared oracle CTE: the SoilGrids nested parse (q83's whole body,
+    * reused by the downstream clean/dim queries). */
+  private val duckSoilParse = s"""
+    soil_vals AS (
+      SELECT latitude, longitude, timeStamp,
+        ${duckLayer("clay")} AS clay, ${duckLayer("sand")} AS sand,
+        ${duckLayer("silt")} AS silt, ${duckLayer("phh2o")} AS phh2o,
+        ${duckLayer("soc")} AS soc, ${duckLayer("bdod")} AS bdod,
+        ${duckLayer("wv0010")} AS wv0010
+      FROM $duckSoilRead),
+    soil_parsed AS (
+      SELECT latitude, longitude,
+        clay AS clay_0_5cm, sand AS sand_0_5cm, silt AS silt_0_5cm,
+        CASE WHEN phh2o IS NULL OR phh2o = 0 THEN NULL
+             ELSE phh2o / 10 END AS ph_0_5cm,
+        CASE WHEN soc IS NULL OR soc = 0 THEN NULL
+             ELSE soc / 10 END AS organic_carbon_0_5cm,
+        bdod AS bulk_density_0_5cm, wv0010 AS water_capacity_0_5cm,
+        CASE WHEN clay IS NULL OR sand IS NULL OR silt IS NULL
+               OR clay = 0 OR sand = 0 OR silt = 0 THEN NULL
+             WHEN sand >= 85 AND silt + clay * 1.5 < 15 THEN 'Sand'
+             WHEN silt >= 80 AND clay < 12 THEN 'Silt'
+             WHEN clay >= 40 THEN 'Clay'
+             WHEN sand >= 52 AND silt + clay * 2 < 50 THEN 'Sandy Loam'
+             WHEN silt >= 50 AND clay < 27 THEN 'Silt Loam'
+             WHEN clay >= 27 AND clay < 40 AND sand > 20 THEN 'Clay Loam'
+             ELSE 'Loam' END AS texture,
+        COALESCE(timeStamp, '') AS extraction_timestamp
+      FROM soil_vals)"""
+
+  /** Shared oracle CTE: F3 clean over the valid-coordinate subset of
+    * the parse (quarantine handled by q84). */
+  private val duckSoilClean = s"""
+    $duckSoilParse,
+    soil_clean AS (
+      SELECT round(latitude, 6) AS latitude,
+        round(longitude, 6) AS longitude,
+        CASE WHEN clay_0_5cm IS NULL THEN NULL
+             WHEN clay_0_5cm BETWEEN 0 AND 1 THEN round(clay_0_5cm * 100, 2)
+             WHEN clay_0_5cm BETWEEN 0 AND 100 THEN round(clay_0_5cm, 2)
+             ELSE NULL END AS clay_content,
+        CASE WHEN sand_0_5cm IS NULL THEN NULL
+             WHEN sand_0_5cm BETWEEN 0 AND 1 THEN round(sand_0_5cm * 100, 2)
+             WHEN sand_0_5cm BETWEEN 0 AND 100 THEN round(sand_0_5cm, 2)
+             ELSE NULL END AS sand_content,
+        CASE WHEN silt_0_5cm IS NULL THEN NULL
+             WHEN silt_0_5cm BETWEEN 0 AND 1 THEN round(silt_0_5cm * 100, 2)
+             WHEN silt_0_5cm BETWEEN 0 AND 100 THEN round(silt_0_5cm, 2)
+             ELSE NULL END AS silt_content,
+        CASE WHEN ph_0_5cm IS NULL THEN NULL
+             WHEN ph_0_5cm BETWEEN 0 AND 14 THEN round(ph_0_5cm, 2)
+             WHEN ph_0_5cm BETWEEN 0 AND 140 THEN round(ph_0_5cm / 10, 2)
+             ELSE NULL END AS ph_level,
+        round(organic_carbon_0_5cm, 3) AS organic_carbon,
+        round(bulk_density_0_5cm, 3) AS bulk_density,
+        round(water_capacity_0_5cm, 3) AS water_capacity,
+        texture AS texture_raw, extraction_timestamp
+      FROM soil_parsed
+      WHERE latitude BETWEEN -90 AND 90 AND longitude BETWEEN -180 AND 180),
+    soil_cleaned AS (
+      SELECT latitude, longitude, clay_content, sand_content, silt_content,
+        ph_level, organic_carbon, bulk_density, water_capacity,
+        CASE WHEN texture_raw IN ('Sand','Sandy Loam','Loam','Silt Loam',
+               'Silt','Clay Loam','Silty Clay Loam','Sandy Clay Loam',
+               'Sandy Clay','Silty Clay','Clay') THEN texture_raw
+          ELSE
+            CASE WHEN clay_content IS NULL OR sand_content IS NULL
+                   OR silt_content IS NULL OR clay_content = 0
+                   OR sand_content = 0 OR silt_content = 0
+                   OR clay_content + sand_content + silt_content = 0
+                 THEN NULL
+                 WHEN sand_content / (clay_content + sand_content + silt_content) * 100 >= 85
+                   AND silt_content / (clay_content + sand_content + silt_content) * 100
+                     + clay_content / (clay_content + sand_content + silt_content) * 100 * 1.5 < 15
+                 THEN 'Sand'
+                 WHEN silt_content / (clay_content + sand_content + silt_content) * 100 >= 80
+                   AND clay_content / (clay_content + sand_content + silt_content) * 100 < 12
+                 THEN 'Silt'
+                 WHEN clay_content / (clay_content + sand_content + silt_content) * 100 >= 40
+                 THEN 'Clay'
+                 WHEN sand_content / (clay_content + sand_content + silt_content) * 100 >= 52
+                   AND silt_content / (clay_content + sand_content + silt_content) * 100
+                     + clay_content / (clay_content + sand_content + silt_content) * 100 * 2 < 50
+                 THEN 'Sandy Loam'
+                 WHEN silt_content / (clay_content + sand_content + silt_content) * 100 >= 50
+                   AND clay_content / (clay_content + sand_content + silt_content) * 100 < 27
+                 THEN 'Silt Loam'
+                 WHEN clay_content / (clay_content + sand_content + silt_content) * 100 >= 27
+                   AND clay_content / (clay_content + sand_content + silt_content) * 100 < 40
+                   AND sand_content / (clay_content + sand_content + silt_content) * 100 > 20
+                 THEN 'Clay Loam'
+                 ELSE 'Loam' END
+          END AS texture,
+        extraction_timestamp
+      FROM soil_clean)"""
+
+  /** Shared oracle CTE: the Open-Meteo columnar→row zip (q85's body). */
+  private val duckMeteoParse = s"""
+    meteo_rows AS (
+      SELECT latitude, longitude,
+        daily."time"[i] AS "date",
+        daily.temperature_2m_max[i] AS temp_max,
+        daily.temperature_2m_min[i] AS temp_min,
+        daily.temperature_2m_mean[i] AS temp_mean,
+        daily.precipitation_sum[i] AS precipitation,
+        daily.et0_fao_evapotranspiration[i] AS evapotranspiration,
+        daily.shortwave_radiation_sum[i] AS solar_radiation,
+        daily.relative_humidity_2m_mean[i] AS humidity,
+        daily.wind_speed_10m_max[i] AS wind_speed,
+        daily.weather_code[i] AS weather_code
+      FROM $duckMeteoRead,
+        UNNEST(generate_series(1, len(daily."time"))) AS t(i))"""
+
+  /** Shared oracle CTE: F4 weather clean over the zipped rows. */
+  private val duckMeteoClean = s"""
+    $duckMeteoParse,
+    meteo_t AS (
+      SELECT *,
+        CASE WHEN temp_max IS NULL THEN NULL
+             WHEN (CASE WHEN temp_max > 60 THEN (temp_max - 32) * 5.0 / 9.0
+                        ELSE temp_max END) BETWEEN -50 AND 60
+             THEN round(CASE WHEN temp_max > 60 THEN (temp_max - 32) * 5.0 / 9.0
+                             ELSE temp_max END, 1)
+             ELSE NULL END AS tmax_c,
+        CASE WHEN temp_min IS NULL THEN NULL
+             WHEN (CASE WHEN temp_min > 60 THEN (temp_min - 32) * 5.0 / 9.0
+                        ELSE temp_min END) BETWEEN -50 AND 60
+             THEN round(CASE WHEN temp_min > 60 THEN (temp_min - 32) * 5.0 / 9.0
+                             ELSE temp_min END, 1)
+             ELSE NULL END AS tmin_c
+      FROM meteo_rows),
+    meteo_clean AS (
+      SELECT latitude, longitude, "date",
+        CASE WHEN tmax_c IS NOT NULL AND tmin_c IS NOT NULL
+             THEN greatest(tmax_c, tmin_c) ELSE tmax_c END AS temp_max,
+        CASE WHEN tmax_c IS NOT NULL AND tmin_c IS NOT NULL
+             THEN least(tmax_c, tmin_c) ELSE tmin_c END AS temp_min,
+        CASE WHEN temp_mean IS NULL THEN NULL
+             WHEN (CASE WHEN temp_mean > 60 THEN (temp_mean - 32) * 5.0 / 9.0
+                        ELSE temp_mean END) BETWEEN -50 AND 60
+             THEN round(CASE WHEN temp_mean > 60 THEN (temp_mean - 32) * 5.0 / 9.0
+                             ELSE temp_mean END, 1)
+             ELSE NULL END AS temp_mean,
+        CASE WHEN precipitation IS NULL THEN NULL
+             ELSE greatest(0.0, round(precipitation, 3)) END AS precipitation,
+        round(evapotranspiration, 3) AS evapotranspiration,
+        CASE WHEN solar_radiation IS NULL THEN NULL
+             ELSE greatest(0.0, round(solar_radiation, 3)) END AS solar_radiation,
+        least(greatest(round(humidity, 3), 0.0), 100.0) AS humidity,
+        CASE WHEN wind_speed IS NULL THEN NULL
+             ELSE greatest(0.0, round(wind_speed, 3)) END AS wind_speed,
+        weather_code
+      FROM meteo_t)"""
+
+  /** The q87/q88 golden input rows (`cleaners.py:307-479` goldens:
+    * 49→7.0 weekly water, 0.5→5.0 cm water, synonym map, title-case
+    * fallback, clamp edges), shared Spark-side. */
+  private def cropRows(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq(
+      (1, "corn", Some(30.0), Some(18.0), Some(49.0), Some(26.0),
+        Some(7.5), Some(5.5), Some(1.2), "ev1"),
+      (2, "winter-wheat", Some(-60.0), Some(20.0), Some(0.5), Some(-3.0),
+        Some(15.0), Some(3.0), Some(0.5), "ev2"),
+      (3, null, Some(25.0), None, Some(400.0), Some(12.0),
+        None, Some(8.0), None, "ev3"),
+      (4, "  Solanum tuberosum ", Some(10.0), Some(22.0), Some(0.009),
+        Some(25.0), Some(-1.0), Some(20.0), Some(-0.3), "ev4"),
+      (5, "Oryza sativa", Some(35.5), Some(35.5), Some(350.0), Some(8.0),
+        Some(6.0), Some(6.5), Some(0.75), "ev5"),
+      (6, "", Some(15.0), Some(28.0), Some(1.0), Some(10.0),
+        Some(5.0), Some(7.0), Some(0.9), "ev6"),
+      (7, "red quinoa", Some(18.0), Some(30.0), Some(40.0), Some(6.0),
+        Some(5.5), Some(6.5), Some(0.6), "ev7"))
+      .toDF("id", "crop_name", "temp_min_c", "temp_max_c", "water_mm_day",
+        "sunlight_hours", "ph_min", "ph_max", "confidence_score",
+        "raw_evidence")
+  }
+
+  /** The same rows as a DuckDB VALUES CTE. Numerics are cast to DOUBLE
+    * (DuckDB types decimal literals as DECIMAL, whose pandas repr would
+    * never hash-match Spark's doubles). */
+  private val duckCropRows = """
+    crop_vals(id, crop_name, temp_min_c, temp_max_c, water_mm_day,
+        sunlight_hours, ph_min, ph_max, confidence_score, raw_evidence) AS (
+      VALUES
+        (1, 'corn', 30.0, 18.0, 49.0, 26.0, 7.5, 5.5, 1.2, 'ev1'),
+        (2, 'winter-wheat', -60.0, 20.0, 0.5, -3.0, 15.0, 3.0, 0.5, 'ev2'),
+        (3, NULL, 25.0, NULL, 400.0, 12.0, NULL, 8.0, NULL, 'ev3'),
+        (4, '  Solanum tuberosum ', 10.0, 22.0, 0.009, 25.0, -1.0, 20.0, -0.3, 'ev4'),
+        (5, 'Oryza sativa', 35.5, 35.5, 350.0, 8.0, 6.0, 6.5, 0.75, 'ev5'),
+        (6, '', 15.0, 28.0, 1.0, 10.0, 5.0, 7.0, 0.9, 'ev6'),
+        (7, 'red quinoa', 18.0, 30.0, 40.0, 6.0, 5.5, 6.5, 0.6, 'ev7')),
+    crop_src AS (
+      SELECT id, crop_name,
+        CAST(temp_min_c AS DOUBLE) AS temp_min_c,
+        CAST(temp_max_c AS DOUBLE) AS temp_max_c,
+        CAST(water_mm_day AS DOUBLE) AS water_mm_day,
+        CAST(sunlight_hours AS DOUBLE) AS sunlight_hours,
+        CAST(ph_min AS DOUBLE) AS ph_min,
+        CAST(ph_max AS DOUBLE) AS ph_max,
+        CAST(confidence_score AS DOUBLE) AS confidence_score,
+        raw_evidence
+      FROM crop_vals)"""
+
+  /** F5+F10+F11 clean as a DuckDB CTE over `crop_src`: synonym-map CASE
+    * (the real computation, mirroring `cropNameMap`), ordered/gated
+    * temp and pH pairs, water-unit branches, clamps. The two non-mapped
+    * names take Python `title()` per `cleaners.py:478` — expressed as
+    * explicit CASE rows because SQL has no title(); inputs are fixed
+    * literals so the mapping is total. */
+  private val duckCropClean = s"""
+    $duckCropRows,
+    crop_t AS (
+      SELECT *,
+        temp_min_c IS NOT NULL AND temp_max_c IS NOT NULL AS tboth,
+        least(temp_min_c, temp_max_c) AS tlo,
+        greatest(temp_min_c, temp_max_c) AS thi,
+        ph_min IS NOT NULL AND ph_max IS NOT NULL AS pboth
+      FROM crop_src),
+    crop_clean AS (
+      SELECT id, raw_evidence,
+        CASE WHEN crop_name IS NULL OR trim(crop_name) = '' THEN 'Unknown'
+          ELSE CASE lower(trim(crop_name))
+            WHEN 'maize' THEN 'Maize' WHEN 'corn' THEN 'Maize'
+            WHEN 'zea mays' THEN 'Maize'
+            WHEN 'wheat' THEN 'Wheat' WHEN 'triticum' THEN 'Wheat'
+            WHEN 'bread wheat' THEN 'Wheat' WHEN 'durum wheat' THEN 'Wheat'
+            WHEN 'rice' THEN 'Rice' WHEN 'oryza sativa' THEN 'Rice'
+            WHEN 'paddy' THEN 'Rice'
+            WHEN 'soybean' THEN 'Soybean' WHEN 'soy' THEN 'Soybean'
+            WHEN 'glycine max' THEN 'Soybean' WHEN 'soya' THEN 'Soybean'
+            WHEN 'potato' THEN 'Potato'
+            WHEN 'solanum tuberosum' THEN 'Potato'
+            WHEN 'irish potato' THEN 'Potato'
+            WHEN 'tomato' THEN 'Tomato'
+            WHEN 'solanum lycopersicum' THEN 'Tomato'
+            WHEN 'barley' THEN 'Barley' WHEN 'hordeum vulgare' THEN 'Barley'
+            WHEN 'cotton' THEN 'Cotton' WHEN 'gossypium' THEN 'Cotton'
+            WHEN 'winter-wheat' THEN 'Winter-Wheat'
+            WHEN 'red quinoa' THEN 'Red Quinoa'
+            END END AS crop_name,
+        CASE WHEN tboth THEN
+            CASE WHEN tlo BETWEEN -50 AND 60 AND thi BETWEEN -50 AND 60
+                 THEN round(tlo, 1) END
+          ELSE temp_min_c END AS temp_min_c,
+        CASE WHEN tboth THEN
+            CASE WHEN tlo BETWEEN -50 AND 60 AND thi BETWEEN -50 AND 60
+                 THEN round(thi, 1) END
+          ELSE temp_max_c END AS temp_max_c,
+        CASE WHEN water_mm_day IS NULL THEN NULL
+             WHEN water_mm_day BETWEEN 1.0 AND 40.0
+               THEN round(water_mm_day, 2)
+             WHEN water_mm_day >= 0.01 AND water_mm_day < 1.0
+               THEN round(water_mm_day * 10, 2)
+             WHEN water_mm_day > 40.0 AND water_mm_day <= 350.0
+               THEN round(water_mm_day / 7, 2)
+             ELSE NULL END AS water_mm_day,
+        least(greatest(sunlight_hours, 0.0), 24.0) AS sunlight_hours,
+        CASE WHEN pboth
+             THEN least(greatest(least(ph_min, ph_max), 0.0), 14.0)
+             ELSE ph_min END AS ph_min,
+        CASE WHEN pboth
+             THEN least(greatest(greatest(ph_min, ph_max), 0.0), 14.0)
+             ELSE ph_max END AS ph_max,
+        least(greatest(confidence_score, 0.0), 1.0) AS confidence_score
+      FROM crop_t)"""
+
+  val all: Seq[Q] = Seq(
+
+    // S1+S2 — SoilGrids captured-response read + nested parse: first
+    // layer per property, first depth with top_depth=0, pH/SOC ÷10
+    // with Python-truthiness zero→null, raw-threshold texture
+    // (soil_api.py:81-139). All five fixture responses, including the
+    // out-of-range coordinate row (parse is filter-free; q84 gates).
+    Q("q83_soilgrids_parse", Some(s"""
+      WITH $duckSoilParse
+      SELECT * FROM soil_parsed ORDER BY latitude, longitude""")) {
+      (s, _) =>
+      SoilGridsSource.parse(SoilGridsSource.read(s, soilPath))
+        .orderBy("latitude", "longitude")
+    },
+
+    // S3 — multi-coordinate extract with per-row error isolation:
+    // invalid coordinates quarantine with a formatted error instead of
+    // failing the batch (soil_api.py:150-153).
+    Q("q84_soilgrids_quarantine", Some(s"""
+      WITH raw AS (SELECT * FROM $duckSoilRead)
+      SELECT latitude, longitude, timeStamp,
+        'Invalid coordinates: (' || CAST(latitude AS VARCHAR) || ', '
+          || CAST(longitude AS VARCHAR) || ')' AS error
+      FROM raw
+      WHERE NOT (latitude BETWEEN -90 AND 90
+                 AND longitude BETWEEN -180 AND 180)
+      ORDER BY latitude, longitude""")) { (s, _) =>
+      val (_, bad) = SoilGridsSource.extract(SoilGridsSource.read(s, soilPath))
+      bad.select("latitude", "longitude", "timeStamp", "error")
+        .orderBy("latitude", "longitude")
+    },
+
+    // S4+S5 — Open-Meteo columnar→row zip: one row per daily.time
+    // entry, ragged/missing metric arrays null-pad (_safe_get,
+    // weather_api.py:95-125).
+    Q("q85_openmeteo_zip", Some(s"""
+      WITH $duckMeteoParse
+      SELECT * FROM meteo_rows ORDER BY latitude, "date"""")) { (s, _) =>
+      OpenMeteoSource.parse(OpenMeteoSource.read(s, meteoPath))
+        .orderBy("latitude", "date")
+    },
+
+    // F3 — soil record clean over the parsed fixture: percentage/pH/
+    // numeric sanitize, texture kept when valid else re-inferred from
+    // cleaned contents (clean_soil_data, cleaners.py:207-251).
+    Q("q86_clean_soil", Some(s"""
+      WITH $duckSoilClean
+      SELECT * FROM soil_cleaned ORDER BY latitude, longitude""")) {
+      (s, _) =>
+      val (good, _) =
+        SoilGridsSource.extract(SoilGridsSource.read(s, soilPath))
+      val (cleaned, _) = RecordCleaners.cleanSoilData(good)
+      cleaned.orderBy("latitude", "longitude")
+    },
+
+    // F5+F10+F11 — crop-requirement clean goldens: synonym-map name
+    // standardize, ordered+gated temp/pH pairs, water unit normalize
+    // (0.5→5.0, 49→7.0, 350→50.0), sunlight/confidence clamps
+    // (cleaners.py:307-479).
+    Q("q87_clean_crop", Some(s"""
+      WITH $duckCropClean
+      SELECT id, crop_name, temp_min_c, temp_max_c, water_mm_day,
+        sunlight_hours, ph_min, ph_max, confidence_score
+      FROM crop_clean ORDER BY id""")) { (s, _) =>
+      RecordCleaners.cleanCropRequirements(cropRows(s),
+          passthrough = Seq("id"))
+        .select("id", "crop_name", "temp_min_c", "temp_max_c",
+          "water_mm_day", "sunlight_hours", "ph_min", "ph_max",
+          "confidence_score")
+        .orderBy("id")
+    },
+
+    // W4 — crop dimension projection over the cleaned requirements:
+    // sunlight min=max (reference simplification), evidence →
+    // source_urls (transform_crop_requirements, transformers.py:60-75).
+    Q("q88_crop_dim", Some(s"""
+      WITH $duckCropClean
+      SELECT crop_name,
+        temp_min_c AS optimal_temp_min_c,
+        temp_max_c AS optimal_temp_max_c,
+        water_mm_day AS water_requirement_mm_day,
+        sunlight_hours AS sunlight_hours_min,
+        sunlight_hours AS sunlight_hours_max,
+        ph_min AS soil_ph_preference_min,
+        ph_max AS soil_ph_preference_max,
+        confidence_score AS extraction_confidence,
+        '2026-03-01' AS extraction_date,
+        raw_evidence AS source_urls
+      FROM crop_clean ORDER BY source_urls""")) { (s, _) =>
+      val cleaned = RecordCleaners.cleanCropRequirements(cropRows(s),
+        passthrough = Seq("raw_evidence"))
+      RecordCleaners.transformCrop(cleaned, lit("2026-03-01"))
+        .orderBy("source_urls")
+    },
+
+    // S7+S8+S9 — scraped-HTML ingest: block-element drop, tag strip,
+    // entity unescape, whitespace collapse (web_scraper.py:110-123),
+    // then prioritized multi-source resolution — highest reliability
+    // wins per crop, name-tiebreak (web_scraper.py:168-184).
+    Q("q89_scrape_ingest", Some("""
+      WITH src(crop_name, source, reliability, html) AS (VALUES
+        ('Wheat', 'fao', 0.9,
+         '<html><style>p{color:red}</style><div>Wheat <b>needs</b> water &amp; sun.</div><script>var x=1;</script></html>'),
+        ('Wheat', 'extension', 0.7, '<p>Extension wheat text</p>'),
+        ('Rice', 'usda_plants', 0.85,
+         '<nav>menu</nav><p>Rice &lt;3 paddies &nbsp;&nbsp; &quot;flooded&quot; &#39;wet&#39; &gt;ok</p><footer>foot</footer>'),
+        ('Tomato', 'b_extension', 0.7, '<p>tomato b</p>'),
+        ('Tomato', 'a_extension', 0.7, '<p>tomato a</p>')),
+      texts AS (
+        SELECT crop_name, source, CAST(reliability AS DOUBLE) AS reliability,
+          trim(regexp_replace(
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(
+                regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                    html,
+                    '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                    '(?is)<nav\b[^>]*>.*?</nav>', ' ', 'g'),
+                    '(?is)<footer\b[^>]*>.*?</footer>', ' ', 'g'),
+                  '(?s)<[^>]+>', ' ', 'g'),
+                '&amp;', '&', 'g'), '&lt;', '<', 'g'),
+              '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+              '&#39;', '''', 'g'), '&nbsp;', ' ', 'g'),
+            '\s+', ' ', 'g')) AS raw_text
+        FROM src),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY crop_name
+          ORDER BY reliability DESC, source) AS rn
+        FROM texts)
+      SELECT crop_name, source, reliability, raw_text
+      FROM ranked WHERE rn = 1 ORDER BY crop_name""")) { (s, _) =>
+      import s.implicits._
+      val src = Seq(
+        ("Wheat", "fao", 0.9,
+          "<html><style>p{color:red}</style><div>Wheat <b>needs</b> water &amp; sun.</div><script>var x=1;</script></html>"),
+        ("Wheat", "extension", 0.7, "<p>Extension wheat text</p>"),
+        ("Rice", "usda_plants", 0.85,
+          "<nav>menu</nav><p>Rice &lt;3 paddies &nbsp;&nbsp; &quot;flooded&quot; &#39;wet&#39; &gt;ok</p><footer>foot</footer>"),
+        ("Tomato", "b_extension", 0.7, "<p>tomato b</p>"),
+        ("Tomato", "a_extension", 0.7, "<p>tomato a</p>"))
+        .toDF("crop_name", "source", "reliability", "html")
+      ScrapedTextSource.resolvePriority(
+          src.withColumn("raw_text",
+            ScrapedTextSource.htmlToText(col("html"))))
+        .select("crop_name", "source", "reliability", "raw_text")
+        .orderBy("crop_name")
+    },
+
+    // S14 — audit append + latest-wins view: one row per batch, ties at
+    // equal event_time rank terminal states over RUNNING
+    // (etl_audit_log, orchestrator.py:168-176).
+    Q("q90_audit_latest", Some("""
+      WITH log(batch_id, pipeline_name, status, event_time,
+          records_processed, error_message) AS (VALUES
+        ('b1', 'weather', 'RUNNING', '2026-01-01T00:00:00', CAST(0 AS BIGINT), NULL),
+        ('b1', 'weather', 'SUCCESS', '2026-01-01T00:10:00', CAST(100 AS BIGINT), NULL),
+        ('b2', 'soil', 'RUNNING', '2026-01-01T00:00:00', CAST(0 AS BIGINT), NULL),
+        ('b2', 'soil', 'FAILED', '2026-01-01T00:00:00', CAST(5 AS BIGINT), 'boom'),
+        ('b3', 'crop', 'RUNNING', '2026-01-02T00:00:00', CAST(0 AS BIGINT), NULL)),
+      ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY batch_id
+          ORDER BY event_time DESC,
+            CASE status WHEN 'SUCCESS' THEN 3 WHEN 'FAILED' THEN 2
+                 ELSE 1 END DESC) AS rn
+        FROM log)
+      SELECT batch_id, pipeline_name, status, event_time,
+        records_processed, error_message
+      FROM ranked WHERE rn = 1 ORDER BY batch_id""")) { (s, _) =>
+      import s.implicits._
+      val log = Seq(
+        ("b1", "weather", "RUNNING", "2026-01-01T00:00:00", 0L,
+          null.asInstanceOf[String]),
+        ("b1", "weather", "SUCCESS", "2026-01-01T00:10:00", 100L,
+          null.asInstanceOf[String]),
+        ("b2", "soil", "RUNNING", "2026-01-01T00:00:00", 0L,
+          null.asInstanceOf[String]),
+        ("b2", "soil", "FAILED", "2026-01-01T00:00:00", 5L, "boom"),
+        ("b3", "crop", "RUNNING", "2026-01-02T00:00:00", 0L,
+          null.asInstanceOf[String]))
+        .toDF("batch_id", "pipeline_name", "status", "event_time",
+          "records_processed", "error_message")
+      // route through the struct builder (the append-side entry shape)
+      val entries = log.select(AuditLog.entry(col("batch_id"),
+        col("pipeline_name"), col("status"), col("event_time"),
+        col("records_processed"), col("error_message")).as("e"))
+        .select("e.*")
+      AuditLog.latest(entries).orderBy("batch_id")
+    },
+
+    // W2 — soil dimension projection: cleaned soil + W1 location hash →
+    // surrogate key, metadata as compact JSON (transform_soil,
+    // transformers.py:14-37).
+    Q("q91_soil_dim", Some(s"""
+      WITH $duckSoilClean,
+      hashed AS (
+        SELECT *, md5(printf('%.6f,%.6f', latitude, longitude)) AS location_hash
+        FROM soil_cleaned)
+      SELECT CAST('0x' || substr(location_hash, 1, 15) AS BIGINT) AS location_key,
+        texture AS soil_texture,
+        clay_content AS clay_content_0_5cm,
+        sand_content AS sand_content_0_5cm,
+        silt_content AS silt_content_0_5cm,
+        ph_level AS ph_level_0_5cm,
+        organic_carbon AS organic_carbon_0_5cm,
+        bulk_density AS bulk_density_0_5cm,
+        water_capacity AS water_capacity_0_5cm,
+        CAST(5 AS INT) AS soil_depth_cm,
+        '2026-03-01' AS extraction_date,
+        to_json(struct_pack(source := 'SoilGrids',
+          "timestamp" := extraction_timestamp,
+          coordinates := struct_pack(lat := latitude, lon := longitude)))
+          AS metadata
+      FROM hashed ORDER BY location_key""")) { (s, _) =>
+      val (good, _) =
+        SoilGridsSource.extract(SoilGridsSource.read(s, soilPath))
+      val (cleaned, _) = RecordCleaners.cleanSoilData(good)
+      val hashed = cleaned.withColumn("location_hash",
+        CleanFunctions.locationHash(col("latitude"), col("longitude")))
+      RecordCleaners.transformSoil(hashed,
+          Scd2.surrogateKey(col("location_hash")), lit("2026-03-01"))
+        .orderBy("location_key")
+    },
+
+    // W3+W5+J5 — weather star assembly: zip → F4 clean → W1 hash →
+    // hash→surrogate lookup as an explicit BROADCAST join (never a
+    // driver dict, orchestrator.py:44-70) → date-keyed fact projection
+    // (transform_weather, transformers.py:39-58).
+    Q("q92_weather_star", Some(s"""
+      WITH $duckMeteoClean,
+      hashed AS (
+        SELECT *, md5(printf('%.6f,%.6f', round(latitude, 6),
+          round(longitude, 6))) AS location_hash
+        FROM meteo_clean),
+      dim AS (
+        SELECT DISTINCT location_hash,
+          CAST('0x' || substr(location_hash, 1, 15) AS BIGINT) AS location_key
+        FROM hashed)
+      SELECT d.location_key,
+        CAST(replace(h."date", '-', '') AS INT) AS date_key,
+        h.latitude, h.longitude,
+        h.temp_max AS temp_max_c, h.temp_min AS temp_min_c,
+        h.temp_mean AS temp_mean_c,
+        h.precipitation AS precipitation_mm,
+        h.evapotranspiration AS evapotranspiration_mm,
+        h.solar_radiation AS solar_radiation_mj_m2,
+        h.humidity AS humidity_percent,
+        h.wind_speed AS wind_speed_ms,
+        h.weather_code
+      FROM hashed h JOIN dim d USING (location_hash)
+      ORDER BY location_key, date_key""")) { (s, _) =>
+      val parsed = OpenMeteoSource.parse(OpenMeteoSource.read(s, meteoPath))
+      val cleaned = RecordCleaners.cleanWeatherData(parsed)
+        .withColumn("location_hash",
+          CleanFunctions.locationHash(bround(col("latitude"), 6),
+            bround(col("longitude"), 6)))
+      val dim = cleaned.select("location_hash").distinct()
+        .withColumn("location_key", Scd2.surrogateKey(col("location_hash")))
+      val keyed = cleaned.join(broadcast(dim), Seq("location_hash"))
+      RecordCleaners.transformWeather(keyed, col("location_key"))
+        .orderBy("location_key", "date_key")
+    },
+
+    // W7 — monthly range-partition layout: fact written partitionBy
+    // (part_year, part_month) derived from the yyyymmdd date key, read
+    // back through partition pruning on one month (db/init/
+    // 01-schema.sql:139-181).
+    Q("q93_partition_layout", Some("""
+      SELECT o_orderkey,
+        CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_key,
+        o_totalprice,
+        CAST(year(o_orderdate) AS INT) AS part_year,
+        CAST(month(o_orderdate) AS INT) AS part_month
+      FROM orders
+      WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 6
+      ORDER BY o_orderkey""")) { (s, dir) =>
+      val fact = graft.Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int")
+          .as("date_key"),
+        col("o_totalprice"))
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_q93_" + Integer.toHexString(dir.hashCode)
+      Writer.writeMonthlyPartitioned(fact, "date_key", path)
+      Writer.readPartitioned(s, path)
+        .filter(col("part_year") === 1997 && col("part_month") === 6)
+        .select("o_orderkey", "date_key", "o_totalprice", "part_year",
+          "part_month")
+        .orderBy("o_orderkey")
+    },
+
+    // A6 — per-phase record totals: the orchestrator's
+    // records_processed accounting (orchestrator.py:150-166) over the
+    // soil pipeline phases.
+    Q("q94_phase_totals", Some(s"""
+      WITH $duckSoilClean,
+      counts AS (
+        SELECT 'extracted' AS phase, COUNT(*) AS records
+        FROM $duckSoilRead
+        UNION ALL
+        SELECT 'parsed_valid', COUNT(*) FROM soil_parsed
+        WHERE latitude BETWEEN -90 AND 90
+          AND longitude BETWEEN -180 AND 180
+        UNION ALL
+        SELECT 'quarantined', COUNT(*) FROM soil_parsed
+        WHERE NOT (latitude BETWEEN -90 AND 90
+                   AND longitude BETWEEN -180 AND 180)
+        UNION ALL
+        SELECT 'cleaned', COUNT(*) FROM soil_cleaned)
+      SELECT phase, records FROM counts ORDER BY phase""")) { (s, _) =>
+      val raw = SoilGridsSource.read(s, soilPath)
+      val (good, bad) = SoilGridsSource.extract(raw)
+      val (cleaned, _) = RecordCleaners.cleanSoilData(good)
+      def phase(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("records"))
+          .select(lit(name).as("phase"), col("records"))
+      phase("extracted", raw)
+        .unionByName(phase("parsed_valid", good))
+        .unionByName(phase("quarantined", bad))
+        .unionByName(phase("cleaned", cleaned))
+        .orderBy("phase")
+    },
+
+    // Lifecycle — the full weather orchestration (§3.2,
+    // orchestrator.py:81-133) through the INCREMENTAL lake path: two
+    // identical batches run through parse→clean→dim upsert→key
+    // join→monthly-partitioned atomic merge; the second batch must
+    // idempotently update in place (same keys, same values, no
+    // duplicate rows). Output is the on-disk fact table.
+    Q("q95_weather_e2e", Some(s"""
+      WITH $duckMeteoClean,
+      hashed AS (
+        SELECT *, md5(printf('%.6f,%.6f', round(latitude, 6),
+          round(longitude, 6))) AS location_hash
+        FROM meteo_clean),
+      dim AS (
+        SELECT DISTINCT location_hash,
+          CAST('0x' || substr(location_hash, 1, 15) AS BIGINT) AS location_key
+        FROM hashed)
+      SELECT d.location_key,
+        CAST(replace(h."date", '-', '') AS INT) AS date_key,
+        h.latitude, h.longitude,
+        h.temp_max AS temp_max_c, h.temp_min AS temp_min_c,
+        h.temp_mean AS temp_mean_c,
+        h.precipitation AS precipitation_mm,
+        h.evapotranspiration AS evapotranspiration_mm,
+        h.solar_radiation AS solar_radiation_mj_m2,
+        h.humidity AS humidity_percent,
+        h.wind_speed AS wind_speed_ms,
+        h.weather_code,
+        CAST(CAST(replace(h."date", '-', '') AS INT) // 10000 AS INT)
+          AS part_year,
+        CAST((CAST(replace(h."date", '-', '') AS INT) // 100) % 100 AS INT)
+          AS part_month
+      FROM hashed h JOIN dim d USING (location_hash)
+      ORDER BY location_key, date_key""")) { (s, _) =>
+      val factPath = System.getProperty("java.io.tmpdir") +
+        "/graft_q95_fact"
+      val p = new org.apache.hadoop.fs.Path(factPath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val emptyDim = s.range(0).select(
+        lit("").as("location_hash"), lit(0.0).as("latitude"),
+        lit(0.0).as("longitude"), lit(0L).as("location_key"),
+        lit("2026-01-01").as("effective_date"),
+        lit("9999-12-31").cast("date").as("expiration_date"),
+        lit(true).as("is_current"))
+      val dim1 = Pipeline.runWeatherIncremental(s, meteoPath, emptyDim,
+        factPath, lit("2026-01-01"))
+      Pipeline.runWeatherIncremental(s, meteoPath, dim1, factPath,
+        lit("2026-02-01"))
+      s.read.parquet(factPath)
+        .select("location_key", "date_key", "latitude", "longitude",
+          "temp_max_c", "temp_min_c", "temp_mean_c", "precipitation_mm",
+          "evapotranspiration_mm", "solar_radiation_mj_m2",
+          "humidity_percent", "wind_speed_ms", "weather_code",
+          "part_year", "part_month")
+        .orderBy("location_key", "date_key")
+    }
+  )
+}
