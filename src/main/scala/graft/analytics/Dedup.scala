@@ -394,6 +394,16 @@ object Dedup {
     * with the component's min id as representative, one row per node
     * appearing in `pairs`.
     */
+  /** Per-key neighborhood minimum as a partial-aggregating
+    * `groupBy.min` — the skew-safe building block of the star
+    * contraction. Returns one `(key, __mn)` row per key; map-side
+    * combine bounds what any single reducer receives to one row per
+    * upstream partition, however hot the key.
+    */
+  private[graft] def neighborhoodMin(df: DataFrame, key: String,
+      value: String): DataFrame =
+    df.groupBy(key).agg(min(col(value)).as("__mn"))
+
   def connectedComponentsStar(pairs: DataFrame, aCol: String,
       bCol: String, maxIter: Int = 35): DataFrame = {
     // canonical larger-first undirected edge set
@@ -408,24 +418,28 @@ object Dedup {
       // large-star: for every node u, attach each strictly-larger
       // neighbor v to m = min(Γ(u) ∪ {u}); u's view covers each edge
       // from its smaller endpoint, so the result is again larger-first.
-      // Neighborhood minima come from a window over the same partition
-      // the rows already need — one exchange, not a groupBy + join-back
-      // pair re-shuffling both sides
-      val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+      // Neighborhood minima via groupBy + join-back, NOT a window:
+      // during contraction a representative's degree grows to component
+      // size, and window functions have no map-side partials — a 100M-
+      // node component would push 100M rows through one task's sort.
+      // groupBy(min) partial-aggregates the hot key down to one row per
+      // map partition, and the join-back is an equi-join AQE can skew-
+      // split; per-task state stays bounded at any component size.
       val bidir = edges.select(col("x").as("u"), col("y").as("v"))
         .unionByName(edges.select(col("y").as("u"), col("x").as("v")))
-      val large = bidir
-        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+      val large = bidir.join(neighborhoodMin(bidir, "u", "v"), Seq("u"))
         .where(col("v") > col("u"))
-        .select(col("v").as("x"), col("m").as("y")).distinct()
+        .select(col("v").as("x"),
+          least(col("__mn"), col("u")).as("y")).distinct()
       // small-star: edges are (x, y) with y < x; attach x and all its
-      // smaller neighbors to m = min of them
-      val wX = org.apache.spark.sql.expressions.Window.partitionBy("x")
-      val withMin = large.withColumn("m", min(col("y")).over(wX))
-      val small = withMin
-        .where(col("y") =!= col("m"))
-        .select(col("y").as("x"), col("m").as("y"))
-        .unionByName(withMin.select(col("x"), col("m").as("y")))
+      // smaller neighbors to m = min of them. Same partial-agg shape;
+      // the (x, m) self rows come straight off the aggregate (one row
+      // per x) instead of once per edge pre-distinct.
+      val minsX = neighborhoodMin(large, "x", "y")
+      val small = large.join(minsX, Seq("x"))
+        .where(col("y") =!= col("__mn"))
+        .select(col("y").as("x"), col("__mn").as("y"))
+        .unionByName(minsX.select(col("x"), col("__mn").as("y")))
         .distinct()
       // both sides are distinct sets, so equal counts + one-sided
       // containment ⇒ equality; the count gate (a metadata-cheap job

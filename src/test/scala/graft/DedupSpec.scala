@@ -222,6 +222,28 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("star CC skew rehearsal: a 1M-edge single-hub star contracts " +
+      "through partial aggregation, not a single-task window sort") {
+    import spark.implicits._
+    // one representative with component-sized degree — the exact shape
+    // that made the old window-based neighborhood min a scale hazard
+    // (no map-side partials ⇒ the hub's whole neighborhood through one
+    // task). The groupBy.min building block partial-aggregates: its
+    // plan must be a HashAggregate pair with NO Window node.
+    val hub = spark.range(1, 1000001)
+      .select(col("id").as("id_a"), lit(0L).as("id_b"))
+    val bidir = hub.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionByName(hub.select(col("id_b").as("u"), col("id_a").as("v")))
+    val plan = graft.analytics.Dedup.neighborhoodMin(bidir, "u", "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    val got = graft.analytics.Dedup
+      .connectedComponentsStar(hub, "id_a", "id_b", maxIter = 10)
+    assert(got.count() === 1000001L)
+    assert(got.filter(col("cluster_rep") =!= 0L).isEmpty)
+  }
+
   test("incremental assign: new docs join existing clusters " +
       "append-only, unmatched new docs form fresh clusters") {
     import spark.implicits._
