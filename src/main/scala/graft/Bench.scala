@@ -109,10 +109,22 @@ object Bench {
     val verbose = qs.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     System.err.println(s"""[bench-full] {"queries":$verbose}""")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"runs_iter":$iterRuns,"failed":$fJson}""")
+    val resultLine =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"runs_iter":$iterRuns,"failed":$fJson}"""
+    println(resultLine)
     // final compact headline — the last stdout line, so a tail capture
     // of any length contains the total
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${qs.size},"failed":$fJson}""")
+    // stdout through sbt arrives "[info] "-prefixed, which defeats a
+    // line-oriented JSON parser; emit the full result line on stderr
+    // (passed through unprefixed) AND to a fixed file so the driver can
+    // parse it regardless of how the process was launched
+    System.err.println(resultLine)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_summary.json"), resultLine)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] summary file write failed: $e")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
