@@ -589,22 +589,31 @@ object Dedup {
   }
 
   /** 5b. LSH-bucketed near-dup pairs — the corpus-scale path: only
-    * pairs sharing the `bits`-dim sign bucket are scored, turning the
-    * all-pairs scan into a bucket equi-join (candidate count ≈
-    * n²/2^bits under a centered distribution). Deterministic: the
-    * bucketing is a pure expression, so results are reproducible (and
+    * pairs sharing a sign bucket in ANY of `tables` independent seeded
+    * hyperplane tables are scored (OR-amplification, same recall dial
+    * as [[Similarity.bucketedTopK]]), turning the all-pairs scan into
+    * per-table bucket equi-joins (candidate count ≈ tables·n²/2^bits
+    * under a centered distribution). Deterministic: the bucketing is a
+    * pure seeded expression, so results are reproducible (and
     * oracle-checkable) — the trade is recall, not stability.
     */
   def embeddingNearDupsBucketed(emb: DataFrame, idCol: String,
-      embCol: String, threshold: Double, bits: Int): DataFrame = {
-    val bucketed = emb.select(col(idCol), col(embCol),
-      Similarity.signBucket(col(embCol), bits).as("bucket"))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
-      col(embCol).as("emb_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-      col(embCol).as("emb_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
+      embCol: String, threshold: Double, bits: Int,
+      dim: Int = 64, tables: Int = 2): DataFrame = {
+    val pairs = (0 until tables).map { t =>
+      val bucketed = emb.select(col(idCol), col(embCol),
+        Similarity.signBucket(col(embCol), bits, dim,
+          Similarity.tableSeed(t)).as("bucket"))
+      val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+        col(embCol).as("emb_a"))
+      val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+        col(embCol).as("emb_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "emb_a", "emb_b")
+    }.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
+    pairs
       .withColumn("score", Similarity.cosine(col("emb_a"), col("emb_b")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")

@@ -29,13 +29,37 @@ object Similarity {
       ColumnBridge.expression(b.cast("array<double>"))))
   }
 
-  /** Sign-bit LSH bucket id from the first `bits` dimensions
-    * (axis-aligned hyperplanes). Deterministic, SQL-expressible.
+  /** Seeded Rademacher (±1) hyperplane signs, `bits` rows × `dim`
+    * columns — shared by the Column expression and the oracle-SQL
+    * generator so both engines bucket identically. ±1 projections are
+    * the Achlioptas-style random-hyperplane family: exact in floating
+    * point (a sign flip, never a rounding), so the bucket id is
+    * bit-reproducible across engines and partitionings.
     */
-  def signBucket(emb: Column, bits: Int): Column =
+  def hyperplaneSigns(bits: Int, dim: Int,
+      seed: Long = 42L): IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Sign-bit LSH bucket id from `bits` seeded random ±1 hyperplanes
+    * over all `dim` dimensions. Mixing every dimension into each bit
+    * (instead of reading the first `bits` axes) decorrelates the
+    * buckets, which is what lifts LSH recall on embeddings whose
+    * leading dimensions are correlated. Deterministic and
+    * SQL-expressible: the projection is a left-assoc multiply-add fold,
+    * bit-identical to the DuckDB mirror.
+    */
+  def signBucket(emb: Column, bits: Int, dim: Int,
+      seed: Long = 42L): Column = {
+    val signs = hyperplaneSigns(bits, dim, seed)
     (0 until bits).map { i =>
-      when(element_at(emb, i + 1) >= 0f, lit(1 << i)).otherwise(lit(0))
+      val dot = (0 until dim).map { j =>
+        element_at(emb, j + 1).cast("double") * lit(signs(i)(j))
+      }.reduce(_ + _)
+      when(dot >= 0d, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** Exact top-k neighbors for each query vector (excluding self).
     * `queries` must be small (it is broadcast).
@@ -455,25 +479,42 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rn")
   }
 
-  /** Approximate top-k: candidates restricted to the query's sign
-    * bucket. At scale this replaces the all-pairs scan with a
-    * bucket-equi-join (shuffle keyed on bucket id).
+  /** Per-table hyperplane seed: distinct deterministic seeds so the
+    * `tables` hash tables are independent draws. */
+  private[graft] def tableSeed(t: Int): Long = 42L + t * 7919L
+
+  /** Approximate top-k via OR-amplified multi-table sign-LSH: `tables`
+    * independent seeded hyperplane sets, candidates = any-table bucket
+    * match, deduped before exact scoring. Single-table sign-LSH has an
+    * irreducible miss rate (a near neighbor lands across ONE cutting
+    * hyperplane with probability ≈ θ·bits/π); independent tables drive
+    * it down geometrically — the standard recall/throughput dial of
+    * every production LSH system (MinHash banding does the same thing
+    * in [[Dedup]]). At scale each table is still a bucket equi-join
+    * (shuffle keyed on bucket id); `tables` multiplies candidate
+    * volume, not scan count — the corpus is bucketed once per table in
+    * the same pass.
     */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      bits: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"),
-      signBucket(col("embedding"), bits).as("bucket"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"),
-      signBucket(col("embedding"), bits).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      bits: Int, dim: Int = 64, tables: Int = 2): DataFrame = {
+    val cand = (0 until tables).map { t =>
+      val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"),
+        signBucket(col("embedding"), bits, dim, tableSeed(t)).as("bucket"))
+      val c = corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb"),
+        signBucket(col("embedding"), bits, dim, tableSeed(t)).as("bucket"))
+      c.join(broadcast(q), Seq("bucket"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+    }.reduce(_ unionByName _)
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cand
       .withColumn("score", cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select("query_id", "bucket", "neighbor_id", "score", "rn")
+      .select("query_id", "neighbor_id", "score", "rn")
   }
 }

@@ -223,20 +223,17 @@ object DedupQueries {
     // spec-tested for recall against this one.
     {
       val bits = 8
-      val duckBucket = (tbl: String) => (0 until bits).map(i =>
-        s"CASE WHEN $tbl.embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END")
-        .mkString(" + ")
       Q("q22_embedding_near_dup", Some(s"""
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1] * x[2]), (acc, v) -> acc + v)
-          / (sqrt(list_reduce(list_transform(a.embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v))
-           * sqrt(list_reduce(list_transform(b.embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v))) AS score
-      FROM embeddings a JOIN embeddings b
-        ON (${duckBucket("a")}) = (${duckBucket("b")})
-       AND a.vec_id < b.vec_id
-      WHERE list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1] * x[2]), (acc, v) -> acc + v)
-          / (sqrt(list_reduce(list_transform(a.embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v))
-           * sqrt(list_reduce(list_transform(b.embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v))) >= 0.35
+      WITH cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+          list_reduce(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), x -> x[1] * x[2]), (acc, v) -> acc + v)
+            / (sqrt(list_reduce(list_transform(a.embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v))
+             * sqrt(list_reduce(list_transform(b.embedding::DOUBLE[], x -> x * x), (acc, v) -> acc + v))) AS score
+        FROM embeddings a JOIN embeddings b
+          ON ${SimilarityQueries.duckAnyBucketMatch("a", "b", bits)}
+         AND a.vec_id < b.vec_id)
+      SELECT id_a, id_b, score FROM cand
+      WHERE score >= 0.35
       ORDER BY id_a, id_b""")) { (s, dir) =>
         Dedup.embeddingNearDupsBucketed(Tables.load(s, dir, "embeddings"),
             "vec_id", "embedding", threshold = 0.35, bits = bits)

@@ -18,6 +18,29 @@ object SimilarityQueries {
        |   * sqrt(list_reduce(list_transform($b, x -> x * x), (acc, v) -> acc + v)))"""
       .stripMargin
 
+  /** DuckDB mirror of [[Similarity.signBucket]]: the same seeded ±1
+    * hyperplane pattern (generated from one source of truth), each
+    * projection a left-fold multiply-add — bit-identical to the Spark
+    * expression. */
+  private[operators] def duckSignBucket(tbl: String, bits: Int,
+      dim: Int = 64, seed: Long = 42L): String = {
+    val signs = Similarity.hyperplaneSigns(bits, dim, seed)
+    (0 until bits).map { i =>
+      val arr = signs(i).map(s => if (s > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"CASE WHEN list_reduce(list_transform(list_zip($tbl.embedding::DOUBLE[], $arr::DOUBLE[]), x -> x[1] * x[2]), (acc, v) -> acc + v) >= 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+  }
+
+  /** Any-table bucket-match join condition (the OR-amplified candidate
+    * rule of [[Similarity.bucketedTopK]]) between aliases `a` and `b`. */
+  private[operators] def duckAnyBucketMatch(a: String, b: String,
+      bits: Int, dim: Int = 64, tables: Int = 2): String =
+    (0 until tables).map { t =>
+      val s = Similarity.tableSeed(t)
+      s"(${duckSignBucket(a, bits, dim, s)}) = (${duckSignBucket(b, bits, dim, s)})"
+    }.mkString("(", " OR ", ")")
+
   val all: Seq[Q] = Seq(
 
     // Exact brute-force top-k: query set (vec_id < 16) broadcast against
@@ -40,28 +63,25 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
-    // LSH-bucketed approximate top-k: candidates restricted to the
-    // query's 8-bit sign bucket — the shuffle key is the bucket id.
+    // LSH-bucketed approximate top-k: candidates = any-bucket match
+    // across 2 independent seeded random-hyperplane tables (8 bits
+    // each, OR-amplified), deduped before exact scoring — per-table the
+    // shuffle key is still the bucket id.
     {
       val bits = 8
-      val duckBucket = (tbl: String) => (0 until bits).map(i =>
-        s"CASE WHEN $tbl.embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END")
-        .mkString(" + ")
       Q("q24_cosine_topk_lsh", Some(s"""
-      WITH scored AS (
-        SELECT q.vec_id AS query_id, ${duckBucket("q")} AS bucket,
-          c.vec_id AS neighbor_id,
+      WITH cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS score
         FROM embeddings q JOIN embeddings c
-          ON (${duckBucket("q")}) = (${duckBucket("c")})
+          ON ${duckAnyBucketMatch("q", "c", bits)}
          AND q.vec_id <> c.vec_id
         WHERE q.vec_id < 16)
-      SELECT query_id, CAST(bucket AS INT) AS bucket, neighbor_id, score,
-        CAST(rn AS INT) AS rn FROM (
-        SELECT query_id, bucket, neighbor_id, score,
+      SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rn FROM (
+        SELECT query_id, neighbor_id, score,
           ROW_NUMBER() OVER (PARTITION BY query_id
                              ORDER BY score DESC, neighbor_id) AS rn
-        FROM scored) t
+        FROM cand) t
       WHERE rn <= 5 ORDER BY query_id, rn""")) { (s, dir) =>
         val emb = Tables.load(s, dir, "embeddings")
         Similarity.bucketedTopK(emb.filter(col("vec_id") < 16), emb,
@@ -199,9 +219,6 @@ object SimilarityQueries {
     // Queries whose candidate set came up empty surface as recall 0.
     {
       val bits = 8
-      val duckBucket = (tbl: String) => (0 until bits).map(i =>
-        s"CASE WHEN $tbl.embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END")
-        .mkString(" + ")
       Q("q75_ann_recall", Some(s"""
       WITH exact AS (
         SELECT query_id, neighbor_id FROM (
@@ -212,16 +229,19 @@ object SimilarityQueries {
           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
           WHERE q.vec_id < 16) t
         WHERE rn <= 5),
+      lsh_cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} AS score
+        FROM embeddings q JOIN embeddings c
+          ON ${duckAnyBucketMatch("q", "c", bits)}
+         AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 16),
       lsh AS (
         SELECT query_id, neighbor_id FROM (
-          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-              ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} DESC,
-              c.vec_id) AS rn
-          FROM embeddings q JOIN embeddings c
-            ON (${duckBucket("q")}) = (${duckBucket("c")})
-           AND q.vec_id <> c.vec_id
-          WHERE q.vec_id < 16) t
+          SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+              score DESC, neighbor_id) AS rn
+          FROM lsh_cand) t
         WHERE rn <= 5),
       centroids AS (
         SELECT vec_id AS centroid_id, embedding AS cent_emb

@@ -119,7 +119,7 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val bucketed = Dedup.embeddingNearDupsBucketed(
-        emb, "vec_id", "embedding", 0.9, bits = 4)
+        emb, "vec_id", "embedding", 0.9, bits = 4, dim = 8)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(bucketed.subsetOf(exact))

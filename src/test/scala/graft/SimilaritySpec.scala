@@ -57,11 +57,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.9, s"trained-IVF recall@5 was $r")
   }
 
-  test("sign-bucket LSH reaches recall@5 >= 0.7 at 6 bits on the " +
-      "clustered corpus") {
-    val lsh = Similarity.bucketedTopK(queries, corpus, k = K, bits = 6)
+  test("sign-bucket LSH reaches recall@5 >= 0.85 at 6 bits x 3 tables " +
+      "on the clustered corpus") {
+    val lsh = Similarity.bucketedTopK(queries, corpus, k = K, bits = 6,
+      dim = Dim, tables = 3)
     val r = avgRecall(lsh, "lsh_bucket")
-    assert(r >= 0.7, s"LSH recall@5 was $r")
+    assert(r >= 0.85, s"LSH recall@5 was $r")
+  }
+
+  test("OR-amplification is monotone: 3-table LSH recall >= 1-table") {
+    val one = avgRecall(Similarity.bucketedTopK(queries, corpus, k = K,
+      bits = 6, dim = Dim, tables = 1), "lsh_1")
+    val three = avgRecall(Similarity.bucketedTopK(queries, corpus, k = K,
+      bits = 6, dim = Dim, tables = 3), "lsh_3")
+    assert(three >= one, s"3-table $three < 1-table $one")
   }
 
   test("recallAtK reports 0 (not a missing row) for queries with an " +
