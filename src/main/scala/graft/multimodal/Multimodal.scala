@@ -11,14 +11,15 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schemas, partitioning, the
   * `mapPartitions` batch shape, row fan-out — is real and tested.
-  * IMAGE decode is real too: the JRE's built-in `javax.imageio`
+  * IMAGE decode is real: the JRE's built-in `javax.imageio`
   * (PNG/JPEG/GIF/BMP, zero added dependencies) runs inside the
-  * partition iterator, and undecodable image bytes fall back to the
-  * byte-statistics digest. Audio/video decode remains a
-  * clearly-marked STUB (`fakeDecode`) — this container ships no media
-  * libraries — and swapping in a real codec changes only the function
-  * body, not the distributed shape: the partition iterator is exactly
-  * where a JNI/FFmpeg call would batch.
+  * partition iterator, with undecodable bytes falling back to the
+  * byte-statistics digest. AUDIO decode is real too: WAV/AIFF/AU PCM
+  * via the JRE's `javax.sound.sampled`, same fallback. VIDEO decode
+  * remains a clearly-marked STUB (`fakeDecode`) — this container
+  * ships no video codec — and swapping one in changes only the
+  * function body, not the distributed shape: the partition iterator
+  * is exactly where a JNI/FFmpeg call would batch.
   */
 object Multimodal {
 
@@ -131,8 +132,92 @@ object Multimodal {
       (w.toFloat / h).min(8f) / 8f)
   }
 
+  /** Upper bound on decoded audio samples (64 M samples ≈ 256 MB of
+    * floats): like [[MaxDecodePixels]], the header's declared frame
+    * count — not the payload size — is the allocation bomb, so it is
+    * checked before reading the stream. */
+  val MaxDecodeSamples: Long = 64L * 1024 * 1024
+
+  /** Real audio decode via the JRE's `javax.sound.sampled` — WAV/AIFF/
+    * AU containers with 8/16-bit PCM, no added dependencies. Returns
+    * the stream format plus interleaved samples normalized to [-1, 1],
+    * or None when the bytes are not a supported audio container (video
+    * payloads, corrupt data) or the header declares more than
+    * [[MaxDecodeSamples]] — the caller falls back to [[fakeDecode]],
+    * exactly like undecodable images. */
+  def decodeAudio(bytes: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (bytes == null || bytes.length < 12) return None
+    try {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val samples = ais.getFrameLength * fmt.getChannels
+        val pcmSigned = enc == AudioFormat.Encoding.PCM_SIGNED
+        val pcmUnsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+        if (!(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16) ||
+            samples <= 0 || samples > MaxDecodeSamples) None
+        else {
+          val raw = ais.readAllBytes()
+          val out = new Array[Float](raw.length / (bits / 8))
+          var i = 0
+          while (i < out.length) {
+            out(i) =
+              if (bits == 8) {
+                if (pcmSigned) raw(i) / 128f
+                else ((raw(i) & 0xff) - 128) / 128f
+              } else {
+                val (hi, lo) =
+                  if (fmt.isBigEndian) (raw(2 * i), raw(2 * i + 1))
+                  else (raw(2 * i + 1), raw(2 * i))
+                // 16-bit unsigned PCM exists in the spec but not in the
+                // wild; JavaSound's WAV reader only produces signed 16
+                ((hi << 8) | (lo & 0xff)).toShort / 32768f
+              }
+            i += 1
+          }
+          Some((fmt, out))
+        }
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** 8-dim feature vector from decoded PCM: normalized sample rate /
+    * channel count / bit depth / duration, mean |amplitude|, RMS,
+    * zero-crossing rate, peak. Deterministic in the samples — the
+    * audio analogue of [[imageFeatures]]. */
+  def audioFeatures(fmt: javax.sound.sampled.AudioFormat,
+      samples: Array[Float]): Array[Float] = {
+    var sumAbs = 0.0; var sumSq = 0.0; var peak = 0.0f; var zc = 0
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i)
+      val a = math.abs(s)
+      sumAbs += a; sumSq += s.toDouble * s
+      if (a > peak) peak = a
+      if (i > 0 && (s >= 0) != (samples(i - 1) >= 0)) zc += 1
+      i += 1
+    }
+    val n = samples.length.max(1).toDouble
+    val frames = samples.length / fmt.getChannels.max(1)
+    val durationS = frames / fmt.getSampleRate.toDouble
+    Array(
+      fmt.getSampleRate / 48000f,
+      fmt.getChannels / 4f,
+      fmt.getSampleSizeInBits / 32f,
+      (durationS.min(60) / 60).toFloat,
+      (sumAbs / n).toFloat,
+      math.sqrt(sumSq / n).toFloat,
+      (zc / n).toFloat,
+      peak)
+  }
+
   /** STUB — deterministic fake decode for the modalities with no
-    * in-container codec (audio/video) and for undecodable image
+    * in-container codec (video) and for undecodable image/audio
     * payloads. A real implementation would decode `bytes` with a media
     * library here; this derives an 8-dim feature vector from byte
     * statistics. Deterministic in the input bytes. */
@@ -159,13 +244,17 @@ object Multimodal {
       rows.map { r =>
         val digest = java.security.MessageDigest.getInstance("MD5")
           .digest(r.content).map("%02x".format(_)).mkString
-        // image rows get the real ImageIO decode; audio/video (and
-        // image bytes no reader understands) use the stub digest
-        val feats =
-          if (r.kind == "image")
-            decodeImage(r.content).map(imageFeatures)
-              .getOrElse(fakeDecode(r.content))
-          else fakeDecode(r.content)
+        // image rows get the real ImageIO decode, audio rows the real
+        // JavaSound PCM decode; video (and bytes no reader
+        // understands) use the stub digest
+        val feats = r.kind match {
+          case "image" => decodeImage(r.content).map(imageFeatures)
+            .getOrElse(fakeDecode(r.content))
+          case "audio" => decodeAudio(r.content)
+            .map { case (fmt, samples) => audioFeatures(fmt, samples) }
+            .getOrElse(fakeDecode(r.content))
+          case _ => fakeDecode(r.content)
+        }
         MediaFeatures(r.media_id, r.kind, r.content.length, digest, feats)
       }
     }

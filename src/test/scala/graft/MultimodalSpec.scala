@@ -72,6 +72,74 @@ class MultimodalSpec extends SparkSpec {
     assert(again.features.sameElements(fr))
   }
 
+  /** Encode a 16-bit mono PCM WAV in memory — real bytes, no
+    * fixtures. */
+  private def wavBytes(sampleRate: Float,
+      samples: Array[Short]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("real WAV bytes round-trip through the partition-batch decode") {
+    // half-amplitude square wave: every statistic has a closed form
+    val square = Array.tabulate(800)(i =>
+      if (i % 2 == 0) (16384: Short) else (-16384: Short))
+    val wav = wavBytes(8000f, square)
+    val decoded = Multimodal.decodeAudio(wav)
+    assert(decoded.isDefined)
+    val (fmt, pcm) = decoded.get
+    assert(fmt.getSampleRate == 8000f && fmt.getChannels == 1 &&
+      fmt.getSampleSizeInBits == 16)
+    assert(pcm.length == 800)
+    assert(pcm.forall(s => math.abs(s) == 0.5f))
+    val rows = Seq(
+      MediaRow(30, "audio", wav, MediaMeta("wav", 0, 0, 1, 8000, 1)),
+      // an "audio" payload JavaSound cannot parse falls back to the stub
+      MediaRow(31, "audio", "not audio".getBytes("UTF-8"),
+        MediaMeta("wav", 0, 0, 1, 0, 1)))
+    val f = Multimodal.extractFeatures(rows.toDS()).orderBy("media_id")
+      .collect()
+    val fa = f(0).features
+    assert(fa(0) == 8000 / 48000f)            // sample rate
+    assert(fa(1) == 0.25f && fa(2) == 0.5f)   // mono, 16-bit
+    assert(math.abs(fa(4) - 0.5f) < 1e-6)     // mean |amplitude|
+    assert(math.abs(fa(5) - 0.5f) < 1e-6)     // RMS
+    assert(math.abs(fa(6) - 799 / 800f) < 1e-6) // zero-crossing rate
+    assert(fa(7) == 0.5f)                     // peak
+    assert(f(1).features.sameElements(
+      Multimodal.fakeDecode("not audio".getBytes("UTF-8"))))
+    // deterministic: re-encoding the same samples yields the same vector
+    val again = Multimodal.extractFeatures(Seq(MediaRow(30, "audio",
+      wavBytes(8000f, square), MediaMeta("wav", 0, 0, 1, 8000, 1)))
+      .toDS()).collect()(0)
+    assert(again.features.sameElements(fa))
+  }
+
+  test("an oversized declared audio frame count is rejected before " +
+      "sample allocation") {
+    // hand-build a WAV header declaring ~2^31 frames with no data
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    def le32(v: Int): Unit = { d.write(v); d.write(v >> 8)
+      d.write(v >> 16); d.write(v >> 24) }
+    def le16(v: Int): Unit = { d.write(v); d.write(v >> 8) }
+    d.writeBytes("RIFF"); le32(0x7ffffff0); d.writeBytes("WAVE")
+    d.writeBytes("fmt "); le32(16); le16(1); le16(1)
+    le32(8000); le32(16000); le16(2); le16(16)
+    d.writeBytes("data"); le32(0x7ffffff0)
+    assert(Multimodal.decodeAudio(bos.toByteArray).isEmpty)
+  }
+
   /** A valid PNG signature + IHDR (correct CRC) declaring huge
     * dimensions, with no pixel data — the classic few-bytes
     * decompression-bomb header. */
