@@ -47,9 +47,20 @@ object Dedup {
     * real cluster a driver-local default would scatter partition files
     * across executors' disks and fail on read — so there we FAIL FAST
     * and require an explicit shared `setCheckpointDir`. */
-  private[analytics] def materialize(df: DataFrame): DataFrame = {
-    val sc = df.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty) {
+  private[graft] def materialize(df: DataFrame): DataFrame = {
+    ensureCheckpointDir(df.sparkSession.sparkContext)
+    df.checkpoint(eager = true)
+  }
+
+  /** The checkpoint dir currently in force (as Spark reports it — a
+    * UUID leaf under the directory passed to `setCheckpointDir`),
+    * creating the local-mode tmp-dir default (reclaimed at JVM exit)
+    * if none is set — shared by [[materialize]] and callers that scope
+    * per-batch checkpoint subdirectories
+    * ([[graft.streaming.CorpusStreams.assignBatch]]). */
+  private[graft] def ensureCheckpointDir(
+      sc: org.apache.spark.SparkContext): String =
+    sc.getCheckpointDir.getOrElse {
       if (!sc.isLocal)
         sys.error("graft: reliable checkpointing on a cluster needs " +
           "an explicit shared checkpoint dir — call " +
@@ -64,9 +75,8 @@ object Dedup {
         }
         rm(dir.toFile)
       }))
+      sc.getCheckpointDir.get
     }
-    df.checkpoint(eager = true)
-  }
 
   /** Deterministic universal-hash coefficients for seed `i`. */
   def hashCoeffs(i: Int): (Long, Long) = {

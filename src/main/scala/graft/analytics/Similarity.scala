@@ -90,10 +90,31 @@ object Similarity {
     * broadcast assign + one map-side-combining groupBy over the
     * corpus — k·dim driver state never exceeds the codebook itself.
     */
+  /** Default driver-state budget for collected codebooks: 2²⁶ doubles
+    * (512 MB) — override per session with
+    * `spark.conf.set("spark.graft.maxCodebookDoubles", n)`. */
+  val DefaultMaxCodebookDoubles: Long = 1L << 26
+
+  /** Fail loudly when a requested codebook would exceed the driver-
+    * state budget: the codebook is collected AND re-broadcast every
+    * Lloyd round, so k=65k × dim=1k (~0.5 GB/round) silently becomes a
+    * driver OOM or a network tax long before results look wrong. */
+  private def checkCodebookBudget(sess: org.apache.spark.sql.SparkSession,
+      k: Int, dim: Int): Unit = {
+    val budget = sess.conf.getOption("spark.graft.maxCodebookDoubles")
+      .map(_.toLong).getOrElse(DefaultMaxCodebookDoubles)
+    require(k.toLong * dim <= budget,
+      s"codebook k=$k × dim=$dim = ${k.toLong * dim} doubles exceeds " +
+        s"the driver-state budget of $budget (collected and broadcast " +
+        "each Lloyd round). Shrink k/dim, or raise " +
+        "spark.graft.maxCodebookDoubles if the driver can hold it.")
+  }
+
   def kmeansCodebook(corpus: DataFrame, idCol: String, embCol: String,
       k: Int, dim: Int, iterations: Int): DataFrame = {
     val q = 1048576L // 2^20 quantization step
     val sess = corpus.sparkSession
+    checkCodebookBudget(sess, k, dim)
     import sess.implicits._
     // the codebook is MODEL state (k·dim doubles) — collecting it each
     // round keeps the per-round plan flat; leaving it as lineage embeds
@@ -375,6 +396,18 @@ object Similarity {
     * [[sq8QuantizePacked]] is the at-rest form with codes packed to
     * one byte per dimension.
     */
+  /** Rows whose `embCol` is a finite nonzero vector — the exclusion
+    * contract every ingest path must enforce: a zero vector's cosine
+    * is undefined, and a NaN score sorts ABOVE all doubles in a
+    * descending top-k, so one bad vector would rank #1 for every
+    * query probing its bucket/cell. */
+  def finiteNonZero(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("__scale", array_max(transform(
+        col(embCol).cast("array<double>"), x => abs(x))))
+      .where(col("__scale") > 0d && !isnan(col("__scale")) &&
+        col("__scale") =!= lit(Double.PositiveInfinity))
+      .drop("__scale")
+
   def sq8Quantize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     df.select(col(idCol), col(embCol).cast("array<double>").as("__e"))
       .withColumn("__scale", array_max(transform(col("__e"), x => abs(x))))
@@ -382,6 +415,8 @@ object Similarity {
       // Inf scale would quantize every dimension to 0 and divide by a
       // zero norm, and NaN needs an explicit test — Spark (and DuckDB)
       // order NaN ABOVE all values, so `NaN > 0` is true
+      // (the same gate as [[finiteNonZero]], kept inline because the
+      // scale feeds the quantization below)
       .where(col("__scale") > 0d && !isnan(col("__scale")) &&
         col("__scale") =!= lit(Double.PositiveInfinity))
       .select(col(idCol),

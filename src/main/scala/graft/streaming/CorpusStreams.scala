@@ -51,12 +51,14 @@ object CorpusStreams {
     * Doc ids must be in [0, `offset`).
     *
     * Crash-replay note: a batch replayed after a half-written state
-    * (signatures appended, assignments not) can match its own orphaned
-    * signatures as "old". The self/sibling edges this adds point at
-    * unassigned ids, which rep-rewrite leaves as themselves, so the
-    * decoded cluster_rep is identical to the no-crash run; only the
-    * informational `joined_existing` flag can read 1 spuriously for
-    * those docs (and that flag is not persisted).
+    * (signatures appended, assignments not) re-runs whole — the replay
+    * gate is the assignment anti-join, and the old-corpus side
+    * semi-joins signatures against assignments, so the crashed
+    * attempt's orphaned signatures are excluded entirely; cluster_rep
+    * AND joined_existing match the no-crash run. The only residue is a
+    * duplicate signature row per batch doc: correctness-harmless
+    * (candidate pairs are distinct()-ed) and purged by
+    * [[compactState]].
     */
   def assignBatch(batch: DataFrame, statePath: String, n: Int = 3,
       numHashes: Int = 32, bands: Int = 16, threshold: Double = 0.5,
@@ -83,11 +85,20 @@ object CorpusStreams {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the per-batch star contractions below create reliable
     // checkpoints; once this batch's results are persisted in the
-    // state tables those files are garbage — snapshot the checkpoint
-    // dir now and reclaim what this batch added (assumes no OTHER
-    // concurrently-running query in this session is checkpointing;
-    // state paths already require a single writer)
-    val ckptBefore = checkpointEntries(spark)
+    // state tables those files are garbage. Scope them to a private
+    // per-batch SIBLING of the session checkpoint dir (under the same
+    // root): deleting it afterwards cannot clobber checkpoints any
+    // concurrent work in the same session holds — they live in the
+    // session dir or their own scopes — unlike a snapshot-and-diff of
+    // the shared dir. Spark's setCheckpointDir appends a fresh UUID
+    // leaf per call, so the restore targets the stable ROOT and the
+    // path depth stays constant batch over batch.
+    val sc = spark.sparkContext
+    val ckptRoot = new org.apache.hadoop.fs.Path(
+      Dedup.ensureCheckpointDir(sc)).getParent
+    val batchCkpt = new org.apache.hadoop.fs.Path(ckptRoot,
+      s"batch-${java.util.UUID.randomUUID()}")
+    sc.setCheckpointDir(batchCkpt.toString)
 
     // idempotent replay: a doc already assigned (a retried batch, an
     // at-least-once source) is dropped, not reclustered. Ids are
@@ -175,11 +186,14 @@ object CorpusStreams {
       fresh.unpersist(false)
       oldAssign.unpersist(false)
       oldSigCache.foreach(_.unpersist(false))
-      // reclaim this batch's checkpoints — without this a long-running
-      // stream accumulates (CC rounds + 2) checkpointed frames per
+      // restore the session scope root and reclaim this batch's
+      // checkpoint dir — without this a long-running stream
+      // accumulates (CC rounds + 2) checkpointed frames per
       // micro-batch until the checkpoint disk fills (reliable
       // checkpoints are otherwise only cleaned at JVM exit)
-      reclaimCheckpoints(spark, ckptBefore)
+      sc.setCheckpointDir(ckptRoot.toString)
+      batchCkpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(batchCkpt, true): Unit
     }
   }
 
@@ -225,7 +239,13 @@ object CorpusStreams {
           s"no IVF index at $indexPath — run buildIvfIndex first")
         graft.warehouse.Writer.recoverPartitions(spark,
           cellsPath.toString, Seq("cell"))
-        val deduped = batch.toDF().dropDuplicates("vec_id")
+        // same exclusion contract as the SQ8 build path: a zero or
+        // NaN/Inf embedding has an undefined cosine, and NaN sorts
+        // ABOVE all doubles in the descending top-k window — one bad
+        // ingested vector would rank #1 for every query probing its
+        // cell, forever
+        val deduped = graft.analytics.Similarity.finiteNonZero(
+          batch.toDF(), "embedding").dropDuplicates("vec_id")
         val fresh =
           if (!checkReplays) deduped
           else deduped.join(
@@ -260,8 +280,15 @@ object CorpusStreams {
           s".${target.getName}__compact__$id")
         val aside = new org.apache.hadoop.fs.Path(target.getParent,
           s".${target.getName}__old__$id")
-        try spark.read.parquet(target.toString).repartition(files)
-          .write.parquet(stage.toString)
+        // crash-replayed batches leave exact-duplicate signature rows
+        // (same doc_id, same deterministic signature — see assignBatch);
+        // compaction is the natural purge point, or they inflate state
+        // forever
+        val table = spark.read.parquet(target.toString)
+        val cleaned =
+          if (name == "signatures") table.dropDuplicates("doc_id")
+          else table
+        try cleaned.repartition(files).write.parquet(stage.toString)
         catch { case e: Throwable => fs.delete(stage, true); throw e }
         require(fs.rename(target, aside), s"rename $target aside failed")
         require(fs.rename(stage, target), s"rename $stage in failed")
@@ -289,23 +316,4 @@ object CorpusStreams {
     debris.foreach(d => if (fs.exists(d)) fs.delete(d, true))
   }
 
-  /** Entries currently under the session's reliable-checkpoint dir. */
-  private def checkpointEntries(spark: SparkSession): Set[String] =
-    spark.sparkContext.getCheckpointDir.toSet[String].flatMap { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.toString).toSet
-      else Set.empty[String]
-    }
-
-  /** Delete checkpoint entries created since `before` — the batch's
-    * results are durably in the state tables, so its checkpointed
-    * intermediates are dead weight. */
-  private def reclaimCheckpoints(spark: SparkSession,
-      before: Set[String]): Unit =
-    for (e <- checkpointEntries(spark) -- before) {
-      val p = new org.apache.hadoop.fs.Path(e)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(p, true): Unit
-    }
 }

@@ -160,6 +160,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.9, s"IVF-SQ8 recall@5 was $r")
   }
 
+  test("codebook requests over the driver-state budget fail loudly " +
+      "instead of silently collecting gigabytes per Lloyd round") {
+    spark.conf.set("spark.graft.maxCodebookDoubles", "32")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.kmeansCodebook(corpus, "vec_id", "embedding",
+          k = 4, dim = Dim, iterations = 1) // 64 doubles > budget 32
+      }
+      assert(e.getMessage.contains("driver-state budget"))
+    } finally spark.conf.unset("spark.graft.maxCodebookDoubles")
+    // within budget still works (default budget restored)
+    assert(Similarity.kmeansCodebook(corpus, "vec_id", "embedding",
+      k = 2, dim = Dim, iterations = 1).count() === 2L)
+  }
+
   test("sq8 quantization drops zero and non-finite vectors instead " +
       "of emitting undefined scores") {
     import spark.implicits._

@@ -334,6 +334,79 @@ class StreamingSpec extends SparkSpec {
     assert(top.getLong(1) === 100L && top.getDouble(2) > 0.9999)
   }
 
+  test("ivfIngestStream drops zero and non-finite vectors at ingest " +
+      "(a NaN cosine would rank #1 in every descending top-k)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfgate").toString
+    val seed = (0L until 20L).map(i =>
+      (i, Seq.tabulate(16)(d => if ((i % 4).toInt == d % 4) 1.0f else 0.1f)))
+    graft.analytics.Similarity.buildIvfIndex(
+      seed.toDF("vec_id", "embedding"), dir, k = 4, dim = 16,
+      iterations = 1)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = CorpusStreams.ivfIngestStream(
+      mem.toDF().toDF("vec_id", "embedding"), dir).start()
+    mem.addData(
+      (200L, Seq.fill(16)(0.0f)),                       // zero vector
+      (201L, Float.NaN +: Seq.fill(15)(1.0f)),          // NaN
+      (202L, Float.PositiveInfinity +: Seq.fill(15)(1.0f)), // Inf
+      (203L, Seq.tabulate(16)(d => if (d < 2) 1.0f else -1.0f))) // fine
+    q.processAllAvailable()
+    q.stop()
+    val ingested = spark.read.parquet(s"$dir/cells")
+      .filter(col("neighbor_id") >= 200L)
+      .select("neighbor_id").collect().map(_.getLong(0)).sorted
+    assert(ingested.toSeq === Seq(203L))
+  }
+
+  test("compactState purges replay-duplicate signature rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sigdup").toString
+    CorpusStreams.assignBatch(
+      Seq((0L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"), dir)
+    val sp = s"$dir/signatures"
+    // simulate the residue of a crash-replayed batch: the identical
+    // signature row appended a second time
+    val dup = spark.read.parquet(sp)
+    dup.write.mode("append").parquet(sp)
+    assert(spark.read.parquet(sp).count() === 2L)
+    CorpusStreams.compactState(spark, dir)
+    assert(spark.read.parquet(sp).count() === 1L)
+    assert(CorpusStreams.assignments(spark, dir).count() === 1L)
+  }
+
+  test("assignBatch reclaims only its own checkpoint scope: a " +
+      "checkpointed frame held across the batch survives") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val base = graft.analytics.Dedup.ensureCheckpointDir(sc)
+    // a concurrent holder's checkpoint, taken BEFORE the batch runs
+    val held = Seq(1, 2, 3).toDF("v").checkpoint(eager = true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckptscope").toString
+    CorpusStreams.assignBatch(
+      Seq((0L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text"), dir)
+    // session scope restored to the same root (setCheckpointDir mints
+    // a fresh UUID leaf, so compare parents), the batch's private
+    // sibling dir gone
+    val root = new org.apache.hadoop.fs.Path(base).getParent
+    assert(sc.getCheckpointDir.exists(d =>
+        new org.apache.hadoop.fs.Path(d).getParent == root),
+      s"checkpoint dir ${sc.getCheckpointDir} escaped root $root")
+    val rootFiles = Option(new java.io.File(
+      new java.net.URI(root.toString).getPath).listFiles())
+      .toSeq.flatten.map(_.getName)
+    assert(!rootFiles.exists(_.startsWith("batch-")),
+      s"batch scope left behind in $rootFiles")
+    // the held frame's checkpoint files were not reclaimed
+    assert(held.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
+  }
+
   test("dedupAssignStream drives assignBatch through foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
