@@ -62,6 +62,22 @@ object DocQueries {
         .limit(100)
     },
 
+    // Approximate heavy hitters, verified (q82's at-scale sibling):
+    // per-partition Space-Saving sketch — shuffle bounded by
+    // capacity·partitions instead of |vocab|·partitions — then a
+    // broadcast candidate gate and an exact recount of candidates
+    // only. The oracle is the EXACT census: sketch+verify must
+    // reproduce it whenever the guarantee covers rank 100 (Zipf-shaped
+    // token frequencies clear it by orders of magnitude).
+    Q("q96_vocab_topk_approx", Some("""
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents WHERE text IS NOT NULL) t
+      GROUP BY token ORDER BY n DESC, token LIMIT 100""")) { (s, dir) =>
+      graft.analytics.HeavyHitters.approxVocabTopK(
+        Tables.load(s, dir, "documents"), k = 100, capacity = 4096)
+    },
+
     // T7 whitespace collapse + lowercase normalize (reference
     // cleaners.py:160-175 pipeline tail) — deterministic string output.
     Q("q18_text_normalize", Some("""
