@@ -610,20 +610,26 @@ object Dedup {
   def embeddingNearDupsBucketed(emb: DataFrame, idCol: String,
       embCol: String, threshold: Double, bits: Int,
       dim: Int = 64, tables: Int = 2): DataFrame = {
+    // ids only through the per-table joins + dedup (vector payloads
+    // would multiply the exchanged bytes by the embedding width);
+    // vectors join back once per surviving pair — AQE picks broadcast
+    // while the corpus fits and degrades to a keyed join beyond
     val pairs = (0 until tables).map { t =>
-      val bucketed = emb.select(col(idCol), col(embCol),
+      val bucketed = emb.select(col(idCol),
         Similarity.signBucket(col(embCol), bits, dim,
           Similarity.tableSeed(t)).as("bucket"))
-      val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
-        col(embCol).as("emb_a"))
-      val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-        col(embCol).as("emb_b"))
+      val a = bucketed.select(col("bucket"), col(idCol).as("id_a"))
+      val b = bucketed.select(col("bucket"), col(idCol).as("id_b"))
       a.join(b, Seq("bucket"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "emb_a", "emb_b")
+        .select("id_a", "id_b")
     }.reduce(_ unionByName _)
       .dropDuplicates("id_a", "id_b")
     pairs
+      .join(emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a")),
+        Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b")),
+        Seq("id_b"))
       .withColumn("score", Similarity.cosine(col("emb_a"), col("emb_b")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")

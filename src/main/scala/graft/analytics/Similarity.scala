@@ -47,18 +47,18 @@ object Similarity {
     * (instead of reading the first `bits` axes) decorrelates the
     * buckets, which is what lifts LSH recall on embeddings whose
     * leading dimensions are correlated. Deterministic and
-    * SQL-expressible: the projection is a left-assoc multiply-add fold,
-    * bit-identical to the DuckDB mirror.
+    * SQL-expressible: the projection is a left-assoc multiply-add
+    * fold, bit-identical to the DuckDB mirror — computed by the
+    * native [[graft.expressions.SignBuckets]] single-pass loop (the
+    * equivalent Column tree is ~bits·dim·3 interpreted nodes per row,
+    * the dominant LSH cost at sf0.1).
     */
   def signBucket(emb: Column, bits: Int, dim: Int,
       seed: Long = 42L): Column = {
-    val signs = hyperplaneSigns(bits, dim, seed)
-    (0 until bits).map { i =>
-      val dot = (0 until dim).map { j =>
-        element_at(emb, j + 1).cast("double") * lit(signs(i)(j))
-      }.reduce(_ + _)
-      when(dot >= 0d, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.SignBuckets(
+      ColumnBridge.expression(emb.cast("array<double>")),
+      hyperplaneSigns(bits, dim, seed)))
   }
 
   /** Exact top-k neighbors for each query vector (excluding self).
@@ -532,19 +532,25 @@ object Similarity {
     */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int, dim: Int = 64, tables: Int = 2): DataFrame = {
+    // candidate ids only through the union + dedup — dragging both
+    // embedding arrays through the exchange multiplies shuffle bytes
+    // by the vector width; the vectors are joined back once per
+    // surviving pair instead
     val cand = (0 until tables).map { t =>
       val q = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"),
         signBucket(col("embedding"), bits, dim, tableSeed(t)).as("bucket"))
       val c = corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb"),
         signBucket(col("embedding"), bits, dim, tableSeed(t)).as("bucket"))
       c.join(broadcast(q), Seq("bucket"))
         .filter(col("query_id") =!= col("neighbor_id"))
-        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .select("query_id", "neighbor_id")
     }.reduce(_ unionByName _)
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("c_emb")), Seq("neighbor_id"))
       .withColumn("score", cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))

@@ -1,0 +1,88 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Multi-hyperplane sign-LSH bucket id of an array<double> vector as
+  * one native expression: `bits` seeded ±1 hyperplane projections in a
+  * single compiled pass. The equivalent `Column` formulation is a
+  * ~(bits·dim·3)-node expression tree — ~1500 interpreted node
+  * evaluations per row at 8×64, measured as the dominant cost of the
+  * LSH queries at sf0.1; this loop is the same arithmetic in two
+  * nested `while`s.
+  *
+  * Bit-compatible with the tree formulation and the DuckDB
+  * `list_reduce` mirror: per bit, the projection is the left-fold
+  * `e₀·s₀ + e₁·s₁ + …` in identical IEEE order (each term is a sign
+  * flip, exact in floating point), bit i contributes `1 << i` iff the
+  * fold is ≥ 0 (NaN compares false, matching `when`). Null parity
+  * with the tree too: a null array, a vector shorter than `dim`, or a
+  * null element made every per-bit fold null, every `when` take its
+  * 0 branch, and the SUM of those zeros is 0 — never null — so this
+  * expression is non-nullable and returns 0 for those inputs.
+  */
+case class SignBuckets(child: Expression, signs: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+
+  private val bits = signs.length
+  private val dim = if (signs.isEmpty) 0 else signs.head.length
+  @transient private lazy val flat: Array[Double] = {
+    require(signs.forall(_.length == dim),
+      "sign_buckets: ragged hyperplane matrix")
+    signs.flatten.toArray
+  }
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+  override def prettyName: String = "sign_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"sign_buckets needs ARRAY<DOUBLE>, got ${other.sql}")
+    }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0
+    else SignBuckets.compute(v.asInstanceOf[ArrayData], flat, bits, dim)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SignBuckets = copy(child = newChild)
+}
+
+object SignBuckets {
+  /** 0 when the vector is shorter than `dim` or carries a null
+    * element (the tree formulation's null-collapse — see class doc);
+    * otherwise the OR of `1 << b` over hyperplanes with fold ≥ 0. */
+  def compute(arr: ArrayData, signs: Array[Double], bits: Int,
+      dim: Int): Int = {
+    val n = arr.numElements()
+    if (n < dim || dim == 0) return 0
+    var j = 0
+    while (j < dim) {
+      if (arr.isNullAt(j)) return 0
+      j += 1
+    }
+    var bucket = 0
+    var b = 0
+    while (b < bits) {
+      val off = b * dim
+      var dot = arr.getDouble(0) * signs(off)
+      var i = 1
+      while (i < dim) {
+        dot += arr.getDouble(i) * signs(off + i)
+        i += 1
+      }
+      if (dot >= 0) bucket |= 1 << b
+      b += 1
+    }
+    bucket
+  }
+}
