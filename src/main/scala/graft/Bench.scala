@@ -45,6 +45,11 @@ object Bench {
       .getOrElse(if (sys.env.contains("SPARK_GRAFT_BENCH_RUNS")) runs
         else 5)
       .max(runs)
+    // a crashed run must not leave the PREVIOUS run's summary behind
+    // for a file-reading consumer to mistake for current results
+    try java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("target/bench_summary.json"))
+    catch { case _: Throwable => }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

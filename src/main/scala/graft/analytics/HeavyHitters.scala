@@ -76,8 +76,12 @@ object HeavyHitters {
       .as[String]
   }
 
-  /** Merged sketch candidates: (token, est_upper, err_upper) with the
-    * global upper bound ≤ sum of per-partition estimates. Row count ≤
+  /** Merged sketch candidates: (token, est_upper, err_upper) — the
+    * sums of the SURVIVING per-partition estimates/errors. est_upper
+    * upper-bounds the token's count over the partitions whose summary
+    * it survived into, NOT its global count (partitions that evicted
+    * it contribute nothing) — which is why [[approxVocabTopK]] never
+    * ranks by it and recounts candidates exactly instead. Row count ≤
     * capacity · partitions — model-sized, broadcastable. */
   def sketchCandidates(docs: DataFrame, capacity: Int): DataFrame = {
     val sess = docs.sparkSession

@@ -19,11 +19,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * `list_reduce` mirror: per bit, the projection is the left-fold
   * `e₀·s₀ + e₁·s₁ + …` in identical IEEE order (each term is a sign
   * flip, exact in floating point), bit i contributes `1 << i` iff the
-  * fold is ≥ 0 (NaN compares false, matching `when`). Null parity
-  * with the tree too: a null array, a vector shorter than `dim`, or a
-  * null element made every per-bit fold null, every `when` take its
-  * 0 branch, and the SUM of those zeros is 0 — never null — so this
-  * expression is non-nullable and returns 0 for those inputs.
+  * fold is ≥ 0 — where a NaN fold COUNTS as ≥ 0, because BOTH SQL
+  * engines order NaN above all doubles (`NaN >= 0` is true in Spark
+  * SQL and DuckDB; Java's primitive compare would say false, so the
+  * loop tests NaN explicitly). Null parity with the tree: a null
+  * array or a null element made every per-bit fold null, every `when`
+  * take its 0 branch, and the SUM of those zeros is 0 — never null —
+  * so this expression is non-nullable and returns 0 for those inputs.
+  * A vector SHORTER than `dim` fails loudly instead: the tree's
+  * null-collapse would silently bucket every such row to 0, and a
+  * dim-mismatched corpus collapsing into ONE bucket turns the LSH
+  * equi-join into the all-pairs scan it exists to avoid — at scale an
+  * undiagnosed shuffle blowup, not a correctness error, which is the
+  * worst kind.
   */
 case class SignBuckets(child: Expression, signs: Seq[Seq[Double]])
     extends UnaryExpression with CodegenFallback {
@@ -58,13 +66,17 @@ case class SignBuckets(child: Expression, signs: Seq[Seq[Double]])
 }
 
 object SignBuckets {
-  /** 0 when the vector is shorter than `dim` or carries a null
-    * element (the tree formulation's null-collapse — see class doc);
-    * otherwise the OR of `1 << b` over hyperplanes with fold ≥ 0. */
+  /** 0 when the vector carries a null element (the tree formulation's
+    * null-collapse — see class doc); an error when it is shorter than
+    * `dim`; otherwise the OR of `1 << b` over hyperplanes with
+    * fold ≥ 0 (NaN counts as ≥ 0, the SQL ordering). */
   def compute(arr: ArrayData, signs: Array[Double], bits: Int,
       dim: Int): Int = {
     val n = arr.numElements()
-    if (n < dim || dim == 0) return 0
+    require(n >= dim,
+      s"sign_buckets: vector has $n dims, hyperplanes need $dim — a " +
+        "dim mismatch would silently collapse every row into bucket 0 " +
+        "and degrade the LSH join to all-pairs")
     var j = 0
     while (j < dim) {
       if (arr.isNullAt(j)) return 0
@@ -80,7 +92,7 @@ object SignBuckets {
         dot += arr.getDouble(i) * signs(off + i)
         i += 1
       }
-      if (dot >= 0) bucket |= 1 << b
+      if (dot >= 0 || java.lang.Double.isNaN(dot)) bucket |= 1 << b
       b += 1
     }
     bucket

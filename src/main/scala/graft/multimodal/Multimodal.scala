@@ -159,8 +159,13 @@ object Multimodal {
         val samples = ais.getFrameLength * fmt.getChannels
         val pcmSigned = enc == AudioFormat.Encoding.PCM_SIGNED
         val pcmUnsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
-        if (!(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16) ||
-            samples <= 0 || samples > MaxDecodeSamples) None
+        // unsigned is admitted at 8-bit only: the 16-bit branch below
+        // decodes two's-complement, which would read unsigned-16
+        // silence (0x8000) as full-scale −1.0 — better the stub
+        // fallback than silently wrong features
+        val supported = (pcmSigned && (bits == 8 || bits == 16)) ||
+          (pcmUnsigned && bits == 8)
+        if (!supported || samples <= 0 || samples > MaxDecodeSamples) None
         else {
           val raw = ais.readAllBytes()
           val out = new Array[Float](raw.length / (bits / 8))

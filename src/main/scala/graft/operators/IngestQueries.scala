@@ -29,17 +29,20 @@ object IngestQueries {
   private def soilPath = s"$fixturesDir/soilgrids.jsonl"
   private def meteoPath = s"$fixturesDir/openmeteo.jsonl"
 
-  /** DuckDB mirror of [[SoilGridsSource.schema]]. */
-  private val duckSoilRead = """
-    read_json('/root/repo/src/test/resources/fixtures/soilgrids.jsonl',
+  /** DuckDB mirror of [[SoilGridsSource.schema]] — same resolved
+    * fixture path as the Spark side, so the two engines can never read
+    * different copies. */
+  private val duckSoilRead = s"""
+    read_json('$fixturesDir/soilgrids.jsonl',
       format='newline_delimited',
       columns={'latitude':'DOUBLE','longitude':'DOUBLE',
         'properties':'STRUCT(layers STRUCT(name VARCHAR, depths STRUCT(range STRUCT(top_depth INTEGER, bottom_depth INTEGER), "values" STRUCT(mean DOUBLE))[])[])',
         'timeStamp':'VARCHAR'})"""
 
-  /** DuckDB mirror of [[OpenMeteoSource.schema]]. */
-  private val duckMeteoRead = """
-    read_json('/root/repo/src/test/resources/fixtures/openmeteo.jsonl',
+  /** DuckDB mirror of [[OpenMeteoSource.schema]] — same resolved
+    * fixture path as the Spark side. */
+  private val duckMeteoRead = s"""
+    read_json('$fixturesDir/openmeteo.jsonl',
       format='newline_delimited',
       columns={'latitude':'DOUBLE','longitude':'DOUBLE',
         'daily':'STRUCT("time" VARCHAR[], temperature_2m_max DOUBLE[], temperature_2m_min DOUBLE[], temperature_2m_mean DOUBLE[], precipitation_sum DOUBLE[], et0_fao_evapotranspiration DOUBLE[], shortwave_radiation_sum DOUBLE[], relative_humidity_2m_mean DOUBLE[], wind_speed_10m_max DOUBLE[], weather_code INTEGER[])'})"""
@@ -674,9 +677,9 @@ object IngestQueries {
         CAST((CAST(replace(h."date", '-', '') AS INT) // 100) % 100 AS INT)
           AS part_month
       FROM hashed h JOIN dim d USING (location_hash)
-      ORDER BY location_key, date_key""")) { (s, _) =>
+      ORDER BY location_key, date_key""")) { (s, dir) =>
       val factPath = System.getProperty("java.io.tmpdir") +
-        "/graft_q95_fact"
+        "/graft_q95_" + Integer.toHexString(dir.hashCode)
       val p = new org.apache.hadoop.fs.Path(factPath)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(p, true)

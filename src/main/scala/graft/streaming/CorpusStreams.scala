@@ -83,35 +83,42 @@ object CorpusStreams {
       else spark.range(0).select(col("id").as("doc_id"),
         col("id").as("cluster_rep")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the per-batch star contractions below create reliable
-    // checkpoints; once this batch's results are persisted in the
-    // state tables those files are garbage. Scope them to a private
-    // per-batch SIBLING of the session checkpoint dir (under the same
-    // root): deleting it afterwards cannot clobber checkpoints any
-    // concurrent work in the same session holds — they live in the
-    // session dir or their own scopes — unlike a snapshot-and-diff of
-    // the shared dir. Spark's setCheckpointDir appends a fresh UUID
-    // leaf per call, so the restore targets the stable ROOT and the
-    // path depth stays constant batch over batch.
-    val sc = spark.sparkContext
-    val ckptRoot = new org.apache.hadoop.fs.Path(
-      Dedup.ensureCheckpointDir(sc)).getParent
-    val batchCkpt = new org.apache.hadoop.fs.Path(ckptRoot,
-      s"batch-${java.util.UUID.randomUUID()}")
-    sc.setCheckpointDir(batchCkpt.toString)
-
     // idempotent replay: a doc already assigned (a retried batch, an
     // at-least-once source) is dropped, not reclustered. Ids are
     // range-validated HERE so even docs that never enter a candidate
     // pair (which would bypass the encode-time guard) fail fast
-    // instead of landing out-of-contract ids in the state
+    // instead of landing out-of-contract ids in the state. Built (and
+    // analysis-checked — a malformed batch throws from the select)
+    // BEFORE the checkpoint-dir redirect below, so an early failure
+    // cannot leave the session pointed at the batch scope
     val fresh = batch
       .select(Dedup.checkedId(col("doc_id"), offset).as("doc_id"),
         col("text"))
       .dropDuplicates("doc_id")
       .join(oldAssign, Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the per-batch star contractions below create reliable
+    // checkpoints; once this batch's results are persisted in the
+    // state tables those files are garbage. Scope them to a private
+    // per-batch SIBLING of the session checkpoint dir (under the same
+    // root): checkpoints taken BEFORE the batch live in the session
+    // dir and survive the cleanup — an improvement over the previous
+    // snapshot-and-diff of the shared dir, which deleted them. The
+    // checkpoint dir is still SparkContext-GLOBAL, so work that
+    // checkpoints CONCURRENTLY with a running batch would land inside
+    // the batch scope and be reclaimed with it: concurrent
+    // checkpointing during a batch remains out of contract (state
+    // paths are single-writer; run concurrent checkpoint users before
+    // or after the batch). Spark's setCheckpointDir appends a fresh
+    // UUID leaf per call, so the restore targets the stable ROOT and
+    // the path depth stays constant batch over batch.
+    val sc = spark.sparkContext
+    val ckptRoot = new org.apache.hadoop.fs.Path(
+      Dedup.ensureCheckpointDir(sc)).getParent
+    val batchCkpt = new org.apache.hadoop.fs.Path(ckptRoot,
+      s"batch-${java.util.UUID.randomUUID()}")
     var oldSigCache: Option[DataFrame] = None
+    sc.setCheckpointDir(batchCkpt.toString)
     try {
       val newSig = Dedup.minHashSignature(fresh, "doc_id", "text",
           n, numHashes)

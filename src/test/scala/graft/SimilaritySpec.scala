@@ -65,6 +65,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.85, s"LSH recall@5 was $r")
   }
 
+  test("sign buckets: a NaN projection counts as >= 0 (SQL NaN " +
+      "ordering, matching DuckDB), a short vector fails loudly") {
+    import spark.implicits._
+    val nanRow = Seq((1L, Seq(Float.NaN, 1.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // every per-bit fold is NaN -> every bit set (both SQL engines
+    // order NaN above all doubles)
+    val b = nanRow.select(Similarity.signBucket(col("embedding"),
+      bits = 3, dim = 4).as("b")).collect()(0).getInt(0)
+    assert(b === 7)
+    // a vector shorter than dim must error, not silently collapse the
+    // corpus into bucket 0 (which would turn the LSH join all-pairs)
+    val short = Seq((2L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      short.select(Similarity.signBucket(col("embedding"),
+        bits = 3, dim = 4)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("sign_buckets")))
+  }
+
   test("OR-amplification is monotone: 3-table LSH recall >= 1-table") {
     val one = avgRecall(Similarity.bucketedTopK(queries, corpus, k = K,
       bits = 6, dim = Dim, tables = 1), "lsh_1")
