@@ -481,6 +481,30 @@ object Dedup {
         .select(col("doc_id"), col("doc_id").as("cluster_rep"))))
   }
 
+  /** Apply near-dup clustering to a corpus — the step that turns
+    * match pairs into a deduplicated training set: cluster the pairs
+    * ([[connectedComponentsStar]]), keep ONE surviving document per
+    * cluster (the min-id representative), carry every original column
+    * plus the cluster's member count. Documents in no candidate pair
+    * survive as singletons (n_members = 1).
+    *
+    * Scale shape: the corpus joins the (doc_id, rep) label table —
+    * pair-set-sized, not corpus-sized — twice on its id: once to
+    * resolve reps (left), once to keep reps (inner). The corpus text
+    * is never shuffled on anything but its own id.
+    */
+  def keepRepresentatives(docs: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val clusters = connectedComponentsStar(pairs, aCol, bCol)
+      .withColumnRenamed("doc_id", idCol)
+    val sizes = docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(coalesce(col("cluster_rep"), col(idCol)).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("n_members"))
+    docs.join(sizes, Seq(idCol))
+  }
+
   /** Incremental dedup assignment — what a production corpus pipeline
     * runs per ingest batch: given the EXISTING corpus's cluster
     * assignments (append-only; old clusters never move) and the

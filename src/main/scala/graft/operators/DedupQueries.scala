@@ -271,6 +271,48 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Apply the dedup: q71's minhash→LSH→cluster chain carried through
+    // to the KEPT corpus — one surviving doc per cluster (the min-id
+    // rep) with its member count, singletons kept as themselves. This
+    // is the operator a training-data pipeline actually ships: the
+    // deduplicated document set, not the cluster table.
+    Q("q97_dedup_apply", Some(s"""
+      WITH RECURSIVE $mhCtes,
+      scored AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE ($mhAgree) * 2 >= $MhNumHashes),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM scored
+        UNION SELECT id_b, id_a FROM scored),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+      labels AS (
+        SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+      assigned AS (
+        SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN labels l USING (doc_id)),
+      grouped AS (
+        SELECT rep, COUNT(*) AS n_members FROM assigned GROUP BY rep)
+      SELECT CAST(g.rep AS BIGINT) AS doc_id,
+        CAST(g.n_members AS BIGINT) AS n_members,
+        CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM grouped g JOIN documents d ON d.doc_id = g.rep
+      ORDER BY doc_id""")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text",
+          n = 3, numHashes = MhNumHashes, bands = MhBands)
+        .where(col("est_jaccard") >= 0.5)
+      Dedup.keepRepresentatives(docs.select("doc_id", "n_chars"),
+          "doc_id", cand)
+        .select(col("doc_id"), col("n_members"),
+          col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Incremental dedup: docs with doc_id % 5 == 0 play the NEW ingest
     // batch; the rest are the EXISTING corpus, clustered first from
     // old-only LSH pairs. New docs are assigned append-only — to the

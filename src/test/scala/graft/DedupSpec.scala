@@ -244,6 +244,23 @@ class DedupSpec extends SparkSpec {
     assert(got.filter(col("cluster_rep") =!= 0L).isEmpty)
   }
 
+  test("keepRepresentatives: one survivor per cluster with member " +
+      "count, singletons kept, all original columns carried") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30),
+      (5L, "d", 50), (7L, "e", 70), (9L, "f", 90))
+      .toDF("doc_id", "text", "n_chars")
+    // clusters: {1,2,3} and {5,7}; 9 is in no pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("id_a", "id_b")
+    val kept = graft.analytics.Dedup
+      .keepRepresentatives(corpus, "doc_id", pairs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3)))
+    assert(kept.toSeq === Seq((1L, "a", 10, 3L), (5L, "d", 50, 2L),
+      (9L, "f", 90, 1L)))
+  }
+
   test("incremental assign: new docs join existing clusters " +
       "append-only, unmatched new docs form fresh clusters") {
     import spark.implicits._
