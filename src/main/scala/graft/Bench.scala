@@ -32,7 +32,12 @@ object Bench {
     * their medians need more samples to be comparable across rounds. */
   private val IterativeQueries = Set(
     "q58_ivf_kmeans", "q61_dedup_clusters", "q63_kmv_distinct",
-    "q64_sessionize", "q71_lsh_clusters", "q78_incremental_dedup")
+    "q64_sessionize", "q71_lsh_clusters", "q78_incremental_dedup",
+    // not iterative, but observed swinging ±25% across rounds on
+    // identical code (JIT/profile sensitivity of the regex cascades
+    // and the shingle index build) — extra samples keep the medians
+    // comparable round over round
+    "q19_ngram_jaccard", "q30_extract_requirements")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -37,10 +37,8 @@ object Similarity {
     * bit-reproducible across engines and partitionings.
     */
   def hyperplaneSigns(bits: Int, dim: Int,
-      seed: Long = 42L): IndexedSeq[IndexedSeq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    IndexedSeq.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
+      seed: Long = 42L): IndexedSeq[IndexedSeq[Double]] =
+    graft.expressions.SignBuckets.hyperplaneSigns(bits, dim, seed)
 
   /** Sign-bit LSH bucket id from `bits` seeded random ±1 hyperplanes
     * over all `dim` dimensions. Mixing every dimension into each bit

@@ -114,5 +114,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"dot_i8 expects 2 arguments, got ${other.length}")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sign_buckets"),
+      new ExpressionInfo(classOf[SignBuckets].getName, "sign_buckets"),
+      (children: Seq[Expression]) => children match {
+        // sign_buckets(emb, bits, dim[, seed]) — bits/dim/seed
+        // parameterize the hyperplane matrix, so they must be
+        // non-null literals (same analysis-time contract as
+        // word_ngrams)
+        case args if args.length == 3 || args.length == 4 =>
+          def litInt(e: Expression, what: String): Long = {
+            if (!e.foldable) throw new IllegalArgumentException(
+              s"sign_buckets: $what must be a literal")
+            e.eval() match {
+              case n: Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                s"sign_buckets: $what must be an integer, got $other")
+            }
+          }
+          val bits = litInt(args(1), "bits").toInt
+          val dim = litInt(args(2), "dim").toInt
+          require(bits >= 0 && bits <= 31,
+            s"sign_buckets: bits must be in [0, 31], got $bits")
+          val seed =
+            if (args.length == 4) litInt(args(3), "seed") else 42L
+          SignBuckets(args.head,
+            SignBuckets.hyperplaneSigns(bits, dim, seed))
+        case other => throw new IllegalArgumentException(
+          s"sign_buckets expects (emb, bits, dim[, seed]), got " +
+            s"${other.length} arguments")
+      }))
   }
 }

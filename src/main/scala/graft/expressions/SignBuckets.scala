@@ -66,6 +66,17 @@ case class SignBuckets(child: Expression, signs: Seq[Seq[Double]])
 }
 
 object SignBuckets {
+  /** Seeded Rademacher (±1) hyperplane signs, `bits` rows × `dim`
+    * columns — the one generator shared by the Column API
+    * ([[graft.analytics.Similarity.signBucket]]), the SQL function
+    * (`sign_buckets`), and the oracle-SQL mirror, so every consumer
+    * buckets identically. */
+  def hyperplaneSigns(bits: Int, dim: Int,
+      seed: Long = 42L): IndexedSeq[IndexedSeq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    IndexedSeq.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
   /** 0 when the vector carries a null element (the tree formulation's
     * null-collapse — see class doc); an error when it is shorter than
     * `dim`; otherwise the OR of `1 << b` over hyperplanes with

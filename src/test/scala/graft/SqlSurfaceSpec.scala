@@ -45,6 +45,33 @@ class SqlSurfaceSpec extends SparkSpec {
         .count())
   }
 
+  test("sign_buckets SQL function equals the Column API and rejects " +
+      "non-literal parameters") {
+    import spark.implicits._
+    Tables.registerAll(spark, dir)
+    val viaSql = spark.sql("""
+      SELECT vec_id, sign_buckets(CAST(embedding AS ARRAY<DOUBLE>),
+        8, 64, 42) AS b
+      FROM embeddings ORDER BY vec_id""").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val viaApi = spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.analytics.Similarity.signBucket(col("embedding"),
+          bits = 8, dim = 64, seed = 42L).as("b"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    val e = intercept[Exception] {
+      spark.sql("""SELECT sign_buckets(CAST(embedding AS ARRAY<DOUBLE>),
+        CAST(vec_id AS INT), 64) FROM embeddings""").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must be a literal")))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
