@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions for the ingest-tier queries: the shapes
+  * that matter at scale must actually appear in the plan, not just
+  * produce correct rows at test size.
+  */
+class IngestPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q92 weather star: the hash->surrogate lookup is a broadcast " +
+      "join (the fact side never shuffles on the lookup key)") {
+    val plan = planOf("q92_weather_star")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q93 monthly layout: the month filter prunes partitions at " +
+      "the scan (PartitionFilters on part_year/part_month)") {
+    val plan = planOf("q93_partition_layout")
+    assert("PartitionFilters: \\[[^\\]]*part_year".r
+        .findFirstIn(plan).isDefined,
+      s"expected a part_year partition filter in:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*part_month".r
+        .findFirstIn(plan).isDefined,
+      s"expected a part_month partition filter in:\n$plan")
+  }
+
+  test("q83 soilgrids parse reads the fixture through the explicit " +
+      "schema (no corrupt-record column, all rows surfaced)") {
+    val df = SparkEntry.queries("q83_soilgrids_parse")(spark, dir)
+    assert(!df.columns.contains("_corrupt_record"))
+    assert(df.count() === 5)
+  }
+}
