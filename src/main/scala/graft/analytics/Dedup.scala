@@ -484,25 +484,33 @@ object Dedup {
   /** Apply near-dup clustering to a corpus — the step that turns
     * match pairs into a deduplicated training set: cluster the pairs
     * ([[connectedComponentsStar]]), keep ONE surviving document per
-    * cluster (the min-id representative), carry every original column
-    * plus the cluster's member count. Documents in no candidate pair
-    * survive as singletons (n_members = 1).
+    * cluster — the min-id member PRESENT IN `docs` — carrying every
+    * original column plus the cluster's member count (counted over
+    * present members). Documents in no candidate pair survive as
+    * singletons (n_members = 1). Anchoring the survivor to the present
+    * minimum (not the cluster rep) means a pair table computed on a
+    * broader corpus than `docs` (a stale pair table, an upstream
+    * filter between match and apply) cannot silently drop a whole
+    * cluster because its rep was filtered away.
     *
     * Scale shape: the corpus joins the (doc_id, rep) label table —
-    * pair-set-sized, not corpus-sized — twice on its id: once to
-    * resolve reps (left), once to keep reps (inner). The corpus text
-    * is never shuffled on anything but its own id.
+    * pair-set-sized, not corpus-sized — once to resolve reps, and the
+    * cluster-sized keep table once on its id. The corpus text is
+    * never shuffled on anything but its own id.
     */
   def keepRepresentatives(docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
     val clusters = connectedComponentsStar(pairs, aCol, bCol)
       .withColumnRenamed("doc_id", idCol)
-    val sizes = docs.select(col(idCol))
+    val kept = docs.select(col(idCol))
       .join(clusters, Seq(idCol), "left")
-      .select(coalesce(col("cluster_rep"), col(idCol)).as(idCol))
-      .groupBy(idCol).agg(count(lit(1)).as("n_members"))
-    docs.join(sizes, Seq(idCol))
+      .select(col(idCol),
+        coalesce(col("cluster_rep"), col(idCol)).as("__rep"))
+      .groupBy("__rep")
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_members"))
+      .drop("__rep")
+    docs.join(kept, Seq(idCol))
   }
 
   /** Incremental dedup assignment — what a production corpus pipeline

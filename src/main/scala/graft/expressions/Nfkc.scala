@@ -42,6 +42,36 @@ case class Nfkc(child: Expression) extends UnaryExpression
   * `call_function`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Analysis-time extraction of a literal argument that parameterizes
+    * an expression (ngram size, hyperplane bits/dim/seed): rejects
+    * non-foldable and NULL arguments with a clear message — a bare
+    * `eval()` would NPE on NULL or silently unbox garbage. Shared by
+    * every injected function that takes shape parameters. */
+  private def litArg(fn: String, e: Expression, what: String): Any = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $what must be a literal")
+    val v = e.eval()
+    if (v == null) throw new IllegalArgumentException(
+      s"$fn: $what must not be NULL")
+    v
+  }
+
+  /** [[litArg]] narrowed to a RANGE-CHECKED int: the Long is validated
+    * before truncation, so a value like 2³² cannot silently wrap to 0
+    * (for sign_buckets that wrap would mean zero hyperplanes — every
+    * row in bucket 0, the LSH join silently all-pairs). */
+  private def litInt(fn: String, e: Expression, what: String,
+      lo: Int, hi: Int): Int = litArg(fn, e, what) match {
+    case n: Number =>
+      val v = n.longValue()
+      if (v < lo || v > hi) throw new IllegalArgumentException(
+        s"$fn: $what must be in [$lo, $hi], got $v")
+      v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("nfkc"),
@@ -56,24 +86,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (children: Seq[Expression]) => children match {
         case Seq(c, n, d) =>
-          // n/distinct parameterize the expression itself, so they
-          // must be non-null literals — reject clearly at analysis
-          // time (a bare eval() would NPE on NULL and silently unbox
-          // a null distinct to false)
-          def litArg(e: Expression, what: String): Any = {
-            if (!e.foldable) throw new IllegalArgumentException(
-              s"word_ngrams: $what must be a literal")
-            val v = e.eval()
-            if (v == null) throw new IllegalArgumentException(
-              s"word_ngrams: $what must not be NULL")
-            v
-          }
-          val nV = litArg(n, "n") match {
-            case num: Number => num.intValue()
-            case other => throw new IllegalArgumentException(
-              s"word_ngrams: n must be an integer, got $other")
-          }
-          val dV = litArg(d, "distinct") match {
+          val nV = litInt("word_ngrams", n, "n", 1, 1000)
+          val dV = litArg("word_ngrams", d, "distinct") match {
             case b: Boolean => b
             case other => throw new IllegalArgumentException(
               s"word_ngrams: distinct must be a boolean, got $other")
@@ -123,21 +137,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // non-null literals (same analysis-time contract as
         // word_ngrams)
         case args if args.length == 3 || args.length == 4 =>
-          def litInt(e: Expression, what: String): Long = {
-            if (!e.foldable) throw new IllegalArgumentException(
-              s"sign_buckets: $what must be a literal")
-            e.eval() match {
+          val bits = litInt("sign_buckets", args(1), "bits", 1, 31)
+          val dim = litInt("sign_buckets", args(2), "dim", 1, 65536)
+          val seed =
+            if (args.length == 4) litArg("sign_buckets", args(3),
+                "seed") match {
               case n: Number => n.longValue()
               case other => throw new IllegalArgumentException(
-                s"sign_buckets: $what must be an integer, got $other")
+                s"sign_buckets: seed must be an integer, got $other")
             }
-          }
-          val bits = litInt(args(1), "bits").toInt
-          val dim = litInt(args(2), "dim").toInt
-          require(bits >= 0 && bits <= 31,
-            s"sign_buckets: bits must be in [0, 31], got $bits")
-          val seed =
-            if (args.length == 4) litInt(args(3), "seed") else 42L
+            else 42L
           SignBuckets(args.head,
             SignBuckets.hyperplaneSigns(bits, dim, seed))
         case other => throw new IllegalArgumentException(

@@ -38,11 +38,13 @@ case class SignBuckets(child: Expression, signs: Seq[Seq[Double]])
 
   private val bits = signs.length
   private val dim = if (signs.isEmpty) 0 else signs.head.length
-  @transient private lazy val flat: Array[Double] = {
-    require(signs.forall(_.length == dim),
-      "sign_buckets: ragged hyperplane matrix")
-    signs.flatten.toArray
-  }
+  require(bits >= 1 && bits <= 31 && dim >= 1,
+    s"sign_buckets: needs 1..31 hyperplanes over >=1 dims, got " +
+      s"bits=$bits dim=$dim (0 hyperplanes would put every row in " +
+      "bucket 0 — the LSH join silently all-pairs)")
+  require(signs.forall(_.length == dim),
+    "sign_buckets: ragged hyperplane matrix")
+  @transient private lazy val flat: Array[Double] = signs.flatten.toArray
 
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = false

@@ -16,8 +16,16 @@ class IngestPlanSpec extends SparkSpec {
 
   test("q92 weather star: the hash->surrogate lookup is a broadcast " +
       "join (the fact side never shuffles on the lookup key)") {
-    val plan = planOf("q92_weather_star")
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // disable size-based auto-broadcast so only the EXPLICIT hint can
+    // produce the BroadcastHashJoin this asserts — at test scale the
+    // dim is tiny and auto-broadcast would mask a deleted hint
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf("q92_weather_star")
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q93 monthly layout: the month filter prunes partitions at " +
