@@ -407,6 +407,23 @@ class StreamingSpec extends SparkSpec {
     assert(held.collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2, 3))
   }
 
+  test("a malformed batch fails before the checkpoint-dir redirect, " +
+      "leaving the session scope untouched") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = graft.analytics.Dedup.ensureCheckpointDir(sc)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-badbatch").toString
+    intercept[Exception] {
+      // no `text` column — analysis must fail while the session scope
+      // is still in force
+      CorpusStreams.assignBatch(
+        Seq((0L, 1)).toDF("doc_id", "not_text"), dir)
+    }
+    assert(sc.getCheckpointDir === Some(before),
+      s"checkpoint dir moved: ${sc.getCheckpointDir} != $before")
+  }
+
   test("dedupAssignStream drives assignBatch through foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
