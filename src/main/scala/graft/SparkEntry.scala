@@ -43,11 +43,13 @@ object SparkEntry {
     sys.env.get("SPARK_GRAFT_ONLY") match {
       case None => _ => true
       case Some(s) =>
-        val names = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val unknown = names -- queries.keySet
+        val tokens = s.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        def matches(tok: String)(name: String): Boolean =
+          name == tok || name.startsWith(tok + "_")
+        val unknown = tokens.filter(t => !queries.keySet.exists(matches(t)))
         if (unknown.nonEmpty)
           System.err.println("[graft] SPARK_GRAFT_ONLY names match " +
             s"no query: ${unknown.toSeq.sorted.mkString(", ")}")
-        names.contains _
+        name => tokens.exists(t => matches(t)(name))
     }
 }

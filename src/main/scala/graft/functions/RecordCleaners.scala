@@ -27,8 +27,8 @@ object RecordCleaners {
     val sand = CleanFunctions.cleanPercentage(col("sand_0_5cm"))
     val silt = CleanFunctions.cleanPercentage(col("silt_0_5cm"))
     val cleaned = df.filter(ok).select(
-      bround(col("latitude"), 6).as("latitude"),
-      bround(col("longitude"), 6).as("longitude"),
+      round(col("latitude"), 6).as("latitude"),
+      round(col("longitude"), 6).as("longitude"),
       clay.as("clay_content"), sand.as("sand_content"),
       silt.as("silt_content"),
       CleanFunctions.cleanPh(col("ph_0_5cm")).as("ph_level"),

@@ -19,15 +19,29 @@ import graft.warehouse.{AuditLog, Scd2, Writer}
   */
 object IngestQueries {
 
-  /** Fixture dir: absolute when running under the driver (any cwd),
-    * repo-relative fallback for ad-hoc runs from a checkout clone. */
-  private[operators] val fixturesDir: String = {
-    val abs = new java.io.File("/root/repo/src/test/resources/fixtures")
-    if (abs.isDirectory) abs.getAbsolutePath
-    else new java.io.File("src/test/resources/fixtures").getAbsolutePath
-  }
+  /** Fixture dir: `SPARK_GRAFT_FIXTURES` env override first (ad-hoc
+    * runs from any checkout), then the driver's absolute path, then a
+    * cwd-relative fallback. */
+  private[operators] val fixturesDir: String =
+    sys.env.get("SPARK_GRAFT_FIXTURES").filter(_.nonEmpty)
+      .map(new java.io.File(_).getAbsolutePath)
+      .getOrElse {
+        val abs = new java.io.File("/root/repo/src/test/resources/fixtures")
+        if (abs.isDirectory) abs.getAbsolutePath
+        else new java.io.File("src/test/resources/fixtures").getAbsolutePath
+      }
   private def soilPath = s"$fixturesDir/soilgrids.jsonl"
   private def meteoPath = s"$fixturesDir/openmeteo.jsonl"
+
+  /** Per-JVM token in scratch paths so two drivers on the same sf dir
+    * (e.g. a Verify and a Bench running concurrently) never race on a
+    * shared /tmp table that q95 deletes and rewrites mid-run. */
+  private val jvmScratchToken: String =
+    java.util.UUID.randomUUID().toString.take(8)
+
+  private def scratchPath(tag: String, dir: String): String =
+    System.getProperty("java.io.tmpdir") +
+      s"/graft_${tag}_${jvmScratchToken}_" + Integer.toHexString(dir.hashCode)
 
   /** DuckDB mirror of [[SoilGridsSource.schema]] — same resolved
     * fixture path as the Spark side, so the two engines can never read
@@ -576,8 +590,8 @@ object IngestQueries {
       val parsed = OpenMeteoSource.parse(OpenMeteoSource.read(s, meteoPath))
       val cleaned = RecordCleaners.cleanWeatherData(parsed)
         .withColumn("location_hash",
-          CleanFunctions.locationHash(bround(col("latitude"), 6),
-            bround(col("longitude"), 6)))
+          CleanFunctions.locationHash(round(col("latitude"), 6),
+            round(col("longitude"), 6)))
       val dim = cleaned.select("location_hash").distinct()
         .withColumn("location_key", Scd2.surrogateKey(col("location_hash")))
       val keyed = cleaned.join(broadcast(dim), Seq("location_hash"))
@@ -603,8 +617,7 @@ object IngestQueries {
         date_format(col("o_orderdate"), "yyyyMMdd").cast("int")
           .as("date_key"),
         col("o_totalprice"))
-      val path = System.getProperty("java.io.tmpdir") +
-        "/graft_q93_" + Integer.toHexString(dir.hashCode)
+      val path = scratchPath("q93", dir)
       Writer.writeMonthlyPartitioned(fact, "date_key", path)
       Writer.readPartitioned(s, path)
         .filter(col("part_year") === 1997 && col("part_month") === 6)
@@ -678,8 +691,7 @@ object IngestQueries {
           AS part_month
       FROM hashed h JOIN dim d USING (location_hash)
       ORDER BY location_key, date_key""")) { (s, dir) =>
-      val factPath = System.getProperty("java.io.tmpdir") +
-        "/graft_q95_" + Integer.toHexString(dir.hashCode)
+      val factPath = scratchPath("q95", dir)
       val p = new org.apache.hadoop.fs.Path(factPath)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(p, true)

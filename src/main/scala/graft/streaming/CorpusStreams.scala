@@ -197,10 +197,20 @@ object CorpusStreams {
       // checkpoint dir — without this a long-running stream
       // accumulates (CC rounds + 2) checkpointed frames per
       // micro-batch until the checkpoint disk fills (reliable
-      // checkpoints are otherwise only cleaned at JVM exit)
-      sc.setCheckpointDir(ckptRoot.toString)
-      batchCkpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(batchCkpt, true): Unit
+      // checkpoints are otherwise only cleaned at JVM exit).
+      // Cleanup failure must never mask the body's exception (or
+      // become the failure of an otherwise-successful batch): a
+      // leaked checkpoint dir costs disk, not correctness.
+      try {
+        sc.setCheckpointDir(ckptRoot.toString)
+        batchCkpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(batchCkpt, true): Unit
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"checkpoint scope cleanup failed for $batchCkpt " +
+              "(leaked dir, state unaffected)", e)
+      }
     }
   }
 
