@@ -62,4 +62,54 @@ class HeavyHittersSpec extends SparkSpec {
       .count()
     assert(n <= 32L * 4, s"sketch emitted $n rows")
   }
+
+  /** Adversarially FLAT corpus: 3000 distinct tokens, every one
+    * appearing exactly twice. At small capacities the k-th count (2)
+    * cannot exceed the eviction bound, so no top-k is certifiable —
+    * the silent-wrong-answer case the runtime coverage check exists
+    * to catch. */
+  private lazy val flatDocs = {
+    import spark.implicits._
+    (0 until 3000).flatMap(i => Seq.fill(2)(f"flat$i%04d"))
+      .zipWithIndex
+      .map { case (t, id) => (id.toLong, t) }
+      .toDF("doc_id", "text")
+  }
+
+  private lazy val flatExactTop10 = flatDocs
+    .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+    .groupBy("token").agg(count(lit(1)).as("n"))
+    .orderBy(col("n").desc, col("token")).limit(10)
+    .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("flat vocabulary at small capacity fails loudly instead of " +
+      "silently returning an unproven top-k") {
+    val e = intercept[IllegalStateException] {
+      HeavyHitters.approxVocabTopK(flatDocs.repartition(3), k = 10,
+        capacity = 64)
+    }
+    assert(e.getMessage.contains("cannot certify"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
+  test("adaptive capacity doubling certifies the flat vocabulary and " +
+      "matches the exact census") {
+    val got = HeavyHitters
+      .approxVocabTopKAdaptive(flatDocs.repartition(3), k = 10,
+        initialCapacity = 64, maxCapacity = 1 << 14)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === flatExactTop10)
+  }
+
+  test("certified skewed top-k survives the coverage check under " +
+      "different partitionings (bound stays below the k-th count)") {
+    // N=4000 tokens, capacity 64: summed absence bound <= N/64 < 63,
+    // k-th heavy count = 100 — certified for any partition count.
+    for (p <- Seq(1, 7)) {
+      val got = HeavyHitters
+        .approxVocabTopK(docs.repartition(p), k = 10, capacity = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === exactTop10, s"partitions=$p")
+    }
+  }
 }
