@@ -33,15 +33,8 @@ object IngestQueries {
   private def soilPath = s"$fixturesDir/soilgrids.jsonl"
   private def meteoPath = s"$fixturesDir/openmeteo.jsonl"
 
-  /** Per-JVM token in scratch paths so two drivers on the same sf dir
-    * (e.g. a Verify and a Bench running concurrently) never race on a
-    * shared /tmp table that q95 deletes and rewrites mid-run. */
-  private val jvmScratchToken: String =
-    java.util.UUID.randomUUID().toString.take(8)
-
   private def scratchPath(tag: String, dir: String): String =
-    System.getProperty("java.io.tmpdir") +
-      s"/graft_${tag}_${jvmScratchToken}_" + Integer.toHexString(dir.hashCode)
+    Q.scratchPath(tag, dir)
 
   /** DuckDB mirror of [[SoilGridsSource.schema]] — same resolved
     * fixture path as the Spark side, so the two engines can never read

@@ -41,6 +41,86 @@ object SimilarityQueries {
       s"(${duckSignBucket(a, bits, dim, s)}) = (${duckSignBucket(b, bits, dim, s)})"
     }.mkString("(", " OR ", ")")
 
+  /** Trained-codebook CTE chain `cent0 → assign1,cent1 → … →
+    * cent$iters`: DuckDB replay of [[Similarity.kmeansCodebook]]'s
+    * deterministic spherical k-means (integer-quantized per-dimension
+    * sums, so centroids are reproducible under any partitioning) —
+    * shared by q58 (inline trained IVF) and q98 (persisted index). */
+  private def trainedCentCtes(kC: Int, dim: Int, iters: Int): String = {
+    def assignCte(i: Int): String = s"""
+      assign$i AS (
+        SELECT centroid_id, embedding FROM (
+          SELECT e.embedding, c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN cent${i - 1} c) t
+        WHERE rn = 1)"""
+    def centCte(i: Int): String = s"""
+      cent$i AS (
+        SELECT c0.centroid_id, COALESCE(m.cent_emb, c0.cent_emb) AS cent_emb
+        FROM cent${i - 1} c0 LEFT JOIN (
+          SELECT centroid_id, list(m ORDER BY pos) AS cent_emb FROM (
+            SELECT centroid_id, g.i AS pos,
+              SUM(CAST(floor(embedding[g.i] * 1048576.0) AS BIGINT))
+                / COUNT(*) / 1048576.0 AS m
+            FROM assign$i, generate_series(1, $dim) AS g(i)
+            GROUP BY centroid_id, g.i) s
+          GROUP BY centroid_id) m
+        ON c0.centroid_id = m.centroid_id)"""
+    s"""cent0 AS (
+        SELECT CAST(vec_id AS INT) AS centroid_id,
+          embedding::DOUBLE[] AS cent_emb
+        FROM embeddings WHERE vec_id < $kC),
+      ${(1 to iters).map(i => assignCte(i) + "," + centCte(i))
+        .mkString(",")}"""
+  }
+
+  /** Cell-assignment CTE pair against centroid table `centTbl`:
+    * `corpus_cells` (nearest cell per corpus vector) and `query_cells`
+    * (the `nprobe` nearest cells per query, queries = vec_id < 16) —
+    * the probe shape shared by q46/q58/q75/q98. */
+  private def cellCtes(centTbl: String, nprobe: Int): String = s"""
+      corpus_cells AS (
+        SELECT neighbor_id, c_emb, centroid_id AS cell FROM (
+          SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb,
+            c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS crn
+          FROM embeddings e CROSS JOIN $centTbl c) t
+        WHERE crn <= 1),
+      query_cells AS (
+        SELECT query_id, q_emb, centroid_id AS cell FROM (
+          SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+            c.centroid_id,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS crn
+          FROM embeddings e CROSS JOIN $centTbl c
+          WHERE e.vec_id < 16) t
+        WHERE crn <= $nprobe)"""
+
+  /** Int8 scalar-quantization CTE pair `coded → normed(vec_id, code,
+    * n2)` — the exact floor arithmetic of [[Similarity.sq8Quantize]]
+    * (zero / NaN / Inf vectors excluded), shared by q77 and q98. */
+  private def sq8CodedCtes: String = """coded AS (
+        SELECT vec_id,
+          list_transform(embedding::DOUBLE[], x ->
+            CAST(floor(x * 127.0 /
+              list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+              + 0.5) AS BIGINT)) AS code
+        FROM embeddings
+        WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0
+          AND NOT isnan(list_max(list_transform(embedding::DOUBLE[], y -> abs(y))))
+          AND list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+            <> 'infinity'::DOUBLE),
+      normed AS (
+        SELECT vec_id, code,
+          list_reduce(list_transform(code, x -> x * x),
+            (acc, v) -> acc + v) AS n2
+        FROM coded)"""
+
   val all: Seq[Q] = Seq(
 
     // Exact brute-force top-k: query set (vec_id < 16) broadcast against
@@ -141,53 +221,9 @@ object SimilarityQueries {
     // constants.
     {
       val kC = 8; val dim = 64; val iters = 2
-      def assignCte(i: Int): String = s"""
-      assign$i AS (
-        SELECT centroid_id, embedding FROM (
-          SELECT e.embedding, c.centroid_id,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
-              c.centroid_id) AS rn
-          FROM embeddings e CROSS JOIN cent${i - 1} c) t
-        WHERE rn = 1)"""
-      def centCte(i: Int): String = s"""
-      cent$i AS (
-        SELECT c0.centroid_id, COALESCE(m.cent_emb, c0.cent_emb) AS cent_emb
-        FROM cent${i - 1} c0 LEFT JOIN (
-          SELECT centroid_id, list(m ORDER BY pos) AS cent_emb FROM (
-            SELECT centroid_id, g.i AS pos,
-              SUM(CAST(floor(embedding[g.i] * 1048576.0) AS BIGINT))
-                / COUNT(*) / 1048576.0 AS m
-            FROM assign$i, generate_series(1, $dim) AS g(i)
-            GROUP BY centroid_id, g.i) s
-          GROUP BY centroid_id) m
-        ON c0.centroid_id = m.centroid_id)"""
       Q("q58_ivf_kmeans", Some(s"""
-      WITH cent0 AS (
-        SELECT CAST(vec_id AS INT) AS centroid_id,
-          embedding::DOUBLE[] AS cent_emb
-        FROM embeddings WHERE vec_id < $kC),
-      ${(1 to iters).map(i => assignCte(i) + "," + centCte(i))
-        .mkString(",")},
-      corpus_cells AS (
-        SELECT neighbor_id, c_emb, centroid_id AS cell FROM (
-          SELECT e.vec_id AS neighbor_id, e.embedding AS c_emb,
-            c.centroid_id,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
-              c.centroid_id) AS crn
-          FROM embeddings e CROSS JOIN cent$iters c) t
-        WHERE crn <= 1),
-      query_cells AS (
-        SELECT query_id, q_emb, centroid_id AS cell FROM (
-          SELECT e.vec_id AS query_id, e.embedding AS q_emb,
-            c.centroid_id,
-            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
-              c.centroid_id) AS crn
-          FROM embeddings e CROSS JOIN cent$iters c
-          WHERE e.vec_id < 16) t
-        WHERE crn <= 2),
+      WITH ${trainedCentCtes(kC, dim, iters)},
+      ${cellCtes(s"cent$iters", nprobe = 2)},
       scored AS (
         SELECT q.query_id, cc.neighbor_id,
           ${duckCosine("q.q_emb::DOUBLE[]", "cc.c_emb::DOUBLE[]")} AS score
@@ -316,23 +352,8 @@ object SimilarityQueries {
     // have no accumulation-order sensitivity). Both engines run the
     // identical floor arithmetic, so codes (and therefore scores)
     // hash-match exactly.
-    Q("q77_sq8_topk", Some("""
-      WITH coded AS (
-        SELECT vec_id,
-          list_transform(embedding::DOUBLE[], x ->
-            CAST(floor(x * 127.0 /
-              list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
-              + 0.5) AS BIGINT)) AS code
-        FROM embeddings
-        WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0
-          AND NOT isnan(list_max(list_transform(embedding::DOUBLE[], y -> abs(y))))
-          AND list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
-            <> 'infinity'::DOUBLE),
-      normed AS (
-        SELECT vec_id, code,
-          list_reduce(list_transform(code, x -> x * x),
-            (acc, v) -> acc + v) AS n2
-        FROM coded),
+    Q("q77_sq8_topk", Some(s"""
+      WITH $sq8CodedCtes,
       scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
           CAST(list_reduce(list_transform(list_zip(q.code, c.code),
@@ -351,6 +372,103 @@ object SimilarityQueries {
       // oracle replays (spec-asserted equal), a quarter of the bytes
       Similarity.sq8TopKPacked(emb.filter(col("vec_id") < 16), emb, k = 5)
         .orderBy("query_id", "rn")
+    },
+
+    // PERSISTED IVF index paths, oracle-checked end to end: build the
+    // float index (trained codebook + cell-partitioned assignments) and
+    // the SQ8 index (same codebook, packed int8 codes) on disk, query
+    // BOTH through the partition-pruned indexed readers, and measure
+    // recall@5 of each against the exact brute-force top-5 — one row
+    // per (method, query). The indexed readers are the shape a
+    // production ANN service runs at 100 TB (train/assign once, every
+    // query pays only its nprobe cell partitions); until now they were
+    // covered only by inline-equivalence specs. The oracle re-derives
+    // the trained k-means, the cell probe, the int8 quantization, AND
+    // the recall arithmetic in SQL — per-query hit counts must match
+    // exactly, a strictly stronger check than an average-recall floor.
+    {
+      val kC = 8; val dim = 64; val iters = 2; val nprobe = 2
+      Q("q98_ivf_index_recall", Some(s"""
+      WITH ${trainedCentCtes(kC, dim, iters)},
+      ${cellCtes(s"cent$iters", nprobe)},
+      exact AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              ${duckCosine("q.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")} DESC,
+              c.vec_id) AS rn
+          FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 16) t
+        WHERE rn <= 5),
+      ivf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.query_id, cc.neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              ${duckCosine("q.q_emb::DOUBLE[]", "cc.c_emb::DOUBLE[]")} DESC,
+              cc.neighbor_id) AS rn
+          FROM query_cells q JOIN corpus_cells cc USING (cell)
+          WHERE q.query_id <> cc.neighbor_id) t
+        WHERE rn <= 5),
+      $sq8CodedCtes,
+      sq8 AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.query_id, cc.neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              CAST(list_reduce(list_transform(list_zip(nq.code, nc.code),
+                     x -> x[1] * x[2]), (acc, v) -> acc + v) AS DOUBLE)
+                / (sqrt(CAST(nq.n2 AS DOUBLE))
+                   * sqrt(CAST(nc.n2 AS DOUBLE))) DESC,
+              cc.neighbor_id) AS rn
+          FROM query_cells q
+          JOIN normed nq ON nq.vec_id = q.query_id
+          JOIN corpus_cells cc USING (cell)
+          JOIN normed nc ON nc.vec_id = cc.neighbor_id
+          WHERE q.query_id <> cc.neighbor_id) t
+        WHERE rn <= 5),
+      approx AS (
+        SELECT 'ivf_indexed' AS method, query_id, neighbor_id FROM ivf
+        UNION ALL
+        SELECT 'sq8_indexed' AS method, query_id, neighbor_id FROM sq8),
+      hit_counts AS (
+        SELECT a.method, a.query_id, COUNT(*) AS h
+        FROM approx a JOIN exact e USING (query_id, neighbor_id)
+        GROUP BY 1, 2),
+      exact_counts AS (
+        SELECT query_id, COUNT(*) AS ec FROM exact GROUP BY 1)
+      SELECT m.method, q.vec_id AS query_id,
+        CAST(COALESCE(h.h, 0) AS INT) AS hits,
+        CASE WHEN COALESCE(ec.ec, 0) = 0 THEN 1.0
+             ELSE CAST(COALESCE(h.h, 0) AS DOUBLE) / LEAST(5, ec.ec)
+        END AS recall
+      FROM (SELECT 'ivf_indexed' AS method
+            UNION ALL SELECT 'sq8_indexed') m
+      CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id < 16) q
+      LEFT JOIN hit_counts h
+        ON h.method = m.method AND h.query_id = q.vec_id
+      LEFT JOIN exact_counts ec ON ec.query_id = q.vec_id
+      ORDER BY m.method, q.vec_id""")) { (s, dir) =>
+        val emb = Tables.load(s, dir, "embeddings")
+        val idx = Q.scratchPath("q98idx", dir)
+        // build both indexes BEFORE any indexed read opens the codebook
+        // (overwrite replaces files; a reader holding the old file list
+        // would hit deleted paths)
+        Similarity.buildIvfIndex(emb, idx, k = kC, dim = dim,
+          iterations = iters)
+        Similarity.buildIvfIndexSq8(emb, idx, k = kC, dim = dim,
+          iterations = iters)
+        val queries = emb.filter(col("vec_id") < 16)
+        val qids = queries.select(col("vec_id").as("query_id"))
+        val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+        val ivf = Similarity.ivfTopKIndexed(s, idx, queries, k = 5,
+          nprobe = nprobe)
+        val sq8 = Similarity.ivfTopKIndexedSq8(s, idx, queries, k = 5,
+          nprobe = nprobe)
+        Similarity.recallAtK(qids, exact, ivf, k = 5,
+            method = "ivf_indexed")
+          .union(Similarity.recallAtK(qids, exact, sq8, k = 5,
+            method = "sq8_indexed"))
+          .orderBy("method", "query_id")
+      }
     }
   )
 }
