@@ -380,6 +380,102 @@ object DedupQueries {
             isOld, offset = Off)
           .orderBy("doc_id")
       }
+    },
+
+    // Streaming dedup state machine ≡ batchwise incremental assign:
+    // the corpus arrives as 3 micro-batches (doc_id % 3, in order)
+    // through CorpusStreams.assignBatch — the exact per-batch fold the
+    // streaming wrapper triggers — and the materialized assignment
+    // state must equal the oracle's replay of the same fold: per batch,
+    // candidates whose newest endpoint is in that batch, old endpoints
+    // rewritten to their already-assigned cluster rep, a recursive-CTE
+    // component search, and append-only state growth. This proves the
+    // lake-state streaming path (signatures-before-assignments ordering,
+    // replay anti-join, per-batch checkpoint scope) computes the batch
+    // answer, not an approximation of it.
+    {
+      val B = 3
+      val Off = 1L << 40 // assignBatch's id-encode offset
+      def foldCtes: String = {
+        val sb = new StringBuilder
+        sb.append(s"""
+      p0 AS (
+        SELECT id_a, id_b FROM scored
+        WHERE id_a % $B = 0 AND id_b % $B = 0),
+      u0 AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM p0
+        UNION SELECT id_b, id_a FROM p0),
+      r0(id, r) AS (
+        SELECT DISTINCT src, src FROM u0
+        UNION
+        SELECT e.dst, r0.r FROM r0 JOIN u0 e ON r0.id = e.src),
+      c0 AS (SELECT id, MIN(r) AS lbl FROM r0 GROUP BY id),
+      s0 AS MATERIALIZED (
+        SELECT d.doc_id, COALESCE(c0.lbl, d.doc_id) AS cluster_rep
+        FROM (SELECT doc_id FROM documents WHERE doc_id % $B = 0) d
+        LEFT JOIN c0 ON d.doc_id = c0.id)""")
+        for (b <- 1 until B) sb.append(s""",
+      p$b AS (
+        SELECT id_a, id_b FROM scored
+        WHERE id_a % $B <= $b AND id_b % $B <= $b
+          AND (id_a % $B = $b OR id_b % $B = $b)),
+      e$b AS (
+        SELECT
+          CASE WHEN id_a % $B = $b THEN id_a + $Off
+               ELSE COALESCE(la.cluster_rep, id_a) END AS src,
+          CASE WHEN id_b % $B = $b THEN id_b + $Off
+               ELSE COALESCE(lb.cluster_rep, id_b) END AS dst
+        FROM p$b
+        LEFT JOIN s${b - 1} la ON id_a = la.doc_id
+        LEFT JOIN s${b - 1} lb ON id_b = lb.doc_id),
+      u$b AS MATERIALIZED (
+        SELECT src, dst FROM e$b UNION SELECT dst, src FROM e$b),
+      r$b(id, r) AS (
+        SELECT DISTINCT src, src FROM u$b
+        UNION
+        SELECT e.dst, r$b.r FROM r$b JOIN u$b e ON r$b.id = e.src),
+      c$b AS (SELECT id, MIN(r) AS lbl FROM r$b GROUP BY id),
+      n$b AS (
+        SELECT id - $Off AS doc_id,
+          CASE WHEN lbl >= $Off THEN lbl - $Off ELSE lbl END
+            AS cluster_rep
+        FROM c$b WHERE id >= $Off),
+      s$b AS MATERIALIZED (
+        SELECT doc_id, cluster_rep FROM s${b - 1}
+        UNION ALL
+        SELECT d.doc_id, COALESCE(n$b.cluster_rep, d.doc_id)
+        FROM (SELECT doc_id FROM documents WHERE doc_id % $B = $b) d
+        LEFT JOIN n$b ON d.doc_id = n$b.doc_id)""")
+        sb.toString
+      }
+      Q("q99_streaming_dedup", Some(s"""
+      WITH RECURSIVE $mhCtes,
+      scored AS MATERIALIZED (
+        SELECT id_a, id_b FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE ($mhAgree) * 2 >= $MhNumHashes),
+      $foldCtes
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(cluster_rep AS BIGINT) AS cluster_rep
+      FROM s${B - 1} ORDER BY doc_id""")) { (s, dir) =>
+        val state = Q.scratchPath("q99state", dir)
+        // fresh state per call: a bench rerun must redo the fold, not
+        // no-op through the replay anti-join against last run's state
+        val statePath = new org.apache.hadoop.fs.Path(state)
+        statePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(statePath, true): Unit
+        val docs = Tables.load(s, dir, "documents")
+        for (b <- 0 until B)
+          graft.streaming.CorpusStreams.assignBatch(
+            docs.filter(col("doc_id") % B === b).select("doc_id", "text"),
+            state, n = 3, numHashes = MhNumHashes, bands = MhBands,
+            threshold = 0.5, offset = Off)
+        graft.streaming.CorpusStreams.assignments(s, state)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("cluster_rep").cast("long").as("cluster_rep"))
+          .orderBy("doc_id")
+      }
     }
   )
 }
