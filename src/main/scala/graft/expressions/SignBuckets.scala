@@ -2,7 +2,8 @@ package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
@@ -34,7 +35,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * worst kind.
   */
 case class SignBuckets(child: Expression, signs: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   private val bits = signs.length
   private val dim = if (signs.isEmpty) 0 else signs.head.length
@@ -61,6 +62,27 @@ case class SignBuckets(child: Expression, signs: Seq[Seq[Double]])
     val v = child.eval(input)
     if (v == null) 0
     else SignBuckets.compute(v.asInstanceOf[ArrayData], flat, bits, dim)
+  }
+
+  /** Static call into [[SignBuckets.compute]] so the bucket loop stays
+    * inside WholeStageCodegen and the enclosing projection keeps
+    * fusing (the CodegenFallback version broke the stage around every
+    * LSH projection — the dominant cost of q19/q20 at sf0.1). The
+    * hyperplane matrix rides along as a codegen reference object, NOT
+    * inlined source: at 8×64 it would be a 512-literal array
+    * initializer re-parsed per compile. Null input takes the
+    * constant-0 branch exactly as [[eval]]. */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("signs", flat, "double[]")
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code + code"""
+      int ${ev.value} = 0;
+      if (!${c.isNull}) {
+        ${ev.value} = graft.expressions.SignBuckets.compute(
+          ${c.value}, $signsRef, $bits, $dim);
+      }
+    """, isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(

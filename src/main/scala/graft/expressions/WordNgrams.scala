@@ -1,8 +1,8 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -17,6 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * HOFs get neither codegen nor CSE, and the slice/join allocations
   * made the shingle-index build the dominant cost of every
   * shingle-based dedup query (measured ~4 s of q19's 8 s at sf0.1).
+  * `doGenCode` emits a static call to [[WordNgrams.compute]] so the
+  * shingle projection additionally stays inside WholeStageCodegen
+  * instead of forcing its stage interpreted.
   *
   *   - tokens: ASCII-space trim (exactly Spark's/DuckDB's `trim`,
   *     narrower than java.lang.String#trim), then regex `\s+` split
@@ -29,23 +32,41 @@ import org.apache.spark.unsafe.types.UTF8String
   *     row simply contributes nothing).
   */
 case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
-    extends UnaryExpression with CodegenFallback
-    with RequiresStringInput {
+    extends UnaryExpression with RequiresStringInput {
 
   require(n >= 1, "n must be >= 1")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_ngrams"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.WordNgrams.compute($c, $n, $distinct)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordNgrams = copy(child = newChild)
+}
+
+object WordNgrams {
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val empty = new GenericArrayData(new Array[Any](0))
+
+  /** Shared by eval and generated code (static forwarder). Declared
+    * [[ArrayData]] so the generated assignment matches the codegen
+    * java type for ARRAY<STRING>. */
+  def compute(input: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val text = input.toString
     var start = 0
     var end = text.length
     while (start < end && text.charAt(start) == ' ') start += 1
     while (end > start && text.charAt(end - 1) == ' ') end -= 1
-    val toks = WordNgrams.ws.split(text.substring(start, end), -1)
+    val toks = ws.split(text.substring(start, end), -1)
     val count = toks.length - n + 1
-    if (count <= 0) return WordNgrams.empty
+    if (count <= 0) return empty
     val sb = new java.lang.StringBuilder(64)
     if (distinct) {
       // LinkedHashSet = first-occurrence order, as array_distinct
@@ -87,14 +108,6 @@ case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
       new GenericArrayData(out)
     }
   }
-
-  override protected def withNewChildInternal(
-      newChild: Expression): WordNgrams = copy(child = newChild)
-}
-
-object WordNgrams {
-  private val ws = java.util.regex.Pattern.compile("\\s+")
-  private val empty = new GenericArrayData(new Array[Any](0))
 
   /** Column-API entry point — the one place the ColumnBridge idiom
     * for this expression lives. */

@@ -53,6 +53,37 @@ class NfkcExpressionSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [nfkc("))
   }
 
+  test("simhash64/word_ngrams/sign_buckets stay inside WholeStageCodegen") {
+    // round-9: these three were CodegenFallback, breaking whole-stage
+    // fusion around every LSH/shingle projection — the dominant cost
+    // of q19/q20. A "*(n)" prefix on the Project proves the generated
+    // doGenCode path compiled and fused.
+    def planOf(sql: String): String =
+      spark.range(5)
+        .select(expr(sql.replace("IN",
+          "concat('a b c x', cast(id as string))")))
+        .queryExecution.executedPlan.toString
+    assert(planOf("simhash64(IN)").contains("*(1) Project [simhash64("))
+    assert(planOf("word_ngrams(IN, 2, true)")
+      .contains("*(1) Project [word_ngrams("))
+    val sbPlan = spark.range(5)
+      .select(expr("sign_buckets(array(cast(id as double), 1.0d), 4, 2)"))
+      .queryExecution.executedPlan.toString
+    assert(sbPlan.contains("*(1) Project [sign_buckets("))
+    // codegen result == interpreted eval result (same static compute)
+    val rows = spark.range(3)
+      .selectExpr(
+        "simhash64(concat('tok ', cast(id as string))) AS h",
+        "word_ngrams(concat('a b c ', cast(id as string)), 2, true) AS g",
+        "sign_buckets(array(cast(id as double), -1.0d), 4, 2) AS b")
+      .collect()
+    val viaEval = evalStr("tok 0",
+      c => graft.analytics.Dedup.simHashHex(c)).asInstanceOf[String]
+    assert(rows(0).getString(0) == viaEval)
+    assert(rows(1).getSeq[String](1) == Seq("a b", "b c", "c 1"))
+    assert(rows.map(_.getInt(2)).forall(b => b >= 0 && b < 16))
+  }
+
   test("expression participates in constant folding") {
     // foldable literal input ⇒ Catalyst folds the call away entirely
     val plan = spark.sql("SELECT nfkc('ﬁve') AS v")
