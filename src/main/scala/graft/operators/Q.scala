@@ -29,17 +29,13 @@ final case class Q(
     val fn: (SparkSession, String) => DataFrame)
 
 object Q {
-  /** Per-JVM token in scratch paths so two drivers on the same sf dir
-    * (e.g. a Verify and a Bench running concurrently) never race on a
-    * shared /tmp table one of them deletes or overwrites mid-run. */
-  private val jvmScratchToken: String =
-    java.util.UUID.randomUUID().toString.take(8)
-
   /** Scratch dir for a query that must persist intermediate state
-    * (indexes, fact tables) — unique per (tag, JVM, sf dir). */
+    * (indexes, fact tables) — unique per (tag, JVM, sf dir), rooted
+    * under the per-JVM [[graft.util.Scratch]] tree so it is reclaimed
+    * on JVM exit instead of accumulating across runs. */
   def scratchPath(tag: String, dir: String): String =
-    System.getProperty("java.io.tmpdir") +
-      s"/graft_${tag}_${jvmScratchToken}_" + Integer.toHexString(dir.hashCode)
+    graft.util.Scratch.path(
+      tag + "_" + Integer.toHexString(dir.hashCode))
 
   /** Exact decimal view of a corpus double (values have <=2 decimals). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -155,8 +155,7 @@ object WarehouseQueries {
         year(col("o_orderdate")).as("part_year"),
         month(col("o_orderdate")).as("part_month"),
         col("o_totalprice"), col("o_orderstatus"))
-      val path = System.getProperty("java.io.tmpdir") +
-        "/graft_q55_" + Integer.toHexString(dir.hashCode)
+      val path = Q.scratchPath("q55", dir)
       base.write.mode("overwrite")
         .partitionBy("part_year", "part_month").parquet(path)
       val inc = base
