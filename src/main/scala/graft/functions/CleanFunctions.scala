@@ -11,10 +11,17 @@ import org.apache.spark.sql.types.DecimalType
   * expressions — fully codegen'd, no UDFs, so they vectorize inside
   * WholeStageCodegen and scale linearly with input splits.
   *
-  * Rounding is `bround` (HALF_EVEN) throughout: Python's `round` —
-  * what every reference cleaner calls — is banker's rounding, so
-  * Spark's default HALF_UP `round` would diverge on values landing
-  * exactly on a .5 boundary of the target scale.
+  * Rounding convention (two deliberate regimes — keep them straight):
+  * measurement cleaners (F6–F11) use `bround` (HALF_EVEN), because
+  * Python's `round` — what every reference cleaner calls — is
+  * banker's rounding, and Spark's default HALF_UP `round` would
+  * diverge on values landing exactly on a .5 boundary of the target
+  * scale; COORDINATES round through [[normalizeCoord]], which uses
+  * HALF_UP `round` for DuckDB-oracle parity. The two can only differ
+  * on exact .5 ties at the target scale, and a binary double cannot
+  * represent a decimal .5 tie at 6 dp — so the coordinate choice is
+  * tie-free today; [[normalizeCoord]] exists so that if the precision
+  * ever changes, the decision lives in exactly one place.
   */
 object CleanFunctions {
 
@@ -24,8 +31,10 @@ object CleanFunctions {
       lat.between(-90, 90) && lon.between(-180, 180)
 
   /** F2 — coordinate precision normalize (round 6 dp,
-    * `etl/utils/validators.py:14-17`). */
-  def normalizeCoord(c: Column): Column = bround(c, 6)
+    * `etl/utils/validators.py:14-17`). THE home of the coordinate
+    * rounding mode — every cleaner/pipeline coordinate site routes
+    * here (see the module doc for the round-vs-bround rationale). */
+  def normalizeCoord(c: Column): Column = round(c, 6)
 
   /** Generic clamp (`cleaners.py:526-530`): null stays null. */
   def clamp(c: Column, lo: Double, hi: Double): Column =

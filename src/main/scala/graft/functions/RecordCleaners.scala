@@ -27,8 +27,8 @@ object RecordCleaners {
     val sand = CleanFunctions.cleanPercentage(col("sand_0_5cm"))
     val silt = CleanFunctions.cleanPercentage(col("silt_0_5cm"))
     val cleaned = df.filter(ok).select(
-      round(col("latitude"), 6).as("latitude"),
-      round(col("longitude"), 6).as("longitude"),
+      CleanFunctions.normalizeCoord(col("latitude")).as("latitude"),
+      CleanFunctions.normalizeCoord(col("longitude")).as("longitude"),
       clay.as("clay_content"), sand.as("sand_content"),
       silt.as("silt_content"),
       CleanFunctions.cleanPh(col("ph_0_5cm")).as("ph_level"),

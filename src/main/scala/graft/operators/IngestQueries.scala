@@ -583,8 +583,9 @@ object IngestQueries {
       val parsed = OpenMeteoSource.parse(OpenMeteoSource.read(s, meteoPath))
       val cleaned = RecordCleaners.cleanWeatherData(parsed)
         .withColumn("location_hash",
-          CleanFunctions.locationHash(round(col("latitude"), 6),
-            round(col("longitude"), 6)))
+          CleanFunctions.locationHash(
+            CleanFunctions.normalizeCoord(col("latitude")),
+            CleanFunctions.normalizeCoord(col("longitude"))))
       val dim = cleaned.select("location_hash").distinct()
         .withColumn("location_key", Scd2.surrogateKey(col("location_hash")))
       val keyed = cleaned.join(broadcast(dim), Seq("location_hash"))

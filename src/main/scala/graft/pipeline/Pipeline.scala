@@ -22,8 +22,8 @@ object Pipeline {
   def upsertLocations(existingDim: DataFrame, coords: DataFrame,
       effectiveDate: Column): DataFrame = {
     val incoming = coords.select(
-      round(col("latitude"), 6).as("latitude"),
-      round(col("longitude"), 6).as("longitude"))
+      CleanFunctions.normalizeCoord(col("latitude")).as("latitude"),
+      CleanFunctions.normalizeCoord(col("longitude")).as("longitude"))
       .withColumn("location_hash",
         CleanFunctions.locationHash(col("latitude"), col("longitude")))
     Scd2.lookupOrInsert(existingDim, incoming, "location_hash",
@@ -46,8 +46,9 @@ object Pipeline {
     val parsed = OpenMeteoSource.parse(OpenMeteoSource.read(spark, jsonPath))
     val cleaned = RecordCleaners.cleanWeatherData(parsed)
       .withColumn("location_hash",
-        CleanFunctions.locationHash(round(col("latitude"), 6),
-          round(col("longitude"), 6)))
+        CleanFunctions.locationHash(
+          CleanFunctions.normalizeCoord(col("latitude")),
+          CleanFunctions.normalizeCoord(col("longitude"))))
     val dim = upsertLocations(existingDim,
       cleaned.select("latitude", "longitude"), effectiveDate)
     // the location dim grows with distinct coordinates — no hard
