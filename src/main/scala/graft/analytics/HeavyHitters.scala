@@ -105,11 +105,16 @@ object HeavyHitters {
   }
 
   /** Raw unioned per-partition summaries: (token, est, err, pid,
-    * bound). ≤ capacity · partitions rows — model-sized. */
-  private def sketchSummary(docs: DataFrame, capacity: Int): DataFrame = {
-    val sess = docs.sparkSession
+    * bound). ≤ capacity · partitions rows — model-sized. Takes the
+    * already-tokenized stream so the census can reuse one cached
+    * tokenization across the sketch pass, the recount pass, and every
+    * adaptive retry — the token explode is the single most expensive
+    * map stage of the census, and uncached it ran 2× per attempt. */
+  private def sketchSummary(toks: Dataset[String],
+      capacity: Int): DataFrame = {
+    val sess = toks.sparkSession
     import sess.implicits._
-    tokens(docs).mapPartitions(spaceSavingPartition(capacity))
+    toks.mapPartitions(spaceSavingPartition(capacity))
       .toDF("token", "est", "err", "pid", "bound")
   }
 
@@ -121,7 +126,7 @@ object HeavyHitters {
     * ranks by it and recounts candidates exactly instead. Row count ≤
     * capacity · partitions — model-sized, broadcastable. */
   def sketchCandidates(docs: DataFrame, capacity: Int): DataFrame =
-    sketchSummary(docs, capacity)
+    sketchSummary(tokens(docs), capacity)
       .groupBy("token")
       .agg(sum("est").as("est_upper"), sum("err").as("err_upper"))
 
@@ -130,13 +135,13 @@ object HeavyHitters {
     * capacity; Right = the proven top-k as a driver-local k-row frame
     * (so the caller's action does not recompute the two corpus scans —
     * a top-k is driver-sized by definition). */
-  private def verifiedTopK(docs: DataFrame, k: Int,
+  private def verifiedTopK(toks: Dataset[String], k: Int,
       capacity: Int): Either[String, DataFrame] = {
     require(k > 0, s"k must be positive, got $k")
     require(capacity >= k,
       s"capacity $capacity < k $k: the sketch cannot even hold k counters")
-    val sess = docs.sparkSession
-    val sk = sketchSummary(docs, capacity)
+    val sess = toks.sparkSession
+    val sk = sketchSummary(toks, capacity)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // Σ over partitions of the absence bound — the maximum possible
@@ -146,7 +151,7 @@ object HeavyHitters {
         .agg(coalesce(sum("b"), lit(0L)).as("s"))
         .collect()(0).getLong(0)
       val cand = sk.select("token").distinct()
-      val verified = tokens(docs).toDF("token")
+      val verified = toks.toDF("token")
         .join(broadcast(cand), Seq("token"), "left_semi")
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
@@ -179,32 +184,47 @@ object HeavyHitters {
     * than silently returning an unproven result. Raise `capacity` or
     * use [[approxVocabTopKAdaptive]]. */
   def approxVocabTopK(docs: DataFrame, k: Int,
-      capacity: Int = 4096): DataFrame =
-    verifiedTopK(docs, k, capacity) match {
+      capacity: Int = 4096): DataFrame = {
+    val toks = tokens(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try verifiedTopK(toks, k, capacity) match {
       case Right(df) => df
       case Left(diag) => throw new IllegalStateException(
         s"$diag — raise capacity or use approxVocabTopKAdaptive")
-    }
+    } finally { toks.unpersist(false); () }
+  }
 
   /** Guarantee-aware capacity auto-tuning: run the sketch-then-verify
     * census at `initialCapacity`, doubling until the coverage check
     * certifies rank k or `maxCapacity` is exceeded (then throws with
-    * the last diagnosis). Each attempt costs two corpus scans; the
+    * the last diagnosis). Each attempt costs two passes over ONE
+    * cached tokenization of the corpus (the explode is the census's
+    * dominant map stage; re-tokenizing per pass doubled q96); the
     * doubling ladder is log-short and the common case (Zipf-shaped
     * vocabulary) certifies on the first try. */
   def approxVocabTopKAdaptive(docs: DataFrame, k: Int,
       initialCapacity: Int = 1024,
       maxCapacity: Int = 1 << 20): DataFrame = {
     var cap = math.max(initialCapacity, k)
-    var lastDiag = ""
-    while (cap <= maxCapacity) {
-      verifiedTopK(docs, k, cap) match {
-        case Right(df) => return df
-        case Left(diag) =>
-          lastDiag = diag
-          cap = math.min(cap.toLong * 2, Int.MaxValue.toLong).toInt
+    var lastDiag = s"initial capacity $cap already exceeds " +
+      s"maxCapacity $maxCapacity — no attempt was run"
+    val toks = tokens(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      while (cap <= maxCapacity) {
+        verifiedTopK(toks, k, cap) match {
+          case Right(df) => return df
+          case Left(diag) =>
+            lastDiag = diag
+            // saturating doubling: when the next capacity cannot grow
+            // (Int.MaxValue reached) stop instead of re-running the
+            // same failing two-pass attempt forever
+            val next = math.min(cap.toLong * 2, Int.MaxValue.toLong).toInt
+            if (next == cap) throw new IllegalStateException(
+              s"capacity saturated at $cap without certifying rank " +
+                s"$k: $lastDiag")
+            cap = next
+        }
       }
-    }
+    } finally { toks.unpersist(false); () }
     throw new IllegalStateException(
       s"no capacity ≤ $maxCapacity certifies rank $k: $lastDiag")
   }
