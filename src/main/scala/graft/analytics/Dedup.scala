@@ -414,52 +414,86 @@ object Dedup {
       value: String): DataFrame =
     df.groupBy(key).agg(min(col(value)).as("__mn"))
 
+  /** One full alternating contraction round (large-star then
+    * small-star) as a LAZY plan over a materialized edge frame.
+    *
+    * Large-star: for every node u, attach each strictly-larger
+    * neighbor v to m = min(Γ(u) ∪ {u}); u's view covers each edge
+    * from its smaller endpoint, so the result is again larger-first.
+    * Neighborhood minima via groupBy + join-back, NOT a window:
+    * during contraction a representative's degree grows to component
+    * size, and window functions have no map-side partials — a 100M-
+    * node component would push 100M rows through one task's sort.
+    * groupBy(min) partial-aggregates the hot key down to one row per
+    * map partition, and the join-back is an equi-join AQE can skew-
+    * split; per-task state stays bounded at any component size.
+    *
+    * Small-star: edges are (x, y) with y < x; attach x and all its
+    * smaller neighbors to m = min of them. Same partial-agg shape;
+    * the (x, m) self rows come straight off the aggregate (one row
+    * per x) instead of once per edge pre-distinct.
+    */
+  private def contractOnce(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("x").as("u"), col("y").as("v"))
+      .unionByName(edges.select(col("y").as("u"), col("x").as("v")))
+    val large = bidir.join(neighborhoodMin(bidir, "u", "v"), Seq("u"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("x"),
+        least(col("__mn"), col("u")).as("y")).distinct()
+    val minsX = neighborhoodMin(large, "x", "y")
+    large.join(minsX, Seq("x"))
+      .where(col("y") =!= col("__mn"))
+      .select(col("y").as("x"), col("__mn").as("y"))
+      .unionByName(minsX.select(col("x"), col("__mn").as("y")))
+      .distinct()
+  }
+
+  /** Eager reliable checkpoint that RETURNS the materialization count
+    * and content fingerprint, via
+    * [[org.apache.spark.sql.graft.CheckpointBridge]] — the loop below
+    * needs them every iteration, and the stock `checkpoint(eager=true)`
+    * discards its internal count, forcing a second full action per
+    * iteration to recover it. (Cheaper-looking materializers measured
+    * SLOWER here: a parquet scratch round-trip loses the distinct's
+    * output partitioning that the checkpointed LogicalRDD preserves
+    * for the next round's aggregations, +50% across q61/q78/q97/q99;
+    * persist-then-checkpoint and batching two contraction rounds per
+    * barrier both added more job/stage latency than they saved.) */
+  private def materializeWithStats(df: DataFrame): (DataFrame, Long, Long) = {
+    ensureCheckpointDir(df.sparkSession.sparkContext)
+    org.apache.spark.sql.graft.CheckpointBridge.checkpointWithStats(df)
+  }
+
+  /** Star-contraction connected components. `materializeResult = false`
+    * skips checkpointing the RESULT (the loop state is always
+    * checkpointed): right for callers that consume the labels exactly
+    * once in one downstream action — the labels' lineage is then two
+    * cheap scans of the final checkpointed edge set. Leave it on when
+    * the result feeds multiple actions or multiple plan subtrees
+    * (q78's oldLabels joins both pair endpoints). */
   def connectedComponentsStar(pairs: DataFrame, aCol: String,
-      bCol: String, maxIter: Int = 35): DataFrame = {
+      bCol: String, maxIter: Int = 35,
+      materializeResult: Boolean = true): DataFrame = {
     // canonical larger-first undirected edge set
-    var edges = materialize(pairs
+    var (edges, edgeCount, edgeFp) = materializeWithStats(pairs
       .select(greatest(col(aCol), col(bCol)).as("x"),
         least(col(aCol), col(bCol)).as("y"))
       .where(col("x") =!= col("y")).distinct())
-    var edgeCount = edges.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // large-star: for every node u, attach each strictly-larger
-      // neighbor v to m = min(Γ(u) ∪ {u}); u's view covers each edge
-      // from its smaller endpoint, so the result is again larger-first.
-      // Neighborhood minima via groupBy + join-back, NOT a window:
-      // during contraction a representative's degree grows to component
-      // size, and window functions have no map-side partials — a 100M-
-      // node component would push 100M rows through one task's sort.
-      // groupBy(min) partial-aggregates the hot key down to one row per
-      // map partition, and the join-back is an equi-join AQE can skew-
-      // split; per-task state stays bounded at any component size.
-      val bidir = edges.select(col("x").as("u"), col("y").as("v"))
-        .unionByName(edges.select(col("y").as("u"), col("x").as("v")))
-      val large = bidir.join(neighborhoodMin(bidir, "u", "v"), Seq("u"))
-        .where(col("v") > col("u"))
-        .select(col("v").as("x"),
-          least(col("__mn"), col("u")).as("y")).distinct()
-      // small-star: edges are (x, y) with y < x; attach x and all its
-      // smaller neighbors to m = min of them. Same partial-agg shape;
-      // the (x, m) self rows come straight off the aggregate (one row
-      // per x) instead of once per edge pre-distinct.
-      val minsX = neighborhoodMin(large, "x", "y")
-      val small = large.join(minsX, Seq("x"))
-        .where(col("y") =!= col("__mn"))
-        .select(col("y").as("x"), col("__mn").as("y"))
-        .unionByName(minsX.select(col("x"), col("__mn").as("y")))
-        .distinct()
+      val (next, nextCount, nextFp) = materializeWithStats(
+        contractOnce(edges))
       // both sides are distinct sets, so equal counts + one-sided
-      // containment ⇒ equality; the count gate (a metadata-cheap job
-      // on a checkpointed frame) skips the anti-join on every round
-      // where the edge count still moved
-      val next = materialize(small)
-      val nextCount = next.count()
-      converged = nextCount == edgeCount &&
+      // containment ⇒ equality; the count+fingerprint gate (free off
+      // the materialization job) skips the anti-join on every round
+      // where the edge set still moved, and the anti-join remains the
+      // EXACT confirmation — a fingerprint collision only costs one
+      // spurious exceptAll, never a wrong fixpoint
+      converged = nextCount == edgeCount && nextFp == edgeFp &&
         next.exceptAll(edges).isEmpty
       edgeCount = nextCount
+      edgeFp = nextFp
       edges = next
       i += 1
     }
@@ -476,9 +510,10 @@ object Dedup {
         col("y").as("cluster_rep")).distinct())
     val nodes = pairs.select(col(aCol).as("doc_id"))
       .unionByName(pairs.select(col(bCol).as("doc_id"))).distinct()
-    materialize(stars.unionByName(
+    val labels = stars.unionByName(
       nodes.join(stars, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("cluster_rep"))))
+        .select(col("doc_id"), col("doc_id").as("cluster_rep")))
+    if (materializeResult) materialize(labels) else labels
   }
 
   /** Apply near-dup clustering to a corpus — the step that turns
@@ -501,7 +536,10 @@ object Dedup {
   def keepRepresentatives(docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {
-    val clusters = connectedComponentsStar(pairs, aCol, bCol)
+    // labels feed exactly one join in one plan — skip the result
+    // checkpoint (the loop state behind them is checkpointed)
+    val clusters = connectedComponentsStar(pairs, aCol, bCol,
+        materializeResult = false)
       .withColumnRenamed("doc_id", idCol)
     val kept = docs.select(col(idCol))
       .join(clusters, Seq(idCol), "left")
@@ -609,7 +647,8 @@ object Dedup {
     * NEW rows only, ids shifted back, `joined_existing` = the
     * component label landed below the offset (an existing rep). */
   private def assignFromEncoded(enc: DataFrame, offset: Long): DataFrame =
-    connectedComponentsStar(enc, "src", "dst")
+    connectedComponentsStar(enc, "src", "dst",
+        materializeResult = false)
       .where(col("doc_id") >= offset)
       .select((col("doc_id") - offset).as("doc_id"),
         when(col("cluster_rep") >= offset, col("cluster_rep") - offset)

@@ -213,7 +213,8 @@ object DedupQueries {
       FROM reach GROUP BY id ORDER BY doc_id""")) { (s, dir) =>
       val pairs = Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", n = 3, threshold = 0.5)
-      Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+      Dedup.connectedComponentsStar(pairs, "id_a", "id_b",
+          materializeResult = false)
         .orderBy("doc_id")
     },
 
@@ -267,7 +268,8 @@ object DedupQueries {
           Tables.load(s, dir, "documents"), "doc_id", "text",
           n = 3, numHashes = MhNumHashes, bands = MhBands)
         .where(col("est_jaccard") >= 0.5)
-      Dedup.connectedComponentsStar(cand, "id_a", "id_b")
+      Dedup.connectedComponentsStar(cand, "id_a", "id_b",
+          materializeResult = false)
         .orderBy("doc_id")
     },
 

@@ -1,7 +1,6 @@
 package graft.util
 
 import java.nio.file.{Files, Path, Paths}
-import java.util.concurrent.atomic.AtomicLong
 
 /** Per-JVM scratch-directory root, deleted on JVM exit.
   *
@@ -37,23 +36,9 @@ object Scratch {
     p.toString
   }
 
-  private val seq = new AtomicLong(0L)
-
   /** A stable scratch path for (tag): same string every call with the
     * same tag, unique per JVM, reclaimed on exit. */
   def path(tag: String): String = s"$root/$tag"
-
-  /** A FRESH scratch path (monotonic suffix) — for per-iteration
-    * materializations where the caller wants a new directory each
-    * call and deletes superseded ones itself ([[discard]]). */
-  def fresh(tag: String): String = s"$root/${tag}_${seq.incrementAndGet()}"
-
-  /** Best-effort eager reclaim of one scratch dir (superseded
-    * iteration state); the shutdown hook remains the backstop. */
-  def discard(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (p.startsWith(Paths.get(root))) deleteTree(p)
-  }
 
   private def deleteTree(p: Path): Unit =
     try {
