@@ -211,13 +211,20 @@ object Similarity {
     * query-time call ([[ivfTopKIndexed]]) pays only the probe — the
     * index-once/query-many shape a production ANN service runs; the
     * inline [[ivfTopKWith]] re-assigns the corpus every call.
+    *
+    * `codebook` supplies a pre-trained codebook (a
+    * [[kmeansCodebook]] result — a driver-local model-sized frame) so
+    * sibling index layouts over the same corpus (float +
+    * [[buildIvfIndexSq8]]) share ONE training pass instead of each
+    * paying `iterations` corpus scans for an identical result.
     */
   def buildIvfIndex(corpus: DataFrame, indexPath: String, k: Int,
-      dim: Int, iterations: Int): Unit = {
-    val codebook = kmeansCodebook(corpus, "vec_id", "embedding",
-      k, dim, iterations)
-    codebook.write.mode("overwrite").parquet(s"$indexPath/codebook")
-    assignCells(codebook, corpus.select(
+      dim: Int, iterations: Int,
+      codebook: Option[DataFrame] = None): Unit = {
+    val cb = codebook.getOrElse(kmeansCodebook(corpus, "vec_id",
+      "embedding", k, dim, iterations))
+    cb.write.mode("overwrite").parquet(s"$indexPath/codebook")
+    assignCells(cb, corpus.select(
         col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
         "neighbor_id", "c_emb", 1)
       .write.mode("overwrite").partitionBy("cell")
@@ -255,11 +262,12 @@ object Similarity {
     * on a corpus containing zero vectors.
     */
   def buildIvfIndexSq8(corpus: DataFrame, indexPath: String, k: Int,
-      dim: Int, iterations: Int): Unit = {
-    val codebook = kmeansCodebook(corpus, "vec_id", "embedding",
-      k, dim, iterations)
-    codebook.write.mode("overwrite").parquet(s"$indexPath/codebook")
-    val cells = assignCells(codebook, corpus.select(
+      dim: Int, iterations: Int,
+      codebook: Option[DataFrame] = None): Unit = {
+    val cb = codebook.getOrElse(kmeansCodebook(corpus, "vec_id",
+      "embedding", k, dim, iterations))
+    cb.write.mode("overwrite").parquet(s"$indexPath/codebook")
+    val cells = assignCells(cb, corpus.select(
         col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
         "neighbor_id", "c_emb", 1)
       .select("neighbor_id", "cell")

@@ -451,11 +451,15 @@ object SimilarityQueries {
         val idx = Q.scratchPath("q98idx", dir)
         // build both indexes BEFORE any indexed read opens the codebook
         // (overwrite replaces files; a reader holding the old file list
-        // would hit deleted paths)
+        // would hit deleted paths). One k-means training pass feeds
+        // both layouts — same corpus, same seed, so separate trainings
+        // produced an identical codebook at double the cost
+        val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding",
+          kC, dim, iters)
         Similarity.buildIvfIndex(emb, idx, k = kC, dim = dim,
-          iterations = iters)
+          iterations = iters, codebook = Some(cb))
         Similarity.buildIvfIndexSq8(emb, idx, k = kC, dim = dim,
-          iterations = iters)
+          iterations = iters, codebook = Some(cb))
         val queries = emb.filter(col("vec_id") < 16)
         val qids = queries.select(col("vec_id").as("query_id"))
         val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
