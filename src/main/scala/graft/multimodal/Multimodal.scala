@@ -15,11 +15,15 @@ import org.apache.spark.sql.types._
   * (PNG/JPEG/GIF/BMP, zero added dependencies) runs inside the
   * partition iterator, with undecodable bytes falling back to the
   * byte-statistics digest. AUDIO decode is real too: WAV/AIFF/AU PCM
-  * via the JRE's `javax.sound.sampled`, same fallback. VIDEO decode
-  * remains a clearly-marked STUB (`fakeDecode`) — this container
-  * ships no video codec — and swapping one in changes only the
-  * function body, not the distributed shape: the partition iterator
-  * is exactly where a JNI/FFmpeg call would batch.
+  * via the JRE's `javax.sound.sampled`, same fallback. VIDEO container
+  * METADATA is real: MP4 box / Matroska-EBML structure parsed by
+  * [[VideoContainers]] (duration, codec id, dimensions, track count —
+  * what a pipeline filters on), with header-derived features for
+  * parseable containers; only FRAME decode remains a clearly-marked
+  * STUB (`fakeDecode`) — this container ships no video codec — and
+  * swapping one in changes only the function body, not the
+  * distributed shape: the partition iterator is exactly where a
+  * JNI/FFmpeg call would batch.
   */
 object Multimodal {
 
@@ -221,11 +225,32 @@ object Multimodal {
       peak)
   }
 
-  /** STUB — deterministic fake decode for the modalities with no
-    * in-container codec (video) and for undecodable image/audio
-    * payloads. A real implementation would decode `bytes` with a media
-    * library here; this derives an 8-dim feature vector from byte
-    * statistics. Deterministic in the input bytes. */
+  /** 8-dim feature vector from parsed video CONTAINER metadata
+    * ([[VideoContainers.parse]]) plus payload size: normalized
+    * duration / width / height / track count / aspect, container and
+    * codec family flags, bytes-per-second. No frame is decoded — the
+    * video analogue of [[imageFeatures]] at the header tier. */
+  def videoFeatures(meta: VideoContainers.VideoMeta,
+      nBytes: Int): Array[Float] = {
+    val dur = if (meta.durationS.isNaN) 0.0 else meta.durationS
+    Array(
+      (dur.min(3600) / 3600).toFloat,
+      meta.width / 4096f,
+      meta.height / 4096f,
+      meta.nTracks / 8f,
+      if (meta.height > 0) (meta.width.toFloat / meta.height)
+        .min(8f) / 8f else 0f,
+      if (meta.container.startsWith("mp4")) 1f else 0f,
+      if (meta.codec.nonEmpty) 1f else 0f,
+      if (dur > 0) (nBytes / dur / 1e8).min(1).toFloat else 0f)
+  }
+
+  /** STUB — deterministic fake decode for video FRAMES (container
+    * metadata is parsed for real — [[videoFeatures]]) and for
+    * undecodable image/audio/video payloads. A real implementation
+    * would decode `bytes` with a media library here; this derives an
+    * 8-dim feature vector from byte statistics. Deterministic in the
+    * input bytes. */
   def fakeDecode(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(8)(0f)
     val out = new Array[Float](8)
@@ -258,11 +283,43 @@ object Multimodal {
           case "audio" => decodeAudio(r.content)
             .map { case (fmt, samples) => audioFeatures(fmt, samples) }
             .getOrElse(fakeDecode(r.content))
+          case "video" => VideoContainers.parse(r.content)
+            .map(m => videoFeatures(m, r.content.length))
+            .getOrElse(fakeDecode(r.content))
           case _ => fakeDecode(r.content)
         }
         MediaFeatures(r.media_id, r.kind, r.content.length, digest, feats)
       }
     }
+  }
+
+  /** One row per video payload: parsed container metadata as typed,
+    * filterable columns — all-null metadata marks an unparseable
+    * payload (kept, not dropped: a pipeline filters on the nulls). */
+  case class VideoMetaRow(media_id: Long, container: Option[String],
+      duration_s: Option[Double], codec: Option[String],
+      width: Option[Int], height: Option[Int], n_tracks: Option[Int])
+
+  /** Typed video-metadata column extraction — the operator a
+    * multimodal training pipeline filters on (`duration_s BETWEEN …`,
+    * `codec IN …`, `width >= …`) without decoding a frame: MP4 box /
+    * Matroska EBML structure parsed per row inside the partition
+    * iterator ([[VideoContainers]]), map-only at any corpus size. */
+  def videoMetadata(media: DataFrame): DataFrame = {
+    val sess = media.sparkSession
+    import sess.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        VideoContainers.parse(bytes) match {
+          case Some(m) => VideoMetaRow(id, Some(m.container),
+            Option(m.durationS).filterNot(_.isNaN), Some(m.codec),
+            Some(m.width), Some(m.height), Some(m.nTracks))
+          case None =>
+            VideoMetaRow(id, None, None, None, None, None, None)
+        }
+      }).toDF()
   }
 
   /** STUB resize — metadata-only transform (a real implementation

@@ -198,4 +198,119 @@ class MultimodalSpec extends SparkSpec {
     val kinds = m.select("kind").collect().map(_.getString(0)).toSet
     assert(kinds.subsetOf(Set("image", "audio", "video")))
   }
+
+  // ---- video container metadata (MP4 box / Matroska EBML) ----
+
+  private def be32(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+
+  /** ISO-BMFF box: u32 size (incl. 8-byte header) + fourcc + payload. */
+  private def mp4Box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val p = payload.flatten.toArray
+    be32(8L + p.length) ++ typ.getBytes("US-ASCII") ++ p
+  }
+
+  /** Minimal MP4: ftyp + moov(mvhd v0 + video trak(tkhd 320x240 +
+    * mdia/minf/stbl/stsd avc1) + audio trak(tkhd 0x0 + stsd mp4a)). */
+  private def mp4Bytes: Array[Byte] = {
+    // mvhd v0: v/flags, ctime, mtime, timescale 600, duration 3000 = 5 s
+    val mvhd = mp4Box("mvhd", be32(0), be32(0), be32(0), be32(600),
+      be32(3000))
+    def tkhd(w: Int, h: Int) = mp4Box("tkhd",
+      Array.fill(76)(0.toByte), // v/flags..matrix of the v0 layout
+      be32(w.toLong << 16), be32(h.toLong << 16))
+    def stsdTrak(wh: (Int, Int), codec: String) = mp4Box("trak",
+      tkhd(wh._1, wh._2),
+      mp4Box("mdia", mp4Box("minf", mp4Box("stbl",
+        mp4Box("stsd", be32(0), be32(1), // v/flags, entry_count
+          be32(16), codec.getBytes("US-ASCII"), // sample entry header
+          Array.fill(8)(0.toByte))))))
+    mp4Box("ftyp", "isom".getBytes("US-ASCII"), be32(512)) ++
+      mp4Box("moov", mvhd,
+        stsdTrak((320, 240), "avc1"), stsdTrak((0, 0), "mp4a"))
+  }
+
+  /** EBML element: registry id bytes + 1-byte size vint + payload. */
+  private def ebmlEl(id: Array[Byte], payload: Array[Byte]*): Array[Byte] = {
+    val p = payload.flatten.toArray
+    assert(p.length < 127)
+    id ++ Array((0x80 | p.length).toByte) ++ p
+  }
+
+  /** Minimal WebM: EBML(DocType webm) + Segment(Info(scale, duration)
+    * + Tracks(TrackEntry(type video, V_VP9, 1920x1080))). */
+  private def mkvBytes: Array[Byte] = {
+    def id(bs: Int*) = bs.map(_.toByte).toArray
+    val header = ebmlEl(id(0x1a, 0x45, 0xdf, 0xa3),
+      ebmlEl(id(0x42, 0x82), "webm".getBytes("US-ASCII")))
+    val info = ebmlEl(id(0x15, 0x49, 0xa9, 0x66),
+      ebmlEl(id(0x2a, 0xd7, 0xb1), Array(0x0f.toByte, 0x42.toByte,
+        0x40.toByte)), // 1_000_000 ns/tick
+      ebmlEl(id(0x44, 0x89), be32( // float32 12345.0 ticks = 12.345 s
+        java.lang.Float.floatToIntBits(12345f).toLong & 0xffffffffL)))
+    val track = ebmlEl(id(0xae),
+      ebmlEl(id(0x83), Array(1.toByte)), // TrackType video
+      ebmlEl(id(0x86), "V_VP9".getBytes("US-ASCII")),
+      ebmlEl(id(0xe0),
+        ebmlEl(id(0xb0), Array(0x07.toByte, 0x80.toByte)), // 1920
+        ebmlEl(id(0xba), Array(0x04.toByte, 0x38.toByte)))) // 1080
+    val tracks = ebmlEl(id(0x16, 0x54, 0xae, 0x6b), track)
+    header ++ ebmlEl(id(0x18, 0x53, 0x80, 0x67), info, tracks)
+  }
+
+  test("MP4 box structure round-trips duration/codec/dims/tracks") {
+    val m = graft.multimodal.VideoContainers.parse(mp4Bytes).get
+    assert(m.container == "mp4/isom")
+    assert(m.durationS == 5.0)
+    assert(m.codec == "avc1")
+    assert(m.width == 320 && m.height == 240)
+    assert(m.nTracks == 2) // the audio track counts, dims pick video
+  }
+
+  test("Matroska EBML structure round-trips duration/codec/dims/tracks") {
+    val m = graft.multimodal.VideoContainers.parse(mkvBytes).get
+    assert(m.container == "webm")
+    assert(math.abs(m.durationS - 12.345) < 1e-9)
+    assert(m.codec == "V_VP9")
+    assert(m.width == 1920 && m.height == 1080)
+    assert(m.nTracks == 1)
+  }
+
+  test("malformed/truncated containers degrade to None, never throw") {
+    val vc = graft.multimodal.VideoContainers
+    assert(vc.parse(null).isEmpty)
+    assert(vc.parse("random text bytes".getBytes("UTF-8")).isEmpty)
+    assert(vc.parse(mp4Bytes.take(20)).isEmpty) // ftyp but no moov
+    assert(vc.parse(mkvBytes.take(6)).isEmpty)
+    // a crafted box whose size overruns the payload ends the walk
+    val overrun = mp4Box("ftyp", "isom".getBytes("US-ASCII"), be32(0)) ++
+      be32(0xffffffffL) ++ "moov".getBytes("US-ASCII")
+    assert(vc.parse(overrun).isEmpty)
+  }
+
+  test("videoMetadata yields typed filterable columns; unparseable " +
+      "payloads keep all-null metadata rows") {
+    val rows = Seq(
+      MediaRow(30, "video", mp4Bytes, MediaMeta("mp4", 0, 0, 0, 0, 1)),
+      MediaRow(31, "video", mkvBytes, MediaMeta("mkv", 0, 0, 0, 0, 1)),
+      MediaRow(32, "video", "not a container".getBytes("UTF-8"),
+        MediaMeta("raw", 0, 0, 0, 0, 1)),
+      MediaRow(33, "image", mp4Bytes, MediaMeta("mp4", 0, 0, 0, 0, 1)))
+    val vm = Multimodal.videoMetadata(rows.toDF()).orderBy("media_id")
+      .collect()
+    assert(vm.length == 3) // image row excluded
+    assert(vm(0).getString(1) == "mp4/isom" && vm(0).getInt(4) == 320)
+    assert(vm(1).getString(3) == "V_VP9" && vm(1).getInt(5) == 1080)
+    assert(vm(2).isNullAt(1) && vm(2).isNullAt(2) && vm(2).isNullAt(3))
+    // and the feature path: parseable video -> header features;
+    // unparseable -> byte-statistics stub
+    val f = Multimodal.extractFeatures(rows.take(3).toDS())
+      .orderBy("media_id").collect()
+    val expected = Multimodal.videoFeatures(
+      graft.multimodal.VideoContainers.parse(mp4Bytes).get,
+      mp4Bytes.length)
+    assert(f(0).features.sameElements(expected))
+    assert(f(2).features.sameElements(
+      Multimodal.fakeDecode("not a container".getBytes("UTF-8"))))
+  }
 }
