@@ -175,6 +175,65 @@ object WarehouseQueries {
         .orderBy("o_orderkey")
     },
 
+    // Streaming lake-merge ≡ batch fold (the q99 recipe applied to the
+    // last durable streaming sink): the events table arrives as 3
+    // micro-batches (event_id % 3, in order) through
+    // Merge.upsertPartitioned — the EXACT foreachBatch body of
+    // EventStreams.mergeStreamToPath; the stream wrapper adds only the
+    // trigger and is driven end-to-end by StreamingSpec — and the
+    // MATERIALIZED lake table must equal the oracle's windowed replay
+    // of the same fold: per (user, batch) a tiebreak winner, per user
+    // the FIRST batch's winner for insert-time columns (partial-update
+    // contract: matched rows keep target values) and the LAST batch's
+    // winner for the update columns. Partition col derives from the
+    // merge key (user_id % 8), the upsertPartitioned contract.
+    Q("q100_stream_merge_fold", Some("""
+      WITH b AS (
+        SELECT user_id, CAST(user_id % 8 AS INT) AS part, event_type,
+          value, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, event_id,
+          CAST(event_id % 3 AS INT) AS bi
+        FROM events),
+      w1 AS (
+        SELECT * FROM b
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, bi
+          ORDER BY ts_s DESC, event_id DESC) = 1),
+      ins AS (
+        SELECT * FROM w1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY bi ASC) = 1),
+      upd AS (
+        SELECT * FROM w1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY bi DESC) = 1)
+      SELECT i.user_id, i.part, i.event_type,
+        u.value, u.ts_s, u.event_id
+      FROM ins i JOIN upd u USING (user_id)
+      ORDER BY user_id""")) { (s, dir) =>
+      val path = Q.scratchPath("q100", dir)
+      // the fold accumulates INTO the table — start from empty or a
+      // re-run (bench medians the query) would fold onto old state
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true)
+      val ev = Tables.load(s, dir, "events").select(
+        col("user_id"), (col("user_id") % 8).cast("int").as("part"),
+        col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("event_id"),
+        (col("event_id") % 3).cast("int").as("bi"))
+      for (b <- 0 until 3)
+        Merge.upsertPartitioned(s, path,
+          ev.filter(col("bi") === b).drop("bi"),
+          keys = Seq("user_id"),
+          updateCols = Seq("value", "ts_s", "event_id"),
+          tiebreak = Seq(col("ts_s").desc, col("event_id").desc),
+          partitionCols = Seq("part"))
+      s.read.parquet(path)
+        .select("user_id", "part", "event_type", "value", "ts_s",
+          "event_id")
+        .orderBy("user_id")
+    },
+
     // W6 generated date dimension, 2020-01-01..2030-12-31 (4018 rows),
     // EXTRACT(DOW) convention (Sunday = 0).
     Q("q34_date_dim", Some("""
