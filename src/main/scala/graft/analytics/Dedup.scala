@@ -464,13 +464,72 @@ object Dedup {
     org.apache.spark.sql.graft.CheckpointBridge.checkpointWithStats(df)
   }
 
+  /** Deduplicated edge count below which the star loop collects the
+    * edge set and unions it on the driver instead of iterating
+    * distributed rounds — the same small-side reasoning as a
+    * broadcast join threshold. At the default (2⁶ KiB of edges: two
+    * ids × 65536 rows ≈ 1 MB) the state is model-sized; every
+    * contraction round above it would still shuffle the same ≤1 MB
+    * through 2 jobs × O(log n) rounds of pure scheduling latency.
+    * Configurable (`spark.graft.ccLocalEdgeLimit`; 0 disables) —
+    * the DISTRIBUTED loop remains the at-scale path and keeps its
+    * own specs (the 1M-edge hub rehearsal exceeds the limit). */
+  private[graft] val DefaultCcLocalEdgeLimit = 65536L
+
+  /** Driver-local min-label connected components of a COLLECTED edge
+    * list — exact same contract as the distributed fixpoint: one
+    * (node, min id of its component) row per edge endpoint. */
+  private[graft] def localComponents(
+      edgeRows: Array[org.apache.spark.sql.Row]): Map[Any, Any] = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(a: Any): Any = {
+      var r = a
+      while (parent(r) != r) r = parent(r)
+      var c = a // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeRows.foreach { r =>
+      val (x, y) = (r.get(0), r.get(1))
+      parent.getOrElseUpdate(x, x)
+      parent.getOrElseUpdate(y, y)
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(rx) = ry
+    }
+    // min id per component, in the same ordering the distributed
+    // loop's greatest/least canonicalization uses (Spark ordering of
+    // the id type = Scala ordering for the numeric/string ids in use)
+    val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Int, y: Int) => x < y
+      case (x: String, y: String) => x < y
+      case _ => sys.error(
+        s"localComponents: unsupported id type ${a.getClass}")
+    }
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOf.get(r) match {
+        case Some(m) if !lt(n, m) => ()
+        case _ => minOf(r) = n
+      }
+    }
+    parent.keys.map(n => n -> minOf(find(n))).toMap
+  }
+
   /** Star-contraction connected components. `materializeResult = false`
     * skips checkpointing the RESULT (the loop state is always
     * checkpointed): right for callers that consume the labels exactly
     * once in one downstream action — the labels' lineage is then two
     * cheap scans of the final checkpointed edge set. Leave it on when
     * the result feeds multiple actions or multiple plan subtrees
-    * (q78's oldLabels joins both pair endpoints). */
+    * (q78's oldLabels joins both pair endpoints).
+    *
+    * Edge sets at or below `spark.graft.ccLocalEdgeLimit`
+    * ([[DefaultCcLocalEdgeLimit]]) short-circuit to a driver-local
+    * union-find over the (already checkpointed, bounded) edge list —
+    * identical labels, none of the per-round job latency; larger
+    * graphs run the distributed loop unchanged. */
   def connectedComponentsStar(pairs: DataFrame, aCol: String,
       bCol: String, maxIter: Int = 35,
       materializeResult: Boolean = true): DataFrame = {
@@ -479,6 +538,26 @@ object Dedup {
       .select(greatest(col(aCol), col(bCol)).as("x"),
         least(col(aCol), col(bCol)).as("y"))
       .where(col("x") =!= col("y")).distinct())
+    val sess = pairs.sparkSession
+    val localLimit = sess.conf.getOption("spark.graft.ccLocalEdgeLimit")
+      .map(_.toLong).getOrElse(DefaultCcLocalEdgeLimit)
+    if (edgeCount <= localLimit) {
+      val labelMap = localComponents(edges.collect())
+      val nodes = pairs.select(col(aCol).as("doc_id"))
+        .unionByName(pairs.select(col(bCol).as("doc_id"))).distinct()
+      val idType = edges.schema.head.dataType
+      val labelRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(labelMap.toSeq.map { case (n, r) =>
+          org.apache.spark.sql.Row(n, r) }: _*)
+      val labelDf = sess.createDataFrame(labelRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", idType),
+          org.apache.spark.sql.types.StructField("cluster_rep", idType))))
+      val labels = nodes.join(broadcast(labelDf), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      return if (materializeResult) materialize(labels) else labels
+    }
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -45,13 +45,139 @@ import org.apache.spark.storage.StorageLevel
   */
 object HeavyHitters {
 
+  /** One tracked token: its estimate/err plus its position in the
+    * bucket structure (intrusive doubly-linked within-bucket list). */
+  private final class Counter(var key: String, var err: Long) {
+    var bucket: Bucket = _
+    var prev: Counter = _
+    var next: Counter = _
+  }
+
+  /** All counters sharing one estimate value, as a node of the
+    * count-ordered doubly-linked bucket list (Metwally et al.'s
+    * StreamSummary): the head bucket holds the minimum estimate, so
+    * finding a victim is O(1), and an increment moves a counter to
+    * the adjacent bucket — also O(1). */
+  private final class Bucket(val count: Long) {
+    var prevB: Bucket = _
+    var nextB: Bucket = _
+    var head: Counter = _
+  }
+
+  /** The StreamSummary structure behind [[spaceSavingPartition]]:
+    * counter lookup by token (hash map) + count-ordered buckets for
+    * O(1) min-eviction and O(1) increment. The previous
+    * implementation evicted by an O(capacity) linear scan — fine at
+    * the few-thousand default, but [[approxVocabTopKAdaptive]] climbs
+    * to 2²⁰ counters on adversarially flat vocabularies, where a
+    * per-token linear scan is the difference between a census and a
+    * hang. Same observable contract: estimate ≥ true ≥ estimate − err,
+    * eviction replaces A minimum counter (which minimum is
+    * tie-arbitrary, exactly as the scan's iteration order was). */
+  private final class StreamSummary(capacity: Int) {
+    private val index = new java.util.HashMap[String, Counter]()
+    private var minBucket: Bucket = _
+    var evicted = false
+
+    private def unlink(c: Counter): Unit = {
+      val b = c.bucket
+      if (c.prev != null) c.prev.next = c.next else b.head = c.next
+      if (c.next != null) c.next.prev = c.prev
+      c.prev = null; c.next = null; c.bucket = null
+      if (b.head == null) { // bucket emptied — drop it from the list
+        if (b.prevB != null) b.prevB.nextB = b.nextB
+        else minBucket = b.nextB
+        if (b.nextB != null) b.nextB.prevB = b.prevB
+      }
+    }
+
+    private def pushInto(c: Counter, b: Bucket): Unit = {
+      c.bucket = b
+      c.next = b.head
+      if (b.head != null) b.head.prev = c
+      b.head = c
+    }
+
+    /** Move `c` (currently count `from`, already unlinked) into the
+      * bucket for `from + 1`, creating it in place if absent.
+      * `after` is the bucket `c` came from when it still exists, else
+      * the bucket preceding the insertion point (null → new head). */
+    private def promote(c: Counter, after: Bucket, to: Long): Unit = {
+      val candidate = if (after == null) minBucket else after.nextB
+      val target =
+        if (candidate != null && candidate.count == to) candidate
+        else {
+          val nb = new Bucket(to)
+          nb.prevB = after
+          nb.nextB = candidate
+          if (after != null) after.nextB = nb else minBucket = nb
+          if (candidate != null) candidate.prevB = nb
+          nb
+        }
+      pushInto(c, target)
+    }
+
+    def offer(tok: String): Unit = {
+      val existing = index.get(tok)
+      if (existing != null) {
+        val b = existing.bucket
+        val to = b.count + 1
+        unlink(existing)
+        // b may have been dropped by unlink; its prevB/nextB remain
+        // valid as an insertion anchor only if it survived — recompute
+        // from whichever of b/b.prevB is still linked
+        val anchor = if (b.head != null) b else b.prevB
+        promote(existing, anchor, to)
+      } else if (index.size < capacity) {
+        val c = new Counter(tok, 0L)
+        index.put(tok, c)
+        if (minBucket != null && minBucket.count == 1L) pushInto(c, minBucket)
+        else {
+          val nb = new Bucket(1L)
+          nb.nextB = minBucket
+          if (minBucket != null) minBucket.prevB = nb
+          minBucket = nb
+          pushInto(c, nb)
+        }
+      } else {
+        // evict A minimum counter: any member of the head bucket
+        evicted = true
+        val victim = minBucket.head
+        val minCount = minBucket.count
+        index.remove(victim.key)
+        unlink(victim)
+        victim.key = tok
+        victim.err = minCount
+        index.put(tok, victim)
+        // victim's old bucket may or may not survive; anchor on the
+        // surviving bucket BELOW the target count, if any
+        val anchor =
+          if (minBucket != null && minBucket.count <= minCount) minBucket
+          else null
+        promote(victim, anchor, minCount + 1)
+      }
+    }
+
+    /** Final (token, est, err) rows plus the absence bound (minimum
+      * surviving estimate if any eviction occurred, else 0). */
+    def result(): (List[(String, Long, Long)], Long) = {
+      var rows = List.empty[(String, Long, Long)]
+      var b = minBucket
+      while (b != null) {
+        var c = b.head
+        while (c != null) { rows ::= ((c.key, b.count, c.err)); c = c.next }
+        b = b.nextB
+      }
+      val bound =
+        if (evicted && minBucket != null) minBucket.count else 0L
+      (rows, bound)
+    }
+  }
+
   /** Space-Saving summary of one partition's token stream: at most
     * `capacity` rows of (token, estimate, err, partition id, absence
-    * bound) with estimate ≥ true ≥ estimate − err. Eviction replaces
-    * the current minimum counter (linear scan — fine for the
-    * few-thousand capacities a census needs; a production
-    * StreamSummary doubly-linked bucket structure makes it O(1)
-    * without changing this contract).
+    * bound) with estimate ≥ true ≥ estimate − err. Eviction and
+    * increment are O(1) via the [[StreamSummary]] bucket structure.
     *
     * `bound` is identical on every row of a partition: the partition's
     * final minimum estimate if any eviction occurred, else 0. Any
@@ -61,38 +187,11 @@ object HeavyHitters {
     * estimate never decreases — or it never held a counter at all). */
   private[analytics] def spaceSavingPartition(capacity: Int)(
       it: Iterator[String]): Iterator[(String, Long, Long, Int, Long)] = {
-    val counts = new java.util.HashMap[String, Array[Long]]()
-    var evicted = false
-    while (it.hasNext) {
-      val tok = it.next()
-      val e = counts.get(tok)
-      if (e != null) e(0) += 1
-      else if (counts.size < capacity) counts.put(tok, Array(1L, 0L))
-      else {
-        var minKey: String = null
-        var minVal = Long.MaxValue
-        val iter = counts.entrySet().iterator()
-        while (iter.hasNext) {
-          val en = iter.next()
-          if (en.getValue()(0) < minVal) {
-            minVal = en.getValue()(0); minKey = en.getKey
-          }
-        }
-        counts.remove(minKey)
-        counts.put(tok, Array(minVal + 1, minVal))
-        evicted = true
-      }
-    }
+    val ss = new StreamSummary(capacity)
+    while (it.hasNext) ss.offer(it.next())
     val pid = TaskContext.getPartitionId()
-    var bound = 0L
-    if (evicted) {
-      bound = Long.MaxValue
-      counts.values.forEach(v => if (v(0) < bound) bound = v(0))
-    }
-    import scala.jdk.CollectionConverters._
-    counts.asScala.iterator
-      .map { case (k, v) => (k, v(0), v(1), pid, bound) }
-      .toSeq.iterator
+    val (rows, bound) = ss.result()
+    rows.iterator.map { case (k, est, err) => (k, est, err, pid, bound) }
   }
 
   /** Whitespace token stream of a documents frame — the same

@@ -222,6 +222,29 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("star CC local fast path ≡ distributed loop on the same graph") {
+    import spark.implicits._
+    // small edge sets short-circuit to a driver union-find (the
+    // broadcast-threshold analogue); forcing the limit to 0 runs the
+    // distributed contraction on the identical input — labels must
+    // match row for row, including the singleton from the self-pair
+    val rnd = new scala.util.Random(7)
+    val pairs = (Seq.fill(150)((rnd.nextInt(60).toLong,
+      rnd.nextInt(60).toLong)) :+ ((99L, 99L)))
+      .toDF("id_a", "id_b")
+    val local = graft.analytics.Dedup
+      .connectedComponentsStar(pairs, "id_a", "id_b")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.conf.set("spark.graft.ccLocalEdgeLimit", "0")
+    try {
+      val dist = graft.analytics.Dedup
+        .connectedComponentsStar(pairs, "id_a", "id_b")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(local.toSeq === dist.toSeq)
+    } finally spark.conf.unset("spark.graft.ccLocalEdgeLimit")
+  }
+
   test("star CC skew rehearsal: a 1M-edge single-hub star contracts " +
       "through partial aggregation, not a single-task window sort") {
     import spark.implicits._
