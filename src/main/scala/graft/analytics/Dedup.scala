@@ -533,19 +533,28 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, aCol: String,
       bCol: String, maxIter: Int = 35,
       materializeResult: Boolean = true): DataFrame = {
-    // canonical larger-first undirected edge set
-    var (edges, edgeCount, edgeFp) = materializeWithStats(pairs
+    // canonical larger-first undirected pair set, SELF-LOOPS KEPT:
+    // this single materialization is the only consumer of the `pairs`
+    // lineage — with self-loops retained, every pair endpoint appears
+    // in the checkpointed frame, so the node universe (for singleton
+    // labels) is two cheap checkpoint scans instead of a re-execution
+    // of the (possibly expensive, un-materialized) pair generation.
+    // Measured on q99: the labels' nodes leg re-ran the whole
+    // per-batch candidate generation at write time, ~2.5 s per batch.
+    val (edges0, edge0Count, edge0Fp) = materializeWithStats(pairs
       .select(greatest(col(aCol), col(bCol)).as("x"),
         least(col(aCol), col(bCol)).as("y"))
-      .where(col("x") =!= col("y")).distinct())
+      .distinct())
     val sess = pairs.sparkSession
     val localLimit = sess.conf.getOption("spark.graft.ccLocalEdgeLimit")
       .map(_.toLong).getOrElse(DefaultCcLocalEdgeLimit)
-    if (edgeCount <= localLimit) {
-      val labelMap = localComponents(edges.collect())
-      val nodes = pairs.select(col(aCol).as("doc_id"))
-        .unionByName(pairs.select(col(bCol).as("doc_id"))).distinct()
-      val idType = edges.schema.head.dataType
+    if (edge0Count <= localLimit) {
+      // driver fast path: self-loop rows register their node in the
+      // union-find without uniting anything, so the label map covers
+      // EVERY endpoint — the result is the (bounded) map itself, no
+      // distributed join at all
+      val labelMap = localComponents(edges0.collect())
+      val idType = edges0.schema.head.dataType
       val labelRows: java.util.List[org.apache.spark.sql.Row] =
         java.util.Arrays.asList(labelMap.toSeq.map { case (n, r) =>
           org.apache.spark.sql.Row(n, r) }: _*)
@@ -553,11 +562,19 @@ object Dedup {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc_id", idType),
           org.apache.spark.sql.types.StructField("cluster_rep", idType))))
-      val labels = nodes.join(broadcast(labelDf), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
-      return if (materializeResult) materialize(labels) else labels
+      // already driver-local — a result checkpoint would only add jobs
+      return labelDf
     }
+    // the loop contracts the self-loop-free edge set (a cheap filter
+    // over the checkpoint). When the input had no self-loops (every
+    // shipped candidate generator emits id_a < id_b) the initial
+    // count/fingerprint remain exact for the convergence gate; with
+    // self-loops present they differ from the filtered set's, which
+    // only delays the first gate by one round — never a false
+    // convergence (the anti-join stays the exact confirmation).
+    var edges = edges0.where(col("x") =!= col("y"))
+    var edgeCount = edge0Count
+    var edgeFp = edge0Fp
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -582,13 +599,14 @@ object Dedup {
     // fixpoint is a star forest: every non-root points at its root.
     // Nodes absent from the forest (self-pairs, singletons the caller
     // fed in) are their own representative, matching
-    // [[connectedComponents]].
+    // [[connectedComponents]]. The node universe reads the
+    // checkpointed edges0 (self-loops kept), NOT `pairs` — see above.
     val stars = edges.select(col("x").as("doc_id"),
         col("y").as("cluster_rep"))
       .unionByName(edges.select(col("y").as("doc_id"),
         col("y").as("cluster_rep")).distinct())
-    val nodes = pairs.select(col(aCol).as("doc_id"))
-      .unionByName(pairs.select(col(bCol).as("doc_id"))).distinct()
+    val nodes = edges0.select(col("x").as("doc_id"))
+      .unionByName(edges0.select(col("y").as("doc_id"))).distinct()
     val labels = stars.unionByName(
       nodes.join(stars, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("cluster_rep")))

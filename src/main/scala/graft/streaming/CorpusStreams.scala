@@ -118,6 +118,13 @@ object CorpusStreams {
     val batchCkpt = new org.apache.hadoop.fs.Path(ckptRoot,
       s"batch-${java.util.UUID.randomUUID()}")
     var oldSigCache: Option[DataFrame] = None
+    val trace = sys.env.contains("GRAFT_BATCH_TRACE")
+    var t0 = System.nanoTime()
+    def mark(phase: String): Unit = if (trace) {
+      val t = System.nanoTime()
+      System.err.println(f"[batch-trace] $phase ${(t - t0) / 1e9}%.3f")
+      t0 = t
+    }
     sc.setCheckpointDir(batchCkpt.toString)
     try {
       val newSig = Dedup.minHashSignature(fresh, "doc_id", "text",
@@ -168,8 +175,10 @@ object CorpusStreams {
             .select("new_id", "old_id")
         }
 
+      mark("setup")
       val assigned = Dedup.incrementalAssignTagged(no, nn, oldAssign,
         offset)
+      mark("assign")
       // every batch doc lands in the state exactly once: matched docs
       // with their component rep, the rest (unmatched, or too short to
       // shingle) as their own rep
@@ -187,7 +196,9 @@ object CorpusStreams {
       // every later near-duplicate, a permanent recall hole.
       try {
         newSig.write.mode("append").parquet(sPath)
+        mark("sigWrite")
         all.write.mode("append").parquet(aPath)
+        mark("assignWrite")
       } finally newSig.unpersist(false)
     } finally {
       fresh.unpersist(false)
