@@ -62,8 +62,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("incremental weather phase merges into a partitioned lake fact") {
-    val factPath = java.nio.file.Files
-      .createTempDirectory("graft_pipe_fact").toString + "/fact_weather"
+    val factPath = tmpDir("graft_pipe_fact") + "/fact_weather"
     val dim = Pipeline.runWeatherIncremental(spark,
       "src/test/resources/fixtures/openmeteo.jsonl",
       emptyDim.drop("location_key").withColumn("location_key", lit(0L)),

@@ -113,8 +113,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("persisted IVF index: indexed query equals inline IVF, " +
       "appended vectors become findable, probes prune cell partitions") {
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-ivfidx").toString
+    val dir = tmpDir("graft-ivfidx")
     Similarity.buildIvfIndex(corpus, dir, k = 4, dim = Dim,
       iterations = 2)
     val codebook = spark.read.parquet(s"$dir/codebook")
@@ -152,8 +151,7 @@ class SimilaritySpec extends SparkSpec {
   test("IVF-SQ8 index: quantized cell-probe reaches recall@5 >= 0.9 " +
       "and stores measurably fewer bytes than the float index") {
     import spark.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-ivfsq8").toString
+    val dir = tmpDir("graft-ivfsq8")
     // 64-dim synthetic corpus for the size comparison (16-dim toy
     // vectors would be parquet-overhead-dominated; built in-memory so
     // the suite has no dependency on generated bench data)

@@ -11,6 +11,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   import org.apache.spark.sql.functions._
 
+  /** A spec-scoped temp directory, deleted on JVM exit — specs were
+    * leaving one `graft-*` dir per `Files.createTempDirectory` call
+    * in /tmp across runs; routing through here bounds the debris to
+    * the test JVM's lifetime. */
+  def tmpDir(tag: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(tag)
+    SparkSpec.cleanupOnExit(p)
+    p.toString
+  }
+
   /** Evaluate a Column over a single empty row. */
   def eval(c: Column): Any =
     spark.range(1).select(c.as("v")).collect()(0).get(0)
@@ -30,6 +40,27 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  private val tracked =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[java.nio.file.Path]())
+  private lazy val hook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tracked.forEach { p =>
+        try {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(p))
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq
+              .reverseIterator.foreach(f =>
+                try { java.nio.file.Files.deleteIfExists(f); () }
+                catch { case _: java.io.IOException => () })
+        } catch { case _: java.io.IOException => () }
+      }, "graft-spec-tmp-cleanup"))
+
+  private[graft] def cleanupOnExit(p: java.nio.file.Path): Unit = {
+    hook
+    tracked.add(p): Unit
+  }
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -118,8 +118,7 @@ class StreamingSpec extends SparkSpec {
   test("foreachBatch path merge accumulates in the lake table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_smerge")
-      .toString + "/t"
+    val dir = tmpDir("graft_smerge") + "/t"
     val mem = MemoryStream[Event]
     val q = EventStreams.mergeStreamToPath(
       mem.toDF().selectExpr("user_id", "event_type AS tag", "value")
@@ -184,8 +183,7 @@ class StreamingSpec extends SparkSpec {
   test("streaming incremental dedup folds each batch into durable " +
       "signature-sized state, append-only and replay-idempotent") {
     import spark.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-deworm").toString
+    val dir = tmpDir("graft-deworm")
     val textA = "the quick brown fox jumps over the lazy dog today"
     val textB = "completely different words about soil and weather data"
     val textC = "a third text with nothing shared between the others"
@@ -227,8 +225,7 @@ class StreamingSpec extends SparkSpec {
   test("crash between state appends is replay-safe: signatures land " +
       "before assignments, so a half-written batch re-runs whole") {
     import spark.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-decrash").toString
+    val dir = tmpDir("graft-decrash")
     val textA = "the quick brown fox jumps over the lazy dog today"
     CorpusStreams.assignBatch(
       Seq((100L, textA)).toDF("doc_id", "text"), dir)
@@ -253,8 +250,7 @@ class StreamingSpec extends SparkSpec {
   test("compactState collapses per-batch append debris without " +
       "changing the state; a mid-swap crash recovers on next use") {
     import spark.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-decompact").toString
+    val dir = tmpDir("graft-decompact")
     val texts = Seq(
       "alpha beta gamma delta epsilon zeta",
       "one two three four five six seven",
@@ -299,8 +295,7 @@ class StreamingSpec extends SparkSpec {
       "index, idempotently under replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-ivfstream").toString
+    val dir = tmpDir("graft-ivfstream")
     // seed index from an initial 16-dim batch corpus (deterministic
     // jitter keeps every vector distinct)
     val rnd = new scala.util.Random(7)
@@ -338,8 +333,7 @@ class StreamingSpec extends SparkSpec {
       "(a NaN cosine would rank #1 in every descending top-k)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-ivfgate").toString
+    val dir = tmpDir("graft-ivfgate")
     val seed = (0L until 20L).map(i =>
       (i, Seq.tabulate(16)(d => if ((i % 4).toInt == d % 4) 1.0f else 0.1f)))
     graft.analytics.Similarity.buildIvfIndex(
@@ -363,8 +357,7 @@ class StreamingSpec extends SparkSpec {
 
   test("compactState purges replay-duplicate signature rows") {
     import spark.implicits._
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-sigdup").toString
+    val dir = tmpDir("graft-sigdup")
     CorpusStreams.assignBatch(
       Seq((0L, "alpha beta gamma delta epsilon zeta"))
         .toDF("doc_id", "text"), dir)
@@ -386,8 +379,7 @@ class StreamingSpec extends SparkSpec {
     val base = graft.analytics.Dedup.ensureCheckpointDir(sc)
     // a concurrent holder's checkpoint, taken BEFORE the batch runs
     val held = Seq(1, 2, 3).toDF("v").checkpoint(eager = true)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-ckptscope").toString
+    val dir = tmpDir("graft-ckptscope")
     CorpusStreams.assignBatch(
       Seq((0L, "alpha beta gamma delta epsilon zeta"))
         .toDF("doc_id", "text"), dir)
@@ -412,8 +404,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val sc = spark.sparkContext
     val before = graft.analytics.Dedup.ensureCheckpointDir(sc)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-badbatch").toString
+    val dir = tmpDir("graft-badbatch")
     intercept[Exception] {
       // no `text` column — analysis must fail while the session scope
       // is still in force
@@ -427,8 +418,7 @@ class StreamingSpec extends SparkSpec {
   test("dedupAssignStream drives assignBatch through foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-destream").toString
+    val dir = tmpDir("graft-destream")
     val mem = MemoryStream[(Long, String)]
     val docs = mem.toDF().toDF("doc_id", "text")
     val q = CorpusStreams.dedupAssignStream(docs, dir).start()

@@ -10,7 +10,7 @@ class WriterSpec extends SparkSpec {
   import spark.implicits._
 
   test("W7 monthly partitioned write prunes at read time") {
-    val dir = Files.createTempDirectory("graft_part").toString
+    val dir = tmpDir("graft_part")
     val fact = Seq(
       (20240115, 1L, 5.0), (20240220, 2L, 6.0), (20250115, 3L, 7.0))
       .toDF("date_key", "location_key", "temp")
@@ -50,7 +50,7 @@ class WriterSpec extends SparkSpec {
   }
 
   test("dynamic partition overwrite replaces only touched partitions") {
-    val dir = Files.createTempDirectory("graft_dyn").toString
+    val dir = tmpDir("graft_dyn")
     val day1 = Seq((20240101, 1L, 5.0), (20240102, 2L, 6.0))
       .toDF("date_key", "location_key", "temp")
       .withColumn("part_day", col("date_key"))
@@ -67,7 +67,7 @@ class WriterSpec extends SparkSpec {
   }
 
   test("partition-scoped merge leaves untouched partitions byte-identical") {
-    val dir = Files.createTempDirectory("graft_pmerge").toString
+    val dir = tmpDir("graft_pmerge")
     val target = Seq(
       (1L, 20240105, 5.0, "A"), (2L, 20240120, 6.0, "A"),
       (3L, 20240210, 7.0, "B"), (4L, 20240305, 8.0, "C"))
@@ -98,14 +98,14 @@ class WriterSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 5.0, "A"), (2L, 6.0, "A"),
       (3L, 70.0, "B"), (4L, 8.0, "C"), (30L, 9.0, "N")))
     // first-load path: nonexistent target is written whole
-    val fresh = Files.createTempDirectory("graft_pmerge_f").toString + "/t"
+    val fresh = tmpDir("graft_pmerge_f") + "/t"
     Merge.upsertPartitioned(spark, fresh, inc, keys = Seq("k"),
       updateCols = Seq("v"), tiebreak = Seq(col("status").desc),
       partitionCols = Seq("part_month"))
     assert(spark.read.parquet(fresh).count() == 2)
     // empty first batch: no-op — must NOT create a data-less directory
     // that would poison later reads
-    val none = Files.createTempDirectory("graft_pmerge_e").toString + "/t"
+    val none = tmpDir("graft_pmerge_e") + "/t"
     Merge.upsertPartitioned(spark, none, inc.filter(lit(false)),
       keys = Seq("k"), updateCols = Seq("v"),
       tiebreak = Seq(col("status").desc), partitionCols = Seq("part_month"))
@@ -118,7 +118,7 @@ class WriterSpec extends SparkSpec {
   }
 
   test("atomic swap behaves as dynamic partition overwrite") {
-    val dir = Files.createTempDirectory("graft_atomdyn").toString + "/t"
+    val dir = tmpDir("graft_atomdyn") + "/t"
     val day1 = Seq((20240101, 1L, 5.0), (20240102, 2L, 6.0))
       .toDF("date_key", "location_key", "temp")
       .withColumn("part_day", col("date_key"))
@@ -138,7 +138,7 @@ class WriterSpec extends SparkSpec {
 
   test("atomic swap: a batch failing mid-write leaves the target " +
       "byte-identical and readable") {
-    val dir = Files.createTempDirectory("graft_atomfail").toString + "/t"
+    val dir = tmpDir("graft_atomfail") + "/t"
     val init = Seq((1L, 20240105, 5.0, "A"), (2L, 20240210, 6.0, "B"))
       .toDF("k", "date_key", "v", "status")
       .withColumn("part_month", (col("date_key") / 100 % 100).cast("int"))
@@ -178,7 +178,7 @@ class WriterSpec extends SparkSpec {
 
   test("atomic swap: a partition parked by a crashed swap is restored " +
       "before the next merge reads the target") {
-    val base = Files.createTempDirectory("graft_atomrec").toString
+    val base = tmpDir("graft_atomrec")
     val dir = base + "/t"
     val init = Seq((1L, 20240105, 5.0, "A"), (2L, 20240210, 6.0, "B"))
       .toDF("k", "date_key", "v", "status")
@@ -210,7 +210,7 @@ class WriterSpec extends SparkSpec {
   }
 
   test("debris recovery never touches a sibling table's debris") {
-    val base = Files.createTempDirectory("graft_atomsib").toString
+    val base = tmpDir("graft_atomsib")
     val dir = base + "/t"
     val init = Seq((1L, 20240105, 5.0, "A"))
       .toDF("k", "date_key", "v", "status")
@@ -237,7 +237,7 @@ class WriterSpec extends SparkSpec {
   }
 
   test("atomic swap handles underscore-prefixed partition columns") {
-    val dir = Files.createTempDirectory("graft_atomus").toString + "/t"
+    val dir = tmpDir("graft_atomus") + "/t"
     val df = Seq((1L, 5.0), (2L, 6.0)).toDF("k", "v")
       .withColumn("_day", col("k") + 100)
     Writer.overwritePartitionsAtomic(df, dir, Seq("_day"))
@@ -247,7 +247,7 @@ class WriterSpec extends SparkSpec {
   }
 
   test("compaction merges small files, leaves other partitions alone") {
-    val dir = Files.createTempDirectory("graft_compact").toString
+    val dir = tmpDir("graft_compact")
     // month 1 written as many small files; month 2 as one
     val m1 = (1 to 100).map(i => (i.toLong, 1, i * 1.0))
       .toDF("k", "part_month", "v").repartition(8)
@@ -274,7 +274,7 @@ class WriterSpec extends SparkSpec {
   }
 
   test("partition-scoped merge handles null partition values") {
-    val dir = Files.createTempDirectory("graft_pmerge_n").toString + "/t"
+    val dir = tmpDir("graft_pmerge_n") + "/t"
     val target = Seq((1L, Some(1), 5.0), (2L, None, 6.0), (3L, Some(2), 7.0))
       .toDF("k", "part_m", "v")
     Merge.upsertPartitioned(spark, dir, target, keys = Seq("k"),
