@@ -68,13 +68,8 @@ object Dedup {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-checkpoints")
       sc.setCheckpointDir(dir.toString)
-      Runtime.getRuntime.addShutdownHook(new Thread(() => {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(): Unit
-        }
-        rm(dir.toFile)
-      }))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        graft.util.Scratch.deleteTree(dir)))
       sc.getCheckpointDir.get
     }
 
@@ -497,14 +492,22 @@ object Dedup {
       if (rx != ry) parent(rx) = ry
     }
     // min id per component, in the same ordering the distributed
-    // loop's greatest/least canonicalization uses (Spark ordering of
-    // the id type = Scala ordering for the numeric/string ids in use)
+    // loop's greatest/least canonicalization uses. Only id types whose
+    // driver-side ordering provably equals Spark's are admitted here
+    // ([[localOrderingSafe]] gates the fast path): for strings that is
+    // UTF-8 BYTE order (what UTF8String compares) — Java's String `<`
+    // is UTF-16 code-unit order, which DISAGREES beyond the BMP
+    // (supplementary characters sort below U+E000..U+FFFF there).
     val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
     def lt(a: Any, b: Any): Boolean = (a, b) match {
       case (x: Long, y: Long) => x < y
       case (x: Int, y: Int) => x < y
-      case (x: String, y: String) => x < y
-      case _ => sys.error(
+      case (x: String, y: String) =>
+        val (xb, yb) = (x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val c = java.util.Arrays.compareUnsigned(xb, yb)
+        c < 0
+      case _ => sys.error( // unreachable behind localOrderingSafe
         s"localComponents: unsupported id type ${a.getClass}")
     }
     parent.keys.foreach { n =>
@@ -548,7 +551,17 @@ object Dedup {
     val sess = pairs.sparkSession
     val localLimit = sess.conf.getOption("spark.graft.ccLocalEdgeLimit")
       .map(_.toLong).getOrElse(DefaultCcLocalEdgeLimit)
-    if (edge0Count <= localLimit) {
+    // the fast path requires driver ordering == Spark ordering for the
+    // id type (long/int exactly; string via UTF-8 byte compare). Any
+    // other type (decimal, date, ...) silently takes the distributed
+    // loop, which is correct for every orderable type.
+    val orderingSafe = edges0.schema.head.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
+    if (orderingSafe && edge0Count <= localLimit) {
       // driver fast path: self-loop rows register their node in the
       // union-find without uniting anything, so the label map covers
       // EVERY endpoint — the result is the (bounded) map itself, no

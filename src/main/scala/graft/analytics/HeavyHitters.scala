@@ -211,6 +211,11 @@ object HeavyHitters {
     * map stage of the census, and uncached it ran 2× per attempt. */
   private def sketchSummary(toks: Dataset[String],
       capacity: Int): DataFrame = {
+    // driver-side guard: with capacity < 1 the StreamSummary eviction
+    // branch would NPE inside an executor task (there is no bucket to
+    // evict from) — fail with a message before any job launches
+    require(capacity >= 1,
+      s"Space-Saving sketch needs capacity >= 1, got $capacity")
     val sess = toks.sparkSession
     import sess.implicits._
     toks.mapPartitions(spaceSavingPartition(capacity))

@@ -17,11 +17,14 @@ import org.apache.spark.sql.types.DecimalType
   * banker's rounding, and Spark's default HALF_UP `round` would
   * diverge on values landing exactly on a .5 boundary of the target
   * scale; COORDINATES round through [[normalizeCoord]], which uses
-  * HALF_UP `round` for DuckDB-oracle parity. The two can only differ
-  * on exact .5 ties at the target scale, and a binary double cannot
-  * represent a decimal .5 tie at 6 dp — so the coordinate choice is
-  * tie-free today; [[normalizeCoord]] exists so that if the precision
-  * ever changes, the decision lives in exactly one place.
+  * HALF_UP `round` because the DuckDB oracle's `round()` is HALF_UP —
+  * every coordinate query is hash-matched against that oracle, so the
+  * oracle's mode wins for coordinates. The modes DO differ on real
+  * doubles: Spark rounds the SHORTEST decimal rendering of the double
+  * (`BigDecimal.decimal`), so a latitude printed as 47.0000005 is an
+  * exact .5 tie at 6 dp where HALF_UP gives 47.000001 and HALF_EVEN
+  * gives 47.0. [[normalizeCoord]] exists so the coordinate-mode
+  * decision lives in exactly one place.
   */
 object CleanFunctions {
 

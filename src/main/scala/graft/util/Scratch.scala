@@ -40,7 +40,10 @@ object Scratch {
     * same tag, unique per JVM, reclaimed on exit. */
   def path(tag: String): String = s"$root/$tag"
 
-  private def deleteTree(p: Path): Unit =
+  /** Best-effort recursive delete (IOExceptions swallowed) — THE one
+    * tree-delete shared by every cleanup hook in the codebase (scratch
+    * root, local checkpoint dir, spec temp dirs). */
+  private[graft] def deleteTree(p: Path): Unit =
     try {
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._

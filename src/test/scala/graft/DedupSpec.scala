@@ -245,6 +245,37 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.ccLocalEdgeLimit")
   }
 
+  test("star CC local path orders string ids in UTF-8 byte order " +
+      "(Spark's), and non-fast-path id types take the distributed loop") {
+    import spark.implicits._
+    // U+FFFF vs an emoji (supplementary plane): Java String '<' (UTF-16
+    // code units) sorts the emoji FIRST, Spark's UTF8String (UTF-8
+    // bytes) sorts U+FFFF first — the local path must agree with Spark
+    val hi = "￿"
+    val emoji = new String(Character.toChars(0x1F600))
+    val pairs = Seq((hi, emoji)).toDF("id_a", "id_b")
+    val local = graft.analytics.Dedup
+      .connectedComponentsStar(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    spark.conf.set("spark.graft.ccLocalEdgeLimit", "0")
+    val dist =
+      try graft.analytics.Dedup
+        .connectedComponentsStar(pairs, "id_a", "id_b")
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      finally spark.conf.unset("spark.graft.ccLocalEdgeLimit")
+    assert(local === dist)
+    assert(local(emoji) == hi && local(hi) == hi) // UTF-8 byte minimum
+    // a type with no proven driver ordering (decimal) must silently
+    // run the distributed loop, not crash in the fast path
+    val dec = Seq((BigDecimal(2), BigDecimal(1)), (BigDecimal(2),
+      BigDecimal(3))).toDF("id_a", "id_b")
+    val got = graft.analytics.Dedup
+      .connectedComponentsStar(dec, "id_a", "id_b")
+      .collect().map(r => (r.getDecimal(0).longValue,
+        r.getDecimal(1).longValue)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("star CC skew rehearsal: a 1M-edge single-hub star contracts " +
       "through partial aggregation, not a single-task window sort") {
     import spark.implicits._

@@ -39,6 +39,13 @@ class HeavyHittersSpec extends SparkSpec {
       assert(cand.contains(s"heavy$i"), s"heavy$i missing from sketch")
   }
 
+  test("capacity < 1 fails loudly on the driver, not as an executor NPE") {
+    val e = intercept[IllegalArgumentException] {
+      HeavyHitters.sketchCandidates(docs, 0)
+    }
+    assert(e.getMessage.contains("capacity >= 1"))
+  }
+
   test("verified top-k equals the exact census top-k") {
     val got = HeavyHitters.approxVocabTopK(docs, k = 10, capacity = 64)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

@@ -45,16 +45,8 @@ object SparkSpec {
       new java.util.ArrayList[java.nio.file.Path]())
   private lazy val hook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tracked.forEach { p =>
-        try {
-          import scala.jdk.CollectionConverters._
-          if (java.nio.file.Files.exists(p))
-            java.nio.file.Files.walk(p).iterator().asScala.toSeq
-              .reverseIterator.foreach(f =>
-                try { java.nio.file.Files.deleteIfExists(f); () }
-                catch { case _: java.io.IOException => () })
-        } catch { case _: java.io.IOException => () }
-      }, "graft-spec-tmp-cleanup"))
+      tracked.forEach(graft.util.Scratch.deleteTree),
+      "graft-spec-tmp-cleanup"))
 
   private[graft] def cleanupOnExit(p: java.nio.file.Path): Unit = {
     hook
