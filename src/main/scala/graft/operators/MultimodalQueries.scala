@@ -32,6 +32,51 @@ object MultimodalQueries {
         .orderBy("media_id")
     },
 
+    // Video container metadata against a cross-language oracle: the
+    // fixture's MP4/Matroska payloads were SYNTHESIZED (by
+    // tools/gen_media_fixture.py, a Python generator independent of
+    // the Scala parser) from the metadata fields stored in the same
+    // row. Spark recovers the metadata from the BYTES alone
+    // (VideoContainers box/EBML walk); DuckDB recomputes it from the
+    // JSON fields — duration as ticks/timescale (MP4) and
+    // float32(ticks)·scale_ns/1e9 (Matroska), values chosen exactly
+    // representable so both engines' IEEE arithmetic is bit-identical.
+    // Unparseable payloads (garbage text, a truncated MP4) must come
+    // back all-null, audio-only containers with 0×0 dims — distinct
+    // outcomes a pipeline filters on.
+    Q("q101_video_metadata", Some(s"""
+      SELECT media_id,
+        CASE WHEN kind = 'mp4' THEN 'mp4/' || doctype
+             WHEN kind = 'ebml' THEN doctype END AS container,
+        CASE WHEN kind = 'mp4'
+               THEN CAST(duration_ticks AS DOUBLE) / timescale
+             WHEN kind = 'ebml'
+               THEN CAST(CAST(duration_ticks AS FLOAT) AS DOUBLE)
+                 * timescale / 1e9 END AS duration_s,
+        codec,
+        CAST(width AS INT) AS width,
+        CAST(height AS INT) AS height,
+        CAST(n_tracks AS INT) AS n_tracks
+      FROM read_json('${IngestQueries.fixturesDir}/media.jsonl',
+        format='newline_delimited',
+        columns={'media_id': 'BIGINT', 'kind': 'VARCHAR',
+          'doctype': 'VARCHAR', 'timescale': 'BIGINT',
+          'duration_ticks': 'BIGINT', 'codec': 'VARCHAR',
+          'width': 'INT', 'height': 'INT', 'n_tracks': 'INT',
+          'payload_b64': 'VARCHAR'})
+      ORDER BY media_id""")) { (s, _) =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload_b64",
+          org.apache.spark.sql.types.StringType)))
+      val media = s.read.schema(schema)
+        .json(s"${IngestQueries.fixturesDir}/media.jsonl")
+        .select(col("media_id"), lit("video").as("kind"),
+          unbase64(col("payload_b64")).as("content"))
+      Multimodal.videoMetadata(media).orderBy("media_id")
+    },
+
     Q("q38_frame_sample", Some("""
       SELECT media_id, CAST(unnest(range(0, n_frames, 10)) AS INT) AS frame_idx
       FROM (
