@@ -69,12 +69,39 @@ object MiscQueries {
         .distinct()
       val w = Window.partitionBy("label")
         .orderBy(col("dist"), col("p_brand"))
-      // dict is a distinct set derived from a scaling table — let AQE
-      // size it at runtime instead of force-broadcasting the aggregate
-      noisy.crossJoin(dict)
+      // Exact argmin WITHOUT an n×|dict| cartesian: levenshtein(a,b) >=
+      // |length(a)-length(b)| (pigeonhole), so any dictionary entry
+      // outside a ±D length band sits at distance > D. Phase 1 joins
+      // each label only to entries in its band (equi-join on a length
+      // bucket exploded per dict row); a banded winner with dist <= D
+      // is provably the GLOBAL argmin with exact tie semantics — every
+      // candidate tying at dist <= D has |Δlen| <= D and is in the
+      // band, and every excluded entry is strictly farther. Labels the
+      // band cannot settle (no candidate, or banded min > D) fall back
+      // to a broadcast nested-loop pass over the full dictionary:
+      // still exact, still no CartesianProduct node, and at scale the
+      // fallback side is the rare residue, not the corpus. The
+      // dictionary is a bounded vocabulary (a fuzzy-match dict by
+      // construction), so broadcasting it — and its 2D+1 exploded
+      // buckets — is safe.
+      val maxD = 3
+      val banded = dict.withColumn("len_bucket",
+        explode(sequence(length(col("p_brand")) - maxD,
+          length(col("p_brand")) + maxD)))
+      val win1 = noisy
+        .join(broadcast(banded), length(col("label")) === col("len_bucket"))
+        .withColumn("dist", levenshtein(col("label"), col("p_brand")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("dist") <= maxD)
+        .select("label", "p_brand", "dist")
+      val win2 = noisy
+        .join(win1.select("label"), Seq("label"), "left_anti")
+        .crossJoin(broadcast(dict))
         .withColumn("dist", levenshtein(col("label"), col("p_brand")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
+        .select("label", "p_brand", "dist")
+      win1.unionByName(win2)
         .select(col("label"), col("p_brand").as("matched"),
           col("dist").cast("int").as("dist"))
         .orderBy("label")

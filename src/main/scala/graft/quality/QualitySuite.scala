@@ -456,44 +456,79 @@ object QualitySuite {
       rest.partition(_.isInstanceOf[CustomSqlRule])
     val results = scala.collection.mutable.Map[String, (Long, Long)]()
     val tableTotals = scala.collection.mutable.Map[String, Long]()
-    for ((table, tableRules) <- baseRules.groupBy(_.table)) {
-      val df = tables(table)
-      // plain-predicate anomalies join the fused single scan; window/
-      // aggregate conditions keep their own spark.sql job
-      val fused = tableRules.flatMap {
-        case r @ AnomalyRule(_, _, cond, _) if fusableAnomaly(df, cond) =>
-          Some(r -> anomalyAgg(cond))
-        case r @ CompletenessRule(_, "*", pct) =>
-          Some(r -> wholeTableCompletenessAgg(df, pct))
-        case r => aggExpr(r, asOf).map(r -> _)
+    // All per-table fused scans, standalone rule jobs (unique/
+    // referential/window-anomaly) and custom-SQL counts are
+    // independent Spark actions. Run sequentially they cost one
+    // job-submission round-trip EACH — at 19 rules that latency (not
+    // data) dominated the report's wall time. Submit them from a
+    // fixed thread pool instead: Spark's scheduler interleaves
+    // concurrent jobs safely, results are assembled on this thread
+    // only after every future completes.
+    val customs = customRules.collect { case c: CustomSqlRule => c }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      val byTable = baseRules.groupBy(_.table).toSeq.sortBy(_._1)
+      val planned = byTable.map { case (table, tableRules) =>
+        val df = tables(table)
+        // plain-predicate anomalies join the fused single scan;
+        // window/aggregate conditions keep their own spark.sql job
+        val fused = tableRules.flatMap {
+          case r @ AnomalyRule(_, _, cond, _) if fusableAnomaly(df, cond) =>
+            Some(r -> anomalyAgg(cond))
+          case r @ CompletenessRule(_, "*", pct) =>
+            Some(r -> wholeTableCompletenessAgg(df, pct))
+          case r => aggExpr(r, asOf).map(r -> _)
+        }
+        (table, df, fused,
+          tableRules.filter(r => !fused.exists(_._1 eq r)))
       }
-      if (fused.nonEmpty) {
-        val aggs = count(lit(1)).as("__total") +:
-          fused.zipWithIndex.map { case ((_, e), i) => e.as(s"__v$i") }
-        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-        val total = row.getLong(0)
-        tableTotals(table) = total
-        fused.zipWithIndex.foreach { case ((r, _), i) =>
-          results(r.name) = (row.getLong(i + 1), total)
+      val fusedF = planned.collect {
+        case (table, df, fused, _) if fused.nonEmpty => Future {
+          val aggs = count(lit(1)).as("__total") +:
+            fused.zipWithIndex.map { case ((_, e), i) => e.as(s"__v$i") }
+          val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+          val total = row.getLong(0)
+          (table, total, fused.zipWithIndex.map { case ((r, _), i) =>
+            r.name -> row.getLong(i + 1) })
         }
       }
-      for (r <- tableRules if !fused.exists(_._1 eq r))
-        results(r.name) = violationCount(spark, tables, r, asOf)
-    }
-    // custom SQL validations run their own spark.sql job (arbitrary
-    // SELECTs can't fuse into the per-table scan) but reuse the fused
-    // scans' row totals for n_rows — no extra full-table scan per
-    // rule; they still count as validations for the transform-phase
-    // meta-gates below. Views are registered once for the whole batch
-    // and dropped afterwards.
-    if (customRules.nonEmpty) {
-      def totalOf(t: String): Long = tableTotals.getOrElseUpdate(t,
-        tables.get(t).map(_.count()).getOrElse(0L))
-      val customs = customRules.collect { case c: CustomSqlRule => c }
-      val counts = runCustomBatch(spark, tables, customs, asOf)
-      for (c <- customs)
-        results(c.name) = (counts(c.name), totalOf(c.table))
-    }
+      val soloF = planned.flatMap { case (_, _, _, solo) =>
+        solo.map(r => Future(r.name -> violationCount(spark, tables, r,
+          asOf)))
+      }
+      // custom SQL validations run their own spark.sql job (arbitrary
+      // SELECTs can't fuse into the per-table scan) but reuse the
+      // fused scans' row totals for n_rows — no extra full-table scan
+      // per rule; they still count as validations for the transform-
+      // phase meta-gates below. Views are registered once for the
+      // whole batch (on this thread, before the futures race) and
+      // dropped afterwards.
+      val customF = if (customs.isEmpty) Nil else {
+        tables.foreach { case (n, t) => t.createOrReplaceTempView(n) }
+        customs.map(c => Future(
+          c.name -> spark.sql(bindAsOf(spark, c.sql, asOf)).count()))
+      }
+      try {
+        for ((table, total, perRule) <-
+            Await.result(Future.sequence(fusedF), Duration.Inf)) {
+          tableTotals(table) = total
+          perRule.foreach { case (n, v) => results(n) = (v, total) }
+        }
+        results ++= Await.result(Future.sequence(soloF), Duration.Inf)
+        def totalOf(t: String): Long = tableTotals.getOrElseUpdate(t,
+          tables.get(t).map(_.count()).getOrElse(0L))
+        for ((name, v) <-
+            Await.result(Future.sequence(customF), Duration.Inf)) {
+          val c = customs.find(_.name == name).get
+          results(name) = (v, totalOf(c.table))
+        }
+      } finally if (customs.nonEmpty)
+        tables.keys.foreach(spark.catalog.dropTempView(_))
+    } finally pool.shutdown()
     results ++= evalGates(
       gateRules.collect { case g: GateRule => g },
       tables.get("etl_audit_log"),
