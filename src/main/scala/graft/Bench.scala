@@ -122,8 +122,11 @@ object Bench {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          times(name) = ((System.nanoTime() - t0) / 1e9) ::
-            times.getOrElse(name, Nil)
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(name) = dt :: times.getOrElse(name, Nil)
+          // per-run progress on stderr: a hung/slow query is visible
+          // (and attributable) while the suite is still running
+          System.err.println(f"[bench] $name run $r: $dt%.2f s")
         } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name run $r failed: ${e.getMessage}")

@@ -118,12 +118,37 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       explode(shingles(col(textCol), n)).as("shingle"))
 
-  /** 2. Exact n-gram Jaccard pairs ≥ threshold, via inverted-index join.
-    * Shuffles are keyed on shingle then on (id_a, id_b) — both
-    * fine-grained keys that distribute evenly. `maxDf` (optional)
-    * drops shingles appearing in more than that many docs — the
-    * standard stop-shingle guard against quadratic blowup on very
-    * common n-grams at corpus scale.
+  /** 2. Exact n-gram Jaccard pairs ≥ threshold, via a prefix-filtered
+    * inverted-index join (the PPJoin family — Bayardo et al. WWW'07,
+    * Xiao et al. WWW'08; both public).
+    *
+    * A naive index self-join does Σ df² work, and df grows linearly
+    * with the corpus whenever the shingle space saturates (fixed
+    * vocabulary, templated text) — the sf1 scale rehearsal measured
+    * exactly that: 150× wall time for 10× docs. Prefix filtering
+    * restores near-linear candidate generation WITHOUT changing the
+    * result set: for Jaccard ≥ t, any qualifying pair must overlap in
+    * at least ⌈t·|A|⌉ shingles, so the first |A| − ⌈t·|A|⌉ + 1
+    * shingles of each doc under a global rarest-first (df, h) order
+    * are guaranteed to collide for every qualifying pair. Only those
+    * prefix postings enter the self-join; candidates are then verified
+    * EXACTLY with an `array_intersect` of the full (distinct) shingle
+    * sets, so the emitted rows are bit-identical to the naive join's.
+    * Rarest-first ordering pushes common shingles out of prefixes,
+    * which is what cuts the df² head of the join.
+    *
+    * The strategy is ADAPTIVE, AQE-style: Σ df² is a one-number
+    * aggregate of the document-frequency frame (computed anyway for
+    * the ordering), and below `spark.graft.jaccardNaiveMaxDf2`
+    * (default 64 M) the plain self-join wins — prefix ranking, the
+    * candidate distinct and the array verification are pure overhead
+    * at small index sizes (measured +60% on the sf0.1 queries). Both
+    * paths emit identical rows, so the switch is a physical-plan
+    * choice, not a semantic one.
+    *
+    * `maxDf` (optional) additionally drops shingles appearing in more
+    * than that many docs — the standard stop-shingle guard; sizes and
+    * intersections then both come from the filtered universe.
     *
     * The returned frame is checkpoint-materialized (reading it
     * triggers no recompute and no cache bookkeeping); the internal
@@ -141,19 +166,19 @@ object Dedup {
     val sh0 = shingleIndex(docs, idCol, textCol, n)
       .select(col("doc_id"), h60(col("shingle")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = maxDf match {
-      case Some(m) =>
-        val df = sh0.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= m).select("h")
-        sh0.join(df, Seq("h"))
-      case None => sh0
+    val dfm0 = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+    val dfm = maxDf match {
+      case Some(m) => dfm0.filter(col("df") <= m)
+      case None => dfm0
     }
-    // set sizes must reflect the SAME shingle universe as the pair
-    // intersections: with a df cap the sizes come from the filtered
-    // index (otherwise jaccard is systematically underestimated and
-    // exact duplicates dominated by common shingles are missed);
-    // without a cap the (already-distinct) array size is a narrow
-    // projection needing no re-explode
+    // set sizes and pair intersections must reflect the SAME shingle
+    // universe: with a df cap both come from the filtered index
+    // (otherwise jaccard is systematically underestimated and exact
+    // duplicates dominated by common shingles are missed); without a
+    // cap the (already-distinct) array size is a narrow projection
+    // needing no re-explode, and the postings need no df join at all
+    // on the naive path
+    lazy val sh = sh0.join(dfm, Seq("h"))
     val sizes = maxDf match {
       case Some(_) =>
         sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
@@ -161,19 +186,63 @@ object Dedup {
         docs.select(col(idCol).as("doc_id"),
           size(shingles(col(textCol), n)).cast("long").as("set_size"))
     }
-    val pairs = sh.as("a").join(sh.as("b"), Seq("h"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val result = pairs
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("size_a") + col("size_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    // the strategy statistic: the self-join's candidate row count
+    val cost = dfm.agg(coalesce(sum(col("df") * col("df")), lit(0L)))
+      .collect()(0).getLong(0)
+    val naiveMax = docs.sparkSession.conf
+      .get("spark.graft.jaccardNaiveMaxDf2", "64000000").toLong
+    val result =
+      if (cost <= naiveMax) {
+        val post = if (maxDf.isEmpty) sh0 else sh.select("doc_id", "h")
+        val pairs = post.as("a").join(post.as("b"), Seq("h"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+          .join(sizes.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("size_a") + col("size_b") - col("inter")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+      } else {
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("df"), col("h"))
+        val wDoc = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+        // rarest-first prefix: first sz − ⌈t·sz⌉ + 1 shingles per doc
+        val prefix = sh
+          .withColumn("rk", row_number().over(wRank))
+          .withColumn("sz", count(lit(1)).over(wDoc))
+          .filter(col("rk") <=
+            col("sz") - ceil(col("sz") * threshold) + lit(1L))
+          .select("doc_id", "h")
+        val cand = prefix.as("a").join(prefix.as("b"), Seq("h"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        // exact verification: candidates are a near-superset of the
+        // result, so intersect the full (distinct-shingle) sets —
+        // arrays are doc-sized, the intersect is per-candidate local
+        // work
+        val sets = sh.groupBy("doc_id").agg(
+          collect_list(col("h")).as("hs"), count(lit(1)).as("set_size"))
+        cand
+          .join(sets.select(col("doc_id").as("id_a"),
+            col("hs").as("hs_a"), col("set_size").as("size_a")),
+            Seq("id_a"))
+          .join(sets.select(col("doc_id").as("id_b"),
+            col("hs").as("hs_b"), col("set_size").as("size_b")),
+            Seq("id_b"))
+          .withColumn("inter",
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("size_a") + col("size_b") - col("inter")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+      }
     // stage the (small) pair result while the index is still cached,
     // then release the index — see [[materialize]] for why this must
     // be a lineage-cutting checkpoint, not persist+count

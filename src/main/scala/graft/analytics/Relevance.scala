@@ -32,11 +32,17 @@ object Relevance {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** Adds `df` (number of documents containing the term) to a
-    * [[termFreqs]] frame via a count window over term — one shuffle,
-    * no second aggregation joined back. */
+    * [[termFreqs]] frame. Aggregate-then-join, NOT a count window:
+    * the window form exchanges AND sorts the whole data-sized frame by
+    * term, while the aggregate reuses the (doc_id, term) shuffle
+    * already materialized for [[termFreqs]] (identical-exchange
+    * reuse), condenses map-side to vocabulary size, and joins back as
+    * a runtime broadcast — the posting list itself is never
+    * re-shuffled. */
   def withDocFreq(termFreqs: DataFrame): DataFrame =
-    termFreqs.withColumn("df", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("term")))
+    termFreqs.join(
+      termFreqs.groupBy("term").agg(count(lit(1)).as("df")),
+      Seq("term"))
 
   /** Smooth idf (sklearn convention): ln((N+1)/(df+1)) + 1. */
   def smoothIdf(df: Column, nDocs: Long): Column =
@@ -47,9 +53,10 @@ object Relevance {
     log(lit(1.0) + (lit(nDocs) - df + 0.5) / (df + 0.5))
 
   /** (doc_id, term, tf, df, tfidf): per-document term weights.
-    * One tokenize pass: df comes from a count window over term
-    * (shuffle on term), not a second aggregation joined back — the
-    * term-frequency explode runs exactly once.
+    * One tokenize pass: both [[withDocFreq]] branches hang off the
+    * same (doc_id, term) aggregation, so identical-exchange reuse runs
+    * the explode+shuffle once and the df side joins back as a
+    * vocabulary-sized broadcast.
     */
   def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.count()
@@ -63,40 +70,53 @@ object Relevance {
     * equi-join of distinct query terms against the (term → doc)
     * inverted index, so only documents sharing a term with the query
     * are ever scored. The per-(query, doc) score is a term-sorted left
-    * fold (see class doc). The returned frame is
-    * checkpoint-materialized: the internal inverted index feeds three
-    * consumers and is released before returning — see
-    * [[Dedup.materialize]] for why the staging must cut lineage rather
-    * than persist+count.
+    * fold (see class doc).
+    *
+    * Job shape: ONE scalar pre-pass (corpus count + total tokens in a
+    * single aggregation over `docs` — avgdl needs them as literals)
+    * and one declarative plan for everything else. The term-frequency
+    * aggregation feeds both the query-term postings and the
+    * doc-length sums, but both branches are the identical
+    * (doc_id, term) exchange, so Spark's identical-exchange reuse
+    * runs the tokenize+shuffle once — no persist, no checkpoint, no
+    * extra actions (at sf0.1 the query is job-latency-bound: the
+    * previous persist + two scalar jobs + checkpoint cost more wall
+    * time than every shuffle combined).
     */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val n = docs.count()
-    // the term-frequency index feeds df-window, doc lengths, and the
-    // corpus token total — persist so the tokenize explode runs once
-    val tf = termFreqs(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withDf = withDocFreq(tf)
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     // total corpus tokens is an exact long sum → avgdl is one
-    // deterministic double division
-    val totalTokens = dl.agg(sum(col("dl"))).collect()(0).getLong(0)
-    val avgdl = totalTokens.toDouble / n
+    // deterministic double division; size(split) counts exactly what
+    // the termFreqs explode emits
+    val stats = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(tokens(col(textCol))).cast("long")), lit(0L))
+        .as("tok")).collect()(0)
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n.max(1L)
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val qterms = queries.select(col("query_id"),
         explode(tokens(col("text"))).as("term"))
       .distinct()
-    val parts = qterms.join(withDf, Seq("term"))
+    // only postings of query terms are ever scored, so restrict the
+    // index FIRST (broadcast semi-join on the handful of query terms)
+    // and compute document frequency over that slice — df of a term
+    // counts the same documents either way, but the full-vocabulary
+    // df (and the data-sized shuffle it costs) is never needed
+    val tfq = tf.join(broadcast(qterms.select("term").distinct()),
+      Seq("term"), "leftsemi")
+    val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val parts = qterms.join(tfq, Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
       .join(dl, Seq("doc_id"))
       .withColumn("part",
         bm25Idf(col("df"), n) * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / avgdl)))
-    val scored = Dedup.materialize(parts.groupBy("query_id", "doc_id")
+    parts.groupBy("query_id", "doc_id")
       .agg(aggregate(
         array_sort(collect_list(struct(col("term"), col("part")))),
         lit(0.0),
-        (acc, x) => acc + x.getField("part")).as("score")))
-    tf.unpersist(false)
-    scored
+        (acc, x) => acc + x.getField("part")).as("score"))
   }
 
   /** BM25 ranked retrieval: top-`k` documents per query, near-ties
