@@ -245,12 +245,19 @@ object Multimodal {
       if (dur > 0) (nBytes / dur / 1e8).min(1).toFloat else 0f)
   }
 
-  /** STUB — deterministic fake decode for video FRAMES (container
-    * metadata is parsed for real — [[videoFeatures]]) and for
-    * undecodable image/audio/video payloads. A real implementation
-    * would decode `bytes` with a media library here; this derives an
-    * 8-dim feature vector from byte statistics. Deterministic in the
-    * input bytes. */
+  /** STUB — deterministic fake decode for undecodable payloads and
+    * for video frames in codecs the JVM cannot decode. Video decode
+    * coverage is deliberately tiered, and this is the recorded
+    * decision on its limit: container metadata is parsed for real
+    * ([[videoFeatures]], [[videoMetadata]]), MJPEG-in-AVI frames are
+    * decoded for real ([[videoFrames]] — each frame is a baseline
+    * JPEG, within `javax.imageio`'s reach), and every OTHER video
+    * codec (H.264/HEVC/VP9/AV1 bitstreams…) is permanently out of
+    * scope here: a zero-dependency JVM ships no inter-frame codec,
+    * so real decode would mean adding a native media library, which
+    * this build forbids. For those payloads this stub derives an
+    * 8-dim feature vector from byte statistics — deterministic in
+    * the input bytes, never a crash. */
   def fakeDecode(bytes: Array[Byte]): Array[Float] = {
     if (bytes == null || bytes.isEmpty) return Array.fill(8)(0f)
     val out = new Array[Float](8)
@@ -320,6 +327,65 @@ object Multimodal {
             VideoMetaRow(id, None, None, None, None, None, None)
         }
       }).toDF()
+  }
+
+  /** One row per decoded video FRAME. */
+  case class VideoFrameRow(media_id: Long, frame_idx: Int,
+      width: Int, height: Int, mean_luma: Double)
+
+  /** REAL video frame decode for the one codec a zero-dependency JVM
+    * can handle: MJPEG in AVI, where every `##dc` chunk is a
+    * standalone baseline JPEG ([[VideoContainers.aviFrames]] →
+    * `javax.imageio`). Emits (media_id, frame_idx, width, height,
+    * mean_luma) per decodable frame; non-AVI containers and non-JPEG
+    * frame payloads (e.g. an AVI whose handler is a real inter-frame
+    * codec) emit nothing — same skip-don't-fail contract as
+    * [[decodeImage]]. Map-only at any corpus size; the per-row work
+    * is the codec itself.
+    *
+    * Mean luma is the exact integer sample sum over the gray band
+    * (band 0 of a single-band raster; Rec.601 over getRGB otherwise)
+    * divided once — deterministic, oracle-comparable (q102). Frames
+    * whose header exceeds [[MaxDecodePixels]] are skipped like any
+    * undecodable payload. */
+  def videoFrames(media: DataFrame): Dataset[VideoFrameRow] = {
+    val sess = media.sparkSession
+    import sess.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        VideoContainers.aviFrames(bytes).getOrElse(Vector.empty)
+          .iterator.zipWithIndex.flatMap { case (fb, i) =>
+            decodeImage(fb).map { img =>
+              val w = img.getWidth; val h = img.getHeight
+              val raster = img.getRaster
+              var sum = 0L
+              if (raster.getNumBands == 1) {
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+                  y += 1
+                }
+              } else {
+                // color MJPEG: Rec.601 luma, rounded per pixel
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val p = img.getRGB(x, y)
+                    sum += math.round(0.299 * ((p >> 16) & 0xff) +
+                      0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff))
+                    x += 1
+                  }
+                  y += 1
+                }
+              }
+              VideoFrameRow(id, i, w, h, sum.toDouble / (w.toLong * h))
+            }
+          }
+      }
   }
 
   /** STUB resize — metadata-only transform (a real implementation

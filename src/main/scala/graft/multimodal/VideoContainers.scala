@@ -26,12 +26,15 @@ object VideoContainers {
       codec: String, width: Int, height: Int, nTracks: Int)
 
   /** Parse a video container header: MP4 family first (magic at a
-    * fixed offset), then EBML. None when the bytes are neither. */
+    * fixed offset), then EBML, then RIFF/AVI. None when the bytes are
+    * none of the three. */
   def parse(bytes: Array[Byte]): Option[VideoMeta] = {
     if (bytes == null || bytes.length < 8) None
     else if (bytes.length >= 12 && fourcc(bytes, 4) == "ftyp")
       parseMp4(bytes)
     else if (u32(bytes, 0) == 0x1a45dfa3L) parseEbml(bytes)
+    else if (bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+      fourcc(bytes, 8) == "AVI ") parseAvi(bytes)
     else None
   }
 
@@ -106,6 +109,90 @@ object VideoContainers {
         .flatMap(t => codecOf(t._2, t._3)).getOrElse("")
       VideoMeta(s"mp4/$brand".trim, duration, codec, w, h, traks.length)
     }
+  }
+
+  // ------------------------------------------------------ RIFF/AVI
+
+  private def u32le(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+  /** RIFF chunk ranges of [start, end): (fcc, payloadStart,
+    * payloadEnd). Little-endian sizes, odd sizes padded to even;
+    * malformed sizes terminate the walk (same defensive contract as
+    * [[boxes]]). */
+  private def riffChunks(b: Array[Byte], start: Int,
+      end: Int): List[(String, Int, Int)] = {
+    var o = start
+    val out = List.newBuilder[(String, Int, Int)]
+    while (o + 8 <= end) {
+      val fcc = fourcc(b, o)
+      val sz = u32le(b, o + 4)
+      val pEnd = o + 8 + sz
+      if (pEnd < o + 8 || pEnd > end) return out.result()
+      out += ((fcc, o + 8, pEnd.toInt))
+      o = (pEnd + (sz & 1L)).toInt // chunks are word-aligned
+    }
+    out.result()
+  }
+
+  /** LIST-typed RIFF children: (listType, payloadStart, payloadEnd)
+    * with the 4-byte list type already consumed. */
+  private def riffLists(b: Array[Byte], start: Int,
+      end: Int): List[(String, Int, Int)] =
+    riffChunks(b, start, end).collect {
+      case ("LIST", s, e) if e - s >= 4 => (fourcc(b, s), s + 4, e)
+    }
+
+  /** AVI (ISO-agnostic RIFF, AVI 1.0 'avih'/'strl' layout): duration
+    * is totalFrames × µsPerFrame from the main header; the codec is
+    * the video stream's fccHandler; streams are counted from 'strl'
+    * lists like MP4 'trak's. */
+  private def parseAvi(b: Array[Byte]): Option[VideoMeta] =
+    for {
+      (hdrlS, hdrlE) <- riffLists(b, 12, b.length)
+        .collectFirst { case ("hdrl", s, e) => (s, e) }
+      (avihS, avihE) <- riffChunks(b, hdrlS, hdrlE)
+        .collectFirst { case ("avih", s, e) if e - s >= 40 => (s, e) }
+    } yield {
+      val usPerFrame = u32le(b, avihS)
+      val totalFrames = u32le(b, avihS + 16)
+      val w = u32le(b, avihS + 32).toInt
+      val h = u32le(b, avihS + 36).toInt
+      val durationS =
+        if (usPerFrame > 0 && totalFrames > 0)
+          totalFrames.toDouble * usPerFrame / 1e6
+        else Double.NaN
+      val strls = riffLists(b, hdrlS, hdrlE)
+        .collect { case ("strl", s, e) => (s, e) }
+      def strh(s: Int, e: Int): Option[(String, String)] =
+        riffChunks(b, s, e).collectFirst {
+          case ("strh", hs, he) if he - hs >= 8 =>
+            (fourcc(b, hs), fourcc(b, hs + 4))
+        }
+      val headers = strls.flatMap { case (s, e) => strh(s, e) }
+      val codec = headers.collectFirst { case ("vids", handler) => handler }
+        .orElse(headers.headOption.map(_._2)).getOrElse("")
+      VideoMeta("avi", durationS, codec.trim, w, h, strls.length)
+    }
+
+  /** The video frame payloads of an AVI 'movi' list: the `##dc`
+    * / `##db` chunks in stream order. For an MJPEG AVI each payload
+    * is a standalone baseline JPEG — the one video codec a
+    * zero-dependency JVM can decode ([[javax.imageio.ImageIO]]).
+    * None when the bytes aren't an AVI; Some(empty) when the AVI has
+    * no movi list or no frame chunks. */
+  def aviFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (b == null || b.length < 12 || fourcc(b, 0) != "RIFF" ||
+      fourcc(b, 8) != "AVI ") return None
+    val frames = for {
+      (lt, s, e) <- riffLists(b, 12, b.length)
+      if lt == "movi"
+      (fcc, cs, ce) <- riffChunks(b, s, e)
+      if fcc.length == 4 && fcc(0).isDigit && fcc(1).isDigit &&
+        fcc(2) == 'd' && (fcc(3) == 'c' || fcc(3) == 'b')
+    } yield java.util.Arrays.copyOfRange(b, cs, ce)
+    Some(frames.toVector)
   }
 
   // ---------------------------------------------------------- EBML

@@ -47,12 +47,16 @@ object MultimodalQueries {
     Q("q101_video_metadata", Some(s"""
       SELECT media_id,
         CASE WHEN kind = 'mp4' THEN 'mp4/' || doctype
-             WHEN kind = 'ebml' THEN doctype END AS container,
+             WHEN kind = 'ebml' THEN doctype
+             WHEN kind = 'avi' THEN 'avi' END AS container,
         CASE WHEN kind = 'mp4'
                THEN CAST(duration_ticks AS DOUBLE) / timescale
              WHEN kind = 'ebml'
                THEN CAST(CAST(duration_ticks AS FLOAT) AS DOUBLE)
-                 * timescale / 1e9 END AS duration_s,
+                 * timescale / 1e9
+             WHEN kind = 'avi'
+               THEN CAST(duration_ticks AS DOUBLE) / timescale
+             END AS duration_s,
         codec,
         CAST(width AS INT) AS width,
         CAST(height AS INT) AS height,
@@ -75,6 +79,43 @@ object MultimodalQueries {
         .select(col("media_id"), lit("video").as("kind"),
           unbase64(col("payload_b64")).as("content"))
       Multimodal.videoMetadata(media).orderBy("media_id")
+    },
+
+    // REAL video frame decode against a cross-language oracle: the
+    // fixture's AVI payloads carry MJPEG frames hand-assembled (by
+    // tools/gen_media_fixture.py) from flat DC-only 8x8 blocks with a
+    // quant step of 8, which any conformant JPEG decoder reconstructs
+    // EXACTLY — so the per-frame mean luma recorded in the JSON row
+    // (frame_lumas) equals what javax.imageio recovers from the bytes
+    // alone, bit-for-bit. The non-MJPEG AVI (media_id 11) must emit
+    // no rows: its frame chunks are not JPEGs and skip, not fail.
+    Q("q102_video_frames", Some(s"""
+      SELECT media_id,
+        CAST(unnest(range(len(frame_lumas))) AS INT) AS frame_idx,
+        CAST(width AS INT) AS width,
+        CAST(height AS INT) AS height,
+        unnest(frame_lumas) AS mean_luma
+      FROM read_json('${IngestQueries.fixturesDir}/media.jsonl',
+        format='newline_delimited',
+        columns={'media_id': 'BIGINT', 'kind': 'VARCHAR',
+          'width': 'INT', 'height': 'INT',
+          'frame_lumas': 'DOUBLE[]', 'payload_b64': 'VARCHAR'})
+      WHERE frame_lumas IS NOT NULL
+      ORDER BY media_id, frame_idx""")) { (s, _) =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload_b64",
+          org.apache.spark.sql.types.StringType)))
+      val media = s.read.schema(schema)
+        .json(s"${IngestQueries.fixturesDir}/media.jsonl")
+        .select(col("media_id"), lit("video").as("kind"),
+          unbase64(col("payload_b64")).as("content"))
+      Multimodal.videoFrames(media).toDF()
+        .select(col("media_id"), col("frame_idx").cast("int"),
+          col("width").cast("int"), col("height").cast("int"),
+          col("mean_luma"))
+        .orderBy("media_id", "frame_idx")
     },
 
     Q("q38_frame_sample", Some("""

@@ -288,6 +288,74 @@ class MultimodalSpec extends SparkSpec {
     assert(vc.parse(overrun).isEmpty)
   }
 
+  /** The committed cross-language fixture (tools/gen_media_fixture.py):
+    * media_id → payload bytes. */
+  private lazy val fixtureRows: Map[Long, Array[Byte]] = {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/fixtures/media.jsonl"), "UTF-8")
+    try src.getLines().map { line =>
+      val id = """"media_id": (\d+)""".r.findFirstMatchIn(line)
+        .get.group(1).toLong
+      val b64 = """"payload_b64": "([^"]*)"""".r.findFirstMatchIn(line)
+        .get.group(1)
+      id -> java.util.Base64.getDecoder.decode(b64)
+    }.toMap
+    finally src.close()
+  }
+
+  test("AVI RIFF structure round-trips duration/codec/dims/tracks") {
+    val m = graft.multimodal.VideoContainers.parse(fixtureRows(9L)).get
+    assert(m.container == "avi")
+    assert(m.durationS == 0.12) // 3 frames × 40000 µs
+    assert(m.codec == "MJPG")
+    assert(m.width == 16 && m.height == 16)
+    assert(m.nTracks == 1)
+    val xvid = graft.multimodal.VideoContainers.parse(fixtureRows(11L)).get
+    assert(xvid.codec == "xvid" && xvid.width == 32)
+    // malformed: truncation and garbage degrade to None / no frames
+    assert(graft.multimodal.VideoContainers
+      .parse(fixtureRows(9L).take(16)).isEmpty)
+    assert(graft.multimodal.VideoContainers
+      .aviFrames("RIFFxxxx".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("MJPEG-in-AVI frames decode to the exact fixture lumas") {
+    val vc = graft.multimodal.VideoContainers
+    val frames = vc.aviFrames(fixtureRows(9L)).get
+    assert(frames.length == 3)
+    val lumas = frames.map { fb =>
+      val img = Multimodal.decodeImage(fb).get
+      val r = img.getRaster
+      assert(r.getNumBands == 1, "grayscale JPEG must decode to 1 band")
+      var sum = 0L
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        sum += r.getSample(x, y, 0)
+      sum.toDouble / (img.getWidth * img.getHeight)
+    }
+    // flat DC-only blocks with quant step 8 reconstruct EXACTLY: the
+    // means are the generator's closed-form values, no tolerance
+    assert(lumas == Vector(96.0, 128.0, 200.0))
+    // non-JPEG frame payloads (xvid AVI) are extracted but skip decode
+    val xvidFrames = vc.aviFrames(fixtureRows(11L)).get
+    assert(xvidFrames.length == 2)
+    assert(xvidFrames.forall(Multimodal.decodeImage(_).isEmpty))
+  }
+
+  test("videoFrames emits one exact row per decodable MJPEG frame") {
+    val media = Seq(
+      (9L, "video", fixtureRows(9L)),
+      (10L, "video", fixtureRows(10L)),
+      (11L, "video", fixtureRows(11L)), // xvid: no decodable frames
+      (7L, "video", fixtureRows(7L)))   // garbage: not an AVI
+      .toDF("media_id", "kind", "content")
+    val rows = Multimodal.videoFrames(media).orderBy("media_id", "frame_idx")
+      .collect()
+      .map(r => (r.media_id, r.frame_idx, r.width, r.height, r.mean_luma))
+    assert(rows.toSeq == Seq(
+      (9L, 0, 16, 16, 96.0), (9L, 1, 16, 16, 128.0),
+      (9L, 2, 16, 16, 200.0), (10L, 0, 8, 8, 77.0)))
+  }
+
   test("videoMetadata yields typed filterable columns; unparseable " +
       "payloads keep all-null metadata rows") {
     val rows = Seq(
