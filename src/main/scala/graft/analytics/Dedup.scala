@@ -186,9 +186,14 @@ object Dedup {
         docs.select(col(idCol).as("doc_id"),
           size(shingles(col(textCol), n)).cast("long").as("set_size"))
     }
-    // the strategy statistic: the self-join's candidate row count
-    val cost = dfm.agg(coalesce(sum(col("df") * col("df")), lit(0L)))
-      .collect()(0).getLong(0)
+    // strategy statistics in one scalar job: the naive self-join's
+    // collision row count (Σ df²) and the posting count (sizes the
+    // verify-side broadcast)
+    val statsRow = dfm.agg(
+      coalesce(sum(col("df") * col("df")), lit(0L)),
+      coalesce(sum(col("df")), lit(0L))).collect()(0)
+    val cost = statsRow.getLong(0)
+    val nPostings = statsRow.getLong(1)
     val naiveMax = docs.sparkSession.conf
       .get("spark.graft.jaccardNaiveMaxDf2", "64000000").toLong
     val result =
@@ -212,36 +217,69 @@ object Dedup {
           .partitionBy("doc_id").orderBy(col("df"), col("h"))
         val wDoc = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id")
-        // rarest-first prefix: first sz − ⌈t·sz⌉ + 1 shingles per doc
+        // rarest-first prefix: first sz − ⌈t·sz⌉ + 1 shingles per doc,
+        // each carrying its rank and the doc's set size for the
+        // per-collision filters below
         val prefix = sh
           .withColumn("rk", row_number().over(wRank))
           .withColumn("sz", count(lit(1)).over(wDoc))
           .filter(col("rk") <=
             col("sz") - ceil(col("sz") * threshold) + lit(1L))
-          .select("doc_id", "h")
+          .select("doc_id", "h", "rk", "sz")
+        // collision-level pruning (both complete for J ≥ t; proofs in
+        // the PPJoin papers, sketched here):
+        //  • size filter: J ≥ t ⇒ inter ≥ t·max(szA,szB) and
+        //    inter ≤ min(szA,szB), so min ≥ t·max.
+        //  • positional filter: the FIRST common shingle (global
+        //    rarest-first order) at ranks (pa, pb) bounds the overlap
+        //    by 1 + min(szA−pa, szB−pb); a qualifying pair needs
+        //    overlap ≥ α = ⌈t/(1+t)·(szA+szB)⌉, and that first common
+        //    shingle provably sits inside both prefixes (pa ≤ szA −
+        //    inter + 1 ≤ szA − ⌈t·szA⌉ + 1), so at least one
+        //    surviving collision row remains for every true pair.
+        val alpha = ceil((col("a.sz") + col("b.sz"))
+          * lit(threshold / (1.0 + threshold)))
         val cand = prefix.as("a").join(prefix.as("b"), Seq("h"))
           .filter(col("a.doc_id") < col("b.doc_id"))
+          .filter(least(col("a.sz"), col("b.sz")) >=
+            greatest(col("a.sz"), col("b.sz")) * threshold)
+          .filter(lit(1) + least(col("a.sz") - col("a.rk"),
+            col("b.sz") - col("b.rk")) >= alpha)
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        // exact verification: candidates are a near-superset of the
-        // result, so intersect the full (distinct-shingle) sets —
-        // arrays are doc-sized, the intersect is per-candidate local
-        // work
+        // exact verification: intersect the full (distinct-shingle)
+        // sets per candidate. The sets frame is postings-sized (one
+        // array cell per posting), so up to
+        // spark.graft.jaccardBroadcastSetBytes (default 256 MB ≈ 16 M
+        // postings) it BROADCASTS and verification is map-side: no
+        // shuffle ever carries a doc-sized array per candidate, and
+        // the candidate distinct (measured multiplicity ~1.05 — most
+        // pairs collide on exactly one prefix shingle) collapses to a
+        // cheap distinct of the small verified output instead.
+        // Beyond that the sets join falls back to shuffle joins with
+        // a pre-distinct so each pair ships its arrays once.
         val sets = sh.groupBy("doc_id").agg(
           collect_list(col("h")).as("hs"), count(lit(1)).as("set_size"))
-        cand
-          .join(sets.select(col("doc_id").as("id_a"),
-            col("hs").as("hs_a"), col("set_size").as("size_a")),
-            Seq("id_a"))
-          .join(sets.select(col("doc_id").as("id_b"),
-            col("hs").as("hs_b"), col("set_size").as("size_b")),
-            Seq("id_b"))
+        val bcastMax = docs.sparkSession.conf
+          .get("spark.graft.jaccardBroadcastSetBytes", "268435456").toLong
+        val smallSets = nPostings * 16 <= bcastMax
+        val setsA = sets.select(col("doc_id").as("id_a"),
+          col("hs").as("hs_a"), col("set_size").as("size_a"))
+        val setsB = sets.select(col("doc_id").as("id_b"),
+          col("hs").as("hs_b"), col("set_size").as("size_b"))
+        val verified = (if (smallSets)
+            cand.join(broadcast(setsA), Seq("id_a"))
+              .join(broadcast(setsB), Seq("id_b"))
+          else
+            cand.distinct().join(setsA, Seq("id_a")).join(setsB, Seq("id_b")))
           .withColumn("inter",
             size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
           .withColumn("jaccard", col("inter").cast("double") /
             (col("size_a") + col("size_b") - col("inter")).cast("double"))
           .filter(col("jaccard") >= threshold)
           .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+        // duplicate collision rows (skipped pre-distinct) produce
+        // bit-identical verified rows — dedup the small result
+        if (smallSets) verified.distinct() else verified
       }
     // stage the (small) pair result while the index is still cached,
     // then release the index — see [[materialize]] for why this must

@@ -96,6 +96,44 @@ class DedupSpec extends SparkSpec {
     assert(found == Set((0L, 1L), (150L, 151L)))
   }
 
+  test("PPJoin paths (broadcast + shuffle verify) ≡ naive self-join") {
+    import spark.implicits._
+    // near-dup chains, a disjoint cluster, varied lengths: exercises
+    // the size filter (length outliers), the positional filter (late
+    // single collisions) and prefix completeness (every true pair)
+    val corpus = (0L until 120L).map { i =>
+      val fam = i % 6
+      val base = s"alpha$fam beta$fam gamma$fam delta$fam " +
+        s"epsilon$fam zeta$fam eta$fam theta$fam"
+      val text =
+        if (i % 3 == 0) base
+        else if (i % 3 == 1) base + s" extra$i"
+        else base.replace(s"zeta$fam", s"zz$i")
+      (i, text)
+    }.toDF("doc_id", "text")
+    def run(): Seq[(Long, Long, Long, Long, Long, Double)] =
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+          n = 2, threshold = 0.5)
+        .orderBy("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val naive = run() // Σdf² tiny → naive branch
+    assert(naive.nonEmpty, "corpus must produce qualifying pairs")
+    try {
+      spark.conf.set("spark.graft.jaccardNaiveMaxDf2", "0")
+      val ppjoinBcast = run()
+      assert(ppjoinBcast == naive,
+        "PPJoin broadcast-verify path must emit identical rows")
+      spark.conf.set("spark.graft.jaccardBroadcastSetBytes", "0")
+      val ppjoinShuffle = run()
+      assert(ppjoinShuffle == naive,
+        "PPJoin shuffle-verify path must emit identical rows")
+    } finally {
+      spark.conf.unset("spark.graft.jaccardNaiveMaxDf2")
+      spark.conf.unset("spark.graft.jaccardBroadcastSetBytes")
+    }
+  }
+
   test("minhash-LSH candidates include the exact duplicate at est 1.0") {
     val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text")
       .filter(col("id_a") === 1 && col("id_b") === 4).collect()
