@@ -45,4 +45,23 @@ class IngestPlanSpec extends SparkSpec {
     assert(!df.columns.contains("_corrupt_record"))
     assert(df.count() === 5)
   }
+
+  test("engine-wide sweep: no registered query plans a " +
+      "CartesianProduct (every cross join must broadcast a bounded " +
+      "side — a data-sized cartesian is never survivable at scale)") {
+    // Construction executes any embedded driver actions (codebook
+    // training, report jobs, streaming folds) at sf0.001 — the cost
+    // of sweeping EVERY query rather than a curated subset is what
+    // keeps this invariant true for queries added later.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, dir).queryExecution.executedPlan.toString
+          catch { case e: Throwable =>
+            fail(s"$name failed to build/plan: ${e.getMessage}") }
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"cartesian products planned in: ${offenders.mkString(", ")}")
+  }
 }
