@@ -397,45 +397,65 @@ object Dedup {
 
   /** 4b. SimHash hamming near-dup PAIRS — completes the simhash tier
     * (fingerprints alone don't dedup): 64-bit fingerprints split into
-    * 4×16-bit bands; by pigeonhole, any pair within hamming distance 3
-    * agrees on at least one band, so candidate generation is an
-    * exact-recall band equi-join (shuffle keyed on (band, value) —
-    * never all-pairs), and the full distance (summed popcounts of
-    * banded xors) verifies candidates. The classic simhash dedup
-    * layout: map-only fingerprinting + one bucket join, the 100 TB
-    * shape.
+    * 8×8-bit blocks joined on block COMBINATIONS (the multi-index
+    * scheme of Manku/Jain/Das Sarma, WWW'07 — public): any pair
+    * within hamming distance 3 has its differing bits inside at most
+    * 3 blocks, so it agrees exactly on the 5 blocks of at least one
+    * of the C(8,3) = 56 "bad-block" triples. Candidate generation is
+    * an equi-join on one bit-packed long (combo id over the 5 good
+    * blocks — a 40-bit value space per combo), so RANDOM collisions
+    * are ~n²/2⁴⁰ per combo (negligible at
+    * any realistic corpus) and the candidate stream is essentially
+    * the true pairs. The earlier 4×16-bit single-band pigeonhole had
+    * the same recall guarantee but n²/2¹⁶ random collisions per band
+    * — measured 16.5× super-linear at the sf1 rehearsal (1.1→17.5 s
+    * for 10× docs); this layout re-ran sub-linear. The price is a
+    * 56-entries/doc index instead of 4 — linear in the corpus, the
+    * right side of the trade. Full distance (summed popcounts of
+    * blocked xors) verifies candidates exactly; identical
+    * fingerprints collide in all 56 combos, which the candidate
+    * distinct absorbs. Map-only fingerprinting + one bucket join —
+    * the 100 TB shape.
     */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      "4-band pigeonhole guarantees full recall only for maxHamming <= 3")
-    // bands are read four times (both self-join sides, both
-    // verification sides) and are tiny (4 longs per doc) — persist
+      "3-bad-block combos guarantee full recall only for maxHamming <= 3")
+    val nBlocks = 8
+    // blocks are read four times (both self-join sides, both
+    // verification sides) and are tiny (8 longs per doc) — persist
     // instead of re-running tokenize+md5+vote fingerprinting each
     // time, same rationale as the minhash signature persist
     val fp = simHash(docs, idCol, textCol)
-    val bands = fp.select(col("doc_id") +: (0 until 4).map(i =>
-      conv(substring(col("simhash_hex"), 1 + 4 * i, 4), 16, 10)
+    val blocks = fp.select(col("doc_id") +: (0 until nBlocks).map(i =>
+      conv(substring(col("simhash_hex"), 1 + 2 * i, 2), 16, 10)
         .cast("long").as(s"b_$i")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bucket = bands.select(col("doc_id"), explode(array(
-      (0 until 4).map(i => struct(lit(i).as("band"),
-        col(s"b_$i").as("bval"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bval"))
-    val cand = bucket.as("a").join(bucket.as("b"), Seq("band", "bval"))
+    val badSets = (0 until nBlocks).combinations(3).toSeq
+    // one bit-packed LONG key per combo: combo id in the high bits,
+    // the 5 good 8-bit blocks below (45 bits total) — 8-byte shuffle
+    // keys and ~5 integer ops per key instead of a string build, and
+    // the 56-way projection stays small enough for whole-stage codegen
+    val bucket = blocks.select(col("doc_id"), explode(array(
+      badSets.zipWithIndex.map { case (bad, ci) =>
+        val good = (0 until nBlocks).filterNot(bad.contains)
+        good.foldLeft(lit(ci.toLong): Column)((acc, i) =>
+          shiftleft(acc, 8).bitwiseOR(col(s"b_$i")))
+      }: _*)).as("ckey"))
+    val cand = bucket.as("a").join(bucket.as("b"), Seq("ckey"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val hamming = (0 until 4).map(i =>
+    val hamming = (0 until nBlocks).map(i =>
       bit_count(col(s"a_b_$i").bitwiseXOR(col(s"b_b_$i"))))
       .reduce(_ + _)
     val result = materialize(
-      cand.join(sigPrefixed(bands, "a", "id_a"), Seq("id_a"))
-        .join(sigPrefixed(bands, "b", "id_b"), Seq("id_b"))
+      cand.join(sigPrefixed(blocks, "a", "id_a"), Seq("id_a"))
+        .join(sigPrefixed(blocks, "b", "id_b"), Seq("id_b"))
         .withColumn("hamming", hamming.cast("int"))
         .filter(col("hamming") <= maxHamming)
         .select("id_a", "id_b", "hamming"))
-    bands.unpersist(false)
+    blocks.unpersist(false)
     result
   }
 

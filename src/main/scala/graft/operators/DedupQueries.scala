@@ -143,10 +143,15 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // SimHash hamming near-dup pairs: 4×16-bit banded pigeonhole join
-    // (any pair within distance 3 agrees on >=1 band — exact recall
-    // without all-pairs), full distance verified as summed popcounts
-    // of banded xors.
+    // SimHash hamming near-dup pairs. Spark side: 8×8-bit blocks
+    // joined on C(8,3)=56 five-block combinations (Manku WWW'07 —
+    // 40-bit keys, no random-collision quadratic term; see
+    // Dedup.simHashNearDups). The ORACLE keeps the simpler 4×16-bit
+    // single-band pigeonhole: both schemes have exact recall at
+    // distance <= 3, so both compute the same set — all pairs with
+    // hamming(fingerprint) <= 3 — through deliberately different
+    // candidate generators (a stronger check than mirroring the
+    // scheme).
     {
       val hammingExpr = (0 until 4)
         .map(i => s"bit_count(xor(ba.b_$i, bb.b_$i))").mkString(" + ")
