@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet table loaders for the driver-provided corpus
   * (`/root/testdata/sf*`, see TESTDATA.md). Column pruning and filter
@@ -14,27 +15,109 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df =
+      if (name == "events") loadEvents(spark, dir)
+      else spark.read.parquet(s"$dir/$name.parquet")
+    assertSchema(name, df)
+    df
+  }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and floor-truncate
-    * to microseconds — exactly what DuckDB does when it reads the same
-    * file, so oracle comparisons see identical instants.
+  /** Accepted logical shapes per corpus table: column → admissible Spark
+    * types. The driver owns `/root/testdata` and has regenerated it
+    * mid-run with changed physical encodings once already (events.ts:
+    * TIMESTAMP(NANOS) → timestamp[us], 2026-08-13); this turns any future
+    * drift into one diagnosable error naming the table, column, and found
+    * type instead of dozens of opaque downstream analysis failures.
+    * Schema-only check — no Spark job is triggered.
+    */
+  private val expectedSchemas: Map[String, Seq[(String, DataType => Boolean)]] = {
+    val integral: DataType => Boolean =
+      t => t == LongType || t == IntegerType || t == ShortType
+    val str: DataType => Boolean = _ == StringType
+    val dbl: DataType => Boolean = t => t == DoubleType || t == FloatType
+    // Either timestamp flavor, a date, or raw nanos longs (pre-regeneration
+    // encoding) — loadEvents normalizes all of these to TimestampType.
+    val temporal: DataType => Boolean = {
+      case _: TimestampType | _: TimestampNTZType | _: DateType | LongType => true
+      case _ => false
+    }
+    val floatVec: DataType => Boolean = {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    Map(
+      "region" -> Seq("r_regionkey" -> integral, "r_name" -> str),
+      "nation" -> Seq("n_nationkey" -> integral, "n_name" -> str, "n_regionkey" -> integral),
+      "customer" -> Seq("c_custkey" -> integral, "c_name" -> str, "c_nationkey" -> integral,
+        "c_acctbal" -> dbl, "c_mktsegment" -> str),
+      "supplier" -> Seq("s_suppkey" -> integral, "s_name" -> str, "s_nationkey" -> integral,
+        "s_acctbal" -> dbl),
+      "part" -> Seq("p_partkey" -> integral, "p_name" -> str, "p_brand" -> str,
+        "p_type" -> str, "p_size" -> integral, "p_retailprice" -> dbl),
+      "orders" -> Seq("o_orderkey" -> integral, "o_custkey" -> integral, "o_orderstatus" -> str,
+        "o_totalprice" -> dbl, "o_orderdate" -> temporal, "o_orderpriority" -> str),
+      "lineitem" -> Seq("l_orderkey" -> integral, "l_partkey" -> integral, "l_suppkey" -> integral,
+        "l_linenumber" -> integral, "l_quantity" -> dbl, "l_extendedprice" -> dbl,
+        "l_discount" -> dbl, "l_tax" -> dbl, "l_returnflag" -> str, "l_linestatus" -> str,
+        "l_shipdate" -> temporal),
+      "events" -> Seq("event_id" -> integral, "ts" -> temporal, "user_id" -> integral,
+        "event_type" -> str, "value" -> dbl, "props" -> str),
+      "documents" -> Seq("doc_id" -> integral, "text" -> str, "lang" -> str,
+        "source" -> str, "n_chars" -> integral),
+      "embeddings" -> Seq("vec_id" -> integral, "embedding" -> floatVec, "label" -> integral)
+    )
+  }
+
+  private[graft] def assertSchema(name: String, df: DataFrame): Unit =
+    expectedSchemas.get(name).foreach { expected =>
+      val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      expected.foreach { case (colName, accepts) =>
+        byName.get(colName) match {
+          case None =>
+            throw new IllegalArgumentException(
+              s"graft.Tables: table '$name' is missing expected column '$colName' " +
+                s"(found: ${df.schema.fieldNames.mkString(", ")}). " +
+                "The testdata corpus layout may have changed — see TESTDATA.md.")
+          case Some(t) if !accepts(t) =>
+            throw new IllegalArgumentException(
+              s"graft.Tables: table '$name' column '$colName' has unsupported type " +
+                s"${t.simpleString}. The testdata corpus encoding may have changed — " +
+                "update graft.Tables.expectedSchemas / the loader dispatch.")
+          case _ => ()
+        }
+      }
+    }
+
+  /** `events.ts` has shipped in two physical encodings across corpus
+    * regenerations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read as raw nanos via the legacy conf and
+    * floor-truncate to micros) and plain parquet `timestamp[us]` (which
+    * Spark reads as TIMESTAMP_NTZ). Dispatch on the schema actually
+    * read, so either corpus resolves to the same logical column: a
+    * session-UTC `TimestampType` holding the same instants DuckDB sees
+    * when it reads the same file. Anything else is a loud, named error
+    * (see [[assertSchema]]) rather than 22 downstream analysis failures.
     *
-    * The conf is deliberately left set on the session (not
+    * The legacy conf is deliberately left set on the session (not
     * save/restored): it is consulted again when the lazy scan executes,
     * so restoring it right after this call would break the very read it
-    * enabled. Session-wide effect: any OTHER nanos-timestamped parquet
-    * read through the same session also surfaces raw longs — in this
-    * engine every corpus read routes through [[load]], and `events` is
-    * the only nanos table.
+    * enabled. It is a no-op for non-nanos files.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) surfaced as raw nanos longs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => // parquet timestamp[us], no tz
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other =>
+        throw new IllegalArgumentException(
+          s"graft.Tables: events.ts read as unsupported type $other " +
+            "(expected LongType [nanos], TimestampNTZType, or TimestampType)")
+    }
   }
 
   /** Register every table as a temp view so `spark.sql` works against
