@@ -157,14 +157,25 @@ object Bench {
     val verbose = qs.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     System.err.println(s"""[bench-full] {"queries":$verbose}""")
+    // Contamination verdict: the calibration job is identical bytes
+    // every run, so a >2× drift between its before/after medians means
+    // the machine was loaded during part of the window and the query
+    // medians are not attributable to code. Flagging it here (instead of
+    // a judge re-adjudicating post-hoc, as the r10 driver run required)
+    // makes a dirty total self-labeling.
+    val contaminated = {
+      val lo = math.min(calibBefore, calibAfter)
+      val hi = math.max(calibBefore, calibAfter)
+      lo > 0 && hi / lo > 2.0
+    }
     val machineJson =
-      s""""load_before":"$loadBefore","load_after":"$loadAfter","calib_before":${ms(calibBefore)},"calib_after":${ms(calibAfter)}"""
+      s""""load_before":"$loadBefore","load_after":"$loadAfter","calib_before":${ms(calibBefore)},"calib_after":${ms(calibAfter)},"contaminated":$contaminated"""
     val resultLine =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qJson,"sf":"$sfDir","runs":$runs,"runs_iter":$iterRuns,$machineJson,"failed":$fJson}"""
     println(resultLine)
     // final compact headline — the last stdout line, so a tail capture
     // of any length contains the total
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${qs.size},"failed":$fJson}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n":${qs.size},"calib_before":${ms(calibBefore)},"calib_after":${ms(calibAfter)},"contaminated":$contaminated,"failed":$fJson}""")
     // stdout through sbt arrives "[info] "-prefixed, which defeats a
     // line-oriented JSON parser; emit the full result line on stderr
     // (passed through unprefixed) AND to a fixed file so the driver can
