@@ -150,12 +150,47 @@ object Dedup {
     * than that many docs — the standard stop-shingle guard; sizes and
     * intersections then both come from the filtered universe.
     *
+    * STOP-SHINGLES ARE ON BY DEFAULT. Prefix filtering makes candidate
+    * GENERATION near-linear, but exact Jaccard over an unbounded
+    * shingle universe is still Ω(n²) whenever the corpus saturates its
+    * shingle space (the sf1→sf3 rehearsal measured 10.6× wall for 3×
+    * docs): every df grows with n, so qualifying-pair VERIFICATION
+    * itself is quadratic work no algorithm can avoid. The shipped
+    * default is therefore the at-scale-safe semantics used by web-scale
+    * dedup in practice (stop-shingle / stop-word capping — Broder '97
+    * onward): when `maxDf` is not given, shingles appearing in more
+    * than `max(floor, ceil(fraction·corpus))` documents are treated as
+    * boilerplate and excluded from the Jaccard universe, with
+    *   floor    = spark.graft.jaccardStopShingleFloor    (default 64)
+    *   fraction = spark.graft.jaccardStopShingleFraction (default 0.01)
+    * The floor keeps small corpora (< ~6.4k docs) on effectively-exact
+    * semantics — a shingle in 64+ docs there is pure boilerplate — and
+    * the fraction keeps the candidate join linear at scale. Callers
+    * needing the UNBOUNDED exact semantics opt out explicitly with
+    * `autoStopShingles = false` (or pass their own `maxDf`), accepting
+    * the documented quadratic verification cost.
+    *
     * The returned frame is checkpoint-materialized (reading it
     * triggers no recompute and no cache bookkeeping); the internal
     * shingle index is released before returning.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, maxDf: Option[Int] = None): DataFrame = {
+      n: Int, threshold: Double, maxDf: Option[Int] = None,
+      autoStopShingles: Boolean = true): DataFrame = {
+    val conf = docs.sparkSession.conf
+    val effMaxDf: Option[Int] = maxDf.orElse {
+      if (!autoStopShingles) None
+      else {
+        val floor = conf.get("spark.graft.jaccardStopShingleFloor", "64").toInt
+        val fraction =
+          conf.get("spark.graft.jaccardStopShingleFraction", "0.01").toDouble
+        // one count-star over the input (parquet scans answer it from
+        // footer metadata); the cap must exist before the df filter
+        val nDocs = docs.count()
+        Some(math.max(floor.toLong, math.ceil(fraction * nDocs).toLong)
+          .min(Int.MaxValue).toInt)
+      }
+    }
     // the index feeds both sides of the pair self-join — persist it so
     // the explode+hash runs once, not once per join side (unpersisted
     // after the result is materialized below). The join/groupBy key is
@@ -167,7 +202,7 @@ object Dedup {
       .select(col("doc_id"), h60(col("shingle")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfm0 = sh0.groupBy("h").agg(count(lit(1)).as("df"))
-    val dfm = maxDf match {
+    val dfm = effMaxDf match {
       case Some(m) => dfm0.filter(col("df") <= m)
       case None => dfm0
     }
@@ -179,7 +214,7 @@ object Dedup {
     // needing no re-explode, and the postings need no df join at all
     // on the naive path
     lazy val sh = sh0.join(dfm, Seq("h"))
-    val sizes = maxDf match {
+    val sizes = effMaxDf match {
       case Some(_) =>
         sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
       case None =>
@@ -198,7 +233,7 @@ object Dedup {
       .get("spark.graft.jaccardNaiveMaxDf2", "64000000").toLong
     val result =
       if (cost <= naiveMax) {
-        val post = if (maxDf.isEmpty) sh0 else sh.select("doc_id", "h")
+        val post = if (effMaxDf.isEmpty) sh0 else sh.select("doc_id", "h")
         val pairs = post.as("a").join(post.as("b"), Seq("h"))
           .filter(col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -28,6 +28,23 @@ object DedupQueries {
        |FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
        |      FROM documents)""".stripMargin
 
+  /** Stop-shingle-capped 60-bit shingle index + per-doc set sizes,
+    * mirroring [[Dedup.ngramJaccardPairs]]'s DEFAULT semantics: shingles
+    * in more than max(64, ⌈1%·corpus⌉) docs are boilerplate and leave
+    * the Jaccard universe (floor/fraction mirror the
+    * `spark.graft.jaccardStopShingle{Floor,Fraction}` defaults — the
+    * driver runs with defaults, so the constants must track them).
+    * Assumes a CTE named `sh(doc_id, shingle)` is in scope. */
+  private def duckCappedShingleCtes: String =
+    s"""shh0 AS (SELECT doc_id,
+       |  ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+       |dfreq AS (SELECT h, COUNT(*) AS df FROM shh0 GROUP BY h),
+       |shh AS (SELECT doc_id, shh0.h FROM shh0 JOIN dfreq USING (h)
+       |  WHERE df <= (SELECT greatest(64, ceil(0.01 * COUNT(*)))
+       |               FROM documents)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS set_size
+       |          FROM shh GROUP BY doc_id)""".stripMargin
+
   /** Shared MinHash/LSH oracle pieces (32 hashes, 16 bands × 2 rows):
     * CTE chain `sh → hashes → sig → buckets → cand` plus the
     * signature-agreement expression — generated from the same
@@ -95,9 +112,7 @@ object DedupQueries {
     // two shuffles (shingle key, then pair key) — never O(n²).
     Q("q19_ngram_jaccard", Some(s"""
       WITH sh AS (${duckShingleIndex(3)}),
-      shh AS (SELECT doc_id,
-        ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
-      sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      $duckCappedShingleCtes,
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
         FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id
@@ -193,9 +208,7 @@ object DedupQueries {
     // kept as a DedupSpec-only equivalence witness).
     Q("q61_dedup_clusters", Some(s"""
       WITH RECURSIVE sh AS (${duckShingleIndex(3)}),
-      shh AS (SELECT doc_id,
-        ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
-      sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      $duckCappedShingleCtes,
       cand AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
         FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id

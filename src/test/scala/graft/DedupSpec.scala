@@ -78,7 +78,7 @@ class DedupSpec extends SparkSpec {
     // (+1 disjoint rare pair) — the n² hot-key blowup a 100 TB corpus
     // cannot afford.
     val unguarded = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      n = 1, threshold = 0.01).count()
+      n = 1, threshold = 0.01, autoStopShingles = false).count()
     assert(unguarded == 100L * 99 / 2 + 1,
       s"expected 4951 candidate pairs from the hot shingle, got $unguarded")
     // maxDf=50 drops 'common' (df=100) from the inverted index: the
@@ -87,6 +87,13 @@ class DedupSpec extends SparkSpec {
       n = 1, threshold = 0.01, maxDf = Some(50)).count()
     assert(guarded == 2L,
       s"expected 2 candidate pairs under the maxDf guard, got $guarded")
+    // and the DEFAULT config already applies the guard: the auto
+    // stop-shingle cap max(floor=64, 1% of 200 docs) = 64 < df(common)
+    // — unbounded exact semantics now require the explicit opt-out
+    val default = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 1, threshold = 0.01).count()
+    assert(default == 2L,
+      s"expected the auto stop-shingle cap to drop the hot shingle, got $default")
     // and the guard costs no recall at a real threshold: both true
     // duplicate pairs are still found
     val found = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
