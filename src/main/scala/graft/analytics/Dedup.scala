@@ -202,10 +202,25 @@ object Dedup {
       .select(col("doc_id"), h60(col("shingle")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfm0 = sh0.groupBy("h").agg(count(lit(1)).as("df"))
-    val dfm = effMaxDf match {
-      case Some(m) => dfm0.filter(col("df") <= m)
-      case None => dfm0
-    }
+    // strategy + cap statistics in ONE scalar job over the df frame:
+    // the naive self-join's collision row count (Σ df², within-cap),
+    // the posting count (sizes the verify-side broadcast), and the
+    // LARGEST OBSERVED df. A cap no shingle exceeds is dropped
+    // entirely (capActive=false): semantics are identical either way,
+    // and the uncapped plan skips the df-filter join and takes the
+    // narrow set-size projection — measured 2× on q19 at sf0.1, where
+    // the default cap (64) never binds (max df 25).
+    val inCap = effMaxDf
+      .map(m => col("df") <= lit(m.toLong)).getOrElse(lit(true))
+    val statsRow = dfm0.agg(
+      coalesce(sum(when(inCap, col("df") * col("df"))), lit(0L)),
+      coalesce(sum(when(inCap, col("df"))), lit(0L)),
+      coalesce(max(col("df")), lit(0L))).collect()(0)
+    val cost = statsRow.getLong(0)
+    val nPostings = statsRow.getLong(1)
+    val capActive = effMaxDf.exists(m => statsRow.getLong(2) > m)
+    val dfm = if (capActive) dfm0.filter(col("df") <= effMaxDf.get)
+      else dfm0
     // set sizes and pair intersections must reflect the SAME shingle
     // universe: with a df cap both come from the filtered index
     // (otherwise jaccard is systematically underestimated and exact
@@ -214,26 +229,17 @@ object Dedup {
     // needing no re-explode, and the postings need no df join at all
     // on the naive path
     lazy val sh = sh0.join(dfm, Seq("h"))
-    val sizes = effMaxDf match {
-      case Some(_) =>
+    val sizes =
+      if (capActive)
         sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-      case None =>
+      else
         docs.select(col(idCol).as("doc_id"),
           size(shingles(col(textCol), n)).cast("long").as("set_size"))
-    }
-    // strategy statistics in one scalar job: the naive self-join's
-    // collision row count (Σ df²) and the posting count (sizes the
-    // verify-side broadcast)
-    val statsRow = dfm.agg(
-      coalesce(sum(col("df") * col("df")), lit(0L)),
-      coalesce(sum(col("df")), lit(0L))).collect()(0)
-    val cost = statsRow.getLong(0)
-    val nPostings = statsRow.getLong(1)
     val naiveMax = docs.sparkSession.conf
       .get("spark.graft.jaccardNaiveMaxDf2", "64000000").toLong
     val result =
       if (cost <= naiveMax) {
-        val post = if (effMaxDf.isEmpty) sh0 else sh.select("doc_id", "h")
+        val post = if (capActive) sh.select("doc_id", "h") else sh0
         val pairs = post.as("a").join(post.as("b"), Seq("h"))
           .filter(col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
