@@ -158,6 +158,49 @@ object CorpusOps {
         countDistinct(col("doc_id")).as("n_docs"))
   }
 
+  /** Corpus-wide exact paragraph deduplication (the C4 / Dolma
+    * pass: every later occurrence of a repeated paragraph is
+    * dropped, the first occurrence in (doc_id, position) order
+    * survives, and each document is reassembled from its surviving
+    * paragraphs). Real corpora split paragraphs on blank lines; the
+    * synthetic corpus is single-line word salad, so a "paragraph"
+    * here is a non-overlapping run of `k` word tokens — the plan is
+    * identical either way (only the splitter expression changes).
+    *
+    * Scale posture: chunking is a pure higher-order-function
+    * projection (no join, no pre-shuffle explode); the dedup
+    * decision is ONE hash shuffle partitioned by paragraph content
+    * and the reassembly is ONE shuffle back on doc_id — at 100 TB
+    * both are plain hash exchanges with no skew beyond genuine
+    * boilerplate paragraphs (a paragraph repeated millions of times
+    * lands on one reducer, but carries only (doc_id, pos) pairs —
+    * the text itself is not duplicated per occurrence on the dedup
+    * side). Returns one row per document: paragraph count, surviving
+    * count, and the deduplicated text.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "paragraph token length k must be positive")
+    val paras = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          ceil(size(col("__w")) / lit(k.toDouble)).cast("int") - 1),
+        i => array_join(slice(col("__w"), i * k + 1, lit(k)), " "))))
+      .toDF("doc_id", "pos", "para")
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy("para").orderBy("doc_id", "pos")
+    paras
+      .withColumn("kept", row_number().over(firstSeen) === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("pos"), col("para"))))),
+          x => x("para")), " ").as("dedup_text"))
+  }
+
   /** Fixed-window token chunking with overlap (window 32 / stride 24
     * style): one output row per chunk with its 0-based index, token
     * count, and content hash. Map-only explode — the chunker a

@@ -564,4 +564,59 @@ object Similarity {
       .filter(col("rn") <= k)
       .select("query_id", "neighbor_id", "score", "rn")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings with k-means and pruning
+    * near-duplicates WITHIN each cluster only. A vector is dropped
+    * iff some same-cluster vector at cosine >= `threshold` sits
+    * strictly closer to the cluster centroid (ties broken by lower
+    * id) — the paper's keep-the-extreme-member rule made
+    * deterministic. Returns one row per vector: its cell, whether it
+    * survives, and its same-cell near-duplicate count.
+    *
+    * Scale posture: the codebook is tiny model state (broadcast both
+    * for assignment and scoring); the pairwise pass is an equi-join
+    * on cell id, so candidate volume is Σ|cell|² — k is chosen so
+    * clusters fit a partition (k ≈ √n in practice), which is exactly
+    * the knob the paper tunes. Nothing is ever pairwise across
+    * cells, and no driver-side state beyond the k·dim codebook.
+    */
+  def semDedup(emb: DataFrame, idCol: String, embCol: String,
+      k: Int, dim: Int, iterations: Int, threshold: Double,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(
+      kmeansCodebook(emb, idCol, embCol, k, dim, iterations))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("__cscore").desc, col("centroid_id"))
+    val cells = emb
+      .select(col(idCol).as("vec_id"),
+        col(embCol).cast("array<double>").as("embedding"))
+      .crossJoin(broadcast(cb))
+      .withColumn("__cscore", cosine(col("embedding"), col("cent_emb")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("embedding"),
+        col("centroid_id").as("cell"), col("__cscore").as("cscore"))
+    val pairs = cells
+      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+        col("cell"), col("cscore").as("ca"))
+      .join(cells.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("cell"),
+        col("cscore").as("cb")), Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+    val nearCnt = pairs.groupBy(col("id_a").as("vec_id"))
+      .agg(count(lit(1)).as("near_dups"))
+    val dominated = pairs
+      .filter(col("cb") < col("ca") ||
+        (col("cb") === col("ca") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("vec_id")).distinct()
+      .withColumn("__dom", lit(true))
+    cells.join(nearCnt, Seq("vec_id"), "left")
+      .join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("__dom").isNull.as("kept"),
+        coalesce(col("near_dups"), lit(0L)).as("near_dups"))
+  }
 }

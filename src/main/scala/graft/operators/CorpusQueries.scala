@@ -312,6 +312,42 @@ object CorpusQueries {
               contamination < maxContam).cast("int").as("kept"))
           .orderBy("doc_id")
       }
+    },
+
+    // Corpus-wide exact paragraph dedup (C4/Dolma pass): later
+    // occurrences of a repeated paragraph are dropped, documents are
+    // reassembled from survivors. Paragraph = non-overlapping 3-token
+    // run (the synthetic corpus is single-line; the small vocabulary
+    // makes 3-token runs collide at a realistic boilerplate rate,
+    // ~19% of chunks removed at sf0.01). One shuffle keyed on
+    // paragraph content decides survivorship; one shuffle on doc_id
+    // reassembles — both plain hash exchanges at 100 TB.
+    {
+      val K = 3
+      Q("q104_paragraph_dedup", Some(s"""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE text IS NOT NULL),
+      chunks AS (
+        SELECT doc_id, pos,
+          array_to_string(w[(pos*$K+1):(pos*$K+$K)], ' ') AS para
+        FROM (SELECT doc_id, w,
+                unnest(range(0, CAST(ceil(len(w) / $K.0) AS BIGINT))) AS pos
+              FROM words)),
+      flag AS (
+        SELECT doc_id, pos, para,
+          (ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1)
+            AS kept
+        FROM chunks)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        COALESCE(string_agg(CASE WHEN kept THEN para END, ' '
+          ORDER BY pos), '') AS dedup_text
+      FROM flag GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+        CorpusOps.paragraphDedup(
+            Tables.load(s, dir, "documents"), "doc_id", "text", k = K)
+          .orderBy("doc_id")
+      }
     }
   )
 }

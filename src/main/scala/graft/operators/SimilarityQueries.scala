@@ -473,6 +473,56 @@ object SimilarityQueries {
             method = "sq8_indexed"))
           .orderBy("method", "query_id")
       }
+    },
+
+    // SemDeDup (Abbas et al. 2023): k-means cluster the embeddings,
+    // prune near-duplicates WITHIN each cluster — a vector is dropped
+    // iff a same-cell vector at cosine >= 0.35 sits strictly closer
+    // to the centroid (tie: lower id). The oracle re-derives the
+    // trained codebook (same integer-quantized Lloyd replay as
+    // q58/q98), the cell assignment, and the full within-cell
+    // pairwise pass in SQL. Pairwise work never crosses a cell — the
+    // paper's scalability argument, and ours at 100 TB (k ≈ √n keeps
+    // Σ|cell|² linear-ish; here k=8 on a 500-vector corpus).
+    {
+      val kC = 8; val dim = 64; val iters = 2; val tau = "0.35"
+      Q("q103_semantic_dedup", Some(s"""
+      WITH ${trainedCentCtes(kC, dim, iters)},
+      semcells AS (
+        SELECT vec_id, embedding, cell, cscore FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+            ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} AS cscore,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN cent$iters c) t
+        WHERE rn = 1),
+      sempairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          a.cscore AS ca, b.cscore AS cb,
+          ${duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}
+            AS sim
+        FROM semcells a JOIN semcells b
+          ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      near AS (
+        SELECT id_a, COUNT(*) AS near_dups FROM sempairs
+        WHERE sim >= $tau GROUP BY id_a),
+      dom AS (
+        SELECT DISTINCT id_a FROM sempairs
+        WHERE sim >= $tau
+          AND (cb < ca OR (cb = ca AND id_b < id_a)))
+      SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+        (d.id_a IS NULL) AS kept,
+        CAST(COALESCE(n.near_dups, 0) AS BIGINT) AS near_dups
+      FROM semcells c
+      LEFT JOIN dom d ON c.vec_id = d.id_a
+      LEFT JOIN near n ON c.vec_id = n.id_a
+      ORDER BY c.vec_id""")) { (s, dir) =>
+        Similarity.semDedup(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", k = kC, dim = dim,
+            iterations = iters, threshold = 0.35)
+          .orderBy("vec_id")
+      }
     }
   )
 }

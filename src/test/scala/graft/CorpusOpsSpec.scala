@@ -158,4 +158,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.length === 1)
     assert(got(0).getAs[Long]("n_chunk_tokens") === 3L)
   }
+
+  test("paragraphDedup: first occurrence survives, later copies drop") {
+    val d = Seq(
+      (1L, "a b c d e f"),      // chunks: "a b c", "d e f"
+      (2L, "a b c x y z"),      // "a b c" repeats doc 1 → dropped
+      (3L, "p q r p q r"),      // within-doc repeat → second dropped
+      (4L, "d e"),              // short doc, single ragged chunk
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.paragraphDedup(d, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(got.length === 4) // null text dropped
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("n_paras") === 2L)
+    assert(byId(1L).getAs[Long]("n_kept") === 2L)
+    assert(byId(1L).getAs[String]("dedup_text") === "a b c d e f")
+    assert(byId(2L).getAs[Long]("n_kept") === 1L)
+    assert(byId(2L).getAs[String]("dedup_text") === "x y z")
+    assert(byId(3L).getAs[Long]("n_paras") === 2L)
+    assert(byId(3L).getAs[Long]("n_kept") === 1L)
+    assert(byId(3L).getAs[String]("dedup_text") === "p q r")
+    // "d e" is a DIFFERENT paragraph from "d e f" (exact match only)
+    assert(byId(4L).getAs[Long]("n_kept") === 1L)
+    assert(byId(4L).getAs[String]("dedup_text") === "d e")
+  }
+
+  test("paragraphDedup is partitioning-insensitive") {
+    val d = (0L until 40L).map(i =>
+      (i, if (i % 4 == 0) "dup dup dup tail tail tail"
+          else s"u$i v$i w$i")).toDF("doc_id", "text")
+    val a = CorpusOps.paragraphDedup(d, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().toSeq
+    val b = CorpusOps.paragraphDedup(d.repartition(7), "doc_id", "text", 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    // only doc 0 keeps the shared paragraphs; docs 4,8,… lose both
+    val first = a.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(first.getAs[Long]("n_kept") === 2L)
+    val later = a.find(_.getAs[Long]("doc_id") == 4L).get
+    assert(later.getAs[Long]("n_kept") === 0L)
+    assert(later.getAs[String]("dedup_text") === "")
+  }
 }

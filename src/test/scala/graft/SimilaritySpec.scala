@@ -315,4 +315,37 @@ class SimilaritySpec extends SparkSpec {
     assert(rec.count() === 4)
     assert(rec.collect().forall(_.getAs[Double]("recall") === 1.0))
   }
+
+  test("semDedup: drop rule holds and is partitioning-insensitive") {
+    val d = corpus // 120 clustered vectors
+    val got = Similarity.semDedup(d, "vec_id", "embedding",
+      k = 4, dim = Dim, iterations = 2, threshold = 0.95)
+    val rows = got.orderBy("vec_id").collect()
+    assert(rows.length === d.count())
+    // within a tight cluster at tau=0.95 the jittered copies are
+    // near-dups: something must drop, but never everything
+    val kept = rows.count(_.getAs[Boolean]("kept"))
+    assert(kept > 0 && kept < rows.length)
+    // every cell retains at least one survivor
+    val cells = rows.groupBy(_.getAs[Int]("cell"))
+    cells.foreach { case (_, rs) =>
+      assert(rs.exists(_.getAs[Boolean]("kept")))
+    }
+    // a vector with zero near-dups is always kept
+    rows.filter(_.getAs[Long]("near_dups") == 0L)
+      .foreach(r => assert(r.getAs[Boolean]("kept")))
+    val again = Similarity.semDedup(d.repartition(7), "vec_id",
+        "embedding", k = 4, dim = Dim, iterations = 2,
+        threshold = 0.95)
+      .orderBy("vec_id").collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("semDedup: impossible threshold keeps everything") {
+    val d = corpus
+    val got = Similarity.semDedup(d, "vec_id", "embedding",
+      k = 4, dim = Dim, iterations = 1, threshold = 1.1).collect()
+    assert(got.forall(_.getAs[Boolean]("kept")))
+    assert(got.forall(_.getAs[Long]("near_dups") === 0L))
+  }
 }
