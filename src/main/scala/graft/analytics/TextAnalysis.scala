@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-corpus pipelines (north-star
@@ -162,4 +162,34 @@ object TextAnalysis {
       transform(tokens(text), t => Dedup.h30(t)),
       lit(0L),
       (acc, h) => (acc * 131 + h) % Dedup.P)
+
+  // --- tokenizer-training statistics -------------------------------
+
+  /** BPE merge-pair statistics (the inner loop of byte-pair-encoding
+    * tokenizer training, Sennrich et al. 2016): corpus-weighted
+    * counts of adjacent character pairs inside words. The classic
+    * scale trick is applied: aggregate the corpus to (distinct word,
+    * frequency) FIRST — one shuffle proportional to the vocabulary,
+    * not the corpus — then explode each distinct word's character
+    * pairs exactly once and weight by its frequency. At 100 TB the
+    * vocab-sized second stage is negligible next to the corpus scan.
+    * (Single merge step over raw characters; real training re-runs
+    * this loop over progressively merged symbol sequences.)
+    *
+    * Returns (pair, pair_count) for words of length >= 2, one row per
+    * distinct adjacent pair.
+    */
+  def bpePairCounts(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = docs.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words
+      .where(length(col("word")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+  }
 }

@@ -196,6 +196,38 @@ object MiscQueries {
             sum(col("n_chars")).cast("long").as("total_chars"))
           .orderBy("source")
       }
+    },
+
+    // Sharded JSONL export + read-back manifest: the corpus is written
+    // as `shard=N/` JSONL directories (the loader-facing interchange
+    // format) and the manifest is computed from what was READ BACK
+    // from disk — matching the oracle (which reads the parquet source)
+    // proves the sink round-trips documents losslessly, not merely
+    // that the write call returned. Map-only export: the shard is a
+    // derived partition column, so rows never shuffle.
+    {
+      val S = 8
+      Q("q106_export_manifest", Some(s"""
+      SELECT CAST(doc_id % $S AS BIGINT) AS shard,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+          AS n_tokens,
+        CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+        CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      FROM documents GROUP BY 1 ORDER BY shard""")) { (s, dir) =>
+        val out = Q.scratchPath("q106jsonl", dir)
+        val back = graft.warehouse.Writer.exportJsonlSharded(
+          Tables.load(s, dir, "documents"), "doc_id", out, shards = S)
+        back.groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+              .as("n_tokens"),
+            sum(octet_length(col("text")).cast("long")).as("n_bytes"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("shard")
+      }
     }
   )
 }

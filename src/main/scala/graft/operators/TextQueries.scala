@@ -115,6 +115,27 @@ object TextQueries {
         .select(col("doc_id"),
           TA.rollingFingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // BPE merge-pair statistics (Sennrich et al. 2016): corpus-weighted
+    // adjacent-character-pair counts — the inner loop of tokenizer
+    // training. The scale trick is in the plan shape: the corpus is
+    // aggregated to (distinct word, freq) FIRST (one vocab-sized
+    // shuffle), then each distinct word's pairs explode exactly once.
+    Q("q105_bpe_pairs", Some("""
+      WITH words AS (
+        SELECT word, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+          FROM documents WHERE text IS NOT NULL) GROUP BY word),
+      pairs AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, freq
+        FROM (SELECT word, freq, unnest(range(1, len(word))) AS i
+              FROM words WHERE len(word) >= 2))
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY pair ORDER BY pair""")) { (s, dir) =>
+      TA.bpePairCounts(Tables.load(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("pair")
     }
   )
 }

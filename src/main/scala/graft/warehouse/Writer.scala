@@ -266,6 +266,31 @@ object Writer {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Export a corpus as sharded JSONL (the interchange format LLM
+    * training loaders consume) and read it straight back. Shard
+    * assignment is deterministic (`id % shards`, written as a
+    * partition column so each shard is its own directory), the JSON
+    * codec is Spark's line-delimited writer, and the returned frame
+    * is the READ-BACK of what landed on disk — downstream counts over
+    * it prove the sink round-trips losslessly rather than trusting
+    * the write succeeded. At 100 TB the export is a map-only pass
+    * (no shuffle: the partition column is derived, rows stay where
+    * they are; `shards` only names directories, file counts follow
+    * the upstream partitioning).
+    */
+  def exportJsonlSharded(docs: DataFrame, idCol: String, path: String,
+      shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val spark = docs.sparkSession
+    docs.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").json(path)
+    spark.read.schema(
+        docs.withColumn("shard", pmod(col(idCol), lit(shards.toLong)))
+          .schema)
+      .json(path)
+  }
 }
 
 /** Skew mitigation for hot join keys (SURVEY §7 "salt skewed merge

@@ -184,6 +184,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(byId(4L).getAs[String]("dedup_text") === "d e")
   }
 
+  test("bpePairCounts: corpus-weighted adjacent pairs, exact counts") {
+    val d = Seq((1L, "ab ab cd"), (2L, "ab abc"), (3L, "x"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = graft.analytics.TextAnalysis
+      .bpePairCounts(d, "doc_id", "text")
+      .orderBy("pair").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "ab"×3 + "abc"×1 → pair "ab"=4; "abc" adds "bc"; "cd"×1;
+    // single-char "x" and null text contribute nothing
+    assert(got === Seq(("ab", 4L), ("bc", 1L), ("cd", 1L)))
+  }
+
   test("paragraphDedup is partitioning-insensitive") {
     val d = (0L until 40L).map(i =>
       (i, if (i % 4 == 0) "dup dup dup tail tail tail"

@@ -315,4 +315,26 @@ class WriterSpec extends SparkSpec {
       .select(plain.columns.map(col): _*).orderBy("k", "v", "name")
     assert(salted.collect().toSeq == plain.collect().toSeq)
   }
+
+  test("JSONL export round-trips rows and shards deterministically") {
+    val dir = tmpDir("graft-jsonl")
+    val docs = Seq(
+      (0L, "alpha beta", "en"),
+      (1L, "gamma \"quoted\" text", "en"),
+      (2L, null.asInstanceOf[String], "de"),
+      (9L, "tab\there", "fr")).toDF("doc_id", "text", "lang")
+    val back = Writer.exportJsonlSharded(docs, "doc_id", dir, shards = 4)
+    val got = back.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(
+      (0L, "alpha beta", "en", 0L),
+      (1L, "gamma \"quoted\" text", "en", 1L),
+      (2L, null, "de", 2L),
+      (9L, "tab\there", "fr", 1L)))
+    // shards materialize as partition directories
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(shardDirs.toSeq === Seq("shard=0", "shard=1", "shard=2"))
+  }
 }
