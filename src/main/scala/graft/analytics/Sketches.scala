@@ -19,4 +19,29 @@ object Sketches {
     ColumnBridge.column(
       graft.expressions.KmvSketch(ColumnBridge.expression(keyHash), k,
         Dedup.P).toAggregateExpression())
+
+  /** Deterministic k-row reservoir sample: values of the k rows with
+    * the smallest (rowKeyHash, value) pairs — a uniform sample when
+    * the hash is uniform over a unique row key ([[Dedup.h30]]).
+    * O(k) state per group, map-side partials; quantiles over the
+    * returned array replace a full per-group value shuffle at corpus
+    * scale ([[sampleQuantile]]). */
+  def hashReservoir(rowKeyHash: Column, value: Column, k: Int): Column =
+    ColumnBridge.column(
+      graft.expressions.HashReservoir(
+        ColumnBridge.expression(rowKeyHash),
+        ColumnBridge.expression(value), k).toAggregateExpression())
+
+  /** Discrete quantile of a sampled `array<double>`: the element at
+    * 0-based index `floor(q·(n−1))` of the sorted sample — arithmetic
+    * simple enough to be bit-identical in any SQL engine (no
+    * interpolation, no engine-specific quantile definition). Null for
+    * an empty sample. */
+  def sampleQuantile(sample: Column, q: Double): Column = {
+    import org.apache.spark.sql.functions._
+    val sorted = array_sort(sample)
+    when(size(sample) > 0,
+      element_at(sorted,
+        (floor(lit(q) * (size(sample) - 1)) + 1).cast("int")))
+  }
 }

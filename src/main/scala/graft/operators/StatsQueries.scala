@@ -165,6 +165,68 @@ object StatsQueries {
             Dedup.h30(col("user_id").cast("string")), 64)
             .as("kmv_estimate"))
         .orderBy("event_type")
+    },
+
+    // Bounded-state quantile estimation: a deterministic hash-reservoir
+    // (native aggregate, k smallest (h30(event_id), value) pairs, O(k)
+    // state per group with map-side partials) replaces the full
+    // per-group value shuffle exact `percentile` needs at corpus
+    // scale. Exact quantiles ride along so the result row itself
+    // exposes the estimation error. The oracle re-derives the same k
+    // pairs from the same md5 arithmetic and the same discrete
+    // quantile index.
+    {
+      val K = 64
+      Q("q107_quantile_sketch", Some(s"""
+      WITH src AS (
+        SELECT event_type, event_id, value FROM events
+        WHERE value IS NOT NULL),
+      h AS (
+        SELECT DISTINCT event_type,
+          CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % ${graft.analytics.Dedup.P} AS h, value
+        FROM src),
+      ranked AS (
+        SELECT event_type, h, value,
+          ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, value)
+            AS rk
+        FROM h),
+      samp AS (
+        SELECT event_type, list(value ORDER BY h, value) AS s
+        FROM ranked WHERE rk <= $K GROUP BY event_type),
+      qs AS (
+        SELECT event_type, CAST(len(s) AS BIGINT) AS n_sample,
+          list_sort(s)[CAST(floor(0.5 * (len(s) - 1)) AS INT) + 1]
+            AS est_p50,
+          list_sort(s)[CAST(floor(0.9 * (len(s) - 1)) AS INT) + 1]
+            AS est_p90
+        FROM samp),
+      ex AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          quantile_cont(value, 0.5) AS exact_p50,
+          quantile_cont(value, 0.9) AS exact_p90
+        FROM src GROUP BY event_type)
+      SELECT event_type, n_rows, n_sample, est_p50, est_p90,
+        exact_p50, exact_p90
+      FROM ex JOIN qs USING (event_type) ORDER BY event_type""")) {
+        (s, dir) =>
+        import graft.analytics.{Dedup, Sketches}
+        Tables.load(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            Sketches.hashReservoir(
+              Dedup.h30(col("event_id").cast("string")),
+              col("value"), K).as("__s"),
+            percentile(col("value"), lit(0.5)).as("exact_p50"),
+            percentile(col("value"), lit(0.9)).as("exact_p90"))
+          .select(col("event_type"), col("n_rows"),
+            size(col("__s")).cast("long").as("n_sample"),
+            Sketches.sampleQuantile(col("__s"), 0.5).as("est_p50"),
+            Sketches.sampleQuantile(col("__s"), 0.9).as("est_p90"),
+            col("exact_p50"), col("exact_p90"))
+          .orderBy("event_type")
+      }
     }
   )
 }

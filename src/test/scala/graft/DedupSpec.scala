@@ -192,6 +192,52 @@ class DedupSpec extends SparkSpec {
     assert(dup == got("b"))
   }
 
+  test("hash reservoir: equals brute-force k-minima, survives " +
+      "repartitioned merges, bounds its sample") {
+    import spark.implicits._
+    import graft.analytics.{Dedup, Sketches}
+    val rows = (1 to 500).map(i =>
+      (i.toLong, if (i % 2 == 0) "even" else "odd",
+        (i % 97).toDouble / 4.0))
+    val df = rows.toDF("id", "g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) = d.groupBy("g")
+      .agg(Sketches.hashReservoir(
+        Dedup.h30($"id".cast("string")), $"v", 32).as("s"),
+        Sketches.sampleQuantile(
+          Sketches.hashReservoir(
+            Dedup.h30($"id".cast("string")), $"v", 32), 0.5)
+          .as("p50"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Double](1).toList, r.getDouble(2)))).toMap
+    val got = run(df)
+    // brute force: same md5 arithmetic on the driver
+    def h30(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md, 16) % Dedup.P
+    }
+    for (g <- Seq("even", "odd")) {
+      val expect = rows.filter(_._2 == g)
+        .map(r => (h30(r._1.toString), r._3)).distinct.sorted.take(32)
+        .map(_._2).toList
+      assert(got(g)._1 === expect, s"group $g sample mismatch")
+      assert(got(g)._1.size === 32)
+      val p50 = expect.sorted.apply(
+        math.floor(0.5 * (expect.size - 1)).toInt)
+      assert(got(g)._2 === p50)
+    }
+    // merge path: many partitions -> partial buffers -> same result
+    assert(run(df.repartition(13)) === got)
+    // below-k group returns every value
+    val tiny = Seq((1L, "t", 9.0), (2L, "t", 3.0)).toDF("id", "g", "v")
+      .groupBy("g")
+      .agg(Sketches.hashReservoir(
+        Dedup.h30($"id".cast("string")), $"v", 32).as("s"))
+      .collect()(0).getSeq[Double](1).toSet
+    assert(tiny === Set(9.0, 3.0))
+  }
+
   test("hash sampling is deterministic and caps groups exactly") {
     import spark.implicits._
     import graft.analytics.Sampling
