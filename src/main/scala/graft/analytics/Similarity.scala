@@ -127,16 +127,11 @@ object Similarity {
       .select(col(idCol).cast("int").as("centroid_id"),
         col(embCol).cast("array<double>").as("cent_emb")))
     for (_ <- 1 to iterations) {
-      val w = Window.partitionBy("__vid")
-        .orderBy(col("__cs").desc, col("centroid_id"))
-      val assigned = corpus
-        .select(col(idCol).as("__vid"),
-          col(embCol).cast("array<double>").as("__emb"))
-        .crossJoin(broadcast(cent))
-        .withColumn("__cs", cosine(col("__emb"), col("cent_emb")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("centroid_id"), col("__emb"))
+      val assigned = nearestCell(cent, corpus
+          .select(col(idCol).as("__vid"),
+            col(embCol).cast("array<double>").as("__emb")),
+          "__vid", "__emb")
+        .select(col("cell").as("centroid_id"), col("__emb"))
       val sums = (0 until dim).map(i =>
         sum(floor(element_at(col("__emb"), i + 1) * q).cast("long"))
           .as(s"__s$i"))
@@ -172,10 +167,43 @@ object Similarity {
       col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       "query_id", "q_emb", nprobe)
 
+  /** Single nearest centroid per row as an AGGREGATION over the
+    * broadcast cross join: the native [[graft.expressions.ArgMaxCell]]
+    * aggregate picks argmax-score with the smallest-id tie-break and
+    * runs as ObjectHashAggregate with map-side partials — the
+    * exchange carries one reduced row per input row instead of the
+    * n·k crossed set that a `row_number` window (or a `max(struct)`,
+    * which has no Tungsten buffer and falls back to SortAggregate)
+    * must sort. Ordering semantics are identical to the window
+    * formulation and the SQL oracles: NaN scores sort greatest.
+    * Returns (idCol, embCol, cell, cscore). */
+  private def nearestCell(centroids: DataFrame, df: DataFrame,
+      idCol: String, embCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def argmax(s: Column, i: Column, p: Column): Column =
+      ColumnBridge.column(graft.expressions.ArgMaxCell(
+        ColumnBridge.expression(s), ColumnBridge.expression(i),
+        ColumnBridge.expression(p)).toAggregateExpression())
+    df.crossJoin(broadcast(centroids))
+      .withColumn("__cscore", cosine(col(embCol), col("cent_emb")))
+      .groupBy(col(idCol))
+      .agg(argmax(col("__cscore"), col("centroid_id").cast("int"),
+        col(embCol)).as("__best"))
+      .select(col(idCol), col("__best.payload").as(embCol),
+        col("__best.cid").as("cell"),
+        col("__best.score").as("cscore"))
+  }
+
   /** Nearest-`probes` centroid cells per vector (broadcast codebook,
-    * deterministic centroid-id tie-break). */
+    * deterministic centroid-id tie-break). The hot 1-probe path (all
+    * corpus-side assignments) is the map-side [[nearestCell]]
+    * aggregation; multi-probe keeps the window (top-`probes` needs
+    * the ranked list, and query sets are small). */
   private def assignCells(centroids: DataFrame, df: DataFrame,
       idCol: String, embCol: String, probes: Int): DataFrame = {
+    if (probes == 1)
+      return nearestCell(centroids, df, idCol, embCol)
+        .select(col(idCol), col(embCol), col("cell"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("__cscore").desc, col("centroid_id"))
     df.crossJoin(broadcast(centroids))
@@ -586,17 +614,14 @@ object Similarity {
       codebook: Option[DataFrame] = None): DataFrame = {
     val cb = codebook.getOrElse(
       kmeansCodebook(emb, idCol, embCol, k, dim, iterations))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("__cscore").desc, col("centroid_id"))
-    val cells = emb
-      .select(col(idCol).as("vec_id"),
-        col(embCol).cast("array<double>").as("embedding"))
-      .crossJoin(broadcast(cb))
-      .withColumn("__cscore", cosine(col("embedding"), col("cent_emb")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("embedding"),
-        col("centroid_id").as("cell"), col("__cscore").as("cscore"))
+    // consumed three times (both pairwise sides + the final output) —
+    // checkpoint-materialize, or the crossed assignment recomputes
+    // per consumer (no persist: the returned frame is lazy, so there
+    // would be no point to unpersist at)
+    val cells = Dedup.materialize(nearestCell(cb, emb
+        .select(col(idCol).as("vec_id"),
+          col(embCol).cast("array<double>").as("embedding")),
+      "vec_id", "embedding"))
     val pairs = cells
       .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
         col("cell"), col("cscore").as("ca"))

@@ -341,6 +341,36 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("argmax_cell: ties to lower id, NaN greatest, float payload " +
+      "preserved, merge path equals single-partition run") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnBridge
+    def agg(s: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column,
+        p: org.apache.spark.sql.Column) =
+      ColumnBridge.column(graft.expressions.ArgMaxCell(
+        ColumnBridge.expression(s), ColumnBridge.expression(i),
+        ColumnBridge.expression(p)).toAggregateExpression())
+    val rows = Seq(
+      ("a", 0.5, 3, Seq(1.0f)), ("a", 0.9, 7, Seq(2.0f)),
+      ("a", 0.9, 2, Seq(3.0f)),                    // tie → lower id 2
+      ("b", Double.NaN, 9, Seq(4.0f)), ("b", 1.0, 1, Seq(5.0f)),
+      ("c", 0.1, 4, Seq(6.0f)))
+    def run(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("g")
+      .agg(agg(col("s"), col("i").cast("int"), col("p")).as("b"))
+      .select(col("g"), col("b.score"), col("b.cid"), col("b.payload"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2),
+        r.getSeq[Float](3).toList)).sortBy(_._1).toList
+    val one = run(rows.toDF("g", "s", "i", "p").coalesce(1))
+    assert(one(0) === ("a", 0.9, 2, List(3.0f)))
+    assert(one(1)._3 === 9 && one(1)._2.isNaN)     // NaN sorts greatest
+    assert(one(2) === ("c", 0.1, 4, List(6.0f)))
+    // many partitions force serialize/merge; result must be identical
+    val many = run(rows.toDF("g", "s", "i", "p").repartition(5))
+    assert(many(0) === one(0) && many(2) === one(2))
+    assert(many(1)._3 === one(1)._3 && many(1)._2.isNaN)
+  }
+
   test("semDedup: impossible threshold keeps everything") {
     val d = corpus
     val got = Similarity.semDedup(d, "vec_id", "embedding",
