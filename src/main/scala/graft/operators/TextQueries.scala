@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analytics.{Dedup, TextAnalysis => TA}
+import graft.analytics.{Dedup, LangModel, TextAnalysis => TA}
 
 /** Text-analysis queries (north-star tier: language-ID, quality
   * scoring, token counting, fingerprinting) over `documents`. Oracle
@@ -33,6 +33,17 @@ object TextQueries {
     }.mkString("\n          ")
     s"CASE $cases ELSE 'und' END"
   }
+
+  /** Bigram-LM smoothing and CCNet bucket thresholds (q108). The
+    * thresholds are corpus-calibrated tertiles (CCNet publishes the
+    * analogous per-language cutoff tables computed offline); both the
+    * Spark plan and the generated oracle read these constants, so they
+    * can only drift together. Defined BEFORE `all` — object vals
+    * initialize in declaration order, and a forward reference would
+    * silently interpolate 0.0 into the oracle SQL. */
+  private val LmAlpha = 0.1
+  private val LmHeadBelow = 3.3727
+  private val LmTailAbove = 3.3992
 
   val all: Seq[Q] = Seq(
 
@@ -136,6 +147,53 @@ object TextQueries {
       TA.bpePairCounts(Tables.load(s, dir, "documents"),
           "doc_id", "text")
         .orderBy("pair")
+    },
+
+    // CCNet-style bigram-LM perplexity quality filter (Wenzek et al.
+    // 2020): score every document's cross-entropy under an add-α
+    // bigram model trained on the corpus itself, bucket head/middle/
+    // tail on calibrated thresholds. The per-doc Σ ln P is a
+    // position-sorted fold in BOTH engines (float addition is not
+    // associative); ln is not bit-portable, so scores compare at 4
+    // decimals (the verified bround/round_even idiom).
+    Q("q108_lm_perplexity", Some(s"""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL),
+      big AS (
+        SELECT doc_id, i, t[i] AS w1, t[i+1] AS w2
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i
+              FROM tok WHERE len(t) >= 2)),
+      c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+      c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+      v AS (SELECT COUNT(DISTINCT w) AS v
+            FROM (SELECT unnest(t) AS w FROM tok)),
+      sc AS (
+        SELECT b.doc_id, b.i,
+          ln((c2.c2 + ${LmAlpha}) / (c1.c1 + ${LmAlpha} *
+            (SELECT v FROM v))) AS logp
+        FROM big b JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        JOIN c1 ON b.w1 = c1.w1),
+      ce AS (
+        SELECT doc_id,
+          round_even(-list_reduce(list_prepend(0.0, list(logp ORDER BY i)),
+            (acc, v) -> acc + v) / COUNT(*), 4) AS ce4,
+          COUNT(*) AS n_bigrams
+        FROM sc GROUP BY doc_id)
+      SELECT doc_id, ce4, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        CASE WHEN ce4 < ${LmHeadBelow} THEN 'head'
+             WHEN ce4 > ${LmTailAbove} THEN 'tail'
+             ELSE 'middle' END AS bucket
+      FROM ce ORDER BY doc_id""")) { (s, dir) =>
+      LangModel.bigramCrossEntropy(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          alpha = LmAlpha)
+        .withColumn("ce4", bround(col("ce"), 4))
+        .select(col("doc_id"), col("ce4"),
+          col("n_bigrams").cast("long").as("n_bigrams"),
+          LangModel.ceBucket(col("ce4"), LmHeadBelow, LmTailAbove)
+            .as("bucket"))
+        .orderBy("doc_id")
     }
   )
 }
