@@ -1,0 +1,80 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge frames. First citizen:
+  * PageRank centrality, the canonical-document selector of a dedup
+  * pipeline (rank the near-duplicate similarity graph, keep the most
+  * central member of each cluster as the canonical copy — the
+  * graph-aware alternative to min-id selection).
+  *
+  * Scale shape (the textbook Pregel dataflow, expressed
+  * declaratively): per iteration, ONE edge-keyed equi-join
+  * (edge table × node-rank table) and ONE node-keyed aggregation
+  * (incoming-contribution sum, map-side combined so a celebrity node
+  * condenses to one partial per map partition). The edge table is
+  * degree-annotated and materialized ONCE before the loop — the
+  * (possibly expensive) edge derivation never re-executes per
+  * iteration, and the loop's lineage stays linear in the iteration
+  * count. Nothing is ever node × node.
+  *
+  * Determinism: ranks are FIXED-POINT INTEGERS (scaled by `scale`),
+  * all arithmetic is BIGINT multiply / floor-divide / sum — exact,
+  * associative, and identical in any engine and under any
+  * partitioning. Floating-point PageRank can never hash-match across
+  * engines (per-node float sums are order-dependent); integer
+  * fixed-point trades ~1/scale of precision for bit-exact
+  * reproducibility — at the default scale of 10¹² the loss is far
+  * below any ranking-relevant difference.
+  */
+object Graph {
+
+  /** Fixed-point PageRank over an UNDIRECTED edge set.
+    *
+    * `edges` is one row per undirected edge (aCol, bCol); it is
+    * symmetrized and de-duplicated here. Every edge endpoint is a
+    * node; rank mass starts uniform (scale div N) and each of `iters`
+    * rounds applies
+    *
+    *   rank'(v) = (1−d)·scale/N  +  d · Σ_{u~v} rank(u) div deg(u)
+    *
+    * with d = dampNum/dampDen and every step in BIGINT floor
+    * arithmetic (see class doc). In a symmetrized graph every node
+    * has an incoming edge, so the aggregation covers all nodes.
+    *
+    * Returns (doc_id, rank) with rank in fixed-point `scale` units.
+    */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String,
+      iters: Int = 10, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, "need 0 < damp < 1")
+    val adj = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    // materialized once: the loop joins this frame every iteration,
+    // and its lineage (e.g. a minhash candidate generation) must not
+    // re-execute per round
+    val adjDeg = Dedup.materialize(adj.join(deg, Seq("src")))
+    val nodes = adjDeg.select(col("src").as("doc_id")).distinct()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty edge set")
+    val base = ((dampDen - dampNum) * scale) / (dampDen * n)
+    var r = nodes.withColumn("rank", lit(scale / n))
+    for (_ <- 0 until iters) {
+      r = adjDeg
+        .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"),
+          expr("rank div deg").as("__c"))
+        .groupBy("doc_id")
+        .agg(sum(col("__c")).as("__s"))
+        .select(col("doc_id"),
+          (lit(base) + expr(s"($dampNum * __s) div $dampDen"))
+            .as("rank"))
+    }
+    r
+  }
+}

@@ -496,6 +496,64 @@ object DedupQueries {
             col("cluster_rep").cast("long").as("cluster_rep"))
           .orderBy("doc_id")
       }
+    },
+
+    // PageRank centrality over the verified near-dup similarity graph
+    // — the graph-aware canonical-document selector (rank the cluster
+    // graph, keep the most central member; the alternative to min-id
+    // survivorship). Fixed-point BIGINT arithmetic end to end: float
+    // PageRank's per-node sums are order-dependent and could never
+    // hash-match an oracle; integer multiply/floor-div/sum is exact
+    // under any partitioning. The oracle unrolls the same 10
+    // iterations as CTEs over the shared minhash candidate chain.
+    {
+      val Scale = 1000000000000L
+      val Iters = 10
+      def prCtes: String = {
+        val sb = new StringBuilder
+        sb.append(s"""
+      adj AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM scored
+        UNION SELECT id_b, id_a FROM scored),
+      dg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+      adjd AS MATERIALIZED (
+        SELECT a.src, a.dst, dg.deg FROM adj a JOIN dg USING (src)),
+      nn AS (SELECT COUNT(DISTINCT src) AS n FROM adj),
+      pr0 AS (
+        SELECT DISTINCT src AS doc_id,
+          $Scale // (SELECT n FROM nn) AS rank FROM adj)""")
+        for (k <- 1 to Iters) sb.append(s""",
+      pr$k AS MATERIALIZED (
+        SELECT a.dst AS doc_id,
+          (15 * $Scale) // (100 * (SELECT n FROM nn))
+            + (85 * SUM(p.rank // a.deg)) // 100 AS rank
+        FROM adjd a JOIN pr${k - 1} p ON a.src = p.doc_id
+        GROUP BY a.dst)""")
+        sb.toString
+      }
+      Q("q109_pagerank_canon", Some(s"""
+      WITH $mhCtes,
+      scored AS MATERIALIZED (
+        SELECT id_a, id_b FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE ($mhAgree) * 2 >= $MhNumHashes),
+      $prCtes
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(rank AS BIGINT) AS rank
+      FROM pr$Iters ORDER BY rank DESC, doc_id LIMIT 20""")) { (s, dir) =>
+        val pairs = Dedup.minHashLshCandidates(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            n = 3, numHashes = MhNumHashes, bands = MhBands)
+          .where(col("est_jaccard") >= 0.5)
+          .select("id_a", "id_b")
+        graft.analytics.Graph.pageRank(pairs, "id_a", "id_b",
+            iters = Iters, scale = Scale)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("rank").desc, col("doc_id"))
+          .limit(20)
+      }
     }
   )
 }

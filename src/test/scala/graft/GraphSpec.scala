@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Graph
+
+/** Fixed-point PageRank semantics: exact agreement with a driver-side
+  * reference implementation of the same integer recurrence, symmetry,
+  * and centrality ordering. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference integer PageRank — the same BIGINT recurrence the
+    * distributed operator (and the SQL oracle) computes, in plain
+    * Scala. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }.distinct
+    val deg = adj.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val nodes = adj.map(_._1).distinct.sorted
+    val n = nodes.size.toLong
+    val base = (15L * scale) / (100L * n)
+    var r = nodes.map(v => v -> scale / n).toMap
+    for (_ <- 0 until iters) {
+      val sums = adj.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = nodes.map(v => v -> (base + (85L * sums(v)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("id_a", "id_b"), "id_a", "id_b", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("matches the driver-side integer recurrence exactly") {
+    // star (1 center, 3 leaves) + disjoint path: asymmetric degrees,
+    // two components
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+    assert(run(edges, 10) == refPageRank(edges, 10))
+  }
+
+  test("symmetric graph gives equal ranks; star center dominates") {
+    val path = run(Seq((1L, 2L)), 10)
+    assert(path(1L) == path(2L))
+    val star = run(Seq((1L, 2L), (1L, 3L), (1L, 4L)), 10)
+    assert(star(1L) > star(2L))
+    assert(star(2L) == star(3L) && star(3L) == star(4L))
+  }
+
+  test("rank mass is conserved up to floor losses") {
+    val scale = 1000000000000L
+    val r = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)), 10)
+    val total = r.values.sum
+    // floor losses only shrink mass, and by less than (base + 1) per
+    // node per iteration
+    assert(total <= scale)
+    assert(total > scale - 10L * r.size * 2L - scale / 100L)
+  }
+}
