@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analytics.{Dedup, LangModel, TextAnalysis => TA}
+import graft.analytics.{Bpe, Dedup, LangModel, TextAnalysis => TA}
 
 /** Text-analysis queries (north-star tier: language-ID, quality
   * scoring, token counting, fingerprinting) over `documents`. Oracle
@@ -194,6 +194,86 @@ object TextQueries {
           LangModel.ceBucket(col("ce4"), LmHeadBelow, LmTailAbove)
             .as("bucket"))
         .orderBy("doc_id")
+    },
+
+    // BPE tokenizer train + ENCODE (Sennrich et al. 2016): learn 24
+    // merges from corpus-weighted pair statistics, then encode every
+    // document and report its BPE token count. Spark trains from the
+    // collected (vocab-bounded, budget-gated) word-frequency table and
+    // encodes with a codegen'd literal-replace chain; the oracle
+    // unrolls the SAME training rounds as SQL CTEs (argmax pair with
+    // (count DESC, left, right) tie-break per round) and the same
+    // sentinel-encoded replaces, so merge tables — and therefore every
+    // token count — can only agree or hash-mismatch loudly.
+    {
+      val M = 24
+      // sentinel-encoded symbol string of expression c (see
+      // graft.analytics.Bpe: '·' wraps symbols, '··' separates them)
+      def duckEnc(c: String): String =
+        s"substr('\u00b7' || regexp_replace($c, '(.)', '\\1\u00b7\u00b7', 'g'), 1, " +
+          s"length('\u00b7' || regexp_replace($c, '(.)', '\\1\u00b7\u00b7', 'g')) - 1)"
+      def bpeCtes: String = {
+        val sb = new StringBuilder
+        sb.append(s"""
+      wd AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents WHERE text IS NOT NULL)
+        WHERE len(word) >= 1 GROUP BY word),
+      w0 AS MATERIALIZED (
+        SELECT ${duckEnc("word")} AS enc, freq FROM wd)""")
+        for (k <- 1 to M) sb.append(s""",
+      m$k AS MATERIALIZED (
+        SELECT '\u00b7' || l || '\u00b7\u00b7' || r || '\u00b7' AS pat,
+               '\u00b7' || l || r || '\u00b7' AS rep
+        FROM (
+          SELECT t[i] AS l, t[i+1] AS r, SUM(freq) AS c FROM (
+            SELECT t, freq,
+              unnest(generate_series(1, len(t) - 1)) AS i FROM (
+              SELECT string_split(substr(enc, 2, length(enc) - 2),
+                '\u00b7\u00b7') AS t, freq
+              FROM w${k - 1}) WHERE len(t) >= 2)
+          GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1)),
+      w$k AS MATERIALIZED (
+        SELECT replace(enc,
+          coalesce((SELECT pat FROM m$k), '\u00b7\u00b7\u00b7'),
+          coalesce((SELECT rep FROM m$k), '\u00b7\u00b7\u00b7')) AS enc,
+          freq
+        FROM w${k - 1})""")
+        sb.append(s""",
+      d0 AS (
+        SELECT doc_id,
+          array_to_string([${duckEnc("w")}
+            for w in string_split_regex(trim(text), '\\s+')], ' ') AS enc,
+          len(string_split_regex(trim(text), '\\s+')) AS n_words,
+          trim(text) = '' AS blank
+        FROM documents WHERE text IS NOT NULL)""")
+        for (k <- 1 to M) sb.append(s""",
+      d$k AS (
+        SELECT doc_id, replace(enc,
+          coalesce((SELECT pat FROM m$k), '\u00b7\u00b7\u00b7'),
+          coalesce((SELECT rep FROM m$k), '\u00b7\u00b7\u00b7')) AS enc,
+          n_words, blank
+        FROM d${k - 1})""")
+        sb.toString
+      }
+      Q("q110_bpe_encode", Some(s"""
+      WITH $bpeCtes
+      SELECT doc_id,
+        CAST(CASE WHEN blank THEN 0 ELSE n_words END AS BIGINT)
+          AS n_words,
+        CAST(CASE WHEN blank THEN 0 ELSE n_words +
+          (length(enc) - length(replace(enc, '\u00b7\u00b7', '\u00b7')))
+          END AS BIGINT) AS n_tokens
+      FROM d$M ORDER BY doc_id""")) { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val merges = Bpe.train(docs, "text", M)
+        docs.where(col("text").isNotNull)
+          .select(col("doc_id"),
+            Bpe.wordCount(col("text")).as("n_words"),
+            Bpe.tokenCount(col("text"), merges).as("n_tokens"))
+          .orderBy("doc_id")
+      }
     }
   )
 }
