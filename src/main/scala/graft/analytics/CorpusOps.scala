@@ -223,4 +223,66 @@ object CorpusOps {
         md5(array_join(slice(col("toks"), col("start"), lit(window)), " "))
           .as("chunk_hash"))
   }
+
+  /** Exact substring dedup statistics (the ExactSubstr pass of Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): every stride-1 window of `k` tokens whose content
+    * appears at more than one (doc, pos) corpus-wide — and is not the
+    * corpus-first occurrence in (doc_id, pos) order — is flagged, and
+    * flagged windows inside a document are merged into maximal
+    * contiguous duplicated spans (the token ranges the pass would cut).
+    *
+    * Lee et al. build a corpus-wide suffix array; the Spark-native
+    * equivalent is a single shuffle keyed on the window content hash
+    * (row_number picks the first occurrence) followed by a per-document
+    * gaps-and-islands pass — both plain hash exchanges, linear in total
+    * token count at 100 TB, with no driver-side state and no index to
+    * hold in memory. Output per qualifying doc: total windows,
+    * duplicated windows, merged span count, and tokens covered by
+    * duplicated spans.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "substring window length k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), col("__w"), size(col("__w")).as("n"))
+      .where(col("n") >= k)
+    val wins = sized
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), col("n") - k),
+        i => md5(array_join(slice(col("__w"), i + 1, lit(k)), " ")))))
+      .toDF("doc_id", "pos", "h")
+    val firstSeen = Window.partitionBy("h").orderBy("doc_id", "pos")
+    val dups = wins
+      .withColumn("rn", row_number().over(firstSeen))
+      .where(col("rn") > 1)
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // A window starting at pos covers tokens [pos, pos+k-1]; the next
+    // flagged window extends the same span iff its coverage overlaps
+    // or touches (pos - prev <= k). First row: NULL <= k is not true
+    // in both engines, so it opens a span.
+    val spans = dups
+      .withColumn("new_span",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= k, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("span_id", sum("new_span").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perDoc = spans
+      .groupBy("doc_id", "span_id")
+      .agg(count(lit(1)).as("nw"),
+        (max("pos") - min("pos") + k).cast("long").as("cov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum("nw").as("n_dup_windows"),
+        sum("cov").as("dup_tokens"))
+    sized.select(col("doc_id"), (col("n") - (k - 1)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).cast("long").as("n_dup_windows"),
+        coalesce(col("n_dup_spans"), lit(0L)).cast("long").as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 import graft.Tables
-import graft.analytics.{AsOfJoin, RangeJoin}
+import graft.analytics.{AsOfJoin, JoinOps, RangeJoin}
 
 /** Advanced operator tier: semi-structured JSON columns, rollup
   * grouping sets, batch sliding windows, as-of joins, and binned range
@@ -148,6 +148,54 @@ object AdvancedQueries {
           binWidth = 30.0)
         .select("event_id", "p_brand", "value", "lo")
         .orderBy("event_id", "p_brand")
+    },
+
+    // Semi-join reduction: a selective orders subset joins the full
+    // lineitem — the Bloom pre-filter cuts the fact-side shuffle to
+    // (match rate + fpp) BEFORE the exchange, and the exact equi-join
+    // absorbs the false positives, so the oracle is the plain join.
+    // At 100 TB this is the join shape where the dim side is selective
+    // but too big to broadcast; the probe is a codegen'd native
+    // expression, not a UDF, so it fuses into the scan stage.
+    Q("q112_bloom_join", Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_totalprice > 400000
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")) { (s, dir) =>
+      val dim = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderpriority")
+      val fact = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+      val expected = math.max(1L, dim.count())
+      JoinOps.bloomReduceJoin(fact, dim,
+          col("l_orderkey"), col("o_orderkey"), expected)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"), Q.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Skew-salted join: lineitem × supplier on (key, salt) with the
+    // small side replicated per salt — a hot supplier's rows spread
+    // over `salts` reducers instead of one. Result row-identical to
+    // the plain join (the oracle), salt derived from a row hash so
+    // retries/speculation stay deterministic.
+    Q("q113_salted_join", Some("""
+      SELECT s.s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey ORDER BY s_nationkey""")) { (s, dir) =>
+      val big = Tables.load(s, dir, "lineitem")
+        .select("l_suppkey", "l_extendedprice")
+      val small = Tables.load(s, dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+      JoinOps.saltedJoin(big, small, "l_suppkey", "s_suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          Q.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("s_nationkey")
     }
   )
 }

@@ -348,6 +348,58 @@ object CorpusQueries {
             Tables.load(s, dir, "documents"), "doc_id", "text", k = K)
           .orderBy("doc_id")
       }
+    },
+
+    // Exact substring dedup (Lee et al. 2022 ExactSubstr): stride-1
+    // k-token windows, corpus-first occurrence survives, non-first
+    // occurrences merged into per-doc duplicated spans. The Spark
+    // plan is two keyed shuffles (window-hash, then doc_id) — the
+    // suffix-array-free formulation that stays linear in total token
+    // count at 100 TB. k=8 flags ~4.6% of windows on this corpus.
+    {
+      val K = 8
+      Q("q111_substring_dedup", Some(s"""
+      WITH words AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents WHERE text IS NOT NULL),
+      sized AS (
+        SELECT doc_id, w, len(w) AS n FROM words WHERE len(w) >= $K),
+      win AS (
+        SELECT doc_id, pos,
+          md5(array_to_string(w[(pos+1):(pos+$K)], ' ')) AS h
+        FROM (SELECT doc_id, w, n,
+                unnest(range(0, n - $K + 1)) AS pos FROM sized)),
+      dups AS (
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+            ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+          FROM win) WHERE rn > 1),
+      spans AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                 <= $K THEN 0 ELSE 1 END AS new_span
+        FROM dups),
+      sp2 AS (
+        SELECT doc_id, pos,
+          SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        FROM spans),
+      per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_dup_spans, SUM(nw) AS n_dup_windows,
+          SUM(cov) AS dup_tokens
+        FROM (SELECT doc_id, span_id, COUNT(*) AS nw,
+                MAX(pos) - MIN(pos) + $K AS cov
+              FROM sp2 GROUP BY 1, 2) GROUP BY 1)
+      SELECT s.doc_id, CAST(s.n - ($K - 1) AS BIGINT) AS n_windows,
+        CAST(COALESCE(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        CAST(COALESCE(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+      FROM sized s LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY doc_id""")) { (s, dir) =>
+        CorpusOps.substringDedup(
+            Tables.load(s, dir, "documents"), "doc_id", "text", k = K)
+          .orderBy("doc_id")
+      }
     }
   )
 }

@@ -212,4 +212,57 @@ class CorpusOpsSpec extends SparkSpec {
     assert(later.getAs[Long]("n_kept") === 0L)
     assert(later.getAs[String]("dedup_text") === "")
   }
+
+  test("substringDedup: corpus-first survives, spans merge, hand-computed") {
+    val d = Seq(
+      (1L, "a b c d e f g"),      // all 5 windows are corpus-first
+      (2L, "x y a b c d z"),      // "a b c"(pos2) + "b c d"(pos3) dup → 1 span
+      (3L, "a b c q q q d e f"),  // "a b c"(0) and "d e f"(6) dup → 2 spans
+      (4L, "a b"),                // shorter than k → excluded
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.substringDedup(d, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L))
+    val byId = got.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("n_windows") === 5L)
+    assert(byId(1L).getAs[Long]("n_dup_windows") === 0L)
+    assert(byId(1L).getAs[Long]("n_dup_spans") === 0L)
+    assert(byId(1L).getAs[Long]("dup_tokens") === 0L)
+    // doc 2: dup windows at pos 2 and 3 overlap → one span covering
+    // tokens [2, 5] = 4 tokens
+    assert(byId(2L).getAs[Long]("n_windows") === 5L)
+    assert(byId(2L).getAs[Long]("n_dup_windows") === 2L)
+    assert(byId(2L).getAs[Long]("n_dup_spans") === 1L)
+    assert(byId(2L).getAs[Long]("dup_tokens") === 4L)
+    // doc 3: dup windows at pos 0 and 6 — gap 6 > k → two spans of 3
+    assert(byId(3L).getAs[Long]("n_windows") === 7L)
+    assert(byId(3L).getAs[Long]("n_dup_windows") === 2L)
+    assert(byId(3L).getAs[Long]("n_dup_spans") === 2L)
+    assert(byId(3L).getAs[Long]("dup_tokens") === 6L)
+  }
+
+  test("substringDedup: within-doc repetition counts as duplication") {
+    // "m n o" repeated 3×: windows 0..2 are first occurrences; windows
+    // 3..6 all duplicate earlier positions and chain into one span
+    // covering tokens [3, 8] = 6 tokens.
+    val d = Seq((1L, "m n o m n o m n o")).toDF("doc_id", "text")
+    val r = CorpusOps.substringDedup(d, "doc_id", "text", k = 3)
+      .collect()(0)
+    assert(r.getAs[Long]("n_windows") === 7L)
+    assert(r.getAs[Long]("n_dup_windows") === 4L)
+    assert(r.getAs[Long]("n_dup_spans") === 1L)
+    assert(r.getAs[Long]("dup_tokens") === 6L)
+  }
+
+  test("substringDedup is partitioning-insensitive") {
+    val d = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) s"s$i shared shared shared shared tail$i"
+          else s"u$i v$i w$i x$i y$i z$i")).toDF("doc_id", "text")
+    val a = CorpusOps.substringDedup(d, "doc_id", "text", 3)
+      .orderBy("doc_id").collect().toSeq
+    val b = CorpusOps.substringDedup(d.repartition(7), "doc_id", "text", 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.JoinOps
+import graft.expressions.BloomSet
+
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BloomSet: no false negatives, fpr near target") {
+    val (words, k) = BloomSet.params(10000L, 0.01)
+    val arr = new Array[Long](words)
+    val rnd = new scala.util.Random(7)
+    val members = Array.fill(10000)(rnd.nextLong())
+    members.foreach(h => BloomSet.insert(arr, k, h))
+    val set = new BloomSet(arr, k)
+    assert(members.forall(h => BloomSet.contains(set, h)))
+    val memberSet = members.toSet
+    val probes = Iterator.continually(rnd.nextLong())
+      .filterNot(memberSet).take(20000).toArray
+    val fp = probes.count(h => BloomSet.contains(set, h))
+    val fpr = fp.toDouble / probes.length
+    assert(fpr < 0.03, s"false-positive rate $fpr way over the 1% target")
+  }
+
+  test("bloomProbe: distributed build finds every key, filters most others") {
+    val dim = (0L until 2000L).map(i => i * 3L).toDF("k").repartition(5)
+    val bloom = JoinOps.buildKeyBloom(dim, col("k"), 2000L, 0.01)
+    val probed = (0L until 6000L).toDF("k")
+      .where(JoinOps.bloomProbe(col("k"), bloom))
+      .as[Long].collect().toSet
+    // every true member survives the filter
+    assert((0L until 2000L).map(_ * 3L).forall(probed.contains))
+    // false positives are bounded: 2000 members + fpp slack over 4000
+    assert(probed.size < 2300, s"bloom passed ${probed.size} of 6000")
+  }
+
+  test("bloomProbe drops null keys") {
+    val dim = Seq(1L, 2L).toDF("k")
+    val bloom = JoinOps.buildKeyBloom(dim, col("k"), 2L, 0.01)
+    val got = Seq(Some(1L), None, Some(99L)).toDF("k")
+      .where(JoinOps.bloomProbe(col("k"), bloom))
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(1L) && !got.contains(99L))
+    assert(!got.contains(0L)) // the null row must not leak through
+  }
+
+  test("bloomReduceJoin is row-identical to the plain join") {
+    val fact = (0L until 5000L).map(i => (i % 700L, i)).toDF("fk", "payload")
+    val dim = (0L until 700L).filter(_ % 7 == 0)
+      .map(i => (i, s"d$i")).toDF("dk", "name")
+    val reduced = JoinOps.bloomReduceJoin(fact, dim,
+        col("fk"), col("dk"), expectedDimKeys = 100L)
+      .select("fk", "payload", "name")
+      .orderBy("payload").collect().toSeq
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "payload", "name")
+      .orderBy("payload").collect().toSeq
+    assert(reduced === plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("saltedJoin matches the plain join incl. duplicate keys both sides") {
+    // skewed big side: key 1 carries most rows; small side has a
+    // duplicate key so replication must not double-count matches
+    val big = ((0 until 400).map(i => (1L, s"b$i")) ++
+      Seq((2L, "x"), (3L, "y"), (5L, "never"))).toDF("bk", "bval")
+    val small = Seq((1L, "s1a"), (1L, "s1b"), (2L, "s2"), (4L, "s4"))
+      .toDF("sk", "sval")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("bk", "bval", "sval").orderBy("bk", "bval", "sval")
+        .collect().toSeq
+    val salted = canon(JoinOps.saltedJoin(big, small, "bk", "sk", salts = 8))
+    val plain = canon(big.join(small, col("bk") === col("sk")))
+    assert(salted === plain)
+    assert(plain.length === 400 * 2 + 1)
+  }
+
+  test("saltedJoin is partitioning-insensitive") {
+    val big = (0L until 300L).map(i => (i % 5L, i)).toDF("bk", "v")
+    val small = (0L until 5L).map(i => (i, s"s$i")).toDF("sk", "name")
+    def run(b: org.apache.spark.sql.DataFrame) =
+      JoinOps.saltedJoin(b, small, "bk", "sk", 4)
+        .select("bk", "v", "name").orderBy("v").collect().toSeq
+    assert(run(big) === run(big.repartition(13)))
+  }
+}
