@@ -6,24 +6,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import graft.expressions.{BloomMightContain, BloomSet}
 
-/** Join-shape operators for the two big-join failure modes a 100 TB
-  * cluster actually hits:
-  *
-  *  - a SELECTIVE dim side that is too big to broadcast: the join
-  *    shuffles the entire fact side even though almost none of it will
-  *    match → [[bloomReduceJoin]] (semi-join reduction via a broadcast
-  *    Bloom filter, probe compiled into the scan stage);
-  *  - a SKEWED key: one hash partition receives a hot key's entire
-  *    row set and the stage runs at the speed of that one task →
-  *    [[saltedJoin]] (salt the big side, replicate the small side per
-  *    salt, aggregate after — deterministic results, bounded task
-  *    sizes even where AQE's skew split cannot apply, e.g. under a
-  *    required child distribution).
-  *
-  * Both return EXACTLY the rows of the plain join (the Bloom pass can
-  * only let extra non-matching rows through to the exact equi-join;
-  * salting only re-buckets rows) — so the driver oracle for these is
-  * the plain SQL join itself.
+/** Semi-join reduction for the big-join failure mode where the dim
+  * side is SELECTIVE but too big to broadcast: a plain shuffle join
+  * exchanges the entire fact side even though almost none of it will
+  * match. [[bloomReduceJoin]] builds a Bloom filter over the dim keys
+  * distributed, broadcasts the bits, and pre-filters the fact side
+  * before its exchange with a codegen'd membership probe. The result
+  * is EXACTLY the rows of the plain join (the Bloom pass can only let
+  * extra non-matching rows through to the exact equi-join), so the
+  * driver oracle is the plain SQL join itself. The companion skew
+  * treatment (hot keys salted over reducers) is
+  * [[graft.warehouse.SkewJoin.saltedInnerJoin]].
   */
 object JoinOps {
 
@@ -78,32 +71,5 @@ object JoinOps {
     val bloom = buildKeyBloom(dim, dimKey, expectedDimKeys, fpp)
     fact.where(bloomProbe(factKey, bloom))
       .join(dim, factKey === dimKey)
-  }
-
-  /** Skew-salted inner equi-join of a skewed `big` side against a
-    * `small` (but not broadcast-able) side: the big side gets a
-    * deterministic per-row salt in [0, salts), the small side is
-    * replicated once per salt value, and the join key becomes
-    * (key, salt) — a hot key's rows now spread over `salts` partitions
-    * instead of one. Row-identical to the plain join: every big row
-    * meets every matching small row exactly once (at its own salt).
-    * The salt is derived by hashing the whole big row (`xxhash64` over
-    * its columns), not `rand()` — deterministic under retries and
-    * partition reshuffles, which speculative execution at 1000
-    * executors requires.
-    */
-  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
-      smallKey: String, salts: Int): DataFrame = {
-    require(salts >= 1, s"salts must be >= 1, got $salts")
-    val saltCol = pmod(
-      xxhash64(big.columns.map(big(_)): _*), lit(salts.toLong))
-    val saltedBig = big.withColumn("__salt", saltCol)
-    val replicated = small.withColumn("__salt",
-      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
-    saltedBig
-      .join(replicated,
-        saltedBig(bigKey) === replicated(smallKey) &&
-          saltedBig("__salt") === replicated("__salt"))
-      .drop("__salt")
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, StructField, StructType}
 import graft.Tables
 import graft.analytics.{AsOfJoin, JoinOps, RangeJoin}
+import graft.warehouse.SkewJoin
 
 /** Advanced operator tier: semi-structured JSON columns, rollup
   * grouping sets, batch sliding windows, as-of joins, and binned range
@@ -176,11 +177,12 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
-    // Skew-salted join: lineitem × supplier on (key, salt) with the
-    // small side replicated per salt — a hot supplier's rows spread
-    // over `salts` reducers instead of one. Result row-identical to
-    // the plain join (the oracle), salt derived from a row hash so
-    // retries/speculation stay deterministic.
+    // Skew-salted join (warehouse.SkewJoin): lineitem × supplier on
+    // (key, salt) with the small side replicated per salt — a hot
+    // supplier's rows spread over `salts` reducers instead of one.
+    // Result row-identical to the plain join (the oracle), salt
+    // derived from a row hash so retries/speculation stay
+    // deterministic.
     Q("q113_salted_join", Some("""
       SELECT s.s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
@@ -190,8 +192,8 @@ object AdvancedQueries {
       val big = Tables.load(s, dir, "lineitem")
         .select("l_suppkey", "l_extendedprice")
       val small = Tables.load(s, dir, "supplier")
-        .select("s_suppkey", "s_nationkey")
-      JoinOps.saltedJoin(big, small, "l_suppkey", "s_suppkey", salts = 8)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      SkewJoin.saltedInnerJoin(big, small, Seq("l_suppkey"), buckets = 8)
         .groupBy("s_nationkey")
         .agg(count(lit(1)).as("n_items"),
           Q.dsum(col("l_extendedprice")).as("revenue"))

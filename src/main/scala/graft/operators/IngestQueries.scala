@@ -706,6 +706,35 @@ object IngestQueries {
           "humidity_percent", "wind_speed_ms", "weather_code",
           "part_year", "part_month")
         .orderBy("location_key", "date_key")
+    },
+
+    // Z-order (Morton) layout key over (l_partkey, l_suppkey): the
+    // bit-interleave arithmetic that drives Writer.writeZOrdered's
+    // multi-dim file clustering, oracled cell-by-cell against the
+    // same shift/mask formula in DuckDB. Coarse cells (z >> 16) carry
+    // narrow min/max envelopes in BOTH dimensions — the property the
+    // layout spec measures on real written files.
+    Q("q114_zorder_cells", Some(s"""
+      WITH z AS (
+        SELECT ${Writer.zorderSql("l_partkey", "l_suppkey")} AS zkey,
+          l_partkey, l_suppkey
+        FROM lineitem)
+      SELECT CAST(zkey >> 16 AS BIGINT) AS zcell,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(MIN(l_partkey) AS BIGINT) AS min_part,
+        CAST(MAX(l_partkey) AS BIGINT) AS max_part,
+        CAST(MIN(l_suppkey) AS BIGINT) AS min_supp,
+        CAST(MAX(l_suppkey) AS BIGINT) AS max_supp
+      FROM z GROUP BY zcell ORDER BY zcell""")) { (s, dir) =>
+      graft.Tables.load(s, dir, "lineitem")
+        .select(
+          Writer.zorderKey(col("l_partkey"), col("l_suppkey")).as("zkey"),
+          col("l_partkey"), col("l_suppkey"))
+        .groupBy(shiftright(col("zkey"), 16).as("zcell"))
+        .agg(count(lit(1)).as("n"),
+          min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+          min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+        .orderBy("zcell")
     }
   )
 }

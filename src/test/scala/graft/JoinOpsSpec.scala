@@ -60,28 +60,29 @@ class JoinOpsSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
-  test("saltedJoin matches the plain join incl. duplicate keys both sides") {
+  test("saltedInnerJoin matches the plain join incl. duplicate keys both sides") {
     // skewed big side: key 1 carries most rows; small side has a
     // duplicate key so replication must not double-count matches
     val big = ((0 until 400).map(i => (1L, s"b$i")) ++
-      Seq((2L, "x"), (3L, "y"), (5L, "never"))).toDF("bk", "bval")
+      Seq((2L, "x"), (3L, "y"), (5L, "never"))).toDF("k", "bval")
     val small = Seq((1L, "s1a"), (1L, "s1b"), (2L, "s2"), (4L, "s4"))
-      .toDF("sk", "sval")
+      .toDF("k", "sval")
     def canon(df: org.apache.spark.sql.DataFrame) =
-      df.select("bk", "bval", "sval").orderBy("bk", "bval", "sval")
+      df.select("k", "bval", "sval").orderBy("k", "bval", "sval")
         .collect().toSeq
-    val salted = canon(JoinOps.saltedJoin(big, small, "bk", "sk", salts = 8))
-    val plain = canon(big.join(small, col("bk") === col("sk")))
+    val salted = canon(
+      graft.warehouse.SkewJoin.saltedInnerJoin(big, small, Seq("k"), 8))
+    val plain = canon(big.join(small, Seq("k")))
     assert(salted === plain)
     assert(plain.length === 400 * 2 + 1)
   }
 
-  test("saltedJoin is partitioning-insensitive") {
-    val big = (0L until 300L).map(i => (i % 5L, i)).toDF("bk", "v")
-    val small = (0L until 5L).map(i => (i, s"s$i")).toDF("sk", "name")
+  test("saltedInnerJoin is partitioning-insensitive") {
+    val big = (0L until 300L).map(i => (i % 5L, i)).toDF("k", "v")
+    val small = (0L until 5L).map(i => (i, s"s$i")).toDF("k", "name")
     def run(b: org.apache.spark.sql.DataFrame) =
-      JoinOps.saltedJoin(b, small, "bk", "sk", 4)
-        .select("bk", "v", "name").orderBy("v").collect().toSeq
+      graft.warehouse.SkewJoin.saltedInnerJoin(b, small, Seq("k"), 4)
+        .select("k", "v", "name").orderBy("v").collect().toSeq
     assert(run(big) === run(big.repartition(13)))
   }
 }

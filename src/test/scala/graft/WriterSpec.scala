@@ -337,4 +337,46 @@ class WriterSpec extends SparkSpec {
       .filter(_.isDirectory).map(_.getName).sorted
     assert(shardDirs.toSeq === Seq("shard=0", "shard=1", "shard=2"))
   }
+
+  test("zorderKey: hand-computed bit interleave") {
+    def m(a: Long, b: Long): Long =
+      spark.range(1).select(Writer.zorderKey(lit(a), lit(b)).as("z"))
+        .collect()(0).getLong(0)
+    assert(m(0L, 0L) === 0L)
+    assert(m(1L, 0L) === 1L)  // a's bit 0 → position 0
+    assert(m(0L, 1L) === 2L)  // b's bit 0 → position 1
+    // a=3 (bits 0,1 → pos 0,2), b=5 (bits 0,2 → pos 1,5): 1+4+2+32
+    assert(m(3L, 5L) === 39L)
+    assert(m(65535L, 65535L) === 0xFFFFFFFFL)
+    // inputs wider than 16 bits are masked, not wrapped into garbage
+    assert(m(65536L, 0L) === 0L)
+  }
+
+  test("writeZOrdered: files carry narrow min/max envelopes in BOTH dims") {
+    // 256×256 uniform grid in row-major order: linear layouts cluster
+    // one dimension and span the other end to end
+    val grid = spark.range(65536).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val dir = tmpDir("graft_zorder")
+    Writer.writeZOrdered(grid, "x", "y", s"$dir/z", partitions = 16)
+    grid.repartitionByRange(16, col("y"), col("x"))
+      .sortWithinPartitions("y", "x")
+      .write.parquet(s"$dir/linear")
+    def meanEnvelope(p: String): (Double, Double) = {
+      val r = spark.read.parquet(p)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("x") - min("x")).as("ex"), (max("y") - min("y")).as("ey"))
+        .agg(avg("ex"), avg("ey")).collect()(0)
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (zx, zy) = meanEnvelope(s"$dir/z")
+    val (lx, ly) = meanEnvelope(s"$dir/linear")
+    // z-order: each of 16 files ≈ a 2-D block — both envelopes well
+    // under the full 255 extent (ideal alignment would give ~64–128)
+    assert(zx < 160 && zy < 160, s"z-order envelopes too wide: $zx × $zy")
+    // linear layout: y is clustered but x spans the full width, so a
+    // filter on x alone can skip nothing
+    assert(lx > 240, s"baseline x envelope unexpectedly narrow: $lx")
+    assert(ly < 32)
+  }
 }
