@@ -274,6 +274,69 @@ object TextQueries {
             Bpe.tokenCount(col("text"), merges).as("n_tokens"))
           .orderBy("doc_id")
       }
+    },
+
+    // Classifier-based quality filtering (the GPT-3/CCNet gate):
+    // logistic regression over per-doc features, trained with 3
+    // full-batch GD iterations — ONE aggregation job per iteration,
+    // driver state = 5 weights — then applied map-only. The oracle
+    // UNROLLS the same iterations as chained CTEs; quantized
+    // transcendentals + integer gradient sums make the replay
+    // bit-exact across engines and partitionings (QualityModel doc).
+    {
+      val iters = 3
+      val lr = "0.5"
+      val sc = "100000000.0" // gradient term scale (1e8)
+      def zSql(w: String): String =
+        s"($w.w0 + x1*$w.w1 + x2*$w.w2 + x3*$w.w3 + x4*$w.w4)"
+      def sigSql(w: String): String =
+        s"(round((1.0/(1.0+exp(-${zSql(w)})))*10000.0)/10000.0)"
+      val terms = Seq("", "x1", "x2", "x3", "x4")
+      val iterCtes = (1 to iters).map { i =>
+        val prev = s"c${i - 1}"
+        val sums = terms.zipWithIndex.map { case (x, j) =>
+          val m = if (x.isEmpty) "(t)" else s"(t * $x)"
+          s"SUM(CAST(round($m * $sc) AS BIGINT)) AS s$j"
+        }.mkString(",\n          ")
+        val upd = (0 until 5).map(j =>
+          s"c.w$j - $lr * ((g.s$j / $sc) / g.n) AS w$j").mkString(", ")
+        s"""r$i AS (
+        SELECT x1, x2, x3, x4, (${sigSql("c")} - y) AS t
+        FROM feat, $prev c),
+      g$i AS (
+        SELECT $sums,
+          COUNT(*) AS n FROM r$i),
+      c$i AS (SELECT $upd FROM g$i g, $prev c)"""
+      }.mkString(",\n      ")
+      Q("q115_quality_lr", Some(s"""
+      WITH feat AS (
+        SELECT doc_id,
+          round(ln(1 + len(w)) * 1000000.0) / 1000000.0 AS x1,
+          round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+            * 1000000.0) / 1000000.0 AS x2,
+          round((CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+            / len(w)) * 1000000.0) / 1000000.0 AS x3,
+          round((CAST(len(list_filter(w, t -> len(t) <= 3)) AS DOUBLE)
+            / len(w)) * 1000000.0) / 1000000.0 AS x4,
+          CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END AS y
+        FROM (SELECT doc_id, lang,
+                string_split_regex(trim(text), '\\s+') AS w
+              FROM documents WHERE text IS NOT NULL)),
+      c0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+                    0.0 AS w4),
+      $iterCtes
+      SELECT doc_id, score,
+        CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+      FROM (SELECT f.doc_id, ${sigSql("c")} AS score
+            FROM feat f, c$iters c)
+      ORDER BY doc_id""")) { (s, dir) =>
+        val feat = graft.analytics.QualityModel.features(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          (col("lang") === "en").cast("int"))
+        val w = graft.analytics.QualityModel.train(feat, iters, lr.toDouble)
+        graft.analytics.QualityModel.score(feat, w).orderBy("doc_id")
+      }
     }
   )
 }
