@@ -91,6 +91,48 @@ object TimeSeriesQueries {
           .agg(aggs.head, aggs.tail: _*)
           .orderBy("user_decile")
       }
+    },
+
+    // EWMA smoothing + deviation flags per user stream (the classic
+    // sensor-series anomaly shape — cf. the reference's temperature
+    // spike rule, WN1). The recursion EWMA_t = αx_t + (1-α)EWMA_{t-1}
+    // over the last 16 observations is computed as an explicit LEFT
+    // FOLD over the ordered window list — `aggregate` in Spark,
+    // `list_reduce` in DuckDB — so both engines run the identical
+    // IEEE op sequence (no pow/exp, no quantization needed) and the
+    // raw doubles hash-match. Key-partitioned window: no global sort,
+    // scales per user at 100 TB.
+    Q("q116_ewma", Some("""
+      WITH e AS (
+        SELECT event_id, user_id, ts, value FROM events
+        WHERE user_id < 20 AND value IS NOT NULL),
+      w AS (
+        SELECT event_id, user_id, ts, value,
+          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+        FROM e)
+      SELECT event_id, user_id, ts, value, ewma,
+        (abs(value - ewma) > 60.0) AS is_spike
+      FROM (
+        SELECT event_id, user_id,
+          strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value,
+          list_reduce(vals, (acc, x) -> (0.25*x) + (0.75*acc)) AS ewma
+        FROM w)
+      ORDER BY event_id""")) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 20 && col("value").isNotNull)
+        .select("event_id", "user_id", "ts", "value")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-15, Window.currentRow)
+      e.withColumn("__vals", collect_list(col("value")).over(w))
+        .withColumn("ewma",
+          graft.analytics.TimeSeries.ewmaFold(col("__vals"), alpha = 0.25))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("value"), col("ewma"),
+          (abs(col("value") - col("ewma")) > 60.0).as("is_spike"))
+        .orderBy("event_id")
     }
   )
 }

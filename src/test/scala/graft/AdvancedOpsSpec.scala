@@ -112,4 +112,16 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(eval(Suitability.phMatch(lit(8.0), lit(6.0), lit(7.0))) == 0.5)
     assert(eval(Suitability.phMatch(lit(3.0), lit(6.0), lit(7.0))) == 0.0)
   }
+
+  test("ewmaFold: hand-computed recursion, single element, null/empty") {
+    import graft.analytics.TimeSeries
+    def f(vs: Seq[Double]): Any =
+      Seq(vs).toDF("v")
+        .select(TimeSeries.ewmaFold(col("v"), 0.25).as("e"))
+        .collect()(0).get(0)
+    // 10, 20, 40 → 10; 0.25·20+0.75·10 = 12.5; 0.25·40+0.75·12.5 = 19.375
+    assert(f(Seq(10.0, 20.0, 40.0)) === 19.375)
+    assert(f(Seq(7.5)) === 7.5)
+    assert(f(Seq.empty) === null)
+  }
 }
