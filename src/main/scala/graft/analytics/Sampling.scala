@@ -60,4 +60,21 @@ object Sampling {
       perGroup: Int): DataFrame =
     df.withColumn("__rk", groupHashRank(groupCol, keyCol))
       .filter(col("__rk") <= perGroup).drop("__rk")
+
+  /** Weighted-sampling-without-replacement priority (Efraimidis &
+    * Spirakis 2006, log form): each row draws the deterministic
+    * uniform `u = (h30(key) + 0.5) / P` and gets priority
+    * `ln(u) / w` — taking the k LARGEST priorities yields a weighted
+    * sample without replacement with inclusion probability increasing
+    * in `w`, reproducible across runs/engines/partitionings because
+    * the "randomness" is the portable content hash. Quantized to
+    * 1e-12 so a ≤1-ulp libm `ln` difference cannot reorder engines;
+    * callers break quantization ties by key. Selection is a global
+    * top-k (`TakeOrderedAndProject`: per-partition heads, no full
+    * sort) — map-only until the final k-row reduction. */
+  def weightedPriority(keyCol: Column, weightCol: Column): Column = {
+    val u = (Dedup.h30(keyCol.cast("string")) + lit(0.5)) /
+      lit(Dedup.P.toDouble)
+    round((log(u) / weightCol) * 1e12) / 1e12
+  }
 }

@@ -228,6 +228,28 @@ object MiscQueries {
             max(col("doc_id")).as("max_doc"))
           .orderBy("shard")
       }
+    },
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis):
+    // 100 docs drawn with inclusion probability increasing in
+    // n_chars, priorities from the portable hash so the draw is
+    // reproducible. Global top-k, never a full sort.
+    Q("q117_weighted_sample", Some(s"""
+      WITH pri AS (
+        SELECT doc_id, n_chars,
+          round((ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+              1, 8) AS BIGINT) % ${Dedup.P} + 0.5) / ${Dedup.P}.0)
+            / n_chars) * 1000000000000.0) / 1000000000000.0 AS priority
+        FROM documents WHERE n_chars > 0)
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, priority
+      FROM pri ORDER BY priority DESC, doc_id LIMIT 100""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents").where(col("n_chars") > 0)
+      d.select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+          graft.analytics.Sampling
+            .weightedPriority(col("doc_id"), col("n_chars"))
+            .as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(100)
     }
   )
 }

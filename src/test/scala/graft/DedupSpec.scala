@@ -504,4 +504,29 @@ class DedupSpec extends SparkSpec {
       TextAnalysis.langPredict) == "en")
     assert(evalStr("xyzzy plugh", TextAnalysis.langPredict) == "und")
   }
+
+  test("weightedPriority: deterministic, weight-biased, 12-decimal quantized") {
+    import spark.implicits._
+    import graft.analytics.Sampling
+    // 1000 rows, half weight 50, half weight 1
+    val df = (0L until 1000L)
+      .map(i => (i, if (i % 2 == 0) 50L else 1L)).toDF("id", "w")
+    def top100(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select(col("id"), col("w"),
+          Sampling.weightedPriority(col("id"), col("w")).as("p"))
+        .orderBy(col("p").desc, col("id")).limit(100)
+        .collect().map(_.getLong(0)).toSeq
+    val a = top100(df)
+    assert(a === top100(df.repartition(9)))   // hash-determined, not rand()
+    // E-S: inclusion probability increases with weight — the 50×
+    // class must dominate the sample
+    val heavy = a.count(_ % 2 == 0)
+    assert(heavy > 80, s"weight-50 rows in top-100: $heavy")
+    // quantization contract: every priority exact at 12 decimals
+    df.select(Sampling.weightedPriority(col("id"), col("w")).as("p"))
+      .collect().foreach { r =>
+        val p = r.getDouble(0)
+        assert(math.round(p * 1e12) / 1e12 === p)
+      }
+  }
 }
