@@ -77,4 +77,23 @@ object Sampling {
       lit(Dedup.P.toDouble)
     round((log(u) / weightCol) * 1e12) / 1e12
   }
+
+  /** Bounded per-group top-k as an AGGREGATE
+    * ([[graft.expressions.TopKByHash]]): the k rows with the smallest
+    * (hash, id) order key, payload columns returned as
+    * `array<struct>` in that order. Row-identical to
+    * `row_number() OVER (PARTITION BY g ORDER BY hash, id) <= k`, but
+    * the partial phase caps state at k rows per group per partition —
+    * the exchange ships a bounded sample instead of the whole corpus,
+    * which is the difference that matters at 100 TB. `id` must be a
+    * unique long key (it is the deterministic tie-break across 30-bit
+    * hash collisions, same as the window form and the oracle's
+    * ORDER BY). */
+  def topKByHash(k: Int, hash: Column, id: Column,
+      payload: (String, Column)*): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.TopKByHash(
+        (Seq(hash, id) ++ payload.map(_._2))
+          .map(org.apache.spark.sql.graft.ColumnBridge.expression),
+        payload.map(_._1), k).toAggregateExpression())
 }

@@ -151,18 +151,25 @@ object MiscQueries {
         CAST(SUM(CASE WHEN rk <= 60 THEN n_chars ELSE 0 END) AS BIGINT)
           AS kept_chars
       FROM ranked GROUP BY lang ORDER BY lang""")) { (s, dir) =>
-      // single pass mirroring the oracle: rank in-group by hash order,
-      // then one grouped aggregation with conditional sums (a
-      // kept-vs-total join would re-scan AND drop a null lang group);
-      // nulls-last ordering matches DuckDB's ASC default
+      // ONE grouped aggregation computes totals AND the kept sample:
+      // the native TopKByHash aggregate keeps the 60 smallest
+      // (h30, doc_id) rows per language with map-side partials, so
+      // nothing but bounded per-group state crosses the exchange —
+      // the window-rank formulation (the oracle's) shuffles every
+      // row. Row-identical, incl. the (hash, id) tie-break.
+      // Nulls-last ordering matches DuckDB's ASC default; the fold
+      // coalesces null n_chars to 0 to mirror SUM's null-skip.
       val d = Tables.load(s, dir, "documents")
-      d.withColumn("rk",
-          graft.analytics.Sampling.groupHashRank("lang", col("doc_id")))
-        .groupBy("lang").agg(
+      d.groupBy("lang").agg(
           count(lit(1)).as("n_total"),
-          sum(when(col("rk") <= 60, 1L).otherwise(0L)).as("n_kept"),
-          sum(when(col("rk") <= 60, col("n_chars")).otherwise(0L))
-            .cast("long").as("kept_chars"))
+          graft.analytics.Sampling.topKByHash(60,
+            graft.analytics.Dedup.h30(col("doc_id").cast("string")),
+            col("doc_id"), "n_chars" -> col("n_chars")).as("__kept"))
+        .select(col("lang"), col("n_total"),
+          size(col("__kept")).cast("long").as("n_kept"),
+          aggregate(col("__kept"), lit(0L),
+            (a, x) => a + coalesce(x.getField("n_chars"), lit(0L)))
+            .as("kept_chars"))
         .orderBy(col("lang").asc_nulls_last)
     },
 

@@ -529,4 +529,51 @@ class DedupSpec extends SparkSpec {
         assert(math.round(p * 1e12) / 1e12 === p)
       }
   }
+
+  test("topKByHash equals the window-rank form, incl. hash ties") {
+    import spark.implicits._
+    import graft.analytics.Sampling
+    val df = (0L until 500L).map(i =>
+      (i, s"g${i % 4}", i * 7 % 100)).toDF("id", "g", "v")
+    // forced collisions: only 5 distinct hash values → ties resolved
+    // by id, exactly as the window ORDER BY (h, id) resolves them
+    val h = pmod(col("id") * 31L, lit(5L))
+    val viaAgg = df.groupBy("g")
+      .agg(Sampling.topKByHash(7, h, col("id"), "v" -> col("v"))
+        .as("kept"))
+      .select(col("g"), explode(col("kept")).as("r"))
+      .select(col("g"), col("r.v").as("v"))
+      .orderBy("g", "v").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(h, col("id"))
+    val viaWindow = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 7).select("g", "v")
+      .orderBy("g", "v").collect().toSeq
+    assert(viaAgg === viaWindow)
+    assert(viaAgg.size === 28)
+    // partitioning-insensitive (merge order must not matter)
+    val again = df.repartition(13).groupBy("g")
+      .agg(Sampling.topKByHash(7, h, col("id"), "v" -> col("v"))
+        .as("kept"))
+      .select(col("g"), explode(col("kept")).as("r"))
+      .select(col("g"), col("r.v").as("v"))
+      .orderBy("g", "v").collect().toSeq
+    assert(again === viaAgg)
+  }
+
+  test("topKByHash: null payloads survive, output keeps (hash,id) order") {
+    import spark.implicits._
+    import graft.analytics.Sampling
+    val df = Seq(
+      (1L, Some("a")), (2L, None), (3L, Some("c")), (4L, None))
+      .toDF("id", "s")
+    val kept = df.groupBy()
+      .agg(Sampling.topKByHash(3, col("id"), col("id"),
+        "s" -> col("s"), "id2" -> (col("id") * 10)).as("k"))
+      .select(explode(col("k")).as("r"))
+      .select(col("r.s"), col("r.id2")).collect()
+    assert(kept.map(r => Option(r.getString(0))).toSeq ===
+      Seq(Some("a"), None, Some("c")))
+    assert(kept.map(_.getLong(1)).toSeq === Seq(10L, 20L, 30L))
+  }
 }
