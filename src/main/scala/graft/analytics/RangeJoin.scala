@@ -31,4 +31,29 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-OVERLAP join: every (a, b) pair with
+    * `a.lo < b.hi AND b.lo < a.hi` (half-open intervals), as a binned
+    * hash equi-join instead of the nested-loop plan the naive
+    * inequality join gets. Both sides fan out to the `binWidth` bins
+    * they span; a pair is emitted ONLY in the bin containing
+    * `max(a.lo, b.lo)` — a point both intervals contain whenever they
+    * overlap — so each overlapping pair appears exactly once with no
+    * distinct/dedup pass. Fan-out ≈ len/binWidth + 1 per interval;
+    * the join itself is a plain hash exchange on the bin id at any
+    * scale.
+    */
+  def intervalOverlap(a: DataFrame, b: DataFrame,
+      aLo: String, aHi: String, bLo: String, bHi: String,
+      binWidth: Double): DataFrame = {
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.withColumn("__bin", explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    binned(a, aLo, aHi).join(binned(b, bLo, bHi), Seq("__bin"))
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi) &&
+        col("__bin") ===
+          floor(greatest(col(aLo), col(bLo)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

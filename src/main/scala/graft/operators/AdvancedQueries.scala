@@ -198,6 +198,39 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n_items"),
           Q.dsum(col("l_extendedprice")).as("revenue"))
         .orderBy("s_nationkey")
+    },
+
+    // Interval-OVERLAP join (brand value brackets × supplier capacity
+    // windows): the binned rewrite emits each overlapping pair exactly
+    // once — in the bin containing max(lo_a, lo_b) — so the plan is a
+    // hash equi-join with no dedup pass, where the naive inequality
+    // join nested-loops. Oracle is DuckDB's native inequality join.
+    Q("q118_interval_join", Some("""
+      WITH ai AS (
+        SELECT p_brand, bn * 18.0 AS alo, bn * 18.0 + 30.0 AS ahi
+        FROM (SELECT DISTINCT p_brand,
+                CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS bn
+              FROM part)),
+      bi AS (
+        SELECT s_suppkey, CAST(s_suppkey * 3 % 400 AS DOUBLE) AS blo,
+          CAST(s_suppkey * 3 % 400 AS DOUBLE) + 25.0 AS bhi
+        FROM supplier)
+      SELECT p_brand, s_suppkey, alo, blo
+      FROM ai JOIN bi ON alo < bhi AND blo < ahi
+      ORDER BY p_brand, s_suppkey""")) { (s, dir) =>
+      val bn = regexp_extract(col("p_brand"), "(\\d+)", 1).cast("int")
+      val ai = Tables.load(s, dir, "part")
+        .select(col("p_brand")).distinct()
+        .select(col("p_brand"), (bn * 18.0).as("alo"),
+          (bn * 18.0 + 30.0).as("ahi"))
+      val bi = Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_suppkey") * 3 % 400).cast("double").as("blo"),
+          ((col("s_suppkey") * 3 % 400).cast("double") + 25.0).as("bhi"))
+      RangeJoin.intervalOverlap(ai, bi, "alo", "ahi", "blo", "bhi",
+          binWidth = 30.0)
+        .select("p_brand", "s_suppkey", "alo", "blo")
+        .orderBy("p_brand", "s_suppkey")
     }
   )
 }

@@ -113,6 +113,34 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(eval(Suitability.phMatch(lit(3.0), lit(6.0), lit(7.0))) == 0.0)
   }
 
+  test("intervalOverlap equals the naive inequality join, exactly once") {
+    import spark.implicits._
+    // seeded random half-open intervals, lengths 0..40 over [0, 400):
+    // spans several bins at width 25, so multi-bin pairs exercise the
+    // claim-bin dedup rule
+    val rnd = new scala.util.Random(11)
+    val as = (0L until 60L).map { i =>
+      val lo = rnd.nextInt(400).toDouble
+      (i, lo, lo + rnd.nextInt(41)) }.toDF("aid", "alo", "ahi")
+    val bs = (0L until 50L).map { i =>
+      val lo = rnd.nextInt(400).toDouble
+      (i, lo, lo + rnd.nextInt(41)) }.toDF("bid", "blo", "bhi")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("aid", "bid").orderBy("aid", "bid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val binned = canon(RangeJoin.intervalOverlap(
+      as, bs, "alo", "ahi", "blo", "bhi", binWidth = 25.0))
+    val naive = canon(as.crossJoin(bs)
+      .filter(col("alo") < col("bhi") && col("blo") < col("ahi")))
+    assert(binned === naive)
+    assert(naive.nonEmpty)
+    // exactly-once: no pair may surface from two shared bins
+    assert(binned.distinct === binned)
+    // partitioning-insensitive
+    assert(canon(RangeJoin.intervalOverlap(as.repartition(7),
+      bs.repartition(3), "alo", "ahi", "blo", "bhi", 25.0)) === binned)
+  }
+
   test("ewmaFold: hand-computed recursion, single element, null/empty") {
     import graft.analytics.TimeSeries
     def f(vs: Seq[Double]): Any =
