@@ -554,6 +554,38 @@ object DedupQueries {
           .orderBy(col("rank").desc, col("doc_id"))
           .limit(20)
       }
+    },
+
+    // N-gram novelty scoring: per doc, the fraction of its distinct
+    // 3-gram shingles whose corpus-FIRST appearance (min doc_id) is
+    // this doc — the curriculum/curation signal for "how much new
+    // content does this document contribute". Two keyed shuffles
+    // (shingle → min doc, doc_id → fractions), linear at any scale.
+    Q("q120_ngram_novelty", Some(s"""
+      WITH sh AS (${duckShingleIndex(3)}),
+      first AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+      SELECT s.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_novel,
+        CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*) AS novelty
+      FROM sh s JOIN first f USING (shingle)
+      GROUP BY s.doc_id ORDER BY s.doc_id""")) { (s, dir) =>
+      val sh = Dedup.shingleIndex(
+        Tables.load(s, dir, "documents"), "doc_id", "text", n = 3)
+      val first = sh.groupBy("shingle")
+        .agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, Seq("shingle"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles"))
+            .as("novelty"))
+        .orderBy("doc_id")
     }
   )
 }

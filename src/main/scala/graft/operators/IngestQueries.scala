@@ -735,6 +735,35 @@ object IngestQueries {
           min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
           min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
         .orderBy("zcell")
+    },
+
+    // Bucketed co-located join: orders and lineitem land as catalog
+    // tables bucketed+sorted 8 ways on the order key, so the repeated
+    // fact-fact join needs NO exchange on either side (the WriterSpec
+    // plan assertion) — write-time co-location, the lake answer to
+    // the reference's composite B-tree indexes. The oracle is the
+    // plain join; bucketing only moves WHERE rows sit.
+    Q("q119_bucketed_join", Some("""
+      SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")) { (s, dir) =>
+      val tag = Integer.toHexString(dir.hashCode)
+      val tOrders = s"graft_bkt_orders_$tag"
+      val tLine = s"graft_bkt_lineitem_$tag"
+      Writer.writeBucketed(graft.Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus"), tOrders,
+        Seq("o_orderkey"), buckets = 8)
+      Writer.writeBucketed(graft.Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice"), tLine,
+        Seq("l_orderkey"), buckets = 8)
+      s.table(tLine)
+        .join(s.table(tOrders), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          Q.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderstatus")
     }
   )
 }

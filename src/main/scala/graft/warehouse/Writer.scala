@@ -28,6 +28,17 @@ object Writer {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Schema-evolution-tolerant read of a lake table whose batches were
+    * written over time with ADDED columns: `mergeSchema` unions the
+    * per-file footers (an O(files) driver merge, why it is not the
+    * default), older files surface the added columns as nulls, and
+    * filter pushdown / pruning on the shared columns is unaffected.
+    * Column REMOVALS and type changes are not reconciled here — those
+    * are contract breaks the per-table assertions in `graft.Tables`
+    * exist to catch loudly, not paper over. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Save as a bucketed (+ sorted) catalog table: co-locates join keys
     * at write time so repeated fact-fact joins on `keys` need no
     * shuffle at all — the big-join analogue of the reference's
@@ -35,11 +46,23 @@ object Writer {
     * tables being joined.
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a FRESH session catalog does not know about a previous JVM's
+    // managed-table directory, and saveAsTable then refuses the
+    // existing location — drop the entry AND clear the stale dir so
+    // the writer is idempotent across sessions
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) { fs.delete(loc, true); () }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   /** Idempotent daily reload: with dynamic partition overwrite, only
     * the partitions present in `fact` are replaced — re-running a

@@ -338,6 +338,24 @@ class WriterSpec extends SparkSpec {
     assert(shardDirs.toSeq === Seq("shard=0", "shard=1", "shard=2"))
   }
 
+  test("readEvolved: added columns surface as nulls on old batches") {
+    val dir = tmpDir("graft_evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "c", 9.5)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/batch=2")
+    val all = Writer.readEvolved(spark, dir).orderBy("id")
+    assert(all.columns.toSet === Set("id", "v", "score", "batch"))
+    val rows = all.collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(2).getDouble(rows(2).fieldIndex("score")) === 9.5)
+    // plain read (no mergeSchema) picks ONE footer and can silently
+    // drop the evolved column — the failure mode readEvolved closes
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length <= all.columns.length)
+  }
+
   test("zorderKey: hand-computed bit interleave") {
     def m(a: Long, b: Long): Long =
       spark.range(1).select(Writer.zorderKey(lit(a), lit(b)).as("z"))
