@@ -68,7 +68,13 @@ object Bench {
     // identical code (JIT/profile sensitivity of the regex cascades
     // and the shingle index build) — extra samples keep the medians
     // comparable round over round
-    "q19_ngram_jaccard", "q30_extract_requirements")
+    "q19_ngram_jaccard", "q30_extract_requirements",
+    // checkpoint/state-dir heavy: measured per-run profiles like
+    // 54/85/7 s (q99) — the first runs pay dirty-page flush from
+    // everything benched before them, steady state is the small
+    // number; 5 samples put the median in the steady-state cluster
+    "q98_ivf_index_recall", "q99_streaming_dedup",
+    "q100_stream_merge_fold")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
