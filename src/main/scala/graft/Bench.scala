@@ -94,6 +94,8 @@ object Bench {
     catch { case _: Throwable => }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.warehouse.dir",
+        graft.util.Scratch.path("warehouse"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -56,6 +56,8 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.warehouse.dir",
+        graft.util.Scratch.path("warehouse"))
       .appName("graft-test")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
