@@ -94,6 +94,8 @@ object Bench {
     catch { case _: Throwable => }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions",
+        "graft.expressions.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         graft.util.Scratch.path("warehouse"))
       .config("spark.sql.shuffle.partitions", cpus)

@@ -11,6 +11,8 @@ object Explain {
       "/root/testdata/sf0.01")
     val spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions",
+        "graft.expressions.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         graft.util.Scratch.path("warehouse"))
       .config("spark.sql.shuffle.partitions", "4")

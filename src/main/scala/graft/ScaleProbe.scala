@@ -16,6 +16,8 @@ object ScaleProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions",
+        "graft.expressions.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         graft.util.Scratch.path("warehouse"))
       .config("spark.sql.shuffle.partitions", cpus)

@@ -9,6 +9,8 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions",
+        "graft.expressions.GraftExtensions")
       .config("spark.sql.warehouse.dir",
         graft.util.Scratch.path("warehouse"))
       .config("spark.sql.shuffle.partitions", cpus)

@@ -153,5 +153,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"sign_buckets expects (emb, bits, dim[, seed]), got " +
             s"${other.length} arguments")
       }))
+    // optimizer rule: date_key range filters over the monthly lake
+    // layout gain the implied part_year/part_month predicates, so
+    // partition pruning fires without hand-written partition filters
+    ext.injectOptimizerRule(_ => graft.plans.DerivePartitionFilters)
   }
 }
