@@ -811,6 +811,44 @@ object Dedup {
     * cluster-sized keep table once on its id. The corpus text is
     * never shuffled on anything but its own id.
     */
+  /** Asymmetric CONTAINMENT pairs: (a, b) with
+    * `|shingles(a) ∩ shingles(b)| / |shingles(a)| ≥ tauNum/tauDen` —
+    * the directional near-dup relation Jaccard misses (license
+    * boilerplate inside a larger doc, a quoted article inside a
+    * digest). The threshold is a RATIONAL and the filter is the
+    * integer cross-multiplication `i·tauDen ≥ tauNum·sz`, so no
+    * floating-point boundary can disagree with an oracle.
+    *
+    * Plan: distinct-shingle index self-join grouped per pair — the
+    * same Σdf² shape as exact Jaccard, so the same scale rules apply
+    * (run inside LSH/simhash candidate buckets or behind a
+    * stop-shingle df cap at corpus scale; `maxDf` exposes the cap).
+    * Emits both directions when both clear the threshold.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, tauNum: Int, tauDen: Int,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
+      s"containment threshold must be a rational in (0,1]: $tauNum/$tauDen")
+    val sh0 = shingleIndex(docs, idCol, textCol, n)
+    val sh = maxDf match {
+      case None => sh0
+      case Some(cap) =>
+        val df = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select("shingle")
+        sh0.join(df, Seq("shingle"))
+    }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz_a"))
+    val inter = sh.select(col("doc_id").as("id_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("id_b"), col("shingle")), "shingle")
+      .where(col("id_a") =!= col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+    inter.join(sizes.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .where(col("i") * tauDen >= col("sz_a") * tauNum)
+      .select(col("id_a"), col("id_b"), col("i"), col("sz_a"),
+        (col("i").cast("double") / col("sz_a")).as("containment"))
+  }
+
   def keepRepresentatives(docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {

@@ -586,6 +586,31 @@ object DedupQueries {
           (col("n_novel").cast("double") / col("n_shingles"))
             .as("novelty"))
         .orderBy("doc_id")
+    },
+
+    // Asymmetric containment (directional near-dup): pairs where ≥80%
+    // of a's distinct 5-gram shingles appear in b — catches a small
+    // doc embedded in a larger one, which symmetric Jaccard dilutes
+    // below any usable threshold. 80% is the integer test 5·i ≥ 4·sz,
+    // so no FP boundary; ~50 directed pairs at sf0.01.
+    Q("q122_containment", Some(s"""
+      WITH sh AS (${duckShingleIndex(5)}),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(i AS BIGINT) AS i,
+        CAST(sa.sz AS BIGINT) AS sz_a,
+        CAST(i AS DOUBLE) / sa.sz AS containment
+      FROM inter JOIN sizes sa ON id_a = sa.doc_id
+      WHERE i * 5 >= sa.sz * 4
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 5, tauNum = 4, tauDen = 5)
+        .select(col("id_a"), col("id_b"), col("i").cast("long").as("i"),
+          col("sz_a").cast("long").as("sz_a"), col("containment"))
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -337,6 +337,51 @@ object TextQueries {
         val w = graft.analytics.QualityModel.train(feat, iters, lr.toDouble)
         graft.analytics.QualityModel.score(feat, w).orderBy("doc_id")
       }
+    },
+
+    // Unigram (token) entropy per document — the Gopher-family
+    // "natural language vs degenerate text" quality signal: low
+    // entropy flags repeated/boilerplate docs, which simple length
+    // and stopword features miss. Determinism: per-term contributions
+    // are quantized to 1e-12 (ln is the only libm call) and summed by
+    // an explicit left fold over the SORTED count list, so Spark's
+    // `aggregate` and DuckDB's `list_reduce` run the identical IEEE
+    // chain in the identical order under any partitioning.
+    Q("q121_token_entropy", Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+'))
+          AS tok
+        FROM documents WHERE text IS NOT NULL),
+      cnts AS (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      arrs AS (
+        SELECT doc_id, list_sort(list(CAST(c AS DOUBLE))) AS cs,
+          CAST(SUM(c) AS DOUBLE) AS n, COUNT(*) AS n_distinct
+        FROM cnts GROUP BY doc_id)
+      SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        CAST(n_distinct AS BIGINT) AS n_distinct,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(cs, c ->
+            round(((c / n) * ln(n / c)) * 1000000000000.0)
+              / 1000000000000.0)),
+          (a, b) -> a + b) AS entropy
+      FROM arrs ORDER BY doc_id""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .where(col("text").isNotNull)
+      val cnts = d
+        .select(col("doc_id"),
+          explode(graft.analytics.Dedup.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      cnts.groupBy("doc_id")
+        .agg(array_sort(collect_list(col("c").cast("double"))).as("cs"),
+          sum("c").cast("double").as("n"),
+          count(lit(1)).as("n_distinct"))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          col("n_distinct"),
+          aggregate(col("cs"), lit(0.0), (a, c) =>
+            a + round(((c / col("n")) * log(col("n") / c)) * 1e12)
+              / 1e12).as("entropy"))
+        .orderBy("doc_id")
     }
   )
 }

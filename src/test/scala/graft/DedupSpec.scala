@@ -561,6 +561,27 @@ class DedupSpec extends SparkSpec {
     assert(again === viaAgg)
   }
 
+  test("containmentPairs: directional threshold, hand-computed") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x y z w"),             // 2-shingles {xy, yz, zw}, sz 3
+      (2L, "q x y z w r"),         // {qx, xy, yz, zw, wr}, sz 5
+      (3L, "a b c d"))             // disjoint
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text",
+        n = 2, tauNum = 4, tauDen = 5)
+      .orderBy("id_a", "id_b").collect()
+    // 1⊆2 fully (3/3 = 1.0 ≥ 0.8); 2 only 3/5 = 0.6 contained in 1
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("id_a") === 1L)
+    assert(got(0).getAs[Long]("id_b") === 2L)
+    assert(got(0).getAs[Long]("i") === 3L)
+    assert(got(0).getAs[Double]("containment") === 1.0)
+    // a df cap that kills the shared shingles empties the result
+    assert(Dedup.containmentPairs(d, "doc_id", "text", 2, 4, 5,
+      maxDf = Some(1L)).count() === 0L)
+  }
+
   test("topKByHash: null payloads survive, output keeps (hash,id) order") {
     import spark.implicits._
     import graft.analytics.Sampling
