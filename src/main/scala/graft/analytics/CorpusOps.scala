@@ -249,10 +249,16 @@ object CorpusOps {
       .select(col(idCol).as("doc_id"), Dedup.tokens(col(textCol)).as("__w"))
       .select(col("doc_id"), col("__w"), size(col("__w")).as("n"))
       .where(col("n") >= k)
+    // native one-pass window hashing: byte-identical to the HOF
+    // transform/slice/md5 chain (the oracle's formulation) but ~one
+    // MessageDigest loop per row instead of an interpreted lambda and
+    // a fresh slice per window — see expressions/WindowHashes
     val wins = sized
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), col("n") - k),
-        i => md5(array_join(slice(col("__w"), i + 1, lit(k)), " ")))))
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.expressions.WindowHashes(
+            org.apache.spark.sql.graft.ColumnBridge
+              .expression(col("__w")), k))))
       .toDF("doc_id", "pos", "h")
     val firstSeen = Window.partitionBy("h").orderBy("doc_id", "pos")
     val dups = wins

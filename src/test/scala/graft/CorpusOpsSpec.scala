@@ -255,6 +255,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("dup_tokens") === 6L)
   }
 
+  test("WindowHashes is byte-identical to the transform/slice/md5 chain") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = Seq(
+      Seq("aa", "b", "ccc", "dd", "e"),
+      Seq("x"),
+      Seq.empty[String]).toDF("w")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val native = df.select(ColumnBridge.column(
+        graft.expressions.WindowHashes(
+          ColumnBridge.expression(col("w")), k)).as("h"))
+        .collect().map(_.getSeq[String](0)).toSeq
+      val hof = df.select(
+        when(size(col("w")) >= k, transform(
+          sequence(lit(0), size(col("w")) - k),
+          i => md5(array_join(slice(col("w"), i + 1, lit(k)), " "))))
+          .otherwise(array().cast("array<string>")).as("h"))
+        .collect().map(_.getSeq[String](0)).toSeq
+      assert(native === hof, s"k=$k")
+    }
+    // null array → empty, not null
+    val nul = Seq(Option.empty[Seq[String]]).toDF("w")
+      .select(ColumnBridge.column(graft.expressions.WindowHashes(
+        ColumnBridge.expression(col("w")), 2)).as("h"))
+      .collect()(0).getSeq[String](0)
+    assert(nul === Seq.empty)
+  }
+
   test("substringDedup is partitioning-insensitive") {
     val d = (0L until 30L).map(i =>
       (i, if (i % 3 == 0) s"s$i shared shared shared shared tail$i"
