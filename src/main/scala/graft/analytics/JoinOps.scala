@@ -52,10 +52,15 @@ object JoinOps {
     spark.sparkContext.broadcast(new BloomSet(words, k))
   }
 
-  /** `bloom_might_contain(xxhash64(key))` as a Column — the compiled
-    * membership probe over a filter built with [[buildKeyBloom]]. */
+  /** Compiled membership probe over a filter built with
+    * [[buildKeyBloom]]. The explicit null guard matters: `xxhash64`
+    * of a NULL key is the SEED constant (42), never NULL, so without
+    * it a null-key row would pass the probe whenever the filter
+    * happens to contain hash 42 — the guard pins the semi-join
+    * semantics (a null key joins nothing) instead of leaving them to
+    * one filter's bit pattern. */
   def bloomProbe(key: Column, bloom: Broadcast[BloomSet]): Column =
-    ColumnBridge.column(BloomMightContain(
+    key.isNotNull && ColumnBridge.column(BloomMightContain(
       ColumnBridge.expression(xxhash64(key)), bloom))
 
   /** Semi-join-reduced inner equi-join: build a Bloom over the dim

@@ -46,7 +46,7 @@ object QualityModel {
       quant(log(lit(1.0) + nTok), 1e6).as("x1"),
       quant(size(array_distinct(col("__w"))).cast("double") / nTok, 1e6)
         .as("x2"),
-      quant(aggregate(transform(col("__w"), t => length(t)), lit(0),
+      quant(aggregate(transform(col("__w"), t => length(t)), lit(0L),
         (a, x) => a + x).cast("double") / nTok, 1e6).as("x3"),
       quant(size(filter(col("__w"), t => length(t) <= 3)).cast("double")
         / nTok, 1e6).as("x4"),
@@ -65,10 +65,17 @@ object QualityModel {
   }
 
   /** Full-batch gradient descent from zero weights: `iters` jobs, each
-    * reducing the corpus to d+1 exact integer gradient sums. */
+    * reducing the corpus to d+1 exact integer gradient sums. A frame
+    * the CALLER already cached is left cached (so a following
+    * [[score]] pass reuses it instead of re-tokenizing the corpus);
+    * an uncached frame is cached for the iterations and unpersisted
+    * after. Fails loudly on an empty frame — a NULL gradient sum
+    * would otherwise surface as an opaque unboxing NPE. */
   def train(feat: DataFrame, iters: Int, lr: Double): Array[Double] = {
     var w = Array.fill(featureCols.length)(0.0)
-    val cached = feat.cache()
+    val callerCached =
+      feat.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached = if (callerCached) feat else feat.cache()
     try {
       for (_ <- 0 until iters) {
         val t = scoreCol(w) - col("y")
@@ -76,12 +83,15 @@ object QualityModel {
           sum(round((t * x) * 1e8).cast("long")).as(s"s$j") }
         val row = cached
           .select(aggs :+ count(lit(1)).as("n"): _*).collect()(0)
-        val n = row.getAs[Long]("n").toDouble
+        val n = row.getAs[Long]("n")
+        require(n > 0L,
+          "QualityModel.train: no training rows (every document was " +
+            "filtered out) — nothing to fit")
         w = w.zipWithIndex.map { case (wi, j) =>
-          wi - lr * ((row.getAs[Long](s"s$j") / 1e8) / n) }
+          wi - lr * ((row.getAs[Long](s"s$j") / 1e8) / n.toDouble) }
       }
       w
-    } finally { cached.unpersist(); () }
+    } finally { if (!callerCached) { cached.unpersist(); () } }
   }
 
   /** Score every document under the trained weights: map-only. */

@@ -331,9 +331,13 @@ object TextQueries {
       FROM (SELECT f.doc_id, ${sigSql("c")} AS score
             FROM feat f, c$iters c)
       ORDER BY doc_id""")) { (s, dir) =>
+        // when/otherwise, not a bare boolean cast: a NULL lang must
+        // label 0.0 exactly as the oracle's CASE ... ELSE 0.0 does
+        // (a NULL label would silently drop the row from every
+        // gradient sum while still counting in n)
         val feat = graft.analytics.QualityModel.features(
           Tables.load(s, dir, "documents"), "doc_id", "text",
-          (col("lang") === "en").cast("int"))
+          when(col("lang") === "en", 1.0).otherwise(0.0)).cache()
         val w = graft.analytics.QualityModel.train(feat, iters, lr.toDouble)
         graft.analytics.QualityModel.score(feat, w).orderBy("doc_id")
       }

@@ -37,13 +37,28 @@ object DerivePartitionFilters extends Rule[LogicalPlan] {
       val dk = child.output.find(_.name == "date_key").get
       val py = child.output.find(_.name == "part_year").get
       val pm = child.output.find(_.name == "part_month").get
-      val derived = derive(cond, dk, py, pm)
+      // the derivation is only sound when all three attributes come
+      // from the SAME leaf relation — above a join, a name-matched
+      // date_key from one side paired with the other side's partition
+      // columns would inject a predicate that drops correct rows
+      val derived =
+        if (sameLeafLineage(child, dk, py, pm)) derive(cond, dk, py, pm)
+        else Seq.empty
       val out =
         if (derived.isEmpty) f
         else Filter(derived.foldLeft(cond)(And(_, _)), child)
       out.setTagValue(Derived, true)
       out
   }
+
+  /** True iff one single leaf below `child` outputs all three
+    * attributes (matched by exprId, not name). */
+  private def sameLeafLineage(child: LogicalPlan, dk: Attribute,
+      py: Attribute, pm: Attribute): Boolean =
+    child.collectLeaves().exists { leaf =>
+      val ids = leaf.output.map(_.exprId).toSet
+      Seq(dk, py, pm).forall(a => ids.contains(a.exprId))
+    }
 
   private def intLit(e: Expression): Option[Long] = e match {
     case Literal(v: Int, IntegerType) => Some(v.toLong)

@@ -47,6 +47,12 @@ object Writer {
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
       buckets: Int): Unit = {
+    require(!table.contains("."),
+      s"writeBucketed takes a SIMPLE table name in the current " +
+        s"database, got '$table' — the idempotency cleanup below " +
+        "resolves the managed location as {warehouse}/{name} and a " +
+        "qualified name would be quoted as one identifier and cleaned " +
+        "at the wrong path")
     val spark = df.sparkSession
     // a FRESH session catalog does not know about a previous JVM's
     // managed-table directory, and saveAsTable then refuses the

@@ -35,7 +35,7 @@ class JoinOpsSpec extends SparkSpec {
     assert(probed.size < 2300, s"bloom passed ${probed.size} of 6000")
   }
 
-  test("bloomProbe drops null keys") {
+  test("bloomProbe drops null keys even when the filter contains hash 42") {
     val dim = Seq(1L, 2L).toDF("k")
     val bloom = JoinOps.buildKeyBloom(dim, col("k"), 2L, 0.01)
     val got = Seq(Some(1L), None, Some(99L)).toDF("k")
@@ -43,6 +43,18 @@ class JoinOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(got.contains(1L) && !got.contains(99L))
     assert(!got.contains(0L)) // the null row must not leak through
+    // adversarial filter: xxhash64(NULL) is the seed constant 42, so
+    // a filter that CONTAINS 42 would pass null rows but for the
+    // explicit null guard in bloomProbe
+    val (words, kk) = BloomSet.params(4L, 0.01)
+    val arr = new Array[Long](words)
+    BloomSet.insert(arr, kk, 42L)
+    val rigged = spark.sparkContext.broadcast(new BloomSet(arr, kk))
+    assert(BloomSet.contains(rigged.value, 42L))
+    val leaked = Seq(Option.empty[java.lang.Long]).toDF("k")
+      .where(JoinOps.bloomProbe(col("k"), rigged))
+      .count()
+    assert(leaked === 0L)
   }
 
   test("bloomReduceJoin is row-identical to the plain join") {

@@ -70,4 +70,26 @@ class PlanRulesSpec extends SparkSpec {
     assert(!optimized(df).contains("part_year"))
     assert(df.count() === 1L)
   }
+
+  test("mixed-lineage filter above a join must NOT derive (regression)") {
+    // left side carries its own date_key (2024), right side the
+    // monthly table's part_year=2023 partition columns; a window
+    // function keeps the filter above the join so pushdown can't
+    // rescue a bad derivation. Name-matching alone would inject
+    // part_year >= 2024 against the RIGHT side and drop both rows.
+    val dir = tmpDir("graft_dpf_mix")
+    Writer.writeMonthlyPartitioned(
+      Seq((20230601, 7L, 1.0), (20230701, 7L, 2.0))
+        .toDF("date_key", "location_key", "temp"), "date_key", dir)
+    val right = Writer.readPartitioned(spark, dir)
+      .select(col("location_key"), col("part_year"), col("part_month"))
+    val left = Seq((7L, 20240110), (7L, 20240220))
+      .toDF("location_key", "date_key")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("location_key").orderBy("date_key")
+    val q = left.join(right, "location_key")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("date_key") >= 20240101)
+    assert(q.count() === 4L, optimized(q))
+  }
 }
