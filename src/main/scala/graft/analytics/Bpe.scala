@@ -140,6 +140,20 @@ object Bpe {
     }
   }
 
+  /** BPE token count of ONE word under `merges`: 1 + internal symbol
+    * boundaries after the merge replay. Because merge patterns never
+    * span the space between words, summing this over a document's
+    * words equals [[tokenCount]] of the whole text — which lets the
+    * encoder run once per DISTINCT word (vocabulary-sized work)
+    * instead of replaying the merge chain over every document. */
+  def wordTokenCount(word: Column, merges: Seq[(String, String)]): Column = {
+    val enc = merges.foldLeft(wordEnc(word)) { case (acc, (l, r)) =>
+      replace(acc, lit(S + l + S + S + r + S), lit(S + l + r + S))
+    }
+    (lit(1) + length(enc) - length(replace(enc, lit(S + S), lit(S))))
+      .cast("long")
+  }
+
   /** Whitespace word count, 0 for blank text (split of an empty
     * string yields one empty token — guard it). */
   def wordCount(text: Column): Column =

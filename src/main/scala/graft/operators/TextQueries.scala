@@ -268,10 +268,26 @@ object TextQueries {
       FROM d$M ORDER BY doc_id""")) { (s, dir) =>
         val docs = Tables.load(s, dir, "documents")
         val merges = Bpe.train(docs, "text", M)
-        docs.where(col("text").isNotNull)
+        // vocabulary-sized encode: replay the merge chain once per
+        // DISTINCT word and join the counts back, instead of running
+        // M full-text replaces over every document (the oracle's
+        // formulation — results identical because merges never span
+        // the inter-word space, so per-word token counts sum to the
+        // whole-text count). Blank docs keep their 0/0 contract.
+        val base = docs.where(col("text").isNotNull)
+        val wordsDf = base.where(trim(col("text")) =!= "")
           .select(col("doc_id"),
-            Bpe.wordCount(col("text")).as("n_words"),
-            Bpe.tokenCount(col("text"), merges).as("n_tokens"))
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+        val vocabTok = wordsDf.select("word").distinct()
+          .withColumn("wtok", Bpe.wordTokenCount(col("word"), merges))
+        val counts = wordsDf.join(vocabTok, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("wtok").as("n_tokens"))
+        base.select("doc_id").join(counts, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_words"), lit(0L)).cast("long").as("n_words"),
+            coalesce(col("n_tokens"), lit(0L)).cast("long")
+              .as("n_tokens"))
           .orderBy("doc_id")
       }
     },

@@ -43,6 +43,26 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L), (2L, 2L), (3L, 0L), (4L, 1L)))
   }
 
+  test("wordTokenCount sums to the whole-text tokenCount") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "lower lower lowest low er"),
+      (2L, "newer news new"),
+      (3L, "x")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", 6)
+    assert(merges.nonEmpty)
+    val whole = docs.select(col("doc_id"),
+        Bpe.tokenCount(col("text"), merges).as("t"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    val perWord = docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"), Bpe.wordTokenCount(col("w"), merges).as("t"))
+      .groupBy("doc_id").agg(sum("t").as("t"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(perWord === whole)
+  }
+
   test("train respects the driver vocab budget") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     spark.conf.set("spark.graft.bpeVocabLimit", "2")
