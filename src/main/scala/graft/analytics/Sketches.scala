@@ -20,6 +20,18 @@ object Sketches {
       graft.expressions.KmvSketch(ColumnBridge.expression(keyHash), k,
         Dedup.P).toAggregateExpression())
 
+  /** HyperLogLog distinct-count estimate over a pre-hashed 60-bit
+    * long column (use [[Dedup.h60]]); `2^b` one-byte registers per
+    * group — CONSTANT state regardless of cardinality (vs KMV's k
+    * retained minima), relative error ~1.04/√(2^b), and sketches
+    * merge by register-wise max, so per-partition/per-day summaries
+    * roll up without rescanning raw data. Deterministic and
+    * oracle-checkable: see [[graft.expressions.HllSketch]]. */
+  def hllDistinct(keyHash: Column, b: Int = 8): Column =
+    ColumnBridge.column(
+      graft.expressions.HllSketch(
+        ColumnBridge.expression(keyHash), b).toAggregateExpression())
+
   /** Deterministic k-row reservoir sample: values of the k rows with
     * the smallest (rowKeyHash, value) pairs — a uniform sample when
     * the hash is uniform over a unique row key ([[Dedup.h30]]).

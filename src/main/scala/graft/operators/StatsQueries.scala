@@ -167,6 +167,83 @@ object StatsQueries {
         .orderBy("event_type")
     },
 
+    // HyperLogLog distinct-count sketch (native constant-state
+    // aggregate, byte-register max merge) vs exact COUNT(DISTINCT)
+    // per event type. The oracle re-derives the 256 registers from
+    // the same md5-derived 60-bit hash (bucket = top 8 bits, rho =
+    // leading zeros of the 52-bit remainder + 1, via an exact
+    // integer CASE ladder), computes the harmonic term as the exact
+    // integer sum 2^(53-M), and replays the same estimate arithmetic.
+    {
+      val b = 8
+      val m = 1 << b // 256
+      val wBits = 60 - b // 52
+      val wMask = (1L << wBits) - 1
+      val alpha = graft.expressions.HllSketch.alpha(m) // 0.7213/(1+1.079/256)
+      // rho = index of highest set bit from the top of the 52-bit
+      // remainder: w >= 2^51 -> 1, ..., w >= 1 -> 52, w = 0 -> 53.
+      val rhoCase = (0 until wBits).map { i =>
+        s"WHEN w >= ${1L << (wBits - 1 - i)} THEN ${i + 1}"
+      }.mkString("CASE ", " ", s" ELSE ${wBits + 1} END")
+      Q("q123_hll_distinct", Some(s"""
+      WITH src AS (
+        SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL),
+      h AS (
+        SELECT DISTINCT event_type,
+          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+            AS BIGINT) AS h
+        FROM src),
+      rho AS (
+        SELECT event_type, h >> $wBits AS idx, $rhoCase AS rho
+        FROM (SELECT event_type, h, h & $wMask AS w FROM h)),
+      regs AS (
+        SELECT g.event_type, r.range AS idx,
+          COALESCE(MAX(rho.rho), 0) AS reg
+        FROM (SELECT DISTINCT event_type FROM src) g
+        CROSS JOIN range($m) r
+        LEFT JOIN rho ON rho.event_type = g.event_type
+          AND rho.idx = r.range
+        GROUP BY 1, 2),
+      est AS (
+        SELECT event_type,
+          SUM(CAST(1 AS BIGINT) << (${wBits + 1} - reg)) AS s,
+          SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+        FROM regs GROUP BY event_type),
+      fin AS (
+        SELECT event_type,
+          CAST($alpha AS DOUBLE) * CAST($m AS DOUBLE) * CAST($m AS DOUBLE)
+            * CAST(${java.lang.Double.toString(
+                graft.expressions.HllSketch.pow2(wBits + 1))} AS DOUBLE)
+            / CAST(s AS DOUBLE)
+            AS raw, zeros
+        FROM est),
+      ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+        FROM src GROUP BY event_type)
+      SELECT ex.event_type,
+        CAST(exact_distinct AS BIGINT) AS exact_distinct,
+        CASE WHEN raw <= CAST(${2.5 * m} AS DOUBLE) AND zeros > 0
+          THEN floor(CAST($m AS DOUBLE)
+              * ln(CAST($m AS DOUBLE) / zeros)
+              * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / CAST(1000000000 AS DOUBLE)
+          ELSE raw END AS hll_estimate
+      FROM ex JOIN fin USING (event_type)
+      ORDER BY event_type""")) { (s, dir) =>
+        import graft.analytics.{Dedup, Sketches}
+        Tables.load(s, dir, "events")
+          .filter(col("user_id").isNotNull)
+          .groupBy("event_type")
+          .agg(
+            countDistinct(col("user_id")).cast("long")
+              .as("exact_distinct"),
+            Sketches.hllDistinct(
+              Dedup.h60(col("user_id").cast("string")), b)
+              .as("hll_estimate"))
+          .orderBy("event_type")
+      }
+    },
+
     // Bounded-state quantile estimation: a deterministic hash-reservoir
     // (native aggregate, k smallest (h30(event_id), value) pairs, O(k)
     // state per group with map-side partials) replaces the full
