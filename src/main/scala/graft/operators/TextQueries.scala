@@ -402,6 +402,57 @@ object TextQueries {
             a + round(((c / col("n")) * log(col("n") / c)) * 1e12)
               / 1e12).as("entropy"))
         .orderBy("doc_id")
+    },
+
+    // DSIR hashed-unigram importance weights (Xie et al. 2023):
+    // score every document by ln p_target/p_raw under bucketed
+    // token distributions — target = the English subset, raw = the
+    // whole corpus. The oracle replays the bucket hashing (md5 ->
+    // h30 mod B), the add-one-smoothed log-ratio (quantized 1e-12),
+    // and the per-doc sorted contribution fold.
+    {
+      val B = 4096
+      Q("q124_dsir_weights", Some(s"""
+      WITH docs AS (
+        SELECT doc_id, text, lang = 'en' AS is_target FROM documents
+        WHERE text IS NOT NULL),
+      toks AS (
+        SELECT doc_id, is_target,
+          CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+            % ${Dedup.P} % $B AS bucket
+        FROM (SELECT doc_id, is_target,
+                unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM docs)),
+      stats AS (
+        SELECT bucket, SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_c,
+          COUNT(*) AS r_c
+        FROM toks GROUP BY bucket),
+      tot AS (SELECT SUM(t_c) AS tt, SUM(r_c) AS rt FROM stats),
+      lam AS (
+        SELECT bucket,
+          round((ln(CAST(t_c + 1 AS DOUBLE) / CAST(tt + $B AS DOUBLE))
+               - ln(CAST(r_c + 1 AS DOUBLE) / CAST(rt + $B AS DOUBLE)))
+            * 1000000000000.0) / 1000000000000.0 AS lam
+        FROM stats, tot),
+      dc AS (
+        SELECT doc_id, is_target, bucket, COUNT(*) AS c
+        FROM toks GROUP BY 1, 2, 3),
+      contrib AS (
+        SELECT doc_id, is_target, c, CAST(c AS DOUBLE) * lam AS x
+        FROM dc JOIN lam USING (bucket)),
+      agg AS (
+        SELECT doc_id, is_target, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          list_sort(list(x)) AS xs
+        FROM contrib GROUP BY 1, 2)
+      SELECT doc_id, is_target, n_tokens,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+          (a, b) -> a + b) AS logweight
+      FROM agg ORDER BY doc_id""")) { (s, dir) =>
+        graft.analytics.Dsir.importanceWeights(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", B)
+          .orderBy("doc_id")
+      }
     }
   )
 }
