@@ -257,6 +257,64 @@ object MiscQueries {
             .as("priority"))
         .orderBy(col("priority").desc, col("doc_id"))
         .limit(100)
+    },
+
+    // Snapshot diff / data reconciliation: two versions of lineitem
+    // (an older and a newer as-of filter; the newer one also drops
+    // small-quantity rows and rewrites l_linestatus for returned
+    // lines) classified added/removed/changed/unchanged. Only
+    // (key, md5 hash) is shuffled — never full rows. The oracle
+    // replays the same projections and a full-outer hash compare.
+    {
+      def contentSql(status: String) = s"""md5(concat_ws('|',
+          CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+          CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR),
+          l_returnflag, $status))"""
+      Q("q125_snapshot_diff", Some(s"""
+      WITH oldsnap AS (
+        SELECT l_orderkey, l_linenumber, ${contentSql("l_linestatus")} AS h
+        FROM lineitem WHERE l_shipdate < DATE '1996-01-01'),
+      newsnap AS (
+        SELECT l_orderkey, l_linenumber,
+          ${contentSql(
+            "CASE WHEN l_returnflag = 'R' THEN 'X' ELSE l_linestatus END")}
+            AS h
+        FROM lineitem
+        WHERE l_shipdate < DATE '1997-01-01' AND l_quantity >= 3),
+      j AS (
+        SELECT COALESCE(o.l_orderkey, n.l_orderkey) AS l_orderkey,
+          CASE WHEN o.h IS NULL THEN 'added'
+               WHEN n.h IS NULL THEN 'removed'
+               WHEN o.h <> n.h THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM oldsnap o FULL OUTER JOIN newsnap n
+          ON o.l_orderkey = n.l_orderkey
+            AND o.l_linenumber = n.l_linenumber)
+      SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM j GROUP BY status ORDER BY status""")) { (s, dir) =>
+        val li = Tables.load(s, dir, "lineitem")
+        def content(status: org.apache.spark.sql.Column) = concat_ws("|",
+          Q.dec(col("l_quantity")).cast("string"),
+          Q.dec(col("l_extendedprice")).cast("string"),
+          Q.dec(col("l_discount")).cast("string"),
+          col("l_returnflag"), status)
+        val oldSnap = li.where(col("l_shipdate") < "1996-01-01")
+        val newSnap = li
+          .where(col("l_shipdate") < "1997-01-01" &&
+            col("l_quantity") >= 3)
+        val keyed = graft.analytics.JoinOps.snapshotDiff(
+          oldSnap.withColumn("__c", content(col("l_linestatus"))),
+          newSnap.withColumn("__c", content(
+            when(col("l_returnflag") === "R", "X")
+              .otherwise(col("l_linestatus")))),
+          Seq("l_orderkey", "l_linenumber"), col("__c"))
+        keyed.groupBy("status")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            countDistinct(col("l_orderkey")).cast("long").as("n_orders"))
+          .orderBy("status")
+      }
     }
   )
 }

@@ -97,4 +97,41 @@ class JoinOpsSpec extends SparkSpec {
         .select("k", "v", "name").orderBy("v").collect().toSeq
     assert(run(big) === run(big.repartition(13)))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val newDf = Seq((2L, "b"), (3L, "CHANGED"), (4L, "d")).toDF("k", "v")
+    val got = JoinOps.snapshotDiff(oldDf, newDf, Seq("k"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff with composite keys and multi-column content") {
+    val oldDf = Seq((1L, 1, 10.0, "x"), (1L, 2, 20.0, "y"))
+      .toDF("k1", "k2", "amt", "tag")
+    val newDf = Seq((1L, 1, 10.0, "x"), (1L, 2, 21.0, "y"))
+      .toDF("k1", "k2", "amt", "tag")
+    val got = JoinOps.snapshotDiff(oldDf, newDf, Seq("k1", "k2"),
+        concat_ws("|", col("amt").cast("string"), col("tag")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2))
+      .toMap
+    assert(got === Map((1L, 1) -> "unchanged", (1L, 2) -> "changed"))
+  }
+
+  test("snapshotDiff only shuffles key+hash, never content columns") {
+    // the exchange inputs must not reference the wide content column
+    val oldDf = Seq((1L, "wide")).toDF("k", "payload")
+    val newDf = Seq((1L, "wide")).toDF("k", "payload")
+    val plan = JoinOps.snapshotDiff(oldDf, newDf, Seq("k"),
+        col("payload")).queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val out = e.child.output.map(_.name).toSet
+      assert(!out.contains("payload"),
+        s"exchange ships content column: $out")
+    }
+  }
 }
