@@ -1,0 +1,68 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Histogram construction — the column-statistics operator a catalog /
+  * cost-based optimizer collects (the engine's q54 profiler covers
+  * rows/nulls/NDV/extremes; these add the value-distribution shape).
+  *
+  * Scale shape: one scalar-aggregation job for the bucket model
+  * (min/max, or the k−1 exact quantile boundaries), broadcast to a
+  * single map-side-combined groupBy over ≤ k keys — no per-value
+  * shuffle beyond what the boundary computation itself needs. Only
+  * non-empty buckets are returned.
+  *
+  * Determinism: bucket arithmetic is plain IEEE double math replayed
+  * identically by the DuckDB oracle; equi-depth boundaries use exact
+  * interpolated quantiles (Spark `percentile` ≡ DuckDB
+  * `quantile_cont`, the q47-established equivalence). Ties on an
+  * equi-depth boundary land in the LOWER bucket (strict `>`
+  * comparison against each boundary).
+  */
+object Histograms {
+
+  /** Equi-width: k same-width buckets spanning [min, max]; the top
+    * bucket is closed (a value equal to max lands in bucket k−1).
+    * Output: (bucket, lo, hi, n_rows), non-empty buckets only. */
+  def equiWidth(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 1, "equiWidth needs k >= 1")
+    val src = df.where(value.isNotNull)
+    val stats = src.agg(min(value).as("__lo"), max(value).as("__hi"))
+    val w = (col("__hi") - col("__lo")) / lit(k)
+    src.crossJoin(broadcast(stats))
+      .select(
+        when(col("__hi") === col("__lo"), 0)
+          .otherwise(least(floor((value - col("__lo")) / w), lit(k - 1)))
+          .cast("int").as("bucket"),
+        col("__lo"), col("__hi"))
+      .select(col("bucket"),
+        (col("__lo") + col("bucket") * w).as("lo"),
+        (col("__lo") + (col("bucket") + 1) * w).as("hi"))
+      .groupBy("bucket", "lo", "hi")
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+  }
+
+  /** Equi-depth: k buckets of ~equal row count, edges at the exact
+    * interpolated i/k quantiles; boundary ties go to the lower
+    * bucket. Output: (bucket, lo, hi, n_rows), non-empty buckets
+    * only. */
+  def equiDepth(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 2, "equiDepth needs k >= 2")
+    val src = df.where(value.isNotNull)
+    val fr = array((1 until k).map(i => lit(i.toDouble / k)): _*)
+    val stats = src.agg(percentile(value, fr).as("__bs"),
+      min(value).as("__lo"), max(value).as("__hi"))
+    src.crossJoin(broadcast(stats))
+      .select(
+        size(filter(col("__bs"), b => value > b)).as("bucket"),
+        col("__bs"), col("__lo"), col("__hi"))
+      .select(col("bucket"),
+        when(col("bucket") === 0, col("__lo"))
+          .otherwise(element_at(col("__bs"), col("bucket"))).as("lo"),
+        when(col("bucket") === k - 1, col("__hi"))
+          .otherwise(element_at(col("__bs"), col("bucket") + 1)).as("hi"))
+      .groupBy("bucket", "lo", "hi")
+      .agg(count(lit(1)).cast("long").as("n_rows"))
+  }
+}

@@ -244,6 +244,68 @@ object StatsQueries {
       }
     },
 
+    // Equi-width + equi-depth histograms over l_extendedprice (the
+    // distribution-shape statistics a catalog/CBO collects on top of
+    // q54's profiler): one scalar job builds the bucket model
+    // (min/max resp. the 9 exact decile boundaries), broadcast into
+    // a <=10-key map-side-combined groupBy. The oracle replays the
+    // identical IEEE bucket arithmetic.
+    {
+      val k = 10
+      val frs = (1 until k).map(i =>
+        s"CAST(${java.lang.Double.toString(i.toDouble / k)} AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      Q("q126_histograms", Some(s"""
+      WITH v AS (
+        SELECT l_extendedprice AS x FROM lineitem
+        WHERE l_extendedprice IS NOT NULL),
+      st AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM v),
+      wrows AS (
+        SELECT CASE WHEN hi = lo THEN 0
+            ELSE CAST(LEAST(floor((x - lo) / ((hi - lo) / $k)),
+              ${k - 1}) AS INT) END AS bucket, lo, hi
+        FROM v, st),
+      wgrp AS (
+        SELECT 'width' AS hist_type, bucket,
+          lo + bucket * ((hi - lo) / $k) AS lo_b,
+          lo + (bucket + 1) * ((hi - lo) / $k) AS hi_b
+        FROM wrows),
+      w AS (
+        SELECT hist_type, bucket, lo_b, hi_b, COUNT(*) AS n
+        FROM wgrp GROUP BY 1, 2, 3, 4),
+      qs AS (
+        SELECT quantile_cont(x, $frs) AS bs,
+          MIN(x) AS lo, MAX(x) AS hi
+        FROM v),
+      drows AS (
+        SELECT CAST(len(list_filter(bs, b -> x > b)) AS INT) AS bucket,
+          bs, lo, hi
+        FROM v, qs),
+      dgrp AS (
+        SELECT 'depth' AS hist_type, bucket,
+          CASE WHEN bucket = 0 THEN lo ELSE bs[bucket] END AS lo_b,
+          CASE WHEN bucket = ${k - 1} THEN hi
+            ELSE bs[bucket + 1] END AS hi_b
+        FROM drows),
+      d AS (
+        SELECT hist_type, bucket, lo_b, hi_b, COUNT(*) AS n
+        FROM dgrp GROUP BY 1, 2, 3, 4)
+      SELECT hist_type, bucket, lo_b AS lo, hi_b AS hi,
+        CAST(n AS BIGINT) AS n_rows
+      FROM (SELECT * FROM w UNION ALL SELECT * FROM d)
+      ORDER BY hist_type, bucket""")) { (s, dir) =>
+        import graft.analytics.Histograms
+        val li = Tables.load(s, dir, "lineitem")
+        val wHist = Histograms.equiWidth(li, col("l_extendedprice"), k)
+          .select(lit("width").as("hist_type"), col("bucket"),
+            col("lo"), col("hi"), col("n_rows"))
+        val dHist = Histograms.equiDepth(li, col("l_extendedprice"), k)
+          .select(lit("depth").as("hist_type"), col("bucket"),
+            col("lo"), col("hi"), col("n_rows"))
+        wHist.unionByName(dHist).orderBy("hist_type", "bucket")
+      }
+    },
+
     // Bounded-state quantile estimation: a deterministic hash-reservoir
     // (native aggregate, k smallest (h30(event_id), value) pairs, O(k)
     // state per group with map-side partials) replaces the full

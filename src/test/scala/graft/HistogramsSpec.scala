@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.Histograms
+
+/** Histogram semantics: bucket assignment edges, depth balance,
+  * partitioning-insensitivity, degenerate inputs. */
+class HistogramsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("equiWidth: hand-computed buckets, max lands in the top bucket") {
+    // values 0..10 over [0,10], k=5 -> width 2
+    val df = (0 to 10).map(_.toDouble).toDF("x")
+    val got = Histograms.equiWidth(df, $"x", 5)
+      .orderBy("bucket")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(got === Seq(
+      (0, 0.0, 2.0, 2L), // 0,1
+      (1, 2.0, 4.0, 2L), // 2,3
+      (2, 4.0, 6.0, 2L), // 4,5
+      (3, 6.0, 8.0, 2L), // 6,7
+      (4, 8.0, 10.0, 3L) // 8,9,10 (max closed into top bucket)
+    ))
+  }
+
+  test("equiWidth: constant column degenerates to one bucket") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("x")
+    val got = Histograms.equiWidth(df, $"x", 4).collect()
+    assert(got.length == 1 && got(0).getInt(0) == 0 &&
+      got(0).getLong(3) == 3L)
+  }
+
+  test("equiDepth: counts are balanced on a uniform column") {
+    val df = (1 to 1000).map(_.toDouble).toDF("x")
+    val got = Histograms.equiDepth(df, $"x", 10)
+      .orderBy("bucket").collect()
+    assert(got.length == 10)
+    got.foreach(r => assert(math.abs(r.getLong(3) - 100L) <= 1,
+      s"unbalanced bucket: $r"))
+    // edges tile [min, max]
+    assert(got.head.getDouble(1) == 1.0 && got.last.getDouble(2) == 1000.0)
+  }
+
+  test("equiDepth: boundary ties go to the lower bucket") {
+    // half the rows are exactly the median value
+    val df = (Seq.fill(10)(1.0) ++ Seq.fill(10)(2.0)).toDF("x")
+    val got = Histograms.equiDepth(df, $"x", 2)
+      .orderBy("bucket").collect()
+    // median interpolates to 1.5; 1.0s below, 2.0s above
+    assert(got.map(r => r.getInt(0) -> r.getLong(3)).toSeq ===
+      Seq(0 -> 10L, 1 -> 10L))
+  }
+
+  test("both: nulls excluded, partitioning-insensitive") {
+    val df = ((1 to 100).map(i => Some(i.toDouble)) ++
+      Seq(None, None)).toDF("x")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      (Histograms.equiWidth(d, $"x", 7).orderBy("bucket").collect().toSeq,
+        Histograms.equiDepth(d, $"x", 7).orderBy("bucket").collect().toSeq)
+    val a = run(df.coalesce(1))
+    val b = run(df.repartition(9))
+    assert(a == b)
+    assert(a._1.map(_.getLong(3)).sum == 100L)
+    assert(a._2.map(_.getLong(3)).sum == 100L)
+  }
+}
