@@ -849,6 +849,84 @@ object Dedup {
         (col("i").cast("double") / col("sz_a")).as("containment"))
   }
 
+  /** Cross-corpus (R-S) exact n-gram Jaccard join: pairs (a ∈ A,
+    * b ∈ B) with J(a,b) ≥ threshold — the "dedup the NEW batch
+    * against the REFERENCE corpus" shape, where a self-join would
+    * waste Σdf² work on within-corpus pairs nobody asked for.
+    *
+    * Shingle universe and stop-shingle cap are defined over the
+    * COMBINED corpus (boilerplate in either side is boilerplate for
+    * the comparison); the default cap mirrors [[ngramJaccardPairs]]
+    * (`spark.graft.jaccardStopShingle{Floor,Fraction}`, floor 64 /
+    * 1% of |A|+|B|), with the same explicit opt-out. Candidate volume
+    * is Σ_h df_A(h)·df_B(h), bounded by the cap — and at 100 TB the
+    * designed discovery path for cross-corpus near-dups stays the
+    * LSH tier ([[incrementalAssign]]); this exact join is the
+    * verification-grade tier, same division of labor as the
+    * self-join case.
+    *
+    * Id spaces may overlap between A and B (a doc equal to itself
+    * across corpora is a legitimate cross-corpus duplicate); output
+    * is one row per (id_a, id_b) with inter/sizes/jaccard.
+    */
+  def crossCorpusJaccardPairs(docsA: DataFrame, docsB: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double,
+      maxDf: Option[Int] = None,
+      autoStopShingles: Boolean = true): DataFrame = {
+    val conf = docsA.sparkSession.conf
+    val effMaxDf: Option[Long] = maxDf.map(_.toLong).orElse {
+      if (!autoStopShingles) None
+      else {
+        val floor = conf.get("spark.graft.jaccardStopShingleFloor", "64").toInt
+        val fraction =
+          conf.get("spark.graft.jaccardStopShingleFraction", "0.01").toDouble
+        val nDocs = docsA.count() + docsB.count()
+        Some(math.max(floor.toLong, math.ceil(fraction * nDocs).toLong))
+      }
+    }
+    def posts(docs: DataFrame) =
+      shingleIndex(docs, idCol, textCol, n)
+        .select(col("doc_id"), h60(col("shingle")).as("h"))
+    val pa0 = posts(docsA)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pb0 = posts(docsB)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // combined-corpus df; the cap is dropped when nothing exceeds it
+    // (same zero-cost adaptivity as the self-join path)
+    val dfm0 = pa0.select("h").unionAll(pb0.select("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val capActive = effMaxDf.exists { m =>
+      dfm0.agg(coalesce(max(col("df")), lit(0L))).collect()(0)
+        .getLong(0) > m
+    }
+    val keep = dfm0.filter(col("df") <= effMaxDf.getOrElse(Long.MaxValue))
+      .select("h")
+    val (pa, pb) =
+      if (capActive) (pa0.join(keep, Seq("h")), pb0.join(keep, Seq("h")))
+      else (pa0, pb0)
+    def sizes(p: DataFrame, docs: DataFrame) =
+      if (capActive) p.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+      else docs.select(col(idCol).as("doc_id"),
+        size(shingles(col(textCol), n)).cast("long").as("set_size"))
+    val result = pa.select(col("doc_id").as("id_a"), col("h"))
+      .join(pb.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes(pa, docsA)
+        .withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+      .join(sizes(pb, docsB)
+        .withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    val out = materialize(result)
+    pa0.unpersist()
+    pb0.unpersist()
+    out
+  }
+
   def keepRepresentatives(docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b"): DataFrame = {

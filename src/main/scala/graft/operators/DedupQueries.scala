@@ -611,6 +611,40 @@ object DedupQueries {
         .select(col("id_a"), col("id_b"), col("i").cast("long").as("i"),
           col("sz_a").cast("long").as("sz_a"), col("containment"))
         .orderBy("id_a", "id_b")
+    },
+
+    // Cross-corpus (R-S) exact Jaccard join: even-id docs as the
+    // reference corpus, odd-id docs as the new batch — only
+    // cross-side pairs are generated (a self-join would pay for
+    // within-corpus pairs nobody asked for). Shingle universe and
+    // stop-shingle cap over the combined corpus, mirroring the
+    // operator's default config.
+    Q("q127_cross_jaccard", Some(s"""
+      WITH sh AS (${duckShingleIndex(3)}),
+      $duckCappedShingleCtes,
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM shh a JOIN shh b USING (h)
+        WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        GROUP BY 1, 2)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        CAST(inter AS BIGINT) AS inter,
+        CAST(sa.set_size AS BIGINT) AS size_a,
+        CAST(sb.set_size AS BIGINT) AS size_b,
+        CAST(inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.4
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      Dedup.crossCorpusJaccardPairs(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text", n = 3, threshold = 0.4)
+        .orderBy("id_a", "id_b")
     }
   )
 }

@@ -597,4 +597,49 @@ class DedupSpec extends SparkSpec {
       Seq(Some("a"), None, Some("c")))
     assert(kept.map(_.getLong(1)).toSeq === Seq(10L, 20L, 30L))
   }
+
+  test("crossCorpusJaccardPairs: only cross-side pairs, hand-checked J") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "w1 w2 w3 w4 w5"),        // near-dup of B's 11
+      (2L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val b = Seq(
+      (11L, "w1 w2 w3 w4 w6"),       // shares 2 of its 3-shingles? see calc
+      (12L, "w1 w2 w3 w4 w5"),       // exact dup of A's 1
+      (13L, "z1 z2 z3 z4 z5")).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusJaccardPairs(a, b, "doc_id", "text",
+        n = 3, threshold = 0.5, autoStopShingles = false)
+      .orderBy("id_a", "id_b").collect()
+    // A1 vs B12: identical 3-shingle sets (3 shingles) -> J = 1.0
+    // A1 vs B11: shingles {w1w2w3, w2w3w4} shared of 3+3 -> J = 2/4 = 0.5
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+      .toSeq === Seq((1L, 11L, 0.5), (1L, 12L, 1.0)))
+    // left ids always from A, right ids always from B — B11-B12 are
+    // near-identical but never pair (same side)
+    assert(got.forall(r => r.getLong(0) < 10L && r.getLong(1) >= 10L))
+  }
+
+  test("crossCorpusJaccardPairs: overlapping id spaces are legal") {
+    import spark.implicits._
+    val a = Seq((1L, "p q r s")).toDF("doc_id", "text")
+    val b = Seq((1L, "p q r s")).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusJaccardPairs(a, b, "doc_id", "text",
+        n = 2, threshold = 0.9, autoStopShingles = false).collect()
+    assert(got.length == 1 &&
+      got(0).getLong(0) == 1L && got(0).getLong(1) == 1L &&
+      got(0).getDouble(5) == 1.0)
+  }
+
+  test("crossCorpusJaccardPairs: df cap over the COMBINED corpus") {
+    import spark.implicits._
+    // shingle "c c" appears once per side: per-side df 1, combined 2
+    val a = Seq((1L, "c c c")).toDF("doc_id", "text")
+    val b = Seq((2L, "c c c")).toDF("doc_id", "text")
+    val capped = Dedup.crossCorpusJaccardPairs(a, b, "doc_id", "text",
+      n = 2, threshold = 0.1, maxDf = Some(1))
+    assert(capped.count() == 0L) // combined df=2 > cap=1 -> dropped
+    val uncapped = Dedup.crossCorpusJaccardPairs(a, b, "doc_id", "text",
+      n = 2, threshold = 0.1, autoStopShingles = false)
+    assert(uncapped.count() == 1L)
+  }
 }
