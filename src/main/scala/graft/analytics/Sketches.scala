@@ -32,6 +32,30 @@ object Sketches {
       graft.expressions.HllSketch(
         ColumnBridge.expression(keyHash), b).toAggregateExpression())
 
+  /** Count-min sketch over a pre-hashed 30-bit long column (use
+    * [[Dedup.h30]]): d×w exact integer counters as `array<long>`
+    * (row-major), constant state per group, element-wise-add merge.
+    * Estimate point frequencies with [[cmsEstimate]]. */
+  def cmsSketch(keyHash: Column, d: Int = 4, w: Int = 1024): Column =
+    ColumnBridge.column(
+      graft.expressions.CmsSketch(
+        ColumnBridge.expression(keyHash), d, w).toAggregateExpression())
+
+  /** Point frequency estimate from a [[cmsSketch]] array: min over
+    * the d probed counters — plain Column arithmetic (replayable in
+    * any SQL engine), never undercounts. `d`/`w` must match the
+    * sketch build. */
+  def cmsEstimate(sketch: Column, keyHash: Column, d: Int = 4,
+      w: Int = 1024): Column = {
+    import org.apache.spark.sql.functions._
+    val probes = (0 until d).map { i =>
+      val (a, b) = Dedup.hashCoeffs(i)
+      element_at(sketch,
+        (lit(i * w) + (keyHash * a + b) % Dedup.P % w + 1).cast("int"))
+    }
+    if (probes.size == 1) probes.head else least(probes: _*)
+  }
+
   /** Deterministic k-row reservoir sample: values of the k rows with
     * the smallest (rowKeyHash, value) pairs — a uniform sample when
     * the hash is uniform over a unique row key ([[Dedup.h30]]).

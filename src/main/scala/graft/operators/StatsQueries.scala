@@ -244,6 +244,62 @@ object StatsQueries {
       }
     },
 
+    // Count-min sketch point-frequency estimates (native constant-
+    // state aggregate, element-wise-add merge) vs exact counts for
+    // the corpus's top-8 tokens. All-integer arithmetic — the oracle
+    // replays the d×w counters and the min-probe exactly.
+    {
+      val d = 4
+      val w = 1024
+      val coefRows = (0 until d).map { i =>
+        val (a, b) = graft.analytics.Dedup.hashCoeffs(i)
+        s"($i, $a, $b)"
+      }.mkString(", ")
+      Q("q128_cms_freq", Some(s"""
+      WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL),
+      cnt AS (
+        SELECT tok,
+          CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+            % ${graft.analytics.Dedup.P} AS h,
+          COUNT(*) AS c
+        FROM toks GROUP BY 1, 2),
+      top AS (SELECT tok, h, c FROM cnt ORDER BY c DESC, tok LIMIT 8),
+      coef (i, a, b) AS (VALUES $coefRows),
+      buckets AS (
+        SELECT coef.i AS i,
+          ((coef.a * cnt.h + coef.b) % ${graft.analytics.Dedup.P}) % $w
+            AS bucket,
+          SUM(c) AS cval
+        FROM cnt CROSS JOIN coef GROUP BY 1, 2),
+      probe AS (
+        SELECT top.tok, top.c, coef.i AS i,
+          ((coef.a * top.h + coef.b) % ${graft.analytics.Dedup.P}) % $w
+            AS bucket
+        FROM top CROSS JOIN coef),
+      est AS (
+        SELECT tok, c, MIN(cval) AS est
+        FROM probe JOIN buckets USING (i, bucket) GROUP BY 1, 2)
+      SELECT tok, CAST(c AS BIGINT) AS exact_count,
+        CAST(est AS BIGINT) AS cms_estimate
+      FROM est ORDER BY exact_count DESC, tok""")) { (s, dir) =>
+        import graft.analytics.{Dedup, Sketches}
+        val toks = Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .select(explode(Dedup.tokens(col("text"))).as("tok"))
+        val top = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(8)
+        val sketch = toks.agg(
+          Sketches.cmsSketch(Dedup.h30(col("tok")), d, w).as("__cms"))
+        top.crossJoin(broadcast(sketch))
+          .select(col("tok"), col("c").cast("long").as("exact_count"),
+            Sketches.cmsEstimate(col("__cms"), Dedup.h30(col("tok")),
+              d, w).cast("long").as("cms_estimate"))
+          .orderBy(col("exact_count").desc, col("tok"))
+      }
+    },
+
     // Equi-width + equi-depth histograms over l_extendedprice (the
     // distribution-shape statistics a catalog/CBO collects on top of
     // q54's profiler): one scalar job builds the bucket model
