@@ -55,6 +55,25 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Tumbling-window DISTINCT-USER estimate per event type via the
+    * HyperLogLog aggregate — the streaming "unique visitors per hour"
+    * rollup. Exact streaming COUNT(DISTINCT) would need unbounded
+    * per-window key state; the sketch keeps 2^b bytes per
+    * (window, type) group and merges by register max, so late
+    * (pre-watermark) events fold in correctly. Deterministic given
+    * the same delivered event set. */
+  def hourlyDistinctUsers(events: DataFrame,
+      watermark: String = "2 hours", window_ : String = "1 hour",
+      b: Int = 8): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(graft.analytics.Sketches.hllDistinct(
+        graft.analytics.Dedup.h60(col("user_id").cast("string")), b)
+        .as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("approx_users"))
+
   /** Sliding-window mean value per event type. */
   def slidingAvg(events: DataFrame, watermark: String = "2 hours",
       window_ : String = "1 hour", slide: String = "15 minutes"): DataFrame =

@@ -43,6 +43,44 @@ class StreamingSpec extends SparkSpec {
       ("click", 1L, 55.0)))  // 12-13h
   }
 
+  test("streaming windowed HLL distinct users matches the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val many = (0 until 200).map(i =>
+      Event(100 + i, ts("2026-01-01 10:05:00"), i % 60, "click", 1.0)) ++
+      events
+    // split across two micro-batches so register merge is exercised
+    val (b1, b2) = many.splitAt(120)
+    mem.addData(b1: _*)
+    val q = EventStreams.hourlyDistinctUsers(mem.toDF())
+      .writeStream.format("memory").queryName("hlluv")
+      .outputMode(OutputMode.Complete).start()
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hlluv")
+      .orderBy("window_start", "event_type")
+      .select("event_type", "approx_users")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // batch counterpart over the same rows must be IDENTICAL (the
+    // sketch is merge-order-insensitive)
+    val batch = many.toDF()
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+        col("event_type"))
+      .agg(graft.analytics.Sketches.hllDistinct(
+        graft.analytics.Dedup.h60(col("user_id").cast("string")))
+        .as("approx_users"))
+      .orderBy(col("window.start"), col("event_type"))
+      .select("event_type", "approx_users")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == batch.toSeq)
+    // the 10-11h click window saw 60 distinct small ids (+users 7, 9)
+    val clickEst = got.head._2
+    assert(math.abs(clickEst - 62) < 12, s"estimate $clickEst not ~62")
+  }
+
   test("stateful spike detection fires across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
