@@ -43,6 +43,27 @@ object Histograms {
       .agg(count(lit(1)).cast("long").as("n_rows"))
   }
 
+  /** Quantile winsorization (adaptive outlier clipping — the
+    * data-driven upgrade of the cleaning tier's fixed-range clamps):
+    * per group, values below the `lo` quantile or above the `hi`
+    * quantile are clipped to those bounds. Returns the input rows
+    * plus `__p_lo` / `__p_hi` (the group's bounds) and `clippedCol`.
+    * The bounds frame is group-count-sized and broadcast — one
+    * quantile job, then a map-side join. */
+  def clipQuantiles(df: DataFrame, value: Column,
+      groupCols: Seq[String], lo: Double, hi: Double,
+      clippedCol: String = "clipped"): DataFrame = {
+    require(lo < hi && lo >= 0 && hi <= 1,
+      s"clipQuantiles needs 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val src = df.where(value.isNotNull)
+    val bounds = src.groupBy(groupCols.map(col): _*)
+      .agg(percentile(value, lit(lo)).as("__p_lo"),
+        percentile(value, lit(hi)).as("__p_hi"))
+    src.join(broadcast(bounds), groupCols)
+      .withColumn(clippedCol,
+        greatest(least(value, col("__p_hi")), col("__p_lo")))
+  }
+
   /** Equi-depth: k buckets of ~equal row count, edges at the exact
     * interpolated i/k quantiles; boundary ties go to the lower
     * bucket. Output: (bucket, lo, hi, n_rows), non-empty buckets

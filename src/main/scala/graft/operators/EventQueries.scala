@@ -110,6 +110,42 @@ object EventQueries {
           graft.functions.CleanFunctions.cleanTemperatureRaw(col("value"))
             .as("temp_c"))
         .orderBy("event_id")
+    },
+
+    // Ranking/frame window breadth (§2.7 beyond the reference's
+    // lag/avg rules): percent_rank, cume_dist, ntile, lead,
+    // first_value and an explicit ROWS-frame running decimal sum,
+    // all over one deterministic total order (value, event_id — the
+    // unique id breaks ties, so peer groups are singletons and every
+    // rank function is reproducible).
+    Q("q130_window_breadth", Some("""
+      SELECT event_id, event_type, value,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        lead(value, 1) OVER w AS next_value,
+        first_value(value) OVER w AS min_value,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+          PARTITION BY event_type ORDER BY value, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          AS running_sum
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_id""")) { (s, dir) =>
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("value"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("value"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          first_value(col("value")).over(w).as("min_value"),
+          sum(col("value").cast(DecimalType(18, 2))).over(wf)
+            .cast("double").as("running_sum"))
+        .orderBy("event_id")
     }
   )
 }

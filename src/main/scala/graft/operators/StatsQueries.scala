@@ -244,6 +244,60 @@ object StatsQueries {
       }
     },
 
+    // Quantile winsorization stats per event type: values clipped at
+    // [p05, p95], reporting clip counts and the winsorized mean. The
+    // mean is assembled deterministically from an exact decimal
+    // mid-range sum plus count×boundary double products (the clipped
+    // values themselves are interpolated doubles, so a naive
+    // SUM(clipped) would be summation-order-dependent).
+    Q("q129_winsorize", Some("""
+      WITH src AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      b AS (
+        SELECT event_type,
+          quantile_cont(value, 0.05) AS p05,
+          quantile_cont(value, 0.95) AS p95
+        FROM src GROUP BY event_type),
+      j AS (
+        SELECT src.event_type, value, p05, p95
+        FROM src JOIN b USING (event_type))
+      SELECT event_type,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_lo,
+        CAST(SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hi,
+        (CAST(SUM(CASE WHEN value >= p05 AND value <= p95
+            THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+          + SUM(CASE WHEN value < p05 THEN 1 ELSE 0 END) * p05
+          + SUM(CASE WHEN value > p95 THEN 1 ELSE 0 END) * p95)
+          / COUNT(*) AS winsor_mean,
+        p05, p95
+      FROM j GROUP BY event_type, p05, p95
+      ORDER BY event_type""")) { (s, dir) =>
+      import graft.analytics.Histograms
+      val clipped = Histograms.clipQuantiles(
+        Tables.load(s, dir, "events"), col("value"),
+        Seq("event_type"), 0.05, 0.95)
+      clipped.groupBy(col("event_type"),
+          col("__p_lo").as("p05"), col("__p_hi").as("p95"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("value") < col("__p_lo"), 1L).otherwise(0L))
+            .as("n_lo"),
+          sum(when(col("value") > col("__p_hi"), 1L).otherwise(0L))
+            .as("n_hi"),
+          sum(when(col("value") >= col("__p_lo") &&
+              col("value") <= col("__p_hi"), Q.dec(col("value"))))
+            .cast("double").as("s_mid"))
+        .select(col("event_type"), col("n"),
+          col("n_lo").cast("long").as("n_lo"),
+          col("n_hi").cast("long").as("n_hi"),
+          ((col("s_mid") + col("n_lo") * col("p05")
+            + col("n_hi") * col("p95")) / col("n")).as("winsor_mean"),
+          col("p05"), col("p95"))
+        .orderBy("event_type")
+    },
+
     // Count-min sketch point-frequency estimates (native constant-
     // state aggregate, element-wise-add merge) vs exact counts for
     // the corpus's top-8 tokens. All-integer arithmetic — the oracle

@@ -52,6 +52,25 @@ class HistogramsSpec extends SparkSpec {
       Seq(0 -> 10L, 1 -> 10L))
   }
 
+  test("clipQuantiles: values clamp to the group's quantile bounds") {
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) :+ ("b", 5.0))
+      .toDF("g", "x")
+    val got = Histograms.clipQuantiles(df, $"x", Seq("g"), 0.1, 0.9)
+    val a = got.where($"g" === "a")
+    // p10 of 1..100 = 10.9, p90 = 90.1 (interpolated)
+    val bounds = a.select("__p_lo", "__p_hi").distinct().collect()(0)
+    assert(math.abs(bounds.getDouble(0) - 10.9) < 1e-9)
+    assert(math.abs(bounds.getDouble(1) - 90.1) < 1e-9)
+    val clipped = a.select("clipped").collect().map(_.getDouble(0))
+    assert(clipped.min == bounds.getDouble(0))
+    assert(clipped.max == bounds.getDouble(1))
+    assert(clipped.forall(v =>
+      v >= bounds.getDouble(0) && v <= bounds.getDouble(1)))
+    // singleton group: both quantiles equal the value, nothing clips
+    val b = got.where($"g" === "b").collect()(0)
+    assert(b.getAs[Double]("clipped") == 5.0)
+  }
+
   test("both: nulls excluded, partitioning-insensitive") {
     val df = ((1 to 100).map(i => Some(i.toDouble)) ++
       Seq(None, None)).toDF("x")
