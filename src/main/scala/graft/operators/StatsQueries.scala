@@ -244,6 +244,145 @@ object StatsQueries {
       }
     },
 
+    // KMV set-operation sketches (Beyer et al. SIGMOD'07): estimate
+    // the customer-set OVERLAP between two order years from three
+    // k-minimum-value sketches — union estimate from the k-th
+    // minimum, intersection from the match fraction ρ/k within the
+    // union minima — alongside the exact intersect. The hash-reservoir
+    // aggregate supplies the minima arrays in one pass; membership of
+    // a union-minimum in each side's minima is exact (A ⊆ U ⇒ kth
+    // min of A ≥ kth min of U). The oracle replays minima and
+    // arithmetic from the same md5 hashes.
+    {
+      val k = 128
+      val P = graft.analytics.Dedup.P
+      val kp = java.lang.Double.toString(((k - 1).toLong * P).toDouble)
+      Q("q132_kmv_overlap", Some(s"""
+      WITH o AS (
+        SELECT o_custkey AS ck, EXTRACT(year FROM o_orderdate) AS y
+        FROM orders
+        WHERE o_orderdate >= DATE '1995-01-01'
+          AND o_orderdate < DATE '1997-01-01'),
+      ha AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(ck AS VARCHAR)),
+        1, 8) AS BIGINT) % $P AS h FROM o WHERE y = 1995),
+      hb AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(ck AS VARCHAR)),
+        1, 8) AS BIGINT) % $P AS h FROM o WHERE y = 1996),
+      hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+      ma AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+      mb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+      mu AS (SELECT h FROM hu ORDER BY h LIMIT $k),
+      rho AS (
+        SELECT COUNT(*) AS rho FROM mu
+        WHERE h IN (SELECT h FROM ma) AND h IN (SELECT h FROM mb)),
+      stats AS (SELECT COUNT(*) AS nu, MAX(h) AS hk FROM mu),
+      ex AS (
+        SELECT COUNT(*) AS exact_intersection FROM
+          (SELECT ck FROM o WHERE y = 1995
+           INTERSECT SELECT ck FROM o WHERE y = 1996))
+      SELECT CAST(exact_intersection AS BIGINT) AS exact_intersection,
+        CASE WHEN nu < $k THEN CAST(rho AS DOUBLE)
+          ELSE (CAST(rho AS DOUBLE) / $k)
+            * (CAST($kp AS DOUBLE) / hk) END AS est_intersection
+      FROM ex, rho, stats""")) { (s, dir) =>
+        import graft.analytics.{Dedup, Sketches}
+        val o = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") >= "1995-01-01" &&
+            col("o_orderdate") < "1997-01-01")
+          .select(col("o_custkey").as("ck"),
+            year(col("o_orderdate")).as("y"))
+        val h = Dedup.h30(col("ck").cast("string"))
+        val hd = h.cast("double")
+        val sk = o.agg(
+          Sketches.hashReservoir(when(col("y") === 1995, h),
+            when(col("y") === 1995, hd), k).as("ma"),
+          Sketches.hashReservoir(when(col("y") === 1996, h),
+            when(col("y") === 1996, hd), k).as("mb"),
+          Sketches.hashReservoir(h, hd, k).as("mu"))
+        val exact = o.groupBy("ck")
+          .agg(max(when(col("y") === 1995, 1).otherwise(0)).as("a"),
+            max(when(col("y") === 1996, 1).otherwise(0)).as("b"))
+          .where(col("a") === 1 && col("b") === 1)
+          .agg(count(lit(1)).cast("long").as("exact_intersection"))
+        val rho = size(array_intersect(
+          array_intersect(col("mu"), col("ma")), col("mb")))
+        val hk = element_at(col("mu"), size(col("mu")))
+        exact.crossJoin(sk)
+          .select(col("exact_intersection"),
+            when(size(col("mu")) < k, rho.cast("double"))
+              .otherwise((rho.cast("double") / lit(k)) *
+                (lit(kp.toDouble) / hk)).as("est_intersection"))
+      }
+    },
+
+    // Join-size estimation from count-min sketches (the classic CMS
+    // inner-product application — Cormode & Muthukrishnan 2005 §4.2,
+    // and what a CBO does before picking a join strategy): estimate
+    // |lineitem ⋈ urgent-orders| from two key sketches WITHOUT
+    // running the join, alongside the exact answer. est_i = Σ_b
+    // cmsR[i][b]·cmsS[i][b]; the min over rows never undercounts.
+    // All-integer arithmetic, replayed exactly by the oracle.
+    // Width is sized to the key cardinality (inner-product error is
+    // ~(e/w)·N_R·N_S): 64k counters × 4 rows = a 2 MB sketch —
+    // still constant state however large the join sides grow.
+    {
+      val d = 4
+      val w = 65536
+      val coefRows = (0 until d).map { i =>
+        val (a, b) = graft.analytics.Dedup.hashCoeffs(i)
+        s"($i, $a, $b)"
+      }.mkString(", ")
+      val P = graft.analytics.Dedup.P
+      Q("q131_cms_joinsize", Some(s"""
+      WITH coef (i, a, b) AS (VALUES $coefRows),
+      rkeys AS (
+        SELECT CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)),
+          1, 8) AS BIGINT) % $P AS h
+        FROM lineitem),
+      skeys AS (
+        SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+          1, 8) AS BIGINT) % $P AS h
+        FROM orders WHERE o_orderpriority = '1-URGENT'),
+      rb AS (
+        SELECT coef.i AS i, ((coef.a * h + coef.b) % $P) % $w AS bucket,
+          COUNT(*) AS c
+        FROM rkeys CROSS JOIN coef GROUP BY 1, 2),
+      sb AS (
+        SELECT coef.i AS i, ((coef.a * h + coef.b) % $P) % $w AS bucket,
+          COUNT(*) AS c
+        FROM skeys CROSS JOIN coef GROUP BY 1, 2),
+      prod AS (
+        SELECT rb.i, SUM(rb.c * sb.c) AS ip
+        FROM rb JOIN sb ON rb.i = sb.i AND rb.bucket = sb.bucket
+        GROUP BY rb.i),
+      ex AS (
+        SELECT COUNT(*) AS exact_join_size
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT')
+      SELECT CAST(exact_join_size AS BIGINT) AS exact_join_size,
+        CAST((SELECT MIN(ip) FROM prod) AS BIGINT) AS cms_estimate
+      FROM ex""")) { (s, dir) =>
+        import graft.analytics.{Dedup, Sketches}
+        val li = Tables.load(s, dir, "lineitem")
+        val ord = Tables.load(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+        val skR = li.agg(Sketches.cmsSketch(
+          Dedup.h30(col("l_orderkey").cast("string")), d, w).as("r"))
+        val skS = ord.agg(Sketches.cmsSketch(
+          Dedup.h30(col("o_orderkey").cast("string")), d, w).as("s"))
+        val exact = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).cast("long").as("exact_join_size"))
+        val prods = (0 until d).map { i =>
+          aggregate(
+            slice(zip_with(col("r"), col("s"), (x, y) => x * y),
+              i * w + 1, w),
+            lit(0L), (acc, x) => acc + x)
+        }
+        exact.crossJoin(skR.crossJoin(skS))
+          .select(col("exact_join_size"),
+            least(prods: _*).cast("long").as("cms_estimate"))
+      }
+    },
+
     // Quantile winsorization stats per event type: values clipped at
     // [p05, p95], reporting clip counts and the winsorized mean. The
     // mean is assembled deterministically from an exact decimal

@@ -62,6 +62,26 @@ class CmsSketchSpec extends SparkSpec {
     assert(arr.length == 3 * 64)
   }
 
+  test("inner-product join-size estimate never undercounts") {
+    val d = 4
+    val w = 256
+    val r = (0 until 400).map(i => s"k${i % 40}").toDF("tok") // 10 each
+    val s = (0 until 80).map(i => s"k${i % 20}").toDF("tok")  // 4 each
+    // exact join size: keys k0..k19 shared -> 20 * 10 * 4 = 800
+    val skR = r.agg(Sketches.cmsSketch(Dedup.h30($"tok"), d, w).as("r"))
+    val skS = s.agg(Sketches.cmsSketch(Dedup.h30($"tok"), d, w).as("s"))
+    val prods = (0 until d).map { i =>
+      aggregate(
+        slice(zip_with(col("r"), col("s"), (x, y) => x * y), i * w + 1, w),
+        lit(0L), (acc, x) => acc + x)
+    }
+    val est = skR.crossJoin(skS).select(least(prods: _*).as("e"))
+      .collect()(0).getLong(0)
+    assert(est >= 800L, s"inner product $est undercounts the join")
+    assert(est <= 800L + (math.E / w * 400 * 80).ceil.toLong,
+      s"inner product $est breaks the error bound")
+  }
+
   test("non-long input fails at analysis with a named error") {
     val e = intercept[Exception] {
       Seq("a").toDF("s").agg(Sketches.cmsSketch($"s", 4, 64)).collect()
