@@ -102,6 +102,42 @@ object Behavior {
     users.crossJoin(stepCounts)
   }
 
+  /** First-order Markov transition matrix over session-scoped event
+    * sequences: P(next_type | prev_type), with the synthetic state
+    * `_START` prepended to every session so session-opening events
+    * are a proper row of the chain (the standard absorbing-start
+    * construction; see e.g. the clickstream models surveyed in
+    * Chierichetti et al., WWW'12).
+    *
+    * Scale shape: ONE hash shuffle by user (the sessionize window),
+    * a per-row lag (no further shuffle — same window frame), then a
+    * (prev,next)-keyed aggregation with map-side combine. The
+    * per-prev totals come from a window over the AGGREGATED frame —
+    * at most |types|² rows, so that second window is trivially small
+    * no matter the corpus size. Probabilities are exact-long count
+    * ratios divided once as doubles — deterministic under any
+    * partitioning.
+    */
+  def markovTransitions(events: DataFrame, gapSec: Long): DataFrame = {
+    val w = Window.partitionBy("user_id", "session_idx")
+      .orderBy("ts", "event_id")
+    // null event types are dropped BEFORE the lag (matching SQL's
+    // WHERE-before-window evaluation), so a null row never donates a
+    // phantom `_START` to its successor
+    val pairs = sessionize(events, gapSec)
+      .where(col("event_type").isNotNull)
+      .withColumn("prev_type",
+        coalesce(lag(col("event_type"), 1).over(w), lit("_START")))
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val byPrev = Window.partitionBy("prev_type")
+    pairs
+      .withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(byPrev).cast("double"))
+      .select("prev_type", "next_type", "n", "p")
+  }
+
   /** Weekly cohort retention: users bucketed by the week (Monday
     * start) of their first event; counts distinct active users per
     * (cohort_week, week_offset). */

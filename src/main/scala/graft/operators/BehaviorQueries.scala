@@ -71,6 +71,44 @@ object BehaviorQueries {
         Seq("view", "click", "purchase"))
     },
 
+    // First-order Markov transition matrix over session-scoped event
+    // sequences (30-min gap sessions, `_START` prepended per session).
+    // Counts are exact longs; each probability is one double division
+    // of exact longs, so the hash matches under any partitioning.
+    Q("q133_markov_transitions", Some("""
+      WITH s AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), t AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+          AS session_idx
+        FROM s
+      ), pairs AS (
+        SELECT coalesce(lag(event_type) OVER (
+                 PARTITION BY user_id, session_idx
+                 ORDER BY ts, event_id), '_START') AS prev_type,
+               event_type AS next_type
+        FROM t WHERE event_type IS NOT NULL
+      ), agg AS (
+        SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY 1, 2
+      )
+      SELECT prev_type, next_type, n,
+             CAST(n AS DOUBLE) /
+               CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      FROM agg ORDER BY prev_type, next_type""")) { (s, dir) =>
+      Behavior.markovTransitions(Tables.load(s, dir, "events"),
+        gapSec = 1800)
+        .orderBy("prev_type", "next_type")
+    },
+
     // Weekly cohort retention: distinct active users per
     // (first-event week, week offset).
     Q("q66_retention", Some("""

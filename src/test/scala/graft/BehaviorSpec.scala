@@ -126,6 +126,44 @@ class BehaviorSpec extends SparkSpec {
     assert(stages === Map(1L -> 2))
   }
 
+  test("markovTransitions: _START per session, probabilities row-normalized") {
+    val e = events(
+      // user 1, session 0: view -> click -> view
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:05:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:10:00", 1L, "view", 0.0),
+      // user 1, session 1 (gap > 30 min): view — fresh _START
+      (4L, "2024-01-01 12:00:00", 1L, "view", 0.0),
+      // user 2, one session: click
+      (5L, "2024-01-01 10:00:00", 2L, "click", 0.0))
+    val got = Behavior.markovTransitions(e, 1800)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got === Map(
+      ("_START", "view") -> (2L, 2.0 / 3.0),
+      ("_START", "click") -> (1L, 1.0 / 3.0),
+      ("view", "click") -> (1L, 1.0),
+      ("click", "view") -> (1L, 1.0)))
+  }
+
+  test("markovTransitions: null event types neither emit nor break the chain") {
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "click", 0.0))
+      .unionByName(Seq((2L, "2024-01-01 10:01:00", 1L, 0.0))
+        .toDF("event_id", "tss", "user_id", "value")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+        .withColumn("event_type", lit(null).cast("string"))
+        .select("event_id", "user_id", "event_type", "value", "ts"))
+    val got = Behavior.markovTransitions(e, 1800)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the null row between view and click is skipped entirely:
+    // view -> click is still one observed transition
+    assert(got === Map(
+      ("_START", "view") -> 1L, ("view", "click") -> 1L))
+  }
+
   test("weeklyRetention: offsets measured from first-event week") {
     val e = events(
       // user 1: first event Tue week0, active again week2
