@@ -126,6 +126,60 @@ object StatsQueries {
       }
     },
 
+    // Exact ROC AUC / Gini / KS of a continuous score against a
+    // binary label — here the stopword-ratio quality signal
+    // predicting English. The engine side is the distributed
+    // bucketed prefix-sum in [[graft.analytics.Evaluation]]; the
+    // oracle is the textbook global-window rank sum — identical
+    // exact-integer arithmetic, one double division per statistic.
+    Q("q134_score_auc", Some("""
+      WITH d AS (
+        SELECT
+          len(list_filter(t, x -> x IN ('the','a','of','and','to','in',
+            'is','it','that','for')))::DOUBLE / len(t)::DOUBLE AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS t
+              FROM documents)
+      ), g AS (
+        SELECT score, count(*) AS cnt, sum(label) AS pos,
+               count(*) - sum(label) AS neg
+        FROM d WHERE score IS NOT NULL GROUP BY 1
+      ), c AS (
+        SELECT score, cnt, pos, neg,
+          coalesce(sum(cnt) OVER w, 0) AS cb,
+          coalesce(sum(pos) OVER w, 0) AS cbp,
+          coalesce(sum(neg) OVER w, 0) AS cbn
+        FROM g
+        WINDOW w AS (ORDER BY score
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      ), t AS (
+        SELECT sum(cnt) AS n, sum(pos) AS p, sum(neg) AS q FROM g
+      ), a AS (
+        SELECT
+          sum(CAST(pos AS HUGEINT) * (2 * cb + cnt + 1)) AS s2,
+          max(abs(CAST(cbp + pos AS HUGEINT) * (SELECT q FROM t)
+                - CAST(cbn + neg AS HUGEINT) * (SELECT p FROM t)))
+            AS ks_num
+        FROM c
+      )
+      SELECT CAST(t.n AS BIGINT) AS n, CAST(t.p AS BIGINT) AS n_pos,
+        CAST(t.q AS BIGINT) AS n_neg,
+        CAST(a.s2 - CAST(t.p AS HUGEINT) * (t.p + 1) AS DOUBLE)
+          / CAST(2 * CAST(t.p AS HUGEINT) * t.q AS DOUBLE) AS auc,
+        2.0 * (CAST(a.s2 - CAST(t.p AS HUGEINT) * (t.p + 1) AS DOUBLE)
+          / CAST(2 * CAST(t.p AS HUGEINT) * t.q AS DOUBLE)) - 1.0
+          AS gini,
+        CAST(a.ks_num AS DOUBLE)
+          / CAST(CAST(t.p AS HUGEINT) * t.q AS DOUBLE) AS ks
+      FROM t, a""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(
+          graft.analytics.TextAnalysis.qualityProfile(col("text"))
+            .getField("stop_ratio").as("score"),
+          when(col("lang") === "en", 1).otherwise(0).as("label"))
+      graft.analytics.Evaluation.scoreEval(d, "score", "label")
+    },
+
     // KMV distinct-count sketch (native bounded-state aggregate with
     // map-side partials) vs exact COUNT(DISTINCT), per event type.
     // The oracle reproduces the k smallest md5-derived hashes and the

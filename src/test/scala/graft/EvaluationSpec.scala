@@ -1,0 +1,64 @@
+package graft
+
+import graft.analytics.Evaluation
+
+class EvaluationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval(rows: Seq[(Double, Int)], buckets: Int = 64) =
+    Evaluation.scoreEval(
+      rows.toDF("score", "label"), "score", "label", buckets)
+      .collect()(0)
+
+  test("scoreEval: perfect separation gives AUC 1, KS 1") {
+    val r = eval(Seq((0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)))
+    assert(r.getAs[Long]("n") === 4L)
+    assert(r.getAs[Double]("auc") === 1.0)
+    assert(r.getAs[Double]("gini") === 1.0)
+    assert(r.getAs[Double]("ks") === 1.0)
+  }
+
+  test("scoreEval: reversed scores give AUC 0") {
+    val r = eval(Seq((0.9, 0), (0.8, 0), (0.1, 1), (0.2, 1)))
+    assert(r.getAs[Double]("auc") === 0.0)
+    assert(r.getAs[Double]("gini") === -1.0)
+  }
+
+  test("scoreEval: ties take average ranks") {
+    // scores: 0.5(pos), 0.5(neg) tie -> both rank 1.5; 0.7(pos) rank 3
+    // rank-sum of positives = 1.5 + 3 = 4.5
+    // AUC = (4.5 - 2*3/2) / (2*1) = 1.5/2 = 0.75
+    val r = eval(Seq((0.5, 1), (0.5, 0), (0.7, 1)))
+    assert(r.getAs[Double]("auc") === 0.75)
+  }
+
+  test("scoreEval: bucket count does not change the result") {
+    val rows = (1 to 200).map(i => (math.sin(i).abs, i % 3 min 1))
+    val a = eval(rows, buckets = 1)
+    val b = eval(rows, buckets = 7)
+    val c = eval(rows, buckets = 64)
+    for (f <- Seq("auc", "ks")) {
+      assert(a.getAs[Double](f) === b.getAs[Double](f))
+      assert(b.getAs[Double](f) === c.getAs[Double](f))
+    }
+  }
+
+  test("scoreEval: single class and empty input degrade to nulls") {
+    val one = eval(Seq((0.3, 1), (0.9, 1)))
+    assert(one.getAs[Long]("n_neg") === 0L)
+    assert(one.isNullAt(one.fieldIndex("auc")))
+    val empty = eval(Seq.empty[(Double, Int)])
+    assert(empty.getAs[Long]("n") === 0L)
+    assert(empty.isNullAt(empty.fieldIndex("ks")))
+  }
+
+  test("scoreEval: null scores and labels are excluded") {
+    val df = Seq[(Option[Double], Option[Int])](
+      (Some(0.1), Some(0)), (Some(0.9), Some(1)),
+      (None, Some(1)), (Some(0.5), None))
+      .toDF("score", "label")
+    val r = Evaluation.scoreEval(df, "score", "label").collect()(0)
+    assert(r.getAs[Long]("n") === 2L)
+    assert(r.getAs[Double]("auc") === 1.0)
+  }
+}
