@@ -99,6 +99,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Collocation mining: adjacent word pairs ranked by association
+    // lift (= the PMI ratio without the log — same ordering, but
+    // hash-reproducible: exact HUGEINT/DECIMAL count products, one
+    // double division per row; libm `log` differs across engines in
+    // the last ulp).
+    Q("q135_collocations", Some("""
+      WITH toks AS (
+        SELECT string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), uni AS (
+        SELECT u AS w, count(*) AS c
+        FROM (SELECT unnest(t) AS u FROM toks) GROUP BY 1
+      ), bi AS (
+        SELECT b, count(*) AS c
+        FROM (SELECT unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS b
+              FROM toks) GROUP BY 1
+      ), tot AS (
+        SELECT (SELECT sum(CAST(c AS HUGEINT)) FROM uni) AS n,
+               (SELECT sum(CAST(c AS HUGEINT)) FROM bi) AS bn
+      )
+      SELECT split_part(b, ' ', 1) AS x, split_part(b, ' ', 2) AS y,
+        CAST(bi.c AS BIGINT) AS n,
+        CAST(CAST(bi.c AS HUGEINT) * tot.n * tot.n AS DOUBLE)
+          / CAST(CAST(ux.c AS HUGEINT) * uy.c * tot.bn AS DOUBLE)
+          AS lift
+      FROM bi, tot
+      JOIN uni ux ON ux.w = split_part(b, ' ', 1)
+      JOIN uni uy ON uy.w = split_part(b, ' ', 2)
+      WHERE bi.c >= 5
+      ORDER BY lift DESC, x, y LIMIT 40""")) { (s, dir) =>
+      graft.analytics.Collocations.collocations(
+        Tables.load(s, dir, "documents"), "text",
+        minSupport = 5L, topK = 40)
+    },
+
     // Whitespace vs BPE-ish sub-word token counts per document.
     Q("q27_token_counts", Some(s"""
       SELECT doc_id,
