@@ -126,6 +126,49 @@ object StatsQueries {
       }
     },
 
+    // Per-group OLS trend: daily slope / intercept / r² of event
+    // value per type, from exact integer power sums (x = epoch day,
+    // y scaled to cents). Spark's regr_* aggregates stream doubles
+    // in partition order and cannot hash-match; this form is
+    // bit-reproducible at any parallelism.
+    Q("q136_group_ols", Some("""
+      WITH b AS (
+        SELECT event_type,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      ), s AS (
+        SELECT event_type, count(*) AS n,
+          sum(CAST(x AS HUGEINT)) AS sx,
+          sum(CAST(yc AS HUGEINT)) AS sy,
+          sum(CAST(x * yc AS HUGEINT)) AS sxy,
+          sum(CAST(x * x AS HUGEINT)) AS sxx,
+          sum(CAST(yc * yc AS HUGEINT)) AS syy
+        FROM b GROUP BY 1
+      ), f AS (
+        SELECT event_type, n,
+          CAST(n * sxy - sx * sy AS DOUBLE) AS numd,
+          CAST(n * sxx - sx * sx AS DOUBLE) AS dend,
+          CAST(n * syy - sy * sy AS DOUBLE) AS denyd,
+          CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+        FROM s
+      )
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+        CASE WHEN dend > 0 THEN numd / dend / 100.0 END AS slope,
+        CASE WHEN dend > 0 THEN
+          (syd / 100.0 - (numd / dend / 100.0) * sxd)
+            / CAST(n AS DOUBLE) END AS intercept,
+        CASE WHEN dend > 0 AND denyd > 0 THEN
+          numd * numd / (dend * denyd) END AS r2
+      FROM f ORDER BY event_type""")) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .where(col("ts").isNotNull)
+        .withColumn("x",
+          datediff(col("ts").cast("date"),
+            to_date(lit("1970-01-01"))))
+      graft.analytics.Regression.groupOls(e, "event_type", "x", "value")
+    },
+
     // Exact ROC AUC / Gini / KS of a continuous score against a
     // binary label — here the stopword-ratio quality signal
     // predicting English. The engine side is the distributed
