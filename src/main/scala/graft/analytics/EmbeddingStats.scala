@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Per-group embedding diagnostics: centroid norm and mean squared
+  * distance to the centroid — the cluster-quality numbers a corpus
+  * curator reads before trusting labels or semantic-dedup cells
+  * (tight cells ⇒ small avg_sq_dist relative to centroid_norm²).
+  *
+  * Floating-point vector means can never hash-match across engines
+  * (per-dimension double sums are partition-order dependent), so the
+  * components are scaled to 2²⁰ fixed-point integers up front:
+  * fx = ⌊x·2²⁰⌋ is exact IEEE arithmetic on every engine, all sums
+  * are DECIMAL(38,0)-exact, and both statistics reduce to closed
+  * forms over those integer sums —
+  *
+  *   ‖centroid‖² = Σ_d S_d² / n²           (S_d = Σ_rows fx_d)
+  *   avgSqDist   = A/n − Σ_d S_d²/n²       (A = Σ_rows Σ_d fx_d²)
+  *
+  * finished with a fixed double op sequence (divide, divide by the
+  * 2⁴⁰ scale, sqrt — IEEE sqrt is correctly rounded everywhere).
+  *
+  * Scale shape: one generator scan (posexplode — map-only), one
+  * (group, dim)-keyed aggregation (the key space is |groups|·dim, so
+  * hot groups spread across dim partitions), one |groups|·dim →
+  * |groups| reduction. No row ever meets another row.
+  */
+object EmbeddingStats {
+
+  private val D = DecimalType(38, 0)
+  private def d(c: Column): Column = c.cast(D)
+  private val Scale2 = 1099511627776.0 // 2^40, the fx² scale
+
+  /** Per-`groupCol` report over `vecCol` (array<float|double>):
+    * (group, n, centroid_norm, avg_sq_dist) ordered by group. Rows
+    * with a null vector are excluded; `n` counts rows with at least
+    * one component (position 0). */
+  def groupStats(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val flat = df
+      .where(col(vecCol).isNotNull)
+      .select(col(groupCol),
+        posexplode(col(vecCol)).as(Seq("dim", "e")))
+      .select(col(groupCol), col("dim"),
+        floor(col("e").cast("double") * lit(1048576L)).as("fx"))
+
+    val perDim = flat.groupBy(col(groupCol), col("dim"))
+      .agg(sum(d(col("fx"))).as("s"),
+        sum(d(col("fx") * col("fx"))).as("ss"),
+        count(lit(1)).as("c"))
+
+    val perGroup = perDim.groupBy(col(groupCol))
+      .agg(max(when(col("dim") === 0, col("c"))).as("n"),
+        sum(col("s") * col("s")).as("b"),
+        sum(col("ss")).as("a"))
+
+    val nd = col("n").cast("double")
+    val n2d = (d(col("n")) * d(col("n"))).cast("double")
+    perGroup.select(col(groupCol), col("n"),
+        sqrt(col("b").cast("double") / n2d / lit(Scale2))
+          .as("centroid_norm"),
+        (col("a").cast("double") / nd / lit(Scale2) -
+          col("b").cast("double") / n2d / lit(Scale2))
+          .as("avg_sq_dist"))
+      .orderBy(groupCol)
+  }
+}

@@ -126,6 +126,42 @@ object SimilarityQueries {
     // Exact brute-force top-k: query set (vec_id < 16) broadcast against
     // the corpus scan; per-query top-5 via row_number. At 100 TB the
     // corpus side stays a single narrow scan — no corpus shuffle.
+    // Per-label embedding diagnostics: centroid norm + mean squared
+    // distance to the centroid from 2^20 fixed-point component sums
+    // (float vector means can never hash-match across engines; exact
+    // integer sums + one fixed double sequence can).
+    Q("q137_embedding_stats", Some("""
+      WITH x AS (
+        SELECT label,
+          unnest(list_transform(embedding,
+            e -> CAST(floor(CAST(e AS DOUBLE) * 1048576) AS BIGINT)))
+            AS fx,
+          unnest(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings WHERE embedding IS NOT NULL
+      ), pd AS (
+        SELECT label, dim, sum(CAST(fx AS HUGEINT)) AS s,
+          sum(CAST(fx * fx AS HUGEINT)) AS ss, count(*) AS c
+        FROM x GROUP BY 1, 2
+      ), pl AS (
+        SELECT label, max(CASE WHEN dim = 1 THEN c END) AS n,
+          sum(s * s) AS b, sum(ss) AS a
+        FROM pd GROUP BY 1
+      )
+      SELECT CAST(label AS BIGINT) AS label, CAST(n AS BIGINT) AS n,
+        sqrt(CAST(b AS DOUBLE)
+          / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)
+          / 1099511627776.0) AS centroid_norm,
+        CAST(a AS DOUBLE) / CAST(n AS DOUBLE) / 1099511627776.0
+          - CAST(b AS DOUBLE)
+            / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)
+            / 1099511627776.0 AS avg_sq_dist
+      FROM pl ORDER BY label""")) { (s, dir) =>
+      graft.analytics.EmbeddingStats.groupStats(
+        Tables.load(s, dir, "embeddings")
+          .withColumn("label", col("label").cast("long")),
+        "label", "embedding")
+    },
+
     Q("q23_cosine_topk", Some(s"""
       WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1,0 +1,47 @@
+package graft
+
+import graft.analytics.EmbeddingStats
+
+class EmbeddingStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupStats: identical vectors have zero dispersion") {
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)), (1L, Seq(3.0f, 4.0f)))
+      .toDF("label", "embedding")
+    val r = EmbeddingStats.groupStats(df, "label", "embedding")
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 2L)
+    // ||(3,4)|| = 5, up to the 2^-20 fixed-point floor
+    assert(math.abs(r.getAs[Double]("centroid_norm") - 5.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("avg_sq_dist")) < 1e-9)
+  }
+
+  test("groupStats: symmetric pair centers at the midpoint") {
+    // (1,0) and (-1,0): centroid (0,0), avg sq dist 1
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val r = EmbeddingStats.groupStats(df, "label", "embedding")
+      .collect()(0)
+    assert(math.abs(r.getAs[Double]("centroid_norm")) < 1e-5)
+    assert(math.abs(r.getAs[Double]("avg_sq_dist") - 1.0) < 1e-5)
+  }
+
+  test("groupStats: groups are independent and ordered") {
+    val df = Seq(
+      (2L, Seq(1.0f)), (1L, Seq(2.0f)), (1L, Seq(2.0f)))
+      .toDF("label", "embedding")
+    val got = EmbeddingStats.groupStats(df, "label", "embedding")
+      .select("label", "n").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("groupStats: null vectors are excluded") {
+    val df = Seq((1L, Some(Seq(1.0f))), (1L, None))
+      .toDF("label", "embedding")
+    val r = EmbeddingStats.groupStats(df, "label", "embedding")
+      .collect()(0)
+    assert(r.getAs[Long]("n") === 1L)
+  }
+}
