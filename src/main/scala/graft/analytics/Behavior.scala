@@ -138,6 +138,39 @@ object Behavior {
       .select("prev_type", "next_type", "n", "p")
   }
 
+  /** Top-k frequent event paths: sliding `len`-grams of event types
+    * within each session (no session boundary crossing), counted
+    * corpus-wide. The sequence-mining primitive behind "what do
+    * users actually do" dashboards — and, for a training-data
+    * pipeline, behind behavioral-template dedup.
+    *
+    * Scale shape: the same single user-keyed shuffle as
+    * [[sessionize]] (the lags reuse its window), then one path-keyed
+    * count with map-side combine and a distributed TakeOrdered — no
+    * global sort, nothing quadratic.
+    */
+  def topPaths(events: DataFrame, gapSec: Long, len: Int,
+      topK: Int): DataFrame = {
+    require(len >= 2, "path length must be >= 2")
+    require(topK >= 1, "topK must be >= 1")
+    val w = Window.partitionBy("user_id", "session_idx")
+      .orderBy("ts", "event_id")
+    val steps = (len - 1 to 0 by -1)
+      .map(i => lag(col("event_type"), i).over(w).as(s"e$i"))
+    events
+      .where(col("event_type").isNotNull)
+      .transform(sessionize(_, gapSec))
+      .select(steps: _*)
+      // a full window means the deepest lag is non-null (event types
+      // are non-null here, so a null lag ⇔ not enough predecessors)
+      .where(col(s"e${len - 1}").isNotNull)
+      .select(concat_ws(" > ",
+        (len - 1 to 0 by -1).map(i => col(s"e$i")): _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path"))
+      .limit(topK)
+  }
+
   /** Weekly cohort retention: users bucketed by the week (Monday
     * start) of their first event; counts distinct active users per
     * (cohort_week, week_offset). */

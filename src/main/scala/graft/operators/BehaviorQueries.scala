@@ -109,6 +109,41 @@ object BehaviorQueries {
         .orderBy("prev_type", "next_type")
     },
 
+    // Top-20 frequent session paths (sliding event-type 3-grams that
+    // never cross a session boundary) — the sequence-mining
+    // primitive behind behavioral dashboards.
+    Q("q138_event_paths", Some("""
+      WITH s AS (
+        SELECT user_id, event_id, ts, event_type,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), t AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+          AS session_idx
+        FROM s
+      ), g AS (
+        SELECT lag(event_type, 2) OVER w2 AS e2,
+               lag(event_type, 1) OVER w2 AS e1,
+               event_type AS e0
+        FROM t
+        WINDOW w2 AS (PARTITION BY user_id, session_idx
+                      ORDER BY ts, event_id)
+      )
+      SELECT e2 || ' > ' || e1 || ' > ' || e0 AS path,
+             CAST(count(*) AS BIGINT) AS n
+      FROM g WHERE e2 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")) { (s, dir) =>
+      Behavior.topPaths(Tables.load(s, dir, "events"),
+        gapSec = 1800, len = 3, topK = 20)
+    },
+
     // Weekly cohort retention: distinct active users per
     // (first-event week, week offset).
     Q("q66_retention", Some("""

@@ -164,6 +164,33 @@ class BehaviorSpec extends SparkSpec {
       ("_START", "view") -> 1L, ("view", "click") -> 1L))
   }
 
+  test("topPaths: 3-grams never cross a session boundary") {
+    val e = events(
+      // session 0: view click purchase -> one 3-gram
+      (1L, "2024-01-01 10:00:00", 1L, "view", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "click", 0.0),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase", 0.0),
+      // > 30 min gap: new session; its events join no cross-gap gram
+      (4L, "2024-01-01 12:00:00", 1L, "view", 0.0),
+      (5L, "2024-01-01 12:01:00", 1L, "view", 0.0))
+    val got = Behavior.topPaths(e, 1800, len = 3, topK = 10)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("view > click > purchase", 1L)))
+  }
+
+  test("topPaths: counts aggregate across users, ties break by path") {
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 1L, "a", 0.0),
+      (2L, "2024-01-01 10:01:00", 1L, "b", 0.0),
+      (3L, "2024-01-01 10:00:00", 2L, "a", 0.0),
+      (4L, "2024-01-01 10:01:00", 2L, "b", 0.0),
+      (5L, "2024-01-01 10:00:00", 3L, "a", 0.0),
+      (6L, "2024-01-01 10:01:00", 3L, "c", 0.0))
+    val got = Behavior.topPaths(e, 1800, len = 2, topK = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a > b", 2L), ("a > c", 1L)))
+  }
+
   test("weeklyRetention: offsets measured from first-event week") {
     val e = events(
       // user 1: first event Tue week0, active again week2
