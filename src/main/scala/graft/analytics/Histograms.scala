@@ -64,6 +64,42 @@ object Histograms {
         greatest(least(value, col("__p_hi")), col("__p_lo")))
   }
 
+  /** Robust outlier report per group: median, MAD (median absolute
+    * deviation), and the count of values beyond `k`·1.4826·MAD of
+    * the median — the Hampel filter, immune to the outliers it
+    * hunts (mean/stddev z-scores move with every outlier; the
+    * breakdown point of MAD is 50%). 1.4826 ≈ 1/Φ⁻¹(3/4) makes the
+    * threshold comparable to k standard deviations under normality.
+    *
+    * Two quantile jobs + two broadcast joins of group-count-sized
+    * bound frames; the exact interpolated `percentile` is identical
+    * to DuckDB's `quantile_cont`, so results hash-match. A zero MAD
+    * (>50% of the group at the median) flags every off-median value,
+    * the standard Hampel degeneracy — callers wanting leniency there
+    * should clip instead. */
+  def madOutliers(df: DataFrame, value: Column,
+      groupCols: Seq[String], k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val src = df.where(value.isNotNull)
+    val gc = groupCols.map(col)
+    val med = src.groupBy(gc: _*)
+      .agg(percentile(value, lit(0.5)).as("__med"))
+    val dev = src.join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(value - col("__med")))
+    val mad = dev.groupBy((gc :+ col("__med")): _*)
+      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+    dev.drop("__med").join(broadcast(mad), groupCols)
+      .groupBy((gc :+ col("__med") :+ col("__mad")): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__dev") >
+            col("__mad") * lit(1.4826) * lit(k), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(gc ++ Seq(col("n"), col("__med").as("med"),
+        col("__mad").as("mad"), col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n").cast("double"))
+          .as("outlier_ratio")): _*)
+  }
+
   /** Equi-depth: k buckets of ~equal row count, edges at the exact
     * interpolated i/k quantiles; boundary ties go to the lower
     * bucket. Output: (bucket, lo, hi, n_rows), non-empty buckets

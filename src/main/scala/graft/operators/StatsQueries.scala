@@ -486,6 +486,39 @@ object StatsQueries {
     // mid-range sum plus count×boundary double products (the clipped
     // values themselves are interpolated doubles, so a naive
     // SUM(clipped) would be summation-order-dependent).
+    // Hampel robust outliers: per-type median, MAD, and the count
+    // beyond 3·1.4826·MAD — the outlier detector whose threshold the
+    // outliers themselves cannot move (50% breakdown point, vs 0%
+    // for mean/stddev z-scores).
+    Q("q139_mad_outliers", Some("""
+      WITH src AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      m AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM src GROUP BY event_type),
+      d AS (
+        SELECT src.event_type, med, abs(value - med) AS dev
+        FROM src JOIN m USING (event_type)),
+      md AS (
+        SELECT event_type, med, quantile_cont(dev, 0.5) AS mad
+        FROM d GROUP BY event_type, med)
+      SELECT d.event_type, CAST(count(*) AS BIGINT) AS n, md.med,
+        md.mad,
+        CAST(sum(CASE WHEN dev > mad * CAST(1.4826 AS DOUBLE)
+            * CAST(3.0 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers,
+        CAST(sum(CASE WHEN dev > mad * CAST(1.4826 AS DOUBLE)
+            * CAST(3.0 AS DOUBLE) THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS outlier_ratio
+      FROM d JOIN md USING (event_type)
+      GROUP BY d.event_type, md.med, md.mad
+      ORDER BY d.event_type""")) { (s, dir) =>
+      graft.analytics.Histograms.madOutliers(
+        Tables.load(s, dir, "events"), col("value"),
+        Seq("event_type"), k = 3.0)
+        .orderBy("event_type")
+    },
+
     Q("q129_winsorize", Some("""
       WITH src AS (
         SELECT event_type, value FROM events WHERE value IS NOT NULL),

@@ -71,6 +71,37 @@ class HistogramsSpec extends SparkSpec {
     assert(b.getAs[Double]("clipped") == 5.0)
   }
 
+  test("madOutliers: flags only points beyond k*1.4826*MAD") {
+    // group a: values 1..9 plus a wild 1000
+    // med of {1..9,1000} = 5.5; dev = {4.5,3.5,...,0.5,0.5,...,994.5}
+    // mad = median(dev) = 2.5; threshold 3*1.4826*2.5 = 11.1195
+    val df = ((1 to 9).map(i => ("a", i.toDouble)) :+ ("a", 1000.0))
+      .toDF("g", "x")
+    val r = Histograms.madOutliers(df, $"x", Seq("g")).collect()(0)
+    assert(r.getAs[Double]("med") === 5.5)
+    assert(r.getAs[Double]("mad") === 2.5)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Double]("outlier_ratio") === 0.1)
+  }
+
+  test("madOutliers: zero MAD flags every off-median value") {
+    val df = (Seq.fill(5)(2.0) :+ 3.0).map(("g", _)).toDF("g", "x")
+    val r = Histograms.madOutliers(df, $"x", Seq("g")).collect()(0)
+    assert(r.getAs[Double]("mad") === 0.0)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+  }
+
+  test("madOutliers: groups independent, nulls excluded") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", None),
+      ("b", Some(5.0))).toDF("g", "x")
+    val got = Histograms.madOutliers(df, $"x", Seq("g"))
+      .orderBy("g").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("n") === 2L)
+    assert(got(1).getAs[Long]("n") === 1L)
+    assert(got(1).getAs[Long]("n_outliers") === 0L)
+  }
+
   test("both: nulls excluded, partitioning-insensitive") {
     val df = ((1 to 100).map(i => Some(i.toDouble)) ++
       Seq(None, None)).toDF("x")
