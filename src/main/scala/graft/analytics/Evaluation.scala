@@ -126,6 +126,68 @@ object Evaluation {
         .as("ks"))
   }
 
+  /** Welch's unequal-variance t-test between two experiment arms.
+    *
+    * Input: ONE ROW PER EXPERIMENTAL UNIT (e.g. per-user totals — the
+    * caller aggregates to the randomization unit first; testing raw
+    * events against a user-level assignment is the classic
+    * unit-of-analysis error), with `variantCol` ∈ {0, 1} and the
+    * metric in `centsCol` as an exact integer.
+    *
+    * Everything up to the test statistic is exact: per-arm n, Σy,
+    * Σy² accumulate as DECIMAL(38,0) in one map-side-combined
+    * aggregation (two groups — the shuffle ships six numbers), and
+    * mean / sample variance / t / Welch–Satterthwaite df are a fixed
+    * double op sequence over those integers, bit-identical in any
+    * engine. Arms with n < 2 yield null t/df.
+    *
+    * Output (one row): n_a, n_b, mean_a, mean_b, var_a, var_b,
+    * t_stat, welch_df — means/variances in metric units (cents/100).
+    */
+  def welchTTest(df: DataFrame, variantCol: String,
+      centsCol: String): DataFrame = {
+    val v = col(variantCol)
+    val y = col(centsCol)
+    def arm(side: Int, c: Column): Column =
+      max(when(v === side, c))
+    val s = df
+      .where(v.isNotNull && y.isNotNull)
+      .groupBy(v).agg(
+        count(lit(1)).as("n"),
+        sum(d(y)).as("sy"),
+        sum(d(y * y)).as("syy"))
+      .agg(
+        arm(0, col("n")).as("na"), arm(1, col("n")).as("nb"),
+        arm(0, col("sy")).as("sa"), arm(1, col("sy")).as("sb"),
+        arm(0, col("syy")).as("ssa"), arm(1, col("syy")).as("ssb"))
+
+    def meanOf(sy: Column, n: Column): Column =
+      sy.cast("double") / lit(100.0) / n.cast("double")
+    def varOf(n: Column, sy: Column, syy: Column): Column =
+      when(n >= 2,
+        (d(n) * syy - sy * sy).cast("double") /
+          (d(n) * (d(n) - d(lit(1)))).cast("double") / lit(10000.0))
+    val withMoments = s.select(
+      coalesce(col("na"), lit(0L)).as("n_a"),
+      coalesce(col("nb"), lit(0L)).as("n_b"),
+      meanOf(col("sa"), col("na")).as("mean_a"),
+      meanOf(col("sb"), col("nb")).as("mean_b"),
+      varOf(col("na"), col("sa"), col("ssa")).as("var_a"),
+      varOf(col("nb"), col("sb"), col("ssb")).as("var_b"))
+
+    val vna = col("var_a") / col("n_a").cast("double")
+    val vnb = col("var_b") / col("n_b").cast("double")
+    val se2 = vna + vnb
+    withMoments.select(col("n_a"), col("n_b"),
+      col("mean_a"), col("mean_b"), col("var_a"), col("var_b"),
+      when(se2 > 0d,
+        (col("mean_a") - col("mean_b")) / sqrt(se2)).as("t_stat"),
+      when(se2 > 0d && col("n_a") >= 2 && col("n_b") >= 2,
+        se2 * se2 / (vna * vna / (col("n_a").cast("double") - 1.0) +
+          vnb * vnb / (col("n_b").cast("double") - 1.0)))
+        .as("welch_df"))
+  }
+
   private def emptyReport(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._

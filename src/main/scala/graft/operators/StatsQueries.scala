@@ -486,6 +486,70 @@ object StatsQueries {
     // mid-range sum plus count×boundary double products (the clipped
     // values themselves are interpolated doubles, so a naive
     // SUM(clipped) would be summation-order-dependent).
+    // A/B experiment readout: deterministic 50/50 user assignment by
+    // the portable hash, per-USER value totals as the experimental
+    // unit (testing raw events against a user-level assignment is
+    // the classic unit-of-analysis error), Welch's t + df from exact
+    // integer power sums.
+    {
+      import graft.analytics.Dedup
+      Q("q140_ab_welch", Some(s"""
+      WITH u AS (
+        SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % ${Dedup.P} % 2 AS v,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY user_id
+      ), g AS (
+        SELECT v, count(*) AS n, sum(CAST(yc AS HUGEINT)) AS sy,
+          sum(CAST(yc AS HUGEINT) * yc) AS syy
+        FROM u GROUP BY 1
+      ), s AS (
+        SELECT max(CASE WHEN v = 0 THEN n END) AS na,
+               max(CASE WHEN v = 1 THEN n END) AS nb,
+               max(CASE WHEN v = 0 THEN sy END) AS sa,
+               max(CASE WHEN v = 1 THEN sy END) AS sb,
+               max(CASE WHEN v = 0 THEN syy END) AS ssa,
+               max(CASE WHEN v = 1 THEN syy END) AS ssb
+        FROM g
+      ), m AS (
+        SELECT coalesce(na, 0) AS n_a, coalesce(nb, 0) AS n_b,
+          CAST(sa AS DOUBLE) / 100.0 / CAST(na AS DOUBLE) AS mean_a,
+          CAST(sb AS DOUBLE) / 100.0 / CAST(nb AS DOUBLE) AS mean_b,
+          CASE WHEN na >= 2 THEN
+            CAST(na * ssa - sa * sa AS DOUBLE)
+              / CAST(CAST(na AS HUGEINT) * (na - 1) AS DOUBLE)
+              / 10000.0 END AS var_a,
+          CASE WHEN nb >= 2 THEN
+            CAST(nb * ssb - sb * sb AS DOUBLE)
+              / CAST(CAST(nb AS HUGEINT) * (nb - 1) AS DOUBLE)
+              / 10000.0 END AS var_b
+        FROM s
+      ), f AS (
+        SELECT *, var_a / CAST(n_a AS DOUBLE) AS vna,
+               var_b / CAST(n_b AS DOUBLE) AS vnb
+        FROM m
+      )
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        mean_a, mean_b, var_a, var_b,
+        CASE WHEN (vna + vnb) > 0 THEN
+          (mean_a - mean_b) / sqrt(vna + vnb) END AS t_stat,
+        CASE WHEN (vna + vnb) > 0 AND n_a >= 2 AND n_b >= 2 THEN
+          (vna + vnb) * (vna + vnb)
+            / (vna * vna / (CAST(n_a AS DOUBLE) - 1.0)
+             + vnb * vnb / (CAST(n_b AS DOUBLE) - 1.0)) END
+          AS welch_df
+      FROM f""")) { (s, dir) =>
+        val perUser = Tables.load(s, dir, "events")
+          .where(col("value").isNotNull && col("user_id").isNotNull)
+          .groupBy("user_id")
+          .agg((sum(Q.dec(col("value"))) * 100).cast("long").as("yc"))
+          .withColumn("v",
+            (Dedup.h30(col("user_id").cast("string")) % 2).cast("int"))
+        graft.analytics.Evaluation.welchTTest(perUser, "v", "yc")
+      }
+    },
+
     // Hampel robust outliers: per-type median, MAD, and the count
     // beyond 3·1.4826·MAD — the outlier detector whose threshold the
     // outliers themselves cannot move (50% breakdown point, vs 0%

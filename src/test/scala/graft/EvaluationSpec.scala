@@ -52,6 +52,42 @@ class EvaluationSpec extends SparkSpec {
     assert(empty.isNullAt(empty.fieldIndex("ks")))
   }
 
+  test("welchTTest: hand-computed equal-variance case") {
+    // arm 0: 100, 200, 300 cents (mean 2.0, var 1.0)
+    // arm 1: 400, 500, 600 cents (mean 5.0, var 1.0)
+    // se2 = 1/3+1/3; t = -3/sqrt(2/3); welch df = 4
+    val df = Seq((0, 100L), (0, 200L), (0, 300L),
+      (1, 400L), (1, 500L), (1, 600L)).toDF("v", "yc")
+    val r = graft.analytics.Evaluation.welchTTest(df, "v", "yc")
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") === 3L)
+    assert(r.getAs[Double]("mean_a") === 2.0)
+    assert(r.getAs[Double]("mean_b") === 5.0)
+    assert(r.getAs[Double]("var_a") === 1.0)
+    assert(math.abs(r.getAs[Double]("t_stat")
+      - (-3.0 / math.sqrt(2.0 / 3.0))) < 1e-12)
+    assert(math.abs(r.getAs[Double]("welch_df") - 4.0) < 1e-12)
+  }
+
+  test("welchTTest: an arm below n=2 yields null t and df") {
+    val df = Seq((0, 100L), (1, 400L), (1, 500L)).toDF("v", "yc")
+    val r = graft.analytics.Evaluation.welchTTest(df, "v", "yc")
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") === 1L)
+    assert(r.isNullAt(r.fieldIndex("var_a")))
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+    assert(r.isNullAt(r.fieldIndex("welch_df")))
+  }
+
+  test("welchTTest: zero variance in both arms yields null t") {
+    val df = Seq((0, 100L), (0, 100L), (1, 200L), (1, 200L))
+      .toDF("v", "yc")
+    val r = graft.analytics.Evaluation.welchTTest(df, "v", "yc")
+      .collect()(0)
+    assert(r.getAs[Double]("var_a") === 0.0)
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+  }
+
   test("scoreEval: null scores and labels are excluded") {
     val df = Seq[(Option[Double], Option[Int])](
       (Some(0.1), Some(0)), (Some(0.9), Some(1)),
