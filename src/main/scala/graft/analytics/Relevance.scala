@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus relevance operators (north-star text tier): TF-IDF term
@@ -131,5 +132,41 @@ object Relevance {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select("query_id", "doc_id", "score", "rn")
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    * of two ranked runs — the standard hybrid-retrieval combiner
+    * (lexical BM25 + dense ANN): documents are rescored by
+    *
+    *   rrf = Σ_runs 1 / (k + rank)
+    *
+    * over the runs that retrieved them (absent run ⇒ 0 contribution).
+    * Only RANKS cross the fusion boundary, so incomparable score
+    * scales (BM25 vs cosine) need no normalization — and the double
+    * arithmetic is two divisions and one add per row in fixed order,
+    * hash-reproducible.
+    *
+    * Inputs carry (query_id, doc_id, rn); runs are top-N per query
+    * (bounded), so the full-outer join and per-query re-rank touch
+    * ≤ 2N rows per query regardless of corpus size.
+    */
+  def rrfFuse(runA: DataFrame, runB: DataFrame, k: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val a = runA.select(col("query_id"), col("doc_id"),
+      col("rn").as("rn_a"))
+    val b = runB.select(col("query_id"), col("doc_id"),
+      col("rn").as("rn_b"))
+    val fused = a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(k.toDouble) + col("rn_a")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(k.toDouble) + col("rn_b")),
+            lit(0.0))).as("rrf"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select("query_id", "doc_id", "rrf", "rn")
   }
 }

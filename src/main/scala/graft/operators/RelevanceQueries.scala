@@ -57,6 +57,101 @@ object RelevanceQueries {
         .orderBy("doc_id", "rn")
     },
 
+    // Hybrid retrieval via reciprocal-rank fusion: lexical BM25
+    // top-20 + dense cosine top-20 per query, fused by
+    // rrf = 1/(60+rank_lex) + 1/(60+rank_dense). Only RANKS cross
+    // the fusion boundary (no score-scale normalization, and the
+    // lexical rank is taken on the ROUNDED BM25 score per this
+    // file's ln-portability contract).
+    Q("q141_rrf_fusion", Some(s"""
+      WITH $baseCtes,
+      q(query_id, text) AS (VALUES
+        (1, 'hash join filter'),
+        (2, 'stream window batch'),
+        (3, 'vector scan merge')),
+      qt AS (SELECT DISTINCT query_id, $tokSql AS term FROM q),
+      dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+      stats AS (
+        SELECT (SELECT SUM(tf) FROM tf)::DOUBLE / (SELECT n FROM n)
+          AS avgdl),
+      parts AS (
+        SELECT qt.query_id, t.doc_id, t.term,
+          ln(1.0 + ((SELECT n FROM n) - d.df + 0.5) / (d.df + 0.5))
+            * (t.tf * (1.2 + 1)) /
+            (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+              (SELECT avgdl FROM stats))) AS part
+        FROM qt JOIN tf t USING (term)
+        JOIN dfreq d ON t.term = d.term
+        JOIN dl ON t.doc_id = dl.doc_id),
+      bscored AS (
+        SELECT query_id, doc_id,
+          round_even(list_reduce(
+            list_prepend(0.0, list(part ORDER BY term)),
+            (acc, v) -> acc + v), 4) AS s4
+        FROM parts GROUP BY query_id, doc_id),
+      lex AS (
+        SELECT query_id, doc_id, rn FROM (
+          SELECT query_id, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY s4 DESC, doc_id) AS rn
+          FROM bscored) t
+        WHERE rn <= 20),
+      dscored AS (
+        SELECT CAST(dq.vec_id AS INT) AS query_id,
+          c.vec_id AS doc_id,
+          ${SimilarityQueries.duckCosine(
+            "dq.embedding::DOUBLE[]", "c.embedding::DOUBLE[]")}
+            AS score
+        FROM embeddings dq JOIN embeddings c
+          ON dq.vec_id <> c.vec_id
+        WHERE dq.vec_id IN (1, 2, 3)),
+      dense AS (
+        SELECT query_id, doc_id, rn FROM (
+          SELECT query_id, doc_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS rn
+          FROM dscored) t
+        WHERE rn <= 20),
+      fused AS (
+        SELECT coalesce(l.query_id, d.query_id) AS query_id,
+          coalesce(l.doc_id, d.doc_id) AS doc_id,
+          coalesce(CAST(1.0 AS DOUBLE)
+              / (CAST(60.0 AS DOUBLE) + l.rn), CAST(0.0 AS DOUBLE))
+          + coalesce(CAST(1.0 AS DOUBLE)
+              / (CAST(60.0 AS DOUBLE) + d.rn), CAST(0.0 AS DOUBLE))
+            AS rrf
+        FROM lex l FULL OUTER JOIN dense d
+          ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+      SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, rrf,
+        CAST(rn AS INT) AS rn
+      FROM (
+        SELECT query_id, doc_id, rrf,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, doc_id) AS rn
+        FROM fused) t
+      WHERE rn <= 10 ORDER BY query_id, rn""")) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = Seq(
+        (1, "hash join filter"),
+        (2, "stream window batch"),
+        (3, "vector scan merge")).toDF("query_id", "text")
+      val wLex = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("s4").desc, col("doc_id"))
+      val lex = Relevance.bm25Scores(docs, "doc_id", "text", queries)
+        .withColumn("s4", bround(col("score"), 4))
+        .withColumn("rn", row_number().over(wLex))
+        .filter(col("rn") <= 20)
+        .select("query_id", "doc_id", "rn")
+      val dense = graft.analytics.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id").isin(1, 2, 3)), emb, k = 20)
+        .select(col("query_id").cast("int").as("query_id"),
+          col("neighbor_id").as("doc_id"), col("rn"))
+      Relevance.rrfFuse(lex, dense, k = 60, topK = 10)
+        .orderBy("query_id", "rn")
+    },
+
     // BM25 ranked retrieval (k1=1.2, b=0.75): three literal queries
     // against the inverted index; per-(query, doc) score is a
     // term-sorted left fold in BOTH engines (float addition is not
