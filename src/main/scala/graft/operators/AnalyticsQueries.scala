@@ -58,6 +58,37 @@ object AnalyticsQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Item-item co-occurrence ("bought X, also bought Y"): part
+    // pairs sharing an order, scored by basket-set Jaccard. The
+    // self-join is keyed by order, so cost is Σ|basket|² — bounded
+    // by order size, never corpus-pairwise.
+    Q("q142_item_cooccurrence", Some("""
+      WITH base AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), pairs AS (
+        SELECT a.it AS item_a, b.it AS item_b,
+          CAST(count(*) AS BIGINT) AS n_ab
+        FROM base a JOIN base b
+          ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING count(*) >= 3
+      ), per AS (
+        SELECT it, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
+      )
+      SELECT item_a, item_b, n_ab, pa.n AS n_a, pb.n AS n_b,
+        CAST(n_ab AS DOUBLE)
+          / CAST(pa.n + pb.n - n_ab AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN per pa ON pa.it = item_a
+      JOIN per pb ON pb.it = item_b
+      ORDER BY jaccard DESC, item_a, item_b LIMIT 30""")) { (s, dir) =>
+      graft.analytics.CoOccurrence.itemPairs(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 3L, topK = 30)
+    },
+
+
     // mv_location_crop_compatibility: location ⋈ soil × crop with the
     // pH CASE (reference db/init/01-schema.sql:254-272).
     Q("q39_compat_mv", Some(s"""
