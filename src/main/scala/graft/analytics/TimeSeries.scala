@@ -1,10 +1,96 @@
 package graft.analytics
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series scalar helpers shared by the event-stream queries. */
 object TimeSeries {
+
+  /** Day-of-week seasonal decomposition of a per-group daily series
+    * (classical additive decomposition, the moving-average step of
+    * STL): trend = 7-row centered moving average, seasonal = per-DOW
+    * mean of the detrended values. Input rows are (group, day,
+    * cents) — one row per observed day, metric as an exact integer.
+    *
+    * Determinism: a naive implementation subtracts a double trend
+    * and averages double residuals — partition-order dependent. Here
+    * the detrended value is kept RATIONAL: over full 7-row windows,
+    * 7·y_c − Σ_window y_c is an exact integer, per-DOW sums of it
+    * are exact, and `seasonal` is ONE double division at the end
+    * (÷ 7·100·n_days). Edge rows without a full window carry no
+    * defined centered trend and are excluded — standard for centered
+    * MA.
+    *
+    * Output: (group, dow [1=Mon..7=Sun], n_days, seasonal) ordered
+    * by (group, dow). Shuffles: one per-group window sort + one
+    * (group, dow) aggregation — nothing row-pairwise.
+    */
+  def dowSeasonality(daily: DataFrame, groupCol: String,
+      dayCol: String, centsCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val w = Window.partitionBy(groupCol).orderBy(dayCol)
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("__ws", sum(col(centsCol).cast(D)).over(w))
+      .where(col("__wn") === 7)
+      .withColumn("__det",
+        lit(7).cast(D) * col(centsCol).cast(D) - col("__ws"))
+    det
+      .groupBy(col(groupCol),
+        (weekday(col(dayCol)) + 1).as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("__det")).as("__s"))
+      .select(col(groupCol), col("dow"), col("n_days"),
+        (col("__s").cast("double") /
+          (lit(700.0) * col("n_days").cast("double")))
+          .as("seasonal"))
+      .orderBy(groupCol, "dow")
+  }
+
+  /** CUSUM change-point scan per group: the day k maximizing
+    * |S_k| = |Σ_{i≤k}(y_i − ȳ)| over the group's daily series — the
+    * classic single-change-point location statistic (Page 1954;
+    * the max-|CUSUM| form of Taylor's changepoint bootstrap).
+    *
+    * Exactness: n·S_k = n·C_k − k·T (C_k = running sum, T = total,
+    * all in integer cents) — the mean never becomes a double, so the
+    * argmax is exact; ties resolve to the EARLIEST day. `cusum_stat`
+    * = max|n·S_k| / (n·100) in metric units, one double division.
+    *
+    * Output: (group, n_days, change_day yyyy-MM-dd, cusum_stat).
+    * One per-group window pass + one per-group argmax aggregation.
+    */
+  def cusumChangePoint(daily: DataFrame, groupCol: String,
+      dayCol: String, centsCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val wOrd = Window.partitionBy(groupCol).orderBy(dayCol)
+    val wAll = Window.partitionBy(groupCol)
+    val scored = daily
+      .withColumn("__k", row_number().over(wOrd).cast(D))
+      .withColumn("__c",
+        sum(col(centsCol).cast(D)).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__n", count(lit(1)).over(wAll).cast(D))
+      .withColumn("__t", sum(col(centsCol).cast(D)).over(wAll))
+      .withColumn("__ns",
+        abs(col("__n") * col("__c") - col("__k") * col("__t")))
+    scored
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_days"),
+        max(struct(col("__ns").as("ns"),
+          (lit(0).cast(D) - col("__k")).as("negk"),
+          date_format(col(dayCol), "yyyy-MM-dd").as("day")))
+          .as("__best"))
+      .select(col(groupCol), col("n_days"),
+        col("__best.day").as("change_day"),
+        (col("__best.ns").cast("double") /
+          (col("n_days").cast("double") * lit(100.0)))
+          .as("cusum_stat"))
+      .orderBy(groupCol)
+  }
 
   /** EWMA of an ordered window list: `EWMA_t = αx_t + (1-α)EWMA_{t-1}`
     * seeded with the first element, computed as an explicit left fold

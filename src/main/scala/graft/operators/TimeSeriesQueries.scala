@@ -12,7 +12,84 @@ import graft.Tables
   */
 object TimeSeriesQueries {
 
+  /** Shared daily series: per-(type, day) value totals in exact
+    * cents — the input grain for the seasonal/change-point ops. */
+  private def dailyCents(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.load(s, dir, "events")
+      .where(col("ts").isNotNull && col("value").isNotNull)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg((sum(Q.dec(col("value"))) * 100).cast("long").as("yc"))
+
   val all: Seq[Q] = Seq(
+
+    // Day-of-week seasonal decomposition (classical additive /
+    // STL moving-average step): trend = centered 7-row MA over the
+    // per-type daily series, seasonal = per-DOW mean of the
+    // detrended values — kept RATIONAL (7·y − Σwindow in exact
+    // cents) until one final division, so it hash-matches.
+    Q("q143_dow_seasonality", Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS yc
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+      ), t AS (
+        SELECT event_type, day, yc,
+          count(*) OVER w AS wn,
+          sum(CAST(yc AS HUGEINT)) OVER w AS ws
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      )
+      SELECT event_type, CAST(isodow(day) AS INT) AS dow,
+        CAST(count(*) AS BIGINT) AS n_days,
+        CAST(sum(7 * CAST(yc AS HUGEINT) - ws) AS DOUBLE)
+          / (700.0 * CAST(count(*) AS DOUBLE)) AS seasonal
+      FROM t WHERE wn = 7
+      GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, dir) =>
+      graft.analytics.TimeSeries.dowSeasonality(
+        dailyCents(s, dir), "event_type", "day", "yc")
+    },
+
+    // CUSUM change-point scan: the day maximizing |Σ_{i<=k}(y_i - mean)|
+    // per type (Page 1954), located in exact integer arithmetic
+    // (n·S_k = n·C_k − k·T in cents — the mean never becomes a
+    // double), earliest day on ties.
+    Q("q144_cusum_changepoint", Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS yc
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+      ), s AS (
+        SELECT event_type, day,
+          CAST(row_number() OVER wo AS HUGEINT) AS k,
+          sum(CAST(yc AS HUGEINT)) OVER wc AS c,
+          CAST(count(*) OVER wa AS HUGEINT) AS n,
+          sum(CAST(yc AS HUGEINT)) OVER wa AS t
+        FROM d
+        WINDOW wo AS (PARTITION BY event_type ORDER BY day),
+          wc AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wa AS (PARTITION BY event_type)
+      ), z AS (
+        SELECT event_type, day, n,
+          abs(n * c - k * t) AS ns,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(n * c - k * t) DESC, day) AS rnk
+        FROM s
+      )
+      SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        strftime(day, '%Y-%m-%d') AS change_day,
+        CAST(ns AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+          AS cusum_stat
+      FROM z WHERE rnk = 1 ORDER BY event_type""")) { (s, dir) =>
+      graft.analytics.TimeSeries.cusumChangePoint(
+        dailyCents(s, dir), "event_type", "day", "yc")
+    },
 
     // Hourly resample per user (users 0..9 for output size): one row
     // per user per hour between the user's first and last event, value
