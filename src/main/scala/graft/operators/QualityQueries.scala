@@ -177,6 +177,67 @@ monitoring:
   }
 
   val all: Seq[Q] = Seq(
+    // Benford first-digit audit (the forensic-accounting screen for
+    // fabricated or truncated numeric columns): observed first-digit
+    // distribution of l_extendedprice vs the Benford expectation,
+    // with per-digit chi-square contributions. The first digit is
+    // extracted from the INTEGER cents string (both engines print
+    // integers identically; floats format differently), and the
+    // Benford probabilities are shared literals generated from one
+    // Scala source of truth — no libm log at query time.
+    {
+      val pExp = (1 to 9)
+        .map(dd => dd -> math.log10(1.0 + 1.0 / dd)).toMap
+      // string→double parse is correctly rounded in both engines; a
+      // bare decimal literal would go through DuckDB DECIMAL first
+      // and can land one ulp off the Scala double
+      val sqlCase = (1 to 9).map { dd =>
+        s"WHEN $dd THEN CAST('${pExp(dd)}' AS DOUBLE)"
+      }.mkString(" ")
+      Q("q145_benford", Some(s"""
+      WITH b AS (
+        SELECT CAST(substr(CAST(CAST(
+            CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 0.01
+      ), g AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM b
+        GROUP BY 1
+      ), t AS (SELECT sum(n_obs) AS total FROM g)
+      SELECT digit, n_obs,
+        CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) AS p_obs,
+        CASE digit $sqlCase END AS p_exp,
+        (CAST(n_obs AS DOUBLE)
+           - CAST(total AS DOUBLE) * (CASE digit $sqlCase END))
+        * (CAST(n_obs AS DOUBLE)
+           - CAST(total AS DOUBLE) * (CASE digit $sqlCase END))
+        / (CAST(total AS DOUBLE) * (CASE digit $sqlCase END))
+          AS chi_part
+      FROM g, t ORDER BY digit""")) { (s, dir) =>
+        val pCol = (1 to 9).foldLeft(lit(null).cast("double")) {
+          (acc, dd) =>
+            when(col("digit") === dd, lit(pExp(dd))).otherwise(acc)
+        }
+        val g = Tables.load(s, dir, "lineitem")
+          .where(col("l_extendedprice").isNotNull &&
+            col("l_extendedprice") >= 0.01)
+          .select(substring(
+            (Q.dec(col("l_extendedprice")) * 100).cast("long")
+              .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = g.agg(sum(col("n_obs")).as("total"))
+        val nD = col("n_obs").cast("double")
+        val tD = col("total").cast("double")
+        g.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"),
+            (nD / tD).as("p_obs"), pCol.as("p_exp"),
+            ((nD - tD * pCol) * (nD - tD * pCol) / (tD * pCol))
+              .as("chi_part"))
+          .orderBy("digit")
+      }
+    },
+
     Q("q36_quality_report", Some("""
       WITH r AS (
         SELECT 'anomaly_value_spike' AS rule_name, 'events' AS table_name,
