@@ -177,6 +177,117 @@ monitoring:
   }
 
   val all: Seq[Q] = Seq(
+    // Population stability index — the ML-ops drift screen between a
+    // reference window and a current window: o_totalprice bucketed
+    // by the REFERENCE slice's deciles, per-bucket
+    // (p_cur − p_ref)·ln(p_cur/p_ref) contributions. ln is quantized
+    // to 4 decimals per this engine's libm-portability contract
+    // (see RelevanceQueries scaladoc); a bucket absent from either
+    // slice yields a null contribution rather than ±∞.
+    Q("q147_psi_drift", Some("""
+      WITH src AS (
+        SELECT o_totalprice AS x,
+          CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+               THEN 0 ELSE 1 END AS cur
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+      ), cuts AS (
+        SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS cs
+        FROM src WHERE cur = 0
+      ), b AS (
+        SELECT CAST(len(list_filter(cs, c -> x > c)) + 1 AS INT)
+            AS bucket,
+          cur
+        FROM src, cuts
+      ), g AS (
+        SELECT bucket,
+          CAST(sum(CASE WHEN cur = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_ref,
+          CAST(sum(CASE WHEN cur = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_cur
+        FROM b GROUP BY 1
+      ), t AS (
+        SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM g
+      )
+      SELECT bucket, n_ref, n_cur,
+        CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE) AS p_ref,
+        CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) AS p_cur,
+        CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+          round_even(
+            (CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE)
+             - CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))
+            * ln((CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE))
+               / (CAST(n_ref AS DOUBLE) / CAST(tr AS DOUBLE))), 4)
+        END AS psi4
+      FROM g, t ORDER BY bucket""")) { (s, dir) =>
+      val src = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice").isNotNull &&
+          col("o_orderdate").isNotNull)
+        .select(col("o_totalprice").as("x"),
+          when(col("o_orderdate") <
+            lit("1996-01-01").cast("timestamp"), 0)
+            .otherwise(1).as("cur"))
+      val cuts = src.where(col("cur") === 0)
+        .agg(percentile(col("x"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cs"))
+      val g = src.crossJoin(broadcast(cuts))
+        .select((size(filter(col("cs"),
+            c => col("x") > c)) + 1).cast("int").as("bucket"),
+          col("cur"))
+        .groupBy("bucket")
+        .agg(sum(when(col("cur") === 0, 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("cur") === 1, 1L).otherwise(0L)).as("n_cur"))
+      val tot = g.agg(sum("n_ref").as("tr"), sum("n_cur").as("tc"))
+      val pRef = col("n_ref").cast("double") / col("tr").cast("double")
+      val pCur = col("n_cur").cast("double") / col("tc").cast("double")
+      g.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_ref"), col("n_cur"),
+          pRef.as("p_ref"), pCur.as("p_cur"),
+          when(col("n_ref") > 0 && col("n_cur") > 0,
+            bround((pCur - pRef) * log(pCur / pRef), 4)).as("psi4"))
+        .orderBy("bucket")
+    },
+
+    // k-anonymity audit over a quasi-identifier set (Sweeney 2002):
+    // equivalence-class sizes for (nation, market segment), the
+    // minimum class size (= the k the table actually provides), and
+    // how much of the table sits in classes below the k=5 policy
+    // line — the re-identification risk screen a training-data
+    // governance pass runs before release.
+    Q("q146_k_anonymity", Some("""
+      WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+          CAST(count(*) AS BIGINT) AS sz
+        FROM customer GROUP BY 1, 2
+      )
+      SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_classes,
+        CAST(min(sz) AS BIGINT) AS k_anonymity,
+        CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_classes_below5,
+        CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+          AS n_rows_below5,
+        CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+          / CAST(sum(sz) AS DOUBLE) AS frac_rows_below5
+      FROM cls""")) { (s, dir) =>
+      val cls = Tables.load(s, dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("sz"))
+      cls.agg(
+        sum(col("sz")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("sz")).cast("long").as("k_anonymity"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L))
+          .as("n_classes_below5"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).cast("long")
+          .as("n_rows_below5"))
+        .select(col("n_rows"), col("n_classes"), col("k_anonymity"),
+          col("n_classes_below5"), col("n_rows_below5"),
+          (col("n_rows_below5").cast("double") /
+            col("n_rows").cast("double")).as("frac_rows_below5"))
+    },
+
     // Benford first-digit audit (the forensic-accounting screen for
     // fabricated or truncated numeric columns): observed first-digit
     // distribution of l_extendedprice vs the Benford expectation,
