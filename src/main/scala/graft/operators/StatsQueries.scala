@@ -486,6 +486,78 @@ object StatsQueries {
     // mid-range sum plus count×boundary double products (the clipped
     // values themselves are interpolated doubles, so a naive
     // SUM(clipped) would be summation-order-dependent).
+    // One-pass Pearson correlation matrix over the lineitem numeric
+    // columns: ALL pairwise power sums (4 sums, 4 sums-of-squares,
+    // 6 cross products — 15 aggregates) accumulate in a SINGLE
+    // aggregation job over one scan, listwise-complete rows, exact
+    // integer cents; each correlation is a fixed double sequence
+    // (sqrt is correctly rounded everywhere). The naive per-pair
+    // corr() would scan the fact 6 times and stream partition-order
+    // doubles.
+    {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val centsSql = cols.map(c =>
+        s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT) AS $c")
+        .mkString(", ")
+      val sumsSql = (cols.map(c =>
+        s"sum(CAST($c AS HUGEINT)) AS s_$c, " +
+          s"sum(CAST($c AS HUGEINT) * $c) AS ss_$c") ++
+        pairs.map { case (a, b) =>
+          s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b" })
+        .mkString(", ")
+      val rowsSql = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+          CAST(n AS BIGINT) AS n,
+          CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+            / (sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE))
+             * sqrt(CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)))
+            AS corr FROM agg"""
+      }.mkString(" UNION ALL ")
+      Q("q148_corr_matrix", Some(s"""
+      WITH src AS (
+        SELECT $centsSql FROM lineitem WHERE $notNull
+      ), agg AS (
+        SELECT count(*) AS n, $sumsSql FROM src
+      )
+      SELECT col_a, col_b, n, corr FROM ($rowsSql) t
+      ORDER BY col_a, col_b""")) { (s, dir) =>
+        val D38 = DecimalType(38, 0)
+        def d(c: org.apache.spark.sql.Column) = c.cast(D38)
+        val src = Tables.load(s, dir, "lineitem")
+          .where(cols.map(c => col(c).isNotNull).reduce(_ && _))
+          .select(cols.map(c =>
+            (Q.dec(col(c)) * 100).cast("long").as(c)): _*)
+        val aggs =
+          Seq(count(lit(1)).as("n")) ++
+          cols.flatMap(c => Seq(
+            sum(d(col(c))).as(s"s_$c"),
+            sum(d(col(c) * col(c))).as(s"ss_$c"))) ++
+          pairs.map { case (a, b) =>
+            sum(d(col(a) * col(b))).as(s"sp_${a}_$b") }
+        val agg = src.agg(aggs.head, aggs.tail: _*)
+        val rows = pairs.map { case (a, b) =>
+          struct(lit(a).as("col_a"), lit(b).as("col_b"),
+            col("n").as("n"),
+            ((d(col("n")) * col(s"sp_${a}_$b") -
+                col(s"s_$a") * col(s"s_$b")).cast("double") /
+              (sqrt((d(col("n")) * col(s"ss_$a") -
+                  col(s"s_$a") * col(s"s_$a")).cast("double")) *
+               sqrt((d(col("n")) * col(s"ss_$b") -
+                  col(s"s_$b") * col(s"s_$b")).cast("double"))))
+              .as("corr"))
+        }
+        agg.select(explode(array(rows: _*)).as("r"))
+          .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"),
+            col("r.n").as("n"), col("r.corr").as("corr"))
+          .orderBy("col_a", "col_b")
+      }
+    },
+
     // A/B experiment readout: deterministic 50/50 user assignment by
     // the portable hash, per-USER value totals as the experimental
     // unit (testing raw events against a user-level assignment is
