@@ -12,6 +12,62 @@ object MiscQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Proportion estimation with Wilson score intervals (the CI that
+    // behaves at small n and extreme p, unlike the Wald interval):
+    // per-nation order-conversion rate — customers with ≥1 order —
+    // with 95% bounds. Exact integer counts; the interval is a fixed
+    // IEEE sequence (sqrt is correctly rounded everywhere), z ships
+    // as a string-parsed literal per the shared-constant contract.
+    Q("q149_conversion_ci", Some("""
+      WITH conv AS (
+        SELECT c.c_nationkey,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0
+            END) AS BIGINT) AS k
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+          ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+      ), w AS (
+        SELECT n_name, n, k,
+          CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+          CAST('1.96' AS DOUBLE) AS z,
+          CAST(n AS DOUBLE) AS nd
+        FROM conv JOIN nation ON n_nationkey = c_nationkey
+      )
+      SELECT n_name, n, k, p,
+        ((p + z * z / (2.0 * nd))
+          - z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd)))
+          / (1.0 + z * z / nd) AS ci_lo,
+        ((p + z * z / (2.0 * nd))
+          + z * sqrt(p * (1.0 - p) / nd + z * z / (4.0 * nd * nd)))
+          / (1.0 + z * z / nd) AS ci_hi
+      FROM w ORDER BY n_name""")) { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer")
+      val ordered = Tables.load(s, dir, "orders")
+        .select(col("o_custkey")).distinct()
+      val conv = cust
+        .join(ordered, col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L))
+            .as("k"))
+      val nat = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val p = col("k").cast("double") / col("n").cast("double")
+      val z = lit(1.96)
+      val nd = col("n").cast("double")
+      val a = p + z * z / (lit(2.0) * nd)
+      val b = z * sqrt(p * (lit(1.0) - p) / nd +
+        z * z / (lit(4.0) * nd * nd))
+      val c = lit(1.0) + z * z / nd
+      conv.join(broadcast(nat), col("n_nationkey") === col("c_nationkey"))
+        .select(col("n_name"), col("n"), col("k"), p.as("p"),
+          ((a - b) / c).as("ci_lo"), ((a + b) / c).as("ci_hi"))
+        .orderBy("n_name")
+    },
+
     // INTERSECT / EXCEPT set operations: build customers who ordered
     // in 1998 vs customers in the BUILDING segment.
     Q("q51_set_ops", Some("""
