@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over edge frames. First citizen:
@@ -76,5 +77,61 @@ object Graph {
             .as("rank"))
     }
     r
+  }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    * Raghavan et al. 2007, clamped-seed majority variant): seeded
+    * nodes keep their label forever; each round, every still-
+    * unlabeled node adopts the MAJORITY label among its labeled
+    * neighbors (ties → lexicographically smallest label), and newly
+    * labeled nodes propagate in later rounds. The weak-labeling
+    * primitive of a training-data pipeline: spread a trusted sliver
+    * of labels (human-reviewed docs, curated domains) over a
+    * similarity or co-occurrence graph.
+    *
+    * Determinism: majority + smallest-label tie-break has a unique
+    * fixed point per round regardless of partitioning; counts are
+    * exact. Synchronous rounds (all updates read the PREVIOUS
+    * round's labels), so the result is iteration-exact — mirrorable
+    * by an unrolled SQL oracle.
+    *
+    * Scale shape per round: one edge⋈label equi-join + one
+    * (node,label) count + one per-node argmax window (rows per node
+    * ≤ |labels|). The label frame is [[Dedup.materialize]]d each
+    * round so round k+1 never re-executes round k's lineage.
+    *
+    * `edges` is one row per undirected edge (aCol, bCol) —
+    * symmetrized here; `seeds` carries (aCol, labelCol).
+    */
+  def labelPropagate(edges: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, labelCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val adj = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val adjM = Dedup.materialize(adj)
+    val seed = seeds
+      .select(col(aCol).as("node"), col(labelCol).as("label"))
+      .where(col("node").isNotNull && col("label").isNotNull)
+      .distinct()
+    var labels = Dedup.materialize(seed)
+    for (_ <- 0 until iters) {
+      val votes = adjM
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .join(labels.select(col("node").as("src")), Seq("src"),
+          "left_anti")
+        .groupBy(col("src").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("__c").desc, col("label").asc)
+      val newly = votes
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select("node", "label")
+      labels = Dedup.materialize(labels.unionByName(newly))
+    }
+    labels
   }
 }

@@ -58,6 +58,73 @@ object AnalyticsQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Semi-supervised label propagation over the co-purchase graph:
+    // a third of parts keep their brand as a clamped seed; two
+    // synchronous majority rounds (ties → smallest label) spread
+    // labels to the rest — the weak-labeling primitive, mirrored by
+    // an unrolled two-round SQL oracle.
+    Q("q150_label_propagation", Some("""
+      WITH base AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), edges AS (
+        SELECT DISTINCT a.it AS src, b.it AS dst
+        FROM base a JOIN base b ON a.bk = b.bk AND a.it <> b.it
+      ), l0 AS (
+        SELECT DISTINCT p_partkey AS node, p_brand AS label FROM part
+        WHERE p_partkey % 3 = 0 AND p_brand IS NOT NULL
+      ), n1 AS (
+        SELECT e.src AS node, l.label, count(*) AS c
+        FROM edges e
+        JOIN l0 l ON e.dst = l.node
+        LEFT JOIN l0 s ON e.src = s.node
+        WHERE s.node IS NULL
+        GROUP BY 1, 2
+      ), a1 AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label) AS rn FROM n1) t
+        WHERE rn = 1
+      ), l1 AS (
+        SELECT * FROM l0 UNION ALL SELECT * FROM a1
+      ), n2 AS (
+        SELECT e.src AS node, l.label, count(*) AS c
+        FROM edges e
+        JOIN l1 l ON e.dst = l.node
+        LEFT JOIN l1 s ON e.src = s.node
+        WHERE s.node IS NULL
+        GROUP BY 1, 2
+      ), a2 AS (
+        SELECT node, label FROM (
+          SELECT node, label, row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label) AS rn FROM n2) t
+        WHERE rn = 1
+      ), l2 AS (
+        SELECT * FROM l1 UNION ALL SELECT * FROM a2
+      )
+      SELECT label, CAST(count(*) AS BIGINT) AS n_parts
+      FROM l2 GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
+      val base = Tables.load(s, dir, "lineitem")
+        .where(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val edges = base.as("a")
+        .join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .select(col("a.it").as("item_a"), col("b.it").as("item_b"))
+        .distinct()
+      val seeds = Tables.load(s, dir, "part")
+        .where(col("p_partkey") % 3 === 0 && col("p_brand").isNotNull)
+        .select(col("p_partkey").as("item_a"),
+          col("p_brand").as("label"))
+      graft.analytics.Graph.labelPropagate(
+          edges, "item_a", "item_b", seeds, "label", iters = 2)
+        .groupBy("label").agg(count(lit(1)).as("n_parts"))
+        .orderBy("label")
+    },
+
     // Item-item co-occurrence ("bought X, also bought Y"): part
     // pairs sharing an order, scored by basket-set Jaccard. The
     // self-join is keyed by order, so cost is Σ|basket|² — bounded

@@ -48,6 +48,37 @@ class GraphSpec extends SparkSpec {
     assert(star(2L) == star(3L) && star(3L) == star(4L))
   }
 
+  test("labelPropagate: majority vote, smallest label on ties") {
+    import spark.implicits._
+    // node 4 touches seeds 1 (a), 2 (a), 3 (b) -> majority 'a';
+    // node 5 touches 2 (a) and 3 (b) -> tie, smallest label 'a'... so
+    // use labels that make the tie-break visible: 2 -> 'z', 3 -> 'b'
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L), (2L, 5L), (3L, 5L))
+      .toDF("u", "v")
+    val seeds = Seq((1L, "z"), (2L, "z"), (3L, "b"))
+      .toDF("u", "lbl")
+    val got = graft.analytics.Graph
+      .labelPropagate(edges, "u", "v", seeds, "lbl", iters = 1)
+      .as[(Long, String)].collect().toMap
+    assert(got(4L) === "z") // majority 2x z beats 1x b
+    assert(got(5L) === "b") // tie 1-1: lexicographically smallest
+  }
+
+  test("labelPropagate: seeds are clamped; labels spread over rounds") {
+    import spark.implicits._
+    // chain 1-2-3-4, seed only node 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val seeds = Seq((1L, "x")).toDF("u", "lbl")
+    val one = graft.analytics.Graph
+      .labelPropagate(edges, "u", "v", seeds, "lbl", 1)
+      .as[(Long, String)].collect().toMap
+    assert(one === Map(1L -> "x", 2L -> "x"))
+    val three = graft.analytics.Graph
+      .labelPropagate(edges, "u", "v", seeds, "lbl", 3)
+      .as[(Long, String)].collect().toMap
+    assert(three === Map(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "x"))
+  }
+
   test("rank mass is conserved up to floor losses") {
     val scale = 1000000000000L
     val r = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)), 10)
