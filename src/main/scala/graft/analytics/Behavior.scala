@@ -171,6 +171,51 @@ object Behavior {
       .limit(topK)
   }
 
+  /** Cumulative cohort value ("LTV curve"): users bucketed by
+    * first-event week; per (cohort_week, week_offset), the RUNNING
+    * total of the cohort's event value and its per-user average —
+    * the curve a growth team reads to compare cohort quality at
+    * equal age.
+    *
+    * Exactness: weekly sums accumulate in integer cents, the running
+    * total is a window sum over the (cohort, offset) aggregate frame
+    * (≤ weeks² rows — tiny), and the two reported doubles are one
+    * division each. Shuffles: the q66-style cohort join + one
+    * aggregation; the cumsum never touches row-grain data. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val cohorts = events
+      .where(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_users"))
+    val weekly = events
+      .where(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).as("activity_week"),
+        col("value"))
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("activity_week").cast("date"),
+          col("cohort_week").cast("date")) / 7).cast("long")
+          .as("week_offset"))
+      .agg((sum(col("value").cast(DecimalType(18, 2))) * 100)
+        .cast(DecimalType(38, 0)).as("__wc"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    weekly
+      .withColumn("__cum", sum(col("__wc")).over(w))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(
+        date_format(col("cohort_week"), "yyyy-MM-dd")
+          .as("cohort_week"),
+        col("week_offset"), col("n_users"),
+        (col("__cum").cast("double") / lit(100.0)).as("cum_value"),
+        (col("__cum").cast("double") /
+          (lit(100.0) * col("n_users").cast("double")))
+          .as("ltv_per_user"))
+  }
+
   /** Weekly cohort retention: users bucketed by the week (Monday
     * start) of their first event; counts distinct active users per
     * (cohort_week, week_offset). */

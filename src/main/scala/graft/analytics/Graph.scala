@@ -79,6 +79,56 @@ object Graph {
     r
   }
 
+  /** Triangle census + global clustering coefficient — the
+    * graph-cohesion diagnostic (how clumped is the near-dup /
+    * co-purchase graph): triangles via the ordered two-path join
+    * (u<v<w, each triangle counted exactly once), wedges from the
+    * degree sequence, coefficient = 3T / W.
+    *
+    * Scale shape: ONE edge⋈edge equi-join on the shared middle
+    * vertex (candidate volume Σ deg² over the id-ordered graph — the
+    * standard bound; a hub-heavy graph wants degree-orientation,
+    * which changes no result, only the join's candidate count) plus
+    * one closing-edge semi-join, both keyed. Counts are exact longs;
+    * the coefficient is one double division.
+    *
+    * Output (one row): n_nodes, n_edges, n_wedges, n_triangles,
+    * clustering_coeff (null for a wedge-free graph).
+    */
+  def triangleCensus(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val eM = Dedup.materialize(e)
+    val deg = eM.select(col("u").as("n")).unionByName(
+        eM.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // Σd and Σd(d−1) are summed as exact longs and halved once —
+    // `/` on integers is double division in both engines, so the
+    // halving must happen on the exact total (always even)
+    val nodesEdges = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      expr("sum(d) div 2").as("n_edges"),
+      expr("sum(d * (d - 1)) div 2").as("n_wedges"))
+    val paths = eM.select(col("u").as("a"), col("v").as("b"))
+      .join(eM.select(col("u").as("b"), col("v").as("c")), Seq("b"))
+    val tri = paths
+      .join(eM.select(col("u").as("a"), col("v").as("c")),
+        Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    nodesEdges.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles").cast("double") /
+            col("n_wedges").cast("double"))
+          .as("clustering_coeff"))
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002 /
     * Raghavan et al. 2007, clamped-seed majority variant): seeded
     * nodes keep their label forever; each round, every still-

@@ -50,6 +50,43 @@ object TimeSeries {
       .orderBy(groupCol, "dow")
   }
 
+  /** Trailing rolling correlation between two aligned integer series
+    * (one row per period, columns `xCol`/`yCol` in exact cents):
+    * Pearson over the last `window` rows, emitted only for full
+    * windows. All five power sums accumulate exactly inside the
+    * window frame (DECIMAL(38,0)); each correlation is the fixed
+    * double finish. The window is UNPARTITIONED by design — the
+    * input is a PERIOD-grain series (≤ one row per day), so its size
+    * is calendar-bounded, the same argument as the ≤64-row offset
+    * frame in [[Evaluation.scoreEval]]; never point this at
+    * row-grain data. */
+  def rollingCorr(series: DataFrame, dayCol: String, xCol: String,
+      yCol: String, window: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    val D = DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(D)
+    val w = Window.orderBy(dayCol).rowsBetween(-(window - 1), 0)
+    val x = col(xCol)
+    val y = col(yCol)
+    val withSums = series
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__sx", sum(d(x)).over(w))
+      .withColumn("__sy", sum(d(y)).over(w))
+      .withColumn("__sxx", sum(d(x * x)).over(w))
+      .withColumn("__syy", sum(d(y * y)).over(w))
+      .withColumn("__sxy", sum(d(x * y)).over(w))
+      .where(col("__n") === window)
+    val num = (d(lit(window)) * col("__sxy") -
+      col("__sx") * col("__sy")).cast("double")
+    val dx = (d(lit(window)) * col("__sxx") -
+      col("__sx") * col("__sx")).cast("double")
+    val dy = (d(lit(window)) * col("__syy") -
+      col("__sy") * col("__sy")).cast("double")
+    withSums.select(col(dayCol),
+      when(dx > 0d && dy > 0d, num / (sqrt(dx) * sqrt(dy)))
+        .as("corr"))
+  }
+
   /** CUSUM change-point scan per group: the day k maximizing
     * |S_k| = |Σ_{i≤k}(y_i − ȳ)| over the group's daily series — the
     * classic single-change-point location statistic (Page 1954;

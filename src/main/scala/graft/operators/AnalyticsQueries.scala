@@ -58,6 +58,50 @@ object AnalyticsQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Triangle census of the co-purchase graph: ordered two-path
+    // join (each triangle once), wedges from the degree sequence,
+    // global clustering coefficient = 3T/W.
+    Q("q154_triangle_census", Some("""
+      WITH base AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), e AS (
+        SELECT DISTINCT a.it AS u, b.it AS v
+        FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+      ), deg AS (
+        SELECT n, count(*) AS d FROM (
+          SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) t
+        GROUP BY 1
+      ), ne AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(sum(d) // 2 AS BIGINT) AS n_edges,
+          CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+        FROM deg
+      ), tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        WHERE EXISTS (SELECT 1 FROM e e3
+                      WHERE e3.u = e1.u AND e3.v = e2.v)
+      )
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        CASE WHEN n_wedges > 0 THEN
+          3.0 * CAST(n_triangles AS DOUBLE)
+            / CAST(n_wedges AS DOUBLE) END AS clustering_coeff
+      FROM ne, tri""")) { (s, dir) =>
+      val base = Tables.load(s, dir, "lineitem")
+        .where(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val edges = base.as("a")
+        .join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .select(col("a.it").as("item_a"), col("b.it").as("item_b"))
+        .distinct()
+      graft.analytics.Graph.triangleCensus(edges, "item_a", "item_b")
+    },
+
     // Semi-supervised label propagation over the co-purchase graph:
     // a third of parts keep their brand as a clamped seed; two
     // synchronous majority rounds (ties → smallest label) spread

@@ -144,6 +144,90 @@ object BehaviorQueries {
         gapSec = 1800, len = 3, topK = 20)
     },
 
+    // Conversion-lag distribution: per user, first 'view' → first
+    // subsequent 'purchase' in integer microseconds; exact
+    // interpolated quantiles of the lag plus the conversion rate.
+    Q("q153_conversion_lag", Some("""
+      WITH v AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0
+        FROM events WHERE event_type = 'view' AND ts IS NOT NULL
+          AND user_id IS NOT NULL
+        GROUP BY 1
+      ), p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+          AND epoch_us(e.ts) >= v.t0
+        GROUP BY 1
+      ), lags AS (
+        SELECT v.user_id, p.t1 - v.t0 AS lag_us
+        FROM v JOIN p ON v.user_id = p.user_id
+      )
+      SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewers,
+        CAST(count(*) AS BIGINT) AS n_converted,
+        CAST(count(*) AS DOUBLE)
+          / CAST((SELECT count(*) FROM v) AS DOUBLE) AS conv_rate,
+        quantile_cont(lag_us, 0.5) AS p50_lag_us,
+        quantile_cont(lag_us, 0.9) AS p90_lag_us
+      FROM lags""")) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t0"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(v, Seq("user_id"))
+        .where(unix_micros(col("ts")) >= col("t0"))
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("t1"))
+      val lags = v.join(p, Seq("user_id"))
+        .select((col("t1") - col("t0")).as("lag_us"))
+      val nViewers = v.agg(count(lit(1)).as("n_viewers"))
+      lags.agg(count(lit(1)).as("n_converted"),
+          percentile(col("lag_us"), lit(0.5)).as("p50_lag_us"),
+          percentile(col("lag_us"), lit(0.9)).as("p90_lag_us"))
+        .crossJoin(broadcast(nViewers))
+        .select(col("n_viewers"), col("n_converted"),
+          (col("n_converted").cast("double") /
+            col("n_viewers").cast("double")).as("conv_rate"),
+          col("p50_lag_us"), col("p90_lag_us"))
+    },
+
+    // Cumulative cohort value (LTV curves): running per-cohort value
+    // totals and per-user averages by week offset — integer-cents
+    // running sums over the tiny cohort×offset frame.
+    Q("q152_cohort_ltv", Some("""
+      WITH c AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cw
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+      ), sz AS (
+        SELECT cw, CAST(count(*) AS BIGINT) AS n_users
+        FROM c GROUP BY 1
+      ), wk AS (
+        SELECT c.cw,
+          CAST(floor(date_diff('day', CAST(c.cw AS DATE),
+            CAST(date_trunc('week', e.ts) AS DATE)) / 7) AS BIGINT)
+            AS week_offset,
+          CAST(sum(CAST(e.value AS DECIMAL(18,2))) * 100 AS HUGEINT)
+            AS wc
+        FROM events e JOIN c USING (user_id)
+        WHERE e.value IS NOT NULL
+        GROUP BY 1, 2
+      ), r AS (
+        SELECT cw, week_offset,
+          sum(wc) OVER (PARTITION BY cw ORDER BY week_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM wk
+      )
+      SELECT strftime(r.cw, '%Y-%m-%d') AS cohort_week, week_offset,
+        sz.n_users,
+        CAST(cum AS DOUBLE) / 100.0 AS cum_value,
+        CAST(cum AS DOUBLE)
+          / (100.0 * CAST(sz.n_users AS DOUBLE)) AS ltv_per_user
+      FROM r JOIN sz ON r.cw = sz.cw
+      ORDER BY cohort_week, week_offset""")) { (s, dir) =>
+      Behavior.cohortLtv(Tables.load(s, dir, "events"))
+        .orderBy("cohort_week", "week_offset")
+    },
+
     // Weekly cohort retention: distinct active users per
     // (first-event week, week offset).
     Q("q66_retention", Some("""

@@ -53,6 +53,56 @@ object TimeSeriesQueries {
         dailyCents(s, dir), "event_type", "day", "yc")
     },
 
+    // Trailing 14-day rolling correlation between the view and
+    // purchase daily value series — the co-movement diagnostic.
+    // Exact windowed power sums; the unpartitioned window is safe
+    // because the input is day-grain (calendar-bounded).
+    Q("q151_rolling_corr", Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS yc
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IN ('view', 'purchase')
+        GROUP BY 1, 2
+      ), s AS (
+        SELECT v.day, v.yc AS x, p.yc AS y
+        FROM (SELECT day, yc FROM d WHERE event_type = 'view') v
+        JOIN (SELECT day, yc FROM d WHERE event_type = 'purchase') p
+          USING (day)
+      ), r AS (
+        SELECT day,
+          count(*) OVER w AS n,
+          sum(CAST(x AS HUGEINT)) OVER w AS sx,
+          sum(CAST(y AS HUGEINT)) OVER w AS sy,
+          sum(CAST(x AS HUGEINT) * x) OVER w AS sxx,
+          sum(CAST(y AS HUGEINT) * y) OVER w AS syy,
+          sum(CAST(x AS HUGEINT) * y) OVER w AS sxy
+        FROM s
+        WINDOW w AS (ORDER BY day
+          ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      )
+      SELECT strftime(day, '%Y-%m-%d') AS day,
+        CASE WHEN CAST(14 * sxx - sx * sx AS DOUBLE) > 0
+              AND CAST(14 * syy - sy * sy AS DOUBLE) > 0 THEN
+          CAST(14 * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(14 * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(14 * syy - sy * sy AS DOUBLE))) END AS corr
+      FROM r WHERE n = 14 ORDER BY day""")) { (s, dir) =>
+      val d = dailyCents(s, dir)
+        .where(col("event_type").isin("view", "purchase"))
+      val joined = d.where(col("event_type") === "view")
+        .select(col("day"), col("yc").as("x"))
+        .join(d.where(col("event_type") === "purchase")
+          .select(col("day"), col("yc").as("y")), Seq("day"))
+      graft.analytics.TimeSeries.rollingCorr(
+          joined, "day", "x", "y", window = 14)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("corr"))
+        .orderBy("day")
+    },
+
     // CUSUM change-point scan: the day maximizing |Σ_{i<=k}(y_i - mean)|
     // per type (Page 1954), located in exact integer arithmetic
     // (n·S_k = n·C_k − k·T in cents — the mean never becomes a

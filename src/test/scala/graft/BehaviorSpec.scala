@@ -191,6 +191,21 @@ class BehaviorSpec extends SparkSpec {
     assert(got === Seq(("a > b", 2L), ("a > c", 1L)))
   }
 
+  test("cohortLtv: running totals per cohort, per-user average") {
+    val e = events(
+      // user 1 cohort week of Jan 1 (Mon): 2.00 week0, 3.00 week2
+      (1L, "2024-01-02 10:00:00", 1L, "view", 2.0),
+      (2L, "2024-01-16 10:00:00", 1L, "view", 3.0),
+      // user 2 same cohort: 4.00 week0
+      (3L, "2024-01-03 10:00:00", 2L, "view", 4.0))
+    val got = Behavior.cohortLtv(e)
+      .orderBy("cohort_week", "week_offset")
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(
+      ("2024-01-01", 0L, 2L, 6.0, 3.0),
+      ("2024-01-01", 2L, 2L, 9.0, 4.5)))
+  }
+
   test("weeklyRetention: offsets measured from first-event week") {
     val e = events(
       // user 1: first event Tue week0, active again week2

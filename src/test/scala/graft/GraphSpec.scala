@@ -79,6 +79,31 @@ class GraphSpec extends SparkSpec {
     assert(three === Map(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "x"))
   }
 
+  test("triangleCensus: counts each triangle once; coefficient exact") {
+    import spark.implicits._
+    // K3 on {1,2,3} plus pendant edge 3-4:
+    // 1 triangle; degrees 2,2,3,1 -> wedges 1+1+3+0 = 5; cc = 3/5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (2L, 1L)) // duplicate reversed edge must collapse
+      .toDF("u", "v")
+    val r = graft.analytics.Graph.triangleCensus(edges, "u", "v")
+      .collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 4L)
+    assert(r.getAs[Long]("n_wedges") === 5L)
+    assert(r.getAs[Long]("n_triangles") === 1L)
+    assert(r.getAs[Double]("clustering_coeff") === 0.6)
+  }
+
+  test("triangleCensus: triangle-free graph has zero coefficient") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val r = graft.analytics.Graph.triangleCensus(star, "u", "v")
+      .collect()(0)
+    assert(r.getAs[Long]("n_triangles") === 0L)
+    assert(r.getAs[Double]("clustering_coeff") === 0.0)
+  }
+
   test("rank mass is conserved up to floor losses") {
     val scale = 1000000000000L
     val r = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)), 10)
