@@ -85,11 +85,15 @@ object Graph {
     * (u<v<w, each triangle counted exactly once), wedges from the
     * degree sequence, coefficient = 3T / W.
     *
-    * Scale shape: ONE edge⋈edge equi-join on the shared middle
-    * vertex (candidate volume Σ deg² over the id-ordered graph — the
-    * standard bound; a hub-heavy graph wants degree-orientation,
-    * which changes no result, only the join's candidate count) plus
-    * one closing-edge semi-join, both keyed. Counts are exact longs;
+    * Scale shape: DEGREE-ORIENTED two-path join (Chiba–Nishizeki
+    * 1985 / Schank–Wagner 2005): every edge is oriented from its
+    * lower-(degree, id) endpoint to the higher one — an acyclic
+    * total order, so each triangle has exactly ONE vertex sourcing
+    * two of its edges and is counted exactly once from there. The
+    * wedge join's candidate volume drops from Σ deg² (fatal on hub
+    * nodes — measured 18 s at sf0.1 on the id-ordered form) to
+    * Σ outdeg², with outdeg ≤ O(√m) on any graph. One keyed
+    * self-join + one closing-edge semi-join; counts are exact longs;
     * the coefficient is one double division.
     *
     * Output (one row): n_nodes, n_edges, n_wedges, n_triangles,
@@ -114,11 +118,34 @@ object Graph {
       count(lit(1)).as("n_nodes"),
       expr("sum(d) div 2").as("n_edges"),
       expr("sum(d * (d - 1)) div 2").as("n_wedges"))
-    val paths = eM.select(col("u").as("a"), col("v").as("b"))
-      .join(eM.select(col("u").as("b"), col("v").as("c")), Seq("b"))
-    val tri = paths
-      .join(eM.select(col("u").as("a"), col("v").as("c")),
-        Seq("a", "c"), "left_semi")
+    // orient each edge from its lower-(degree, id) endpoint; carry
+    // the endpoint keys so the out-neighbor pair below can be put in
+    // the same canonical order without re-joining degrees
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = Dedup.materialize(
+      eM.join(du, Seq("u")).join(dv, Seq("v"))
+        .select(
+          when(uFirst, col("u")).otherwise(col("v")).as("src"),
+          when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+          when(uFirst,
+            struct(col("dv").as("kd"), col("v").as("kn")))
+            .otherwise(
+              struct(col("du").as("kd"), col("u").as("kn")))
+            .as("dstKey")))
+    // out-neighbor pairs of one source, canonically ordered by the
+    // SAME (degree, id) key — the closing edge, if present, is then
+    // guaranteed to be oriented b→c
+    val x = oriented.select(col("src"),
+      col("dst").as("b"), col("dstKey").as("kb"))
+    val y = oriented.select(col("src"),
+      col("dst").as("c"), col("dstKey").as("kc"))
+    val tri = x.join(y, Seq("src"))
+      .where(col("kb") < col("kc"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     nodesEdges.crossJoin(broadcast(tri))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
