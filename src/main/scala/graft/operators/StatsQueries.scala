@@ -486,6 +486,81 @@ object StatsQueries {
     // mid-range sum plus count×boundary double products (the clipped
     // values themselves are interpolated doubles, so a naive
     // SUM(clipped) would be summation-order-dependent).
+    // Cramér's V association between two categoricals (event type ×
+    // ISO weekday): χ² from exact counts — per-cell terms
+    // (n·o − r·c)²/(n·r·c) are double-finished from exact integers
+    // and summed by a CELL-SORTED fold (float addition is not
+    // associative; an unordered SUM could never hash-match), then
+    // V = sqrt(χ² / (n·(min(R,C)−1))).
+    Q("q155_cramers_v", Some("""
+      WITH o AS (
+        SELECT event_type AS a, CAST(isodow(CAST(ts AS DATE)) AS INT)
+            AS b,
+          CAST(count(*) AS BIGINT) AS o
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2
+      ), r AS (SELECT a, sum(o) AS ra FROM o GROUP BY 1),
+      c AS (SELECT b, sum(o) AS cb FROM o GROUP BY 1),
+      t AS (SELECT sum(o) AS n, count(DISTINCT a) AS nr,
+                   count(DISTINCT b) AS nc FROM o),
+      cells AS (
+        SELECT o.a, o.b,
+          CAST(CAST(t.n AS HUGEINT) * o.o - CAST(r.ra AS HUGEINT)
+              * c.cb AS DOUBLE)
+          * CAST(CAST(t.n AS HUGEINT) * o.o - CAST(r.ra AS HUGEINT)
+              * c.cb AS DOUBLE)
+          / CAST(CAST(t.n AS HUGEINT) * r.ra * c.cb AS DOUBLE)
+            AS term
+        FROM o JOIN r USING (a) JOIN c USING (b), t
+      ), chi AS (
+        SELECT list_reduce(
+          list_prepend(0.0, list(term ORDER BY a, b)),
+          (acc, x) -> acc + x) AS chi2
+        FROM cells
+      )
+      SELECT CAST(t.n AS BIGINT) AS n,
+        CAST(t.nr AS BIGINT) AS n_rows_cat,
+        CAST(t.nc AS BIGINT) AS n_cols_cat,
+        chi.chi2,
+        sqrt(chi.chi2 / (CAST(t.n AS DOUBLE)
+          * CAST(least(t.nr, t.nc) - 1 AS DOUBLE))) AS cramers_v
+      FROM t, chi""")) { (s, dir) =>
+      val o = Tables.load(s, dir, "events")
+        .where(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type").as("a"),
+          (weekday(col("ts").cast("date")) + 1).as("b"))
+        .agg(count(lit(1)).as("o"))
+      val r = o.groupBy("a").agg(sum("o").as("ra"))
+      val c = o.groupBy("b").agg(sum("o").as("cb"))
+      val t = o.agg(sum("o").as("n"),
+        countDistinct("a").as("nr"), countDistinct("b").as("nc"))
+      val D38 = DecimalType(38, 0)
+      def dd(x: org.apache.spark.sql.Column) = x.cast(D38)
+      val num = (dd(col("n")) * col("o") -
+        dd(col("ra")) * col("cb")).cast("double")
+      val term = num * num /
+        (dd(col("n")) * col("ra") * col("cb")).cast("double")
+      val cells = o.join(r, Seq("a")).join(c, Seq("b"))
+        .crossJoin(broadcast(t))
+        .select(col("a"), col("b"), term.as("term"))
+      // cell-sorted fold: identical IEEE chain to the oracle's
+      // list_reduce over list(term ORDER BY a, b)
+      val chi = cells
+        .agg(sort_array(collect_list(
+          struct(col("a"), col("b"), col("term")))).as("__l"))
+        .select(aggregate(col("__l"), lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("chi2"))
+        .crossJoin(broadcast(t))
+        .select(col("chi2"), col("n"), col("nr"), col("nc"))
+      chi.select(col("n").cast("long").as("n"),
+        col("nr").cast("long").as("n_rows_cat"),
+        col("nc").cast("long").as("n_cols_cat"),
+        col("chi2"),
+        sqrt(col("chi2") / (col("n").cast("double") *
+          (least(col("nr"), col("nc")) - 1).cast("double")))
+          .as("cramers_v"))
+    },
+
     // One-pass Pearson correlation matrix over the lineitem numeric
     // columns: ALL pairwise power sums (4 sums, 4 sums-of-squares,
     // 6 cross products — 15 aggregates) accumulate in a SINGLE
