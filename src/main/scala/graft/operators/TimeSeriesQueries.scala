@@ -53,6 +53,74 @@ object TimeSeriesQueries {
         dailyCents(s, dir), "event_type", "day", "yc")
     },
 
+    // Holt linear (double exponential) smoothing per type over the
+    // daily series: level/trend recursion as an explicit day-ordered
+    // left fold (identical IEEE chain in `aggregate` ↔ `list_reduce`,
+    // the q116 EWMA pattern with a two-field struct accumulator),
+    // init l₁=y₁, b₁=y₂−y₁ (Hyndman §7.2), 7-day-ahead forecast
+    // ŷ = l + 7b. α=0.5, β=0.3.
+    Q("q156_holt_forecast", Some("""
+      WITH RECURSIVE d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) * 100
+            AS BIGINT) AS DOUBLE) / 100.0 AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+      ), v AS (
+        SELECT event_type, list(y ORDER BY day) AS ys,
+          CAST(count(*) AS BIGINT) AS n_days
+        FROM d GROUP BY 1 HAVING count(*) >= 2
+      ), it AS (
+        -- NB: a list_reduce fold with a multi-field struct
+        -- accumulator mis-evaluates in DuckDB v1.0 (the second
+        -- field sees a half-updated accumulator); the recursive CTE
+        -- below has well-defined semantics and runs the identical
+        -- IEEE chain
+        SELECT event_type, 2 AS k, ys[1] AS l, ys[2] - ys[1] AS b,
+          ys, n_days
+        FROM v
+        UNION ALL
+        SELECT event_type, k + 1,
+          0.5::DOUBLE * ys[k] + 0.5::DOUBLE * (l + b),
+          0.3::DOUBLE * ((0.5::DOUBLE * ys[k]
+            + 0.5::DOUBLE * (l + b)) - l) + 0.7::DOUBLE * b,
+          ys, n_days
+        FROM it WHERE k <= n_days
+      )
+      SELECT event_type, n_days, l AS level, b AS trend,
+        l + 7.0::DOUBLE * b AS forecast_7d
+      FROM it WHERE k = n_days + 1
+      ORDER BY event_type""")) { (s, dir) =>
+      val d = dailyCents(s, dir)
+        .select(col("event_type"), col("day"),
+          (col("yc").cast("double") / lit(100.0)).as("y"))
+      val v = d.groupBy("event_type")
+        .agg(transform(
+            sort_array(collect_list(struct(col("day"), col("y")))),
+            x => x.getField("y")).as("ys"),
+          count(lit(1)).as("n_days"))
+        .where(col("n_days") >= 2)
+      def l2(acc: org.apache.spark.sql.Column,
+          x: org.apache.spark.sql.Column) =
+        lit(0.5) * x + lit(0.5) *
+          (acc.getField("l") + acc.getField("b"))
+      val folded = v.select(col("event_type"), col("n_days"),
+        aggregate(
+          slice(col("ys"), lit(2),
+            greatest(size(col("ys")) - 1, lit(0))),
+          struct(element_at(col("ys"), 1).as("l"),
+            (element_at(col("ys"), 2) - element_at(col("ys"), 1))
+              .as("b")),
+          (acc, x) => struct(
+            l2(acc, x).as("l"),
+            (lit(0.3) * (l2(acc, x) - acc.getField("l")) +
+              lit(0.7) * acc.getField("b")).as("b"))).as("st"))
+      folded.select(col("event_type"), col("n_days"),
+          col("st.l").as("level"), col("st.b").as("trend"),
+          (col("st.l") + lit(7.0) * col("st.b")).as("forecast_7d"))
+        .orderBy("event_type")
+    },
+
     // Trailing 14-day rolling correlation between the view and
     // purchase daily value series — the co-movement diagnostic.
     // Exact windowed power sums; the unpartitioned window is safe
