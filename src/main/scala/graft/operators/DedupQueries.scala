@@ -619,6 +619,36 @@ object DedupQueries {
     // within-corpus pairs nobody asked for). Shingle universe and
     // stop-shingle cap over the combined corpus, mirroring the
     // operator's default config.
+    // Sorted-neighborhood dedup candidates (Hernández–Stolfo): the
+    // prefix-sorted sliding-window blocking family — catches
+    // versioned/re-crawled near-dups that share a key prefix; pairs
+    // within a 3-rank window of the normalized 32-char key, matched
+    // at Levenshtein ≤ 5 (integer DP, engine-portable).
+    Q("q157_sorted_neighborhood", Some("""
+      WITH k AS (
+        SELECT doc_id AS id,
+          lower(substr(regexp_replace(trim(text), '\s+', ' ', 'g'),
+            1, 32)) AS key
+        FROM documents WHERE text IS NOT NULL
+      ), rk AS (
+        SELECT id, key, substr(key, 1, 2) AS block,
+          row_number() OVER (PARTITION BY substr(key, 1, 2)
+            ORDER BY key, id) AS r
+        FROM k
+      )
+      SELECT a.id AS id_a, b.id AS id_b,
+        a.key AS key_a, b.key AS key_b,
+        CAST(levenshtein(a.key, b.key) AS INT) AS lev
+      FROM rk a JOIN rk b
+        ON a.block = b.block AND b.r > a.r AND b.r <= a.r + 3
+      WHERE levenshtein(a.key, b.key) <= 5
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      Dedup.sortedNeighborhoodPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          keyChars = 32, blockChars = 2, window = 3, maxDist = 5)
+        .orderBy("id_a", "id_b")
+    },
+
     Q("q127_cross_jaccard", Some(s"""
       WITH sh AS (${duckShingleIndex(3)}),
       $duckCappedShingleCtes,

@@ -642,4 +642,33 @@ class DedupSpec extends SparkSpec {
       n = 2, threshold = 0.1, autoStopShingles = false)
     assert(uncapped.count() == 1L)
   }
+
+  test("sortedNeighborhood: window bound, edit gate, block scoping") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha document one"),
+      (2L, "alpha document two"),     // 3 edits from doc 1 -> pair
+      (3L, "alpha ZZZZZZZZ ZZZZZZZZ"), // same block, > 5 edits
+      (4L, "beta document one"))       // different block
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        keyChars = 32, blockChars = 2, window = 3, maxDist = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("sortedNeighborhood: rank-bucket band join finds all in-window pairs") {
+    import spark.implicits._
+    // 8 near-identical docs in one block: window=3 must yield every
+    // pair with rank gap <= 3 and no others, across bucket borders
+    val docs = (1 to 8).map(i => (i.toLong, s"same prefix doc $i"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        keyChars = 32, blockChars = 2, window = 3, maxDist = 32)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      i <- 1 to 8; j <- i + 1 to math.min(i + 3, 8)
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got === want)
+  }
 }
