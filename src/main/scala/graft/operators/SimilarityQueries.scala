@@ -179,6 +179,98 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    // Retrieval-quality metrics of the LSH ANN run against the exact
+    // brute-force ground truth: per-query MRR@5 and NDCG@5. The log2
+    // discounts are pre-quantized to INTEGER micro-units
+    // (⌊10¹²/log2(rank+1)⌋, shared Scala-generated literals), so DCG
+    // sums are exact longs and NDCG is one double division — no libm
+    // log at query time, no order-dependent double summation.
+    {
+      val bits = 8
+      val disc: Map[Int, Long] = (1 to 5).map(i =>
+        i -> math.floor(1e12 / (math.log(i + 1) / math.log(2)))
+          .toLong).toMap
+      val idcg: Long = (1 to 5).map(disc).sum
+      val discSql = (1 to 5).map(i =>
+        s"WHEN ${i} THEN ${disc(i)}").mkString(" ")
+      Q("q158_retrieval_metrics", Some(s"""
+      WITH truth AS (
+        SELECT query_id, neighbor_id, rn FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              ${duckCosine("q.embedding::DOUBLE[]",
+                "c.embedding::DOUBLE[]")} DESC, c.vec_id) AS rn
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 16) t
+        WHERE rn <= 5
+      ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          ${duckCosine("q.embedding::DOUBLE[]",
+            "c.embedding::DOUBLE[]")} AS score
+        FROM embeddings q JOIN embeddings c
+          ON ${duckAnyBucketMatch("q", "c", bits)}
+         AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 16
+      ), ann AS (
+        SELECT query_id, neighbor_id, rn FROM (
+          SELECT query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS rn
+          FROM cand) t
+        WHERE rn <= 5
+      ), hits AS (
+        SELECT a.query_id, a.rn
+        FROM ann a JOIN truth t
+          ON a.query_id = t.query_id
+         AND a.neighbor_id = t.neighbor_id
+      ), per AS (
+        SELECT query_id,
+          CAST(count(*) AS BIGINT) AS n_hits,
+          min(rn) AS first_hit,
+          sum(CASE rn $discSql ELSE 0 END) AS dcg
+        FROM hits GROUP BY 1
+      )
+      SELECT q.query_id, coalesce(per.n_hits, 0) AS n_hits,
+        CASE WHEN per.first_hit IS NOT NULL THEN
+          CAST(1.0 AS DOUBLE) / CAST(per.first_hit AS DOUBLE)
+          ELSE CAST(0.0 AS DOUBLE) END AS mrr,
+        CASE WHEN per.dcg IS NOT NULL THEN
+          CAST(per.dcg AS DOUBLE) / CAST(${idcg} AS DOUBLE)
+          ELSE CAST(0.0 AS DOUBLE) END AS ndcg
+      FROM (SELECT DISTINCT query_id FROM truth) q
+      LEFT JOIN per ON q.query_id = per.query_id
+      ORDER BY q.query_id""")) { (s, dir) =>
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 16)
+        val truth = Similarity.bruteForceTopK(queries, emb, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val ann = Similarity.bucketedTopK(queries, emb,
+            k = 5, bits = bits)
+          .select(col("query_id"), col("neighbor_id"), col("rn"))
+        val discCol = (1 to 5).foldLeft(lit(0L)) { (acc, i) =>
+          when(col("rn") === i, lit(disc(i))).otherwise(acc)
+        }
+        val per = ann
+          .join(truth, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id")
+          .agg(count(lit(1)).as("n_hits"),
+            min(col("rn")).as("first_hit"),
+            sum(discCol).as("dcg"))
+        truth.select("query_id").distinct()
+          .join(per, Seq("query_id"), "left_outer")
+          .select(col("query_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            when(col("first_hit").isNotNull,
+              lit(1.0) / col("first_hit").cast("double"))
+              .otherwise(lit(0.0)).as("mrr"),
+            when(col("dcg").isNotNull,
+              col("dcg").cast("double") / lit(idcg.toDouble))
+              .otherwise(lit(0.0)).as("ndcg"))
+          .orderBy("query_id")
+      }
+    },
+
     // LSH-bucketed approximate top-k: candidates = any-bucket match
     // across 2 independent seeded random-hyperplane tables (8 bits
     // each, OR-amplified), deduped before exact scoring — per-table the
