@@ -61,6 +61,55 @@ object AdvancedQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // Gaps-and-islands: missing o_orderkey ranges, top-20 by length.
+    // The engine runs the bucketed two-pass form (keyed within-bucket
+    // lead + a per-bucket summary pass); the oracle is the textbook
+    // global lead — identical gaps.
+    Q("q160_id_gaps", Some("""
+      WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                 WHERE o_orderkey IS NOT NULL
+                   AND o_orderstatus = 'F'),
+      g AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+      SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+        CAST(nk - 1 AS BIGINT) AS gap_end,
+        CAST(nk - k - 1 AS BIGINT) AS gap_len
+      FROM g WHERE nk - k > 1
+      ORDER BY gap_len DESC, gap_start LIMIT 20""")) { (s, dir) =>
+      // bucketWidth 1000 so the cross-bucket boundary path runs in
+      // anger even at the small verify SFs
+      graft.analytics.Sequences.idGaps(
+          Tables.load(s, dir, "orders")
+            .where(col("o_orderstatus") === "F"), "o_orderkey",
+          bucketWidth = 1000L)
+        .orderBy(desc("gap_len"), asc("gap_start"))
+        .limit(20)
+    },
+
+    // Full CUBE (all 2² grouping sets) with grouping-id parity —
+    // completes the GROUPING SETS surface next to q42's ROLLUP.
+    Q("q159_cube", Some("""
+      SELECT o_orderpriority, o_orderstatus,
+        CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+          AS gid,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS total
+      FROM orders
+      GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      ORDER BY gid, o_orderpriority NULLS FIRST,
+        o_orderstatus NULLS FIRST""")) { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(grouping_id().as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast("double").as("total"))
+        .select("o_orderpriority", "o_orderstatus", "gid", "n",
+          "total")
+        .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first)
+    },
+
     // Batch sliding windows (1 h window / 30 min slide): every event
     // lands in exactly two windows; the oracle fans each row out to
     // both window starts arithmetically.
