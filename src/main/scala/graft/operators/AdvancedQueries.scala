@@ -61,6 +61,55 @@ object AdvancedQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // Top movers: week-over-week value deltas per event type, top-10
+    // by absolute change — the period-over-period BI staple. Deltas
+    // are exact cents; pct_change is one guarded double division.
+    Q("q161_top_movers", Some("""
+      WITH w AS (
+        SELECT event_type, date_trunc('week', ts) AS wk,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS tc
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+      ), d AS (
+        SELECT event_type, wk, tc,
+          lag(tc) OVER (PARTITION BY event_type ORDER BY wk) AS pc
+        FROM w
+      )
+      SELECT event_type, strftime(wk, '%Y-%m-%d') AS week,
+        CAST(tc AS DOUBLE) / 100.0 AS total,
+        CAST(pc AS DOUBLE) / 100.0 AS prev_total,
+        CAST(tc - pc AS DOUBLE) / 100.0 AS delta,
+        CASE WHEN pc > 0 THEN
+          CAST(tc - pc AS DOUBLE) / CAST(pc AS DOUBLE) END
+          AS pct_change
+      FROM d WHERE pc IS NOT NULL
+      ORDER BY abs(tc - pc) DESC, event_type, week
+      LIMIT 10""")) { (s, dir) =>
+      val w = Tables.load(s, dir, "events")
+        .where(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"),
+          date_trunc("week", col("ts")).as("wk"))
+        .agg((sum(Q.dec(col("value"))) * 100).cast("long").as("tc"))
+      val lw = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("wk")
+      w.withColumn("pc", lag(col("tc"), 1).over(lw))
+        .where(col("pc").isNotNull)
+        .select(col("event_type"),
+          date_format(col("wk"), "yyyy-MM-dd").as("week"),
+          (col("tc").cast("double") / lit(100.0)).as("total"),
+          (col("pc").cast("double") / lit(100.0)).as("prev_total"),
+          ((col("tc") - col("pc")).cast("double") / lit(100.0))
+            .as("delta"),
+          when(col("pc") > 0,
+            (col("tc") - col("pc")).cast("double") /
+              col("pc").cast("double")).as("pct_change"),
+          abs(col("tc") - col("pc")).as("__ad"))
+        .orderBy(desc("__ad"), asc("event_type"), asc("week"))
+        .limit(10)
+        .drop("__ad")
+    },
+
     // Gaps-and-islands: missing o_orderkey ranges, top-20 by length.
     // The engine runs the bucketed two-pass form (keyed within-bucket
     // lead + a per-bucket summary pass); the oracle is the textbook
