@@ -61,6 +61,60 @@ object AdvancedQueries {
           col("l_linestatus").asc_nulls_first)
     },
 
+    // Longest consecutive-day activity streak per user — islands over
+    // the TIME dimension (q160 audits the key domain): distinct active
+    // days, the date-minus-row_number island key, one keyed count.
+    // Every window partitions by user_id, so there is no global sort
+    // and the shape scales as two keyed shuffles. All-integer/date
+    // semantics — nothing floating-point to drift vs the oracle.
+    Q("q162_activity_streaks", Some("""
+      WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      ), g AS (
+        SELECT user_id, d,
+          d - CAST(ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp
+        FROM d
+      ), s AS (
+        SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak_days,
+          MIN(d) AS sd, MAX(d) AS ed
+        FROM g GROUP BY user_id, grp
+      ), best AS (
+        SELECT user_id, streak_days, sd, ed,
+          ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY streak_days DESC, sd) AS rk
+        FROM s
+      )
+      SELECT user_id, streak_days,
+        strftime(sd, '%Y-%m-%d') AS start_day,
+        strftime(ed, '%Y-%m-%d') AS end_day
+      FROM best WHERE rk = 1
+      ORDER BY streak_days DESC, user_id LIMIT 20""")) { (s, dir) =>
+      val wu = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("d")
+      val days = Tables.load(s, dir, "events")
+        .where(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val streaks = days
+        .withColumn("grp",
+          date_sub(col("d"), row_number().over(wu)))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("streak_days"),
+          min(col("d")).as("sd"), max(col("d")).as("ed"))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy(desc("streak_days"), asc("sd"))
+      streaks.withColumn("rk", row_number().over(wb))
+        .where(col("rk") === 1)
+        .select(col("user_id"), col("streak_days"),
+          date_format(col("sd"), "yyyy-MM-dd").as("start_day"),
+          date_format(col("ed"), "yyyy-MM-dd").as("end_day"))
+        .orderBy(desc("streak_days"), asc("user_id"))
+        .limit(20)
+    },
+
     // Top movers: week-over-week value deltas per event type, top-10
     // by absolute change — the period-over-period BI staple. Deltas
     // are exact cents; pct_change is one guarded double division.
