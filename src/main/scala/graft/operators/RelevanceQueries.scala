@@ -203,6 +203,51 @@ object RelevanceQueries {
         .select(col("query_id"), col("doc_id"), col("s4"),
           col("rn").cast("int").as("rn"))
         .orderBy("query_id", "rn")
+    },
+
+    // Inverted-index materialization: per-term document frequency,
+    // corpus term frequency, and a BOUNDED posting-list head (first
+    // 10 doc_ids, ascending, comma-joined so the hash compare sees a
+    // plain string). The head is cut by a term-partitioned rank —
+    // never a per-term collect of the full posting list — so the
+    // shape at 100 TB is the (doc_id, term) keyed shuffle that
+    // TF-IDF/BM25 already pay, one vocabulary-sized aggregate, and a
+    // vocabulary-sized join; no row ever carries more than 10 ids.
+    Q("q163_inverted_index", Some(s"""
+      WITH $baseCtes,
+      r AS (
+        SELECT term, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id)
+            AS rn
+        FROM tf),
+      heads AS (
+        SELECT term,
+          string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+            AS postings_head
+        FROM r WHERE rn <= 10 GROUP BY term),
+      stats AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+          CAST(SUM(tf) AS BIGINT) AS ctf
+        FROM tf GROUP BY term)
+      SELECT s.term, s.df, s.ctf, h.postings_head
+      FROM stats s JOIN heads h ON s.term = h.term
+      ORDER BY s.df DESC, s.term LIMIT 50""")) { (s, dir) =>
+      val tf = Relevance.termFreqs(
+        Tables.load(s, dir, "documents"), "doc_id", "text")
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy("term").orderBy("doc_id")
+      val heads = tf
+        .withColumn("rn", row_number().over(wr))
+        .where(col("rn") <= 10)
+        .groupBy("term")
+        .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
+          .as("postings_head"))
+      val stats = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("ctf"))
+      stats.join(heads, "term")
+        .orderBy(desc("df"), asc("term"))
+        .limit(50)
+        .select("term", "df", "ctf", "postings_head")
     }
   )
 }
