@@ -73,6 +73,34 @@ object Dedup {
       sc.getCheckpointDir.get
     }
 
+  /** Ceiling (bytes) for the PPJoin broadcast-verify sets frame —
+    * AUTO-SIZED from the memory the broadcast actually has to fit in,
+    * instead of a fixed constant. The sf3 rehearsal measured q19 at
+    * 190 s when an ~800 MB sets frame fell past the old fixed 256 MB
+    * ceiling onto the shuffle-verify path, and 138 s once the ceiling
+    * was raised by hand — the engine should make that choice itself.
+    *
+    * Sizing: the collected sets frame lives once on the driver (while
+    * the broadcast is built) and once per executor, next to task and
+    * shuffle state — so the ceiling is 1/8 of the SMALLER of the
+    * driver heap and the configured executor memory, floored at the
+    * old 256 MB default (small heaps keep the measured-good
+    * small-scale behavior; in local mode driver and executors share
+    * one JVM, so `Runtime.maxMemory` is the binding figure on both
+    * counts). `spark.graft.jaccardBroadcastSetBytes` set explicitly
+    * overrides the heuristic entirely. */
+  private[graft] def broadcastSetBytesCeiling(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.jaccardBroadcastSetBytes")
+      .map(_.toLong).getOrElse {
+        val driverHeap = Runtime.getRuntime.maxMemory
+        val execMem = spark.conf.getOption("spark.executor.memory")
+          .flatMap(s => scala.util.Try(org.apache.spark.network.util
+            .JavaUtils.byteStringAsBytes(s)).toOption)
+          .getOrElse(driverHeap)
+        math.max(268435456L, math.min(driverHeap, execMem) / 8)
+      }
+
   /** Deterministic universal-hash coefficients for seed `i`. */
   def hashCoeffs(i: Int): (Long, Long) = {
     val a = (2654435761L * (i + 1)) % (P - 1) + 1
@@ -289,19 +317,23 @@ object Dedup {
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         // exact verification: intersect the full (distinct-shingle)
         // sets per candidate. The sets frame is postings-sized (one
-        // array cell per posting), so up to
-        // spark.graft.jaccardBroadcastSetBytes (default 256 MB ≈ 16 M
-        // postings) it BROADCASTS and verification is map-side: no
-        // shuffle ever carries a doc-sized array per candidate, and
-        // the candidate distinct (measured multiplicity ~1.05 — most
-        // pairs collide on exactly one prefix shingle) collapses to a
-        // cheap distinct of the small verified output instead.
-        // Beyond that the sets join falls back to shuffle joins with
-        // a pre-distinct so each pair ships its arrays once.
+        // array cell per posting), so up to the broadcast ceiling it
+        // BROADCASTS and verification is map-side: no shuffle ever
+        // carries a doc-sized array per candidate, and the candidate
+        // distinct (measured multiplicity ~1.05 — most pairs collide
+        // on exactly one prefix shingle) collapses to a cheap
+        // distinct of the small verified output instead. Beyond the
+        // ceiling the sets join falls back to shuffle joins with a
+        // pre-distinct so each pair ships its arrays once. The
+        // ceiling AUTO-SIZES from the JVM heap (see
+        // [[broadcastSetBytesCeiling]]) — the sf3 rehearsal measured
+        // q19 at 190 s on the shuffle-verify path vs 138 s broadcast,
+        // purely because a fixed 256 MB ceiling under-used a 12 GB
+        // heap; `spark.graft.jaccardBroadcastSetBytes` remains the
+        // explicit override.
         val sets = sh.groupBy("doc_id").agg(
           collect_list(col("h")).as("hs"), count(lit(1)).as("set_size"))
-        val bcastMax = docs.sparkSession.conf
-          .get("spark.graft.jaccardBroadcastSetBytes", "268435456").toLong
+        val bcastMax = broadcastSetBytesCeiling(docs.sparkSession)
         val smallSets = nPostings * 16 <= bcastMax
         val setsA = sets.select(col("doc_id").as("id_a"),
           col("hs").as("hs_a"), col("set_size").as("size_a"))
@@ -820,23 +852,48 @@ object Dedup {
     * floating-point boundary can disagree with an oracle.
     *
     * Plan: distinct-shingle index self-join grouped per pair — the
-    * same Σdf² shape as exact Jaccard, so the same scale rules apply
-    * (run inside LSH/simhash candidate buckets or behind a
-    * stop-shingle df cap at corpus scale; `maxDf` exposes the cap).
-    * Emits both directions when both clear the threshold.
+    * same Σdf² shape as exact Jaccard, so the SAME DEFAULTS apply:
+    * the stop-shingle df cap is ON unless the caller opts out
+    * (`autoStopShingles = false`) or passes an explicit `maxDf` —
+    * `max(spark.graft.jaccardStopShingleFloor (64),
+    * ⌈spark.graft.jaccardStopShingleFraction (0.01)·corpus⌉)`,
+    * mirroring [[ngramJaccardPairs]]. Containment sizes and
+    * intersections then both come from the capped universe. The cap
+    * is adaptively DROPPED (one scalar max-df job) when no shingle
+    * exceeds it, so small corpora keep exact semantics AND the
+    * cheaper no-filter plan. At corpus scale the designed discovery
+    * path remains LSH/simhash candidate buckets; this exact join is
+    * the verification tier. Emits both directions when both clear
+    * the threshold.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, tauNum: Int, tauDen: Int,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None,
+      autoStopShingles: Boolean = true): DataFrame = {
     require(tauNum > 0 && tauDen > 0 && tauNum <= tauDen,
       s"containment threshold must be a rational in (0,1]: $tauNum/$tauDen")
+    val conf = docs.sparkSession.conf
+    val effMaxDf: Option[Long] = maxDf.orElse {
+      if (!autoStopShingles) None
+      else {
+        val floor = conf.get("spark.graft.jaccardStopShingleFloor", "64").toInt
+        val fraction =
+          conf.get("spark.graft.jaccardStopShingleFraction", "0.01").toDouble
+        val nDocs = docs.count()
+        Some(math.max(floor.toLong, math.ceil(fraction * nDocs).toLong))
+      }
+    }
     val sh0 = shingleIndex(docs, idCol, textCol, n)
-    val sh = maxDf match {
+    val sh = effMaxDf match {
       case None => sh0
       case Some(cap) =>
-        val df = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= cap).select("shingle")
-        sh0.join(df, Seq("shingle"))
+        val dfm = sh0.groupBy("shingle").agg(count(lit(1)).as("__df"))
+        val capActive = dfm
+          .agg(coalesce(max(col("__df")), lit(0L))).collect()(0)
+          .getLong(0) > cap
+        if (!capActive) sh0
+        else sh0.join(
+          dfm.where(col("__df") <= cap).select("shingle"), Seq("shingle"))
     }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz_a"))
     val inter = sh.select(col("doc_id").as("id_a"), col("shingle"))

@@ -592,13 +592,22 @@ object DedupQueries {
     // of a's distinct 5-gram shingles appear in b — catches a small
     // doc embedded in a larger one, which symmetric Jaccard dilutes
     // below any usable threshold. 80% is the integer test 5·i ≥ 4·sz,
-    // so no FP boundary; ~50 directed pairs at sf0.01.
+    // so no FP boundary; ~50 directed pairs at sf0.01. The oracle
+    // mirrors the operator's DEFAULT stop-shingle cap
+    // (max(64, ⌈0.01·corpus⌉), same as q19/q61/q127): it binds
+    // nothing at oracle scale — the operator adaptively drops a
+    // non-binding cap, so both universes are the full shingle set —
+    // but keeps the compared semantics aligned as corpora grow.
     Q("q122_containment", Some(s"""
       WITH sh AS (${duckShingleIndex(5)}),
-      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+      dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+      shc AS (SELECT doc_id, sh.shingle FROM sh JOIN dfreq USING (shingle)
+        WHERE df <= (SELECT greatest(64, ceil(0.01 * COUNT(*)))
+                     FROM documents)),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY 1),
       inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-        FROM sh a JOIN sh b USING (shingle)
+        FROM shc a JOIN shc b USING (shingle)
         WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
       SELECT id_a, id_b, CAST(i AS BIGINT) AS i,
         CAST(sa.sz AS BIGINT) AS sz_a,

@@ -582,6 +582,40 @@ class DedupSpec extends SparkSpec {
       maxDf = Some(1L)).count() === 0L)
   }
 
+  test("jaccard broadcast-verify ceiling: conf overrides, auto ≥ 256 MB") {
+    spark.conf.set("spark.graft.jaccardBroadcastSetBytes", "12345")
+    try assert(Dedup.broadcastSetBytesCeiling(spark) === 12345L)
+    finally spark.conf.unset("spark.graft.jaccardBroadcastSetBytes")
+    val auto = Dedup.broadcastSetBytesCeiling(spark)
+    assert(auto >= 268435456L)
+    assert(auto >= Runtime.getRuntime.maxMemory / 8 ||
+      auto === 268435456L)
+  }
+
+  test("containmentPairs: stop-shingle cap on by default, opt-out exact") {
+    import spark.implicits._
+    // 100 docs all sharing boilerplate "aa bb"; docs 1/2 additionally
+    // share unique content. With the default config the floor (64)
+    // binds: the boilerplate shingle (df=100) leaves the universe, so
+    // only the content-pair survives and its sizes shrink accordingly.
+    val docs = (1 to 100).map {
+      case 1 => (1L, "aa bb u1 u2 u3")
+      case 2 => (2L, "aa bb u1 u2 u3 zz")
+      case i => (i.toLong, s"aa bb w$i")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 2, tauNum = 3, tauDen = 4)
+      .where(col("id_a") === 1L && col("id_b") === 2L).collect()
+    // doc1 capped universe: {u1u2, u2u3} plus bbu1 (df=2) → sz 3, all in doc2
+    assert(capped.length === 1 && capped(0).getAs[Long]("sz_a") === 3L)
+    // explicit opt-out restores the unbounded exact semantics:
+    // doc1's full universe {aa bb, bb u1, u1 u2, u2 u3} → sz 4
+    val exact = Dedup.containmentPairs(docs, "doc_id", "text",
+        n = 2, tauNum = 3, tauDen = 4, autoStopShingles = false)
+      .where(col("id_a") === 1L && col("id_b") === 2L).collect()
+    assert(exact.length === 1 && exact(0).getAs[Long]("sz_a") === 4L)
+  }
+
   test("topKByHash: null payloads survive, output keeps (hash,id) order") {
     import spark.implicits._
     import graft.analytics.Sampling

@@ -107,6 +107,20 @@ class JoinOpsSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("snapshotDiff classifies on row presence, not hash nullability") {
+    // a null content expression (md5(null) is null) must not turn a
+    // both-sides key into 'added'/'removed'
+    val oldDf = Seq((1L, Option.empty[String]), (2L, Some("b")),
+      (3L, Some("c"))).toDF("k", "v")
+    val newDf = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (4L, Option.empty[String])).toDF("k", "v")
+    val got = JoinOps.snapshotDiff(oldDf, newDf, Seq("k"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", // null <=> null
+      2L -> "changed",   // value -> null is a change, not an add
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("snapshotDiff with composite keys and multi-column content") {
     val oldDf = Seq((1L, 1, 10.0, "x"), (1L, 2, 20.0, "y"))
       .toDF("k1", "k2", "amt", "tag")
