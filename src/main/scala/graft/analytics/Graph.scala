@@ -156,6 +156,63 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** DOULION approximate triangle count (Tsourakakis et al. KDD'09)
+    * — the LINEAR-cost scale tier next to the exact
+    * [[triangleCensus]]: sparsify the graph by keeping each
+    * undirected edge with probability p = pNum/pDen, triangle-count
+    * the sparsified graph exactly (same degree-oriented join), and
+    * scale the count by (pDen/pNum)³. The estimator is unbiased
+    * (each triangle survives iff its 3 edges survive, probability
+    * p³), and concentration follows Tsourakakis et al.'s analysis —
+    * the spec pins a measured envelope on a known-T graph.
+    *
+    * At 100 TB this is the shipped answer for graph cohesion: the
+    * exact census's Σ outdeg² wedge volume is graph-shaped and can't
+    * be capped, while DOULION's cost is the linear edge scan plus
+    * the SAME wedge join on a p²-shrunk candidate volume (each wedge
+    * survives with p²) — p = 0.1 cuts the dominant term 100×.
+    *
+    * The coin is a DETERMINISTIC portable hash, not an RNG: edge
+    * (u,v) survives iff `h60(u:v:seed) mod pDen < pNum` — h60 is the
+    * md5-derived 60-bit integer used across the dedup tier, so an
+    * external engine replays the exact sampling decision and the
+    * result is reproducible under any partitioning, retry or
+    * speculative execution. `seed` varies the draw (average several
+    * seeds to cut variance; each is independently unbiased).
+    *
+    * Output (one row): n_edges (full graph), n_sampled_edges,
+    * t_sparse (exact triangles of the sampled graph), est_triangles
+    * (= t_sparse·pDen³ div pNum³ when exact, via integer arithmetic)
+    * and est_triangles_d (the double form, one division).
+    */
+  def approxTriangles(edges: DataFrame, aCol: String, bCol: String,
+      pNum: Int, pDen: Int, seed: Int = 0): DataFrame = {
+    require(pNum > 0 && pDen > 0 && pNum <= pDen,
+      s"sampling probability must be a rational in (0,1]: $pNum/$pDen")
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val eM = Dedup.materialize(e)
+    val keep = Dedup.h60(concat_ws(":",
+      col("u"), col("v"), lit(seed))) % pDen < pNum
+    val sampled = eM.where(keep)
+    val full = eM.agg(count(lit(1)).as("n_edges"))
+    val scale3 = pDen.toLong * pDen * pDen
+    val inv3 = pNum.toLong * pNum * pNum
+    val sparse = triangleCensus(sampled, "u", "v")
+      .select(col("n_edges").as("n_sampled_edges"),
+        col("n_triangles").as("t_sparse"))
+    full.crossJoin(broadcast(sparse))
+      .select(col("n_edges"), col("n_sampled_edges"), col("t_sparse"),
+        expr(s"(t_sparse * ${scale3}L) div ${inv3}L")
+          .as("est_triangles"),
+        (col("t_sparse").cast("double") * scale3 / inv3)
+          .as("est_triangles_d"))
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002 /
     * Raghavan et al. 2007, clamped-seed majority variant): seeded
     * nodes keep their label forever; each round, every still-

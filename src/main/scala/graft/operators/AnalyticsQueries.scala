@@ -102,6 +102,52 @@ object AnalyticsQueries {
       graft.analytics.Graph.triangleCensus(edges, "item_a", "item_b")
     },
 
+    // DOULION approximate triangle count over the SAME co-purchase
+    // graph as q154 — the linear scale tier: keep each edge iff
+    // h60(u:v:seed) mod 2 < 1 (a deterministic md5 coin both engines
+    // replay bit-identically), exact-count the sampled graph, scale
+    // by (1/p)³ = 8. The oracle recomputes the identical sampling
+    // decision and sampled-graph census, so the hash check covers
+    // the estimator end-to-end; the est-vs-exact envelope is pinned
+    // in GraphSpec and recorded against q154's exact count in SURVEY.
+    Q("q164_approx_triangles", Some("""
+      WITH base AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), e AS (
+        SELECT DISTINCT a.it AS u, b.it AS v
+        FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+      ), s AS (
+        SELECT u, v FROM e
+        WHERE ('0x' || substr(md5(u::VARCHAR || ':' || v::VARCHAR
+          || ':7'), 1, 15))::BIGINT % 2 < 1
+      ), ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+      ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled_edges FROM s),
+      tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS t_sparse
+        FROM s e1 JOIN s e2 ON e1.v = e2.u
+        WHERE EXISTS (SELECT 1 FROM s e3
+                      WHERE e3.u = e1.u AND e3.v = e2.v)
+      )
+      SELECT n_edges, n_sampled_edges, t_sparse,
+        CAST(t_sparse * 8 AS BIGINT) AS est_triangles,
+        CAST(t_sparse AS DOUBLE) * 8 / 1 AS est_triangles_d
+      FROM ne, ns, tri""")) { (s, dir) =>
+      val base = Tables.load(s, dir, "lineitem")
+        .where(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val edges = base.as("a")
+        .join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .select(col("a.it").as("item_a"), col("b.it").as("item_b"))
+        .distinct()
+      graft.analytics.Graph.approxTriangles(edges, "item_a", "item_b",
+        pNum = 1, pDen = 2, seed = 7)
+    },
+
     // Semi-supervised label propagation over the co-purchase graph:
     // a third of parts keep their brand as a clamped seed; two
     // synchronous majority rounds (ties → smallest label) spread

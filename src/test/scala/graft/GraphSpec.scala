@@ -104,6 +104,47 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Double]("clustering_coeff") === 0.0)
   }
 
+  test("approxTriangles: p = 1 reproduces the exact census") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L))
+      .toDF("u", "v")
+    val exact = graft.analytics.Graph.triangleCensus(edges, "u", "v")
+      .collect()(0).getAs[Long]("n_triangles")
+    val r = graft.analytics.Graph.approxTriangles(edges, "u", "v",
+      pNum = 1, pDen = 1).collect()(0)
+    assert(r.getAs[Long]("t_sparse") === exact)
+    assert(r.getAs[Long]("est_triangles") === exact)
+    assert(r.getAs[Long]("n_sampled_edges") === r.getAs[Long]("n_edges"))
+  }
+
+  test("approxTriangles: deterministic coin, measured error envelope") {
+    import spark.implicits._
+    // K24 clique: C(24,3) = 2024 triangles, C(24,2) = 276 edges. The
+    // md5 coin is deterministic, so this is a pinned measurement of
+    // the estimator on a known-T graph, not a flaky random draw.
+    val k = 24
+    val edges = (for {
+      i <- 1 to k; j <- (i + 1) to k
+    } yield (i.toLong, j.toLong)).toDF("u", "v")
+    val truth = k.toLong * (k - 1) * (k - 2) / 6
+    val r = graft.analytics.Graph.approxTriangles(edges, "u", "v",
+      pNum = 1, pDen = 2, seed = 7).collect()(0)
+    assert(r.getAs[Long]("n_edges") === k.toLong * (k - 1) / 2)
+    // p = 1/2 keeps about half the edges (deterministic hash spread)
+    val kept = r.getAs[Long]("n_sampled_edges")
+    assert(kept > 100 && kept < 180, s"kept=$kept")
+    val est = r.getAs[Long]("est_triangles")
+    // DOULION envelope: within 40% of truth on this draw (measured;
+    // deterministic forever for this graph + seed)
+    assert(math.abs(est - truth).toDouble / truth < 0.4,
+      s"est=$est truth=$truth")
+    // identical draw is reproduced under any partitioning
+    val r2 = graft.analytics.Graph.approxTriangles(
+      edges.repartition(13), "u", "v", pNum = 1, pDen = 2, seed = 7)
+      .collect()(0)
+    assert(r2.getAs[Long]("t_sparse") === r.getAs[Long]("t_sparse"))
+  }
+
   test("rank mass is conserved up to floor losses") {
     val scale = 1000000000000L
     val r = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)), 10)
