@@ -48,6 +48,27 @@ class TablesSpec extends SparkSpec {
     assert(e.getMessage.contains("StringType"))
   }
 
+  test("nanosAsLong left set by loadEvents does not disturb later reads") {
+    import spark.implicits._
+    // the loader's documented contract: the legacy conf stays set on
+    // the session (the lazy events scan re-consults it at execution
+    // time) and is a NO-OP for every non-nanos file — prove both by
+    // reading a normal micros-timestamp parquet after an events load
+    Tables.load(spark, sfDir, "events").count()
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+    val dir = tmpDir("graft-post-events-read")
+    val t = java.sql.Timestamp.valueOf("2022-05-01 10:20:30.123456")
+    Seq((1L, t)).toDF("id", "when")
+      .write.mode("overwrite").parquet(s"$dir/plain.parquet")
+    val back = spark.read.parquet(s"$dir/plain.parquet")
+    // an ordinary timestamp column still reads as a timestamp (NOT
+    // raw longs) with the same instant
+    assert(back.schema("when").dataType.isInstanceOf[TimestampType] ||
+      back.schema("when").dataType.isInstanceOf[TimestampNTZType])
+    assert(back.select(col("when").cast(TimestampType)).as[java.sql.Timestamp]
+      .head() == t)
+  }
+
   test("a table missing an expected column fails naming the table and column") {
     import spark.implicits._
     val df = Seq((1, "EUROPE")).toDF("r_regionkey", "r_wrong_name")
