@@ -73,6 +73,35 @@ object ScaleProbe {
         println(s"""{"probe":"semcells","k":${k.toInt},"cells":${sizes.length},""" +
           s""""top":${sizes.take(5).map(_.getLong(1)).mkString("[", ",", "]")},""" +
           s""""n":$tot,"sumSq":$sq}""")
+      case "containskew" :: nDocs :: abMode :: rest =>
+        // A/B for the default stop-shingle cap on containmentPairs:
+        // a boilerplate-skewed synthetic corpus (every doc opens with
+        // the same license header, then unique content; a planted 1%
+        // of docs share content pairwise). With `exact` the header
+        // shingles have df = n and the index self-join pays Σdf² ≈ n²;
+        // with `capped` (the default) they leave the universe and the
+        // curve is linear. Usage:
+        //   runMain graft.ScaleProbe containskew <nDocs> capped|exact
+        import org.apache.spark.sql.functions._
+        val n = nDocs.toInt
+        val boiler = "lorem ipsum dolor sit amet consectetur " +
+          "adipiscing elit sed do eiusmod tempor"
+        val docs = spark.range(0, n).selectExpr("id AS doc_id",
+          s"""concat('$boiler', ' u', id div 10, 'a b', id div 10,
+             ' c', id div 10, 'd e', id div 10, ' tail', id) AS text""")
+        docs.count(): Unit // warm the range + concat, untimed
+        val auto = abMode match {
+          case "capped" => true
+          case "exact" => false
+          case m => sys.error(s"containskew mode must be capped|exact: $m")
+        }
+        val t0 = System.nanoTime()
+        val rows = graft.analytics.Dedup.containmentPairs(
+          docs, "doc_id", "text", n = 3, tauNum = 1, tauDen = 2,
+          autoStopShingles = auto).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"containskew","n":$n,"mode":"$abMode",""" +
+          f""""pairs":$rows,"sec":$sec%.3f}""")
       case other =>
         System.err.println(s"unknown probe args: $other")
         sys.exit(2)

@@ -188,6 +188,53 @@ object Evaluation {
         .as("welch_df"))
   }
 
+  /** Calibration curve + expected calibration error (the reliability
+    * diagram behind every "is this classifier's 0.9 really a 90%?"
+    * check — Naeini et al. AAAI'15 formulation): bin predictions into
+    * `nBins` equal-width probability bins, compare each bin's mean
+    * predicted confidence with its observed positive rate, and weight
+    * the gaps into one ECE number.
+    *
+    * Determinism contract: `score` must already be QUANTIZED to
+    * 1/`scale` units (e.g. [[QualityModel.scoreCol]]'s 1e-4 sigmoid) —
+    * then every aggregate here is an exact integer (si = score·scale,
+    * bin = si·nBins div scale, Σsi, Σy, and the ECE numerator
+    * Σ_b |pos_b·scale − Σsi_b|), and each output double is ONE
+    * division of exact integers, reproducible under any partitioning
+    * and in any engine. A float mean of raw sigmoids could never
+    * hash-match.
+    *
+    * Scale shape: one keyed aggregation to ≤ nBins rows, one scalar
+    * pass over them. Output: (bin, n, mean_conf, obs_rate, ece) rows
+    * ordered by bin, `ece` constant across rows.
+    */
+  def calibrationBins(scored: DataFrame, score: Column, label: Column,
+      nBins: Int = 10, scale: Long = 10000L): DataFrame = {
+    require(nBins > 0 && scale > 0, "need nBins > 0 and scale > 0")
+    val si = round(score * scale).cast("long")
+    val binned = scored
+      .select(si.as("si"), label.cast("long").as("y"))
+      .where(col("si").isNotNull && col("y").isNotNull)
+      .withColumn("bin",
+        least(expr(s"(si * $nBins) div ${scale}L"), lit(nBins - 1L)))
+    val agg = binned.groupBy("bin").agg(
+      count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+      sum(col("si")).as("s_conf"))
+    val tot = agg.agg(
+      sum(abs(col("n_pos") * scale - col("s_conf"))).as("num"),
+      sum(col("n")).as("nn"))
+    val ece = tot.select(
+      (col("num").cast("double") /
+        (lit(scale) * col("nn")).cast("double")).as("ece"))
+    agg.select(col("bin"), col("n"),
+        (col("s_conf").cast("double") /
+          (lit(scale) * col("n")).cast("double")).as("mean_conf"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .as("obs_rate"))
+      .crossJoin(broadcast(ece))
+      .orderBy("bin")
+  }
+
   private def emptyReport(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._

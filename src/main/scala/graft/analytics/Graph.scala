@@ -156,6 +156,66 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** Personalized (seeded) PageRank — the TrustRank-shaped variant
+    * (Haveliwala WWW'02; Gyöngyi et al. VLDB'04): teleport mass lands
+    * ONLY on the seed set, so rank measures proximity to the seeds
+    * rather than global centrality. The curation primitive for
+    * "spread trust from a vetted whitelist over the link/similarity
+    * graph" (or spam mass from a blacklist).
+    *
+    * Same execution shape and determinism contract as [[pageRank]]:
+    * the degree-annotated adjacency is materialized once, each round
+    * is one edge⋈rank join + one map-side-combined aggregation, and
+    * all arithmetic is fixed-point BIGINT (multiply / floor-div /
+    * sum), so results are bit-identical under any partitioning and
+    * in any engine. Per round every node v gets
+    *
+    *   rank'(v) = d · Σ_{u~v} rank(u) div deg(u)
+    *            + 1[v ∈ S] · (1−d)·scale div |S|
+    *
+    * with rank⁰ = scale div |S| on seeds, 0 elsewhere. Nodes with
+    * neither inflow nor seed membership simply don't appear (rank 0).
+    * Seeds absent from the graph keep their teleport mass — they are
+    * legitimate rank sinks, not an error.
+    */
+  def personalizedPageRank(edges: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int = 10,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(dampNum > 0 && dampNum < dampDen, "need 0 < damp < 1")
+    val adj = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+    val adjDeg = Dedup.materialize(adj.join(deg, Seq("src")))
+    val seedSet = Dedup.materialize(
+      seeds.select(col(seedCol).as("doc_id"))
+        .where(col("doc_id").isNotNull).distinct())
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalizedPageRank: empty seed set")
+    val base = ((dampDen - dampNum) * scale) / (dampDen * nSeeds)
+    var r = seedSet.withColumn("rank", lit(scale / nSeeds))
+    for (_ <- 0 until iters) {
+      val inflow = adjDeg
+        .join(r.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"),
+          expr("rank div deg").as("__c"))
+        .groupBy("doc_id")
+        .agg(sum(col("__c")).as("__s"))
+      r = inflow
+        .join(seedSet.withColumn("__seed", lit(1L)), Seq("doc_id"),
+          "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr(s"($dampNum * __s) div $dampDen"), lit(0L)) +
+            when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)))
+            .as("rank"))
+    }
+    r
+  }
+
   /** DOULION approximate triangle count (Tsourakakis et al. KDD'09)
     * — the LINEAR-cost scale tier next to the exact
     * [[triangleCensus]]: sparsify the graph by keeping each
@@ -211,6 +271,67 @@ object Graph {
           .as("est_triangles"),
         (col("t_sparse").cast("double") * scale3 / inv3)
           .as("est_triangles_d"))
+  }
+
+  /** Degree distribution + degree assortativity — the one-pass graph
+    * health report (Newman PRL'02): is this a hub-and-spoke graph
+    * (disassortative, r < 0 — hubs link to leaves; the shape where
+    * skew guards and degree-oriented joins matter) or a clustered
+    * core (assortative, r > 0)? Assortativity is the Pearson
+    * correlation of endpoint degrees over the DIRECTED pairs of the
+    * symmetrized edge set (the common empirical full-degree variant,
+    * not the excess-degree form — documented so oracles mirror it).
+    *
+    * Scale shape: one degree aggregation, one edge⋈degree join per
+    * endpoint, and a SINGLE power-sum aggregation job (n, Σx, Σy,
+    * Σxy, Σx², Σy² as exact DECIMAL(38,0)); the correlation is one
+    * fixed double sequence, so the result hash-matches any engine
+    * under any partitioning.
+    *
+    * Output (one row): n_nodes, n_edges, min_deg, max_deg,
+    * avg_deg, assortativity (null when a degree is constant).
+    */
+  def degreeStats(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: org.apache.spark.sql.Column) = c.cast(D38)
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val adj = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+    val adjM = Dedup.materialize(adj)
+    val deg = adjM.groupBy("src").agg(count(lit(1)).as("d"))
+    val nodeStats = deg.agg(
+      count(lit(1)).cast("long").as("n_nodes"),
+      expr("sum(d) div 2").cast("long").as("n_edges"),
+      min(col("d")).cast("long").as("min_deg"),
+      max(col("d")).cast("long").as("max_deg"),
+      (sum(col("d")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_deg"))
+    val pairs = adjM
+      .join(deg.select(col("src"), col("d").as("x")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("y")),
+        Seq("dst"))
+    val sums = pairs.agg(
+      count(lit(1)).as("m"),
+      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+      sum(d(col("x") * col("y"))).as("sxy"),
+      sum(d(col("x") * col("x"))).as("sxx"),
+      sum(d(col("y") * col("y"))).as("syy"))
+    val num = (d(col("m")) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val denX = sqrt((d(col("m")) * col("sxx") -
+      col("sx") * col("sx")).cast("double"))
+    val denY = sqrt((d(col("m")) * col("syy") -
+      col("sy") * col("sy")).cast("double"))
+    val assort = sums.select(
+      when(denX > 0 && denY > 0, num / (denX * denY))
+        .as("assortativity"))
+    nodeStats.crossJoin(broadcast(assort))
   }
 
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002 /

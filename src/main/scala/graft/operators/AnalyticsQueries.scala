@@ -148,6 +148,132 @@ object AnalyticsQueries {
         pNum = 1, pDen = 2, seed = 7)
     },
 
+    // Degree distribution + assortativity of the co-purchase graph —
+    // the one-pass graph health report (hub-and-spoke vs clustered
+    // core). Exact DECIMAL power sums over directed degree pairs,
+    // one double finish; HUGEINT is DuckDB's DECIMAL(38,0) stand-in.
+    Q("q166_degree_assortativity", Some("""
+      WITH base AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), e AS (
+        SELECT DISTINCT a.it AS u, b.it AS v
+        FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+      ), adj AS (
+        SELECT u AS src, v AS dst FROM e
+        UNION ALL SELECT v, u FROM e
+      ), deg AS (
+        SELECT src AS n, COUNT(*) AS d FROM adj GROUP BY src
+      ), ns AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+          CAST(MIN(d) AS BIGINT) AS min_deg,
+          CAST(MAX(d) AS BIGINT) AS max_deg,
+          CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_deg
+        FROM deg
+      ), p AS (
+        SELECT da.d AS x, db.d AS y
+        FROM adj JOIN deg da ON adj.src = da.n
+        JOIN deg db ON adj.dst = db.n
+      ), s AS (
+        SELECT COUNT(*) AS m,
+          SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+          SUM(CAST(x AS HUGEINT) * y) AS sxy,
+          SUM(CAST(x AS HUGEINT) * x) AS sxx,
+          SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM p
+      )
+      SELECT n_nodes, n_edges, min_deg, max_deg, avg_deg,
+        CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN
+          CAST(m * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(m * sxx - sx * sx AS DOUBLE))
+             * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) END
+          AS assortativity
+      FROM ns, s""")) { (s, dir) =>
+      val base = Tables.load(s, dir, "lineitem")
+        .where(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val edges = base.as("a")
+        .join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .select(col("a.it").as("item_a"), col("b.it").as("item_b"))
+        .distinct()
+      graft.analytics.Graph.degreeStats(edges, "item_a", "item_b")
+    },
+
+    // Personalized (seeded) PageRank over the co-purchase graph:
+    // teleport mass lands only on a vetted seed set (every 7th part),
+    // so rank measures proximity-to-seeds (the TrustRank primitive)
+    // rather than global centrality. Fixed-point BIGINT arithmetic
+    // end to end; the oracle unrolls the same 3 rounds as
+    // materialized CTEs with the identical integer operations.
+    {
+      val Scale = 1000000000000L
+      val Iters = 3
+      def pprCtes: String = {
+        val sb = new StringBuilder
+        sb.append(s"""
+      adj AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM e UNION SELECT v, u FROM e),
+      dg AS (SELECT src, COUNT(*) AS deg FROM adj GROUP BY src),
+      adjd AS MATERIALIZED (
+        SELECT a.src, a.dst, dg.deg FROM adj a JOIN dg USING (src)),
+      seeds AS (SELECT DISTINCT p_partkey AS doc_id FROM part
+        WHERE p_partkey % 7 = 0),
+      ns AS (SELECT COUNT(*) AS n FROM seeds),
+      pr0 AS (SELECT doc_id, $Scale // (SELECT n FROM ns) AS rank
+        FROM seeds)""")
+        for (k <- 1 to Iters) sb.append(s""",
+      pr$k AS MATERIALIZED (
+        SELECT COALESCE(c.doc_id, s.doc_id) AS doc_id,
+          COALESCE((85 * c.sm) // 100, 0)
+            + CASE WHEN s.doc_id IS NOT NULL
+                THEN (15 * $Scale) // (100 * (SELECT n FROM ns))
+                ELSE 0 END AS rank
+        FROM (SELECT a.dst AS doc_id, SUM(p.rank // a.deg) AS sm
+              FROM adjd a JOIN pr${k - 1} p ON a.src = p.doc_id
+              GROUP BY a.dst) c
+        FULL OUTER JOIN seeds s ON c.doc_id = s.doc_id)""")
+        sb.toString
+      }
+      Q("q165_seeded_pagerank", Some(s"""
+      WITH base AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), e AS (
+        SELECT DISTINCT a.it AS u, b.it AS v
+        FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+      ), $pprCtes
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(rank AS BIGINT) AS rank
+      FROM pr$Iters ORDER BY rank DESC, doc_id LIMIT 20""")) { (s, dir) =>
+        val base = Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey").isNotNull &&
+            col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val edges = base.as("a")
+          .join(base.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .select(col("a.it").as("item_a"), col("b.it").as("item_b"))
+          .distinct()
+        val seeds = Tables.load(s, dir, "part")
+          .where(col("p_partkey") % 7 === 0)
+          .select(col("p_partkey"))
+        graft.analytics.Graph.personalizedPageRank(edges,
+            "item_a", "item_b", seeds, "p_partkey",
+            iters = Iters, scale = Scale)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("rank").desc, col("doc_id"))
+          .limit(20)
+      }
+    },
+
     // Semi-supervised label propagation over the co-purchase graph:
     // a third of parts keep their brand as a clamped seed; two
     // synchronous majority rounds (ties → smallest label) spread

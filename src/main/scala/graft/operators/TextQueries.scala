@@ -395,6 +395,85 @@ object TextQueries {
       }
     },
 
+    // Calibration curve + expected calibration error of the q115
+    // quality classifier (the reliability diagram: does a predicted
+    // 0.9 behave like a 90%?). The oracle replays the identical
+    // 3-iteration GD, then both engines bin the 1e-4-quantized
+    // sigmoid as EXACT integers (si = score·10⁴, bin = si·10 div 10⁴,
+    // ECE numerator Σ_b|pos_b·10⁴ − Σsi_b|) — every emitted double is
+    // one division of exact integers.
+    {
+      val iters = 3
+      val lr = "0.5"
+      val sc = "100000000.0"
+      def zSql(w: String): String =
+        s"($w.w0 + x1*$w.w1 + x2*$w.w2 + x3*$w.w3 + x4*$w.w4)"
+      def sigSql(w: String): String =
+        s"(round((1.0/(1.0+exp(-${zSql(w)})))*10000.0)/10000.0)"
+      val terms = Seq("", "x1", "x2", "x3", "x4")
+      val iterCtes = (1 to iters).map { i =>
+        val prev = s"c${i - 1}"
+        val sums = terms.zipWithIndex.map { case (x, j) =>
+          val m = if (x.isEmpty) "(t)" else s"(t * $x)"
+          s"SUM(CAST(round($m * $sc) AS BIGINT)) AS s$j"
+        }.mkString(",\n          ")
+        val upd = (0 until 5).map(j =>
+          s"c.w$j - $lr * ((g.s$j / $sc) / g.n) AS w$j").mkString(", ")
+        s"""r$i AS (
+        SELECT x1, x2, x3, x4, (${sigSql("c")} - y) AS t
+        FROM feat, $prev c),
+      g$i AS (
+        SELECT $sums,
+          COUNT(*) AS n FROM r$i),
+      c$i AS (SELECT $upd FROM g$i g, $prev c)"""
+      }.mkString(",\n      ")
+      Q("q167_calibration_ece", Some(s"""
+      WITH feat AS (
+        SELECT doc_id,
+          round(ln(1 + len(w)) * 1000000.0) / 1000000.0 AS x1,
+          round((CAST(len(list_distinct(w)) AS DOUBLE) / len(w))
+            * 1000000.0) / 1000000.0 AS x2,
+          round((CAST(list_sum(list_transform(w, t -> len(t))) AS DOUBLE)
+            / len(w)) * 1000000.0) / 1000000.0 AS x3,
+          round((CAST(len(list_filter(w, t -> len(t) <= 3)) AS DOUBLE)
+            / len(w)) * 1000000.0) / 1000000.0 AS x4,
+          CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END AS y
+        FROM (SELECT doc_id, lang,
+                string_split_regex(trim(text), '\\s+') AS w
+              FROM documents WHERE text IS NOT NULL)),
+      c0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+                    0.0 AS w4),
+      $iterCtes,
+      scored AS (
+        SELECT CAST(y AS BIGINT) AS y,
+          CAST(round(${sigSql("c")} * 10000.0) AS BIGINT) AS si
+        FROM feat f, c$iters c),
+      b AS (
+        SELECT LEAST((si * 10) // 10000, 9) AS bin, COUNT(*) AS n,
+          SUM(y) AS n_pos, SUM(si) AS s_conf
+        FROM scored GROUP BY 1),
+      t AS (
+        SELECT SUM(abs(n_pos * 10000 - s_conf)) AS num, SUM(n) AS nn
+        FROM b)
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        CAST(s_conf AS DOUBLE) / CAST(10000 * n AS DOUBLE) AS mean_conf,
+        CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS obs_rate,
+        CAST(num AS DOUBLE) / CAST(10000 * nn AS DOUBLE) AS ece
+      FROM b, t ORDER BY bin""")) { (s, dir) =>
+        val feat = graft.analytics.QualityModel.features(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          when(col("lang") === "en", 1.0).otherwise(0.0)).cache()
+        val w = graft.analytics.QualityModel.train(feat, iters,
+          lr.toDouble)
+        val scored = feat.select(
+          graft.analytics.QualityModel.scoreCol(w).as("score"),
+          col("y"))
+        graft.analytics.Evaluation.calibrationBins(scored,
+          col("score"), col("y"), nBins = 10, scale = 10000L)
+      }
+    },
+
     // Unigram (token) entropy per document — the Gopher-family
     // "natural language vs degenerate text" quality signal: low
     // entropy flags repeated/boilerplate docs, which simple length

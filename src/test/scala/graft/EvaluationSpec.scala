@@ -1,6 +1,7 @@
 package graft
 
 import graft.analytics.Evaluation
+import org.apache.spark.sql.functions.col
 
 class EvaluationSpec extends SparkSpec {
   import spark.implicits._
@@ -50,6 +51,38 @@ class EvaluationSpec extends SparkSpec {
     val empty = eval(Seq.empty[(Double, Int)])
     assert(empty.getAs[Long]("n") === 0L)
     assert(empty.isNullAt(empty.fieldIndex("ks")))
+  }
+
+  test("calibrationBins: hand-computed bins and ECE") {
+    import spark.implicits._
+    // scale 100: si = 5, 15, 15, 95 → bins 0, 1, 1, 9
+    val scored = Seq((0.05, 0L), (0.15, 0L), (0.15, 1L), (0.95, 1L))
+      .toDF("score", "y")
+    val rows = graft.analytics.Evaluation.calibrationBins(
+        scored, col("score"), col("y"), nBins = 10, scale = 100L)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 1L, 9L))
+    val byBin = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(byBin(0L) === ((1L, 0.05, 0.0)))
+    assert(byBin(1L) === ((2L, 0.15, 0.5)))
+    assert(byBin(9L) === ((1L, 0.95, 1.0)))
+    // ECE = (|0·100−5| + |1·100−30| + |1·100−95|) / (100·4) = 0.2
+    rows.foreach(r => assert(r.getDouble(4) === 0.2))
+  }
+
+  test("calibrationBins: score 1.0 lands in the top bin; nulls drop") {
+    import spark.implicits._
+    val scored = Seq((Some(1.0), Some(1L)), (Some(0.0), Some(0L)),
+      (None, Some(1L)), (Some(0.5), None))
+      .toDF("score", "y")
+    val rows = graft.analytics.Evaluation.calibrationBins(
+        scored, col("score"), col("y"), nBins = 10, scale = 100L)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(0L, 9L))
+    assert(rows.map(_.getLong(1)).sum === 2L)
+    // both bins perfectly calibrated → ECE 0
+    rows.foreach(r => assert(r.getDouble(4) === 0.0))
   }
 
   test("welchTTest: hand-computed equal-variance case") {

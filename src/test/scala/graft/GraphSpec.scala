@@ -104,6 +104,69 @@ class GraphSpec extends SparkSpec {
     assert(r.getAs[Double]("clustering_coeff") === 0.0)
   }
 
+  test("degreeStats: star graph is perfectly disassortative") {
+    import spark.implicits._
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("u", "v")
+    val r = graft.analytics.Graph.degreeStats(star, "u", "v")
+      .collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Long]("min_deg") === 1L)
+    assert(r.getAs[Long]("max_deg") === 3L)
+    assert(r.getAs[Double]("avg_deg") === 1.5)
+    // directed pairs (3,1)×3 + (1,3)×3 → r = −1 exactly
+    assert(r.getAs[Double]("assortativity") === -1.0)
+  }
+
+  test("degreeStats: constant-degree graph has undefined assortativity") {
+    import spark.implicits._
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v")
+    val r = graft.analytics.Graph.degreeStats(cycle, "u", "v")
+      .collect()(0)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.isNullAt(r.fieldIndex("assortativity")))
+  }
+
+  test("personalizedPageRank: hand-computed fixed-point recurrence") {
+    import spark.implicits._
+    // single edge 1–2, seed {1}, scale 10⁶, d = 0.85, 2 rounds:
+    //   r⁰ = {1→1000000}
+    //   r¹ = {1→150000 (base, no inflow), 2→850000}
+    //   r² = {1→722500+150000, 2→127500}
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    def run(iters: Int) = graft.analytics.Graph.personalizedPageRank(
+        edges, "a", "b", seeds, "node", iters = iters, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) === Map(1L -> 150000L, 2L -> 850000L))
+    assert(run(2) === Map(1L -> 872500L, 2L -> 127500L))
+  }
+
+  test("personalizedPageRank: isolated seeds keep teleport mass") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("a", "b")
+    val seeds = Seq(Tuple1(5L)).toDF("node")
+    val got = graft.analytics.Graph.personalizedPageRank(
+        edges, "a", "b", seeds, "node", iters = 3, scale = 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5 is not in the graph: no inflow ever, base mass each round;
+    // nodes 1/2 never receive anything (the only mass is on 5)
+    assert(got(5L) === 150000L)
+    assert(!got.contains(1L) || got(1L) === 0L)
+  }
+
+  test("personalizedPageRank: partitioning-insensitive integer ranks") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val seeds = Seq(Tuple1(1L), Tuple1(4L)).toDF("node")
+    def run(e: org.apache.spark.sql.DataFrame) =
+      graft.analytics.Graph.personalizedPageRank(
+          e, "a", "b", seeds, "node", iters = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(edges) === run(edges.repartition(7)))
+  }
+
   test("approxTriangles: p = 1 reproduces the exact census") {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 4L))
