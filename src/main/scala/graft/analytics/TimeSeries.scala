@@ -50,6 +50,64 @@ object TimeSeries {
       .orderBy(groupCol, "dow")
   }
 
+  /** Seasonal-adjusted anomaly days — the composition every ops
+    * dashboard actually wants from a seasonal decomposition: remove
+    * the 7-day centered trend AND the day-of-week effect, then gate
+    * the residuals with the Hampel robust rule (median ± k·1.4826·MAD
+    * — 50% breakdown point, so the anomalies themselves cannot drag
+    * the threshold the way a z-score's mean/σ would). A raw daily
+    * outlier rule flags every Saturday of a weekend-heavy metric;
+    * this flags the days that deviate from their OWN weekday's norm.
+    *
+    * Determinism: the detrended value 7·y_c − Σ_window is an exact
+    * integer (the [[dowSeasonality]] contract); the per-(group,dow)
+    * seasonal is its rounded mean (ONE double division + round —
+    * reproducible); residual = det − seasonal is back to exact
+    * integers; median/MAD are interpolated percentiles over integers
+    * (the [[Histograms.madOutliers]] `percentile ≡ quantile_cont`
+    * contract) and the gate multiplies in a fixed order.
+    *
+    * Output: only the anomalous rows — (group, day, cents, residual,
+    * med, mad), ordered by (group, day). Residual units are
+    * 7 × cents (the detrend multiplies by the window size; the gate
+    * is scale-invariant). Edge days without a full centered window
+    * are excluded, as in [[dowSeasonality]].
+    */
+  def seasonalAnomalies(daily: DataFrame, groupCol: String,
+      dayCol: String, centsCol: String, k: Double = 3.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val D = DecimalType(38, 0)
+    val w = Window.partitionBy(groupCol).orderBy(dayCol)
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("__wn", count(lit(1)).over(w))
+      .withColumn("__ws", sum(col(centsCol).cast(D)).over(w))
+      .where(col("__wn") === 7)
+      .withColumn("__det",
+        (lit(7).cast(D) * col(centsCol).cast(D) - col("__ws"))
+          .cast("long"))
+      .withColumn("__dow", weekday(col(dayCol)) + 1)
+    val seas = det.groupBy(col(groupCol), col("__dow"))
+      .agg(round(sum(col("__det")).cast("double") /
+        count(lit(1)).cast("double")).cast("long").as("__sd"))
+    val resid = det.join(seas, Seq(groupCol, "__dow"))
+      .withColumn("__r", col("__det") - col("__sd"))
+    val med = resid.groupBy(groupCol)
+      .agg(percentile(col("__r"), lit(0.5)).as("__med"))
+    val dev = resid.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev",
+        abs(col("__r").cast("double") - col("__med")))
+    val mad = dev.groupBy(col(groupCol), col("__med"))
+      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+    dev.drop("__med").join(broadcast(mad), Seq(groupCol))
+      .where(col("__dev") > col("__mad") * lit(1.4826) * lit(k))
+      .orderBy(groupCol, dayCol)
+      .select(col(groupCol),
+        date_format(col(dayCol), "yyyy-MM-dd").as(dayCol),
+        col(centsCol), col("__r").as("residual"),
+        col("__med").as("med"), col("__mad").as("mad"))
+  }
+
   /** Trailing rolling correlation between two aligned integer series
     * (one row per period, columns `xCol`/`yCol` in exact cents):
     * Pearson over the last `window` rows, emitted only for full

@@ -53,6 +53,59 @@ object TimeSeriesQueries {
         dailyCents(s, dir), "event_type", "day", "yc")
     },
 
+    // Seasonal-adjusted anomaly days: detrend (7-day centered MA,
+    // exact 7·y−Σwin integers), remove the per-DOW seasonal (rounded
+    // mean — one division+round), Hampel-gate the integer residuals
+    // (interpolated median/MAD, fixed multiply order) — flags days
+    // deviating from their own weekday's norm, not every Saturday.
+    Q("q168_seasonal_anomalies", Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS yc
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+      ), t AS (
+        SELECT event_type, day, yc,
+          count(*) OVER w AS wn,
+          sum(CAST(yc AS HUGEINT)) OVER w AS ws
+        FROM d
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      ), det AS (
+        SELECT event_type, day, yc,
+          CAST(7 * CAST(yc AS HUGEINT) - ws AS BIGINT) AS det,
+          CAST(isodow(day) AS INT) AS dow
+        FROM t WHERE wn = 7
+      ), seas AS (
+        SELECT event_type, dow,
+          CAST(round(CAST(sum(CAST(det AS HUGEINT)) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS sd
+        FROM det GROUP BY 1, 2
+      ), r AS (
+        SELECT d.event_type, d.day, d.yc, d.det - s.sd AS r
+        FROM det d JOIN seas s USING (event_type, dow)
+      ), med AS (
+        SELECT event_type, quantile_cont(r, 0.5) AS med
+        FROM r GROUP BY 1
+      ), dev AS (
+        SELECT r.event_type, r.day, r.yc, r.r, m.med,
+          abs(CAST(r.r AS DOUBLE) - m.med) AS dv
+        FROM r JOIN med m USING (event_type)
+      ), mad AS (
+        SELECT event_type, med, quantile_cont(dv, 0.5) AS mad
+        FROM dev GROUP BY 1, 2
+      )
+      SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+        CAST(d.yc AS BIGINT) AS yc,
+        CAST(d.r AS BIGINT) AS residual, m.med, m.mad
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE d.dv > (m.mad * 1.4826) * 2.0
+      ORDER BY event_type, day""")) { (s, dir) =>
+      graft.analytics.TimeSeries.seasonalAnomalies(
+        dailyCents(s, dir), "event_type", "day", "yc", k = 2.0)
+    },
+
     // Holt linear (double exponential) smoothing per type over the
     // daily series: level/trend recursion as an explicit day-ordered
     // left fold (identical IEEE chain in `aggregate` ↔ `list_reduce`,

@@ -46,6 +46,38 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === 2L)
   }
 
+  test("seasonalAnomalies: constant series flags nothing") {
+    val rows = (1 to 28).map(i => ("a", f"2024-01-$i%02d", 100L))
+    val got = TimeSeries.seasonalAnomalies(
+      daily(rows: _*), "g", "day", "yc")
+    assert(got.count() === 0L)
+  }
+
+  test("seasonalAnomalies: a one-day spike is flagged") {
+    val rows = (1 to 28).map { i =>
+      ("a", f"2024-01-$i%02d", if (i == 15) 100000L else 100L)
+    }
+    val got = TimeSeries.seasonalAnomalies(
+        daily(rows: _*), "g", "day", "yc")
+      .collect()
+    val days = got.map(_.getAs[String]("day")).toSet
+    assert(days.contains("2024-01-15"), s"flagged=$days")
+    // only the spike and its window/dow-contaminated neighbors can
+    // trip the gate — never the bulk of the series
+    assert(got.length < 10, s"flagged=${days.toSeq.sorted}")
+  }
+
+  test("seasonalAnomalies: partitioning-insensitive") {
+    val rows = (1 to 28).map { i =>
+      ("a", f"2024-01-$i%02d", if (i == 15) 100000L else 100L + i)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.seasonalAnomalies(df, "g", "day", "yc")
+        .collect().map(_.toString).toSeq
+    val base = daily(rows: _*)
+    assert(run(base) === run(base.repartition(11)))
+  }
+
   test("cusumChangePoint: locates a level shift, earliest on ties") {
     // 6 days: 100,100,100,200,200,200 -> max |S_k| at day 3
     val rows = Seq(
