@@ -149,6 +149,70 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // MinHash estimator calibration — the designed 100 TB tiering run
+    // as ONE query: LSH discovers candidates (q20 machinery), exact
+    // Jaccard verifies ONLY those pairs (candidate-scoped shingle
+    // join — cost Σ_pairs |shingles|, never the corpus-wide Σdf²),
+    // and the output lays the 32-hash estimate next to the exact
+    // value with its absolute error. Exact here is UNBOUNDED (no
+    // stop-shingle cap): signatures are computed over the full
+    // shingle set, so the comparison must be too.
+    Q("q170_minhash_calibration", Some(s"""
+      WITH $mhCtes,
+      shh AS (SELECT doc_id,
+        ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+      est AS (
+        SELECT c.id_a, c.id_b,
+          CAST($mhAgree AS DOUBLE) / $MhNumHashes AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON c.id_a = sa.doc_id
+        JOIN sig sb ON c.id_b = sb.doc_id),
+      inter AS (
+        SELECT e.id_a, e.id_b, COUNT(*) AS i
+        FROM est e
+        JOIN shh a ON a.doc_id = e.id_a
+        JOIN shh b ON b.doc_id = e.id_b AND b.h = a.h
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT e.id_a, e.id_b, e.est_jaccard,
+          CAST(COALESCE(i.i, 0) AS DOUBLE)
+            / CAST(sa.sz + sb.sz - COALESCE(i.i, 0) AS DOUBLE)
+            AS jaccard
+        FROM est e
+        LEFT JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b
+        JOIN sizes sa ON e.id_a = sa.doc_id
+        JOIN sizes sb ON e.id_b = sb.doc_id)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        est_jaccard, jaccard, abs(est_jaccard - jaccard) AS abs_err
+      FROM scored ORDER BY id_a, id_b""")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text",
+        n = 3, numHashes = MhNumHashes, bands = MhBands)
+      val sh = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+        .select(col("doc_id"), Dedup.h60(col("shingle")).as("h"))
+      val sizes = docs.select(col("doc_id"),
+        size(Dedup.shingles(col("text"), 3)).cast("long").as("sz"))
+      val inter = cand.select("id_a", "id_b")
+        .join(sh.select(col("doc_id").as("id_a"), col("h")), Seq("id_a"))
+        .join(sh.select(col("doc_id").as("id_b"), col("h")),
+          Seq("id_b", "h"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+      cand
+        .join(inter, Seq("id_a", "id_b"), "left")
+        .join(sizes.withColumnRenamed("doc_id", "id_a")
+          .withColumnRenamed("sz", "sa"), Seq("id_a"))
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+          .withColumnRenamed("sz", "sb"), Seq("id_b"))
+        .withColumn("__i", coalesce(col("i"), lit(0L)))
+        .withColumn("jaccard", col("__i").cast("double") /
+          (col("sa") + col("sb") - col("__i")).cast("double"))
+        .select(col("id_a"), col("id_b"), col("est_jaccard"),
+          col("jaccard"),
+          abs(col("est_jaccard") - col("jaccard")).as("abs_err"))
+        .orderBy("id_a", "id_b")
+    },
+
     // 64-bit SimHash fingerprints (md5 bit votes per token occurrence).
     Q("q21_simhash", Some(s"""
       WITH $simhashCtes

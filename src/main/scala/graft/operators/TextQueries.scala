@@ -474,6 +474,42 @@ object TextQueries {
       }
     },
 
+    // Per-language top-10 tokens — the grouped vocabulary census
+    // (which tokens dominate each language slice; the per-group
+    // sibling of q96's global Space-Saving census). Exact here: one
+    // (lang, token) count shuffle + a per-lang rank window over
+    // VOCABULARY-sized partitions (bounded by distinct tokens, not
+    // corpus rows). At 100 TB the same shape survives because the
+    // window input is the aggregated count frame; a per-group
+    // Space-Saving sketch (HeavyHitters) is the sub-vocabulary
+    // alternative when even counts are too wide.
+    Q("q169_lang_top_tokens", Some("""
+      WITH t AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\s+'))
+          AS token
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      c AS (SELECT lang, token, COUNT(*) AS n FROM t GROUP BY 1, 2),
+      r AS (SELECT lang, token, n,
+        ROW_NUMBER() OVER (PARTITION BY lang
+                           ORDER BY n DESC, token) AS rn
+        FROM c)
+      SELECT lang, CAST(rn AS INT) AS rn, token, CAST(n AS BIGINT) AS n
+      FROM r WHERE rn <= 10 ORDER BY lang, rn""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val c = Tables.load(s, dir, "documents")
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"),
+          explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("token"))
+      c.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .select(col("lang"), col("rn").cast("int").as("rn"),
+          col("token"), col("n").cast("long").as("n"))
+        .orderBy("lang", "rn")
+    },
+
     // Unigram (token) entropy per document — the Gopher-family
     // "natural language vs degenerate text" quality signal: low
     // entropy flags repeated/boilerplate docs, which simple length
