@@ -916,9 +916,15 @@ object Dedup {
     * the comparison); the default cap mirrors [[ngramJaccardPairs]]
     * (`spark.graft.jaccardStopShingle{Floor,Fraction}`, floor 64 /
     * 1% of |A|+|B|), with the same explicit opt-out. Candidate volume
-    * is Σ_h df_A(h)·df_B(h), bounded by the cap — and at 100 TB the
-    * designed discovery path for cross-corpus near-dups stays the
-    * LSH tier ([[incrementalAssign]]); this exact join is the
+    * is Σ_h df_A(h)·df_B(h), bounded by the cap — and ADAPTIVELY
+    * guarded like the self-join: one scalar job measures that sum,
+    * and past `spark.graft.jaccardNaiveMaxDf2` the join switches to
+    * the PPJoin prefix/size/positional-filtered form with exact
+    * `array_intersect` verification (broadcast-sided up to
+    * [[broadcastSetBytesCeiling]]) — identical rows, bounded
+    * candidates. At 100 TB the designed discovery path for
+    * cross-corpus near-dups stays the LSH tier
+    * ([[incrementalAssign]]); this exact join is the
     * verification-grade tier, same division of labor as the
     * self-join case.
     *
@@ -965,19 +971,93 @@ object Dedup {
       if (capActive) p.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
       else docs.select(col(idCol).as("doc_id"),
         size(shingles(col(textCol), n)).cast("long").as("set_size"))
-    val result = pa.select(col("doc_id").as("id_a"), col("h"))
-      .join(pb.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-      .join(sizes(pa, docsA)
-        .withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
-      .join(sizes(pb, docsB)
-        .withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("size_a") + col("size_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+    // adaptive strategy, mirroring the self-join path: the naive R-S
+    // index join materializes Σ_h df_A(h)·df_B(h) collision rows; one
+    // scalar job measures it (within-cap posting frames) plus the
+    // total posting count (sizes the broadcast-verify frame). Below
+    // `spark.graft.jaccardNaiveMaxDf2` the plain join wins (prefix
+    // ranking is pure overhead at small index sizes); above it the
+    // PPJoin prefix/size/positional filters bound candidates and an
+    // exact `array_intersect` verification restores the identical
+    // rows — the completeness proof is the self-join one verbatim
+    // (the first common shingle under the COMBINED-df rarest-first
+    // order lands inside both prefixes for every J ≥ t pair; the
+    // argument never uses self-join symmetry, only the shared global
+    // (df, h) order).
+    val dfa = pa.groupBy("h").agg(count(lit(1)).as("dfa"))
+    val dfb = pb.groupBy("h").agg(count(lit(1)).as("dfb"))
+    val statRow = dfa.join(dfb, Seq("h"))
+      .agg(coalesce(sum(col("dfa") * col("dfb")), lit(0L)))
+      .collect()(0)
+    val cost = statRow.getLong(0)
+    val naiveMax = conf.get("spark.graft.jaccardNaiveMaxDf2",
+      "64000000").toLong
+    val szA = sizes(pa, docsA)
+    val szB = sizes(pb, docsB)
+    val result =
+      if (cost <= naiveMax) {
+        pa.select(col("doc_id").as("id_a"), col("h"))
+          .join(pb.select(col("doc_id").as("id_b"), col("h")), Seq("h"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+          .join(szA
+            .withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("set_size", "size_a"), Seq("id_a"))
+          .join(szB
+            .withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("set_size", "size_b"), Seq("id_b"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("size_a") + col("size_b") - col("inter")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+      } else {
+        // rarest-first order shared by both sides: COMBINED df
+        // (in-cap) — the order the cap filter already computed
+        val ord = dfm0.filter(col("df") <=
+          effMaxDf.getOrElse(Long.MaxValue))
+        def prefixOf(p: DataFrame, szs: DataFrame) = {
+          val wRank = org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id").orderBy(col("df"), col("h"))
+          p.join(ord, Seq("h"))
+            .join(szs.withColumnRenamed("set_size", "sz"), Seq("doc_id"))
+            .withColumn("rk", row_number().over(wRank))
+            .filter(col("rk") <=
+              col("sz") - ceil(col("sz") * threshold) + lit(1L))
+            .select("doc_id", "h", "rk", "sz")
+        }
+        val alpha = ceil((col("a.sz") + col("b.sz"))
+          * lit(threshold / (1.0 + threshold)))
+        val cand = prefixOf(pa, szA).as("a")
+          .join(prefixOf(pb, szB).as("b"), Seq("h"))
+          .filter(least(col("a.sz"), col("b.sz")) >=
+            greatest(col("a.sz"), col("b.sz")) * threshold)
+          .filter(lit(1) + least(col("a.sz") - col("a.rk"),
+            col("b.sz") - col("b.rk")) >= alpha)
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        val setsA = pa.groupBy("doc_id").agg(
+          collect_list(col("h")).as("hs_a"),
+          count(lit(1)).as("size_a"))
+          .withColumnRenamed("doc_id", "id_a")
+        val setsB = pb.groupBy("doc_id").agg(
+          collect_list(col("h")).as("hs_b"),
+          count(lit(1)).as("size_b"))
+          .withColumnRenamed("doc_id", "id_b")
+        val postCount = pa.count() + pb.count()
+        val smallSets =
+          postCount * 16 <= broadcastSetBytesCeiling(docsA.sparkSession)
+        val verified = (if (smallSets)
+            cand.join(broadcast(setsA), Seq("id_a"))
+              .join(broadcast(setsB), Seq("id_b"))
+          else
+            cand.distinct()
+              .join(setsA, Seq("id_a")).join(setsB, Seq("id_b")))
+          .withColumn("inter",
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("size_a") + col("size_b") - col("inter")).cast("double"))
+          .filter(col("jaccard") >= threshold)
+          .select("id_a", "id_b", "inter", "size_a", "size_b", "jaccard")
+        if (smallSets) verified.distinct() else verified
+      }
     val out = materialize(result)
     pa0.unpersist()
     pb0.unpersist()

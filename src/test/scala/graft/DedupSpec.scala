@@ -677,6 +677,36 @@ class DedupSpec extends SparkSpec {
     assert(uncapped.count() == 1L)
   }
 
+  test("crossCorpusJaccardPairs: prefix-filtered path is row-identical") {
+    import spark.implicits._
+    // a corpus rich enough that prefixes actually prune; force the
+    // PPJoin path by zeroing the naive-cost budget and compare
+    // row-for-row against the naive join (the default at this size)
+    val a = (1 to 40).map(i =>
+      (i.toLong, s"w$i w${i + 1} w${i + 2} w${i + 3} shared tail x$i"))
+      .toDF("doc_id", "text")
+    val b = (1 to 40).map(i =>
+      (100L + i, s"w$i w${i + 1} w${i + 2} w${i + 3} shared tail y$i"))
+      .toDF("doc_id", "text")
+    def run() = Dedup.crossCorpusJaccardPairs(a, b, "doc_id", "text",
+        n = 2, threshold = 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val naive = run()
+    assert(naive.nonEmpty)
+    spark.conf.set("spark.graft.jaccardNaiveMaxDf2", "-1")
+    try {
+      val prefixed = run()
+      assert(prefixed === naive)
+      // and the shuffle-verify fallback (tiny broadcast ceiling)
+      // produces the same rows too
+      spark.conf.set("spark.graft.jaccardBroadcastSetBytes", "1")
+      assert(run() === naive)
+    } finally {
+      spark.conf.unset("spark.graft.jaccardNaiveMaxDf2")
+      spark.conf.unset("spark.graft.jaccardBroadcastSetBytes")
+    }
+  }
+
   test("sortedNeighborhood: window bound, edit gate, block scoping") {
     import spark.implicits._
     val docs = Seq(
