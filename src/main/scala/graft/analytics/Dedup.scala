@@ -954,15 +954,26 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pb0 = posts(docsB)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // combined-corpus df; the cap is dropped when nothing exceeds it
-    // (same zero-cost adaptivity as the self-join path)
-    val dfm0 = pa0.select("h").unionAll(pb0.select("h"))
-      .groupBy("h").agg(count(lit(1)).as("df"))
-    val capActive = effMaxDf.exists { m =>
-      dfm0.agg(coalesce(max(col("df")), lit(0L))).collect()(0)
-        .getLong(0) > m
-    }
-    val keep = dfm0.filter(col("df") <= effMaxDf.getOrElse(Long.MaxValue))
+    // Per-side df frames once (vocab-sized, persisted); the combined
+    // df, the cap decision AND the naive-join cost statistic all
+    // derive from ONE full-outer join of them — no postings-wide
+    // union aggregation, and the strategy stat is free when the cap
+    // is inactive (the common case). The cap is dropped when nothing
+    // exceeds it (same zero-cost adaptivity as the self-join path).
+    val dfa0 = pa0.groupBy("h").agg(count(lit(1)).as("dfa"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfb0 = pb0.groupBy("h").agg(count(lit(1)).as("dfb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val jdf = dfa0.join(dfb0, Seq("h"), "full_outer")
+      .select(col("h"),
+        (coalesce(col("dfa"), lit(0L)) + coalesce(col("dfb"), lit(0L)))
+          .as("df"),
+        (col("dfa") * col("dfb")).as("p")) // null unless h on both sides
+    val statRow0 = jdf.agg(
+      coalesce(max(col("df")), lit(0L)),
+      coalesce(sum(col("p")), lit(0L))).collect()(0)
+    val capActive = effMaxDf.exists(m => statRow0.getLong(0) > m)
+    val keep = jdf.filter(col("df") <= effMaxDf.getOrElse(Long.MaxValue))
       .select("h")
     val (pa, pb) =
       if (capActive) (pa0.join(keep, Seq("h")), pb0.join(keep, Seq("h")))
@@ -972,24 +983,22 @@ object Dedup {
       else docs.select(col(idCol).as("doc_id"),
         size(shingles(col(textCol), n)).cast("long").as("set_size"))
     // adaptive strategy, mirroring the self-join path: the naive R-S
-    // index join materializes Σ_h df_A(h)·df_B(h) collision rows; one
-    // scalar job measures it (within-cap posting frames) plus the
-    // total posting count (sizes the broadcast-verify frame). Below
-    // `spark.graft.jaccardNaiveMaxDf2` the plain join wins (prefix
-    // ranking is pure overhead at small index sizes); above it the
-    // PPJoin prefix/size/positional filters bound candidates and an
-    // exact `array_intersect` verification restores the identical
-    // rows — the completeness proof is the self-join one verbatim
-    // (the first common shingle under the COMBINED-df rarest-first
-    // order lands inside both prefixes for every J ≥ t pair; the
-    // argument never uses self-join symmetry, only the shared global
-    // (df, h) order).
-    val dfa = pa.groupBy("h").agg(count(lit(1)).as("dfa"))
-    val dfb = pb.groupBy("h").agg(count(lit(1)).as("dfb"))
-    val statRow = dfa.join(dfb, Seq("h"))
-      .agg(coalesce(sum(col("dfa") * col("dfb")), lit(0L)))
-      .collect()(0)
-    val cost = statRow.getLong(0)
+    // index join materializes Σ_h df_A(h)·df_B(h) collision rows.
+    // Below `spark.graft.jaccardNaiveMaxDf2` the plain join wins
+    // (prefix ranking is pure overhead at small index sizes); above
+    // it the PPJoin prefix/size/positional filters bound candidates
+    // and an exact `array_intersect` verification restores the
+    // identical rows — the completeness proof is the self-join one
+    // verbatim (the first common shingle under the COMBINED-df
+    // rarest-first order lands inside both prefixes for every J ≥ t
+    // pair; the argument never uses self-join symmetry, only the
+    // shared global (df, h) order). With an ACTIVE cap the cost must
+    // be re-measured over the in-cap universe (one extra vocab-sized
+    // job, rare case); otherwise it came free with the max-df scalar.
+    val cost =
+      if (!capActive) statRow0.getLong(1)
+      else jdf.filter(col("df") <= effMaxDf.get)
+        .agg(coalesce(sum(col("p")), lit(0L))).collect()(0).getLong(0)
     val naiveMax = conf.get("spark.graft.jaccardNaiveMaxDf2",
       "64000000").toLong
     val szA = sizes(pa, docsA)
@@ -1012,8 +1021,8 @@ object Dedup {
       } else {
         // rarest-first order shared by both sides: COMBINED df
         // (in-cap) — the order the cap filter already computed
-        val ord = dfm0.filter(col("df") <=
-          effMaxDf.getOrElse(Long.MaxValue))
+        val ord = jdf.filter(col("df") <=
+          effMaxDf.getOrElse(Long.MaxValue)).select("h", "df")
         def prefixOf(p: DataFrame, szs: DataFrame) = {
           val wRank = org.apache.spark.sql.expressions.Window
             .partitionBy("doc_id").orderBy(col("df"), col("h"))
@@ -1059,6 +1068,8 @@ object Dedup {
         if (smallSets) verified.distinct() else verified
       }
     val out = materialize(result)
+    dfa0.unpersist()
+    dfb0.unpersist()
     pa0.unpersist()
     pb0.unpersist()
     out
