@@ -67,4 +67,61 @@ object CoOccurrence {
       .orderBy(desc("jaccard"), asc("item_a"), asc("item_b"))
       .limit(topK)
   }
+
+  /** Single-antecedent association rules (Agrawal–Srikant market-
+    * basket form): for every DIRECTED item pair a→b co-occurring in
+    * ≥ `minSupport` baskets, the classic rule triple
+    *   support    = n_ab / n_baskets
+    *   confidence = n_ab / n_a
+    *   lift       = n_ab·n_baskets / (n_a·n_b)
+    * Top `topK` rules by (lift DESC, antecedent, consequent) — a
+    * TOTAL order, so the limit cut is deterministic in any engine.
+    *
+    * Scale shape: identical to [[itemPairs]] — the pair join is an
+    * equi-join on basket id, so candidates are Σ basket_size² (use
+    * `maxBasket`-style pre-capping upstream or a coarser item rollup
+    * when baskets are unbounded); counts are one keyed aggregation;
+    * the per-item table joins back by item key. Every ratio is one
+    * double division of exact BIGINTs (n_ab·n_baskets and n_a·n_b
+    * stay < 2⁶³ below ~3·10⁹ baskets) — engine-portable.
+    *
+    * Output: (antecedent, consequent, n_ab, n_a, n_b, support,
+    * confidence, lift), both rule directions emitted.
+    */
+  def associationRules(df: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long = 3L,
+      topK: Int = 25): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    require(topK >= 1, "topK must be >= 1")
+    val base = df
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val nBaskets = base.agg(
+      countDistinct(col("bk")).as("n_baskets"))
+    val a = base.select(col("bk"), col("it").as("antecedent"))
+    val b = base.select(col("bk"), col("it").as("consequent"))
+    val pairs = a.join(b, Seq("bk"))
+      .where(col("antecedent") =!= col("consequent"))
+      .groupBy("antecedent", "consequent")
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val per = base.groupBy(col("it")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(per.select(col("it").as("antecedent"), col("n").as("n_a")),
+        Seq("antecedent"))
+      .join(per.select(col("it").as("consequent"), col("n").as("n_b")),
+        Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") /
+          col("n_baskets").cast("double")).as("support"),
+        (col("n_ab").cast("double") /
+          col("n_a").cast("double")).as("confidence"),
+        ((col("n_ab") * col("n_baskets")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(desc("lift"), asc("antecedent"), asc("consequent"))
+      .limit(topK)
+  }
 }

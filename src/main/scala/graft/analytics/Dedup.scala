@@ -1302,4 +1302,53 @@ object Dedup {
       .where(col("lev") <= maxDist)
       .select("id_a", "id_b", "key_a", "key_b", "lev")
   }
+
+  /** Full-text edit-distance VERIFICATION of sorted-neighborhood
+    * candidates — the verify stage of the SNM tier, mirroring how the
+    * LSH tier pairs candidate generation with in-bucket exact Jaccard
+    * (q170): [[sortedNeighborhoodPairs]] proposes key-level
+    * candidates, then each candidate pair is re-scored on the first
+    * `verifyChars` characters of the whitespace-normalized, lowered
+    * full text with true Levenshtein distance.
+    *
+    * Why truncate: edit-distance DP is O(len²) per pair; capping the
+    * verify window bounds per-pair cost to O(verifyChars²) while the
+    * candidate count stays O(window) per row from the SNM band — the
+    * whole verify stage is candidate-bounded, never corpus².
+    *
+    * Output per candidate pair: (id_a, id_b, lev, len_a, len_b, rel,
+    * is_dup) where rel = lev / max(len_a, len_b) (one double division
+    * of exact ints — engine-portable) and is_dup = rel ≤ maxRel. All
+    * candidates are emitted with their verdict rather than filtered,
+    * so the operator doubles as the SNM-tier calibration report.
+    */
+  def editVerifiedPairs(docs: DataFrame, idCol: String,
+      textCol: String, keyChars: Int = 32, blockChars: Int = 2,
+      window: Int = 3, maxKeyDist: Int = 5, verifyChars: Int = 240,
+      maxRel: Double = 0.2): DataFrame = {
+    require(verifyChars >= keyChars,
+      "verify window must cover the blocking key")
+    require(maxRel > 0.0 && maxRel < 1.0, "maxRel must be in (0,1)")
+    val cand = sortedNeighborhoodPairs(docs, idCol, textCol,
+      keyChars, blockChars, window, maxKeyDist)
+      .select("id_a", "id_b")
+    val norm = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        lower(substring(regexp_replace(trim(col(textCol)),
+          "\\s+", " "), 1, verifyChars)).as("t"))
+    cand
+      .join(norm.select(col("id").as("id_a"), col("t").as("t_a")),
+        Seq("id_a"))
+      .join(norm.select(col("id").as("id_b"), col("t").as("t_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("t_a"), col("t_b")).cast("long").as("lev"),
+        length(col("t_a")).cast("long").as("len_a"),
+        length(col("t_b")).cast("long").as("len_b"),
+        (levenshtein(col("t_a"), col("t_b")).cast("double") /
+          greatest(length(col("t_a")), length(col("t_b")))
+            .cast("double")).as("rel"))
+      .withColumn("is_dup", col("rel") <= lit(maxRel))
+  }
 }

@@ -235,6 +235,69 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** Two-sample distribution drift of a fixed-precision numeric
+    * column, each group against the complement of the corpus: exact
+    * Kolmogorov–Smirnov statistic and exact 1-Wasserstein (earth
+    * mover) distance between the group's value distribution and the
+    * rest's.
+    *
+    * Scale shape: values are snapped to an integer grid (`cents`
+    * units per 1.0 — the corpus doubles carry ≤2 decimals, so
+    * cents=100 is lossless), which makes the distinct-value DOMAIN
+    * bounded by the value range × cents regardless of row count. One
+    * corpus-sized keyed aggregation collapses rows to (group, grid
+    * value) counts; everything after runs on the dense
+    * |groups|×|domain| frame — grid-sized, not corpus-sized — so the
+    * per-group cumulative windows never sort data rows. At 100 TB the
+    * only corpus-sized job is the first count shuffle.
+    *
+    * Determinism: both statistics are computed as exact BIGINT
+    * numerators over the common denominator n_a·n_b —
+    *   KS = max_v |cumA_v·n_b − cumB_v·n_a| / (n_a·n_b)
+    *   W1 = Σ_v gap_v·|cumA_v·n_b − cumB_v·n_a| / (cents·n_a·n_b)
+    * (gap_v = grid distance to the next pooled value) — and each
+    * output double is ONE cast/division of exact integers,
+    * reproducible under any partitioning and in any engine.
+    *
+    * Output: (group, n_a, n_b, ks, w1) ordered by group.
+    */
+  def distributionDrift(df: DataFrame, groupCol: String,
+      valueCol: String, cents: Int = 100): DataFrame = {
+    require(cents >= 1, "cents must be >= 1")
+    val perGV = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol) * cents).cast("long").as("vc"))
+      .groupBy("g", "vc").agg(count(lit(1)).as("c"))
+    val perV = perGV.groupBy("vc").agg(sum(col("c")).as("cv"))
+    val groups = perGV.groupBy("g").agg(sum(col("c")).as("n_a"))
+    val tot = perGV.agg(sum(col("c")).as("n_tot"))
+    val frame = groups
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(perV))
+      .join(perGV, Seq("g", "vc"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = Window.partitionBy("g").orderBy("vc")
+    val scored = frame
+      .withColumn("n_b", col("n_tot") - col("n_a"))
+      .withColumn("cum_a", sum(col("c")).over(w))
+      .withColumn("cum_b", sum(col("cv")).over(w) - col("cum_a"))
+      .withColumn("diff",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .withColumn("gap",
+        coalesce(lead(col("vc"), 1).over(w) - col("vc"), lit(0L)))
+    scored
+      .groupBy(col("g"), col("n_a"), col("n_b"))
+      .agg(max(col("diff")).as("ks_num"),
+        sum(col("gap") * col("diff")).as("w1_num"))
+      .select(col("g"), col("n_a"), col("n_b"),
+        (col("ks_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"),
+        (col("w1_num").cast("double") /
+          (col("n_a") * col("n_b") * cents).cast("double")).as("w1"))
+      .orderBy("g")
+  }
+
   private def emptyReport(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._

@@ -371,6 +371,47 @@ object AnalyticsQueries {
         minSupport = 3L, topK = 30)
     },
 
+    // Association rules (Agrawal–Srikant): directed part→part rules
+    // from order baskets with the classic support/confidence/lift
+    // triple — q142's co-occurrence made actionable ("if a basket has
+    // X, how much likelier is Y than base rate"). Pair candidates are
+    // keyed by order (Σ basket_size², basket-bounded); every ratio is
+    // one double division of exact BIGINTs, and the top-k cut uses a
+    // TOTAL order (lift DESC, antecedent, consequent) so the limit is
+    // engine-deterministic.
+    Q("q173_association_rules", Some("""
+      WITH base AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), nb AS (
+        SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets
+        FROM base
+      ), pairs AS (
+        SELECT a.it AS antecedent, b.it AS consequent,
+          CAST(count(*) AS BIGINT) AS n_ab
+        FROM base a JOIN base b
+          ON a.bk = b.bk AND a.it <> b.it
+        GROUP BY 1, 2 HAVING count(*) >= 3
+      ), per AS (
+        SELECT it, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1
+      )
+      SELECT antecedent, consequent, n_ab, pa.n AS n_a, pb.n AS n_b,
+        CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+        CAST(n_ab AS DOUBLE) / CAST(pa.n AS DOUBLE) AS confidence,
+        CAST(n_ab * n_baskets AS DOUBLE)
+          / CAST(pa.n * pb.n AS DOUBLE) AS lift
+      FROM pairs
+      JOIN per pa ON pa.it = antecedent
+      JOIN per pb ON pb.it = consequent
+      CROSS JOIN nb
+      ORDER BY lift DESC, antecedent, consequent LIMIT 25""")) {
+      (s, dir) =>
+      graft.analytics.CoOccurrence.associationRules(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+        minSupport = 3L, topK = 25)
+    },
+
 
     // mv_location_crop_compatibility: location ⋈ soil × crop with the
     // pH CASE (reference db/init/01-schema.sql:254-272).

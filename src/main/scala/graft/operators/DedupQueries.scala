@@ -748,6 +748,50 @@ object DedupQueries {
           docs.where(col("doc_id") % 2 === 1),
           "doc_id", "text", n = 3, threshold = 0.4)
         .orderBy("id_a", "id_b")
+    },
+
+    // Full-text edit-distance verification of the sorted-neighborhood
+    // candidates — the SNM tier's verify stage (mirrors how q170
+    // verifies LSH candidates with in-bucket exact Jaccard). The
+    // Levenshtein DP runs only on SNM candidate pairs (O(window) per
+    // row) over a capped 240-char verify window, so the stage is
+    // candidate-bounded with O(verifyChars²) per-pair cost — never
+    // corpus². rel = lev / max(len) is one double division of exact
+    // ints; is_dup emitted as 0/1 so every candidate carries its
+    // verdict (the operator doubles as the tier's calibration report).
+    Q("q171_edit_verified_dedup", Some("""
+      WITH k AS (
+        SELECT doc_id AS id,
+          lower(substr(regexp_replace(trim(text), '\s+', ' ', 'g'),
+            1, 32)) AS key,
+          lower(substr(regexp_replace(trim(text), '\s+', ' ', 'g'),
+            1, 240)) AS t
+        FROM documents WHERE text IS NOT NULL
+      ), rk AS (
+        SELECT id, key, t, substr(key, 1, 2) AS block,
+          row_number() OVER (PARTITION BY substr(key, 1, 2)
+            ORDER BY key, id) AS r
+        FROM k
+      )
+      SELECT a.id AS id_a, b.id AS id_b,
+        CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+        CAST(length(a.t) AS BIGINT) AS len_a,
+        CAST(length(b.t) AS BIGINT) AS len_b,
+        CAST(levenshtein(a.t, b.t) AS DOUBLE)
+          / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE) AS rel,
+        CAST(CAST(levenshtein(a.t, b.t) AS DOUBLE)
+          / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE)
+          <= 0.2 AS BIGINT) AS is_dup
+      FROM rk a JOIN rk b
+        ON a.block = b.block AND b.r > a.r AND b.r <= a.r + 3
+      WHERE levenshtein(a.key, b.key) <= 5
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      Dedup.editVerifiedPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          keyChars = 32, blockChars = 2, window = 3, maxKeyDist = 5,
+          verifyChars = 240, maxRel = 0.2)
+        .withColumn("is_dup", col("is_dup").cast("long"))
+        .orderBy("id_a", "id_b")
     }
   )
 }

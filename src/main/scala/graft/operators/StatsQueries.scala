@@ -956,6 +956,56 @@ object StatsQueries {
             col("exact_p50"), col("exact_p90"))
           .orderBy("event_type")
       }
+    },
+
+    // Distribution drift per event type: exact Kolmogorov–Smirnov and
+    // exact 1-Wasserstein distance of each type's value distribution
+    // against the complement (drift audit — "does this slice's metric
+    // distribution differ from everyone else's, and by how much").
+    // Values snap losslessly to the 2-decimal cent grid, so the dense
+    // per-group CDF frame is GRID-bounded (range × 100 values),
+    // independent of row count — the only corpus-sized job is the
+    // first (type, cents) count shuffle. Both statistics are exact
+    // BIGINT numerators over n_a·n_b, divided once at the end.
+    Q("q172_value_drift", Some("""
+      WITH base AS (
+        SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS vc
+        FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      ), pergv AS (
+        SELECT g, vc, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY 1, 2
+      ), perv AS (
+        SELECT vc, CAST(SUM(c) AS BIGINT) AS cv FROM pergv GROUP BY 1
+      ), grp AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n_a FROM pergv GROUP BY 1
+      ), tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM pergv
+      ), frame AS (
+        SELECT grp.g, grp.n_a, tot.n_tot, perv.vc, perv.cv,
+          COALESCE(pergv.c, 0) AS c
+        FROM grp CROSS JOIN tot CROSS JOIN perv
+        LEFT JOIN pergv ON pergv.g = grp.g AND pergv.vc = perv.vc
+      ), scored AS (
+        SELECT g, n_a, n_tot - n_a AS n_b,
+          SUM(c) OVER w AS cum_a,
+          SUM(cv) OVER w - SUM(c) OVER w AS cum_b,
+          COALESCE(LEAD(vc) OVER w - vc, 0) AS gap
+        FROM frame
+        WINDOW w AS (PARTITION BY g ORDER BY vc)
+      ), d AS (
+        SELECT g, n_a, n_b,
+          abs(cum_a * n_b - cum_b * n_a) AS diff, gap
+        FROM scored)
+      SELECT g AS event_type, CAST(n_a AS BIGINT) AS n_a,
+        CAST(n_b AS BIGINT) AS n_b,
+        CAST(MAX(diff) AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks,
+        CAST(SUM(gap * diff) AS DOUBLE)
+          / CAST(n_a * n_b * 100 AS DOUBLE) AS w1
+      FROM d GROUP BY g, n_a, n_b ORDER BY event_type""")) { (s, dir) =>
+      graft.analytics.Evaluation.distributionDrift(
+          Tables.load(s, dir, "events"), "event_type", "value",
+          cents = 100)
+        .withColumnRenamed("g", "event_type")
     }
   )
 }

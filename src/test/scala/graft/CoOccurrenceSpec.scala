@@ -44,4 +44,51 @@ class CoOccurrenceSpec extends SparkSpec {
     // the 50-item basket is dropped entirely; only (1,2) survives
     assert(capped === Set((1L, 2L)))
   }
+
+  test("associationRules: hand-computed support/confidence/lift") {
+    // baskets: {A,B}, {A,B}, {A,C}, {B}  (A=1, B=2, C=3)
+    val df = baskets((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L), (13L, 2L))
+    val got = CoOccurrence.associationRules(df, "bk", "it",
+      minSupport = 2, topK = 10)
+      .select("antecedent", "consequent", "n_ab", "support",
+        "confidence", "lift")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5, r._6)).toMap
+    // A→B: n_ab=2, n_baskets=4, n_A=3, n_B=3
+    assert(got((1L, 2L)) ===
+      ((2L, 0.5, 2.0 / 3.0, 2.0 * 4.0 / (3.0 * 3.0))))
+    // B→A is the mirrored direction with its own confidence
+    assert(got((2L, 1L)) ===
+      ((2L, 0.5, 2.0 / 3.0, 2.0 * 4.0 / (3.0 * 3.0))))
+    // A→C co-occurs once: below minSupport=2
+    assert(!got.contains((1L, 3L)) && !got.contains((3L, 1L)))
+  }
+
+  test("associationRules: lift above/below 1 separates real affinity") {
+    // C appears in every basket (no information, lift 1); D pairs
+    // only with E (lift > 1 both ways).
+    val rows =
+      (1L to 4L).map(b => (b, 30L)) ++
+        Seq((1L, 40L), (1L, 50L), (2L, 40L), (2L, 50L))
+    val got = CoOccurrence.associationRules(rows.toDF("bk", "it"),
+      "bk", "it", minSupport = 2, topK = 100)
+      .select("antecedent", "consequent", "lift")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((40L, 30L)) === 1.0) // consequent at base rate
+    assert(got((40L, 50L)) === 2.0) // 2·4/(2·2)
+    assert(got((50L, 40L)) === 2.0)
+  }
+
+  test("associationRules: topK cut is a deterministic total order") {
+    val df = baskets((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 2L), (12L, 3L), (13L, 2L), (13L, 3L))
+    // both rules tie on lift; the (antecedent, consequent) tiebreak
+    // makes the single kept row well-defined
+    val got = CoOccurrence.associationRules(df, "bk", "it",
+      minSupport = 2, topK = 1)
+      .select("antecedent", "consequent").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
 }

@@ -735,4 +735,44 @@ class DedupSpec extends SparkSpec {
     } yield (i.toLong, j.toLong)).toSet
     assert(got === want)
   }
+
+  test("editVerifiedPairs: full-text verify separates near from far") {
+    import spark.implicits._
+    // docs 1/2 share the key AND the tail (1 edit in 100+ chars →
+    // dup); docs 1/3 share only the 32-char key (divergent tails →
+    // candidate survives SNM but fails the full-text verify)
+    val shared = "alpha document with a stable key prefix "
+    val docs = Seq(
+      (1L, shared + "and a long common tail that repeats itself"),
+      (2L, shared + "and a long common tail that repeats itsekf"),
+      (3L, shared + "XXXX XXXX XXXX XXXX XXXX XXXX XXXX XXXX XX"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+        keyChars = 32, blockChars = 2, window = 3, maxKeyDist = 5,
+        verifyChars = 240, maxRel = 0.2)
+      .select("id_a", "id_b", "lev", "is_dup")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((1L, 2L)) === ((1L, true)))
+    val far = got.collect {
+      case (p, (_, dup)) if p != ((1L, 2L)) => dup }
+    assert(far.nonEmpty && far.forall(_ == false))
+  }
+
+  test("editVerifiedPairs: rel is lev over the longer verify window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "prefix prefix prefix prefix abcd"),
+      (2L, "prefix prefix prefix prefix abzz tail"))
+      .toDF("doc_id", "text")
+    val r = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+        keyChars = 16, blockChars = 2, window = 3, maxKeyDist = 8,
+        verifyChars = 240, maxRel = 0.5)
+      .select("lev", "len_a", "len_b", "rel")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.length === 1)
+    val (lev, la, lb, rel) = r(0)
+    assert((la, lb) === ((32L, 37L)))
+    assert(rel === lev.toDouble / math.max(la, lb).toDouble)
+  }
 }

@@ -130,4 +130,58 @@ class EvaluationSpec extends SparkSpec {
     assert(r.getAs[Long]("n") === 2L)
     assert(r.getAs[Double]("auc") === 1.0)
   }
+
+  private def drift(rows: Seq[(String, Double)]) =
+    Evaluation.distributionDrift(
+      rows.toDF("g", "v"), "g", "v")
+      .select("g", "n_a", "n_b", "ks", "w1")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("distributionDrift: disjoint supports give KS 1 and exact W1") {
+    // A = {1, 2}, B = {3, 4}: KS = 1, W1 = |mean shift| = 2.0
+    val got = drift(Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0)))
+    assert(got("a") === ((2L, 2L, 1.0, 2.0)))
+    assert(got("b") === ((2L, 2L, 1.0, 2.0)))
+  }
+
+  test("distributionDrift: identical distributions give zero drift") {
+    val got = drift(Seq(("a", 1.5), ("a", 7.25), ("b", 1.5),
+      ("b", 7.25)))
+    assert(got("a") === ((2L, 2L, 0.0, 0.0)))
+  }
+
+  test("distributionDrift: unit shift gives W1 = 1 and KS = 1/3") {
+    // A = {1,2,3}, B = {2,3,4}: F differs by 1/3 on [1,2)∪[3,4)
+    val got = drift(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0)))
+    val (na, nb, ks, w1) = got("a")
+    assert((na, nb) === ((3L, 3L)))
+    assert(ks === 3.0 / 9.0)
+    assert(w1 === 1.0)
+  }
+
+  test("distributionDrift: result is partitioning-invariant") {
+    val rows = (1 to 300).map(i =>
+      (if (i % 3 == 0) "a" else "b", (i % 17) * 0.25 + i % 7))
+    val base = Evaluation.distributionDrift(
+      rows.toDF("g", "v"), "g", "v")
+      .collect().map(_.toSeq).toSeq
+    val shuffled = Evaluation.distributionDrift(
+      rows.toDF("g", "v").repartition(13), "g", "v")
+      .collect().map(_.toSeq).toSeq
+    assert(base === shuffled)
+  }
+
+  test("distributionDrift: null groups and values are excluded") {
+    val df = Seq[(Option[String], Option[Double])](
+      (Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+      (Some("b"), Some(3.0)), (Some("b"), Some(4.0)),
+      (None, Some(9.0)), (Some("a"), None))
+      .toDF("g", "v")
+    val r = Evaluation.distributionDrift(df, "g", "v")
+      .select("g", "n_a", "n_b").as[(String, Long, Long)]
+      .collect().map { case (g, a, b) => g -> ((a, b)) }.toMap
+    assert(r === Map("a" -> ((2L, 2L)), "b" -> ((2L, 2L))))
+  }
 }
