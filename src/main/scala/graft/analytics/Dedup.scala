@@ -492,17 +492,44 @@ object Dedup {
     */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    val fp = simHash(docs, idCol, textCol)
+    val blocks = fp.select(col("doc_id") +: (0 until 8).map(i =>
+      conv(substring(col("simhash_hex"), 1 + 2 * i, 2), 16, 10)
+        .cast("long").as(s"b_$i")): _*)
+    blockedHammingPairs(blocks, maxHamming)
+  }
+
+  /** Near-duplicate pairs by Hamming distance over ANY 64-bit
+    * fingerprint column (simhash, image aHash, …): split each hash
+    * into 8 8-bit blocks and pair via the Manku 3-bad-block bucket
+    * keys — exact full recall for `maxHamming` ≤ 3 by pigeonhole
+    * (≤ 3 differing bits can dirty at most 3 blocks, so some
+    * 5-good-block combination matches exactly), never all-pairs.
+    * Returns (id_a, id_b, hamming) with id_a < id_b, distance ≤
+    * `maxHamming`, null hashes excluded. */
+  def hamming64NearDups(hashes: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 3): DataFrame = {
+    val blocks = hashes
+      .where(col(hashCol).isNotNull)
+      .select(col(idCol).as("doc_id") +: (0 until 8).map(i =>
+        shiftrightunsigned(col(hashCol).cast("long"), 8 * (7 - i))
+          .bitwiseAND(lit(255L)).as(s"b_$i")): _*)
+    blockedHammingPairs(blocks, maxHamming)
+  }
+
+  /** Shared band-join core of [[simHashNearDups]] /
+    * [[hamming64NearDups]]: `blocks` is (doc_id, b_0..b_7) with each
+    * b_i one 8-bit block of the fingerprint. */
+  private def blockedHammingPairs(blocksIn: DataFrame,
+      maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "3-bad-block combos guarantee full recall only for maxHamming <= 3")
     val nBlocks = 8
     // blocks are read four times (both self-join sides, both
     // verification sides) and are tiny (8 longs per doc) — persist
-    // instead of re-running tokenize+md5+vote fingerprinting each
-    // time, same rationale as the minhash signature persist
-    val fp = simHash(docs, idCol, textCol)
-    val blocks = fp.select(col("doc_id") +: (0 until nBlocks).map(i =>
-      conv(substring(col("simhash_hex"), 1 + 2 * i, 2), 16, 10)
-        .cast("long").as(s"b_$i")): _*)
+    // instead of re-running the fingerprint lineage each time, same
+    // rationale as the minhash signature persist
+    val blocks = blocksIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val badSets = (0 until nBlocks).combinations(3).toSeq
     // one bit-packed LONG key per combo: combo id in the high bits,

@@ -298,6 +298,65 @@ object Evaluation {
       .orderBy("g")
   }
 
+  /** Jensen–Shannon divergence of each group's TOKEN distribution
+    * against the complement of the corpus — the discrete-distribution
+    * sibling of [[distributionDrift]] (which covers numeric columns):
+    * "does this slice's vocabulary usage differ from everyone
+    * else's". JSD is symmetric, bounded in [0, ln 2], and defined
+    * even where supports differ — exactly what raw KL is not.
+    *
+    * Scale shape: one corpus-sized (group, token) count shuffle; all
+    * later joins run on the |groups|×|vocab| frame (vocabulary-sized,
+    * never corpus rows), with the group-total and grand-total sides
+    * broadcast. No per-group list is ever collected.
+    *
+    * Determinism: each token's contribution
+    *   x_t = p·ln(2p/(p+q)) + q·ln(2q/(p+q))   (absent side ⇒ 0)
+    * is computed from the same four BIGINTs in either engine, then
+    * QUANTIZED to integer 1e-12 units; the quantized contributions
+    * are summed as DECIMAL(38,0) — exact and order-invariant, the
+    * scalable alternative to the sorted-fold recipe of the per-doc
+    * entropy query (a per-group fold would collect vocabulary-sized
+    * lists). One double cast/division at the end.
+    *
+    * Output: (g, n_tokens, n_rest, vocab, jsd) ordered by group.
+    */
+  def tokenJsDrift(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val perGV = docs
+      .where(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        explode(Dedup.tokens(col(textCol))).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    val perV = perGV.groupBy("tok").agg(sum(col("c")).as("cv"))
+    val groups = perGV.groupBy("g").agg(sum(col("c")).as("n_a"))
+    val tot = perGV.agg(sum(col("c")).as("n_tot"))
+    val frame = perV
+      .crossJoin(broadcast(groups))
+      .crossJoin(broadcast(tot))
+      .join(perGV, Seq("g", "tok"), "left")
+      .na.fill(0L, Seq("c"))
+    val p = col("c").cast("double") / col("n_a").cast("double")
+    val q = (col("cv") - col("c")).cast("double") /
+      (col("n_tot") - col("n_a")).cast("double")
+    val x =
+      when(col("c") > 0, p * log(lit(2.0) * p / (p + q)))
+        .otherwise(lit(0.0)) +
+      when(col("cv") - col("c") > 0, q * log(lit(2.0) * q / (p + q)))
+        .otherwise(lit(0.0))
+    frame
+      .withColumn("__fp", round(x * 1e12).cast("long")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .groupBy(col("g"), col("n_a").as("n_tokens"),
+        (col("n_tot") - col("n_a")).as("n_rest"))
+      .agg(sum(when(col("c") > 0, 1L).otherwise(0L)).as("vocab"),
+        sum(col("__fp")).as("__s"))
+      .select(col("g"), col("n_tokens").cast("long"),
+        col("n_rest").cast("long"), col("vocab").cast("long"),
+        (col("__s").cast("double") / 2e12).as("jsd"))
+      .orderBy("g")
+  }
+
   private def emptyReport(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._

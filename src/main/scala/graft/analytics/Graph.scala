@@ -358,6 +358,66 @@ object Graph {
     * `edges` is one row per undirected edge (aCol, bCol) —
     * symmetrized here; `seeds` carries (aCol, labelCol).
     */
+  /** Exact k-core of an UNDIRECTED graph by iterative peeling
+    * (Matula–Beck): repeatedly delete every node whose current degree
+    * is < k until no node qualifies; the survivors are exactly the
+    * maximal subgraph in which every node has ≥ k neighbors — the
+    * standard cohesion filter (spam-farm / boilerplate-cluster
+    * isolation in a dedup graph, engaged-core extraction in a
+    * behavior graph).
+    *
+    * Scale shape: per round ONE node-keyed degree aggregation
+    * (map-side combined) and ONE edge×survivor equi-join pair —
+    * never node×node — with the shrinking edge frame materialized
+    * per round so round r+1 never re-executes round r's lineage
+    * (same contract as [[labelPropagate]]). Peeling only shrinks the
+    * frame, so per-round cost is non-increasing.
+    *
+    * Determinism and the oracle contract: peeling is CONFLUENT (the
+    * k-core is unique; removal order cannot change the fixpoint), so
+    * the only cross-engine degree of freedom is the ROUND COUNT. The
+    * loop runs at most `rounds` peels, early-exiting when an edge
+    * count survives a round unchanged; an engine that instead unrolls
+    * exactly `rounds` no-op-padded peels (the DuckDB oracle) computes
+    * the identical result whenever the fixpoint is reached within
+    * `rounds` — and if it is NOT reached, both engines stop after the
+    * same `rounds` peels, so they still agree. Every quantity is an
+    * exact BIGINT count.
+    *
+    * Returns (node, core_deg): surviving nodes with their degree
+    * inside the k-core subgraph, ordered by node.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Int,
+      rounds: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val adj0 = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    var adj = Dedup.materialize(adj0)
+    var nEdges = adj.count()
+    var r = 0
+    var converged = nEdges == 0L
+    while (!converged && r < rounds) {
+      val keep = adj.groupBy("src").agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select("src")
+      val next = Dedup.materialize(
+        adj.join(keep, Seq("src"))
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"))
+          .select("src", "dst"))
+      val n = next.count()
+      converged = n == nEdges
+      nEdges = n
+      adj = next
+      r += 1
+    }
+    adj.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("core_deg"))
+      .orderBy("node")
+  }
+
   def labelPropagate(edges: DataFrame, aCol: String, bCol: String,
       seeds: DataFrame, labelCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

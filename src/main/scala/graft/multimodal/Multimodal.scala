@@ -136,6 +136,89 @@ object Multimodal {
       (w.toFloat / h).min(8f) / 8f)
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint of a decoded
+    * image: partition the frame into the 8×8 grid of cells (cell
+    * boundaries by integer `8·x/w`), set bit `63 − (cy·8 + cx)` iff
+    * the cell's mean luma STRICTLY exceeds the global mean. The
+    * compare is cross-multiplied integer arithmetic
+    * (`cellSum·totalPx > totalSum·cellPx`) — exact at any geometry,
+    * no float mean — so the fingerprint is deterministic across
+    * engines and resolutions: two renderings of the same content at
+    * different sizes (or through different codecs) hash identically
+    * as long as their cell means land on the same side of the global
+    * mean.
+    *
+    * Luma: the raw sample for single-band rasters (no color-space
+    * round trip — same contract as [[videoFrames]]); per-pixel
+    * rounded Rec.601 over `getRGB` otherwise. Sums fit a Long:
+    * 255 · [[MaxDecodePixels]] · totalPx < 2⁶³ at the decode bound.
+    */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    val raster = img.getRaster
+    val gray = raster.getNumBands == 1
+    var y = 0
+    while (y < h) {
+      val cy = 8 * y / h
+      var x = 0
+      while (x < w) {
+        val cell = cy * 8 + 8 * x / w
+        val l =
+          if (gray) raster.getSample(x, y, 0).toLong
+          else {
+            val p = img.getRGB(x, y)
+            math.round(0.299 * ((p >> 16) & 0xff) +
+              0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff))
+          }
+        sums(cell) += l
+        cnts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val totalPx = w.toLong * h
+    var total = 0L
+    var i = 0
+    while (i < 64) { total += sums(i); i += 1 }
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (cnts(i) > 0 && sums(i) * totalPx > total * cnts(i))
+        bits |= 1L << (63 - i)
+      i += 1
+    }
+    bits
+  }
+
+  case class AHashRow(media_id: Long, width: Option[Int],
+      height: Option[Int], ahash: Option[Long])
+
+  /** Per-image perceptual fingerprints: decode each payload with the
+    * real codec stack ([[decodeImage]] — PNG/JPEG/GIF/BMP via
+    * `javax.imageio`) and emit (media_id, width, height, ahash);
+    * undecodable payloads emit all-null metadata rather than failing
+    * (same skip-don't-fail contract as [[videoFrames]]). Map-only at
+    * any corpus size — the per-row cost is the codec plus one pixel
+    * pass; pair near-dup fingerprints downstream with
+    * `Dedup.hamming64NearDups` (banded, never all-pairs). */
+  def imageAHashes(media: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame = {
+    val sess = media.sparkSession
+    import sess.implicits._
+    media
+      .select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeImage(bytes) match {
+          case Some(img) => AHashRow(id, Some(img.getWidth),
+            Some(img.getHeight), Some(aHash64(img)))
+          case None => AHashRow(id, None, None, None)
+        }
+      }).toDF("media_id", "width", "height", "ahash")
+  }
+
   /** Upper bound on decoded audio samples (64 M samples ≈ 256 MB of
     * floats): like [[MaxDecodePixels]], the header's declared frame
     * count — not the payload size — is the allocation bomb, so it is

@@ -412,6 +412,61 @@ object AnalyticsQueries {
         minSupport = 3L, topK = 25)
     },
 
+    // Exact 2-core of the SUPPORT-THRESHOLDED co-purchase graph
+    // (pairs co-bought in ≥ 2 baskets — the support filter is what
+    // gives this graph real peel structure; the raw co-purchase graph
+    // of q154 is so dense its k-cores are all-or-nothing). Peeling is
+    // confluent, so the only cross-engine degree of freedom is the
+    // round count: Spark runs ≤ R peels with an early exit, the
+    // oracle unrolls exactly R no-op-padded peel CTEs — identical
+    // results whether or not the fixpoint lands inside R (see
+    // Graph.kCore scaladoc). Every value is an exact BIGINT count.
+    // Every peel CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    // each round references the previous one three times, so the
+    // un-hinted unrolled chain re-expands `base` 3^R times (thousands
+    // of parquet scans — observed fd exhaustion at sf0.01).
+    {
+      val R = 8
+      val peelCtes = (1 to R).map { i =>
+        s"""k${i - 1} AS MATERIALIZED (
+        SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= 2
+      ), e$i AS MATERIALIZED (
+        SELECT e.src, e.dst FROM e${i - 1} e
+        JOIN k${i - 1} a ON e.src = a.src
+        JOIN k${i - 1} b ON e.dst = b.src
+      )"""
+      }.mkString(", ")
+      Q("q174_kcore", Some(s"""
+      WITH base AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), sup AS MATERIALIZED (
+        SELECT a.it AS u, b.it AS v
+        FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      ), e0 AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM sup
+        UNION ALL SELECT v, u FROM sup
+      ), $peelCtes
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+      FROM e$R GROUP BY src ORDER BY node""")) { (s, dir) =>
+        val base = Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey").isNotNull &&
+            col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val edges = base.as("a")
+          .join(base.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+          .agg(count(lit(1)).as("__sup"))
+          .where(col("__sup") >= 2)
+          .select("item_a", "item_b")
+        graft.analytics.Graph.kCore(edges, "item_a", "item_b",
+          k = 2, rounds = R)
+      }
+    },
 
     // mv_location_crop_compatibility: location ⋈ soil × crop with the
     // pH CASE (reference db/init/01-schema.sql:254-272).

@@ -12,6 +12,21 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries {
 
+  /** The images fixture as (media_id, content) — payloads only; the
+    * block_sums columns are the ORACLE's input and must never reach
+    * the Spark side. */
+  private def imageFixture(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload_b64",
+        org.apache.spark.sql.types.StringType)))
+    s.read.schema(schema)
+      .json(s"${IngestQueries.fixturesDir}/images.jsonl")
+      .select(col("media_id"), unbase64(col("payload_b64")).as("content"))
+  }
+
   val all: Seq[Q] = Seq(
 
     Q("q37_media_stats", Some("""
@@ -116,6 +131,83 @@ object MultimodalQueries {
           col("width").cast("int"), col("height").cast("int"),
           col("mean_luma"))
         .orderBy("media_id", "frame_idx")
+    },
+
+    // REAL image decode → 64-bit perceptual average-hash against a
+    // cross-language oracle: the fixture's PNGs are hand-rolled (and
+    // one exact DC-only JPEG reused from the MJPEG toolchain) from
+    // BLOCK-CONSTANT patterns on the 8×8 aHash grid; each row stores
+    // the per-cell luma sums derived from the PATTERN FORMULA, never
+    // from decoding the payload. Spark must recover identical sums
+    // from javax.imageio's decoded pixels; DuckDB assembles the hash
+    // from the stored sums with pure BIGINT arithmetic (cell mean
+    // strictly above global mean ⇔ sum·64 > total at uniform cells;
+    // bit 1 is the sign bit, added as the min-Long literal). The
+    // same content at two resolutions AND two codecs (media 1 PNG
+    // 32² vs media 7 JPEG 64²) must hash IDENTICALLY — the scale/
+    // codec invariance that makes the fingerprint perceptual.
+    // Undecodable bytes (media 9) emit all-null, not a failure.
+    Q("q175_image_ahash", Some(s"""
+      WITH imgs AS (
+        SELECT media_id, width, height, block_sums
+        FROM read_json('${IngestQueries.fixturesDir}/images.jsonl',
+          format='newline_delimited',
+          columns={'media_id': 'BIGINT', 'codec': 'VARCHAR',
+            'width': 'INT', 'height': 'INT', 'n_px': 'BIGINT',
+            'block_sums': 'BIGINT[]', 'payload_b64': 'VARCHAR'})
+      ), e AS (
+        SELECT media_id, block_sums, list_sum(block_sums) AS total,
+          unnest(generate_series(1, 64)) AS i
+        FROM imgs WHERE block_sums IS NOT NULL
+      ), h AS (
+        SELECT media_id,
+          CAST(SUM(CASE WHEN block_sums[i] * 64 > total THEN
+            CASE WHEN i = 1 THEN (-9223372036854775807 - 1)
+                 ELSE (CAST(1 AS BIGINT) << (64 - i)) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM e GROUP BY media_id)
+      SELECT imgs.media_id, width, height, h.ahash
+      FROM imgs LEFT JOIN h USING (media_id)
+      ORDER BY media_id""")) { (s, _) =>
+      Multimodal.imageAHashes(imageFixture(s)).orderBy("media_id")
+    },
+
+    // Image near-duplicate pairs over the q175 fingerprints: Spark
+    // pairs via the banded Manku join (8 blocks, 3-bad-block bucket
+    // keys — EXACT full recall for hamming ≤ 3 by pigeonhole, never
+    // all-pairs); the oracle brute-forces every pair of SQL-derived
+    // hashes, so the band join's completeness is itself under test.
+    // Expected structure (pinned by the generator): the cross-codec
+    // re-render pairs at distance 0, the 1/2-block edits at 1/2, the
+    // inverted and flat patterns pair with nothing.
+    Q("q176_image_near_dup", Some(s"""
+      WITH imgs AS (
+        SELECT media_id, block_sums
+        FROM read_json('${IngestQueries.fixturesDir}/images.jsonl',
+          format='newline_delimited',
+          columns={'media_id': 'BIGINT', 'codec': 'VARCHAR',
+            'width': 'INT', 'height': 'INT', 'n_px': 'BIGINT',
+            'block_sums': 'BIGINT[]', 'payload_b64': 'VARCHAR'})
+      ), e AS (
+        SELECT media_id, block_sums, list_sum(block_sums) AS total,
+          unnest(generate_series(1, 64)) AS i
+        FROM imgs WHERE block_sums IS NOT NULL
+      ), h AS (
+        SELECT media_id,
+          CAST(SUM(CASE WHEN block_sums[i] * 64 > total THEN
+            CASE WHEN i = 1 THEN (-9223372036854775807 - 1)
+                 ELSE (CAST(1 AS BIGINT) << (64 - i)) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM e GROUP BY media_id)
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+        CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+      FROM h a JOIN h b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+      ORDER BY id_a, id_b""")) { (s, _) =>
+      graft.analytics.Dedup.hamming64NearDups(
+          Multimodal.imageAHashes(imageFixture(s)),
+          "media_id", "ahash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
     },
 
     Q("q38_frame_sample", Some("""

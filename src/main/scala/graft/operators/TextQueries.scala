@@ -510,6 +510,62 @@ object TextQueries {
         .orderBy("lang", "rn")
     },
 
+    // Jensen–Shannon token drift per language vs the rest of the
+    // corpus — the discrete sibling of q172's numeric KS/Wasserstein
+    // drift. The dense frame is |langs|×|vocab| (vocabulary-sized,
+    // never corpus rows); each token's contribution is computed from
+    // the same four BIGINTs in both engines, quantized to 1e-12
+    // units, and summed exactly (HUGEINT / DECIMAL(38,0)) — the
+    // order-invariant scalable variant of q121's sorted-fold recipe.
+    Q("q177_token_js_drift", Some("""
+      WITH t AS (
+        SELECT lang AS g,
+          unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+      pergv AS (
+        SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM t GROUP BY 1, 2),
+      perv AS (
+        SELECT tok, CAST(SUM(c) AS BIGINT) AS cv FROM pergv GROUP BY 1),
+      grp AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n_a FROM pergv GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM pergv),
+      frame AS (
+        SELECT grp.g, grp.n_a, tot.n_tot, perv.tok, perv.cv,
+          COALESCE(pergv.c, 0) AS c
+        FROM perv CROSS JOIN grp CROSS JOIN tot
+        LEFT JOIN pergv ON pergv.g = grp.g AND pergv.tok = perv.tok),
+      sc AS (
+        SELECT g, n_a, n_tot - n_a AS n_rest, c,
+          CAST(round((
+            CASE WHEN c > 0 THEN
+              (CAST(c AS DOUBLE) / CAST(n_a AS DOUBLE)) * ln(
+                2.0 * (CAST(c AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+                ((CAST(c AS DOUBLE) / CAST(n_a AS DOUBLE)) +
+                 (CAST(cv - c AS DOUBLE) /
+                  CAST(n_tot - n_a AS DOUBLE))))
+            ELSE 0 END +
+            CASE WHEN cv - c > 0 THEN
+              (CAST(cv - c AS DOUBLE) / CAST(n_tot - n_a AS DOUBLE))
+              * ln(
+                2.0 * (CAST(cv - c AS DOUBLE) /
+                       CAST(n_tot - n_a AS DOUBLE)) /
+                ((CAST(c AS DOUBLE) / CAST(n_a AS DOUBLE)) +
+                 (CAST(cv - c AS DOUBLE) /
+                  CAST(n_tot - n_a AS DOUBLE))))
+            ELSE 0 END) * 1000000000000.0) AS BIGINT) AS fp
+        FROM frame)
+      SELECT g AS lang, n_a AS n_tokens, n_rest,
+        CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS vocab,
+        CAST(SUM(fp) AS DOUBLE) / 2000000000000.0 AS jsd
+      FROM sc GROUP BY g, n_a, n_rest ORDER BY lang""")) { (s, dir) =>
+      graft.analytics.Evaluation.tokenJsDrift(
+          Tables.load(s, dir, "documents")
+            .where(col("lang").isNotNull), "lang", "text")
+        .withColumnRenamed("g", "lang")
+    },
+
     // Unigram (token) entropy per document — the Gopher-family
     // "natural language vs degenerate text" quality signal: low
     // entropy flags repeated/boilerplate docs, which simple length

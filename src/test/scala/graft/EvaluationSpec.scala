@@ -173,6 +173,51 @@ class EvaluationSpec extends SparkSpec {
     assert(base === shuffled)
   }
 
+  private def jsd(rows: Seq[(String, String)]) =
+    Evaluation.tokenJsDrift(rows.toDF("g", "text"), "g", "text")
+      .select("g", "n_tokens", "n_rest", "vocab", "jsd")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+  test("tokenJsDrift: identical token distributions give zero") {
+    val got = jsd(Seq(("a", "x x y"), ("b", "x x y")))
+    val (na, nb, vocab, d) = got("a")
+    assert((na, nb, vocab) === ((3L, 3L, 2L)))
+    assert(d === 0.0)
+  }
+
+  test("tokenJsDrift: disjoint vocabularies give ln 2") {
+    val got = jsd(Seq(("a", "u u"), ("b", "v")))
+    assert(math.abs(got("a")._4 - math.log(2.0)) < 1e-9)
+    assert(math.abs(got("b")._4 - math.log(2.0)) < 1e-9)
+  }
+
+  test("tokenJsDrift: hand-computed two-token mixture") {
+    // a: {x: 2/3, y: 1/3}; rest(=b): {x: 1/4, y: 3/4}
+    val got = jsd(Seq(("a", "x x y"), ("b", "x y y y")))
+    val expect = 0.5 * (
+      2.0 / 3 * math.log((4.0 / 3) / (2.0 / 3 + 0.25)) +
+        0.25 * math.log(0.5 / (2.0 / 3 + 0.25)) +
+        1.0 / 3 * math.log((2.0 / 3) / (1.0 / 3 + 0.75)) +
+        0.75 * math.log(1.5 / (1.0 / 3 + 0.75)))
+    assert(math.abs(got("a")._4 - expect) < 1e-9)
+    assert((got("a")._1, got("a")._2, got("a")._3) === ((3L, 4L, 2L)))
+    // symmetric by construction for two groups
+    assert(math.abs(got("b")._4 - expect) < 1e-9)
+  }
+
+  test("tokenJsDrift: result is partitioning-invariant") {
+    val rows = (1 to 200).map(i =>
+      (if (i % 3 == 0) "a" else "b",
+        s"tok${i % 11} tok${i % 7} tok${(i * 13) % 17}"))
+    val base = Evaluation.tokenJsDrift(
+      rows.toDF("g", "text"), "g", "text").collect().map(_.toSeq).toSeq
+    val shuf = Evaluation.tokenJsDrift(
+      rows.toDF("g", "text").repartition(13), "g", "text")
+      .collect().map(_.toSeq).toSeq
+    assert(base === shuf)
+  }
+
   test("distributionDrift: null groups and values are excluded") {
     val df = Seq[(Option[String], Option[Double])](
       (Some("a"), Some(1.0)), (Some("a"), Some(2.0)),

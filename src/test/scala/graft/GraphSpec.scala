@@ -208,6 +208,52 @@ class GraphSpec extends SparkSpec {
     assert(r2.getAs[Long]("t_sparse") === r.getAs[Long]("t_sparse"))
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int,
+      rounds: Int = 8): Map[Long, Long] =
+    graft.analytics.Graph.kCore(edges.toDF("u", "v"), "u", "v", k,
+      rounds).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: pendant chain peels in cascade to the triangle") {
+    // triangle {1,2,3} + chain 3-4-5-6: node 6 falls first, which
+    // exposes 5, then 4 — three dependent peel rounds for k=2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L))
+    assert(core(edges, k = 2) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: rounds cap truncates the cascade mid-peel") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L))
+    // one peel only: 6 (deg 1) is gone, 5's degree has dropped to 1
+    // but its removal belongs to the next round
+    assert(core(edges, k = 2, rounds = 1) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("kCore: a graph that already is a k-core survives unchanged") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(core(square, k = 2) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("kCore: k above the max degree empties the graph") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(core(square, k = 3) === Map.empty)
+  }
+
+  test("kCore: result is partitioning-invariant") {
+    val edges = (1 to 40).flatMap { i =>
+      Seq((i.toLong, (i % 40 + 1).toLong),
+        (i.toLong, ((i + 7) % 40 + 1).toLong))
+    }
+    val a = core(edges, k = 3)
+    val b = graft.analytics.Graph.kCore(
+        edges.toDF("u", "v").repartition(11), "u", "v", 3, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("rank mass is conserved up to floor losses") {
     val scale = 1000000000000L
     val r = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)), 10)

@@ -72,8 +72,82 @@ class MultimodalSpec extends SparkSpec {
     assert(again.features.sameElements(fr))
   }
 
-  /** Encode a 16-bit mono PCM WAV in memory — real bytes, no
-    * fixtures. */
+  /** Grayscale image whose pixel at (x, y) is `f(x, y)` — built
+    * directly (aHash64 unit tests) or PNG-encoded (pipeline tests). */
+  private def grayImg(w: Int, h: Int)(f: (Int, Int) => Int) = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until h; x <- 0 until w) r.setSample(x, y, 0, f(x, y))
+    img
+  }
+
+  private def pngOf(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("aHash64: half-split image sets exactly the bright nibbles") {
+    // left half 40, right half 200: every row's right 4 cells exceed
+    // the mean -> per-row byte 0x0F
+    val img = grayImg(16, 16)((x, _) => if (x < 8) 40 else 200)
+    assert(Multimodal.aHash64(img) === 0x0F0F0F0F0F0F0F0FL)
+  }
+
+  test("aHash64 is resolution- and color-model-invariant for the " +
+      "same content") {
+    def half(w: Int, h: Int) =
+      grayImg(w, h)((x, _) => if (x * 2 < w) 40 else 200)
+    val base = Multimodal.aHash64(half(16, 16))
+    assert(Multimodal.aHash64(half(64, 32)) === base)
+    assert(Multimodal.aHash64(half(8, 40)) === base)
+    // same gray content through the RGB luma path
+    val rgb = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val v = if (x < 8) 40 else 200
+      rgb.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    assert(Multimodal.aHash64(rgb) === base)
+  }
+
+  test("aHash64: flat image has no cell above the mean -> hash 0") {
+    assert(Multimodal.aHash64(grayImg(24, 24)((_, _) => 128)) === 0L)
+  }
+
+  test("imageAHashes decodes real PNG bytes; undecodable -> null row") {
+    val a = pngOf(grayImg(32, 32)((x, _) => if (x < 16) 40 else 200))
+    val got = Multimodal.imageAHashes(
+        Seq((1L, a), (2L, "not an image".getBytes("UTF-8")))
+          .toDF("media_id", "content"))
+      .orderBy("media_id")
+      .as[(Long, Option[Int], Option[Int], Option[Long])].collect()
+    assert(got(0) === ((1L, Some(32), Some(32),
+      Some(0x0F0F0F0F0F0F0F0FL))))
+    assert(got(1) === ((2L, None, None, None)))
+  }
+
+  test("hamming64NearDups matches brute force exactly at <= 3") {
+    import graft.analytics.Dedup
+    // deterministic spread plus implanted near pairs at 1/2/3 bits
+    val base = (1 to 40).map(i => i.toLong * 0x9E3779B97F4A7C15L)
+    val hs = (base :+ (base(0) ^ 1L) :+
+      (base(5) ^ (1L << 63) ^ (1L << 2)) :+
+      (base(9) ^ (1L << 40) ^ (1L << 23) ^ 1L)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val want = (for {
+      (ia, va) <- hs; (ib, vb) <- hs
+      if ia < ib && java.lang.Long.bitCount(va ^ vb) <= 3
+    } yield (ia, ib, java.lang.Long.bitCount(va ^ vb))).toSet
+    // a null fingerprint (undecodable image) must pair with nothing
+    val withNull = hs.map { case (i, v) => (i, Option(v)) } :+
+      ((99L, Option.empty[Long]))
+    val got = Dedup.hamming64NearDups(
+        withNull.toDF("id", "h"), "id", "h")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want && want.size >= 3)
+  }
   private def wavBytes(sampleRate: Float,
       samples: Array[Short]): Array[Byte] = {
     import javax.sound.sampled._
