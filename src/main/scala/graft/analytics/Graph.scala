@@ -156,6 +156,72 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** Per-node triangle counts and LOCAL clustering coefficients
+    * (Watts–Strogatz): for each node, how many of its neighbor pairs
+    * are themselves connected — the per-node cohesion feature (hub
+    * whose neighborhood is a clique = template/boilerplate cluster
+    * core; hub with sparse neighborhood = genuine connector) that the
+    * single global coefficient of [[triangleCensus]] averages away.
+    *
+    * Scale shape: the SAME degree-oriented wedge join as
+    * [[triangleCensus]] (Σ outdeg² candidates, outdeg ≤ O(√m)) —
+    * the only change is that the closing-edge probe is an INNER join
+    * (not semi) and each confirmed triangle is exploded to its three
+    * corners for one node-keyed count. Per-node wedge counts come
+    * from the degree sequence, not a join. Everything before the one
+    * double division is an exact BIGINT.
+    *
+    * Output: (node, degree, n_triangles, lcc) ordered by node, where
+    * lcc = 2·t / (d·(d−1)) and degree-1 nodes report lcc null.
+    */
+  def localClustering(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+    val eM = Dedup.materialize(e)
+    val deg = eM.select(col("u").as("n")).unionByName(
+        eM.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val uFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = Dedup.materialize(
+      eM.join(du, Seq("u")).join(dv, Seq("v"))
+        .select(
+          when(uFirst, col("u")).otherwise(col("v")).as("src"),
+          when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+          when(uFirst,
+            struct(col("dv").as("kd"), col("v").as("kn")))
+            .otherwise(
+              struct(col("du").as("kd"), col("u").as("kn")))
+            .as("dstKey")))
+    val x = oriented.select(col("src"),
+      col("dst").as("b"), col("dstKey").as("kb"))
+    val y = oriented.select(col("src"),
+      col("dst").as("c"), col("dstKey").as("kc"))
+    val triCorners = x.join(y, Seq("src"))
+      .where(col("kb") < col("kc"))
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
+      .select(explode(array(col("src"), col("b"), col("c")))
+        .as("n"))
+      .groupBy("n").agg(count(lit(1)).as("t"))
+    deg.join(triCorners, Seq("n"), "left")
+      .na.fill(0L, Seq("t"))
+      .select(col("n").as("node"), col("d").cast("long").as("degree"),
+        col("t").cast("long").as("n_triangles"),
+        when(col("d") > 1,
+          lit(2.0) * col("t").cast("double") /
+            (col("d") * (col("d") - 1)).cast("double"))
+          .as("lcc"))
+      .orderBy("node")
+  }
+
   /** Personalized (seeded) PageRank — the TrustRank-shaped variant
     * (Haveliwala WWW'02; Gyöngyi et al. VLDB'04): teleport mass lands
     * ONLY on the seed set, so rank measures proximity to the seeds

@@ -468,6 +468,58 @@ object AnalyticsQueries {
       }
     },
 
+    // Per-node triangle counts + LOCAL clustering coefficient on the
+    // q174 support-thresholded co-purchase graph. Spark runs the
+    // degree-oriented wedge join (Σ outdeg² candidates) with the
+    // confirmed triangles exploded to their corners; the oracle
+    // enumerates each triangle once from the canonical u<v<w edge
+    // triple and unnests the corners — different algorithms, same
+    // exact BIGINT counts, with the one double division (2t/d(d−1))
+    // computed from the same integers in both engines. MATERIALIZED
+    // keeps DuckDB from inlining the edge CTE into the triple join.
+    Q("q178_local_clustering", Some("""
+      WITH base AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), sup AS MATERIALIZED (
+        SELECT a.it AS u, b.it AS v
+        FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      ), deg AS MATERIALIZED (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT u AS n FROM sup UNION ALL SELECT v FROM sup)
+        GROUP BY n
+      ), tri AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM sup e1 JOIN sup e2 ON e1.v = e2.u
+        JOIN sup e3 ON e3.u = e1.u AND e3.v = e2.v
+      ), pernode AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+          SELECT unnest([a, b, c]) AS n FROM tri)
+        GROUP BY n)
+      SELECT deg.n AS node, deg.d AS degree,
+        COALESCE(pernode.t, 0) AS n_triangles,
+        CASE WHEN deg.d > 1 THEN
+          2.0 * COALESCE(pernode.t, 0) / (deg.d * (deg.d - 1))
+        END AS lcc
+      FROM deg LEFT JOIN pernode ON deg.n = pernode.n
+      ORDER BY node""")) { (s, dir) =>
+      val base = Tables.load(s, dir, "lineitem")
+        .where(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val edges = base.as("a")
+        .join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
+        .agg(count(lit(1)).as("__sup"))
+        .where(col("__sup") >= 2)
+        .select("item_a", "item_b")
+      graft.analytics.Graph.localClustering(edges, "item_a", "item_b")
+    },
+
     // mv_location_crop_compatibility: location ⋈ soil × crop with the
     // pH CASE (reference db/init/01-schema.sql:254-272).
     Q("q39_compat_mv", Some(s"""

@@ -254,6 +254,57 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  private def lcc(edges: Seq[(Long, Long)]) =
+    graft.analytics.Graph.localClustering(
+        edges.toDF("u", "v"), "u", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+
+  test("localClustering: triangle with a pendant") {
+    // triangle {1,2,3} + pendant 3-4: node 3 has degree 3, one of its
+    // three neighbor pairs connected -> 1/3; pendant has lcc null
+    val got = lcc(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(got(1L) === ((2L, 1L, Some(1.0))))
+    assert(got(2L) === ((2L, 1L, Some(1.0))))
+    assert(got(3L) === ((3L, 1L, Some(1.0 / 3))))
+    assert(got(4L) === ((1L, 0L, None)))
+  }
+
+  test("localClustering: K4 is all-ones and counts C(3,2) wedges") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val got = lcc(k4)
+    assert(got.size === 4)
+    got.values.foreach { case (d, t, c) =>
+      assert(d === 3L && t === 3L && c === Some(1.0))
+    }
+  }
+
+  test("localClustering: triangle-free path reports zero lcc") {
+    val got = lcc(Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(got(2L) === ((2L, 0L, Some(0.0))))
+    assert(got(1L) === ((1L, 0L, None)))
+  }
+
+  test("localClustering: per-node counts sum to 3x the census") {
+    val edges = (1 to 40).flatMap { i =>
+      Seq((i.toLong, (i % 40 + 1).toLong),
+        (i.toLong, ((i + 7) % 40 + 1).toLong),
+        (i.toLong, ((i + 13) % 40 + 1).toLong))
+    }
+    val per = lcc(edges)
+    val census = graft.analytics.Graph.triangleCensus(
+        edges.toDF("u", "v"), "u", "v")
+      .collect()(0).getAs[Long]("n_triangles")
+    assert(per.values.map(_._2).sum === 3L * census)
+    val shuffled = graft.analytics.Graph.localClustering(
+        edges.toDF("u", "v").repartition(11), "u", "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(shuffled === per)
+  }
+
   test("rank mass is conserved up to floor losses") {
     val scale = 1000000000000L
     val r = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)), 10)
