@@ -293,6 +293,44 @@ object MiscQueries {
       }
     },
 
+    // Small-files compaction plan over a per-(day, hour) file
+    // inventory derived from events (bytes = Σ 32 + |props| per
+    // hour-file): exclusive-prefix fill assigns each file to the
+    // target-sized output group its preceding bytes land in — one
+    // partition-local window cumsum, no global sort, no first-fit
+    // loop whose bins depend on iteration order. All BIGINTs; the
+    // partition is a formatted day string per the Q date contract.
+    {
+      val target = 32768L
+      Q("q179_compaction_plan", Some(s"""
+      WITH files AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS part,
+          CAST(hour(ts) AS BIGINT) AS file_id,
+          CAST(SUM(32 + COALESCE(strlen(props), 0)) AS BIGINT) AS bytes
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2
+      ), pre AS (
+        SELECT part, file_id, bytes,
+          COALESCE(SUM(bytes) OVER (PARTITION BY part ORDER BY file_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+        FROM files)
+      SELECT part, CAST(p // $target AS BIGINT) AS out_group,
+        CAST(count(*) AS BIGINT) AS n_files,
+        CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+        MIN(file_id) AS first_file, MAX(file_id) AS last_file
+      FROM pre GROUP BY 1, 2 ORDER BY part, out_group""")) { (s, dir) =>
+        val inv = Tables.load(s, dir, "events")
+          .where(col("ts").isNotNull)
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("part"),
+            hour(col("ts")).cast("long").as("file_id"))
+          .agg(sum(lit(32L) +
+            coalesce(octet_length(col("props")).cast("long"), lit(0L)))
+            .as("bytes"))
+        graft.warehouse.Writer.compactionPlan(
+          inv, "part", "file_id", "bytes", targetBytes = target)
+      }
+    },
+
     // Weighted sampling without replacement (Efraimidis–Spirakis):
     // 100 docs drawn with inclusion probability increasing in
     // n_chars, priorities from the portable hash so the draw is

@@ -39,6 +39,47 @@ object Writer {
   def readEvolved(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Compaction plan for a small-files inventory — the operational
+    * answer to the lake's "millions of tiny files" problem: within
+    * each partition, assign files (in stable `fileCol` order) to
+    * output groups by EXCLUSIVE-prefix fill — a file whose preceding
+    * bytes total lands in bin g joins group g — so every group's
+    * size lies within one file of `targetBytes` and a rewriter can
+    * copy each group to one output file.
+    *
+    * Scale shape: one partition-local window cumsum plus one keyed
+    * aggregation — no global sort, no driver-side listing loop; a
+    * 100 TB lake plans each partition independently. The policy is
+    * deterministic (exact BIGINT prefix sums, floor division), so
+    * the plan is reproducible and engine-portable — no first-fit
+    * heuristic whose bin contents depend on iteration order.
+    *
+    * Returns one row per (part, out_group): n_files, group_bytes,
+    * first_file, last_file — ordered, all exact BIGINTs.
+    */
+  def compactionPlan(files: DataFrame, partCol: String,
+      fileCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("file_id")
+      .rowsBetween(Long.MinValue, -1)
+    files
+      .select(col(partCol).as("part"), col(fileCol).as("file_id"),
+        col(bytesCol).cast("long").as("bytes"))
+      .where(col("part").isNotNull && col("file_id").isNotNull &&
+        col("bytes").isNotNull)
+      .withColumn("__pre",
+        coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("out_group", expr(s"__pre div ${targetBytes}L"))
+      .groupBy("part", "out_group")
+      .agg(count(lit(1)).cast("long").as("n_files"),
+        sum("bytes").cast("long").as("group_bytes"),
+        min("file_id").as("first_file"),
+        max("file_id").as("last_file"))
+      .orderBy("part", "out_group")
+  }
+
   /** Save as a bucketed (+ sorted) catalog table: co-locates join keys
     * at write time so repeated fact-fact joins on `keys` need no
     * shuffle at all — the big-join analogue of the reference's

@@ -28,6 +28,39 @@ class WriterSpec extends SparkSpec {
       plan.contains("part_year"))
   }
 
+  test("compactionPlan: exclusive-prefix fill groups within one " +
+      "file of target") {
+    val files = Seq(
+      // part "a": 5 files of 10 -> groups of ~25: prefix 0,10,20
+      // land in bin 0; 30,40 in bin 1
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("a", 4L, 10L), ("a", 5L, 10L),
+      // part "b": one oversized file then a tiny one
+      ("b", 1L, 60L), ("b", 2L, 5L)).toDF("p", "f", "bytes")
+    val got = Writer.compactionPlan(files, "p", "f", "bytes", 25L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      ("a", 0L, 3L, 30L, 1L, 3L),
+      ("a", 1L, 2L, 20L, 4L, 5L),
+      ("b", 0L, 1L, 60L, 1L, 1L),
+      ("b", 2L, 1L, 5L, 2L, 2L)))
+    // every file accounted for, per partition
+    assert(got.filter(_._1 == "a").map(_._3).sum === 5L)
+  }
+
+  test("compactionPlan is partitioning-invariant and keyed by " +
+      "stable file order") {
+    val inv = (1 to 300).map(i =>
+      (s"p${i % 7}", i.toLong, (i % 13 + 1) * 100L))
+    val a = Writer.compactionPlan(inv.toDF("p", "f", "b"),
+      "p", "f", "b", 1000L).collect().map(_.toSeq).toSeq
+    val b = Writer.compactionPlan(inv.reverse.toDF("p", "f", "b")
+        .repartition(11), "p", "f", "b", 1000L)
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("bucketed tables join with zero exchanges") {
     val a = (1 to 1000).map(i => (i.toLong, i * 2)).toDF("k", "v")
     val b = (1 to 1000).map(i => (i.toLong, s"n$i")).toDF("k", "name")
