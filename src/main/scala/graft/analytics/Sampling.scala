@@ -96,4 +96,51 @@ object Sampling {
         (Seq(hash, id) ++ payload.map(_._2))
           .map(org.apache.spark.sql.graft.ColumnBridge.expression),
         payload.map(_._1), k).toAggregateExpression())
+
+  /** Deterministic negative sampling for contrastive training: for
+    * each query in `positives` (query, item), draw up to `k`
+    * pseudo-random items the query did NOT interact with. The
+    * candidate pool is the `k·poolFactor` universe items with the
+    * smallest (md5(item), item) key — one global top-N (never a full
+    * sort), broadcast to every executor — so the per-query work is
+    * |pool| candidate rows minus that query's positives, ranked by
+    * the pair hash md5(query ∥ '|' ∥ item): negatives differ per
+    * query, every draw is replayable on any engine/partitioning, and
+    * NOTHING here is rand().
+    *
+    * Scale shape: queries × pool is a broadcast nested loop emitting
+    * |Q|·|pool| rows (linear in queries for fixed k); the positives
+    * anti-join is one (query, item)-keyed shuffle; the rank window
+    * partitions by query over ≤ |pool| rows each. A query whose
+    * positives cover more than `(poolFactor−1)·k` pool items yields
+    * fewer than k negatives — raise `poolFactor` for dense queries.
+    *
+    * Returns (query_id, item_id, rk) with rk = 1..k in draw order.
+    */
+  def negativeSample(positives: DataFrame, queryCol: String,
+      itemCol: String, items: DataFrame, universeCol: String,
+      k: Int, poolFactor: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(poolFactor >= 2, "poolFactor must be >= 2")
+    val pool = items
+      .select(col(universeCol).as("item_id"))
+      .where(col("item_id").isNotNull).distinct()
+      .orderBy(md5(col("item_id").cast("string")), col("item_id"))
+      .limit(k * poolFactor)
+    val queries = positives
+      .select(col(queryCol).as("query_id"))
+      .where(col("query_id").isNotNull).distinct()
+    val cand = queries.crossJoin(broadcast(pool))
+    val negs = cand.join(
+      positives.select(col(queryCol).as("query_id"),
+        col(itemCol).as("item_id")),
+      Seq("query_id", "item_id"), "left_anti")
+    negs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(
+          md5(concat(col("query_id").cast("string"), lit("|"),
+            col("item_id").cast("string"))), col("item_id"))))
+      .where(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
 }

@@ -331,6 +331,49 @@ object MiscQueries {
       }
     },
 
+    // Deterministic negative sampling for contrastive training:
+    // customer→part purchases are the positives; each customer draws
+    // up to 5 non-purchased parts from a 20-item md5-ranked pool,
+    // ranked by the pair hash — replayed verbatim by the oracle
+    // (md5 hex strings compare identically in both engines). The pool
+    // is one global top-N then broadcast; candidates are |Q|·20 rows,
+    // linear in customers.
+    Q("q180_negative_sample", Some("""
+      WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS query_id, l.l_partkey AS item_id
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
+      ), pool AS (
+        SELECT item_id FROM (
+          SELECT DISTINCT p_partkey AS item_id FROM part
+          WHERE p_partkey IS NOT NULL)
+        ORDER BY md5(CAST(item_id AS VARCHAR)), item_id LIMIT 20
+      ), q AS (SELECT DISTINCT query_id FROM pos),
+      cand AS (
+        SELECT q.query_id, pool.item_id FROM q CROSS JOIN pool
+        WHERE NOT EXISTS (SELECT 1 FROM pos
+          WHERE pos.query_id = q.query_id
+            AND pos.item_id = pool.item_id)
+      ), ranked AS (
+        SELECT query_id, item_id, row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY md5(CAST(query_id AS VARCHAR) || '|' ||
+            CAST(item_id AS VARCHAR)), item_id) AS rk
+        FROM cand)
+      SELECT query_id, item_id, CAST(rk AS INT) AS rk
+      FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""")) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      val pos = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .where(col("o_custkey").isNotNull && col("l_partkey").isNotNull)
+        .select(col("o_custkey").as("query_id"),
+          col("l_partkey").as("item_id"))
+        .distinct()
+      graft.analytics.Sampling.negativeSample(pos, "query_id",
+        "item_id", Tables.load(s, dir, "part"), "p_partkey",
+        k = 5, poolFactor = 4)
+    },
+
     // Weighted sampling without replacement (Efraimidis–Spirakis):
     // 100 docs drawn with inclusion probability increasing in
     // n_chars, priorities from the portable hash so the draw is

@@ -480,6 +480,52 @@ class DedupSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq, "same membership on every run")
   }
 
+  test("negativeSample: replays the md5 draw exactly, never emits a " +
+      "positive, and is repartition-invariant") {
+    import spark.implicits._
+    import graft.analytics.Sampling
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val items = (1L to 100L).toDF("item")
+    // query 1 likes a spread of items; query 2 likes NOTHING in the
+    // pool's reach except what the draw would pick first (forcing the
+    // anti-join to visibly shift its ranking)
+    val k = 3; val n = k * 4
+    val pool = (1L to 100L).sortBy(i => (md5hex(i.toString), i)).take(n)
+    val pos = Seq((1L, pool(0)), (1L, pool(2)), (2L, 999L))
+      .toDF("q", "it")
+    val got = Sampling.negativeSample(pos, "q", "it", items, "item",
+        k = k, poolFactor = 4)
+      .as[(Long, Long, Int)].collect().toSeq
+    def expectFor(q: Long, liked: Set[Long]) =
+      pool.filterNot(liked)
+        .sortBy(i => (md5hex(s"$q|$i"), i)).take(k)
+        .zipWithIndex.map { case (it, i) => (q, it, i + 1) }
+    val want = expectFor(1L, Set(pool(0), pool(2))) ++
+      expectFor(2L, Set(999L))
+    assert(got === want)
+    assert(got.forall { case (q, it, _) =>
+      !Set((1L, pool(0)), (1L, pool(2))).contains((q, it)) })
+    val shuffled = Sampling.negativeSample(pos.repartition(7), "q",
+        "it", items.repartition(5), "item", k = k, poolFactor = 4)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(shuffled === want)
+  }
+
+  test("negativeSample: a query whose positives saturate the pool " +
+      "yields fewer than k") {
+    import spark.implicits._
+    import graft.analytics.Sampling
+    val items = (1L to 8L).toDF("item")
+    // pool is ALL 8 items (k·poolFactor = 8); query likes 6 of them
+    val pos = (1L to 6L).map(i => (7L, i)).toDF("q", "it")
+    val got = Sampling.negativeSample(pos, "q", "it", items, "item",
+      k = 4, poolFactor = 2).collect()
+    assert(got.length === 2)
+    assert(got.map(_.getLong(1)).toSet === Set(7L, 8L))
+  }
+
   test("incremental assign fails fast on ids outside [0, offset)") {
     import spark.implicits._
     import org.apache.spark.sql.Column
