@@ -219,6 +219,70 @@ object Multimodal {
       }).toDF("media_id", "width", "height", "ahash")
   }
 
+  /** 64-bit average-hash fingerprint of decoded PCM audio — the time-
+    * domain sibling of [[aHash64]]: partition the interleaved sample
+    * sequence into 64 equal time cells (cell `64·i/n`), set bit
+    * `63 − c` iff the cell's mean |amplitude| STRICTLY exceeds the
+    * global mean. Amplitudes accumulate as exact integers
+    * (`round(|s|·32768)` recovers the raw PCM unit — [[decodeAudio]]'s
+    * `/128f` and `/32768f` normalizations are dyadic, so the float
+    * round-trip is lossless) and the compare is cross-multiplied
+    * (`cellSum·n > totalSum·cellCnt`), so the fingerprint is
+    * deterministic and invariant across duration, bit depth, and
+    * container for block-equivalent content. Overflow-safe at the
+    * decode bound: cellSum·n ≤ 2¹⁵·n²/64 < 2⁶³ for n ≤
+    * [[MaxDecodeSamples]]. */
+  def audioHash64(samples: Array[Float]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val c = (64L * i / n).toInt
+      sums(c) += math.round(math.abs(samples(i)) * 32768f).toLong
+      cnts(c) += 1
+      i += 1
+    }
+    var total = 0L
+    var j = 0
+    while (j < 64) { total += sums(j); j += 1 }
+    var bits = 0L
+    j = 0
+    while (j < 64) {
+      if (cnts(j) > 0 && sums(j) * n > total * cnts(j))
+        bits |= 1L << (63 - j)
+      j += 1
+    }
+    bits
+  }
+
+  case class AudioHashRow(media_id: Long, n_samples: Option[Long],
+      ahash: Option[Long])
+
+  /** Per-clip perceptual fingerprints: decode each payload with the
+    * real codec stack ([[decodeAudio]] — WAV/AIFF/AU PCM via
+    * `javax.sound.sampled`) and emit (media_id, n_samples, ahash);
+    * undecodable payloads emit all-null rather than failing (the
+    * skip-don't-fail contract of [[imageAHashes]]). Map-only at any
+    * corpus size; pair near-dup fingerprints downstream with
+    * `Dedup.hamming64NearDups` (banded, never all-pairs). */
+  def audioHashes(media: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame = {
+    val sess = media.sparkSession
+    import sess.implicits._
+    media
+      .select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeAudio(bytes) match {
+          case Some((_, samples)) => AudioHashRow(id,
+            Some(samples.length.toLong), Some(audioHash64(samples)))
+          case None => AudioHashRow(id, None, None)
+        }
+      }).toDF("media_id", "n_samples", "ahash")
+  }
+
   /** Upper bound on decoded audio samples (64 M samples ≈ 256 MB of
     * floats): like [[MaxDecodePixels]], the header's declared frame
     * count — not the payload size — is the allocation bomb, so it is

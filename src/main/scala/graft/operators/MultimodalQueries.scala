@@ -27,7 +27,86 @@ object MultimodalQueries {
       .select(col("media_id"), unbase64(col("payload_b64")).as("content"))
   }
 
+  /** The audio fixture as (media_id, content) — payloads only; the
+    * cell_sums columns are the ORACLE's input and must never reach
+    * the Spark side. */
+  private def audioFixture(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload_b64",
+        org.apache.spark.sql.types.StringType)))
+    s.read.schema(schema)
+      .json(s"${IngestQueries.fixturesDir}/audio.jsonl")
+      .select(col("media_id"), unbase64(col("payload_b64")).as("content"))
+  }
+
+  /** Shared oracle CTE assembling the 64-bit audio hash from the
+    * fixture's pattern-derived cell sums (uniform cells, so "cell
+    * mean strictly above global mean" ⇔ `sum·64 > total`; bit 1 is
+    * the sign bit, added as the min-Long literal). */
+  private def audioHashSql: String = s"""
+      clips AS (
+        SELECT media_id, n_samples, cell_sums
+        FROM read_json('${IngestQueries.fixturesDir}/audio.jsonl',
+          format='newline_delimited',
+          columns={'media_id': 'BIGINT', 'codec': 'VARCHAR',
+            'n_samples': 'BIGINT', 'cell_sums': 'BIGINT[]',
+            'payload_b64': 'VARCHAR'})
+      ), e AS (
+        SELECT media_id, cell_sums, list_sum(cell_sums) AS total,
+          unnest(generate_series(1, 64)) AS i
+        FROM clips WHERE cell_sums IS NOT NULL
+      ), h AS (
+        SELECT media_id,
+          CAST(SUM(CASE WHEN cell_sums[i] * 64 > total THEN
+            CASE WHEN i = 1 THEN (-9223372036854775807 - 1)
+                 ELSE (CAST(1 AS BIGINT) << (64 - i)) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM e GROUP BY media_id)"""
+
   val all: Seq[Q] = Seq(
+
+    // REAL audio decode → 64-bit perceptual average-hash against a
+    // cross-language oracle: the fixture's WAVs are stdlib-encoded
+    // 16-bit signed and 8-bit unsigned PCM with |amplitude| BLOCK
+    // CONSTANT on the 64-cell time grid; each row stores per-cell
+    // amplitude sums derived from the PATTERN FORMULA (in
+    // round(|s|·32768) units), never from decoding the payload.
+    // Spark must recover identical sums from javax.sound.sampled's
+    // decoded floats. Duration invariance (media 1 vs 2: same
+    // pattern, 2× the samples) and bit-depth invariance (media 3:
+    // the 8-bit unsigned decode path) must hash IDENTICALLY.
+    // Undecodable bytes (media 10) emit all-null, not a failure.
+    Q("q181_audio_hash", Some(s"""
+      WITH $audioHashSql
+      SELECT clips.media_id, n_samples, h.ahash
+      FROM clips LEFT JOIN h USING (media_id)
+      ORDER BY media_id""")) { (s, _) =>
+      Multimodal.audioHashes(audioFixture(s)).orderBy("media_id")
+    },
+
+    // Audio near-duplicate pairs over the q181 fingerprints: Spark
+    // pairs via the banded Manku join (exact full recall for
+    // hamming ≤ 3, never all-pairs); the oracle brute-forces every
+    // pair of SQL-derived hashes, so the band join's completeness is
+    // itself under test. Expected structure (pinned by the
+    // generator): the duration/bit-depth re-renders at distance 0,
+    // the 1/2/3-cell edits at their distances, the inverted and flat
+    // patterns pair with nothing.
+    Q("q182_audio_near_dup", Some(s"""
+      WITH $audioHashSql
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+        CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+      FROM h a JOIN h b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+      ORDER BY id_a, id_b""")) { (s, _) =>
+      graft.analytics.Dedup.hamming64NearDups(
+          Multimodal.audioHashes(audioFixture(s)),
+          "media_id", "ahash", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
 
     Q("q37_media_stats", Some("""
       SELECT media_id, kind,

@@ -164,6 +164,44 @@ class MultimodalSpec extends SparkSpec {
     out.toByteArray
   }
 
+  test("audioHash64: half-quiet half-loud clip sets the low 32 bits") {
+    // cells 0..31 amplitude 1024, cells 32..63 amplitude 20480
+    val s = Array.tabulate(6400)(i =>
+      (if (i < 3200) 1024 else 20480).toShort)
+    val floats = s.map(v => v / 32768f)
+    assert(Multimodal.audioHash64(floats) === 0x00000000FFFFFFFFL)
+  }
+
+  test("audioHash64 is duration- and sign-invariant for the same " +
+      "content") {
+    def clip(n: Int) = Array.tabulate(n) { i =>
+      val a = if (64 * i / n < 32) 1024 else 20480
+      (if (i % 2 == 0) a else -a) / 32768f
+    }
+    val base = Multimodal.audioHash64(clip(6400))
+    assert(Multimodal.audioHash64(clip(12800)) === base)
+    assert(Multimodal.audioHash64(clip(640)) === base)
+  }
+
+  test("audioHash64: flat amplitude hashes to 0, empty to 0") {
+    assert(Multimodal.audioHash64(
+      Array.fill(640)(0.25f)) === 0L)
+    assert(Multimodal.audioHash64(Array.empty[Float]) === 0L)
+  }
+
+  test("audioHashes decodes real WAV bytes; undecodable -> null row") {
+    val s = Array.tabulate(6400)(i =>
+      (if (i < 3200) 1024 else 20480).toShort)
+    val got = Multimodal.audioHashes(
+        Seq((1L, wavBytes(8000f, s)),
+          (2L, "not audio".getBytes("UTF-8")))
+          .toDF("media_id", "content"))
+      .orderBy("media_id")
+      .as[(Long, Option[Long], Option[Long])].collect()
+    assert(got(0) === ((1L, Some(6400L), Some(0x00000000FFFFFFFFL))))
+    assert(got(1) === ((2L, None, None)))
+  }
+
   test("real WAV bytes round-trip through the partition-batch decode") {
     // half-amplitude square wave: every statistic has a closed form
     val square = Array.tabulate(800)(i =>
