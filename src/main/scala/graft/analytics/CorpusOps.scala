@@ -201,6 +201,48 @@ object CorpusOps {
           x => x("para")), " ").as("dedup_text"))
   }
 
+  /** Per-document boilerplate coverage — the template-removal signal
+    * of web-corpus cleaning (license headers, navigation chrome,
+    * SEO footers): a token `n`-gram is BOILERPLATE when it occurs in
+    * ≥ `minDf` distinct documents, and each document reports how much
+    * of its own n-gram mass those shared templates cover. High-share
+    * docs are near-pure chrome; the gram table itself (df ≥ minDf) is
+    * the induced template library.
+    *
+    * Scale shape: one corpus-sized (doc, gram) aggregation (map-side
+    * combined — instances collapse to per-doc counts before
+    * shuffling), one vocabulary-sized df aggregation, and one join
+    * keyed on the gram — never doc×doc, never a broadcast of an
+    * unbounded gram set. All counts exact BIGINTs; the share is one
+    * final double division.
+    *
+    * Returns (doc_id, n_grams, n_boiler, boiler_share) for every doc
+    * with at least one n-gram, ordered by doc_id.
+    */
+  def boilerplateCoverage(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minDf: Long): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(minDf >= 2, "minDf must be >= 2")
+    val grams = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(coalesce(
+          graft.expressions.WordNgrams.column(col(textCol), n,
+            distinct = false),
+          array().cast("array<string>"))).as("gram"))
+    val perDocGram = grams.groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c"))
+    val dfTab = perDocGram.groupBy("gram")
+      .agg(count(lit(1)).as("df"))
+    perDocGram.join(dfTab, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+        sum(when(col("df") >= minDf, col("c")).otherwise(lit(0L)))
+          .cast("long").as("n_boiler"))
+      .withColumn("boiler_share",
+        col("n_boiler").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-window token chunking with overlap (window 32 / stride 24
     * style): one output row per chunk with its 0-based index, token
     * count, and content hash. Map-only explode — the chunker a

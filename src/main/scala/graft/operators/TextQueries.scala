@@ -566,6 +566,38 @@ object TextQueries {
         .withColumnRenamed("g", "lang")
     },
 
+    // Per-doc boilerplate coverage: token 5-grams shared by >= 3
+    // distinct docs are "template" mass; each doc reports how much of
+    // its own 5-gram stream they cover. One (doc, gram) aggregation +
+    // one vocabulary-sized df table joined back on the gram — never
+    // doc×doc. DuckDB's inclusive list slice ws[i:i+4] is the 5-token
+    // window; Spark's WordNgrams walks the same whitespace split.
+    Q("q183_boilerplate_cov", Some("""
+      WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+        FROM documents WHERE text IS NOT NULL),
+      g AS (
+        SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+        FROM w, LATERAL (
+          SELECT unnest(generate_series(1, len(ws) - 4)) AS i)),
+      pdg AS (
+        SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2),
+      dfs AS (
+        SELECT gram, CAST(count(*) AS BIGINT) AS df
+        FROM pdg GROUP BY 1)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        CAST(SUM(CASE WHEN df >= 3 THEN c ELSE 0 END) AS BIGINT)
+          AS n_boiler,
+        CAST(SUM(CASE WHEN df >= 3 THEN c ELSE 0 END) AS DOUBLE) /
+          SUM(c) AS boiler_share
+      FROM pdg JOIN dfs USING (gram)
+      GROUP BY doc_id ORDER BY doc_id""")) { (s, dir) =>
+      graft.analytics.CorpusOps.boilerplateCoverage(
+        Tables.load(s, dir, "documents"), "doc_id", "text",
+        n = 5, minDf = 3L)
+    },
+
     // Unigram (token) entropy per document — the Gopher-family
     // "natural language vs degenerate text" quality signal: low
     // entropy flags repeated/boilerplate docs, which simple length

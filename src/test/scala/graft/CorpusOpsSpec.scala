@@ -66,6 +66,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(1).getAs[Long]("n_contaminated") === 0L)
   }
 
+  test("boilerplateCoverage: shared header grams counted per doc, " +
+      "short docs dropped, repeats weighted") {
+    val header = "all rights reserved by the site"   // 6 tokens
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma"),
+      (2L, s"$header delta epsilon"),
+      (3L, s"$header zeta"),
+      (4L, "a wholly different document body here"),
+      (5L, "tiny doc"),                              // < n tokens
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.boilerplateCoverage(docs, "doc_id", "text",
+        n = 5, minDf = 3L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the 6-token header yields two 5-gram windows shared by docs
+    // 1-3 -> df 3; every other gram is unique (df 1)
+    assert(got(1L) === ((5L, 2L, 0.4)))
+    assert(got(2L) === ((4L, 2L, 0.5)))
+    assert(got(3L) === ((3L, 2L, 2.0 / 3)))
+    assert(got(4L) === ((2L, 0L, 0.0)))
+    assert(!got.contains(5L) && !got.contains(6L))
+  }
+
+  test("boilerplateCoverage: within-doc repeats count instances but " +
+      "df counts documents") {
+    // the gram repeats twice in ONE doc: df stays 1 -> not boiler
+    val docs = Seq(
+      (1L, "x y z w v x y z w v"),
+      (2L, "p q r s t u")).toDF("doc_id", "text")
+    val got = CorpusOps.boilerplateCoverage(docs, "doc_id", "text",
+        n = 5, minDf = 2L)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((6L, 0L)))
+    assert(got(2L) === ((2L, 0L)))
+  }
+
   test("chunk: window/stride boundaries and trailing partial chunk") {
     val text = (1 to 40).map(i => s"t$i").mkString(" ")
     val d = Seq((1L, text)).toDF("doc_id", "text")
