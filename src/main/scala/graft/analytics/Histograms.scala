@@ -22,6 +22,42 @@ import org.apache.spark.sql.functions._
   */
 object Histograms {
 
+  /** Hill tail-index estimator (Hill 1975) over the k largest values
+    * — "how heavy is this distribution's tail" as one number: for
+    * order statistics X₍₁₎ ≥ … ≥ X₍ₖ₊₁₎,
+    *
+    *   α̂ = k / Σ_{i≤k} (ln X₍ᵢ₎ − ln X₍ₖ₊₁₎)
+    *
+    * Small α (≈1–2) = power-law-heavy (a degree or frequency column
+    * whose hubs will skew every keyed shuffle — the quantitative
+    * trigger for salting / AQE skew handling); large α = thin tail.
+    *
+    * Scale shape: one global top-(k+1) (TakeOrdered — never a full
+    * sort) followed by a (k+1)-row aggregation. Determinism: each ln
+    * is quantized to 1e-12 units and summed as exact longs (the
+    * engine-portable recipe of the entropy/JSD queries); boundary
+    * ties are value-equal, so which tied rows the top-(k+1) keeps
+    * cannot change any aggregate.
+    *
+    * Output (one row): k (actual tail size used, = min(k, n−1)),
+    * x_tail = X₍ₖ₊₁₎, alpha (null when fewer than k+1 positive
+    * values or a constant tail). */
+  def hillTailIndex(df: DataFrame, value: Column, k: Int): DataFrame = {
+    require(k >= 2, "hillTailIndex needs k >= 2")
+    val top = df.select(value.cast("double").as("x"))
+      .where(col("x").isNotNull && col("x") > 0)
+      .orderBy(col("x").desc).limit(k + 1)
+    val q = round(log(col("x")) * 1e12).cast("long")
+    top.agg(count(lit(1)).as("n"), min(col("x")).as("x_tail"),
+        sum(q).as("s"), min(q).as("q_tail"))
+      .select((col("n") - 1).cast("long").as("k"), col("x_tail"),
+        when(col("n") === (k + 1) &&
+            col("s") - col("q_tail") * (k + 1) > 0,
+          lit(k.toDouble) * 1e12 /
+            (col("s") - col("q_tail") * (k + 1)).cast("double"))
+          .as("alpha"))
+  }
+
   /** Equi-width: k same-width buckets spanning [min, max]; the top
     * bucket is closed (a value equal to max lands in bucket k−1).
     * Output: (bucket, lo, hi, n_rows), non-empty buckets only. */

@@ -520,6 +520,53 @@ object AnalyticsQueries {
       graft.analytics.Graph.localClustering(edges, "item_a", "item_b")
     },
 
+    // Hill tail-index of the co-purchase degree distribution — the
+    // skew diagnostic that tells a planner whether this join key
+    // needs salting: α̂ from the 100 largest degrees, each ln
+    // quantized to 1e-12 units and summed exactly (boundary ties are
+    // value-equal, so LIMIT's choice among them cannot move any
+    // aggregate). One top-101 + one tiny aggregation.
+    Q("q184_hill_tail", Some("""
+      WITH base AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), sup AS MATERIALIZED (
+        SELECT a.it AS u, b.it AS v
+        FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      ), deg AS (
+        SELECT n, count(*) AS d FROM (
+          SELECT u AS n FROM sup UNION ALL SELECT v FROM sup)
+        GROUP BY n
+      ), top AS (SELECT d FROM deg ORDER BY d DESC LIMIT 101),
+      qx AS (
+        SELECT CAST(d AS DOUBLE) AS x,
+          CAST(round(ln(CAST(d AS DOUBLE)) * 1000000000000.0)
+            AS BIGINT) AS q
+        FROM top)
+      SELECT CAST(count(*) - 1 AS BIGINT) AS k, MIN(x) AS x_tail,
+        CASE WHEN count(*) = 101 AND SUM(q) - 101 * MIN(q) > 0 THEN
+          100.0 * 1000000000000.0 /
+            CAST(SUM(q) - 101 * MIN(q) AS DOUBLE) END AS alpha
+      FROM qx""")) { (s, dir) =>
+      val base = Tables.load(s, dir, "lineitem")
+        .where(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val sup = base.as("a")
+        .join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .groupBy(col("a.it").as("u"), col("b.it").as("v"))
+        .agg(count(lit(1)).as("__sup"))
+        .where(col("__sup") >= 2)
+      val deg = sup.select(col("u").as("n"))
+        .unionByName(sup.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      graft.analytics.Histograms.hillTailIndex(deg, col("d"), k = 100)
+    },
+
     // mv_location_crop_compatibility: location ⋈ soil × crop with the
     // pH CASE (reference db/init/01-schema.sql:254-272).
     Q("q39_compat_mv", Some(s"""

@@ -114,4 +114,40 @@ class HistogramsSpec extends SparkSpec {
     assert(a._1.map(_.getLong(3)).sum == 100L)
     assert(a._2.map(_.getLong(3)).sum == 100L)
   }
+
+  test("hillTailIndex: exact Pareto tail recovers its exponent") {
+    // X_(i) = c * i^(-1/a) is an exact Pareto order sequence: the
+    // Hill sum telescopes to (1/k)*Σ ln((k+1)/i)/a, whose estimate
+    // approaches a as k grows. With a = 2 and k = 200 the bias is
+    // under 1%.
+    val a = 2.0; val k = 200
+    val xs = (1 to 1000).map(i => 1e6 * math.pow(i, -1.0 / a))
+    val got = Histograms.hillTailIndex(xs.toDF("x"), col("x"), k)
+      .collect()(0)
+    assert(got.getLong(0) === k.toLong)
+    val alpha = got.getDouble(2)
+    assert(math.abs(alpha - a) < 0.05, s"alpha $alpha vs $a")
+  }
+
+  test("hillTailIndex: constant tail and short input report null") {
+    val const = Histograms.hillTailIndex(
+      Seq.fill(50)(7.0).toDF("x"), col("x"), 10).collect()(0)
+    assert(const.isNullAt(2) && const.getDouble(1) === 7.0)
+    val short = Histograms.hillTailIndex(
+      Seq(3.0, 2.0, 1.0).toDF("x"), col("x"), 10).collect()(0)
+    assert(short.getLong(0) === 2L && short.isNullAt(2))
+  }
+
+  test("hillTailIndex: nulls and non-positives excluded, " +
+      "repartition-invariant") {
+    val rows = (1 to 500).map(i => Option(
+      if (i % 7 == 0) -1.0 else 1000.0 / i)) :+
+      Option.empty[Double]
+    val base = Histograms.hillTailIndex(
+      rows.toDF("x"), col("x"), 50).collect()(0).toSeq
+    val shuf = Histograms.hillTailIndex(
+      rows.reverse.toDF("x").repartition(13), col("x"), 50)
+      .collect()(0).toSeq
+    assert(base === shuf)
+  }
 }
