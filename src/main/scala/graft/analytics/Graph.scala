@@ -484,6 +484,62 @@ object Graph {
       .orderBy("node")
   }
 
+  /** HITS hubs & authorities (Kleinberg JACM'99) on a DIRECTED graph
+    * — the second classic link-analysis eigen-pair next to
+    * [[pageRank]]: authorities are pointed to by good hubs, hubs
+    * point to good authorities. On a bipartite interaction graph
+    * (customer→supplier, query→document) the two sides get separately
+    * meaningful scores, which PageRank's single stationary vector
+    * cannot give.
+    *
+    * Same execution/determinism contract as [[pageRank]]: the edge
+    * set is materialized once; each half-round is one edge⋈score join
+    * + one map-side-combined aggregation; per-round normalization
+    * divides by the round's MAX (as a broadcast 1-row frame — no
+    * driver action), in exact DECIMAL(38,0)/floor-div arithmetic, so
+    * scores are bit-identical on any partitioning and replayable by
+    * an unrolled SQL oracle. The max-normalized fixpoint is the
+    * standard power-iteration form (the top score is exactly
+    * `scale`).
+    *
+    * Returns (kind ∈ hub|authority, node, score) ordered; nodes
+    * unreachable from the iteration (no in-edges on the authority
+    * side) simply don't appear.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = Dedup.materialize(edges
+      .select(col(srcCol).as("c"), col(dstCol).as("s"))
+      .where(col("c").isNotNull && col("s").isNotNull)
+      .distinct())
+    var h = e.select(col("c")).distinct()
+      .withColumn("h", lit(scale))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(h, Seq("c"))
+        .groupBy("s").agg(sum(col("h").cast(D38)).as("x"))
+      a = Dedup.materialize(
+        aRaw.crossJoin(broadcast(aRaw.agg(max(col("x")).as("mx"))))
+          .select(col("s"),
+            expr(s"CAST(x * $scale AS DECIMAL(38,0)) div mx")
+              .as("a")))
+      val hRaw = e.join(a, Seq("s"))
+        .groupBy("c").agg(sum(col("a").cast(D38)).as("x"))
+      h = Dedup.materialize(
+        hRaw.crossJoin(broadcast(hRaw.agg(max(col("x")).as("mx"))))
+          .select(col("c"),
+            expr(s"CAST(x * $scale AS DECIMAL(38,0)) div mx")
+              .as("h")))
+    }
+    h.select(lit("hub").as("kind"), col("c").as("node"),
+        col("h").cast("long").as("score"))
+      .unionByName(a.select(lit("authority").as("kind"),
+        col("s").as("node"), col("a").cast("long").as("score")))
+      .orderBy("kind", "node")
+  }
+
   def labelPropagate(edges: DataFrame, aCol: String, bCol: String,
       seeds: DataFrame, labelCol: String, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

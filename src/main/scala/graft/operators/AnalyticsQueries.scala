@@ -520,6 +520,49 @@ object AnalyticsQueries {
       graft.analytics.Graph.localClustering(edges, "item_a", "item_b")
     },
 
+    // HITS hubs/authorities on the directed customer→supplier
+    // interaction graph: 3 max-normalized power-iteration rounds in
+    // exact integer arithmetic (HUGEINT / DECIMAL(38,0) sums,
+    // floor-div by the round max), replayed verbatim by the unrolled
+    // oracle CTEs — bit-identical fixed-point scores, no float drift.
+    {
+      val R = 3
+      val SC = "1000000000000"
+      val rounds = (1 to R).map { i =>
+        s"""ar$i AS MATERIALIZED (
+        SELECT s, SUM(h) AS x FROM e JOIN h${i - 1} USING (c)
+        GROUP BY s
+      ), a$i AS MATERIALIZED (
+        SELECT s, x * $SC // (SELECT MAX(x) FROM ar$i) AS a FROM ar$i
+      ), hr$i AS MATERIALIZED (
+        SELECT c, SUM(a) AS x FROM e JOIN a$i USING (s) GROUP BY c
+      ), h$i AS MATERIALIZED (
+        SELECT c, x * $SC // (SELECT MAX(x) FROM hr$i) AS h FROM hr$i
+      )"""
+      }.mkString(", ")
+      Q("q185_hits", Some(s"""
+      WITH e AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL
+      ), h0 AS (SELECT DISTINCT c, CAST($SC AS HUGEINT) AS h FROM e),
+      $rounds
+      SELECT 'hub' AS kind, c AS node, CAST(h AS BIGINT) AS score
+      FROM h$R
+      UNION ALL
+      SELECT 'authority', s, CAST(a AS BIGINT) FROM a$R
+      ORDER BY kind, node""")) { (s, dir) =>
+        val o = Tables.load(s, dir, "orders")
+        val l = Tables.load(s, dir, "lineitem")
+        val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .where(col("o_custkey").isNotNull &&
+            col("l_suppkey").isNotNull)
+          .select(col("o_custkey").as("cust"),
+            col("l_suppkey").as("supp"))
+        graft.analytics.Graph.hits(edges, "cust", "supp", iters = R)
+      }
+    },
+
     // Hill tail-index of the co-purchase degree distribution — the
     // skew diagnostic that tells a planner whether this join key
     // needs salting: α̂ from the 100 largest degrees, each ln

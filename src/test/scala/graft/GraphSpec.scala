@@ -305,6 +305,50 @@ class GraphSpec extends SparkSpec {
     assert(shuffled === per)
   }
 
+  private def hitsMap(edges: Seq[(Long, Long)], iters: Int = 3) =
+    graft.analytics.Graph.hits(edges.toDF("c", "s"), "c", "s", iters)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  test("hits: the hub covering every authority dominates; the " +
+      "authority seen by both hubs dominates") {
+    // hub 1 -> {10, 11}; hub 2 -> {11}: authority 11 has two
+    // endorsers, 10 one; hub 1 endorses more authority mass
+    val got = hitsMap(Seq((1L, 10L), (1L, 11L), (2L, 11L)))
+    assert(got(("hub", 1L)) === 1000000000000L)
+    assert(got(("authority", 11L)) === 1000000000000L)
+    assert(got(("hub", 1L)) > got(("hub", 2L)))
+    assert(got(("authority", 11L)) > got(("authority", 10L)))
+  }
+
+  test("hits: symmetric complete bipartite graph scores all-equal") {
+    val edges = for (c <- 1L to 3L; s <- 10L to 12L) yield (c, s)
+    val got = hitsMap(edges)
+    (1L to 3L).foreach(c =>
+      assert(got(("hub", c)) === 1000000000000L))
+    (10L to 12L).foreach(s =>
+      assert(got(("authority", s)) === 1000000000000L))
+  }
+
+  test("hits: duplicate and null edges are ignored, result is " +
+      "repartition-invariant") {
+    val edges = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 11L),
+      (3L, 12L), (2L, 12L))
+    val base = hitsMap(edges)
+    val viaNull = graft.analytics.Graph.hits(
+        (edges.map { case (a, b) => (Option(a), Option(b)) } :+
+          ((Option.empty[Long], Option(10L)))).toDF("c", "s"),
+        "c", "s", 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(viaNull === base)
+    val shuf = graft.analytics.Graph.hits(
+        edges.reverse.toDF("c", "s").repartition(7), "c", "s", 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(shuf === base)
+  }
+
   test("rank mass is conserved up to floor losses") {
     val scale = 1000000000000L
     val r = run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)), 10)
