@@ -192,4 +192,74 @@ object TextAnalysis {
         i => col("word").substr(i, lit(2)))).as("pair"))
       .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
   }
+
+  /** Delimiters for [[rakeKeywords]]: a token is a phrase BREAK when
+    * its normalized form is empty (pure punctuation) or one of these
+    * function words — the classic RAKE recipe (Rose et al. 2010,
+    * public) with a fixed, engine-portable stoplist. */
+  val RakeStopwords: Seq[String] = Seq(
+    "the", "of", "and", "a", "in", "to", "is", "was", "it", "for",
+    "with", "on", "as", "by", "at", "an", "or", "are", "be", "this",
+    "that", "from", "but", "not", "have", "has")
+
+  /** RAKE keyword extraction (Rapid Automatic Keyword Extraction):
+    * candidate phrases are maximal stopword/punctuation-delimited
+    * token runs (capped at `maxLen` words); each word scores
+    * deg(w)/freq(w) over the candidate corpus (deg = Σ phrase length
+    * across occurrences, freq = occurrence count) and a phrase scores
+    * the sum over its word instances — multi-word domain terms
+    * outrank ubiquitous single words because their words inherit
+    * their neighbors' degree.
+    *
+    * Scale shape: one per-token pass (posexplode + a doc-local window
+    * cumsum for run ids), one phrase aggregation, one vocabulary-
+    * sized word-stats aggregation joined back on the word — never
+    * doc×doc, no driver loop. Determinism: deg/freq is computed as
+    * `(deg·10¹²) div freq` in exact DECIMAL arithmetic and summed as
+    * integers — the engine-portable quantization recipe — and the
+    * top-k is total-ordered by (score, phrase).
+    *
+    * Returns the `k` best (phrase, n_words, n_occ, score_fp) where
+    * score_fp is the 1e-12-scaled integer score.
+    */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxLen: Int = 4): DataFrame = {
+    require(k >= 1 && maxLen >= 1, "k and maxLen must be >= 1")
+    val toks = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("i", "raw")))
+      .withColumn("w",
+        regexp_replace(lower(col("raw")), "[^a-z0-9]", ""))
+      .withColumn("br",
+        (col("w") === "" ||
+          col("w").isInCollection(RakeStopwords)).cast("long"))
+    val runs = toks.withColumn("run",
+      sum(col("br")).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("i")))
+    val phrases = runs.where(col("br") === 0)
+      .groupBy("doc_id", "run")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("i"), col("w")))),
+          x => x("w")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+      .where(col("plen") <= maxLen)
+    val stats = phrases
+      .select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"),
+        sum(col("plen")).as("deg"))
+    val ptype = phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"),
+        first(col("plen")).as("n_words"))
+    ptype
+      .select(col("phrase"), col("n_words"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(stats, Seq("w"))
+      .groupBy("phrase")
+      .agg(first(col("n_words")).cast("long").as("n_words"),
+        first(col("n_occ")).cast("long").as("n_occ"),
+        sum(expr("CAST(deg AS DECIMAL(38,0)) * 1000000000000 div freq"))
+          .cast("long").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("phrase"))
+      .limit(k)
+  }
 }

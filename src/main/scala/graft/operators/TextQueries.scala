@@ -598,6 +598,57 @@ object TextQueries {
         n = 5, minDf = 3L)
     },
 
+    // RAKE keyword extraction: stopword/punctuation-delimited phrase
+    // runs scored by Σ deg(w)/freq(w) — the unsupervised domain-term
+    // miner. Both engines build runs from the same per-token cumsum,
+    // quantize deg/freq as (deg·1e12) div freq in exact integer
+    // arithmetic, and total-order the top 50 by (score, phrase).
+    {
+      val stops = graft.analytics.TextAnalysis.RakeStopwords
+        .map(s => s"'$s'").mkString(", ")
+      Q("q186_rake_keywords", Some(s"""
+      WITH toks AS (
+        SELECT doc_id, i,
+          regexp_replace(lower(t[i]), '[^a-z0-9]', '', 'g') AS w
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE text IS NOT NULL),
+          LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+      ), marked AS (
+        SELECT doc_id, i, w,
+          CASE WHEN w = '' OR w IN ($stops) THEN 1 ELSE 0 END AS br
+        FROM toks
+      ), runs AS (
+        SELECT doc_id, i, w, br,
+          SUM(br) OVER (PARTITION BY doc_id ORDER BY i) AS run
+        FROM marked
+      ), phr AS (
+        SELECT doc_id, run, string_agg(w, ' ' ORDER BY i) AS phrase,
+          CAST(count(*) AS BIGINT) AS plen
+        FROM runs WHERE br = 0 GROUP BY doc_id, run
+        HAVING count(*) <= 4
+      ), stats AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq,
+          CAST(SUM(plen) AS BIGINT) AS deg
+        FROM (SELECT plen, unnest(string_split(phrase, ' ')) AS w
+              FROM phr)
+        GROUP BY w
+      ), ptype AS (
+        SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+          CAST(MIN(plen) AS BIGINT) AS n_words
+        FROM phr GROUP BY 1
+      ), scored AS (
+        SELECT phrase, MIN(n_words) AS n_words, MIN(n_occ) AS n_occ,
+          CAST(SUM(deg * 1000000000000 // freq) AS BIGINT) AS score_fp
+        FROM (SELECT phrase, n_words, n_occ,
+                unnest(string_split(phrase, ' ')) AS w FROM ptype)
+        JOIN stats USING (w) GROUP BY phrase)
+      SELECT phrase, n_words, n_occ, score_fp FROM scored
+      ORDER BY score_fp DESC, phrase LIMIT 50""")) { (s, dir) =>
+        graft.analytics.TextAnalysis.rakeKeywords(
+          Tables.load(s, dir, "documents"), "doc_id", "text", k = 50)
+      }
+    },
+
     // Unigram (token) entropy per document — the Gopher-family
     // "natural language vs degenerate text" quality signal: low
     // entropy flags repeated/boilerplate docs, which simple length

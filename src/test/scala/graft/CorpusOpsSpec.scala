@@ -104,6 +104,50 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2L) === ((2L, 0L)))
   }
 
+  test("rakeKeywords: hand-computed deg/freq scores on a tiny corpus") {
+    import graft.analytics.TextAnalysis
+    // phrases after stop/punct splitting ("the", "of" break; "." is
+    // stripped making "systems." -> "systems"):
+    //   doc 1: "deep learning", "deep learning systems"
+    //   doc 2: "deep learning", "neural networks"
+    // freq: deep 3, learning 3, systems 1, neural 1, networks 1
+    // deg:  deep 2+3+2=7, learning 7, systems 3, neural 2, networks 2
+    val docs = Seq(
+      (1L, "Deep learning of the deep learning systems."),
+      (2L, "deep learning and neural networks"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeywords(docs, "doc_id", "text", k = 10)
+      .as[(String, Long, Long, Long)].collect()
+    val byPhrase = got.map(r => r._1 -> r).toMap
+    def fp(num: Long, den: Long) = num * 1000000000000L / den
+    assert(byPhrase("deep learning") ===
+      (("deep learning", 2L, 2L, fp(7, 3) + fp(7, 3))))
+    assert(byPhrase("deep learning systems") ===
+      (("deep learning systems", 3L, 1L,
+        fp(7, 3) + fp(7, 3) + fp(3, 1))))
+    assert(byPhrase("neural networks") ===
+      (("neural networks", 2L, 1L, fp(2, 1) + fp(2, 1))))
+    // the 3-word domain phrase outranks everything
+    assert(got.head._1 === "deep learning systems")
+  }
+
+  test("rakeKeywords: maxLen cap, k cut, and repartition invariance") {
+    import graft.analytics.TextAnalysis
+    val docs = Seq(
+      (1L, "one two three four five six"),   // 6-word run: dropped
+      (2L, "alpha beta"), (3L, "alpha beta"), (4L, "gamma"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeywords(docs, "doc_id", "text",
+        k = 2, maxLen = 4)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq("alpha beta", "gamma"))
+    assert(got(0)._3 === 2L)
+    val shuf = TextAnalysis.rakeKeywords(
+        docs.repartition(5), "doc_id", "text", k = 2, maxLen = 4)
+      .as[(String, Long, Long, Long)].collect()
+    assert(shuf.toSeq === got.toSeq)
+  }
+
   test("chunk: window/stride boundaries and trailing partial chunk") {
     val text = (1 to 40).map(i => s"t$i").mkString(" ")
     val d = Seq((1L, text)).toDF("doc_id", "text")
