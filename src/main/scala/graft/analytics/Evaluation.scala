@@ -357,6 +357,76 @@ object Evaluation {
       .orderBy("g")
   }
 
+  /** Per-group label-distribution entropy — "how domain-balanced is
+    * each output shard": for every group, H = −Σ p ln p over its
+    * label (source/domain) mix, in nats. Uniform mix over k labels
+    * gives ln k; a single-label shard gives 0.
+    *
+    * Scale shape: one (group, label) count aggregation (map-side
+    * combined), then all arithmetic runs on the |groups|×|labels|
+    * frame with the group totals joined back — never a per-group
+    * collect. Each −p ln p term is quantized to 1e-12 units from the
+    * same two BIGINTs in either engine and summed exactly (the
+    * [[tokenJsDrift]] recipe).
+    *
+    * Output: (g, n_rows, n_labels, entropy) ordered by group.
+    */
+  def groupEntropy(df: DataFrame, groupCol: String,
+      labelCol: String): DataFrame = {
+    val counts = df
+      .where(col(groupCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(labelCol).as("lab"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("g").agg(sum(col("c")).as("n"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts.join(totals, Seq("g"))
+      .withColumn("__fp",
+        round(-p * log(p) * 1e12).cast("long")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .groupBy(col("g"), col("n"))
+      .agg(count(lit(1)).cast("long").as("n_labels"),
+        sum(col("__fp")).as("__s"))
+      .select(col("g"), col("n").cast("long").as("n_rows"),
+        col("n_labels"),
+        (col("__s").cast("double") / 1e12).as("entropy"))
+      .orderBy("g")
+  }
+
+  /** Cohen's kappa between two boolean raters — chance-corrected
+    * agreement for filter-pipeline audits ("is my learned quality
+    * classifier just re-deriving the length heuristic?"). κ = 1 is
+    * redundant signals, κ ≈ 0 independent ones.
+    *
+    * One aggregation over the corpus; κ is computed from the four
+    * exact confusion counts in one double division:
+    * κ = (n·(a+d) − (r₁c₁ + r₂c₂)) / (n² − (r₁c₁ + r₂c₂)).
+    * Output (one row): n, both_pos, both_neg, only_a, only_b, kappa
+    * (null when the denominator is 0 — a constant rater).
+    */
+  def cohenKappa(df: DataFrame, aCol: Column,
+      bCol: Column): DataFrame = {
+    val conf = df
+      .select(aCol.cast("boolean").as("a"), bCol.cast("boolean").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum((col("a") && col("b")).cast("long")).as("both_pos"),
+        sum((!col("a") && !col("b")).cast("long")).as("both_neg"),
+        sum((col("a") && !col("b")).cast("long")).as("only_a"),
+        sum((!col("a") && col("b")).cast("long")).as("only_b"))
+    val r1 = col("both_pos") + col("only_a")
+    val r2 = col("only_b") + col("both_neg")
+    val c1 = col("both_pos") + col("only_b")
+    val c2 = col("only_a") + col("both_neg")
+    val pe = r1 * c1 + r2 * c2
+    val den = col("n") * col("n") - pe
+    conf.select(col("n").cast("long"),
+      col("both_pos").cast("long"), col("both_neg").cast("long"),
+      col("only_a").cast("long"), col("only_b").cast("long"),
+      when(den > 0,
+        (col("n") * (col("both_pos") + col("both_neg")) - pe)
+          .cast("double") / den.cast("double")).as("kappa"))
+  }
+
   private def emptyReport(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     import s.implicits._

@@ -97,6 +97,43 @@ object Sampling {
           .map(org.apache.spark.sql.graft.ColumnBridge.expression),
         payload.map(_._1), k).toAggregateExpression())
 
+  /** Training-order shuffle audit: given the deterministic global
+    * hash order a pipeline would emit examples in (md5 of the id —
+    * the same order [[hashFraction]]/[[capPerGroup]] key off), how
+    * often are ADJACENT examples from the same group (source/domain)?
+    * A well-shuffled order shows ≈ Σ p_g² same-group adjacency; runs
+    * of one source signal a broken shuffle that turns SGD batches
+    * into single-domain bursts.
+    *
+    * Scale shape: adjacency is audited WITHIN `buckets` hash buckets
+    * (bucket = h30(id) mod buckets, order = full md5 within bucket) —
+    * per-bucket window functions, never one global sort; the
+    * buckets−1 cross-boundary pairs are deliberately not counted
+    * (documented, deterministic). Returns one row per bucket:
+    * (bucket, n_docs, n_pairs, n_same_adj), exact BIGINTs, ordered.
+    */
+  def shuffleAudit(docs: DataFrame, idCol: String, groupCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val rows = docs
+      .where(col(idCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(idCol).as("id"), col(groupCol).as("g"))
+      .withColumn("ord", md5(col("id").cast("string")))
+      .withColumn("bucket",
+        pmod(Dedup.h30(col("id").cast("string")), lit(buckets.toLong)))
+    val w = Window.partitionBy("bucket").orderBy("ord", "id")
+    rows
+      .withColumn("same",
+        when(lag(col("g"), 1).over(w).isNull, lit(0L))
+          .otherwise((col("g") === lag(col("g"), 1).over(w))
+            .cast("long")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        (count(lit(1)) - 1).cast("long").as("n_pairs"),
+        sum(col("same")).cast("long").as("n_same_adj"))
+      .orderBy("bucket")
+  }
+
   /** Deterministic negative sampling for contrastive training: for
     * each query in `positives` (query, item), draw up to `k`
     * pseudo-random items the query did NOT interact with. The

@@ -331,6 +331,97 @@ object MiscQueries {
       }
     },
 
+    // Training-order shuffle audit: within 8 hash buckets of the
+    // deterministic md5 emit order, count adjacent same-source pairs
+    // — per-bucket windows, never one global sort; the 7 boundary
+    // pairs are deliberately uncounted. The oracle replays the h30
+    // bucketing and the (ord, id) window verbatim.
+    Q("q187_shuffle_audit", Some(s"""
+      WITH r AS (
+        SELECT doc_id AS id, source AS g,
+          md5(CAST(doc_id AS VARCHAR)) AS ord,
+          (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % ${Dedup.P}) % 8 AS bucket
+        FROM documents
+        WHERE doc_id IS NOT NULL AND source IS NOT NULL
+      ), adj AS (
+        SELECT bucket, g,
+          LAG(g) OVER (PARTITION BY bucket ORDER BY ord, id) AS pg
+        FROM r)
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(count(*) - 1 AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN g = pg THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_same_adj
+      FROM adj GROUP BY bucket ORDER BY bucket""")) { (s, dir) =>
+      graft.analytics.Sampling.shuffleAudit(
+        Tables.load(s, dir, "documents"), "doc_id", "source",
+        buckets = 8)
+    },
+
+    // Per-shard domain mixture entropy: are the q106-style output
+    // shards source-balanced? H = -Σ p ln p per shard over the
+    // source mix, each term quantized to 1e-12 units from the same
+    // two BIGINTs and summed exactly. Uniform over 20 sources would
+    // read ln 20 ≈ 3.0.
+    Q("q188_shard_entropy", Some("""
+      WITH d AS (
+        SELECT doc_id % 8 AS shard, source FROM documents
+        WHERE doc_id IS NOT NULL AND source IS NOT NULL),
+      c AS (
+        SELECT shard, source, CAST(count(*) AS BIGINT) AS c
+        FROM d GROUP BY 1, 2),
+      t AS (SELECT shard, CAST(SUM(c) AS BIGINT) AS n
+            FROM c GROUP BY 1),
+      e AS (
+        SELECT shard, n,
+          CAST(round(-(CAST(c AS DOUBLE) / n) *
+            ln(CAST(c AS DOUBLE) / n) * 1000000000000.0) AS BIGINT)
+            AS fp
+        FROM c JOIN t USING (shard))
+      SELECT shard AS g, n AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_labels,
+        CAST(SUM(fp) AS DOUBLE) / 1000000000000.0 AS entropy
+      FROM e GROUP BY shard, n ORDER BY g""")) { (s, dir) =>
+      graft.analytics.Evaluation.groupEntropy(
+        Tables.load(s, dir, "documents")
+          .select((col("doc_id") % 8).as("shard"), col("source")),
+        "shard", "source")
+    },
+
+    // Cohen's kappa between two quality raters (char-length gate vs
+    // token-count gate) — the signal-redundancy audit for filter
+    // stacks: four exact confusion counts, one double division.
+    Q("q189_rater_kappa", Some("""
+      WITH r AS (
+        SELECT n_chars >= 300 AS a,
+          len(string_split_regex(trim(text), '\s+')) >= 50 AS b
+        FROM documents),
+      conf AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+            AS both_pos,
+          CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+            AS BIGINT) AS both_neg,
+          CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+            AS BIGINT) AS only_a,
+          CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+            AS BIGINT) AS only_b
+        FROM r WHERE a IS NOT NULL AND b IS NOT NULL),
+      pe AS (
+        SELECT *, (both_pos + only_a) * (both_pos + only_b) +
+          (only_b + both_neg) * (only_a + both_neg) AS e
+        FROM conf)
+      SELECT n, both_pos, both_neg, only_a, only_b,
+        CASE WHEN n * n - e > 0 THEN
+          CAST(n * (both_pos + both_neg) - e AS DOUBLE) /
+            CAST(n * n - e AS DOUBLE) END AS kappa
+      FROM pe""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      graft.analytics.Evaluation.cohenKappa(d,
+        col("n_chars") >= 300,
+        size(split(trim(col("text")), "\\s+")) >= 50)
+    },
+
     // Deterministic negative sampling for contrastive training:
     // customer→part purchases are the positives; each customer draws
     // up to 5 non-purchased parts from a 20-item md5-ranked pool,

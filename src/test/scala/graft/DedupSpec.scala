@@ -513,6 +513,31 @@ class DedupSpec extends SparkSpec {
     assert(shuffled === want)
   }
 
+  test("shuffleAudit: hash order splits interleaved sources; a " +
+      "planted single-source corpus reports all-same adjacency") {
+    import spark.implicits._
+    import graft.analytics.Sampling
+    val single = (1L to 200L).map(i => (i, "only")).toDF("id", "g")
+    val got = Sampling.shuffleAudit(single, "id", "g", buckets = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(_._2).sum === 200L)
+    // every adjacent pair within every bucket is same-source
+    got.foreach { case (_, n, pairs, same) =>
+      assert(pairs === n - 1 && same === pairs)
+    }
+    // two interleaved sources under hash order: adjacency mixes —
+    // same-share must sit far below 1 (expected ~0.5)
+    val mixed = (1L to 400L).map(i => (i, s"s${i % 2}"))
+      .toDF("id", "g")
+    val m = Sampling.shuffleAudit(mixed, "id", "g", buckets = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    val share = m.map(_._4).sum.toDouble / m.map(_._3).sum
+    assert(share > 0.3 && share < 0.7, s"same-adjacency share $share")
+    val shuf = Sampling.shuffleAudit(mixed.repartition(7), "id", "g", 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(shuf.toSeq === m.toSeq)
+  }
+
   test("negativeSample: a query whose positives saturate the pool " +
       "yields fewer than k") {
     import spark.implicits._

@@ -218,6 +218,56 @@ class EvaluationSpec extends SparkSpec {
     assert(base === shuf)
   }
 
+  test("groupEntropy: uniform mix gives ln k, single label gives 0") {
+    val rows = (0 until 40).map(i => (i % 2, s"s${i % 4}")) ++
+      Seq.fill(10)((2, "only"))
+    val got = Evaluation.groupEntropy(rows.toDF("g", "lab"),
+        "g", "lab")
+      .as[(Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // groups 0/1: 20 rows uniformly over 4 sources (g=0 sees s0,s2;
+    // wait: i%2 and i%4 correlate — i even -> s0/s2, i odd -> s1/s3:
+    // each group has 2 labels uniformly -> ln 2
+    assert(got(0)._1 === 20L && got(0)._2 === 2L)
+    assert(math.abs(got(0)._3 - math.log(2.0)) < 1e-9)
+    assert(math.abs(got(1)._3 - math.log(2.0)) < 1e-9)
+    assert(got(2) === ((10L, 1L, 0.0)))
+  }
+
+  test("groupEntropy is partitioning-invariant") {
+    val rows = (1 to 300).map(i => (i % 5, s"lab${(i * 7) % 11}"))
+    val a = Evaluation.groupEntropy(rows.toDF("g", "lab"), "g", "lab")
+      .collect().map(_.toSeq).toSeq
+    val b = Evaluation.groupEntropy(
+        rows.reverse.toDF("g", "lab").repartition(13), "g", "lab")
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("cohenKappa: perfect agreement 1, symmetric disagreement " +
+      "lands at its closed form, constant rater null") {
+    def kappa(rows: Seq[(Boolean, Boolean)]): Option[Double] = {
+      val r = Evaluation.cohenKappa(rows.toDF("a", "b"),
+        col("a"), col("b")).collect()(0)
+      Option(r.get(5)).map(_.asInstanceOf[Double])
+    }
+    assert(kappa(Seq((true, true), (false, false), (true, true)))
+      === Some(1.0))
+    // 2x2 balanced: a=b half the time -> po=0.5, pe=0.5 -> k=0
+    assert(kappa(Seq((true, true), (true, false), (false, true),
+      (false, false))) === Some(0.0))
+    // one constant rater still has a defined kappa (0: observed
+    // agreement equals chance); BOTH constant degenerates to null
+    assert(kappa(Seq((true, true), (true, false))) === Some(0.0))
+    assert(kappa(Seq((true, true), (true, true))) === None)
+    // hand-computed: n=10, both_pos=4, both_neg=3, only_a=2, only_b=1
+    val rows = Seq.fill(4)((true, true)) ++ Seq.fill(3)((false, false)) ++
+      Seq.fill(2)((true, false)) ++ Seq.fill(1)((false, true))
+    val e = (6.0 * 5 + 4.0 * 5) / 100
+    val want = (0.7 - e) / (1 - e)
+    assert(math.abs(kappa(rows).get - want) < 1e-12)
+  }
+
   test("distributionDrift: null groups and values are excluded") {
     val df = Seq[(Option[String], Option[Double])](
       (Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
