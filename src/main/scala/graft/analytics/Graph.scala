@@ -484,6 +484,56 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Multi-source BFS hop histogram — the reachability audit ("how
+    * much of the dedup/co-purchase graph sits within h hops of these
+    * seeds, and how fast does the frontier decay"): per hop, the
+    * count of nodes FIRST reached at that distance, undirected.
+    *
+    * Scale shape: per hop ONE frontier⋈adjacency equi-join plus one
+    * anti-join against the visited set, both node-keyed; frontier
+    * and visited are materialized per round so round h+1 never
+    * re-executes round h (the [[kCore]]/[[labelPropagate]]
+    * contract). Min-hop assignment is confluent, so round order
+    * cannot change the histogram.
+    *
+    * Returns (hop, n_nodes) for 0..maxHops (reached hops only),
+    * ordered; seeds absent from the graph still count at hop 0.
+    */
+  def bfsHops(edges: DataFrame, aCol: String, bCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val adj = Dedup.materialize(edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"),
+        col(aCol).as("dst")))
+      .where(col("src") =!= col("dst") &&
+        col("src").isNotNull && col("dst").isNotNull)
+      .distinct())
+    val s0 = seeds.select(col(seedCol).as("n"))
+      .where(col("n").isNotNull).distinct()
+    var frontier = Dedup.materialize(s0.withColumn("hop", lit(0)))
+    var visited = frontier
+    var h = 0
+    var exhausted = frontier.isEmpty
+    while (!exhausted && h < maxHops) {
+      h += 1
+      val next = Dedup.materialize(
+        adj.join(frontier.select(col("n").as("src")), Seq("src"))
+          .select(col("dst").as("n")).distinct()
+          .join(visited.select("n"), Seq("n"), "left_anti")
+          .withColumn("hop", lit(h)))
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        visited = Dedup.materialize(visited.unionByName(next))
+        frontier = next
+      }
+    }
+    visited.groupBy("hop")
+      .agg(count(lit(1)).cast("long").as("n_nodes"))
+      .select(col("hop").cast("int"), col("n_nodes"))
+      .orderBy("hop")
+  }
+
   /** HITS hubs & authorities (Kleinberg JACM'99) on a DIRECTED graph
     * — the second classic link-analysis eigen-pair next to
     * [[pageRank]]: authorities are pointed to by good hubs, hubs

@@ -97,6 +97,58 @@ object Sampling {
           .map(org.apache.spark.sql.graft.ColumnBridge.expression),
         payload.map(_._1), k).toAggregateExpression())
 
+  /** Greedy token-budget corpus selection — "take the best documents
+    * until the token budget is spent": rank docs by an INTEGER
+    * quality score (descending; hash order inside a score tie) and
+    * keep the maximal prefix whose inclusive token cumsum fits
+    * `budget`.
+    *
+    * Scale shape: semantically equal to one global sorted cumsum, but
+    * executed in two phases that never globally sort the corpus —
+    * (1) aggregate token mass per DISTINCT SCORE and cumsum over that
+    * value-domain-sized frame (the unpartitioned window runs over
+    * |distinct scores| rows, not corpus rows) to find the boundary
+    * score and its remaining budget; (2) fully keep every higher
+    * score via one score-keyed semi-join, and rank ONLY the boundary
+    * score's docs by (md5(id), id) for the partial take. The oracle
+    * runs the naive single-window form — different algorithm, must
+    * select the identical set.
+    *
+    * Returns (doc_id, score, toks) of selected docs ordered by
+    * doc_id. Deterministic: integer scores, exact cumsums, hash tie
+    * order.
+    */
+  def tokenBudgetSelect(docs: DataFrame, idCol: String,
+      scoreCol: String, tokensCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val d = docs.select(col(idCol).as("doc_id"),
+        col(scoreCol).cast("long").as("score"),
+        col(tokensCol).cast("long").as("toks"))
+      .where(col("doc_id").isNotNull && col("score").isNotNull &&
+        col("toks").isNotNull && col("toks") >= 0)
+    val perScore = d.groupBy("score").agg(sum(col("toks")).as("t"))
+    val wDesc = Window.orderBy(col("score").desc)
+      .rowsBetween(Long.MinValue, -1)
+    val cum = perScore.withColumn("above",
+      coalesce(sum(col("t")).over(wDesc), lit(0L)))
+    val full = cum.where(col("above") + col("t") <= budget)
+      .select("score")
+    val boundary = cum
+      .where(col("above") <= budget && col("above") + col("t") > budget)
+      .select(col("score"), (lit(budget) - col("above")).as("rem"))
+    val kept = d.join(full, Seq("score"), "left_semi")
+    val wTie = Window.partitionBy("score")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val partial = d.join(boundary, Seq("score"))
+      .withColumn("__cum", sum(col("toks")).over(wTie))
+      .where(col("__cum") <= col("rem"))
+      .select("score", "doc_id", "toks")
+    kept.select("doc_id", "score", "toks")
+      .unionByName(partial.select("doc_id", "score", "toks"))
+      .orderBy("doc_id")
+  }
+
   /** Training-order shuffle audit: given the deterministic global
     * hash order a pipeline would emit examples in (md5 of the id —
     * the same order [[hashFraction]]/[[capPerGroup]] key off), how

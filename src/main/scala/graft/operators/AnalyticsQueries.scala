@@ -520,6 +520,64 @@ object AnalyticsQueries {
       graft.analytics.Graph.localClustering(edges, "item_a", "item_b")
     },
 
+    // Multi-source BFS hop histogram from the 3 smallest nodes of
+    // the support-thresholded co-purchase graph: per hop, nodes
+    // FIRST reached at that distance. Min-hop assignment is
+    // confluent; the oracle unrolls 4 frontier/visited rounds with
+    // EXCEPT as the anti-join (MATERIALIZED — each round reads the
+    // previous twice).
+    {
+      val H = 4
+      val rounds = (1 to H).map { i =>
+        s"""f$i AS MATERIALIZED (
+        SELECT DISTINCT e.dst AS n
+        FROM e JOIN f${i - 1} ON e.src = f${i - 1}.n
+        EXCEPT SELECT n FROM v${i - 1}
+      ), v$i AS MATERIALIZED (
+        SELECT n, hop FROM v${i - 1}
+        UNION ALL SELECT n, $i AS hop FROM f$i
+      )"""
+      }.mkString(", ")
+      Q("q190_bfs_hops", Some(s"""
+      WITH base AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), sup AS MATERIALIZED (
+        SELECT a.it AS u, b.it AS v
+        FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      ), e AS MATERIALIZED (
+        SELECT u AS src, v AS dst FROM sup
+        UNION ALL SELECT v, u FROM sup
+      ), f0 AS MATERIALIZED (
+        SELECT n FROM (SELECT DISTINCT src AS n FROM e)
+        ORDER BY n LIMIT 3
+      ), v0 AS MATERIALIZED (SELECT n, 0 AS hop FROM f0),
+      $rounds
+      SELECT CAST(hop AS INT) AS hop,
+        CAST(count(*) AS BIGINT) AS n_nodes
+      FROM v$H GROUP BY hop ORDER BY hop""")) { (s, dir) =>
+        val base = Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey").isNotNull &&
+            col("l_partkey").isNotNull)
+          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+          .distinct()
+        val edges = base.as("a")
+          .join(base.as("b"),
+            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+          .groupBy(col("a.it").as("u"), col("b.it").as("v"))
+          .agg(count(lit(1)).as("__sup"))
+          .where(col("__sup") >= 2)
+          .select("u", "v")
+        val seeds = edges.select(col("u").as("n"))
+          .unionByName(edges.select(col("v").as("n")))
+          .distinct().orderBy("n").limit(3)
+        graft.analytics.Graph.bfsHops(edges, "u", "v", seeds, "n",
+          maxHops = H)
+      }
+    },
+
     // HITS hubs/authorities on the directed customer→supplier
     // interaction graph: 3 max-normalized power-iteration rounds in
     // exact integer arithmetic (HUGEINT / DECIMAL(38,0) sums,

@@ -331,6 +331,36 @@ object MiscQueries {
       }
     },
 
+    // Greedy token-budget corpus selection: best-scored docs first
+    // (n_chars as the integer quality key, md5 hash order inside a
+    // tie) until 12k tokens are spent. Spark runs the two-phase
+    // value-domain cumsum + boundary-only ranking (never a global
+    // corpus sort); the oracle runs the naive single-window prefix —
+    // different algorithms, identical selected set.
+    Q("q191_token_budget", Some("""
+      WITH d AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS toks
+        FROM documents
+        WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+          AND text IS NOT NULL),
+      r AS (
+        SELECT doc_id, score, toks,
+          SUM(toks) OVER (ORDER BY score DESC,
+            md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d)
+      SELECT doc_id, score, toks FROM r WHERE cum <= 12000
+      ORDER BY doc_id""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .withColumn("toks",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      graft.analytics.Sampling.tokenBudgetSelect(d, "doc_id",
+        "n_chars", "toks", budget = 12000L)
+    },
+
     // Training-order shuffle audit: within 8 hash buckets of the
     // deterministic md5 emit order, count adjacent same-source pairs
     // — per-bucket windows, never one global sort; the 7 boundary

@@ -513,6 +513,31 @@ class DedupSpec extends SparkSpec {
     assert(shuffled === want)
   }
 
+  test("tokenBudgetSelect: two-phase selection equals the naive " +
+      "sorted-prefix on score ties and partial boundaries") {
+    import spark.implicits._
+    import graft.analytics.Sampling
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // scores with heavy ties; tokens vary; several budgets hit a
+    // boundary mid-group
+    val docs = (1L to 60L).map(i => (i, (i % 5) * 10L, i % 7 + 1L))
+    val df = docs.toDF("doc_id", "score", "toks")
+    for (budget <- Seq(0L, 17L, 55L, 120L, 100000L)) {
+      val naive = docs
+        .sortBy { case (id, s, _) => (-s, md5hex(id.toString), id) }
+        .scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, s, t)) =>
+          (id, s, t, cum + t) }
+        .drop(1).takeWhile(_._4 <= budget)
+        .map { case (id, s, t, _) => (id, s, t) }.sortBy(_._1)
+      val got = Sampling.tokenBudgetSelect(df.repartition(7),
+          "doc_id", "score", "toks", budget)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got === naive, s"budget $budget")
+    }
+  }
+
   test("shuffleAudit: hash order splits interleaved sources; a " +
       "planted single-source corpus reports all-same adjacency") {
     import spark.implicits._

@@ -305,6 +305,23 @@ class GraphSpec extends SparkSpec {
     assert(shuffled === per)
   }
 
+  test("bfsHops: chain distances, early exhaustion, off-graph seeds") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], seeds: Seq[Long], h: Int) =
+      graft.analytics.Graph.bfsHops(edges.toDF("u", "v"), "u", "v",
+          seeds.toDF("n"), "n", h)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(run(chain, Seq(1L), 4) ===
+      Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L))
+    // cap cuts the walk short
+    assert(run(chain, Seq(1L), 2) === Map(0 -> 1L, 1 -> 1L, 2 -> 1L))
+    // two seeds meet in the middle; exhaustion before the cap
+    assert(run(chain, Seq(1L, 5L), 4) === Map(0 -> 2L, 1 -> 2L, 2 -> 1L))
+    // a seed with no edges still counts at hop 0
+    assert(run(chain, Seq(1L, 99L), 1) === Map(0 -> 2L, 1 -> 1L))
+  }
+
   private def hitsMap(edges: Seq[(Long, Long)], iters: Int = 3) =
     graft.analytics.Graph.hits(edges.toDF("c", "s"), "c", "s", iters)
       .collect()
