@@ -42,6 +42,48 @@ object Behavior {
         sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
   }
 
+  /** Per-user inter-arrival statistics + Goh–Barabási burstiness
+    * B = (σ−μ)/(σ+μ) over the gaps between consecutive events:
+    * B → −1 is metronomic, ≈ 0 Poisson-random, → 1 bursty — the
+    * bot-vs-human / scraper-detection signal a behavior pipeline
+    * wants per user.
+    *
+    * Scale shape: one user-partitioned lag window (exact integer µs,
+    * the [[sessionize]] contract) and one map-side-combined
+    * aggregation; Σgap and Σgap² accumulate as DECIMAL(38,0) (gap²
+    * overflows a long at month-scale gaps), with μ/σ/B derived in
+    * doubles from the exact sums — the q48-moments recipe, replayed
+    * identically by a HUGEINT oracle.
+    *
+    * Output: (user_id, n_events, n_gaps, mean_gap_us, burstiness)
+    * for users with ≥ 2 gaps, ordered; B is null when σ+μ = 0
+    * (all-zero gaps).
+    */
+  def interArrivalStats(events: DataFrame): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = events
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("gap",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .where(col("gap").isNotNull)
+    val agg = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(D38)).as("s"),
+        sum(col("gap").cast(D38) * col("gap").cast(D38)).as("s2"))
+      .where(col("n_gaps") >= 2)
+    val mu = col("s").cast("double") / col("n_gaps").cast("double")
+    val sigma = sqrt(col("s2").cast("double") /
+      col("n_gaps").cast("double") - mu * mu)
+    agg.select(col("user_id"),
+        (col("n_gaps") + 1).cast("long").as("n_events"),
+        col("n_gaps").cast("long").as("n_gaps"),
+        mu.as("mean_gap_us"),
+        when(sigma + mu > 0, (sigma - mu) / (sigma + mu))
+          .as("burstiness"))
+      .orderBy("user_id")
+  }
+
   /** Per-session aggregates: bounds, duration (exact integer µs),
     * event count, exact-decimal value total, purchase count. */
   def sessionStats(events: DataFrame, gapSec: Long): DataFrame =

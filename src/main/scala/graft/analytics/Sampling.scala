@@ -97,6 +97,27 @@ object Sampling {
           .map(org.apache.spark.sql.graft.ColumnBridge.expression),
         payload.map(_._1), k).toAggregateExpression())
 
+  /** Stratified k-fold assignment for cross-validation: within each
+    * stratum (source/language), docs are ranked by the portable hash
+    * order and dealt round-robin into `k` folds — every stratum's
+    * docs split across folds within ±1, and the assignment is
+    * deterministic on any engine/partitioning (no rand()).
+    *
+    * One stratum-partitioned window (rank by (md5(id), id)) — no
+    * global sort, no shuffle beyond the stratum key. Returns
+    * (doc_id, strata, fold) with fold ∈ [0, k).
+    */
+  def stratifiedFolds(df: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val w = Window.partitionBy("strata")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    df.select(col(idCol).as("doc_id"), col(strataCol).as("strata"))
+      .where(col("doc_id").isNotNull && col("strata").isNotNull)
+      .withColumn("fold",
+        ((row_number().over(w) - 1) % k).cast("int"))
+  }
+
   /** Greedy token-budget corpus selection — "take the best documents
     * until the token budget is spent": rank docs by an INTEGER
     * quality score (descending; hash order inside a score tie) and

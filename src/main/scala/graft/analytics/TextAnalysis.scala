@@ -193,6 +193,51 @@ object TextAnalysis {
       .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
   }
 
+  /** Zipf slope of the corpus token-frequency distribution: OLS fit
+    * of ln(count) against ln(rank) over the top `k` tokens — the
+    * one-number "is this corpus natural language" check (natural
+    * text sits near −1; machine-generated or templated corpora
+    * flatten or steepen it).
+    *
+    * Scale shape: one vocabulary-sized count aggregation, a global
+    * top-k by (count, token) — TakeOrdered, never a full vocabulary
+    * sort — then the regression runs on k rows. Determinism: ln x
+    * and ln rank are quantized to 1e-12 units; all OLS power sums
+    * accumulate as DECIMAL(38,0) from those integers, with the final
+    * slope/intercept one double division each. Rank ties cannot
+    * occur (rank is by (count desc, token), a total order).
+    *
+    * Output (one row): n_terms, slope, intercept (nats).
+    */
+  def zipfSlope(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = docs.where(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(k)
+    val ranked = counts.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("tok"))))
+    val x = round(log(col("r").cast("double")) * 1e12).cast("long")
+      .cast(D38)
+    val y = round(log(col("c").cast("double")) * 1e12).cast("long")
+      .cast(D38)
+    val s = ranked.agg(count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val n = col("n").cast(D38)
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (n * col("sxx") - col("sx") * col("sx")).cast("double")
+    s.select(col("n").cast("long").as("n_terms"),
+      when(den > 0, num / den).as("slope"),
+      when(den > 0,
+        (col("sy").cast("double") / 1e12 -
+          (num / den) * (col("sx").cast("double") / 1e12)) /
+          col("n").cast("double")).as("intercept"))
+  }
+
   /** Delimiters for [[rakeKeywords]]: a token is a phrase BREAK when
     * its normalized form is empty (pure punctuation) or one of these
     * function words — the classic RAKE recipe (Rose et al. 2010,

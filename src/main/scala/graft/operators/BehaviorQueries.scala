@@ -14,6 +14,43 @@ object BehaviorQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Per-user inter-arrival burstiness (Goh–Barabási B = (σ−μ)/(σ+μ)
+    // over event gaps): metronomic → −1, Poisson ≈ 0, bursty → 1 —
+    // the bot/scraper detection signal. Gaps are exact integer µs;
+    // Σgap and Σgap² accumulate as HUGEINT/DECIMAL(38,0), with μ/σ/B
+    // derived in doubles from the same exact sums in both engines.
+    Q("q193_burstiness", Some("""
+      WITH g AS (
+        SELECT user_id,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      a AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+          SUM(CAST(gap AS HUGEINT)) AS s,
+          SUM(CAST(gap AS HUGEINT) * gap) AS s2
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY 1 HAVING count(*) >= 2)
+      SELECT user_id, n_gaps + 1 AS n_events, n_gaps,
+        CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us,
+        CASE WHEN sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE) -
+              (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) *
+              (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))) +
+            CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0
+        THEN (sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE) -
+              (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) *
+              (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))) -
+              CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) /
+             (sqrt(CAST(s2 AS DOUBLE) / CAST(n_gaps AS DOUBLE) -
+              (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) *
+              (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))) +
+              CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+        END AS burstiness
+      FROM a ORDER BY user_id""")) { (s, dir) =>
+      Behavior.interArrivalStats(Tables.load(s, dir, "events"))
+    },
+
     // Gap-based sessionization (30-minute inactivity gap) with
     // per-session aggregates. Boundaries compare integer microseconds.
     Q("q64_sessionize", Some("""

@@ -331,6 +331,32 @@ object MiscQueries {
       }
     },
 
+    // Stratified 5-fold cross-validation assignment: within each
+    // source, docs are ranked by the portable hash and dealt
+    // round-robin, so every (source, fold) cell is balanced within
+    // ±1 — the query emits the cell counts as the balance proof,
+    // with min/max doc ids pinning the actual assignment.
+    Q("q192_stratified_folds", Some("""
+      WITH a AS (
+        SELECT doc_id, source,
+          CAST((row_number() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) % 5
+            AS INT) AS fold
+        FROM documents
+        WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+      SELECT source, fold, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      FROM a GROUP BY 1, 2 ORDER BY source, fold""")) { (s, dir) =>
+      graft.analytics.Sampling.stratifiedFolds(
+          Tables.load(s, dir, "documents"), "doc_id", "source", k = 5)
+        .groupBy(col("strata").as("source"), col("fold"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .orderBy("source", "fold")
+    },
+
     // Greedy token-budget corpus selection: best-scored docs first
     // (n_chars as the integer quality key, md5 hash order inside a
     // tie) until 12k tokens are spent. Spark runs the two-phase

@@ -598,6 +598,48 @@ object TextQueries {
         n = 5, minDf = 3L)
     },
 
+    // Zipf slope of the token-frequency distribution: OLS of
+    // ln(count) on ln(rank) over the top 1000 tokens (rank by
+    // (count desc, token) — a total order, no ties). Each ln is
+    // quantized to 1e-12 units; all power sums accumulate as
+    // HUGEINT/DECIMAL(38,0); slope/intercept are one double division
+    // each. Natural text sits near slope −1.
+    Q("q194_zipf_slope", Some("""
+      WITH cnt AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+          SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL)
+        WHERE tok <> '' GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 1000),
+      r AS (
+        SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+        FROM cnt),
+      q AS (
+        SELECT
+          CAST(round(ln(CAST(rk AS DOUBLE)) * 1000000000000.0)
+            AS HUGEINT) AS x,
+          CAST(round(ln(CAST(c AS DOUBLE)) * 1000000000000.0)
+            AS HUGEINT) AS y
+        FROM r),
+      s AS (
+        SELECT CAST(count(*) AS HUGEINT) AS n, SUM(x) AS sx,
+          SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM q)
+      SELECT CAST(n AS BIGINT) AS n_terms,
+        CASE WHEN n * sxx - sx * sx > 0 THEN
+          CAST(n * sxy - sx * sy AS DOUBLE) /
+            CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+        CASE WHEN n * sxx - sx * sx > 0 THEN
+          (CAST(sy AS DOUBLE) / 1000000000000.0 -
+            (CAST(n * sxy - sx * sy AS DOUBLE) /
+             CAST(n * sxx - sx * sx AS DOUBLE)) *
+            (CAST(sx AS DOUBLE) / 1000000000000.0)) /
+            CAST(n AS DOUBLE) END AS intercept
+      FROM s""")) { (s, dir) =>
+      graft.analytics.TextAnalysis.zipfSlope(
+        Tables.load(s, dir, "documents"), "text", k = 1000)
+    },
+
     // RAKE keyword extraction: stopword/punctuation-delimited phrase
     // runs scored by Σ deg(w)/freq(w) — the unsupervised domain-term
     // miner. Both engines build runs from the same per-token cumsum,

@@ -13,6 +13,31 @@ class BehaviorSpec extends SparkSpec {
     rows.toDF("event_id", "tss", "user_id", "event_type", "value")
       .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
 
+  test("interArrivalStats: closed forms for metronomic and known " +
+      "two-gap users; singles dropped") {
+    val e = events(
+      // user 1: gaps 60s, 60s, 60s -> sigma 0, B = -1
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 1.0),
+      (3L, "2024-01-01 10:02:00", 1L, "view", 1.0),
+      (4L, "2024-01-01 10:03:00", 1L, "view", 1.0),
+      // user 2: gaps 10s and 30s -> mu 20e6, sigma 10e6, B = -1/3
+      (5L, "2024-01-01 10:00:00", 2L, "view", 1.0),
+      (6L, "2024-01-01 10:00:10", 2L, "view", 1.0),
+      (7L, "2024-01-01 10:00:40", 2L, "view", 1.0),
+      // user 3: only one gap -> dropped
+      (8L, "2024-01-01 10:00:00", 3L, "view", 1.0),
+      (9L, "2024-01-01 10:00:05", 3L, "view", 1.0))
+    val got = Behavior.interArrivalStats(e)
+      .as[(Long, Long, Long, Double, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 3L, 6.0e7, Some(-1.0))))
+    val (_, n2, g2, mu2, b2) = got(2L)
+    assert((n2, g2, mu2) === ((3L, 2L, 2.0e7)))
+    assert(math.abs(b2.get - (-1.0 / 3)) < 1e-12)
+    assert(!got.contains(3L))
+  }
+
   test("sessionize: gap strictly over threshold starts a new session") {
     val e = events(
       (1L, "2024-01-01 10:00:00", 7L, "view", 1.0),

@@ -131,6 +131,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.head._1 === "deep learning systems")
   }
 
+  test("zipfSlope: an exact Zipf corpus recovers slope -1") {
+    import graft.analytics.TextAnalysis
+    // token w_r appears floor(1200/r) times: ln(count) ~ ln 1200 - ln r
+    val words = (1 to 30).flatMap(r =>
+      Seq.fill(1200 / r)(f"w$r%02d"))
+    val docs = words.grouped(40).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val row = TextAnalysis.zipfSlope(docs, "text", k = 30).collect()(0)
+    assert(row.getLong(0) === 30L)
+    val slope = row.getDouble(1)
+    assert(math.abs(slope - (-1.0)) < 0.02, s"slope $slope")
+    val intercept = row.getDouble(2)
+    assert(math.abs(intercept - math.log(1200.0)) < 0.05,
+      s"intercept $intercept")
+    // repartition invariance (bit-exact, not approximate)
+    val again = TextAnalysis.zipfSlope(docs.repartition(7), "text", 30)
+      .collect()(0)
+    assert(again.getDouble(1) === slope &&
+      again.getDouble(2) === intercept)
+  }
+
   test("rakeKeywords: maxLen cap, k cut, and repartition invariance") {
     import graft.analytics.TextAnalysis
     val docs = Seq(

@@ -513,6 +513,24 @@ class DedupSpec extends SparkSpec {
     assert(shuffled === want)
   }
 
+  test("stratifiedFolds: per-stratum balance within one, " +
+      "deterministic across runs") {
+    import spark.implicits._
+    import graft.analytics.Sampling
+    val docs = ((1L to 23L).map(i => (i, "a")) ++
+      (100L to 104L).map(i => (i, "b"))).toDF("id", "src")
+    def run() = Sampling.stratifiedFolds(docs, "id", "src", k = 5)
+      .as[(Long, String, Int)].collect().toSeq.sortBy(_._1)
+    val got = run()
+    assert(got === run())
+    val cells = got.groupBy(r => (r._2, r._3)).view.mapValues(_.size)
+    // stratum a: 23 docs over 5 folds -> sizes {5,5,5,4,4}
+    val aSizes = (0 until 5).map(f => cells.getOrElse(("a", f), 0))
+    assert(aSizes.sum === 23 && aSizes.max - aSizes.min <= 1)
+    // stratum b: 5 docs -> exactly one per fold
+    (0 until 5).foreach(f => assert(cells(("b", f)) === 1))
+  }
+
   test("tokenBudgetSelect: two-phase selection equals the naive " +
       "sorted-prefix on score ties and partial boundaries") {
     import spark.implicits._
