@@ -484,6 +484,62 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Newman modularity of a GIVEN node partition (labels), per
+    * community: Q_c = e_c/m − (d_c/2m)² — "do these labels actually
+    * form communities on this graph" (brand cohesion on a
+    * co-purchase graph, language cohesion on a near-dup graph).
+    * Σ Q_c is the partition's modularity; a label whose Q_c ≤ 0
+    * contributes no community structure.
+    *
+    * Scale shape: two label joins on the edge list (node-keyed), one
+    * label-keyed aggregation — never node×node. Only edges with BOTH
+    * endpoints labeled enter the graph (m, degrees, e_c all computed
+    * after that filter), so an unlabeled fringe cannot skew the
+    * denominator. Exactness: every count is a BIGINT; each Q_c is
+    * (4m·e_c − d_c²)/(4m²) evaluated from the same integers in
+    * either engine (DECIMAL/HUGEINT numerator, ONE double division).
+    *
+    * Output: (label, n_nodes, in_edges, degree_sum, q_contrib)
+    * ordered by label.
+    */
+  def modularity(edges: DataFrame, aCol: String, bCol: String,
+      labels: DataFrame, nodeCol: String,
+      labelCol: String): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val lab = labels
+      .select(col(nodeCol).as("n"), col(labelCol).as("lab"))
+      .where(col("n").isNotNull && col("lab").isNotNull).distinct()
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v") &&
+        col("u").isNotNull && col("v").isNotNull)
+      .distinct()
+      .join(lab.select(col("n").as("u"), col("lab").as("lu")), Seq("u"))
+      .join(lab.select(col("n").as("v"), col("lab").as("lv")), Seq("v"))
+    val eM = Dedup.materialize(e)
+    val m = eM.agg(count(lit(1)).as("m"))
+    val perLabel = eM
+      .select(col("u").as("n"), col("lu").as("lab"),
+        (col("lu") === col("lv")).cast("long").as("inE"))
+      .unionByName(eM.select(col("v").as("n"), col("lv").as("lab"),
+        lit(0L).as("inE")))
+      .groupBy("lab")
+      .agg(countDistinct(col("n")).as("n_nodes"),
+        sum(col("inE")).as("e_c"),
+        count(lit(1)).as("d_c"))
+    perLabel.crossJoin(broadcast(m))
+      .select(col("lab").as("label"),
+        col("n_nodes").cast("long"),
+        col("e_c").cast("long").as("in_edges"),
+        col("d_c").cast("long").as("degree_sum"),
+        ((lit(4).cast(D38) * col("m") * col("e_c") -
+          col("d_c").cast(D38) * col("d_c")).cast("double") /
+          (lit(4).cast(D38) * col("m") * col("m")).cast("double"))
+          .as("q_contrib"))
+      .orderBy("label")
+  }
+
   /** Multi-source BFS hop histogram — the reachability audit ("how
     * much of the dedup/co-purchase graph sits within h hops of these
     * seeds, and how fast does the frontier decay"): per hop, the

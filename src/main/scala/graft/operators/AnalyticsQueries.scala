@@ -520,6 +520,94 @@ object AnalyticsQueries {
       graft.analytics.Graph.localClustering(edges, "item_a", "item_b")
     },
 
+    // Newman modularity of the BRAND partition on the co-purchase
+    // graph: do brands form purchase communities? Only edges with
+    // both endpoints labeled enter; every count is BIGINT and each
+    // Q_c = (4m·e_c − d_c²)/4m² is one double division from the same
+    // integers (HUGEINT / DECIMAL(38,0) numerators).
+    Q("q195_modularity", Some("""
+      WITH base AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), sup AS MATERIALIZED (
+        SELECT a.it AS u, b.it AS v
+        FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      ), lab AS (
+        SELECT DISTINCT p_partkey AS n, p_brand AS lab FROM part
+        WHERE p_partkey IS NOT NULL AND p_brand IS NOT NULL
+      ), e AS MATERIALIZED (
+        SELECT u, v, a.lab AS lu, b.lab AS lv
+        FROM sup JOIN lab a ON sup.u = a.n JOIN lab b ON sup.v = b.n
+      ), m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+      d AS (
+        SELECT lab, CAST(count(DISTINCT n) AS BIGINT) AS n_nodes,
+          CAST(SUM(inE) AS BIGINT) AS e_c,
+          CAST(count(*) AS BIGINT) AS d_c
+        FROM (
+          SELECT u AS n, lu AS lab,
+            CASE WHEN lu = lv THEN 1 ELSE 0 END AS inE FROM e
+          UNION ALL SELECT v, lv, 0 FROM e)
+        GROUP BY lab)
+      SELECT lab AS label, n_nodes, e_c AS in_edges,
+        d_c AS degree_sum,
+        CAST(4 * CAST(m.m AS HUGEINT) * e_c -
+          CAST(d_c AS HUGEINT) * d_c AS DOUBLE) /
+        CAST(4 * CAST(m.m AS HUGEINT) * m.m AS DOUBLE) AS q_contrib
+      FROM d CROSS JOIN m ORDER BY label""")) { (s, dir) =>
+      val base = Tables.load(s, dir, "lineitem")
+        .where(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val edges = base.as("a")
+        .join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .groupBy(col("a.it").as("u"), col("b.it").as("v"))
+        .agg(count(lit(1)).as("__sup"))
+        .where(col("__sup") >= 2)
+        .select("u", "v")
+      graft.analytics.Graph.modularity(edges, "u", "v",
+        Tables.load(s, dir, "part"), "p_partkey", "p_brand")
+    },
+
+    // Zone-map pruning audit on the month-partitioned lineitem
+    // layout: for each candidate ship-date range (day offsets from
+    // 1992-01-01), how many month partitions does min/max pruning
+    // skip and how many rows does that save — the partition-key
+    // design answer from one stats pass.
+    Q("q196_zonemap_audit", Some("""
+      WITH zones AS (
+        SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS part,
+          CAST(MIN(date_diff('day', DATE '1992-01-01',
+            CAST(l_shipdate AS DATE))) AS BIGINT) AS mn,
+          CAST(MAX(date_diff('day', DATE '1992-01-01',
+            CAST(l_shipdate AS DATE))) AS BIGINT) AS mx,
+          CAST(count(*) AS BIGINT) AS c
+        FROM lineitem WHERE l_shipdate IS NOT NULL
+        GROUP BY 1
+      ), preds AS (
+        SELECT * FROM (VALUES (CAST(1100 AS BIGINT), CAST(1200 AS BIGINT)),
+          (2000, 2400), (3000, 3001), (0, 100000)) AS t(lo, hi))
+      SELECT lo, hi, CAST(count(*) AS BIGINT) AS n_parts,
+        CAST(SUM(CASE WHEN mx < lo OR mn > hi THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_skippable,
+        CAST(SUM(CASE WHEN mx < lo OR mn > hi THEN c ELSE 0 END)
+          AS BIGINT) AS n_rows_skipped
+      FROM zones CROSS JOIN preds
+      GROUP BY lo, hi ORDER BY lo, hi""")) { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .where(col("l_shipdate").isNotNull)
+        .select(
+          date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+          datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+            .cast("long").as("day_off"))
+      graft.warehouse.Writer.zoneMapAudit(li, "part", "day_off",
+        Seq((1100L, 1200L), (2000L, 2400L), (3000L, 3001L),
+          (0L, 100000L)))
+    },
+
     // Multi-source BFS hop histogram from the 3 smallest nodes of
     // the support-thresholded co-purchase graph: per hop, nodes
     // FIRST reached at that distance. Min-hop assignment is

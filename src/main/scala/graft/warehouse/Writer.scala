@@ -80,6 +80,42 @@ object Writer {
       .orderBy("part", "out_group")
   }
 
+  /** Zone-map (min/max pruning) audit: for each candidate predicate
+    * range, how many partitions could a scan SKIP on min/max
+    * statistics alone, and how many rows does that save — the
+    * layout-design question ("is this partition key worth it for
+    * these filters") answered from one stats pass.
+    *
+    * One partition-keyed aggregation builds the zone map
+    * (min/max/count per partition — exactly what parquet footers
+    * hold); each audited range then broadcasts over that
+    * partition-count-sized frame. A partition is skippable for
+    * [lo, hi] iff its max < lo or its min > hi (the closed-range
+    * pruning rule). Returns one row per range: (lo, hi, n_parts,
+    * n_skippable, n_rows_skipped), exact BIGINTs, ordered by lo.
+    */
+  def zoneMapAudit(df: DataFrame, partCol: String, valueCol: String,
+      ranges: Seq[(Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "ranges must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val zones = df
+      .where(col(partCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(partCol).as("part"))
+      .agg(min(col(valueCol).cast("long")).as("mn"),
+        max(col(valueCol).cast("long")).as("mx"),
+        count(lit(1)).as("c"))
+    val preds = ranges.toDF("lo", "hi")
+    zones.crossJoin(broadcast(preds))
+      .withColumn("skip",
+        (col("mx") < col("lo") || col("mn") > col("hi")).cast("long"))
+      .groupBy("lo", "hi")
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        sum(col("skip")).cast("long").as("n_skippable"),
+        sum(col("skip") * col("c")).cast("long").as("n_rows_skipped"))
+      .orderBy("lo", "hi")
+  }
+
   /** Save as a bucketed (+ sorted) catalog table: co-locates join keys
     * at write time so repeated fact-fact joins on `keys` need no
     * shuffle at all — the big-join analogue of the reference's

@@ -305,6 +305,31 @@ class GraphSpec extends SparkSpec {
     assert(shuffled === per)
   }
 
+  test("modularity: two cliques with one bridge score near 1/2; " +
+      "random labels on one clique score 0 territory") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], labs: Seq[(Long, String)]) =
+      graft.analytics.Graph.modularity(edges.toDF("u", "v"), "u", "v",
+          labs.toDF("n", "l"), "n", "l")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4)))).toMap
+    // two triangles joined by one bridge edge, labeled by side:
+    // m=7; each side: e_c=3, d_c=7 -> Q_c = (4*7*3-49)/196 = 35/196
+    val tri1 = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val tri2 = Seq((4L, 5L), (5L, 6L), (4L, 6L))
+    val labs = (1L to 3L).map(_ -> "a") ++ (4L to 6L).map(_ -> "b")
+    val got = run(tri1 ++ tri2 :+ ((3L, 4L)), labs)
+    assert(got("a") === ((3L, 3L, 7L, 35.0 / 196)))
+    assert(got("b") === ((3L, 3L, 7L, 35.0 / 196)))
+    // all-one-label on a single triangle: Q = e/m - 1 = 0
+    val one = run(tri1, (1L to 3L).map(_ -> "x"))
+    assert(one("x")._4 === (4.0 * 3 * 3 - 36) / 36)
+    // unlabeled endpoint drops its edges entirely
+    val dropped = run(tri1 :+ ((3L, 9L)), (1L to 3L).map(_ -> "x"))
+    assert(dropped("x")._2 === 3L && dropped.size === 1)
+  }
+
   test("bfsHops: chain distances, early exhaustion, off-graph seeds") {
     import spark.implicits._
     def run(edges: Seq[(Long, Long)], seeds: Seq[Long], h: Int) =

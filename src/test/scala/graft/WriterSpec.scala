@@ -49,6 +49,21 @@ class WriterSpec extends SparkSpec {
     assert(got.filter(_._1 == "a").map(_._3).sum === 5L)
   }
 
+  test("zoneMapAudit: closed-range pruning rule on hand-built zones") {
+    // partitions: p1 values 0..9 (10 rows), p2 values 100..104
+    // (5 rows), p3 value 50 only (2 rows)
+    val rows = (0L to 9L).map(v => ("p1", v)) ++
+      (100L to 104L).map(v => ("p2", v)) ++ Seq(("p3", 50L), ("p3", 50L))
+    val got = Writer.zoneMapAudit(rows.toDF("p", "v"), "p", "v",
+        Seq((0L, 9L), (10L, 49L), (50L, 100L), (200L, 300L)))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (0L, 9L, 3L, 2L, 7L),       // skips p2+p3
+      (10L, 49L, 3L, 3L, 17L),    // nothing overlaps: all skipped
+      (50L, 100L, 3L, 1L, 10L),   // p1 maxes at 9 < 50 -> skipped
+      (200L, 300L, 3L, 3L, 17L)))
+  }
+
   test("compactionPlan is partitioning-invariant and keyed by " +
       "stable file order") {
     val inv = (1 to 300).map(i =>
