@@ -22,6 +22,28 @@ import org.apache.spark.sql.functions._
   */
 object Histograms {
 
+  /** Per-group percent-rank normalization — make scores comparable
+    * ACROSS strata before a global threshold ("top 10% of every
+    * language", not "top 10% overall, which is all English"): each
+    * row gets (rank−1)/(n−1) within its group, ties sharing a rank.
+    * Spark's `percent_rank` and DuckDB's agree on this definition
+    * exactly, so the normalized scores are engine-portable with no
+    * quantization step.
+    *
+    * One group-partitioned window — no global sort. Returns the
+    * input keys plus `pr` ∈ [0, 1] (0 for a single-row group).
+    */
+  def percentRankNormalize(df: DataFrame, groupCol: String,
+      valueCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+    df.select(col(idCol).as("id"), col(groupCol).as("g"),
+        col(valueCol).as("v"))
+      .where(col("id").isNotNull && col("g").isNotNull &&
+        col("v").isNotNull)
+      .withColumn("pr", percent_rank().over(w))
+  }
+
   /** Hill tail-index estimator (Hill 1975) over the k largest values
     * — "how heavy is this distribution's tail" as one number: for
     * order statistics X₍₁₎ ≥ … ≥ X₍ₖ₊₁₎,

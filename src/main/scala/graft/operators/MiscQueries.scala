@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.analytics.Dedup
 
@@ -329,6 +330,56 @@ object MiscQueries {
         graft.warehouse.Writer.compactionPlan(
           inv, "part", "file_id", "bytes", targetBytes = target)
       }
+    },
+
+    // Incremental aggregate-view maintenance: per-event-type
+    // count/sum/max state built from pre-cutoff events, merged with
+    // the post-cutoff delta's aggregate through ONE full-outer join —
+    // the oracle aggregates the full table directly. Different
+    // algorithms, bit-exact totals (DECIMAL sums, order-free max).
+    Q("q197_agg_delta_merge", Some("""
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS cnt,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum,
+        CAST(MAX(epoch_us(ts)) AS BIGINT) AS mx
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1 ORDER BY event_type""")) { (s, dir) =>
+      val e = Tables.load(s, dir, "events")
+        .where(col("event_type").isNotNull && col("ts").isNotNull)
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type").agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sum"),
+          max(unix_micros(col("ts"))).as("mx"))
+      graft.warehouse.Merge.mergeAggStates(
+          aggOf(e.where(col("ts") < cutoff)),
+          aggOf(e.where(col("ts") >= cutoff)),
+          Seq("event_type"))
+        .select(col("event_type"), col("cnt").cast("long"),
+          col("sum").cast("double").as("sum"),
+          col("mx").cast("long").as("mx"))
+        .orderBy("event_type")
+    },
+
+    // Per-language percent-rank normalization of document length:
+    // "top decile of EVERY language" needs within-stratum ranks, and
+    // percent_rank's (rank-1)/(n-1) tie-sharing definition matches
+    // across engines with no quantization.
+    Q("q198_percent_rank", Some("""
+      SELECT doc_id AS id, lang AS g, CAST(n_chars AS BIGINT) AS v,
+        percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+          AS pr
+      FROM documents
+      WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+        AND n_chars IS NOT NULL
+      ORDER BY id""")) { (s, dir) =>
+      graft.analytics.Histograms.percentRankNormalize(
+          Tables.load(s, dir, "documents")
+            .withColumn("n_chars", col("n_chars").cast("long")),
+          "lang", "n_chars", "doc_id")
+        .orderBy("id")
     },
 
     // Stratified 5-fold cross-validation assignment: within each

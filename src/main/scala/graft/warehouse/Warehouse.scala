@@ -32,6 +32,43 @@ object Merge {
     * target side can be bucketed on the same keys to make the merge
     * shuffle-free on one side.
     */
+  /** Incremental aggregate-view maintenance: merge a materialized
+    * per-key aggregate STATE with the aggregate of a new delta batch
+    * so the view never rescans the base table — the standard
+    * count/sum/max rollup shape (all three merge associatively;
+    * avg/ratios derive from count+sum downstream). Both inputs carry
+    * (keys…, cnt, sum, mx); the merge is ONE full-outer join keyed on
+    * `keys` with null-safe addition and greatest — a key present on
+    * either side survives with exact totals. At scale, keep the state
+    * bucketed on `keys` and the merge shuffles only the (small) delta
+    * aggregate.
+    *
+    * The defining contract (spec'd and oracle-checked by q197):
+    * merge(agg(base), agg(delta)) ≡ agg(base ∪ delta), bit-exact,
+    * because cnt/sum are DECIMAL-exact and max is order-free.
+    */
+  def mergeAggStates(state: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val valCols = Seq("cnt", "sum", "mx")
+    require((valCols.toSet -- state.columns.toSet).isEmpty &&
+      (valCols.toSet -- delta.columns.toSet).isEmpty,
+      "both sides must carry cnt/sum/mx aggregate columns")
+    val a = state.select(keys.map(col) ++
+      valCols.map(c => col(c).as(s"a_$c")): _*)
+    val b = delta.select(keys.map(col) ++
+      valCols.map(c => col(c).as(s"b_$c")): _*)
+    a.join(b, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        // coalesce(a+b, a, b): typed zero-free null-safe addition —
+        // a+b is null only when a side is absent, where the other
+        // side IS the total
+        coalesce(col("a_cnt") + col("b_cnt"), col("a_cnt"),
+          col("b_cnt")).as("cnt"),
+        coalesce(col("a_sum") + col("b_sum"), col("a_sum"),
+          col("b_sum")).as("sum"),
+        greatest(col("a_mx"), col("b_mx")).as("mx")): _*)
+  }
+
   def upsert(target: DataFrame, incoming: DataFrame, keys: Seq[String],
       updateCols: Seq[String], tiebreak: Seq[Column]): DataFrame = {
     val dataCols = target.columns.toSeq.filterNot(keys.contains)

@@ -115,6 +115,21 @@ class HistogramsSpec extends SparkSpec {
     assert(a._2.map(_.getLong(3)).sum == 100L)
   }
 
+  test("percentRankNormalize: tie-sharing ranks, per-group range, " +
+      "singleton group at 0") {
+    val rows = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
+      (4L, "a", 30L), (5L, "b", 999L))
+    val got = Histograms.percentRankNormalize(
+        rows.toDF("id", "g", "v"), "g", "v", "id")
+      .as[(Long, String, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // group a (n=4): ranks 1,2,2,4 -> pr 0, 1/3, 1/3, 1
+    assert(got(1L) === 0.0)
+    assert(got(2L) === 1.0 / 3 && got(3L) === 1.0 / 3)
+    assert(got(4L) === 1.0)
+    assert(got(5L) === 0.0)
+  }
+
   test("hillTailIndex: exact Pareto tail recovers its exponent") {
     // X_(i) = c * i^(-1/a) is an exact Pareto order sequence: the
     // Hill sum telescopes to (1/k)*Σ ln((k+1)/i)/a, whose estimate

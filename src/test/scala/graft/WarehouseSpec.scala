@@ -8,6 +8,27 @@ import graft.warehouse.{AuditLog, DateDim, Idempotency, Merge, Scd2}
 class WarehouseSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mergeAggStates: merge of split aggregates equals the full " +
+      "recompute, including one-sided keys") {
+    val rows = Seq(("a", 1.0, 10L), ("a", 2.5, 20L), ("b", 4.0, 5L),
+      ("c", 7.0, 9L), ("a", 0.5, 30L))
+    def aggOf(xs: Seq[(String, Double, Long)]) =
+      xs.toDF("k", "v", "t").groupBy("k")
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sum"),
+          max(col("t")).as("mx"))
+    // split so key b is only pre-side and c only delta-side
+    val merged = Merge.mergeAggStates(
+        aggOf(rows.take(3)), aggOf(rows.drop(3)), Seq("k"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val full = aggOf(rows)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(merged === full)
+    assert(merged("b") === ((1L, 4.0, 5L)) &&
+      merged("c") === ((1L, 7.0, 9L)))
+  }
+
   test("J6 upsert: partial update, insert, passthrough") {
     val target = Seq((1, "alice", 10.0), (2, "bob", 20.0))
       .toDF("id", "name", "bal")
