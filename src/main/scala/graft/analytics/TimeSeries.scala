@@ -187,6 +187,91 @@ object TimeSeries {
       .orderBy(groupCol)
   }
 
+  /** MASE (mean absolute scaled error, Hyndman & Koehler 2006) of
+    * the seasonal-naive forecast per group: the scale-free forecast
+    * quality number — MASE < 1 beats the one-step naive baseline,
+    * > 1 loses to it. Input follows the [[dowSeasonality]] contract:
+    * (group, day, cents), metric as an exact integer.
+    *
+    * Both error series stay exact BIGINTs (|y_t − y_{t−m}|,
+    * |y_t − y_{t−1}|; row-lag semantics — gap-fill upstream if days
+    * can be missing), summed as DECIMAL(38,0); the two MAEs and
+    * their ratio are the only double ops. One per-group window sort
+    * + one aggregation.
+    *
+    * Output: (g, n_days, mae_seasonal, mae_naive, mase) ordered;
+    * mase null when the naive MAE is 0 (constant series) or no
+    * seasonal error is scorable.
+    */
+  def maseSeasonalNaive(daily: DataFrame, groupCol: String,
+      dayCol: String, centsCol: String, season: Int): DataFrame = {
+    require(season >= 1, "season must be >= 1")
+    val D = DecimalType(38, 0)
+    val w = Window.partitionBy(groupCol).orderBy(dayCol)
+    val errS = abs(col(centsCol) - lag(col(centsCol), season).over(w))
+    val err1 = abs(col(centsCol) - lag(col(centsCol), 1).over(w))
+    daily
+      .withColumn("__es", errS).withColumn("__e1", err1)
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        count(col("__es")).as("ns"),
+        sum(col("__es").cast(D)).as("ss"),
+        count(col("__e1")).as("n1"),
+        sum(col("__e1").cast(D)).as("s1"))
+      .select(col("g"), col("n_days"),
+        when(col("ns") > 0, col("ss").cast("double") /
+          col("ns").cast("double")).as("mae_seasonal"),
+        when(col("n1") > 0, col("s1").cast("double") /
+          col("n1").cast("double")).as("mae_naive"),
+        when(col("ns") > 0 && col("s1") > 0,
+          (col("ss").cast("double") / col("ns").cast("double")) /
+            (col("s1").cast("double") / col("n1").cast("double")))
+          .as("mase"))
+      .orderBy("g")
+  }
+
+  /** Split-conformal coverage check of the seasonal-naive forecast:
+    * the first `calibDays` scorable residuals per group set the
+    * q-quantile |error| band (exact interpolated percentile — the
+    * q47 Spark≡DuckDB contract); the remaining days test it. A
+    * well-calibrated band covers ≈ q of test days — the
+    * uncertainty-quantification audit for any downstream alerting
+    * threshold.
+    *
+    * One per-group window for residual ranks, one percentile
+    * aggregation over the calibration slice (broadcast back), one
+    * test-side count. Output: (g, qhat, n_test, n_covered, coverage)
+    * ordered; groups with no test rows are absent.
+    */
+  def conformalCoverage(daily: DataFrame, groupCol: String,
+      dayCol: String, centsCol: String, season: Int, calibDays: Int,
+      q: Double): DataFrame = {
+    require(season >= 1 && calibDays >= 1, "season, calibDays >= 1")
+    require(q > 0 && q < 1, "q in (0,1)")
+    val w = Window.partitionBy(groupCol).orderBy(dayCol)
+    val resid = daily
+      .withColumn("__r",
+        abs(col(centsCol) - lag(col(centsCol), season).over(w)))
+      .where(col("__r").isNotNull)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groupCol).orderBy(dayCol)))
+    val qhat = resid.where(col("__rn") <= calibDays)
+      .groupBy(col(groupCol).as("g"))
+      .agg(expr(s"percentile(__r, $q)").as("qhat"))
+    resid.where(col("__rn") > calibDays)
+      .select(col(groupCol).as("g"), col("__r"))
+      .join(qhat, Seq("g"))
+      .groupBy("g")
+      .agg(first(col("qhat")).as("qhat"),
+        count(lit(1)).cast("long").as("n_test"),
+        sum((col("__r") <= col("qhat")).cast("long")).as("n_covered"))
+      .select(col("g"), col("qhat"), col("n_test"),
+        col("n_covered").cast("long"),
+        (col("n_covered").cast("double") /
+          col("n_test").cast("double")).as("coverage"))
+      .orderBy("g")
+  }
+
   /** EWMA of an ordered window list: `EWMA_t = αx_t + (1-α)EWMA_{t-1}`
     * seeded with the first element, computed as an explicit left fold
     * (`aggregate`) so the op sequence is the identical IEEE chain in

@@ -23,6 +23,79 @@ object TimeSeriesQueries {
 
   val all: Seq[Q] = Seq(
 
+    // MASE of the seasonal-naive (lag-7) forecast per event type:
+    // the scale-free "does my forecast beat naive" number. Error
+    // series stay exact BIGINT cents summed as HUGEINT; the two MAEs
+    // and their ratio are the only double ops, shaped identically in
+    // both engines.
+    Q("q199_mase", Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS yc
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+      ), e AS (
+        SELECT event_type,
+          abs(yc - lag(yc, 7) OVER w) AS es,
+          abs(yc - lag(yc, 1) OVER w) AS e1
+        FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+      SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_days,
+        CASE WHEN count(es) > 0 THEN
+          CAST(SUM(CAST(es AS HUGEINT)) AS DOUBLE) /
+            CAST(count(es) AS DOUBLE) END AS mae_seasonal,
+        CASE WHEN count(e1) > 0 THEN
+          CAST(SUM(CAST(e1 AS HUGEINT)) AS DOUBLE) /
+            CAST(count(e1) AS DOUBLE) END AS mae_naive,
+        CASE WHEN count(es) > 0 AND SUM(e1) > 0 THEN
+          (CAST(SUM(CAST(es AS HUGEINT)) AS DOUBLE) /
+            CAST(count(es) AS DOUBLE)) /
+          (CAST(SUM(CAST(e1 AS HUGEINT)) AS DOUBLE) /
+            CAST(count(e1) AS DOUBLE)) END AS mase
+      FROM e GROUP BY 1 ORDER BY g""")) { (s, dir) =>
+      graft.analytics.TimeSeries.maseSeasonalNaive(
+        dailyCents(s, dir), "event_type", "day", "yc", season = 7)
+    },
+
+    // Split-conformal coverage of the lag-7 naive band: the first 10
+    // scorable residuals per type set the 0.8-quantile |error| band
+    // (exact interpolated percentile, the q47 contract), the rest
+    // test it — the alert-threshold calibration audit.
+    Q("q200_conformal", Some("""
+      WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS yc
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+      ), r AS (
+        SELECT event_type, day,
+          abs(yc - lag(yc, 7) OVER (
+            PARTITION BY event_type ORDER BY day)) AS rr
+        FROM d
+      ), rr2 AS (
+        SELECT event_type, rr, row_number() OVER (
+            PARTITION BY event_type ORDER BY day) AS rn
+        FROM r WHERE rr IS NOT NULL
+      ), qh AS (
+        SELECT event_type, quantile_cont(CAST(rr AS DOUBLE), 0.8)
+          AS qhat
+        FROM rr2 WHERE rn <= 10 GROUP BY 1
+      ), t AS (
+        SELECT rr2.event_type, rr, qhat
+        FROM rr2 JOIN qh USING (event_type) WHERE rn > 10)
+      SELECT event_type AS g, MIN(qhat) AS qhat,
+        CAST(count(*) AS BIGINT) AS n_test,
+        CAST(SUM(CASE WHEN rr <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_covered,
+        CAST(SUM(CASE WHEN rr <= qhat THEN 1 ELSE 0 END) AS DOUBLE) /
+          CAST(count(*) AS DOUBLE) AS coverage
+      FROM t GROUP BY 1 ORDER BY g""")) { (s, dir) =>
+      graft.analytics.TimeSeries.conformalCoverage(
+        dailyCents(s, dir), "event_type", "day", "yc",
+        season = 7, calibDays = 10, q = 0.8)
+    },
+
     // Day-of-week seasonal decomposition (classical additive /
     // STL moving-average step): trend = centered 7-row MA over the
     // per-type daily series, seasonal = per-DOW mean of the

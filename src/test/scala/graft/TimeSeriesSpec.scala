@@ -10,6 +10,43 @@ class TimeSeriesSpec extends SparkSpec {
     rows.map { case (g, d, y) => (g, Date.valueOf(d), y) }
       .toDF("g", "day", "yc")
 
+  test("maseSeasonalNaive: perfectly periodic series scores 0, " +
+      "constant series nulls the ratio") {
+    // period-2 series over 10 days: lag-2 error 0 everywhere, lag-1
+    // error 100 -> mase 0
+    val periodic = (1 to 10).map(i =>
+      ("a", f"2024-01-$i%02d", if (i % 2 == 0) 200L else 100L))
+    val got = TimeSeries.maseSeasonalNaive(
+        daily(periodic: _*), "g", "day", "yc", season = 2)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val (_, n, es, e1, m) = got("a")
+    assert(n === 10L && es === Some(0.0) && e1 === Some(100.0))
+    assert(m === Some(0.0))
+    // constant series: naive MAE 0 -> mase null
+    val const = (1 to 6).map(i => ("b", f"2024-01-$i%02d", 50L))
+    val g2 = TimeSeries.maseSeasonalNaive(
+        daily(const: _*), "g", "day", "yc", season = 2)
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()(0)
+    assert(g2._3 === Some(0.0) && g2._5 === None)
+  }
+
+  test("conformalCoverage: hand-built residuals give the exact " +
+      "interpolated band and test coverage") {
+    // residuals after lag-1: calibration days 2..5 -> |diffs| from
+    // the constructed series; q=0.5 median of {10,20,30,40} = 25;
+    // test days 6..9 residuals {20,20,50,0} -> 3 of 4 covered
+    val vals = Seq(0L, 10L, 30L, 60L, 100L, 120L, 140L, 190L, 190L)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("a", f"2024-01-${i + 1}%02d", v) }
+    val got = TimeSeries.conformalCoverage(
+        daily(rows: _*), "g", "day", "yc",
+        season = 1, calibDays = 4, q = 0.5)
+      .as[(String, Double, Long, Long, Double)].collect()(0)
+    assert(got === (("a", 25.0, 4L, 3L, 0.75)))
+  }
+
   test("dowSeasonality: constant series has zero seasonality") {
     // 14 consecutive days, constant 100 cents: every full window's
     // detrended value is 0
