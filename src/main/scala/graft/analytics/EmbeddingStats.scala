@@ -66,4 +66,69 @@ object EmbeddingStats {
           .as("avg_sq_dist"))
       .orderBy(groupCol)
   }
+
+  /** Inter-centroid separation matrix — "are these labels actually
+    * separated in embedding space": for every label pair a < b, the
+    * centroid Euclidean distance and its ratio to the combined
+    * intra-class dispersion (a Fisher-style separation index;
+    * ratio ≫ 1 = cleanly separated classes, ≲ 1 = the labels overlap
+    * and a classifier trained on them will struggle).
+    *
+    * Same fixed-point determinism contract as [[groupStats]]: all
+    * per-dimension component sums are exact DECIMAL(38,0) integers;
+    * dist²(a,b) = Σ_d (S_ad/n_a − S_bd/n_b)² expands to the three
+    * exact cross sums ΣS_a², ΣS_aS_b, ΣS_b² with doubles only in the
+    * final closed form. Scale shape: the (group, dim) sum frame
+    * (|labels|·dim rows) self-joins on dim — |labels|²·dim
+    * intermediate rows, never corpus rows.
+    *
+    * Output: (label_a, label_b, centroid_dist, sep_ratio) ordered.
+    */
+  def centroidSeparation(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val flat = df
+      .where(col(vecCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("dim", "e")))
+      .select(col("g"), col("dim"),
+        floor(col("e").cast("double") * lit(1048576L)).as("fx"))
+    val perDim = flat.groupBy("g", "dim")
+      .agg(sum(d(col("fx"))).as("s"),
+        sum(d(col("fx") * col("fx"))).as("ss"),
+        count(lit(1)).as("c"))
+    val perGroup = perDim.groupBy("g")
+      .agg(max(when(col("dim") === 0, col("c"))).as("n"),
+        sum(col("s") * col("s")).as("b"),
+        sum(col("ss")).as("a"))
+    val nd = col("n").cast("double")
+    val n2d = (d(col("n")) * d(col("n"))).cast("double")
+    val stats = perGroup.select(col("g"), col("n"),
+      (col("a").cast("double") / nd / lit(Scale2) -
+        col("b").cast("double") / n2d / lit(Scale2)).as("disp"))
+    val cross = perDim.select(col("g").as("ga"), col("dim"),
+        col("s").as("sa"))
+      .join(perDim.select(col("g").as("gb"), col("dim"),
+        col("s").as("sb")), Seq("dim"))
+      .where(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(sum(col("sa") * col("sa")).as("saa"),
+        sum(col("sa") * col("sb")).as("sab"),
+        sum(col("sb") * col("sb")).as("sbb"))
+    val dist2 = (col("saa").cast("double") /
+        (d(col("na")) * d(col("na"))).cast("double") -
+      lit(2.0) * col("sab").cast("double") /
+        (d(col("na")) * d(col("nb"))).cast("double") +
+      col("sbb").cast("double") /
+        (d(col("nb")) * d(col("nb"))).cast("double")) / lit(Scale2)
+    cross
+      .join(stats.select(col("g").as("ga"), col("n").as("na"),
+        col("disp").as("da")), Seq("ga"))
+      .join(stats.select(col("g").as("gb"), col("n").as("nb"),
+        col("disp").as("db")), Seq("gb"))
+      .select(col("ga").as("label_a"), col("gb").as("label_b"),
+        sqrt(dist2).as("centroid_dist"),
+        when(col("da") + col("db") > 0,
+          dist2 / (col("da") + col("db"))).as("sep_ratio"))
+      .orderBy("label_a", "label_b")
+  }
 }

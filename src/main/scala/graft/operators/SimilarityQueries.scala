@@ -162,6 +162,64 @@ object SimilarityQueries {
         "label", "embedding")
     },
 
+    // Inter-centroid separation matrix over the q137 fixed-point
+    // sums: per label pair, centroid distance and the Fisher-style
+    // dist²/(disp_a+disp_b) ratio. dist² expands to the three exact
+    // HUGEINT cross sums; doubles only in the closed form — the
+    // "are my labels separable" audit before training on them.
+    Q("q201_centroid_sep", Some("""
+      WITH x AS (
+        SELECT label,
+          unnest(list_transform(embedding,
+            e -> CAST(floor(CAST(e AS DOUBLE) * 1048576) AS BIGINT)))
+            AS fx,
+          unnest(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings WHERE embedding IS NOT NULL
+          AND label IS NOT NULL
+      ), pd AS (
+        SELECT label, dim, sum(CAST(fx AS HUGEINT)) AS s,
+          sum(CAST(fx * fx AS HUGEINT)) AS ss, count(*) AS c
+        FROM x GROUP BY 1, 2
+      ), pl AS (
+        SELECT label, max(CASE WHEN dim = 1 THEN c END) AS n,
+          sum(s * s) AS b, sum(ss) AS a
+        FROM pd GROUP BY 1
+      ), st AS (
+        SELECT label, n,
+          CAST(a AS DOUBLE) / CAST(n AS DOUBLE) / 1099511627776.0
+            - CAST(b AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)
+              / 1099511627776.0 AS disp
+        FROM pl
+      ), cr AS (
+        SELECT a.label AS ga, b.label AS gb,
+          sum(a.s * a.s) AS saa, sum(a.s * b.s) AS sab,
+          sum(b.s * b.s) AS sbb
+        FROM pd a JOIN pd b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+      ), j AS (
+        SELECT ga, gb,
+          (CAST(saa AS DOUBLE)
+             / CAST(CAST(sa.n AS HUGEINT) * sa.n AS DOUBLE)
+           - 2.0 * CAST(sab AS DOUBLE)
+             / CAST(CAST(sa.n AS HUGEINT) * sb.n AS DOUBLE)
+           + CAST(sbb AS DOUBLE)
+             / CAST(CAST(sb.n AS HUGEINT) * sb.n AS DOUBLE))
+            / 1099511627776.0 AS dist2,
+          sa.disp AS da, sb.disp AS db
+        FROM cr JOIN st sa ON cr.ga = sa.label
+          JOIN st sb ON cr.gb = sb.label)
+      SELECT CAST(ga AS BIGINT) AS label_a,
+        CAST(gb AS BIGINT) AS label_b,
+        sqrt(dist2) AS centroid_dist,
+        CASE WHEN da + db > 0 THEN dist2 / (da + db) END AS sep_ratio
+      FROM j ORDER BY label_a, label_b""")) { (s, dir) =>
+      graft.analytics.EmbeddingStats.centroidSeparation(
+        Tables.load(s, dir, "embeddings")
+          .withColumn("label", col("label").cast("long")),
+        "label", "embedding")
+    },
+
     Q("q23_cosine_topk", Some(s"""
       WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -44,4 +44,28 @@ class EmbeddingStatsSpec extends SparkSpec {
       .collect()(0)
     assert(r.getAs[Long]("n") === 1L)
   }
+
+  test("centroidSeparation: hand-computed two-cluster geometry") {
+    // label 1 centered at (0,0) with dispersion 1 (pair +-1 on x);
+    // label 2 centered at (10,0) with dispersion 1; label 3 one
+    // point at (0,3) -> dispersion 0
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.0f)),
+      (2L, Seq(11.0f, 0.0f)), (2L, Seq(9.0f, 0.0f)),
+      (3L, Seq(0.0f, 3.0f)))
+      .toDF("label", "embedding")
+    val got = EmbeddingStats.centroidSeparation(df, "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    val (d12, s12) = got((1L, 2L))
+    assert(math.abs(d12 - 10.0) < 1e-5)
+    assert(math.abs(s12.get - 100.0 / 2) < 1e-3)
+    val (d13, s13) = got((1L, 3L))
+    assert(math.abs(d13 - 3.0) < 1e-5)
+    assert(math.abs(s13.get - 9.0) < 1e-3)
+    val (d23, _) = got((2L, 3L))
+    assert(math.abs(d23 - math.sqrt(109.0)) < 1e-4)
+    assert(got.size === 3)
+  }
 }
