@@ -263,6 +263,84 @@ object DedupQueries {
       }
     },
 
+    // SimHash estimator calibration — the q170 pattern for the OTHER
+    // corpus-wide near-dup tier: the banded hamming≤3 candidates are
+    // re-scored with candidate-scoped EXACT n-gram Jaccard, so the
+    // query measures what the simhash tier's distance actually means
+    // in Jaccard terms (the tiering-evidence row next to q81, which
+    // only checks the pairing itself).
+    {
+      val hammingExpr = (0 until 4)
+        .map(i => s"bit_count(xor(ba.b_$i, bb.b_$i))").mkString(" + ")
+      Q("q202_simhash_calibration", Some(s"""
+      WITH $simhashCtes,
+      bands AS (
+        SELECT doc_id,
+          ${(0 until 4).map(i =>
+            s"CAST('0x' || substr(simhash_hex, ${1 + 4 * i}, 4) " +
+              s"AS BIGINT) AS b_$i").mkString(",\n          ")}
+        FROM fp),
+      bucket AS (
+        ${(0 until 4).map(i =>
+          s"SELECT doc_id, $i AS band, b_$i AS bval FROM bands")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bucket a JOIN bucket b USING (band, bval)
+        WHERE a.doc_id < b.doc_id),
+      hcand AS (
+        SELECT id_a, id_b, CAST($hammingExpr AS INT) AS hamming
+        FROM cand
+        JOIN bands ba ON id_a = ba.doc_id
+        JOIN bands bb ON id_b = bb.doc_id
+        WHERE $hammingExpr <= 3),
+      sh AS (${duckShingleIndex(3)}),
+      shh AS (SELECT doc_id,
+        ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+      sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+      inter AS (
+        SELECT e.id_a, e.id_b, COUNT(*) AS i
+        FROM hcand e
+        JOIN shh a ON a.doc_id = e.id_a
+        JOIN shh b ON b.doc_id = e.id_b AND b.h = a.h
+        GROUP BY 1, 2)
+      SELECT CAST(e.id_a AS BIGINT) AS id_a,
+        CAST(e.id_b AS BIGINT) AS id_b, hamming,
+        CAST(COALESCE(i.i, 0) AS DOUBLE)
+          / CAST(sa.sz + sb.sz - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+      FROM hcand e
+      LEFT JOIN inter i ON e.id_a = i.id_a AND e.id_b = i.id_b
+      JOIN sizes sa ON e.id_a = sa.doc_id
+      JOIN sizes sb ON e.id_b = sb.doc_id
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val cand = Dedup.simHashNearDups(docs, "doc_id", "text",
+          maxHamming = 3)
+        val sh = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+          .select(col("doc_id"), Dedup.h60(col("shingle")).as("h"))
+        val sizes = docs.select(col("doc_id"),
+          size(Dedup.shingles(col("text"), 3)).cast("long").as("sz"))
+        val inter = cand.select("id_a", "id_b")
+          .join(sh.select(col("doc_id").as("id_a"), col("h")),
+            Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("h")),
+            Seq("id_b", "h"))
+          .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
+        cand
+          .join(inter, Seq("id_a", "id_b"), "left")
+          .join(sizes.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("sz", "sa"), Seq("id_a"))
+          .join(sizes.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("sz", "sb"), Seq("id_b"))
+          .withColumn("__i", coalesce(col("i"), lit(0L)))
+          .select(col("id_a"), col("id_b"), col("hamming"),
+            (col("__i").cast("double") /
+              (col("sa") + col("sb") - col("__i")).cast("double"))
+              .as("jaccard"))
+          .orderBy("id_a", "id_b")
+      }
+    },
+
     // Dedup clusters: connected components over the q19 n-gram
     // Jaccard pairs — (doc, representative) where the rep is the
     // component's min id. The oracle computes min-reachable via a
