@@ -193,6 +193,62 @@ object TextAnalysis {
       .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
   }
 
+  /** Differential term analysis — "Fightin' Words" log-odds with an
+    * informed Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    * public): which terms distinguish the TARGET slice from the rest
+    * of the corpus, with small-count noise shrunk by the corpus-wide
+    * prior (raw log-odds would rank one-off typos first; the z-score
+    * divides by the uncertainty).
+    *
+    *   δ_w = ln[(a_w+α_w)/(n_A+α₀−a_w−α_w)]
+    *       − ln[(b_w+α_w)/(n_B+α₀−b_w−α_w)],
+    *   z_w = δ_w / √(1/(a_w+α_w) + 1/(b_w+α_w)),  α_w = μ·(a_w+b_w)/N
+    *
+    * Scale shape: one (group-side, token) count aggregation, then
+    * everything runs on the vocabulary-sized frame; the final top-k
+    * is a TakeOrdered by (z, term). Determinism: every input to the
+    * formula is an exact BIGINT; the two scores are QUANTIZED to
+    * 1e-12 integer units on output (JVM and C libm ln disagree in
+    * the last ulp, so even row-local doubles need the fixed-point
+    * boundary — measured on this very query) and the top-k orders by
+    * the quantized score.
+    *
+    * Returns the `k` most target-leaning (term, cnt_target,
+    * cnt_rest, delta_fp, z_fp), z_fp descending, scores in 1e-12
+    * units.
+    */
+  def logOddsTerms(docs: DataFrame, textCol: String, groupCol: String,
+      targetGroup: String, mu: Double, k: Int): DataFrame = {
+    require(mu > 0 && k >= 1, "mu > 0, k >= 1")
+    val counts = docs
+      .where(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select((col(groupCol) === targetGroup).as("tgt"),
+        explode(tokens(col(textCol))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("a"),
+        sum(when(!col("tgt"), 1L).otherwise(0L)).as("b"))
+    val totals = counts.agg(sum(col("a")).as("na"),
+      sum(col("b")).as("nb"))
+    val nA = col("na").cast("double"); val nB = col("nb").cast("double")
+    val n = nA + nB
+    val alphaW = lit(mu) * (col("a") + col("b")).cast("double") / n
+    val alpha0 = lit(mu)
+    val aw = col("a").cast("double") + alphaW
+    val bw = col("b").cast("double") + alphaW
+    val delta =
+      log(aw / (nA + alpha0 - aw)) - log(bw / (nB + alpha0 - bw))
+    val z = delta / sqrt(lit(1.0) / aw + lit(1.0) / bw)
+    counts.crossJoin(broadcast(totals))
+      .select(col("tok").as("term"),
+        col("a").cast("long").as("cnt_target"),
+        col("b").cast("long").as("cnt_rest"),
+        round(delta * 1e12).cast("long").as("delta_fp"),
+        round(z * 1e12).cast("long").as("z_fp"))
+      .orderBy(col("z_fp").desc, col("term"))
+      .limit(k)
+  }
+
   /** Zipf slope of the corpus token-frequency distribution: OLS fit
     * of ln(count) against ln(rank) over the top `k` tokens — the
     * one-number "is this corpus natural language" check (natural

@@ -598,6 +598,54 @@ object TextQueries {
         n = 5, minDf = 3L)
     },
 
+    // Differential terms of the English slice vs the rest of the
+    // corpus — Monroe et al.'s informed-Dirichlet log-odds z-scores.
+    // Every formula input is an exact BIGINT count; the scores are
+    // quantized to 1e-12 units on output (JVM vs C libm ln differ in
+    // the last ulp even row-locally — measured here); top-40 by
+    // (z_fp, term).
+    Q("q203_log_odds_terms", Some("""
+      WITH c AS (
+        SELECT tok,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+            AS BIGINT) AS a,
+          CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+            AS BIGINT) AS b
+        FROM (
+          SELECT lang,
+            unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL)
+        WHERE tok <> '' GROUP BY tok),
+      t AS (SELECT CAST(SUM(a) AS DOUBLE) AS na,
+        CAST(SUM(b) AS DOUBLE) AS nb FROM c),
+      s AS (
+        SELECT tok, a, b,
+          ln((CAST(a AS DOUBLE) + aw) / (na + 10.0 - CAST(a AS DOUBLE)
+              - aw))
+          - ln((CAST(b AS DOUBLE) + aw) / (nb + 10.0
+              - CAST(b AS DOUBLE) - aw)) AS delta,
+          (ln((CAST(a AS DOUBLE) + aw) / (na + 10.0
+              - CAST(a AS DOUBLE) - aw))
+           - ln((CAST(b AS DOUBLE) + aw) / (nb + 10.0
+              - CAST(b AS DOUBLE) - aw)))
+          / sqrt(1.0 / (CAST(a AS DOUBLE) + aw)
+               + 1.0 / (CAST(b AS DOUBLE) + aw)) AS z
+        FROM (
+          SELECT tok, a, b, na, nb,
+            10.0 * CAST(a + b AS DOUBLE) / (na + nb) AS aw
+          FROM c CROSS JOIN t))
+      SELECT tok AS term, a AS cnt_target, b AS cnt_rest,
+        CAST(round(delta * 1000000000000.0) AS BIGINT) AS delta_fp,
+        CAST(round(z * 1000000000000.0) AS BIGINT) AS z_fp
+      FROM s
+      ORDER BY CAST(round(z * 1000000000000.0) AS BIGINT) DESC, term
+      LIMIT 40""")) { (s, dir) =>
+      graft.analytics.TextAnalysis.logOddsTerms(
+        Tables.load(s, dir, "documents"), "text", "lang", "en",
+        mu = 10.0, k = 40)
+    },
+
     // Zipf slope of the token-frequency distribution: OLS of
     // ln(count) on ln(rank) over the top 1000 tokens (rank by
     // (count desc, token) — a total order, no ties). Each ln is

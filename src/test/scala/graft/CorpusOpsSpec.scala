@@ -131,6 +131,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.head._1 === "deep learning systems")
   }
 
+  test("logOddsTerms: target-exclusive terms rank top with the " +
+      "hand-computed prior-shrunk z") {
+    import graft.analytics.TextAnalysis
+    val docs = Seq(
+      (1L, "en", "alpha alpha beta"),
+      (2L, "en", "alpha shared"),
+      (3L, "de", "gamma shared shared"),
+      (4L, "de", "gamma delta"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.logOddsTerms(docs, "text", "lang", "en",
+        mu = 10.0, k = 10)
+      .as[(String, Long, Long, Long, Long)].collect()
+    val byTerm = got.map(r => r._1 -> r).toMap
+    // counts: alpha (3,0), beta (1,0), shared (1,2), gamma (0,2),
+    // delta (0,1); nA=5, nB=5, N=10
+    def score(a: Long, b: Long): (Double, Double) = {
+      val aw = 10.0 * (a + b) / 10.0
+      val d = math.log((a + aw) / (5.0 + 10.0 - a - aw)) -
+        math.log((b + aw) / (5.0 + 10.0 - b - aw))
+      (d, d / math.sqrt(1.0 / (a + aw) + 1.0 / (b + aw)))
+    }
+    val (d, z) = score(3, 0)
+    assert(byTerm("alpha")._2 === 3L && byTerm("alpha")._3 === 0L)
+    assert(math.abs(byTerm("alpha")._4 - math.round(d * 1e12)) <= 1)
+    assert(math.abs(byTerm("alpha")._5 - math.round(z * 1e12)) <= 1)
+    // the most target-leaning term sorts first; anti-target last
+    assert(got.head._1 === "alpha")
+    assert(got.last._5 < 0)
+  }
+
   test("zipfSlope: an exact Zipf corpus recovers slope -1") {
     import graft.analytics.TextAnalysis
     // token w_r appears floor(1200/r) times: ln(count) ~ ln 1200 - ln r
