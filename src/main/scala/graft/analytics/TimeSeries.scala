@@ -187,6 +187,42 @@ object TimeSeries {
       .orderBy(groupCol)
   }
 
+  /** Exponentially time-decayed counts — the freshness-weighted
+    * popularity feature (recent interactions count ~1, older ones
+    * decay with the half-life): score(k) = Σ_rows 2^(−age/halfLife).
+    * The standard recency prior for ranking/recommendation features,
+    * as one aggregation.
+    *
+    * Scale shape: map-only weight computation + one key-grouped
+    * map-side-combined sum + TakeOrdered top-k. Determinism: each
+    * row's weight exp(−λ·age) is quantized to 1e-12 integer units
+    * (libm exp differs in the last ulp across engines) and summed
+    * exactly as DECIMAL(38,0)/HUGEINT.
+    *
+    * Output: top `k` (key, n_rows, score_fp) by (score_fp desc,
+    * key), score in 1e-12 units. `lambda` exposed so the SQL oracle
+    * can interpolate the identical double literal.
+    */
+  def lambdaFor(halfLifeDays: Double): Double =
+    math.log(2.0) / halfLifeDays
+
+  def decayedCounts(df: DataFrame, keyCol: String, ageDaysCol: String,
+      halfLifeDays: Double, k: Int): DataFrame = {
+    require(halfLifeDays > 0 && k >= 1, "halfLife > 0, k >= 1")
+    val D = DecimalType(38, 0)
+    val lam = lambdaFor(halfLifeDays)
+    df.where(col(keyCol).isNotNull && col(ageDaysCol).isNotNull &&
+        col(ageDaysCol) >= 0)
+      .select(col(keyCol).as("key"),
+        round(exp(lit(-lam) * col(ageDaysCol).cast("double")) * 1e12)
+          .cast("long").as("__w"))
+      .groupBy("key")
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("__w").cast(D)).cast("long").as("score_fp"))
+      .orderBy(col("score_fp").desc, col("key"))
+      .limit(k)
+  }
+
   /** MASE (mean absolute scaled error, Hyndman & Koehler 2006) of
     * the seasonal-naive forecast per group: the scale-free forecast
     * quality number — MASE < 1 beats the one-step naive baseline,

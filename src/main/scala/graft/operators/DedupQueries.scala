@@ -149,6 +149,47 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Cross-source duplication matrix — near-dup PROVENANCE: LSH
+    // candidates at est >= 0.5 joined to both docs' sources, counted
+    // per unordered source pair. The "which source copies which"
+    // audit that drives source-level dedup priorities (within-source
+    // pairs land on the diagonal). Candidate-bounded: only the q20
+    // pair set ever meets the source table.
+    Q("q204_cross_source_dups", Some(s"""
+      WITH $mhCtes,
+      scored AS (
+        SELECT id_a, id_b
+        FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE CAST($mhAgree AS DOUBLE) / $MhNumHashes >= 0.5),
+      lab AS (
+        SELECT s.id_a, s.id_b,
+          least(da.source, db.source) AS source_a,
+          greatest(da.source, db.source) AS source_b
+        FROM scored s
+        JOIN documents da ON s.id_a = da.doc_id
+        JOIN documents db ON s.id_b = db.doc_id
+        WHERE da.source IS NOT NULL AND db.source IS NOT NULL)
+      SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b""")) {
+      (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+        .where(col("source").isNotNull)
+      Dedup.minHashLshCandidates(docs, "doc_id", "text", n = 3,
+          numHashes = MhNumHashes, bands = MhBands)
+        .where(col("est_jaccard") >= 0.5)
+        .join(src.select(col("doc_id").as("id_a"),
+          col("source").as("sa")), Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"),
+          col("source").as("sb")), Seq("id_b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+
     // MinHash estimator calibration — the designed 100 TB tiering run
     // as ONE query: LSH discovers candidates (q20 machinery), exact
     // Jaccard verifies ONLY those pairs (candidate-scoped shingle

@@ -23,6 +23,42 @@ object TimeSeriesQueries {
 
   val all: Seq[Q] = Seq(
 
+    // Time-decayed part popularity (90-day half-life from the
+    // newest ship date): the freshness-weighted ranking feature.
+    // Each row's exp(-λ·age) weight is quantized to 1e-12 units
+    // (libm exp last-ulp differences) and summed exactly; top-50 by
+    // (score, part).
+    {
+      val lam = graft.analytics.TimeSeries.lambdaFor(90.0)
+      Q("q205_decayed_popularity", Some(s"""
+      WITH mx AS (
+        SELECT MAX(CAST(l_shipdate AS DATE)) AS md FROM lineitem
+        WHERE l_shipdate IS NOT NULL),
+      r AS (
+        SELECT l_partkey AS k,
+          date_diff('day', CAST(l_shipdate AS DATE), md) AS age
+        FROM lineitem CROSS JOIN mx
+        WHERE l_partkey IS NOT NULL AND l_shipdate IS NOT NULL),
+      c AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(SUM(CAST(round(exp(-$lam * CAST(age AS DOUBLE))
+            * 1000000000000.0) AS HUGEINT)) AS BIGINT) AS score_fp
+        FROM r WHERE age >= 0 GROUP BY k)
+      SELECT CAST(k AS BIGINT) AS key, n_rows, score_fp
+      FROM c ORDER BY score_fp DESC, key LIMIT 50""")) { (s, dir) =>
+        val li = Tables.load(s, dir, "lineitem")
+          .where(col("l_partkey").isNotNull &&
+            col("l_shipdate").isNotNull)
+        val mx = li.agg(max(to_date(col("l_shipdate"))).as("md"))
+        graft.analytics.TimeSeries.decayedCounts(
+          li.crossJoin(broadcast(mx))
+            .select(col("l_partkey").as("key"),
+              datediff(col("md"), to_date(col("l_shipdate")))
+                .cast("long").as("age")),
+          "key", "age", halfLifeDays = 90.0, k = 50)
+      }
+    },
+
     // MASE of the seasonal-naive (lag-7) forecast per event type:
     // the scale-free "does my forecast beat naive" number. Error
     // series stay exact BIGINT cents summed as HUGEINT; the two MAEs

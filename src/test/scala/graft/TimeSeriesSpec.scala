@@ -10,6 +10,23 @@ class TimeSeriesSpec extends SparkSpec {
     rows.map { case (g, d, y) => (g, Date.valueOf(d), y) }
       .toDF("g", "day", "yc")
 
+  test("decayedCounts: half-life weights, exact ranking, negative " +
+      "ages excluded") {
+    import spark.implicits._
+    // key a: ages 0 and 90 (one half-life) -> 1e12 + 5e11
+    // key b: three at age 0 -> 3e12; key c: age -1 dropped entirely
+    val rows = Seq(("a", 0L), ("a", 90L), ("b", 0L), ("b", 0L),
+      ("b", 0L), ("c", -1L)).toDF("k", "age")
+    val got = TimeSeries.decayedCounts(rows, "k", "age",
+        halfLifeDays = 90.0, k = 10)
+      .as[(String, Long, Long)].collect()
+    assert(got.map(_._1).toSeq === Seq("b", "a"))
+    assert(got(0) === (("b", 3L, 3000000000000L)))
+    val (_, na, sa) = got(1)
+    assert(na === 2L)
+    assert(math.abs(sa - 1500000000000L) <= 1)
+  }
+
   test("maseSeasonalNaive: perfectly periodic series scores 0, " +
       "constant series nulls the ratio") {
     // period-2 series over 10 days: lag-2 error 0 everywhere, lag-1
