@@ -67,6 +67,46 @@ object EmbeddingStats {
       .orderBy(groupCol)
   }
 
+  /** Embedding quality gate — the validation pass an ANN/semantic
+    * pipeline runs before indexing: counts of null vectors, wrong
+    * dimensionality, non-finite components (NaN/±Inf poison every
+    * downstream dot product), and effectively-zero vectors (norm
+    * below the 2⁻²⁰ fixed-point resolution — they make cosine
+    * undefined), plus the norm² envelope of the healthy rows.
+    *
+    * Map-only scan + one scalar aggregation. Norm² is computed in
+    * the [[groupStats]] fixed-point units per row (integer sums are
+    * order-free, so no float summation ambiguity), making every
+    * output an exact BIGINT.
+    *
+    * Output (one row): n_vecs, n_null_vec, n_wrong_dim,
+    * n_nonfinite, n_zero, min_norm2_fp, max_norm2_fp.
+    */
+  def qualityGate(df: DataFrame, vecCol: String,
+      expectedDim: Int): DataFrame = {
+    val v = col(vecCol)
+    val isNullV = v.isNull
+    val wrongDim = !isNullV && size(v) =!= expectedDim
+    val nonfinite = !isNullV && !wrongDim && exists(v, x =>
+      isnan(x) || x === Double.PositiveInfinity ||
+        x === Double.NegativeInfinity)
+    val norm2 = aggregate(
+      transform(v, x =>
+        floor(x.cast("double") * lit(1048576L)).cast("long")),
+      lit(0L), (acc, fx) => acc + fx * fx)
+    val ok = !isNullV && !wrongDim && !nonfinite
+    df.select(isNullV.as("nl"), wrongDim.as("wd"),
+        nonfinite.as("nf"), when(ok, norm2).as("n2"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("nl").cast("long")).cast("long").as("n_null_vec"),
+        sum(col("wd").cast("long")).cast("long").as("n_wrong_dim"),
+        sum(col("nf").cast("long")).cast("long").as("n_nonfinite"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).cast("long")
+          .as("n_zero"),
+        min(col("n2")).cast("long").as("min_norm2_fp"),
+        max(col("n2")).cast("long").as("max_norm2_fp"))
+  }
+
   /** Inter-centroid separation matrix — "are these labels actually
     * separated in embedding space": for every label pair a < b, the
     * centroid Euclidean distance and its ratio to the combined

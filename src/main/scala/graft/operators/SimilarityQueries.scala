@@ -162,6 +162,45 @@ object SimilarityQueries {
         "label", "embedding")
     },
 
+    // Embedding quality gate: null / wrong-dim / non-finite /
+    // zero-norm counts plus the norm² envelope in exact fixed-point
+    // units — the pre-indexing validation pass. Map-only + one
+    // scalar aggregation; every output is an exact BIGINT.
+    Q("q206_embedding_gate", Some("""
+      WITH r AS (
+        SELECT embedding IS NULL AS nl,
+          embedding IS NOT NULL AND len(embedding) <> 64 AS wd,
+          embedding IS NOT NULL AND len(embedding) = 64 AND
+            len(list_filter(embedding,
+              x -> isnan(CAST(x AS DOUBLE))
+                OR isinf(CAST(x AS DOUBLE)))) > 0 AS nf,
+          CASE WHEN embedding IS NOT NULL AND len(embedding) = 64
+            THEN CAST(list_sum(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+                * CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)))
+              AS BIGINT) END AS n2r
+        FROM embeddings),
+      r2 AS (
+        SELECT nl, wd, nf,
+          CASE WHEN NOT nl AND NOT wd AND NOT nf THEN n2r END AS n2
+        FROM r)
+      SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        CAST(SUM(CASE WHEN nl THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_null_vec,
+        CAST(SUM(CASE WHEN wd THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_wrong_dim,
+        CAST(SUM(CASE WHEN nf THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nonfinite,
+        CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_zero,
+        CAST(MIN(n2) AS BIGINT) AS min_norm2_fp,
+        CAST(MAX(n2) AS BIGINT) AS max_norm2_fp
+      FROM r2""")) { (s, dir) =>
+      graft.analytics.EmbeddingStats.qualityGate(
+        Tables.load(s, dir, "embeddings"), "embedding",
+        expectedDim = 64)
+    },
+
     // Inter-centroid separation matrix over the q137 fixed-point
     // sums: per label pair, centroid distance and the Fisher-style
     // dist²/(disp_a+disp_b) ratio. dist² expands to the three exact

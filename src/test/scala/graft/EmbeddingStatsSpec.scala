@@ -68,4 +68,27 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(math.abs(d23 - math.sqrt(109.0)) < 1e-4)
     assert(got.size === 3)
   }
+
+  test("qualityGate: each defect class counted once, healthy norm " +
+      "envelope exact") {
+    val rows = Seq(
+      Option(Seq(1.0f, 0.0f)),                  // healthy, norm2 2^40
+      Option(Seq(0.5f, 0.5f)),                  // healthy
+      Option(Seq(0.0f, 0.0f)),                  // zero-norm
+      Option(Seq(Float.NaN, 1.0f)),             // non-finite
+      Option(Seq(Float.PositiveInfinity, 0f)),  // non-finite
+      Option(Seq(1.0f, 2.0f, 3.0f)),            // wrong dim
+      Option.empty[Seq[Float]])                 // null
+    val got = EmbeddingStats.qualityGate(
+      rows.toDF("embedding"), "embedding", expectedDim = 2)
+      .collect()(0)
+    assert(got.getLong(0) === 7L)
+    assert(got.getLong(1) === 1L) // null
+    assert(got.getLong(2) === 1L) // wrong dim
+    assert(got.getLong(3) === 2L) // non-finite
+    assert(got.getLong(4) === 1L) // zero
+    // fx(1.0)=2^20 -> norm2 2^40; fx(0.5)=2^19 -> 2*2^38 = 2^39
+    assert(got.getLong(5) === 0L)
+    assert(got.getLong(6) === (1L << 40))
+  }
 }
