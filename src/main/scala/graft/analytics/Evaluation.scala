@@ -392,6 +392,115 @@ object Evaluation {
       .orderBy("g")
   }
 
+  /** Two-proportion z-test (pooled) — the categorical A/B
+    * counterpart of [[welchTTest]]: does arm A convert at a
+    * different rate than arm B? z = (p̂_a − p̂_b) /
+    * √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled rate.
+    *
+    * `df` carries one row per UNIT (user — already aggregated to
+    * the unit of analysis, the same correctness constraint
+    * welchTTest documents) with a boolean arm and a boolean
+    * outcome. One scalar aggregation; all counts exact BIGINTs, and
+    * the z expression uses only +,−,×,÷,√ (every one correctly
+    * rounded under IEEE 754), so the raw doubles are engine-portable
+    * with no quantization.
+    *
+    * Output (one row): n_a, conv_a, n_b, conv_b, p_a, p_b, z (null
+    * when either arm is empty or the pooled rate is degenerate 0/1).
+    */
+  def twoProportionZ(df: DataFrame, armACol: Column,
+      convertedCol: Column): DataFrame = {
+    val agg = df
+      .select(armACol.cast("boolean").as("a"),
+        convertedCol.cast("boolean").as("c"))
+      .where(col("a").isNotNull && col("c").isNotNull)
+      .agg(
+        sum(col("a").cast("long")).as("n_a"),
+        sum((col("a") && col("c")).cast("long")).as("conv_a"),
+        sum((!col("a")).cast("long")).as("n_b"),
+        sum((!col("a") && col("c")).cast("long")).as("conv_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+    agg.select(col("n_a").cast("long"), col("conv_a").cast("long"),
+      col("n_b").cast("long"), col("conv_b").cast("long"),
+      pa.as("p_a"), pb.as("p_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && pp > 0 && pp < 1,
+        (pa - pb) / se).as("z"))
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) between a group and its
+    * complement, per group — the NONPARAMETRIC drift/shift test the
+    * KS/Wasserstein pair ([[distributionDrift]]) doesn't give a
+    * significance for: does this slice's value distribution
+    * stochastically dominate the rest's?
+    *
+    * Exactness: values snap to the cent grid (the
+    * [[distributionDrift]] contract), midranks over the merged
+    * sample are kept as EXACT integers in 2× units (a tied block
+    * spanning ranks lo..hi has midrank (lo+hi)/2 — doubling clears
+    * the half), so U arrives as an exact BIGINT in 2× units. The
+    * normal approximation z uses the tie-corrected variance —
+    * doubles from exact integers, √ and ÷ only.
+    *
+    * Scale shape: one corpus-sized (group, cents) count shuffle;
+    * ranks come from the VALUE-DOMAIN frame (complement counts per
+    * cents value via a global-total broadcast), never a row-level
+    * sort. Output per group: (g, n_a, n_b, u2 [2× units], z).
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"),
+        round(col(valueCol).cast("double") * 100).cast("long")
+          .as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val perV = counts.groupBy("v").agg(sum(col("c")).as("cv"))
+    val totals = counts.groupBy("g").agg(sum(col("c")).as("n_a"))
+    val grand = counts.agg(sum(col("c")).as("n_tot"))
+    // group ∪ complement = the whole corpus for EVERY group, so the
+    // merged-sample midrank of a value is GLOBAL: one window over
+    // the value domain (|distinct cents| rows, never corpus rows)
+    // serves every group's rank sum.
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(Long.MinValue, -1)
+    val ranked = perV
+      .withColumn("below", coalesce(sum(col("cv")).over(w), lit(0L)))
+      // 2× midrank of the tied block at v: 2·below + cv + 1
+      .withColumn("r2", lit(2) * col("below") + col("cv") + lit(1))
+    val joined = counts.join(ranked, Seq("v"))
+    val perG = joined.groupBy("g")
+      .agg(sum(col("c").cast(D38) * col("r2").cast(D38)).as("rsum2"),
+        sum(col("c")).as("na"))
+    val tieTerm = perV
+      .agg(sum(col("cv").cast(D38) * col("cv") * col("cv") -
+        col("cv").cast(D38)).as("t3"))
+    perG.crossJoin(broadcast(grand)).crossJoin(broadcast(tieTerm))
+      .select(col("g"), col("na").cast("long").as("n_a"),
+        (col("n_tot") - col("na")).cast("long").as("n_b"),
+        // U in 2x units: rsum2 − na(na+1) (since 2·[R − na(na+1)/2])
+        (col("rsum2") - col("na").cast(D38) *
+          (col("na") + 1)).cast("long").as("u2"),
+        {
+          val na = col("na").cast("double")
+          val nb = (col("n_tot") - col("na")).cast("double")
+          val n = col("n_tot").cast("double")
+          val u = (col("rsum2") - col("na").cast(D38) *
+            (col("na") + 1)).cast("double") / 2.0
+          val mean = na * nb / 2.0
+          val varU = na * nb / 12.0 *
+            ((n + 1.0) - col("t3").cast("double") / (n * (n - 1.0)))
+          when(col("na") > 0 && col("n_tot") > col("na") && varU > 0,
+            (u - mean) / sqrt(varU)).as("z")
+        })
+      .orderBy("g")
+  }
+
   /** Cohen's kappa between two boolean raters — chance-corrected
     * agreement for filter-pipeline audits ("is my learned quality
     * classifier just re-deriving the length heuristic?"). κ = 1 is

@@ -633,6 +633,103 @@ object StatsQueries {
       }
     },
 
+    // Two-proportion z-test on user-level conversion (arm = user
+    // parity, converted = any purchase): the categorical A/B readout
+    // next to q140's Welch-on-means. All counts exact BIGINTs; the
+    // z expression uses only correctly-rounded IEEE ops (+,−,×,÷,√),
+    // so raw doubles hash-match with no quantization.
+    Q("q207_two_proportion", Some("""
+      WITH u AS (
+        SELECT user_id,
+          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS conv
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      c AS (
+        SELECT
+          CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1
+            ELSE 0 END) AS BIGINT) AS conv_a,
+          CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_b,
+          CAST(SUM(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1
+            ELSE 0 END) AS BIGINT) AS conv_b
+        FROM u)
+      SELECT n_a, conv_a, n_b, conv_b,
+        CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+        CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+        CASE WHEN n_a > 0 AND n_b > 0
+            AND CAST(conv_a + conv_b AS DOUBLE)
+              / CAST(n_a + n_b AS DOUBLE) > 0
+            AND CAST(conv_a + conv_b AS DOUBLE)
+              / CAST(n_a + n_b AS DOUBLE) < 1 THEN
+          (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+            - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+          / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+              / CAST(n_a + n_b AS DOUBLE))
+            * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+              / CAST(n_a + n_b AS DOUBLE))
+            * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        END AS z
+      FROM c""")) { (s, dir) =>
+      val users = Tables.load(s, dir, "events")
+        .where(col("user_id").isNotNull)
+        .groupBy("user_id")
+        .agg(max((col("event_type") === "purchase").cast("int"))
+          .as("conv"))
+      graft.analytics.Evaluation.twoProportionZ(users,
+        col("user_id") % 2 === 0, col("conv") === 1)
+    },
+
+    // Mann–Whitney U (rank-sum) of each event type's value
+    // distribution vs the complement — the nonparametric
+    // significance companion to q172's KS/Wasserstein: midranks in
+    // exact 2× integer units over the cent grid (value-domain
+    // window, never a row sort), tie-corrected normal z from the
+    // exact sums.
+    Q("q208_mann_whitney", Some("""
+      WITH c AS (
+        SELECT event_type AS g,
+          CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2),
+      pv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM c GROUP BY 1),
+      gt AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tot FROM c),
+      rk AS (
+        SELECT v, cv, COALESCE(SUM(cv) OVER (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS below
+        FROM pv),
+      r2 AS (SELECT v, 2 * below + cv + 1 AS r2 FROM rk),
+      pg AS (
+        SELECT g, SUM(CAST(c.c AS HUGEINT) * r2) AS rsum2,
+          CAST(SUM(c.c) AS BIGINT) AS na
+        FROM c JOIN r2 USING (v) GROUP BY g),
+      tt AS (
+        SELECT SUM(CAST(cv AS HUGEINT) * cv * cv - cv) AS t3 FROM pv)
+      SELECT g, na AS n_a, CAST(n_tot - na AS BIGINT) AS n_b,
+        CAST(rsum2 - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2,
+        CASE WHEN na > 0 AND n_tot > na AND
+            CAST(na AS DOUBLE) * CAST(n_tot - na AS DOUBLE) / 12.0
+              * ((CAST(n_tot AS DOUBLE) + 1.0)
+                - CAST(t3 AS DOUBLE) / (CAST(n_tot AS DOUBLE)
+                  * (CAST(n_tot AS DOUBLE) - 1.0))) > 0 THEN
+          (CAST(rsum2 - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE)
+              / 2.0
+            - CAST(na AS DOUBLE) * CAST(n_tot - na AS DOUBLE) / 2.0)
+          / sqrt(CAST(na AS DOUBLE) * CAST(n_tot - na AS DOUBLE)
+              / 12.0
+            * ((CAST(n_tot AS DOUBLE) + 1.0)
+              - CAST(t3 AS DOUBLE) / (CAST(n_tot AS DOUBLE)
+                * (CAST(n_tot AS DOUBLE) - 1.0))))
+        END AS z
+      FROM pg CROSS JOIN gt CROSS JOIN tt ORDER BY g""")) { (s, dir) =>
+      graft.analytics.Evaluation.mannWhitneyU(
+        Tables.load(s, dir, "events"), "event_type", "value")
+    },
+
     // A/B experiment readout: deterministic 50/50 user assignment by
     // the portable hash, per-USER value totals as the experimental
     // unit (testing raw events against a user-level assignment is

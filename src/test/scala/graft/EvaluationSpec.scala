@@ -218,6 +218,48 @@ class EvaluationSpec extends SparkSpec {
     assert(base === shuf)
   }
 
+  test("twoProportionZ: hand-computed pooled z and degenerate nulls") {
+    def run(rows: Seq[(Boolean, Boolean)]) =
+      Evaluation.twoProportionZ(rows.toDF("a", "c"),
+        col("a"), col("c")).collect()(0)
+    // arm A: 8 of 10 convert; arm B: 2 of 10
+    val rows = Seq.fill(8)((true, true)) ++ Seq.fill(2)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(8)((false, false))
+    val r = run(rows)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((10L, 8L, 10L, 2L)))
+    val pp = 0.5
+    val want = (0.8 - 0.2) / math.sqrt(pp * 0.5 * (0.1 + 0.1))
+    assert(math.abs(r.getDouble(6) - want) < 1e-12)
+    // everyone converts -> pooled rate 1 -> z null
+    assert(run(Seq((true, true), (false, true))).isNullAt(6))
+  }
+
+  test("mannWhitneyU: closed forms for clean separation and " +
+      "identical distributions, midrank tie handling") {
+    def run(rows: Seq[(String, Double)]) =
+      Evaluation.mannWhitneyU(rows.toDF("g", "v"), "g", "v")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3),
+            Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // a = {1,2,3}, b = {10,20,30}: every a below every b -> U_a = 0
+    val sep = run(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0)))
+    assert(sep("a")._3 === 0L)           // u2 = 2U = 0
+    assert(sep("b")._3 === 2L * 9L)      // U_b = 9
+    assert(sep("a")._4.get < 0 && sep("b")._4.get > 0)
+    // identical distributions: U = na*nb/2 exactly -> z = 0
+    val same = run(Seq(("a", 5.0), ("a", 7.0),
+      ("b", 5.0), ("b", 7.0)))
+    assert(same("a")._3 === 2L * 2L)     // U = na*nb/2 = 2
+    assert(same("a")._4.get === 0.0)
+    // all-tied block: midranks keep U at the null mean
+    val tied = run(Seq(("a", 4.0), ("a", 4.0), ("b", 4.0)))
+    assert(tied("a")._3 === 2L * 1L)     // U = na*nb/2 = 1
+    // variance collapses to 0 under a single tied block -> z null
+    assert(tied("a")._4 === None)
+  }
+
   test("groupEntropy: uniform mix gives ln k, single label gives 0") {
     val rows = (0 until 40).map(i => (i % 2, s"s${i % 4}")) ++
       Seq.fill(10)((2, "only"))
