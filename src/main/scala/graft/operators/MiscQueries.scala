@@ -332,6 +332,124 @@ object MiscQueries {
       }
     },
 
+    // Per-source quality scorecard — the curator's one-page report,
+    // as ONE composition query: volume, token mass, long-doc and
+    // exact-duplicate counts (corpus-wide hash groups, so a source
+    // is charged for copies it shares with OTHER sources), and the
+    // majority language with its share. Every number exact until
+    // the two final divisions.
+    Q("q209_source_scorecard", Some("""
+      WITH d AS (
+        SELECT source, doc_id, lang, n_chars,
+          len(string_split_regex(trim(text), '\s+')) AS toks,
+          md5(text) AS h
+        FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+      hc AS (SELECT h, count(*) AS hc FROM d GROUP BY 1),
+      lng AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        FROM d WHERE lang IS NOT NULL GROUP BY 1, 2),
+      top AS (
+        SELECT source, lang AS top_lang, c AS top_c FROM (
+          SELECT source, lang, c, row_number() OVER (
+            PARTITION BY source ORDER BY c DESC, lang DESC) AS rn
+          FROM lng) WHERE rn = 1),
+      agg AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+          CAST(SUM(toks) AS BIGINT) AS total_tokens,
+          CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_long,
+          CAST(SUM(CASE WHEN hc.hc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_exact_dup
+        FROM d JOIN hc USING (h) GROUP BY 1)
+      SELECT agg.source, n_docs, total_chars, total_tokens,
+        CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          AS mean_tokens,
+        n_long, n_exact_dup, top.top_lang,
+        CAST(top.top_c AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          AS top_lang_share
+      FROM agg JOIN top USING (source)
+      ORDER BY source""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .where(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), col("doc_id"), col("lang"),
+          col("n_chars").cast("long").as("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long")
+            .as("toks"),
+          md5(col("text")).as("h"))
+      val hc = d.groupBy("h").agg(count(lit(1)).as("hc"))
+      val top = d.where(col("lang").isNotNull)
+        .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(max(struct(col("c"), col("lang"))).as("t"))
+        .select(col("source"), col("t.lang").as("top_lang"),
+          col("t.c").as("top_c"))
+      d.join(hc, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("toks")).as("total_tokens"),
+          sum((col("n_chars") >= 300).cast("long")).as("n_long"),
+          sum((col("hc") > 1).cast("long")).as("n_exact_dup"))
+        .join(top, Seq("source"))
+        .select(col("source"), col("n_docs"),
+          col("total_chars").cast("long"),
+          col("total_tokens").cast("long"),
+          (col("total_tokens").cast("double") /
+            col("n_docs").cast("double")).as("mean_tokens"),
+          col("n_long").cast("long"), col("n_exact_dup").cast("long"),
+          col("top_lang"),
+          (col("top_c").cast("double") / col("n_docs").cast("double"))
+            .as("top_lang_share"))
+        .orderBy("source")
+    },
+
+    // User-journey dedup: per 30-minute session, the ordered
+    // event-type path; how many distinct sessions share each
+    // journey (the behavioral analogue of exact text dedup). Path
+    // assembly uses the order-free collect + array_sort recipe, so
+    // partitioning cannot permute a journey.
+    Q("q210_journey_dedup", Some("""
+      WITH s AS (
+        SELECT user_id, event_id, event_type, ts,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > 1800000000
+               THEN 1 ELSE 0 END AS is_new
+        FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), t AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+          AS session_idx
+        FROM s
+      ), j AS (
+        SELECT user_id, session_idx,
+          string_agg(event_type, '>' ORDER BY ts, event_id)
+            AS journey
+        FROM t GROUP BY 1, 2)
+      SELECT journey, CAST(count(*) AS BIGINT) AS n_sessions,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM j GROUP BY 1
+      ORDER BY n_sessions DESC, journey LIMIT 20""")) { (s, dir) =>
+      val sess = graft.analytics.Behavior.sessionize(
+        Tables.load(s, dir, "events")
+          .where(col("user_id").isNotNull), 1800L)
+      sess
+        .groupBy("user_id", "session_idx")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(
+            unix_micros(col("ts")).as("t"), col("event_id"),
+            col("event_type")))),
+          x => x("event_type")), ">").as("journey"))
+        .groupBy("journey")
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_sessions").desc, col("journey"))
+        .limit(20)
+    },
+
     // Incremental aggregate-view maintenance: per-event-type
     // count/sum/max state built from pre-cutoff events, merged with
     // the post-cutoff delta's aggregate through ONE full-outer join —
