@@ -42,6 +42,106 @@ object Behavior {
         sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
   }
 
+  /** Kaplan–Meier survival over time-to-conversion with right
+    * censoring: duration = days from a user's first event to their
+    * first `targetType` event; users who never convert are censored
+    * at their last observed day. At each distinct duration t,
+    * S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with nᵢ the at-risk count —
+    * THE estimator for "how long until users convert" when many
+    * never do (a plain median silently drops the censored mass).
+    *
+    * Determinism: each factor's ln((n−d)/n) is quantized to 1e-12
+    * units and CUMULATIVELY SUMMED as exact integers over the
+    * duration-domain window (|distinct durations| rows, never user
+    * rows); the emitted statistic is ln S(t) = cumsum/1e12 — one
+    * exact division, no libm exp on the output path. Rows after an
+    * S = 0 step (d = n) report null.
+    *
+    * Output per distinct duration: (t_days, n_risk, n_events,
+    * n_censored, ln_survival) ordered by t_days.
+    */
+  def kaplanMeier(events: DataFrame, targetType: String): DataFrame = {
+    val perUser = events
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("first_day"),
+        min(when(col("event_type") === targetType,
+          to_date(col("ts")))).as("conv_day"),
+        max(to_date(col("ts"))).as("last_day"))
+      .select(col("user_id"),
+        when(col("conv_day").isNotNull,
+          datediff(col("conv_day"), col("first_day")))
+          .otherwise(datediff(col("last_day"), col("first_day")))
+          .cast("long").as("t_days"),
+        col("conv_day").isNotNull.as("converted"))
+    val perT = perUser.groupBy("t_days")
+      .agg(sum(col("converted").cast("long")).as("d"),
+        sum((!col("converted")).cast("long")).as("c"))
+    val wAsc = Window.orderBy("t_days")
+      .rowsBetween(Long.MinValue, -1)
+    val wCum = Window.orderBy("t_days")
+      .rowsBetween(Long.MinValue, 0)
+    perT
+      .withColumn("__gone",
+        coalesce(sum(col("d") + col("c")).over(wAsc), lit(0L)))
+      .crossJoin(broadcast(
+        perUser.agg(count(lit(1)).as("__n_tot"))))
+      .withColumn("n_risk", col("__n_tot") - col("__gone"))
+      .withColumn("__lnf",
+        when(col("d") > 0 && col("n_risk") > col("d"),
+          round(log((col("n_risk") - col("d")).cast("double") /
+            col("n_risk").cast("double")) * 1e12).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("__dead",
+        max((col("d") > 0 && col("n_risk") === col("d")).cast("int"))
+          .over(wCum))
+      .withColumn("__ls", sum(col("__lnf")).over(wCum))
+      .select(col("t_days"), col("n_risk").cast("long"),
+        col("d").cast("long").as("n_events"),
+        col("c").cast("long").as("n_censored"),
+        when(col("__dead") === 0,
+          col("__ls").cast("double") / 1e12).as("ln_survival"))
+      .orderBy("t_days")
+  }
+
+  /** Coordinated-behavior rings: users whose event-type MIX is
+    * identical after grid quantization — the bot-ring /
+    * scripted-traffic signal (organic users spread over the profile
+    * simplex; automation stamps out exact copies). Profile =
+    * per-type share on an integer `scale`-cell grid (floor division
+    * of exact counts — no float boundary), so membership is
+    * deterministic on any engine; the default ventile grid trades
+    * resolution for recall on short histories (a per-mille grid
+    * needs hundreds of events per user before organic collisions
+    * vanish and scripted ones remain).
+    *
+    * One user-keyed aggregation + one profile-keyed aggregation —
+    * both map-side combined; never user×user. Returns rings with
+    * ≥ `minUsers` members: (profile, n_users, min_user, max_user)
+    * ordered by (n_users desc, profile).
+    */
+  def behaviorRings(events: DataFrame, types: Seq[String],
+      minUsers: Int, scale: Int = 20): DataFrame = {
+    require(types.nonEmpty && minUsers >= 2 && scale >= 2,
+      "need types, minUsers >= 2, scale >= 2")
+    val perUser = events
+      .where(col("user_id").isNotNull && col("event_type").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        types.map(t => sum((col("event_type") === t).cast("long"))
+          .as(s"c_$t")): _*)
+    val profile = concat_ws("|", types.map(t =>
+      expr(s"(c_$t * $scale) div n").cast("string")): _*)
+    perUser
+      .select(col("user_id"), profile.as("profile"))
+      .groupBy("profile")
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+      .where(col("n_users") >= minUsers)
+      .orderBy(col("n_users").desc, col("profile"))
+  }
+
   /** Per-user inter-arrival statistics + Goh–Barabási burstiness
     * B = (σ−μ)/(σ+μ) over the gaps between consecutive events:
     * B → −1 is metronomic, ≈ 0 Poisson-random, → 1 bursty — the

@@ -51,6 +51,100 @@ object BehaviorQueries {
       Behavior.interArrivalStats(Tables.load(s, dir, "events"))
     },
 
+    // Coordinated-behavior rings: users with an IDENTICAL ventile
+    // event-type mix (exact floor division — no float boundary).
+    // Organic users spread over the profile simplex; scripted
+    // traffic stamps out copies.
+    Q("q211_behavior_rings", Some("""
+      WITH u AS (
+        SELECT user_id, count(*) AS n,
+          SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS c_view,
+          SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS c_click,
+          SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS c_purchase,
+          SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS c_signup,
+          SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS c_error
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1),
+      p AS (
+        SELECT user_id, concat_ws('|',
+          CAST(c_view * 20 // n AS VARCHAR),
+          CAST(c_click * 20 // n AS VARCHAR),
+          CAST(c_purchase * 20 // n AS VARCHAR),
+          CAST(c_signup * 20 // n AS VARCHAR),
+          CAST(c_error * 20 // n AS VARCHAR)) AS profile
+        FROM u)
+      SELECT profile, CAST(count(*) AS BIGINT) AS n_users,
+        CAST(MIN(user_id) AS BIGINT) AS min_user,
+        CAST(MAX(user_id) AS BIGINT) AS max_user
+      FROM p GROUP BY 1 HAVING count(*) >= 2
+      ORDER BY n_users DESC, profile""")) { (s, dir) =>
+      graft.analytics.Behavior.behaviorRings(
+        Tables.load(s, dir, "events"),
+        Seq("view", "click", "purchase", "signup", "error"),
+        minUsers = 2)
+    },
+
+    // Kaplan–Meier time-to-first-purchase with right censoring:
+    // never-converting users are censored at their last observed
+    // day instead of dropped. Each KM factor's ln((n−d)/n) is
+    // quantized to 1e-12 units and cumulatively summed exactly over
+    // the duration domain; the emitted statistic is ln S(t) — one
+    // exact division, no libm exp on the output path.
+    Q("q212_kaplan_meier", Some("""
+      WITH pu AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+          MIN(CASE WHEN event_type = 'purchase'
+            THEN CAST(ts AS DATE) END) AS cd,
+          MAX(CAST(ts AS DATE)) AS ld
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1),
+      du AS (
+        SELECT user_id,
+          CAST(CASE WHEN cd IS NOT NULL THEN date_diff('day', fd, cd)
+               ELSE date_diff('day', fd, ld) END AS BIGINT) AS t_days,
+          cd IS NOT NULL AS conv
+        FROM pu),
+      pt AS (
+        SELECT t_days,
+          CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT) AS d,
+          CAST(SUM(CASE WHEN conv THEN 0 ELSE 1 END) AS BIGINT) AS c
+        FROM du GROUP BY 1),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM du),
+      r AS (
+        SELECT t_days, d, c,
+          COALESCE(SUM(d + c) OVER (ORDER BY t_days
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS gone
+        FROM pt),
+      r2 AS (
+        SELECT t_days, d, c, n_tot - gone AS n_risk,
+          CASE WHEN d > 0 AND n_tot - gone > d THEN
+            CAST(round(ln(CAST(n_tot - gone - d AS DOUBLE)
+              / CAST(n_tot - gone AS DOUBLE)) * 1000000000000.0)
+              AS BIGINT)
+          ELSE 0 END AS lnf,
+          CASE WHEN d > 0 AND n_tot - gone = d THEN 1 ELSE 0 END
+            AS dead
+        FROM r CROSS JOIN nt),
+      r3 AS (
+        SELECT t_days, n_risk, d, c,
+          SUM(lnf) OVER wc AS ls, MAX(dead) OVER wc AS dd
+        FROM r2 WINDOW wc AS (ORDER BY t_days
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT t_days, n_risk, d AS n_events, c AS n_censored,
+        CASE WHEN dd = 0 THEN
+          CAST(ls AS DOUBLE) / 1000000000000.0 END AS ln_survival
+      FROM r3 ORDER BY t_days""")) { (s, dir) =>
+      graft.analytics.Behavior.kaplanMeier(
+        Tables.load(s, dir, "events"), "purchase")
+    },
+
     // Gap-based sessionization (30-minute inactivity gap) with
     // per-session aggregates. Boundaries compare integer microseconds.
     Q("q64_sessionize", Some("""

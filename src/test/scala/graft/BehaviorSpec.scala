@@ -13,6 +13,54 @@ class BehaviorSpec extends SparkSpec {
     rows.toDF("event_id", "tss", "user_id", "event_type", "value")
       .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
 
+  test("behaviorRings: identical mixes group, different mixes and " +
+      "sub-threshold rings drop") {
+    val e = events(
+      // users 1,2: same 2-view 1-click mix; user 3: inverted;
+      // user 4: unique mix (ring of one, dropped at minUsers=2)
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 10:01:00", 1L, "view", 1.0),
+      (3L, "2024-01-01 10:02:00", 1L, "click", 1.0),
+      (4L, "2024-01-01 10:00:00", 2L, "view", 1.0),
+      (5L, "2024-01-01 10:01:00", 2L, "view", 1.0),
+      (6L, "2024-01-01 10:02:00", 2L, "click", 1.0),
+      (7L, "2024-01-01 10:00:00", 3L, "click", 1.0),
+      (8L, "2024-01-01 10:01:00", 3L, "click", 1.0),
+      (9L, "2024-01-01 10:02:00", 3L, "view", 1.0),
+      (10L, "2024-01-01 10:00:00", 4L, "purchase", 1.0))
+    val got = Behavior.behaviorRings(e,
+        Seq("view", "click", "purchase"), minUsers = 2)
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    assert(got(0) === (("13|6|0", 2L, 1L, 2L)))
+  }
+
+  test("kaplanMeier: hand-computed survival steps with censoring") {
+    // 4 users: convert at day 1 (u1), day 2 (u2); censored at day 1
+    // (u3) and day 3 (u4)
+    val e = events(
+      (1L, "2024-01-01 09:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-02 09:00:00", 1L, "purchase", 1.0),
+      (3L, "2024-01-01 09:00:00", 2L, "view", 1.0),
+      (4L, "2024-01-03 09:00:00", 2L, "purchase", 1.0),
+      (5L, "2024-01-01 09:00:00", 3L, "view", 1.0),
+      (6L, "2024-01-02 09:00:00", 3L, "view", 1.0),
+      (7L, "2024-01-01 09:00:00", 4L, "view", 1.0),
+      (8L, "2024-01-04 09:00:00", 4L, "view", 1.0))
+    val got = Behavior.kaplanMeier(e, "purchase")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    // t=1: risk 4, 1 event (u1), 1 censored (u3) -> S = 3/4
+    assert((got(1L)._2, got(1L)._3, got(1L)._4) === ((4L, 1L, 1L)))
+    assert(math.abs(got(1L)._5.get - math.log(0.75)) < 1e-9)
+    // t=2: risk 2, 1 event (u2) -> S = 3/4 * 1/2
+    assert((got(2L)._2, got(2L)._3) === ((2L, 1L)))
+    assert(math.abs(got(2L)._5.get - math.log(0.375)) < 1e-9)
+    // t=3: risk 1, censored only -> survival unchanged
+    assert((got(3L)._2, got(3L)._4) === ((1L, 1L)))
+    assert(math.abs(got(3L)._5.get - math.log(0.375)) < 1e-9)
+  }
+
   test("interArrivalStats: closed forms for metronomic and known " +
       "two-gap users; singles dropped") {
     val e = events(
