@@ -132,6 +132,42 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Borderline-pair QA sample: the 25 candidate pairs CLOSEST to
+    // the production Jaccard threshold (τ = 0.5), with their verdict
+    // — the deterministic human-review sample that tells a curator
+    // whether τ sits in a gap or cuts through a dense band. Reuses
+    // the q19 machinery at a lower discovery threshold; the sample
+    // is a total-order top-k by (|J − τ|, ids), never a full sort.
+    Q("q214_borderline_pairs", Some(s"""
+      WITH sh AS (${duckShingleIndex(3)}),
+      $duckCappedShingleCtes,
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT CAST(id_a AS BIGINT) AS id_a,
+          CAST(id_b AS BIGINT) AS id_b,
+          CAST(inter AS DOUBLE) /
+            CAST(sa.set_size + sb.set_size - inter AS DOUBLE)
+            AS jaccard
+        FROM pairs
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) /
+          CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.2)
+      SELECT id_a, id_b, jaccard, jaccard >= 0.5 AS kept
+      FROM scored
+      ORDER BY abs(jaccard - 0.5), id_a, id_b LIMIT 25""")) {
+      (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.2)
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          (col("jaccard") >= 0.5).as("kept"))
+        .orderBy(abs(col("jaccard") - 0.5), col("id_a"), col("id_b"))
+        .limit(25)
+    },
+
     // MinHash + banded LSH: 32 portable hashes, 16 bands × 2 rows.
     // Candidate generation is the (band, bkey) equi-join; est_jaccard
     // verified from full signatures.

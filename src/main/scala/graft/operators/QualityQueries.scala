@@ -177,6 +177,90 @@ monitoring:
   }
 
   val all: Seq[Q] = Seq(
+
+    // One-query referential-integrity sweep over EVERY FK relation
+    // in the star — the data-contract check as a single report
+    // (per-relation row and orphan counts) instead of seven ad-hoc
+    // anti-joins. Each relation is one keyed left join + aggregation;
+    // the union is seven tiny rows.
+    Q("q213_ri_sweep", Some("""
+      SELECT 'customer.c_nationkey->nation' AS relation,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_orphans
+      FROM customer c LEFT JOIN nation n
+        ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_nationkey IS NOT NULL
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders',
+        CAST(count(*) AS BIGINT),
+        CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o
+        ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_orderkey IS NOT NULL
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+        CAST(count(*) AS BIGINT),
+        CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT)
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_partkey IS NOT NULL
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+        CAST(count(*) AS BIGINT),
+        CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT)
+      FROM lineitem l LEFT JOIN supplier s
+        ON l.l_suppkey = s.s_suppkey
+      WHERE l.l_suppkey IS NOT NULL
+      UNION ALL
+      SELECT 'nation.n_regionkey->region',
+        CAST(count(*) AS BIGINT),
+        CAST(SUM(CASE WHEN r.r_regionkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT)
+      FROM nation n LEFT JOIN region r
+        ON n.n_regionkey = r.r_regionkey
+      WHERE n.n_regionkey IS NOT NULL
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+        CAST(count(*) AS BIGINT),
+        CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT)
+      FROM orders o LEFT JOIN customer c
+        ON o.o_custkey = c.c_custkey
+      WHERE o.o_custkey IS NOT NULL
+      UNION ALL
+      SELECT 'supplier.s_nationkey->nation',
+        CAST(count(*) AS BIGINT),
+        CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT)
+      FROM supplier s LEFT JOIN nation n
+        ON s.s_nationkey = n.n_nationkey
+      WHERE s.s_nationkey IS NOT NULL
+      ORDER BY relation""")) { (s, dir) =>
+      def check(child: String, fk: String, parent: String,
+          pk: String): org.apache.spark.sql.DataFrame = {
+        val c = Tables.load(s, dir, child).where(col(fk).isNotNull)
+        val p = Tables.load(s, dir, parent).select(col(pk))
+        c.join(p, c(fk) === p(pk), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(p(pk).isNull.cast("long")).as("n_orphans"))
+          .select(lit(s"$child.$fk->$parent").as("relation"),
+            col("n_rows"), col("n_orphans").cast("long"))
+      }
+      Seq(
+        check("customer", "c_nationkey", "nation", "n_nationkey"),
+        check("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        check("lineitem", "l_partkey", "part", "p_partkey"),
+        check("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        check("nation", "n_regionkey", "region", "r_regionkey"),
+        check("orders", "o_custkey", "customer", "c_custkey"),
+        check("supplier", "s_nationkey", "nation", "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy("relation")
+    },
+
     // Population stability index — the ML-ops drift screen between a
     // reference window and a current window: o_totalprice bucketed
     // by the REFERENCE slice's deciles, per-bucket
