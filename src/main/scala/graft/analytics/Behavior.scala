@@ -104,6 +104,76 @@ object Behavior {
       .orderBy("t_days")
   }
 
+  /** Default lateness classes for [[watermarkAudit]] (streaming
+    * scale): 1 s / 1 min / 1 h boundaries in µs. */
+  val StreamLatenessBounds: Seq[(Long, String)] = Seq(
+    1000000L -> "late<=1s", 60000000L -> "late<=1min",
+    3600000000L -> "late<=1h")
+
+  /** Watermark-design audit: how late do events arrive relative to
+    * the maximum event time already seen in ARRIVAL order (`idCol`)?
+    * The lateness histogram (class `bounds` in µs, ascending) is
+    * precisely the information needed to choose a Structured
+    * Streaming watermark — the class that captures the tail you are
+    * willing to drop IS the watermark.
+    *
+    * Scale shape: the global running max is computed in TWO PHASES
+    * (the [[Sampling.tokenBudgetSelect]] trick) — a per-bucket
+    * window (arrival-id div `bucketSize`) plus one bucket-domain
+    * prefix-max window — so no corpus-wide sort ever happens; the
+    * oracle computes the same running max with one naive global
+    * window. Different algorithms, identical lateness per event.
+    *
+    * Output per lateness class: (class_id, label, n_events,
+    * max_late_us) ordered — exact integer µs throughout.
+    */
+  def watermarkAudit(events: DataFrame, idCol: String,
+      tsCol: String, bucketSize: Long = 8192L,
+      bounds: Seq[(Long, String)] = StreamLatenessBounds,
+      overflowLabel: String = "late>1h"): DataFrame = {
+    require(bucketSize >= 2, "bucketSize must be >= 2")
+    require(bounds.nonEmpty && bounds.map(_._1) == bounds.map(_._1).sorted,
+      "bounds must be ascending and non-empty")
+    val rows = events
+      .where(col(idCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol).as("id"),
+        unix_micros(col(tsCol)).as("t"))
+      .withColumn("bucket", expr(s"id div ${bucketSize}L"))
+    val wIn = Window.partitionBy("bucket").orderBy("id")
+      .rowsBetween(Long.MinValue, -1)
+    val perBucket = rows.groupBy("bucket")
+      .agg(max(col("t")).as("bmax"))
+    val wB = Window.orderBy("bucket").rowsBetween(Long.MinValue, -1)
+    val pref = perBucket.withColumn("pmax",
+      max(col("bmax")).over(wB))
+    val lateness = rows
+      .withColumn("inmax", max(col("t")).over(wIn))
+      .join(pref.select("bucket", "pmax"), Seq("bucket"))
+      .withColumn("prev", greatest(
+        coalesce(col("inmax"), lit(Long.MinValue)),
+        coalesce(col("pmax"), lit(Long.MinValue))))
+      .withColumn("late",
+        when(col("prev") === Long.MinValue, lit(0L))
+          .otherwise(greatest(col("prev") - col("t"), lit(0L))))
+    val classId = bounds.zipWithIndex.foldLeft(
+      when(col("late") === 0, 0)) { case (acc, ((b, _), i)) =>
+      acc.when(col("late") <= b, i + 1)
+    }.otherwise(bounds.size + 1)
+    val label = bounds.zipWithIndex.foldLeft(
+      when(col("class_id") === 0, "on_time")) {
+      case (acc, ((_, l), i)) => acc.when(col("class_id") === i + 1, l)
+    }.otherwise(overflowLabel)
+    lateness
+      .withColumn("class_id", classId)
+      .groupBy("class_id")
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        max(col("late")).cast("long").as("max_late_us"))
+      .withColumn("label", label)
+      .select(col("class_id").cast("int"), col("label"),
+        col("n_events"), col("max_late_us"))
+      .orderBy("class_id")
+  }
+
   /** Coordinated-behavior rings: users whose event-type MIX is
     * identical after grid quantization — the bot-ring /
     * scripted-traffic signal (organic users spread over the profile

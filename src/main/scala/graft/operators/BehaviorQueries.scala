@@ -51,6 +51,55 @@ object BehaviorQueries {
       Behavior.interArrivalStats(Tables.load(s, dir, "events"))
     },
 
+    // Watermark-design audit on a GENUINELY disordered stream:
+    // orders arrive in o_orderkey sequence but carry o_orderdate
+    // event times (99.9% of rows are behind the running max, up to
+    // years — the `events` stream is generator-ordered and would
+    // audit as all-on-time). Spark runs the two-phase bucketed
+    // running max (no global sort); the oracle runs the naive
+    // single-window form — different algorithms, identical
+    // per-row lateness. Day-scale class ladder.
+    Q("q215_watermark_audit", Some("""
+      WITH r AS (
+        SELECT o_orderkey AS id, epoch_us(o_orderdate) AS t
+        FROM orders
+        WHERE o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL),
+      rm AS (
+        SELECT id, t, MAX(t) OVER (ORDER BY id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+        FROM r),
+      lt AS (
+        SELECT CASE WHEN prev IS NULL THEN 0
+          ELSE greatest(prev - t, 0) END AS late
+        FROM rm),
+      cl AS (
+        SELECT CASE WHEN late = 0 THEN 0
+          WHEN late <= 86400000000 THEN 1
+          WHEN late <= 604800000000 THEN 2
+          WHEN late <= 2592000000000 THEN 3
+          WHEN late <= 31536000000000 THEN 4
+          ELSE 5 END AS class_id, late
+        FROM lt)
+      SELECT CAST(class_id AS INT) AS class_id,
+        CASE class_id WHEN 0 THEN 'on_time' WHEN 1 THEN 'late<=1d'
+          WHEN 2 THEN 'late<=7d' WHEN 3 THEN 'late<=30d'
+          WHEN 4 THEN 'late<=365d' ELSE 'late>365d' END AS label,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(MAX(late) AS BIGINT) AS max_late_us
+      FROM cl GROUP BY class_id ORDER BY class_id""")) { (s, dir) =>
+      val day = 86400000000L
+      graft.analytics.Behavior.watermarkAudit(
+        Tables.load(s, dir, "orders")
+          // parquet NTZ → session-UTC timestamp (the UTC session makes
+          // the wall time the instant, matching the oracle's epoch_us)
+          .withColumn("o_orderdate",
+            col("o_orderdate").cast("timestamp")),
+        "o_orderkey", "o_orderdate",
+        bounds = Seq(day -> "late<=1d", 7 * day -> "late<=7d",
+          30 * day -> "late<=30d", 365 * day -> "late<=365d"),
+        overflowLabel = "late>365d")
+    },
+
     // Coordinated-behavior rings: users with an IDENTICAL ventile
     // event-type mix (exact floor division — no float boundary).
     // Organic users spread over the profile simplex; scripted

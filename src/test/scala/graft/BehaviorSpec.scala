@@ -35,6 +35,30 @@ class BehaviorSpec extends SparkSpec {
     assert(got(0) === (("13|6|0", 2L, 1L, 2L)))
   }
 
+  test("watermarkAudit: two-phase running max equals naive lateness " +
+      "across bucket boundaries") {
+    // arrival order 1..6 with event times (minutes):
+    //   10, 50, 20, 49, 120, 119  ->  lateness: 0, 0, 30m, 1m, 0, 1m
+    val e = events(
+      (1L, "2024-01-01 00:10:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 00:50:00", 1L, "view", 1.0),
+      (3L, "2024-01-01 00:20:00", 1L, "view", 1.0),
+      (4L, "2024-01-01 00:49:00", 1L, "view", 1.0),
+      (5L, "2024-01-01 02:00:00", 1L, "view", 1.0),
+      (6L, "2024-01-01 01:59:00", 1L, "view", 1.0))
+    // bucketSize 2 puts boundaries between arrivals, exercising the
+    // cross-bucket prefix-max path. Expected lateness per arrival:
+    // ids 1,2,5 on time; id 4 and id 6 late 1 min; id 3 late 30 min
+    val got = graft.analytics.Behavior.watermarkAudit(e,
+        "event_id", "ts", bucketSize = 2L)
+      .as[(Int, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0) === (("on_time", 3L, 0L)))
+    assert(got(2) === (("late<=1min", 2L, 60000000L)))
+    assert(got(3) === (("late<=1h", 1L, 1800000000L)))
+    assert(got.size === 3)
+  }
+
   test("kaplanMeier: hand-computed survival steps with censoring") {
     // 4 users: convert at day 1 (u1), day 2 (u2); censored at day 1
     // (u3) and day 3 (u4)
