@@ -124,4 +124,57 @@ object CoOccurrence {
       .orderBy(desc("lift"), asc("antecedent"), asc("consequent"))
       .limit(topK)
   }
+
+  /** Frequent 3-itemsets, Apriori-pruned (Agrawal & Srikant
+    * VLDB'94): candidate triples are generated ONLY from frequent
+    * pairs sharing an anchor item AND every sub-pair must itself be
+    * frequent — the anti-monotonicity prune that keeps level 3 from
+    * touching the Σ C(|basket|,3) naive triple space. Support is
+    * then counted candidate-driven: each candidate joins the basket
+    * index once per member item (three (basket,item)-keyed joins,
+    * cost Σ_cand df — never basket-wise triple explosion).
+    *
+    * Exact BIGINT counts throughout; ties broken by the item triple.
+    * Output: top `topK` (item_a < item_b < item_c, n_abc, support)
+    * by (n_abc desc, items).
+    */
+  def frequentTriples(df: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long = 2L,
+      topK: Int = 20): DataFrame = {
+    require(minSupport >= 1 && topK >= 1, "minSupport, topK >= 1")
+    val base = df
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val nBaskets = base.agg(countDistinct(col("bk")).as("n_baskets"))
+    val pairs = base.as("x")
+      .join(base.as("y"),
+        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
+      .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+      .agg(count(lit(1)).as("s"))
+      .where(col("s") >= minSupport)
+      .select("a", "b")
+    // candidates (a < b < c): (a,b) ⋈ (a,c) frequent, prune on (b,c)
+    val cand = pairs.as("p")
+      .join(pairs.select(col("a"), col("b").as("c")).as("q"),
+        col("p.a") === col("q.a") && col("p.b") < col("q.c"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("q.c").as("c"))
+      .join(pairs.select(col("a").as("b"), col("b").as("c")),
+        Seq("b", "c"), "left_semi")
+    val counted = cand
+      .join(base.select(col("bk"), col("it").as("a")), Seq("a"))
+      .join(base.select(col("bk"), col("it").as("b")), Seq("bk", "b"))
+      .join(base.select(col("bk"), col("it").as("c")), Seq("bk", "c"))
+      .groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("n_abc"))
+      .where(col("n_abc") >= minSupport)
+    counted.crossJoin(broadcast(nBaskets))
+      .select(col("a").as("item_a"), col("b").as("item_b"),
+        col("c").as("item_c"), col("n_abc").cast("long"),
+        (col("n_abc").cast("double") / col("n_baskets").cast("double"))
+          .as("support"))
+      .orderBy(desc("n_abc"), asc("item_a"), asc("item_b"),
+        asc("item_c"))
+      .limit(topK)
+  }
 }

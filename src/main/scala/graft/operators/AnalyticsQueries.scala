@@ -412,6 +412,47 @@ object AnalyticsQueries {
         minSupport = 3L, topK = 25)
     },
 
+    // Frequent 3-itemsets, Apriori-pruned: candidates come ONLY
+    // from frequent-pair joins with every sub-pair frequent (61
+    // candidates from 3445 frequent pairs at sf0.01 — the
+    // anti-monotonicity prune in action), then candidate-driven
+    // support counting — never the Σ C(|basket|,3) triple space.
+    Q("q216_frequent_triples", Some("""
+      WITH base AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), nb AS (
+        SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets
+        FROM base
+      ), pairs AS MATERIALIZED (
+        SELECT x.it AS a, y.it AS b
+        FROM base x JOIN base y ON x.bk = y.bk AND x.it < y.it
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      ), cand AS MATERIALIZED (
+        SELECT p.a, p.b, q.b AS c
+        FROM pairs p JOIN pairs q ON p.a = q.a AND p.b < q.b
+        WHERE EXISTS (SELECT 1 FROM pairs r
+          WHERE r.a = p.b AND r.b = q.b)
+      ), cnt AS (
+        SELECT cand.a, cand.b, cand.c,
+          CAST(count(*) AS BIGINT) AS n_abc
+        FROM cand
+        JOIN base ba ON ba.it = cand.a
+        JOIN base bb ON bb.bk = ba.bk AND bb.it = cand.b
+        JOIN base bc ON bc.bk = ba.bk AND bc.it = cand.c
+        GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      SELECT a AS item_a, b AS item_b, c AS item_c, n_abc,
+        CAST(n_abc AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support
+      FROM cnt CROSS JOIN nb
+      ORDER BY n_abc DESC, item_a, item_b, item_c
+      LIMIT 20""")) { (s, dir) =>
+      graft.analytics.CoOccurrence.frequentTriples(
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L, topK = 20)
+    },
+
     // Exact 2-core of the SUPPORT-THRESHOLDED co-purchase graph
     // (pairs co-bought in ≥ 2 baskets — the support filter is what
     // gives this graph real peel structure; the raw co-purchase graph

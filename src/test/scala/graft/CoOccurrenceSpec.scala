@@ -91,4 +91,22 @@ class CoOccurrenceSpec extends SparkSpec {
       .select("antecedent", "consequent").as[(Long, Long)].collect()
     assert(got.toSeq === Seq((1L, 2L)))
   }
+
+  test("frequentTriples: Apriori prune and hand-computed support") {
+    import graft.analytics.CoOccurrence
+    // baskets: {1,2,3} x2, {1,2,4}, {2,3,4}: pairs with sup>=2:
+    // (1,2)x3, (1,3)x2, (2,3)x3, (2,4)x2, (3,4)? only 1 -> out.
+    // candidate triples from frequent pairs with all sub-pairs
+    // frequent: (1,2,3) only — (1,2,4) needs (1,4) [sup 1, out],
+    // (2,3,4) needs (3,4) [out]. Support of (1,2,3) = 2.
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 4L),
+      (13L, 2L), (13L, 3L), (13L, 4L)).toDF("bk", "it")
+    val got = CoOccurrence.frequentTriples(rows, "bk", "it",
+        minSupport = 2L, topK = 10)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 3L, 2L, 0.5)))
+  }
 }
