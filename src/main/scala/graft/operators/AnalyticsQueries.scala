@@ -412,6 +412,55 @@ object AnalyticsQueries {
         minSupport = 3L, topK = 25)
     },
 
+    // Connected-component size distribution of the support
+    // co-purchase graph — the graph-health audit (is there a giant
+    // component, or does the graph shatter?): star-contraction CC
+    // (the 100 TB path) bucketed into a size histogram; the oracle
+    // reaches the same partition by recursive min-reachable.
+    Q("q217_component_sizes", Some("""
+      WITH RECURSIVE base AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), sup AS MATERIALIZED (
+        SELECT a.it AS u, b.it AS v
+        FROM base a JOIN base b ON a.bk = b.bk AND a.it < b.it
+        GROUP BY 1, 2 HAVING count(*) >= 2
+      ), edges AS (
+        SELECT u AS src, v AS dst FROM sup
+        UNION SELECT v, u FROM sup
+      ), reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e
+          ON reach.id = e.src
+      ), comp AS (
+        SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+      ), sizes AS (
+        SELECT rep, CAST(count(*) AS BIGINT) AS size
+        FROM comp GROUP BY rep)
+      SELECT size, CAST(count(*) AS BIGINT) AS n_components
+      FROM sizes GROUP BY size ORDER BY size""")) { (s, dir) =>
+      val base = Tables.load(s, dir, "lineitem")
+        .where(col("l_orderkey").isNotNull &&
+          col("l_partkey").isNotNull)
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      val pairs = base.as("a")
+        .join(base.as("b"),
+          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .groupBy(col("a.it").as("u"), col("b.it").as("v"))
+        .agg(count(lit(1)).as("__sup"))
+        .where(col("__sup") >= 2)
+        .select("u", "v")
+      graft.analytics.Dedup.connectedComponentsStar(pairs, "u", "v")
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("size"))
+        .groupBy(col("size").cast("long").as("size"))
+        .agg(count(lit(1)).as("n_components"))
+        .orderBy("size")
+    },
+
     // Frequent 3-itemsets, Apriori-pruned: candidates come ONLY
     // from frequent-pair joins with every sub-pair frequent (61
     // candidates from 3445 frequent pairs at sf0.01 — the

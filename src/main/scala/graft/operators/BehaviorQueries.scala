@@ -51,6 +51,48 @@ object BehaviorQueries {
       Behavior.interArrivalStats(Tables.load(s, dir, "events"))
     },
 
+    // Last-touch purchase attribution: every purchase credits the
+    // user's most recent non-purchase event (same-instant channel
+    // counts — the as-of union puts the right side first at equal
+    // timestamps). Channels are deduplicated to one per (user, ts)
+    // by max event_id so the as-of pick is deterministic; purchases
+    // with no prior touch report 'none'. One union + per-user
+    // window — the merge-join as-of shape, never per-purchase scans.
+    Q("q219_attribution", Some("""
+      WITH ev AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      ch AS (
+        SELECT user_id, ts, arg_max(event_type, event_id)
+          AS event_type
+        FROM ev WHERE event_type <> 'purchase' GROUP BY 1, 2),
+      pur AS (
+        SELECT user_id, ts, event_id FROM ev
+        WHERE event_type = 'purchase'),
+      att AS (
+        SELECT p.event_id,
+          (SELECT c.event_type FROM ch c
+           WHERE c.user_id = p.user_id AND c.ts <= p.ts
+           ORDER BY c.ts DESC LIMIT 1) AS channel
+        FROM pur p)
+      SELECT COALESCE(channel, 'none') AS channel,
+        CAST(count(*) AS BIGINT) AS n_purchases
+      FROM att GROUP BY 1 ORDER BY channel""")) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "event_id")
+      val channels = ev.where(col("event_type") =!= "purchase")
+        .groupBy("user_id", "ts")
+        .agg(expr("max_by(event_type, event_id)").as("event_type"))
+      graft.analytics.AsOfJoin.lastPrior(purchases, channels,
+          Seq("user_id"), "ts", Seq("event_type"))
+        .groupBy(coalesce(col("asof_event_type"), lit("none"))
+          .as("channel"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("channel")
+    },
+
     // Watermark-design audit on a GENUINELY disordered stream:
     // orders arrive in o_orderkey sequence but carry o_orderdate
     // event times (99.9% of rows are behind the running max, up to

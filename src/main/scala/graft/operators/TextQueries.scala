@@ -598,6 +598,51 @@ object TextQueries {
         n = 5, minDf = 3L)
     },
 
+    // Flesch reading-ease per document (vowel-group syllable proxy):
+    // the classic readability quality signal from three exact regex
+    // counts — words, sentence breaks ([.!?]+ runs, min 1), vowel
+    // groups — with the score one fixed double expression per row
+    // (+,−,×,÷ only: literal constants parse to identical doubles,
+    // no libm), so raw doubles hash-match.
+    Q("q218_readability", Some("""
+      WITH c AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_words,
+          CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+            AS BIGINT) AS n_sentences,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT) AS n_syllables
+        FROM documents WHERE text IS NOT NULL)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        CASE WHEN n_words > 0 THEN
+          206.835
+          - 1.015 * (CAST(n_words AS DOUBLE)
+            / CAST(n_sentences AS DOUBLE))
+          - 84.6 * (CAST(n_syllables AS DOUBLE)
+            / CAST(n_words AS DOUBLE))
+        END AS flesch
+      FROM c ORDER BY doc_id""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long")
+            .as("n_words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("n_sentences"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))
+            .cast("long").as("n_syllables"))
+      d.select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          when(col("n_words") > 0,
+            lit(206.835)
+              - lit(1.015) * (col("n_words").cast("double") /
+                col("n_sentences").cast("double"))
+              - lit(84.6) * (col("n_syllables").cast("double") /
+                col("n_words").cast("double"))).as("flesch"))
+        .orderBy("doc_id")
+    },
+
     // Differential terms of the English slice vs the rest of the
     // corpus — Monroe et al.'s informed-Dirichlet log-odds z-scores.
     // Every formula input is an exact BIGINT count; the scores are
