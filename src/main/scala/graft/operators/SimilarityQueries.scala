@@ -46,7 +46,8 @@ object SimilarityQueries {
     * deterministic spherical k-means (integer-quantized per-dimension
     * sums, so centroids are reproducible under any partitioning) —
     * shared by q58 (inline trained IVF) and q98 (persisted index). */
-  private def trainedCentCtes(kC: Int, dim: Int, iters: Int): String = {
+  private def trainedCentCtes(kC: Int, dim: Int, iters: Int,
+      src: String = "embeddings"): String = {
     def assignCte(i: Int): String = s"""
       assign$i AS (
         SELECT centroid_id, embedding FROM (
@@ -54,7 +55,7 @@ object SimilarityQueries {
             ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
               ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
               c.centroid_id) AS rn
-          FROM embeddings e CROSS JOIN cent${i - 1} c) t
+          FROM $src e CROSS JOIN cent${i - 1} c) t
         WHERE rn = 1)"""
     def centCte(i: Int): String = s"""
       cent$i AS (
@@ -71,7 +72,7 @@ object SimilarityQueries {
     s"""cent0 AS (
         SELECT CAST(vec_id AS INT) AS centroid_id,
           embedding::DOUBLE[] AS cent_emb
-        FROM embeddings WHERE vec_id < $kC),
+        FROM $src WHERE vec_id < $kC),
       ${(1 to iters).map(i => assignCte(i) + "," + centCte(i))
         .mkString(",")}"""
   }
@@ -436,6 +437,48 @@ object SimilarityQueries {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 16), emb,
           k = 5, codebookSize = 16, nprobe = 2)
         .orderBy("query_id", "rn")
+    },
+
+    // Incremental IVF index maintenance END-TO-END: build the
+    // persisted index on the BASE corpus (vec_id < 400), append the
+    // delta (vec_id >= 400) against the FROZEN stored codebook, and
+    // report per-cell base/delta counts read back FROM DISK — the
+    // ingest path that never retrains or rescans the base. The
+    // oracle trains the same codebook on base only and assigns all
+    // vectors against it — identical cell membership.
+    {
+      val kC = 8; val dim = 64; val iters = 2; val cutoff = 400
+      Q("q220_incremental_index", Some(s"""
+      WITH ${trainedCentCtes(kC, dim, iters,
+          src = s"(SELECT * FROM embeddings WHERE vec_id < $cutoff)")},
+      cells AS (
+        SELECT neighbor_id, cell FROM (
+          SELECT e.vec_id AS neighbor_id, c.centroid_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS crn
+          FROM embeddings e CROSS JOIN cent$iters c) t
+        WHERE crn = 1)
+      SELECT CAST(cell AS INT) AS cell,
+        CAST(SUM(CASE WHEN neighbor_id < $cutoff THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_base,
+        CAST(SUM(CASE WHEN neighbor_id >= $cutoff THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_delta
+      FROM cells GROUP BY cell ORDER BY cell""")) { (s, dir) =>
+        val emb = Tables.load(s, dir, "embeddings")
+        val path = Q.scratchPath("q220ivf", dir)
+        Similarity.buildIvfIndex(emb.where(col("vec_id") < cutoff),
+          path, k = kC, dim = dim, iterations = iters)
+        Similarity.appendToIvfIndex(
+          emb.where(col("vec_id") >= cutoff), path)
+        s.read.parquet(s"$path/cells")
+          .groupBy(col("cell").cast("int").as("cell"))
+          .agg(sum((col("neighbor_id") < cutoff).cast("long"))
+            .as("n_base"),
+            sum((col("neighbor_id") >= cutoff).cast("long"))
+              .as("n_delta"))
+          .orderBy("cell")
+      }
     },
 
     // IVF with a TRAINED codebook: 2 Lloyd rounds of deterministic
