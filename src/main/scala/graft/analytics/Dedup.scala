@@ -1296,6 +1296,41 @@ object Dedup {
     * integer DP, engine-portable. Output (id_a, id_b, key_a, key_b,
     * lev), id_a < id_b by rank order within block.
     */
+  /** Blocking-cost profile — "what will this blocking scheme cost
+    * BEFORE running it": the block-size histogram of the
+    * sorted-neighborhood prefix key, with each size class's exact
+    * C(b,2) pair contribution. A fat head (one giant block) means
+    * the naive in-block pair budget explodes; the histogram is the
+    * evidence for choosing block length / switching schemes, at the
+    * price of one aggregation instead of the dedup run itself.
+    *
+    * Same key derivation as [[sortedNeighborhoodPairs]]; two
+    * map-side-combined aggregations (block → size, size → class);
+    * pair counts accumulate as DECIMAL(38,0) (Σ b² overflows a long
+    * on a degenerate single-block corpus at ~3·10⁹ docs).
+    *
+    * Output: (block_size, n_blocks, n_docs, n_pairs) ordered by
+    * block_size.
+    */
+  def blockingProfile(docs: DataFrame, idCol: String,
+      textCol: String, blockChars: Int = 2): DataFrame = {
+    require(blockChars >= 1, "blockChars must be >= 1")
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val key = lower(substring(
+      regexp_replace(trim(col(textCol)), "\\s+", " "), 1, blockChars))
+    docs.where(col(textCol).isNotNull)
+      .select(key.as("block"))
+      .groupBy("block").agg(count(lit(1)).as("b"))
+      .groupBy(col("b").cast("long").as("block_size"))
+      .agg(count(lit(1)).cast("long").as("n_blocks"))
+      .select(col("block_size"), col("n_blocks"),
+        (col("block_size") * col("n_blocks")).cast("long").as("n_docs"),
+        // b(b−1) is even, so the D38 product floor-divides exactly
+        (expr("(CAST(block_size AS DECIMAL(38,0)) * (block_size - 1)) div 2")
+          * col("n_blocks")).cast("long").as("n_pairs"))
+      .orderBy("block_size")
+  }
+
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
       textCol: String, keyChars: Int = 32, blockChars: Int = 2,
       window: Int = 3, maxDist: Int = 5): DataFrame = {

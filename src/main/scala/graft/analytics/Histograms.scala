@@ -22,6 +22,39 @@ import org.apache.spark.sql.functions._
   */
 object Histograms {
 
+  /** Functional-dependency profile — does column A determine column
+    * B? The schema-discovery / data-contract check: per candidate
+    * (lhs → rhs), how many lhs keys map to MORE than one distinct
+    * rhs value (violations), and the worst fan-out. A clean FD
+    * (0 violations) is a join-safe lookup; a dirty one is a
+    * denormalization bug or a genuinely multi-valued relationship.
+    *
+    * One (lhs, rhs)-distinct aggregation per candidate, all exact
+    * BIGINTs with one double division. Rows with a null on either
+    * side are excluded (nulls assert nothing about the dependency).
+    *
+    * Returns one row per candidate: (lhs, rhs, n_keys,
+    * n_violating, max_fanout, violation_rate).
+    */
+  def fdProfile(df: DataFrame,
+      candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate FD")
+    candidates.map { case (a, b) =>
+      df.where(col(a).isNotNull && col(b).isNotNull)
+        .select(col(a).as("k"), col(b).as("v")).distinct()
+        .groupBy("k").agg(count(lit(1)).as("fan"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum((col("fan") > 1).cast("long")).as("n_violating"),
+          max(col("fan")).as("max_fanout"))
+        .select(lit(a).as("lhs"), lit(b).as("rhs"),
+          col("n_keys").cast("long"),
+          col("n_violating").cast("long"),
+          col("max_fanout").cast("long"),
+          (col("n_violating").cast("double") /
+            col("n_keys").cast("double")).as("violation_rate"))
+    }.reduce(_ unionByName _).orderBy("lhs", "rhs")
+  }
+
   /** Per-group percent-rank normalization — make scores comparable
     * ACROSS strata before a global threshold ("top 10% of every
     * language", not "top 10% overall, which is all English"): each

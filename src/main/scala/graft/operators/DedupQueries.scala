@@ -132,6 +132,29 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Blocking-cost profile: the SNM prefix-block size histogram
+    // with exact C(b,2) pair budgets — what the q157 blocking scheme
+    // will cost BEFORE running it (a fat head means the in-block
+    // pair volume explodes). Two aggregations; never the pairs.
+    Q("q222_blocking_profile", Some("""
+      WITH k AS (
+        SELECT lower(substr(regexp_replace(trim(text), '\s+', ' ',
+          'g'), 1, 2)) AS block
+        FROM documents WHERE text IS NOT NULL),
+      b AS (SELECT block, CAST(count(*) AS BIGINT) AS b
+            FROM k GROUP BY 1),
+      h AS (SELECT b AS block_size, CAST(count(*) AS BIGINT)
+              AS n_blocks
+            FROM b GROUP BY 1)
+      SELECT block_size, n_blocks,
+        CAST(block_size * n_blocks AS BIGINT) AS n_docs,
+        CAST((CAST(block_size AS HUGEINT) * (block_size - 1)) // 2
+          * n_blocks AS BIGINT) AS n_pairs
+      FROM h ORDER BY block_size""")) { (s, dir) =>
+      Dedup.blockingProfile(Tables.load(s, dir, "documents"),
+        "doc_id", "text", blockChars = 2)
+    },
+
     // Borderline-pair QA sample: the 25 candidate pairs CLOSEST to
     // the production Jaccard threshold (τ = 0.5), with their verdict
     // — the deterministic human-review sample that tells a curator

@@ -332,6 +332,57 @@ object MiscQueries {
       }
     },
 
+    // Functional-dependency profile on the corpus metadata: does
+    // source determine language (it doesn't — multi-lingual
+    // sources), does language determine source, does doc_id
+    // determine source (clean key FD as the control)? Per
+    // candidate: distinct-pair aggregation, exact counts, one
+    // division — the schema-discovery contract check.
+    Q("q223_fd_profile", Some("""
+      WITH sl AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS fan FROM (
+          SELECT DISTINCT source AS k, lang AS v FROM documents
+          WHERE source IS NOT NULL AND lang IS NOT NULL)
+        GROUP BY k),
+      ls AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS fan FROM (
+          SELECT DISTINCT lang AS k, source AS v FROM documents
+          WHERE source IS NOT NULL AND lang IS NOT NULL)
+        GROUP BY k),
+      ds AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS fan FROM (
+          SELECT DISTINCT doc_id AS k, source AS v FROM documents
+          WHERE doc_id IS NOT NULL AND source IS NOT NULL)
+        GROUP BY k)
+      SELECT 'doc_id' AS lhs, 'source' AS rhs,
+        CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(SUM(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating,
+        CAST(MAX(fan) AS BIGINT) AS max_fanout,
+        CAST(SUM(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS violation_rate
+      FROM ds
+      UNION ALL
+      SELECT 'lang', 'source', CAST(count(*) AS BIGINT),
+        CAST(SUM(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(MAX(fan) AS BIGINT),
+        CAST(SUM(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE)
+      FROM ls
+      UNION ALL
+      SELECT 'source', 'lang', CAST(count(*) AS BIGINT),
+        CAST(SUM(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(MAX(fan) AS BIGINT),
+        CAST(SUM(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(count(*) AS DOUBLE)
+      FROM sl
+      ORDER BY lhs, rhs""")) { (s, dir) =>
+      graft.analytics.Histograms.fdProfile(
+        Tables.load(s, dir, "documents"),
+        Seq("doc_id" -> "source", "lang" -> "source",
+          "source" -> "lang"))
+    },
+
     // Per-source quality scorecard — the curator's one-page report,
     // as ONE composition query: volume, token mass, long-doc and
     // exact-duplicate counts (corpus-wide hash groups, so a source

@@ -513,6 +513,22 @@ class DedupSpec extends SparkSpec {
     assert(shuffled === want)
   }
 
+  test("blockingProfile: size histogram with exact pair budgets") {
+    import spark.implicits._
+    // blocks by 2-char prefix: "aa" x3, "ab" x2, "zz" x1 and a
+    // whitespace-normalized prefix ("a a..." -> block "a ")
+    val docs = Seq((1L, "aaX"), (2L, "aay"), (3L, "aa z"),
+      (4L, "abq"), (5L, "abr"), (6L, "zz"),
+      (7L, "a    a tail"), (8L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = graft.analytics.Dedup.blockingProfile(
+        docs, "doc_id", "text", blockChars = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // sizes: {3 -> 1 block (aa), 2 -> 1 (ab), 1 -> 2 (zz, "a ")}
+    assert(got === Seq((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L),
+      (3L, 1L, 3L, 3L)))
+  }
+
   test("stratifiedFolds: per-stratum balance within one, " +
       "deterministic across runs") {
     import spark.implicits._

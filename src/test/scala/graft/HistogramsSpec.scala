@@ -115,6 +115,24 @@ class HistogramsSpec extends SparkSpec {
     assert(a._2.map(_.getLong(3)).sum == 100L)
   }
 
+  test("fdProfile: clean FD reports zero violations, dirty FD " +
+      "counts keys and worst fan-out; nulls assert nothing") {
+    val rows = Seq(
+      (1L, "a", "x"), (2L, "a", "x"),     // a -> x (clean so far)
+      (3L, "b", "x"), (4L, "b", "y"),     // b fans to 2
+      (5L, "c", "x"), (6L, "c", "y"), (7L, "c", "z"),  // c fans to 3
+      (8L, null, "q"), (9L, "d", null))   // excluded
+      .toDF("id", "k", "v")
+    val got = Histograms.fdProfile(rows,
+        Seq("k" -> "v", "id" -> "k"))
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got(("k", "v")) === ((3L, 2L, 3L, 2.0 / 3)))
+    // id is a key: every id with a non-null k maps to exactly one
+    // (row 8 drops for null k; row 9 keeps: only v is null there)
+    assert(got(("id", "k")) === ((8L, 0L, 1L, 0.0)))
+  }
+
   test("percentRankNormalize: tie-sharing ranks, per-group range, " +
       "singleton group at 0") {
     val rows = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L),
