@@ -332,6 +332,25 @@ object MiscQueries {
       }
     },
 
+    // Shuffle-skew forecast for a join key: row counts per hash
+    // partition (portable h30 bucketing, 32 partitions — the
+    // session's shuffle.partitions) for lineitem.l_partkey. A
+    // partition far above the mean is the q113-salting trigger; the
+    // report costs one aggregation instead of a mis-planned join.
+    Q("q221_shuffle_skew", Some(s"""
+      SELECT CAST((CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+          1, 8) AS BIGINT) % ${Dedup.P}) % 32 AS INT) AS partition,
+        CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem WHERE l_partkey IS NOT NULL
+      GROUP BY 1 ORDER BY partition""")) { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .where(col("l_partkey").isNotNull)
+        .groupBy(pmod(Dedup.h30(col("l_partkey").cast("string")),
+          lit(32L)).cast("int").as("partition"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("partition")
+    },
+
     // Functional-dependency profile on the corpus metadata: does
     // source determine language (it doesn't — multi-lingual
     // sources), does language determine source, does doc_id
