@@ -104,6 +104,57 @@ object Behavior {
       .orderBy("t_days")
   }
 
+  /** Behavioral-LM anomaly scores: train a Laplace-smoothed bigram
+    * model over the event-type TRANSITIONS of the train half (users
+    * with even portable hash) and score every held-out user by mean
+    * transition log-likelihood — users whose action sequences the
+    * model finds improbable (lowest mean ln p) are the
+    * scripted/anomalous candidates, the sequence-level complement
+    * of [[interArrivalStats]]' timing signal.
+    *
+    * ln p((c+1)/(n+V)) is quantized to 1e-12 units per transition
+    * (libm ln portability) and summed exactly; one division derives
+    * the mean. Transition tables are |types|²-sized; the per-user
+    * window is the [[sessionize]] shape. Unseen prefixes score
+    * 1/V. Returns the `topK` most anomalous
+    * (user_id, n_trans, avg_lnp), ascending avg_lnp.
+    */
+  def sequenceAnomaly(events: DataFrame, topK: Int): DataFrame = {
+    require(topK >= 1, "topK >= 1")
+    val D38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val tr = events
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(col("user_id"), col("prev"),
+        col("event_type").as("nxt"),
+        (Dedup.h30(col("user_id").cast("string")) % 2 === 0)
+          .as("is_train"))
+    val train = tr.where(col("is_train"))
+    val counts = train.groupBy("prev", "nxt")
+      .agg(count(lit(1)).as("c"))
+    val totals = train.groupBy("prev").agg(count(lit(1)).as("n"))
+    val vocab = train.agg(countDistinct(col("nxt")).as("v"))
+    tr.where(!col("is_train"))
+      .join(counts, Seq("prev", "nxt"), "left")
+      .join(totals, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp_fp",
+        round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("n"), lit(0L)) + col("v")).cast("double")) *
+          1e12).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).cast("long").as("n_trans"),
+        sum(col("lnp_fp").cast(D38)).as("__s"))
+      .select(col("user_id"), col("n_trans"),
+        (col("__s").cast("double") / 1e12 /
+          col("n_trans").cast("double")).as("avg_lnp"))
+      .orderBy(asc("avg_lnp"), asc("user_id"))
+      .limit(topK)
+  }
+
   /** Default lateness classes for [[watermarkAudit]] (streaming
     * scale): 1 s / 1 min / 1 h boundaries in µs. */
   val StreamLatenessBounds: Seq[(Long, String)] = Seq(

@@ -125,6 +125,52 @@ object CoOccurrence {
       .limit(topK)
   }
 
+  /** User–user cosine similarity over shared items — the
+    * collaborative-filtering neighbor computation:
+    * sim(u,v) = |I_u ∩ I_v| / √(|I_u|·|I_v|) over the item-capped
+    * universe. Items in more than `maxItemDf` baskets leave the
+    * universe FIRST (the stop-shingle defense: a ubiquitous item
+    * pairs everyone with everyone — Σ df² blowup — while carrying no
+    * preference signal), and degrees are counted AFTER the cap so
+    * the cosine stays consistent.
+    *
+    * One item-keyed self-join bounded by Σ df² over capped items,
+    * one pair aggregation; the score is exact-integer counts with
+    * one √ and ÷ (correctly rounded IEEE — engine-portable).
+    * Returns top `topK` (user_a < user_b, shared, deg_a, deg_b,
+    * sim) by (sim desc, users).
+    */
+  def userSimilarity(df: DataFrame, userCol: String, itemCol: String,
+      maxItemDf: Long, topK: Int): DataFrame = {
+    require(maxItemDf >= 1 && topK >= 1, "maxItemDf, topK >= 1")
+    val base = df
+      .where(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(userCol).as("u"), col(itemCol).as("it"))
+      .distinct()
+    val keptItems = base.groupBy("it").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxItemDf).select("it")
+    val capped = base.join(keptItems, Seq("it"), "left_semi")
+    val deg = capped.groupBy("u").agg(count(lit(1)).as("d"))
+    val shared = capped.as("x")
+      .join(capped.as("y"),
+        col("x.it") === col("y.it") && col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("ua"), col("y.u").as("ub"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(deg.select(col("u").as("ua"), col("d").as("deg_a")),
+        Seq("ua"))
+      .join(deg.select(col("u").as("ub"), col("d").as("deg_b")),
+        Seq("ub"))
+      .select(col("ua").as("user_a"), col("ub").as("user_b"),
+        col("shared").cast("long"), col("deg_a").cast("long"),
+        col("deg_b").cast("long"),
+        (col("shared").cast("double") /
+          sqrt((col("deg_a") * col("deg_b")).cast("double")))
+          .as("sim"))
+      .orderBy(desc("sim"), asc("user_a"), asc("user_b"))
+      .limit(topK)
+  }
+
   /** Frequent 3-itemsets, Apriori-pruned (Agrawal & Srikant
     * VLDB'94): candidate triples are generated ONLY from frequent
     * pairs sharing an anchor item AND every sub-pair must itself be

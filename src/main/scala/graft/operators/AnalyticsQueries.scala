@@ -412,6 +412,47 @@ object AnalyticsQueries {
         minSupport = 3L, topK = 25)
     },
 
+    // User–user cosine neighbors over shared purchased parts: the
+    // CF neighbor table. Ubiquitous items (df > 64) leave the
+    // universe first — the Σ df² guard — and degrees count after
+    // the cap so the cosine stays consistent. Exact counts, one
+    // √ and ÷ per pair.
+    Q("q224_user_similarity", Some("""
+      WITH base AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey IS NOT NULL AND l.l_partkey IS NOT NULL
+      ), kept AS (
+        SELECT it FROM base GROUP BY it HAVING count(*) <= 64
+      ), capped AS MATERIALIZED (
+        SELECT u, base.it FROM base JOIN kept USING (it)
+      ), deg AS (
+        SELECT u, CAST(count(*) AS BIGINT) AS d
+        FROM capped GROUP BY u
+      ), pairs AS (
+        SELECT x.u AS ua, y.u AS ub, CAST(count(*) AS BIGINT)
+          AS shared
+        FROM capped x JOIN capped y
+          ON x.it = y.it AND x.u < y.u
+        GROUP BY 1, 2)
+      SELECT CAST(ua AS BIGINT) AS user_a, CAST(ub AS BIGINT)
+          AS user_b, shared,
+        da.d AS deg_a, db.d AS deg_b,
+        CAST(shared AS DOUBLE) /
+          sqrt(CAST(da.d * db.d AS DOUBLE)) AS sim
+      FROM pairs
+      JOIN deg da ON pairs.ua = da.u
+      JOIN deg db ON pairs.ub = db.u
+      ORDER BY sim DESC, user_a, user_b LIMIT 50""")) { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val l = Tables.load(s, dir, "lineitem")
+      graft.analytics.CoOccurrence.userSimilarity(
+        o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("u"),
+            col("l_partkey").as("it")),
+        "u", "it", maxItemDf = 64L, topK = 50)
+    },
+
     // Connected-component size distribution of the support
     // co-purchase graph — the graph-health audit (is there a giant
     // component, or does the graph shatter?): star-contraction CC

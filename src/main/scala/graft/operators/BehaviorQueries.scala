@@ -51,6 +51,49 @@ object BehaviorQueries {
       Behavior.interArrivalStats(Tables.load(s, dir, "events"))
     },
 
+    // Behavioral-LM anomaly: Laplace-smoothed bigram transition
+    // model trained on even-hash users, held-out users scored by
+    // mean transition ln-likelihood (1e-12-quantized, summed exact)
+    // — lowest scores are the scripted/anomalous candidates. Top 20.
+    Q("q225_behavior_lm", Some(s"""
+      WITH tr AS (
+        SELECT user_id, prev, event_type AS nxt,
+          (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % ${graft.analytics.Dedup.P}) % 2 = 0
+            AS is_train
+        FROM (
+          SELECT user_id, ts, event_id, event_type,
+            lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS prev
+          FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL)
+        WHERE prev IS NOT NULL),
+      c AS (SELECT prev, nxt, CAST(count(*) AS BIGINT) AS c
+            FROM tr WHERE is_train GROUP BY 1, 2),
+      t AS (SELECT prev, CAST(count(*) AS BIGINT) AS n
+            FROM tr WHERE is_train GROUP BY 1),
+      v AS (SELECT CAST(count(DISTINCT nxt) AS BIGINT) AS v
+            FROM tr WHERE is_train),
+      sc AS (
+        SELECT tr.user_id,
+          CAST(round(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) /
+            CAST(COALESCE(t.n, 0) + v.v AS DOUBLE))
+            * 1000000000000.0) AS BIGINT) AS fp
+        FROM tr
+        LEFT JOIN c ON tr.prev = c.prev AND tr.nxt = c.nxt
+        LEFT JOIN t ON tr.prev = t.prev
+        CROSS JOIN v
+        WHERE NOT tr.is_train)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_trans,
+        CAST(SUM(CAST(fp AS HUGEINT)) AS DOUBLE) / 1000000000000.0
+          / CAST(count(*) AS DOUBLE) AS avg_lnp
+      FROM sc GROUP BY 1
+      ORDER BY avg_lnp, user_id LIMIT 20""")) { (s, dir) =>
+      graft.analytics.Behavior.sequenceAnomaly(
+        Tables.load(s, dir, "events"), topK = 20)
+    },
+
     // Last-touch purchase attribution: every purchase credits the
     // user's most recent non-purchase event (same-instant channel
     // counts — the as-of union puts the right side first at equal

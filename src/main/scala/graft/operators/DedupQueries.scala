@@ -132,6 +132,65 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // What did dedup actually save — effective corpus size after
+    // keeping one representative per LSH cluster (the q97 pipeline),
+    // in tokens: raw vs kept token mass and the savings rate. The
+    // number a pretraining budget planner asks for before paying for
+    // the dedup run corpus-wide.
+    Q("q226_effective_tokens", Some(s"""
+      WITH RECURSIVE $mhCtes,
+      scored AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE ($mhAgree) * 2 >= $MhNumHashes),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM scored
+        UNION SELECT id_b, id_a FROM scored),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e
+          ON reach.id = e.src),
+      labels AS (
+        SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+      assigned AS (
+        SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS rep,
+          CAST(len(string_split_regex(trim(d.text), '\\s+'))
+            AS BIGINT) AS toks
+        FROM documents d LEFT JOIN labels l USING (doc_id)
+        WHERE d.text IS NOT NULL)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN doc_id = rep THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(SUM(toks) AS BIGINT) AS raw_tokens,
+        CAST(SUM(CASE WHEN doc_id = rep THEN toks ELSE 0 END)
+          AS BIGINT) AS kept_tokens,
+        1.0 - CAST(SUM(CASE WHEN doc_id = rep THEN toks ELSE 0 END)
+            AS DOUBLE) / CAST(SUM(toks) AS DOUBLE) AS savings
+      FROM assigned""")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long")
+            .as("toks"))
+      val cand = Dedup.minHashLshCandidates(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          n = 3, numHashes = MhNumHashes, bands = MhBands)
+        .where(col("est_jaccard") >= 0.5)
+      val kept = Dedup.keepRepresentatives(docs, "doc_id", cand)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("toks")).as("kept_tokens"))
+      docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("raw_tokens"))
+        .crossJoin(broadcast(kept))
+        .select(col("n_docs"), col("n_kept").cast("long"),
+          col("raw_tokens").cast("long"),
+          col("kept_tokens").cast("long"),
+          (lit(1.0) - col("kept_tokens").cast("double") /
+            col("raw_tokens").cast("double")).as("savings"))
+    },
+
     // Blocking-cost profile: the SNM prefix-block size histogram
     // with exact C(b,2) pair budgets — what the q157 blocking scheme
     // will cost BEFORE running it (a fat head means the in-block

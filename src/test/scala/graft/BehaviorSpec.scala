@@ -35,6 +35,37 @@ class BehaviorSpec extends SparkSpec {
     assert(got(0) === (("13|6|0", 2L, 1L, 2L)))
   }
 
+  test("sequenceAnomaly: hand-computed Laplace bigram scores on a " +
+      "fixed train/test split") {
+    import graft.analytics.Dedup
+    // find one even-hash (train) and one odd-hash (test) user id
+    def trainUser(id: Long): Boolean = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(8), 16) % Dedup.P % 2 == 0
+    }
+    val tr = (1L to 50L).find(trainUser).get
+    val te = (1L to 50L).find(!trainUser(_)).get
+    // train transitions: a->b, b->a, a->b  (counts: a->b 2, b->a 1;
+    // totals: a 2, b 1; V = 2)
+    val e = events(
+      (1L, "2024-01-01 10:00:00", tr, "a", 1.0),
+      (2L, "2024-01-01 10:01:00", tr, "b", 1.0),
+      (3L, "2024-01-01 10:02:00", tr, "a", 1.0),
+      (4L, "2024-01-01 10:03:00", tr, "b", 1.0),
+      // test user: a->b (seen, p=(2+1)/(2+2)) then b->b (unseen,
+      // p=(0+1)/(1+2))
+      (5L, "2024-01-01 10:00:00", te, "a", 1.0),
+      (6L, "2024-01-01 10:01:00", te, "b", 1.0),
+      (7L, "2024-01-01 10:02:00", te, "b", 1.0))
+    val got = graft.analytics.Behavior.sequenceAnomaly(e, topK = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length === 1 && got(0)._1 === te && got(0)._2 === 2L)
+    val want = (math.log(3.0 / 4) + math.log(1.0 / 3)) / 2
+    assert(math.abs(got(0)._3 - want) < 1e-9)
+  }
+
   test("watermarkAudit: two-phase running max equals naive lateness " +
       "across bucket boundaries") {
     // arrival order 1..6 with event times (minutes):

@@ -109,4 +109,25 @@ class CoOccurrenceSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect()
     assert(got.toSeq === Seq((1L, 2L, 3L, 2L, 0.5)))
   }
+
+  test("userSimilarity: cosine from shared capped items, ubiquitous " +
+      "item dropped before degrees") {
+    import graft.analytics.CoOccurrence
+    // item 99 is in EVERY basket (df 4 > cap 3) -> dropped first.
+    // capped: u1 {a,b}, u2 {a,b}, u3 {a}, u4 {c}
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "99"),
+      (2L, "a"), (2L, "b"), (2L, "99"),
+      (3L, "a"), (3L, "99"),
+      (4L, "c"), (4L, "99")).toDF("u", "it")
+    val got = CoOccurrence.userSimilarity(rows, "u", "it",
+        maxItemDf = 3L, topK = 10)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    val bp = got.map(r => (r._1, r._2) -> r).toMap
+    assert(bp((1L, 2L))._3 === 2L)                 // share a, b
+    assert(bp((1L, 2L))._6 === 1.0)                // identical sets
+    assert(math.abs(bp((1L, 3L))._6 - 1.0 / math.sqrt(2.0)) < 1e-12)
+    assert(!bp.contains((1L, 4L)))                 // only shared 99
+    assert(got.head._6 === 1.0)
+  }
 }
