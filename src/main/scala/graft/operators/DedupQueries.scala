@@ -387,6 +387,36 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // The injected SQL surface end-to-end: a PURE spark.sql query
+    // using the extension-registered native functions (word_ngrams,
+    // simhash64) over a temp view — proof that a SQL-only
+    // consumer of the library gets the same codegen'd expressions
+    // the DataFrame API uses, driver-gate-checked against the
+    // regular shingle/simhash oracles.
+    Q("q227_sql_surface", Some(s"""
+      WITH $simhashCtes,
+      sh AS (${duckShingleIndex(3)}),
+      n AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+        FROM sh GROUP BY doc_id)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        COALESCE(n.n_shingles, 0) AS n_shingles,
+        fp.simhash_hex AS simhash
+      FROM documents d
+      LEFT JOIN n ON d.doc_id = n.doc_id
+      JOIN fp ON d.doc_id = fp.doc_id
+      WHERE d.text IS NOT NULL
+      ORDER BY doc_id""")) { (s, dir) =>
+      Tables.load(s, dir, "documents").createOrReplaceTempView(
+        "q227_docs")
+      s.sql("""
+        SELECT doc_id,
+          CAST(size(word_ngrams(text, 3, true)) AS BIGINT)
+            AS n_shingles,
+          simhash64(text) AS simhash
+        FROM q227_docs WHERE text IS NOT NULL ORDER BY doc_id""")
+    },
+
     // SimHash hamming near-dup pairs. Spark side: 8×8-bit blocks
     // joined on C(8,3)=56 five-block combinations (Manku WWW'07 —
     // 40-bit keys, no random-collision quadratic term; see
