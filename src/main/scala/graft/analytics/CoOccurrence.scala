@@ -149,6 +149,11 @@ object CoOccurrence {
       .distinct()
     val keptItems = base.groupBy("it").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxItemDf).select("it")
+    // deliberately NOT materialized: the cost is the Σ df² pair join
+    // itself (measured 186 M candidate rows at the sf1 rehearsal —
+    // 52 s; checkpointing the 6 M-row capped frame first measured
+    // SLOWER, 64 s, because the write adds a full pass while the
+    // recomputed scan lineage is cheap columnar parquet)
     val capped = base.join(keptItems, Seq("it"), "left_semi")
     val deg = capped.groupBy("u").agg(count(lit(1)).as("d"))
     val shared = capped.as("x")
