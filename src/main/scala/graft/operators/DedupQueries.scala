@@ -132,6 +132,50 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Dedup-graph transitivity audit: connected components treat
+    // similarity as transitive, but Jaccard is not — every OPEN
+    // wedge (A~B, B~C, A≁C) is a place where CC glues non-duplicates
+    // through a hub. The census of the τ=0.5 pair graph (wedges vs
+    // closed triangles) quantifies that over-merge risk in one row;
+    // low clustering coefficient = chain-merging, review the τ.
+    Q("q228_dedup_transitivity", Some(s"""
+      WITH sh AS (${duckShingleIndex(3)}),
+      $duckCappedShingleCtes,
+      cand AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      e AS (
+        SELECT id_a AS u, id_b AS v FROM cand
+        JOIN sizes sa ON id_a = sa.doc_id
+        JOIN sizes sb ON id_b = sb.doc_id
+        WHERE CAST(inter AS DOUBLE) /
+          CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.5),
+      deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        GROUP BY n),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+          CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+        FROM deg),
+      tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        CASE WHEN n_wedges > 0 THEN
+          3.0 * CAST(n_triangles AS DOUBLE) /
+            CAST(n_wedges AS DOUBLE) END AS clustering_coeff
+      FROM agg CROSS JOIN tri""")) { (s, dir) =>
+      val pairs = Dedup.ngramJaccardPairs(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      graft.analytics.Graph.triangleCensus(pairs, "id_a", "id_b")
+    },
+
     // What did dedup actually save — effective corpus size after
     // keeping one representative per LSH cluster (the q97 pipeline),
     // in tokens: raw vs kept token mass and the savings rate. The
