@@ -176,6 +176,61 @@ object DedupQueries {
       graft.analytics.Graph.triangleCensus(pairs, "id_a", "id_b")
     },
 
+    // The LINEAR-tier transitivity audit: the same census run on
+    // the simhash hamming<=3 pair graph — q228's exact-Jaccard
+    // input inherits the Ω(n²)-candidate curve at sf3 (139 s),
+    // while this corpus-wide tier stays measured-linear; at 100 TB
+    // THIS is the shipped over-merge diagnostic.
+    {
+      val hammingExpr = (0 until 4)
+        .map(i => s"bit_count(xor(ba.b_$i, bb.b_$i))").mkString(" + ")
+      Q("q229_transitivity_linear", Some(s"""
+      WITH $simhashCtes,
+      bands AS (
+        SELECT doc_id,
+          ${(0 until 4).map(i =>
+            s"CAST('0x' || substr(simhash_hex, ${1 + 4 * i}, 4) " +
+              s"AS BIGINT) AS b_$i").mkString(",\n          ")}
+        FROM fp),
+      bucket AS (
+        ${(0 until 4).map(i =>
+          s"SELECT doc_id, $i AS band, b_$i AS bval FROM bands")
+          .mkString("\n        UNION ALL ")}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bucket a JOIN bucket b USING (band, bval)
+        WHERE a.doc_id < b.doc_id),
+      e AS (
+        SELECT id_a AS u, id_b AS v FROM cand
+        JOIN bands ba ON id_a = ba.doc_id
+        JOIN bands bb ON id_b = bb.doc_id
+        WHERE $hammingExpr <= 3),
+      deg AS (
+        SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+        GROUP BY n),
+      agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+          CAST(SUM(d) // 2 AS BIGINT) AS n_edges,
+          CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+        FROM deg),
+      tri AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        CASE WHEN n_wedges > 0 THEN
+          3.0 * CAST(n_triangles AS DOUBLE) /
+            CAST(n_wedges AS DOUBLE) END AS clustering_coeff
+      FROM agg CROSS JOIN tri""")) { (s, dir) =>
+        val pairs = Dedup.simHashNearDups(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            maxHamming = 3)
+          .select("id_a", "id_b")
+        graft.analytics.Graph.triangleCensus(pairs, "id_a", "id_b")
+      }
+    },
+
     // What did dedup actually save — effective corpus size after
     // keeping one representative per LSH cluster (the q97 pipeline),
     // in tokens: raw vs kept token mass and the savings rate. The
