@@ -308,6 +308,79 @@ object TimeSeries {
       .orderBy("g")
   }
 
+  /** Mann–Kendall trend test + Theil–Sen slope per group — the
+    * distribution-free answer to "is this series drifting?" that a
+    * single spike cannot fake (OLS slope chases outliers; the
+    * rank-sign statistic and the median pairwise slope do not).
+    *
+    * Input is the (group, day, cents) daily grain — so the pairwise
+    * stage is O(D²) PER GROUP where D is the number of observed
+    * days: calendar-bounded and independent of corpus row volume
+    * (the corpus-sized work is the daily pre-aggregation the caller
+    * already did). The day-pair frame comes from an equi-join on the
+    * group key with a `d1 < d2` filter — never a cartesian product.
+    *
+    * Determinism: the sign statistic S and the tie-correction term
+    * Σtⱼ(tⱼ−1)(2tⱼ+5) are exact integer sums over cent values;
+    * Var(S) = (n(n−1)(2n+5) − ΣtT)/18 and the continuity-corrected
+    * z are one fixed double sequence from those integers. The
+    * Theil–Sen slope is a pure ORDER statistic: each pair slope is
+    * one row-local double chain, the median is selected by rank
+    * (row k₁ = ⌊(m+1)/2⌋, k₂ = ⌊(m+2)/2⌋) and averaged — addition
+    * of two doubles is commutative, so tie order cannot change the
+    * result, and no double is ever accumulated across rows.
+    *
+    * Output: (g, n_days, n_pairs, s, var_s, z, sen_slope) ordered by
+    * group; z is null when Var(S) ≤ 0 (single-day groups), slope in
+    * metric units (cents/100) per day.
+    */
+  def mannKendall(daily: DataFrame, groupCol: String, dayCol: String,
+      centsCol: String): DataFrame = {
+    val base = daily.select(col(groupCol).as("g"),
+      col(dayCol).as("d"), col(centsCol).as("y"))
+    val pairs = base.select(col("g"), col("d").as("d1"), col("y").as("y1"))
+      .join(base.select(col("g"), col("d").as("d2"), col("y").as("y2")),
+        Seq("g"))
+      .where(col("d1") < col("d2"))
+      .select(col("g"),
+        when(col("y2") > col("y1"), 1L)
+          .when(col("y2") < col("y1"), -1L).otherwise(0L).as("sgn"),
+        (((col("y2") - col("y1")).cast("double") / lit(100.0)) /
+          datediff(col("d2"), col("d1")).cast("double")).as("slope"))
+    val sAgg = pairs.groupBy("g")
+      .agg(sum("sgn").as("s"), count(lit(1)).as("n_pairs"))
+    val nDays = base.groupBy("g").agg(count(lit(1)).as("n"))
+    val tieT = base.groupBy("g", "y").agg(count(lit(1)).as("t"))
+      .groupBy("g")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .as("tt"))
+    val wRank = Window.partitionBy("g").orderBy("slope")
+    val wCnt = Window.partitionBy("g")
+    val sen = pairs
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wCnt))
+      .where(col("rn") === (col("m") + 1) / 2 ||
+        col("rn") === (col("m") + 2) / 2)
+      .groupBy("g")
+      .agg((sum("slope") / count(lit(1))).as("sen_slope"))
+    val vnum = col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+      col("tt")
+    val varS = vnum.cast("double") / lit(18.0)
+    nDays.join(tieT, Seq("g")).join(sAgg, Seq("g"))
+      .join(sen, Seq("g"))
+      .select(col("g"), col("n").cast("long").as("n_days"),
+        col("n_pairs").cast("long"), col("s").cast("long").as("s"),
+        varS.as("var_s"),
+        when(varS <= 0, lit(null).cast("double"))
+          .when(col("s") > 0,
+            (col("s") - 1).cast("double") / sqrt(varS))
+          .when(col("s") < 0,
+            (col("s") + 1).cast("double") / sqrt(varS))
+          .otherwise(lit(0.0)).as("z"),
+        col("sen_slope"))
+      .orderBy("g")
+  }
+
   /** EWMA of an ordered window list: `EWMA_t = αx_t + (1-α)EWMA_{t-1}`
     * seeded with the first element, computed as an explicit left fold
     * (`aggregate`) so the op sequence is the identical IEEE chain in
