@@ -24,6 +24,23 @@ import org.apache.spark.sql.functions._
   */
 object CoOccurrence {
 
+  /** The giant-basket guard shared by every basket-keyed self-join in
+    * this file: drop baskets larger than `maxBasket` BEFORE pair
+    * generation, bounding the Σ|basket|² candidate space. One
+    * basket-keyed count + a semi-join — linear, and partition-aligned
+    * with the self-join that follows. */
+  private def capBaskets(base: DataFrame,
+      maxBasket: Option[Long]): DataFrame = maxBasket match {
+    case None => base
+    case Some(m) =>
+      require(m >= 1, "maxBasket must be >= 1")
+      val sizes = base.groupBy("bk")
+        .agg(count(lit(1)).as("__bsz"))
+        .where(col("__bsz") <= m)
+        .select("bk")
+      base.join(sizes, Seq("bk"), "left_semi")
+  }
+
   /** Top-`topK` item pairs by basket-set Jaccard. Output:
     * (item_a, item_b, n_ab, n_a, n_b, jaccard), item_a < item_b,
     * ordered by (jaccard DESC, item_a, item_b). Null baskets/items
@@ -33,19 +50,10 @@ object CoOccurrence {
       maxBasket: Option[Long] = None): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
     require(topK >= 1, "topK must be >= 1")
-    val base0 = df
+    val base = capBaskets(df
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct()
-    val base = maxBasket match {
-      case None => base0
-      case Some(m) =>
-        val sizes = base0.groupBy("bk")
-          .agg(count(lit(1)).as("__bsz"))
-          .where(col("__bsz") <= m)
-          .select("bk")
-        base0.join(sizes, Seq("bk"))
-    }
+      .distinct(), maxBasket)
     val a = base.select(col("bk"), col("it").as("item_a"))
     val b = base.select(col("bk"), col("it").as("item_b"))
     val pairs = a.join(b, Seq("bk"))
@@ -78,25 +86,27 @@ object CoOccurrence {
     * TOTAL order, so the limit cut is deterministic in any engine.
     *
     * Scale shape: identical to [[itemPairs]] — the pair join is an
-    * equi-join on basket id, so candidates are Σ basket_size² (use
-    * `maxBasket`-style pre-capping upstream or a coarser item rollup
-    * when baskets are unbounded); counts are one keyed aggregation;
-    * the per-item table joins back by item key. Every ratio is one
-    * double division of exact BIGINTs (n_ab·n_baskets and n_a·n_b
-    * stay < 2⁶³ below ~3·10⁹ baskets) — engine-portable.
+    * equi-join on basket id, so candidates are Σ basket_size²;
+    * `maxBasket` drops degenerate giant baskets BEFORE the join (the
+    * same [[capBaskets]] guard), bounding the quadratic; counts are
+    * one keyed aggregation; the per-item table joins back by item
+    * key. Every ratio is one double division of exact BIGINTs
+    * (n_ab·n_baskets and n_a·n_b stay < 2⁶³ below ~3·10⁹ baskets) —
+    * engine-portable. n_baskets counts CAPPED baskets, so support
+    * stays a true frequency over the population the pairs saw.
     *
     * Output: (antecedent, consequent, n_ab, n_a, n_b, support,
     * confidence, lift), both rule directions emitted.
     */
   def associationRules(df: DataFrame, basketCol: String,
       itemCol: String, minSupport: Long = 3L,
-      topK: Int = 25): DataFrame = {
+      topK: Int = 25, maxBasket: Option[Long] = None): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
     require(topK >= 1, "topK must be >= 1")
-    val base = df
+    val base = capBaskets(df
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct()
+      .distinct(), maxBasket)
     val nBaskets = base.agg(
       countDistinct(col("bk")).as("n_baskets"))
     val a = base.select(col("bk"), col("it").as("antecedent"))
@@ -183,20 +193,24 @@ object CoOccurrence {
     * touching the Σ C(|basket|,3) naive triple space. Support is
     * then counted candidate-driven: each candidate joins the basket
     * index once per member item (three (basket,item)-keyed joins,
-    * cost Σ_cand df — never basket-wise triple explosion).
+    * cost Σ_cand df — never basket-wise triple explosion). The
+    * level-2 pair generation is still a basket-keyed self-join
+    * (Σ basket_size²): `maxBasket` drops degenerate giant baskets
+    * BEFORE it ([[capBaskets]]), the guard the sf3 rehearsal showed
+    * this needs (4.1× at 3× data unguarded).
     *
     * Exact BIGINT counts throughout; ties broken by the item triple.
     * Output: top `topK` (item_a < item_b < item_c, n_abc, support)
-    * by (n_abc desc, items).
+    * by (n_abc desc, items); support is over capped baskets.
     */
   def frequentTriples(df: DataFrame, basketCol: String,
       itemCol: String, minSupport: Long = 2L,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20, maxBasket: Option[Long] = None): DataFrame = {
     require(minSupport >= 1 && topK >= 1, "minSupport, topK >= 1")
-    val base = df
+    val base = capBaskets(df
       .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct()
+      .distinct(), maxBasket)
     val nBaskets = base.agg(countDistinct(col("bk")).as("n_baskets"))
     val pairs = base.as("x")
       .join(base.as("y"),

@@ -88,18 +88,28 @@ object Dedup {
     * small-scale behavior; in local mode driver and executors share
     * one JVM, so `Runtime.maxMemory` is the binding figure on both
     * counts). `spark.graft.jaccardBroadcastSetBytes` set explicitly
-    * overrides the heuristic entirely. */
+    * overrides the heuristic entirely.
+    *
+    * Unit convention: a unitless `spark.executor.memory` means MiB in
+    * Spark (`byteStringAsMb`), NOT bytes — parsing `"4096"` with
+    * `byteStringAsBytes` would read a 4 GiB executor as 4 KiB and
+    * collapse the ceiling to the 256 MB floor. */
   private[graft] def broadcastSetBytesCeiling(
       spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("spark.graft.jaccardBroadcastSetBytes")
       .map(_.toLong).getOrElse {
         val driverHeap = Runtime.getRuntime.maxMemory
         val execMem = spark.conf.getOption("spark.executor.memory")
-          .flatMap(s => scala.util.Try(org.apache.spark.network.util
-            .JavaUtils.byteStringAsBytes(s)).toOption)
+          .flatMap(parseExecutorMemoryBytes)
           .getOrElse(driverHeap)
         math.max(268435456L, math.min(driverHeap, execMem) / 8)
       }
+
+  /** `spark.executor.memory` → bytes, honoring Spark's MiB default for
+    * unitless values ("4096" = 4096 MiB, "4g" = 4 GiB). */
+  private[graft] def parseExecutorMemoryBytes(s: String): Option[Long] =
+    scala.util.Try(org.apache.spark.network.util
+      .JavaUtils.byteStringAsMb(s) * 1024L * 1024L).toOption
 
   /** Deterministic universal-hash coefficients for seed `i`. */
   def hashCoeffs(i: Int): (Long, Long) = {

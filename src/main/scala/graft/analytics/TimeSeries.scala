@@ -359,8 +359,12 @@ object TimeSeries {
     val sen = pairs
       .withColumn("rn", row_number().over(wRank))
       .withColumn("m", count(lit(1)).over(wCnt))
-      .where(col("rn") === (col("m") + 1) / 2 ||
-        col("rn") === (col("m") + 2) / 2)
+      // Integer-safe middle ranks: Column `/` on integers is DOUBLE
+      // division, so for even m `(m+1)/2` = x.5 matched no row_number
+      // and only the upper-middle slope survived — a silent bias for
+      // half of all group sizes. floor() keeps both middle ranks.
+      .where(col("rn") === floor((col("m") + 1) / 2).cast("long") ||
+        col("rn") === floor((col("m") + 2) / 2).cast("long"))
       .groupBy("g")
       .agg((sum("slope") / count(lit(1))).as("sen_slope"))
     val vnum = col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -

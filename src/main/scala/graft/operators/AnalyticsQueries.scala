@@ -375,15 +375,20 @@ object AnalyticsQueries {
     // from order baskets with the classic support/confidence/lift
     // triple — q142's co-occurrence made actionable ("if a basket has
     // X, how much likelier is Y than base rate"). Pair candidates are
-    // keyed by order (Σ basket_size², basket-bounded); every ratio is
-    // one double division of exact BIGINTs, and the top-k cut uses a
-    // TOTAL order (lift DESC, antecedent, consequent) so the limit is
-    // engine-deterministic.
+    // keyed by order (Σ basket_size²) with the maxBasket=100 guard
+    // dropping degenerate giant baskets BEFORE the self-join (a no-op
+    // on ≤7-line TPC-H orders, a hard quadratic bound at 100 TB);
+    // every ratio is one double division of exact BIGINTs, and the
+    // top-k cut uses a TOTAL order (lift DESC, antecedent,
+    // consequent) so the limit is engine-deterministic.
     Q("q173_association_rules", Some("""
-      WITH base AS (
+      WITH base0 AS (
         SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         FROM lineitem
         WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), base AS (
+        SELECT bk, it FROM base0 WHERE bk IN (
+          SELECT bk FROM base0 GROUP BY bk HAVING count(*) <= 100)
       ), nb AS (
         SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets
         FROM base
@@ -409,7 +414,7 @@ object AnalyticsQueries {
       (s, dir) =>
       graft.analytics.CoOccurrence.associationRules(
         Tables.load(s, dir, "lineitem"), "l_orderkey", "l_partkey",
-        minSupport = 3L, topK = 25)
+        minSupport = 3L, topK = 25, maxBasket = Some(100L))
     },
 
     // User–user cosine neighbors over shared purchased parts: the
@@ -506,12 +511,18 @@ object AnalyticsQueries {
     // from frequent-pair joins with every sub-pair frequent (61
     // candidates from 3445 frequent pairs at sf0.01 — the
     // anti-monotonicity prune in action), then candidate-driven
-    // support counting — never the Σ C(|basket|,3) triple space.
+    // support counting — never the Σ C(|basket|,3) triple space. The
+    // level-2 self-join carries the maxBasket=100 guard (no-op on
+    // TPC-H orders, bounds the Σ basket² curve the sf3 rehearsal
+    // measured at 4.1× for 3× data).
     Q("q216_frequent_triples", Some("""
-      WITH base AS MATERIALIZED (
+      WITH base0 AS (
         SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
         FROM lineitem
         WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      ), base AS MATERIALIZED (
+        SELECT bk, it FROM base0 WHERE bk IN (
+          SELECT bk FROM base0 GROUP BY bk HAVING count(*) <= 100)
       ), nb AS (
         SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets
         FROM base
@@ -540,7 +551,8 @@ object AnalyticsQueries {
       graft.analytics.CoOccurrence.frequentTriples(
         Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey")),
-        "l_orderkey", "l_partkey", minSupport = 2L, topK = 20)
+        "l_orderkey", "l_partkey", minSupport = 2L, topK = 20,
+        maxBasket = Some(100L))
     },
 
     // Exact 2-core of the SUPPORT-THRESHOLDED co-purchase graph

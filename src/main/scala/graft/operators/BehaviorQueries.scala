@@ -257,7 +257,7 @@ object BehaviorQueries {
             AS gone
         FROM pt),
       r2 AS (
-        SELECT t_days, d, c, n_tot - gone AS n_risk,
+        SELECT t_days, d, c, CAST(n_tot - gone AS BIGINT) AS n_risk,
           CASE WHEN d > 0 AND n_tot - gone > d THEN
             CAST(round(ln(CAST(n_tot - gone - d AS DOUBLE)
               / CAST(n_tot - gone AS DOUBLE)) * 1000000000000.0)

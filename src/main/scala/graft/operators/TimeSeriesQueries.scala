@@ -490,6 +490,64 @@ object TimeSeriesQueries {
           col("value"), col("ewma"),
           (abs(col("value") - col("ewma")) > 60.0).as("is_spike"))
         .orderBy("event_id")
+    },
+
+    // Mann–Kendall trend test + Theil–Sen slope per event type: the
+    // distribution-free "is this daily series drifting?" answer. S and
+    // the tie-correction term are exact integer sums over cents; z and
+    // the rank-selected median pairwise slope are fixed double chains
+    // shaped identically in both engines (middle ranks via integer-
+    // safe floor((m+1)/2) / floor((m+2)/2) so even pair counts average
+    // BOTH middle slopes). Pairwise stage is O(days²) per group —
+    // calendar-bounded, independent of row volume.
+    Q("q230_mann_kendall", Some("""
+      WITH d AS (
+        SELECT event_type AS g, CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS yc
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2),
+      p AS (
+        SELECT a.g,
+          CASE WHEN b.yc > a.yc THEN 1
+               WHEN b.yc < a.yc THEN -1 ELSE 0 END AS sgn,
+          (CAST(b.yc - a.yc AS DOUBLE) / 100.0)
+            / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        FROM d a JOIN d b ON a.g = b.g AND a.day < b.day),
+      sa AS (
+        SELECT g, CAST(SUM(sgn) AS BIGINT) AS s,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p GROUP BY g),
+      nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY g),
+      tt AS (
+        SELECT g, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tc
+        FROM (SELECT g, yc, CAST(count(*) AS BIGINT) AS t
+              FROM d GROUP BY g, yc)
+        GROUP BY g),
+      sen AS (
+        SELECT g, SUM(slope) / count(*) AS sen_slope FROM (
+          SELECT g, slope,
+            row_number() OVER (PARTITION BY g ORDER BY slope) AS rn,
+            count(*) OVER (PARTITION BY g) AS m
+          FROM p)
+        WHERE rn = CAST(floor(CAST(m + 1 AS DOUBLE) / 2.0) AS BIGINT)
+           OR rn = CAST(floor(CAST(m + 2 AS DOUBLE) / 2.0) AS BIGINT)
+        GROUP BY g),
+      v AS (
+        SELECT nd.g, nd.n, sa.n_pairs, sa.s, sen.sen_slope,
+          CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - tt.tc AS DOUBLE)
+            / 18.0 AS var_s
+        FROM nd JOIN tt ON nd.g = tt.g JOIN sa ON nd.g = sa.g
+          JOIN sen ON nd.g = sen.g)
+      SELECT g, n AS n_days, n_pairs, s, var_s,
+        CASE WHEN var_s <= 0 THEN NULL
+             WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+             ELSE 0.0 END AS z,
+        sen_slope
+      FROM v ORDER BY g""")) { (s, dir) =>
+      graft.analytics.TimeSeries.mannKendall(
+        dailyCents(s, dir), "event_type", "day", "yc")
     }
   )
 }

@@ -110,6 +110,36 @@ class CoOccurrenceSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 3L, 2L, 0.5)))
   }
 
+  test("associationRules: maxBasket drops the giant basket AND its " +
+      "baskets leave the support denominator") {
+    // giant basket 99 holds 50 items; baskets 10/11 hold {1,2}.
+    val giant = (1L to 50L).map(i => (99L, i))
+    val df = baskets((giant :+ ((10L, 1L)) :+ ((10L, 2L)) :+
+      ((11L, 1L)) :+ ((11L, 2L))): _*)
+    val got = CoOccurrence.associationRules(df, "bk", "it",
+      minSupport = 2, topK = 100, maxBasket = Some(10))
+      .select("antecedent", "consequent", "n_ab", "support")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // only the two small baskets survive -> n_baskets = 2, not 3
+    assert(got === Map((1L, 2L) -> ((2L, 1.0)),
+      (2L, 1L) -> ((2L, 1.0))))
+  }
+
+  test("frequentTriples: maxBasket guards the level-2 self-join") {
+    // triple {1,2,3} appears in two small baskets; the 40-item giant
+    // contains it too but is dropped before pair generation, so
+    // support counts only the capped population (2 of 2 baskets).
+    val giant = (1L to 40L).map(i => (99L, i))
+    val rows = (giant ++ Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L))).toDF("bk", "it")
+    val got = CoOccurrence.frequentTriples(rows, "bk", "it",
+        minSupport = 2L, topK = 10, maxBasket = Some(10))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 3L, 2L, 1.0)))
+  }
+
   test("userSimilarity: cosine from shared capped items, ubiquitous " +
       "item dropped before degrees") {
     import graft.analytics.CoOccurrence

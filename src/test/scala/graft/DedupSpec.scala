@@ -905,4 +905,17 @@ class DedupSpec extends SparkSpec {
     assert((la, lb) === ((32L, 37L)))
     assert(rel === lev.toDouble / math.max(la, lb).toDouble)
   }
+
+  test("executor-memory parse: unitless means MiB, not bytes") {
+    // Spark's convention for spark.executor.memory: "4096" = 4096 MiB.
+    // byteStringAsBytes would read it as 4096 bytes and collapse the
+    // auto-sized PPJoin verify ceiling to the 256 MB floor.
+    assert(Dedup.parseExecutorMemoryBytes("4096")
+      === Some(4096L * 1024 * 1024))
+    assert(Dedup.parseExecutorMemoryBytes("4g")
+      === Some(4L * 1024 * 1024 * 1024))
+    assert(Dedup.parseExecutorMemoryBytes("512m")
+      === Some(512L * 1024 * 1024))
+    assert(Dedup.parseExecutorMemoryBytes("not-a-size") === None)
+  }
 }

@@ -154,4 +154,37 @@ class TimeSeriesSpec extends SparkSpec {
       .select("g", "change_day").as[(String, String)].collect().toMap
     assert(got === Map("a" -> "2024-01-01", "b" -> "2024-01-01"))
   }
+
+  test("mannKendall: even pair count averages BOTH middle slopes") {
+    // 4 days -> m = 6 pairs. Metric values 0, 1, 4, 10 give sorted
+    // slopes 1, 2, 3, 10/3, 4.5, 6 -> median = (3 + 10/3) / 2. The
+    // pre-fix float-division rank match selected only the upper
+    // middle (10/3), biasing sen_slope for every even m.
+    val rows = Seq(
+      ("a", "2024-01-01", 0L), ("a", "2024-01-02", 100L),
+      ("a", "2024-01-03", 400L), ("a", "2024-01-04", 1000L))
+    val r = TimeSeries.mannKendall(daily(rows: _*), "g", "day", "yc")
+      .collect()(0)
+    assert(r.getAs[Long]("n_days") === 4L)
+    assert(r.getAs[Long]("n_pairs") === 6L)
+    assert(r.getAs[Long]("s") === 6L) // strictly increasing
+    // no ties: Var(S) = 4*3*13/18
+    assert(math.abs(r.getAs[Double]("var_s") - 156.0 / 18.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("z")
+      - 5.0 / math.sqrt(156.0 / 18.0)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("sen_slope")
+      - (3.0 + 10.0 / 3.0) / 2.0) < 1e-12)
+  }
+
+  test("mannKendall: odd pair count picks the single middle slope") {
+    // 3 days -> m = 3 pairs: slopes 1, 3, 2 -> sorted 1, 2, 3 ->
+    // both middle ranks are row 2 -> median exactly 2.
+    val rows = Seq(
+      ("a", "2024-01-01", 0L), ("a", "2024-01-02", 100L),
+      ("a", "2024-01-03", 400L))
+    val r = TimeSeries.mannKendall(daily(rows: _*), "g", "day", "yc")
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Double]("sen_slope") === 2.0)
+  }
 }
