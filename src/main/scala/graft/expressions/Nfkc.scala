@@ -153,6 +153,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"sign_buckets expects (emb, bits, dim[, seed]), got " +
             s"${other.length} arguments")
       }))
+    // Sketch aggregates for the SQL-only consumer (the DataFrame
+    // surface is graft.analytics.Sketches): each is a bounded-state
+    // TypedImperativeAggregate — the analyzer wraps the returned
+    // AggregateFunction in an AggregateExpression. Shape parameters
+    // are analysis-time literals (same contract as sign_buckets).
+    ext.injectFunction((
+      new FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HllSketch].getName, "hll_distinct"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => HllSketch(c, 8)
+        case Seq(c, b) =>
+          HllSketch(c, litInt("hll_distinct", b, "b", 4, 16))
+        case other => throw new IllegalArgumentException(
+          s"hll_distinct expects (hash60[, b]), got ${other.length} " +
+            "arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_distinct"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, k) =>
+          KmvSketch(c, litInt("kmv_distinct", k, "k", 2, 1 << 20),
+            graft.analytics.Dedup.P)
+        case other => throw new IllegalArgumentException(
+          s"kmv_distinct expects (hash30, k), got ${other.length} " +
+            "arguments")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c, d, w) =>
+          CmsSketch(c, litInt("cms_sketch", d, "d", 1, 16),
+            litInt("cms_sketch", w, "w", 2, 1 << 24))
+        case other => throw new IllegalArgumentException(
+          s"cms_sketch expects (hash30, d, w), got ${other.length} " +
+            "arguments")
+      }))
     // optimizer rule: date_key range filters over the monthly lake
     // layout gain the implied part_year/part_month predicates, so
     // partition pruning fires without hand-written partition filters

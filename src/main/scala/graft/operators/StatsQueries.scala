@@ -1103,6 +1103,180 @@ object StatsQueries {
           Tables.load(s, dir, "events"), "event_type", "value",
           cents = 100)
         .withColumnRenamed("g", "event_type")
+    },
+
+    // The sketch aggregates through the SQL-ONLY surface (q227's
+    // contract extended to aggregates): pure spark.sql text using the
+    // extension-registered kmv_distinct / hll_distinct / cms_sketch —
+    // proof a SQL-only consumer gets the identical bounded-state
+    // aggregates the DataFrame API (Sketches.*) builds, against the
+    // same replayed-arithmetic oracles as q63/q123/q128.
+    Q("q231_sql_kmv", Some(s"""
+      WITH src AS (
+        SELECT l_returnflag, l_partkey FROM lineitem
+        WHERE l_partkey IS NOT NULL),
+      h AS (
+        SELECT DISTINCT l_returnflag,
+          CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 8)
+            AS BIGINT) % ${graft.analytics.Dedup.P} AS h
+        FROM src),
+      ranked AS (
+        SELECT l_returnflag, h,
+          ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+        FROM h),
+      kmv AS (
+        SELECT l_returnflag,
+          CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+               ELSE 63.0 * ${graft.analytics.Dedup.P} / MAX(h) END
+            AS kmv_estimate
+        FROM ranked WHERE rk <= 64 GROUP BY 1),
+      ex AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+        FROM src GROUP BY 1)
+      SELECT l_returnflag,
+        CAST(exact_distinct AS BIGINT) AS exact_distinct, kmv_estimate
+      FROM ex JOIN kmv USING (l_returnflag)
+      ORDER BY l_returnflag""")) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("q231_li")
+      s.sql(s"""
+        SELECT l_returnflag,
+          CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+          kmv_distinct(
+            CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 8),
+              16, 10) AS BIGINT) % ${graft.analytics.Dedup.P}, 64)
+            AS kmv_estimate
+        FROM q231_li WHERE l_partkey IS NOT NULL
+        GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+
+    // hll_distinct via SQL: per-priority distinct customers, 256
+    // registers; the oracle re-derives registers/rho/harmonic-term
+    // with the q123 exact-integer replay, retargeted at orders.
+    {
+      val b = 8
+      val m = 1 << b
+      val wBits = 60 - b
+      val wMask = (1L << wBits) - 1
+      val alpha = graft.expressions.HllSketch.alpha(m)
+      val rhoCase = (0 until wBits).map { i =>
+        s"WHEN w >= ${1L << (wBits - 1 - i)} THEN ${i + 1}"
+      }.mkString("CASE ", " ", s" ELSE ${wBits + 1} END")
+      Q("q232_sql_hll", Some(s"""
+      WITH src AS (
+        SELECT o_orderpriority AS g, o_custkey AS k FROM orders
+        WHERE o_custkey IS NOT NULL),
+      h AS (
+        SELECT DISTINCT g,
+          CAST('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15)
+            AS BIGINT) AS h
+        FROM src),
+      rho AS (
+        SELECT g, h >> $wBits AS idx, $rhoCase AS rho
+        FROM (SELECT g, h, h & $wMask AS w FROM h)),
+      regs AS (
+        SELECT gg.g, r.range AS idx, COALESCE(MAX(rho.rho), 0) AS reg
+        FROM (SELECT DISTINCT g FROM src) gg
+        CROSS JOIN range($m) r
+        LEFT JOIN rho ON rho.g = gg.g AND rho.idx = r.range
+        GROUP BY 1, 2),
+      est AS (
+        SELECT g, SUM(CAST(1 AS BIGINT) << (${wBits + 1} - reg)) AS s,
+          SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+        FROM regs GROUP BY g),
+      fin AS (
+        SELECT g,
+          CAST($alpha AS DOUBLE) * CAST($m AS DOUBLE) * CAST($m AS DOUBLE)
+            * CAST(${java.lang.Double.toString(
+                graft.expressions.HllSketch.pow2(wBits + 1))} AS DOUBLE)
+            / CAST(s AS DOUBLE) AS raw, zeros
+        FROM est),
+      ex AS (
+        SELECT g, COUNT(DISTINCT k) AS exact_distinct FROM src GROUP BY g)
+      SELECT ex.g AS o_orderpriority,
+        CAST(exact_distinct AS BIGINT) AS exact_distinct,
+        CASE WHEN raw <= CAST(${2.5 * m} AS DOUBLE) AND zeros > 0
+          THEN floor(CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / zeros)
+              * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / CAST(1000000000 AS DOUBLE)
+          ELSE raw END AS hll_estimate
+      FROM ex JOIN fin USING (g)
+      ORDER BY o_orderpriority""")) { (s, dir) =>
+        Tables.load(s, dir, "orders").createOrReplaceTempView("q232_o")
+        s.sql(s"""
+          SELECT o_orderpriority,
+            CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+            hll_distinct(
+              CAST(conv(substring(md5(CAST(o_custkey AS STRING)), 1, 15),
+                16, 10) AS BIGINT), $b) AS hll_estimate
+          FROM q232_o WHERE o_custkey IS NOT NULL
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      }
+    },
+
+    // cms_sketch via SQL: one corpus-wide d×w counter array over
+    // part brands, probed for the top-8 brands with the min-probe
+    // written as plain SQL least(element_at(...)) — the estimate
+    // arithmetic a SQL-only consumer would write (the DataFrame twin
+    // is Sketches.cmsEstimate). All-integer; q128's oracle pattern
+    // retargeted at part.
+    {
+      val d = 4
+      val w = 1024
+      val p = graft.analytics.Dedup.P
+      val coefRows = (0 until d).map { i =>
+        val (a, b) = graft.analytics.Dedup.hashCoeffs(i)
+        s"($i, $a, $b)"
+      }.mkString(", ")
+      val probes = (0 until d).map { i =>
+        val (a, b) = graft.analytics.Dedup.hashCoeffs(i)
+        s"element_at(sk, CAST(${i * w} + (h * ${a}L + ${b}L) % ${p}L" +
+          s" % $w + 1 AS INT))"
+      }.mkString("least(", ", ", ")")
+      Q("q233_sql_cms", Some(s"""
+      WITH cnt AS (
+        SELECT p_brand,
+          CAST('0x' || substr(md5(p_brand), 1, 8) AS BIGINT)
+            % $p AS h,
+          COUNT(*) AS c
+        FROM part WHERE p_brand IS NOT NULL GROUP BY 1, 2),
+      top AS (SELECT p_brand, h, c FROM cnt
+        ORDER BY c DESC, p_brand LIMIT 8),
+      coef (i, a, b) AS (VALUES $coefRows),
+      buckets AS (
+        SELECT coef.i AS i, ((coef.a * cnt.h + coef.b) % $p) % $w
+            AS bucket,
+          SUM(c) AS cval
+        FROM cnt CROSS JOIN coef GROUP BY 1, 2),
+      probe AS (
+        SELECT top.p_brand, top.c, coef.i AS i,
+          ((coef.a * top.h + coef.b) % $p) % $w AS bucket
+        FROM top CROSS JOIN coef),
+      est AS (
+        SELECT p_brand, c, MIN(cval) AS est
+        FROM probe JOIN buckets USING (i, bucket) GROUP BY 1, 2)
+      SELECT p_brand, CAST(c AS BIGINT) AS exact_count,
+        CAST(est AS BIGINT) AS cms_estimate
+      FROM est ORDER BY exact_count DESC, p_brand""")) { (s, dir) =>
+        Tables.load(s, dir, "part").createOrReplaceTempView("q233_p")
+        s.sql(s"""
+          WITH cms AS (
+            SELECT cms_sketch(
+              CAST(conv(substring(md5(p_brand), 1, 8), 16, 10)
+                AS BIGINT) % ${p}L, $d, $w) AS sk
+            FROM q233_p WHERE p_brand IS NOT NULL),
+          top AS (
+            SELECT p_brand,
+              CAST(conv(substring(md5(p_brand), 1, 8), 16, 10)
+                AS BIGINT) % ${p}L AS h,
+              CAST(count(*) AS BIGINT) AS exact_count
+            FROM q233_p WHERE p_brand IS NOT NULL
+            GROUP BY p_brand
+            ORDER BY exact_count DESC, p_brand LIMIT 8)
+          SELECT /*+ BROADCAST(cms) */ p_brand, exact_count,
+            CAST($probes AS BIGINT) AS cms_estimate
+          FROM top CROSS JOIN cms
+          ORDER BY exact_count DESC, p_brand""")
+      }
     }
   )
 }

@@ -72,6 +72,65 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("must be a literal")))
   }
 
+  test("sketch aggregates via SQL equal the Column API and enforce " +
+      "literal shape parameters") {
+    Tables.registerAll(spark, dir)
+    import graft.analytics.{Dedup, Sketches}
+    val p = Dedup.P
+    // kmv_distinct / hll_distinct: SQL text vs Sketches.* per group
+    val viaSql = spark.sql(s"""
+      SELECT event_type,
+        kmv_distinct(CAST(conv(substring(md5(CAST(user_id AS STRING)),
+          1, 8), 16, 10) AS BIGINT) % ${p}L, 16) AS kmv,
+        hll_distinct(CAST(conv(substring(md5(CAST(user_id AS STRING)),
+          1, 15), 16, 10) AS BIGINT), 4) AS hll
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY event_type ORDER BY event_type""").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val viaApi = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        Sketches.kmvDistinct(
+          Dedup.h30(col("user_id").cast("string")), 16).as("kmv"),
+        Sketches.hllDistinct(
+          Dedup.h60(col("user_id").cast("string")), 4).as("hll"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    // cms_sketch: counters identical between SQL and Column builds
+    val skSql = spark.sql(s"""
+      SELECT cms_sketch(CAST(conv(substring(md5(CAST(user_id AS
+        STRING)), 1, 8), 16, 10) AS BIGINT) % ${p}L, 2, 32) AS sk
+      FROM events WHERE user_id IS NOT NULL""").collect()(0).getSeq[Long](0)
+    val skApi = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("user_id").isNotNull)
+      .agg(Sketches.cmsSketch(
+        Dedup.h30(col("user_id").cast("string")), 2, 32).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(skSql === skApi)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // analysis-time rejection: non-literal k, out-of-range b
+    val e1 = intercept[Exception] {
+      spark.sql("""SELECT kmv_distinct(user_id, CAST(user_id AS INT))
+        FROM events""").collect()
+    }
+    assert(msgs(e1).exists(_.contains("must be a literal")))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT hll_distinct(user_id, 99) FROM events")
+        .collect()
+    }
+    assert(msgs(e2).exists(_.contains("must be in [4, 16]")))
+    // type check: unhashed (non-LONG) input is a named analysis error
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT kmv_distinct(event_type, 16) FROM events")
+        .collect()
+    }
+    assert(msgs(e3).exists(_.contains("pre-hashed LONG")))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
