@@ -171,4 +171,101 @@ object EmbeddingStats {
           dist2 / (col("da") + col("db"))).as("sep_ratio"))
       .orderBy("label_a", "label_b")
   }
+
+  /** Top principal component of the embedding cloud — the spectral
+    * health report a curator reads before trusting an ANN index or a
+    * semantic-dedup clustering: a dominant `explained` ratio means
+    * the space has collapsed onto one axis (anisotropy — common after
+    * bad normalization) and cosine is mostly measuring that axis.
+    *
+    * Determinism contract (the [[groupStats]] / kmeansCodebook
+    * conventions composed): the corpus-sized pass computes the raw
+    * moment matrix M_ij = Σ_rows ⌊x_i·x_j·2²⁰⌋ and the component sums
+    * S_i = Σ_rows ⌊x_i·2²⁰⌋ as DECIMAL(38,0)-exact integer sums —
+    * partition-order free. The dim×dim covariance assembled from
+    * them, Cov_ij = M_ij/n/2²⁰ − (S_i/n/2²⁰)(S_j/n/2²⁰), is a fixed
+    * double chain from exact integers. Power iteration (`iterations`
+    * steps from the uniform v₀ = 1/√dim) runs on the DRIVER over the
+    * collected MODEL-SIZED matrix (dim² doubles — the codebook-
+    * collect shape, never corpus rows); every inner sum is a
+    * sequential left fold seeded with the FIRST element (the q116
+    * `list_reduce` convention), so a DuckDB oracle replays the exact
+    * IEEE op sequence. The returned loading's sign is canonicalized
+    * (component with the largest |loading|, ties to the lowest index,
+    * is made non-negative). `eigenvalue` is the final iterate's
+    * normalization constant ‖Cov·v‖ — the operator's defined output
+    * is the `iterations`-step estimate, not an implementation-
+    * dependent convergence point.
+    *
+    * Scale shape: ONE map-only pass — each row folds its ⌊x·2²⁰⌋
+    * vector (dim longs) and its ⌊x_i·x_j·2²⁰⌋ outer-product (dim²
+    * longs) into per-partition [[graft.expressions.VecSumLong]]
+    * buffers (constant state, element-wise-add merge), so the shuffle
+    * is one dim²-long array per partition regardless of corpus size
+    * (the posexplode + (i,j)-keyed alternative measured 22.4 s at sf1
+    * where this is map-only). Rows that are null or not `dim` long
+    * are excluded up front (q206 reports them). Practical to
+    * dim ≲ 512; beyond that, use a sketched/sampled pass.
+    *
+    * Output: one row per dimension, (dim_idx, mu, variance, loading,
+    * eigenvalue, explained) ordered by dim_idx — eigenvalue/explained
+    * are scalars repeated per row so the frame is self-contained.
+    */
+  def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
+      iterations: Int = 20): DataFrame = {
+    require(dim >= 2 && dim <= 1024, "pcaTopComponent needs 2<=dim<=1024")
+    require(iterations >= 1 && iterations <= 100,
+      "pcaTopComponent needs 1 <= iterations <= 100")
+    val qD = 1048576.0
+    val sess = df.sparkSession
+    import sess.implicits._
+    def vecSum(c: Column, n: Int): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.VecSumLong(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c), n)
+          .toAggregateExpression())
+    val e = df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(vecCol).cast("array<double>").as("v"))
+    val fxVec = transform(col("v"),
+      x => floor(x * lit(1048576L)).cast("long"))
+    val prodVec = flatten(transform(col("v"), xi =>
+      transform(col("v"),
+        xj => floor(xi * xj * lit(1048576.0)).cast("long"))))
+    // one corpus pass; the collected result is model-sized (dim² longs)
+    val agg = e.agg(count(lit(1)).as("n"), vecSum(fxVec, dim).as("s"),
+      vecSum(prodVec, dim * dim).as("m")).collect()(0)
+    val n = agg.getAs[Long]("n")
+    require(n > 0, "pcaTopComponent: empty input")
+    val nD = n.toDouble
+    val sArr = agg.getAs[scala.collection.Seq[Long]]("s")
+      .map(_.toDouble).toArray
+    val mArr = agg.getAs[scala.collection.Seq[Long]]("m")
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      mArr(i * dim + j).toDouble / nD / qD -
+        (sArr(i) / nD / qD) * (sArr(j) / nD / qD)
+    }
+    // left folds seeded with the first element — the list_reduce chain
+    def foldSum(vals: Int => Double): Double = {
+      var acc = vals(0); var k = 1
+      while (k < dim) { acc += vals(k); k += 1 }
+      acc
+    }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var lambda = 0.0
+    for (_ <- 1 to iterations) {
+      val mv = Array.tabulate(dim)(i => foldSum(j => cov(i)(j) * v(j)))
+      lambda = math.sqrt(foldSum(i => mv(i) * mv(i)))
+      v = mv.map(_ / lambda)
+    }
+    // canonical sign: largest |loading| (ties -> lowest index) >= 0
+    val pivot = (0 until dim).maxBy(i => (math.abs(v(i)), -i))
+    val sg = if (v(pivot) < 0) -1.0 else 1.0
+    val trace = foldSum(i => cov(i)(i))
+    val explained = lambda / trace
+    (0 until dim).map { i =>
+      (i.toLong, sArr(i) / nD / qD, cov(i)(i), v(i) * sg,
+        lambda, explained)
+    }.toDF("dim_idx", "mu", "variance", "loading", "eigenvalue",
+      "explained")
+  }
 }

@@ -260,6 +260,89 @@ object SimilarityQueries {
         "label", "embedding")
     },
 
+    // Top principal component of the embedding cloud (anisotropy /
+    // spectral-collapse audit): exact fixed-point moment matrix in one
+    // corpus pass, then power iteration on the driver over the
+    // collected dim×dim model — every inner sum a first-element-seeded
+    // left fold, so the oracle replays the identical IEEE chain with
+    // unrolled list_reduce CTEs (the q58 trained-centroid pattern
+    // applied to an eigensolve).
+    {
+      val dim = 64
+      val iters = 12
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // each iteration references cov plus the previous v twice — an
+      // inlined chain re-expands the whole prefix 2^iters times (the
+      // kmeansCodebook plan-growth hazard, here on the oracle side).
+      val iterCtes = (1 to iters).map { t =>
+        s"""mv$t AS MATERIALIZED (
+        SELECT cov.i AS i,
+          list_reduce(list(cov.c * pv.v ORDER BY cov.j),
+            (a, b) -> a + b) AS mv
+        FROM cov JOIN v${t - 1} pv ON cov.j = pv.i GROUP BY cov.i),
+      nm$t AS MATERIALIZED (
+        SELECT sqrt(list_reduce(list(mv * mv ORDER BY i),
+          (a, b) -> a + b)) AS nm FROM mv$t),
+      v$t AS MATERIALIZED (SELECT i, mv / nm AS v FROM mv$t, nm$t)"""
+      }.mkString(",\n      ")
+      Q("q234_pca_top_pc", Some(s"""
+      WITH x AS (
+        SELECT unnest(list_transform(embedding,
+            e -> CAST(floor(CAST(e AS DOUBLE) * 1048576) AS BIGINT)))
+            AS fx,
+          unnest(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+      s AS (
+        SELECT dim, sum(CAST(fx AS HUGEINT)) AS s, count(*) AS c
+        FROM x GROUP BY 1),
+      nn AS (SELECT MAX(c) AS n FROM s),
+      ev AS (
+        SELECT list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+      m AS (
+        SELECT gi.i AS i, gj.j AS j,
+          sum(CAST(floor(v[gi.i] * v[gj.j] * 1048576.0) AS HUGEINT))
+            AS m
+        FROM ev, generate_series(1, $dim) gi(i),
+          generate_series(1, $dim) gj(j)
+        GROUP BY 1, 2),
+      cov AS MATERIALIZED (
+        SELECT m.i AS i, m.j AS j,
+          CAST(m.m AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1048576.0
+            - (CAST(si.s AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1048576.0)
+            * (CAST(sj.s AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1048576.0)
+            AS c
+        FROM m JOIN s si ON si.dim = m.i JOIN s sj ON sj.dim = m.j
+        CROSS JOIN nn),
+      v0 AS MATERIALIZED (
+        SELECT g.i AS i, 1.0 / sqrt(CAST($dim AS DOUBLE)) AS v
+        FROM generate_series(1, $dim) g(i)),
+      $iterCtes,
+      pvt AS (SELECT i, v FROM v$iters),
+      pvmax AS (SELECT v FROM pvt ORDER BY abs(v) DESC, i ASC LIMIT 1),
+      sg AS (
+        SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg
+        FROM pvmax),
+      tr AS (
+        SELECT list_reduce(list(c ORDER BY i), (a, b) -> a + b)
+          AS trace
+        FROM cov WHERE i = j)
+      SELECT CAST(pvt.i - 1 AS BIGINT) AS dim_idx,
+        CAST(si.s AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1048576.0 AS mu,
+        cv.c AS variance, pvt.v * sg.sg AS loading,
+        nm$iters.nm AS eigenvalue, nm$iters.nm / tr.trace AS explained
+      FROM pvt JOIN s si ON si.dim = pvt.i
+      JOIN cov cv ON cv.i = pvt.i AND cv.j = pvt.i
+      CROSS JOIN nn CROSS JOIN sg CROSS JOIN tr CROSS JOIN nm$iters
+      ORDER BY dim_idx""")) { (s, dir) =>
+        graft.analytics.EmbeddingStats.pcaTopComponent(
+          Tables.load(s, dir, "embeddings"), "embedding", dim = dim,
+          iterations = iters)
+      }
+    },
+
     Q("q23_cosine_topk", Some(s"""
       WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

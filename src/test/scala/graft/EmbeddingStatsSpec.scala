@@ -91,4 +91,47 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(got.getLong(5) === 0L)
     assert(got.getLong(6) === (1L << 40))
   }
+
+  test("pcaTopComponent: rank-1 cloud recovers the exact axis, " +
+      "eigenvalue and explained ratio") {
+    import spark.implicits._
+    // points on the line y = 2x, mean zero: Cov = [[2.5, 5], [5, 10]]
+    // -> rank 1, top eigenvalue 12.5, direction (1, 2)/sqrt(5),
+    // explained = 1. All coordinates are exact 2^-20 multiples, so
+    // quantization is lossless and the answer is closed-form.
+    val rows = Seq(
+      Seq(1.0f, 2.0f), Seq(2.0f, 4.0f),
+      Seq(-1.0f, -2.0f), Seq(-2.0f, -4.0f)).toDF("embedding")
+    val got = EmbeddingStats.pcaTopComponent(rows, "embedding",
+        dim = 2, iterations = 12)
+      .orderBy("dim_idx").collect()
+    assert(got.length === 2)
+    val r0 = got(0)
+    assert(r0.getAs[Double]("mu") === 0.0)
+    assert(math.abs(r0.getAs[Double]("variance") - 2.5) < 1e-9)
+    assert(math.abs(got(1).getAs[Double]("variance") - 10.0) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("loading") - 1.0 / math.sqrt(5.0))
+      < 1e-9)
+    assert(math.abs(got(1).getAs[Double]("loading")
+      - 2.0 / math.sqrt(5.0)) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("eigenvalue") - 12.5) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("explained") - 1.0) < 1e-9)
+  }
+
+  test("pcaTopComponent: sign canonicalization and partition " +
+      "independence") {
+    import spark.implicits._
+    // dominant axis along -e2: the canonical form flips it positive
+    val rows = Seq(
+      Seq(0.25f, -1.0f), Seq(-0.25f, 1.0f),
+      Seq(0.5f, -2.0f), Seq(-0.5f, 2.0f)).toDF("embedding")
+    val a = EmbeddingStats.pcaTopComponent(rows, "embedding",
+      dim = 2, iterations = 12).orderBy("dim_idx").collect()
+    assert(a(1).getAs[Double]("loading") > 0.9) // flipped positive
+    // identical output (bit-exact doubles) under a different layout
+    val b = EmbeddingStats.pcaTopComponent(rows.repartition(7),
+        "embedding", dim = 2, iterations = 12)
+      .orderBy("dim_idx").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
 }
