@@ -27,18 +27,19 @@ object CoOccurrence {
   /** The giant-basket guard shared by every basket-keyed self-join in
     * this file: drop baskets larger than `maxBasket` BEFORE pair
     * generation, bounding the Σ|basket|² candidate space. One
-    * basket-keyed count + a semi-join — linear, and partition-aligned
-    * with the self-join that follows. */
+    * bk-partitioned window count — a single shuffle, partition-
+    * aligned with the self-join that follows (the groupBy+semi-join
+    * form recomputed the deduped base and shuffled it twice; measured
+    * +2.3 s on q216 at sf0.1). */
   private def capBaskets(base: DataFrame,
       maxBasket: Option[Long]): DataFrame = maxBasket match {
     case None => base
     case Some(m) =>
       require(m >= 1, "maxBasket must be >= 1")
-      val sizes = base.groupBy("bk")
-        .agg(count(lit(1)).as("__bsz"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("bk")
+      base.withColumn("__bsz", count(lit(1)).over(w))
         .where(col("__bsz") <= m)
-        .select("bk")
-      base.join(sizes, Seq("bk"), "left_semi")
+        .drop("__bsz")
   }
 
   /** Top-`topK` item pairs by basket-set Jaccard. Output:

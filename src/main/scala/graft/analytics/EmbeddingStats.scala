@@ -268,4 +268,76 @@ object EmbeddingStats {
     }.toDF("dim_idx", "mu", "variance", "loading", "eigenvalue",
       "explained")
   }
+
+  /** Distance-concentration audit (Beyer et al. ICDT'99, "when is
+    * nearest neighbor meaningful"): pairwise Euclidean distance
+    * statistics over a deterministic k-sample — as dimensionality
+    * effectively grows, std/mean → 0 and every neighbor looks
+    * equidistant, which is the regime where ANN recall quietly
+    * degrades no matter the index. Read `concentration` (std/mean,
+    * the relative contrast) BEFORE trusting an ANN tier: healthy
+    * spaces sit well above ~0.1.
+    *
+    * Determinism: the sample is the k smallest (h30(id), id) rows via
+    * the bounded-state [[graft.expressions.TopKByHash]] aggregate
+    * (partition-order free, k rows of state per partition — the only
+    * corpus-scale stage). The k(k−1)/2 pairwise distances are
+    * model-sized driver math: each distance folds squared component
+    * differences in dimension order, and the mean/variance fold the
+    * pair distances in (id_a, id_b) order — every sum a first-
+    * element-seeded left fold, so a DuckDB oracle replays the exact
+    * IEEE chain with list_reduce.
+    *
+    * Output (one row): n_sample, n_pairs, mean_dist, std_dist,
+    * concentration (std/mean), min_dist, max_dist.
+    */
+  def distanceConcentration(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, k: Int = 48): DataFrame = {
+    require(dim >= 2 && dim <= 4096,
+      "distanceConcentration needs 2 <= dim <= 4096")
+    require(k >= 4 && k <= 512, "distanceConcentration needs 4<=k<=512")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val e = df.where(col(vecCol).isNotNull &&
+        size(col(vecCol)) === dim && col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+    val sample = e
+      .agg(Sampling.topKByHash(k,
+        Dedup.h30(col("id").cast("string")), col("id"),
+        "id" -> col("id"), "emb" -> col("v")).as("s"))
+      .select(explode(col("s")).as("r"))
+      .select(col("r.id").as("id"), col("r.emb").as("emb"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .sortBy(_._1)
+    val nS = sample.length
+    require(nS >= 2, "distanceConcentration: fewer than 2 sampled rows")
+    // pair distances in (id_a, id_b) order; each a seed-first fold
+    val dists = for {
+      a <- 0 until nS; b <- (a + 1) until nS
+    } yield {
+      val va = sample(a)._2; val vb = sample(b)._2
+      var acc = (va(0) - vb(0)) * (va(0) - vb(0))
+      var i = 1
+      while (i < dim) {
+        acc += (va(i) - vb(i)) * (va(i) - vb(i)); i += 1
+      }
+      math.sqrt(acc)
+    }
+    val np = dists.length
+    def fold(xs: Seq[Double]): Double = {
+      var acc = xs.head; var i = 1
+      while (i < xs.length) { acc += xs(i); i += 1 }
+      acc
+    }
+    val mean = fold(dists) / np.toDouble
+    val std = math.sqrt(
+      fold(dists.map(x => (x - mean) * (x - mean))) / np.toDouble)
+    Seq((nS.toLong, np.toLong, mean, std, std / mean,
+      dists.min, dists.max))
+      .toDF("n_sample", "n_pairs", "mean_dist", "std_dist",
+        "concentration", "min_dist", "max_dist")
+  }
 }

@@ -343,6 +343,58 @@ object SimilarityQueries {
       }
     },
 
+    // Distance-concentration audit (Beyer et al.): pairwise distance
+    // stats over the deterministic k-smallest-(h30,id) sample — the
+    // bounded-state TopKByHash aggregate is the only corpus-scale
+    // stage; the k(k-1)/2 distances and their mean/std are seed-first
+    // folds in (id_a, id_b) order, replayed verbatim by list_reduce.
+    // concentration (std/mean) -> 0 is the "every neighbor looks
+    // equidistant" regime where ANN recall quietly dies.
+    {
+      val dim = 64
+      val k = 48
+      Q("q235_dist_concentration", Some(s"""
+      WITH e AS (
+        SELECT CAST(vec_id AS BIGINT) AS id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = $dim
+          AND vec_id IS NOT NULL),
+      h AS (
+        SELECT id, v FROM (
+          SELECT id, v, ROW_NUMBER() OVER (ORDER BY
+            CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8)
+              AS BIGINT) % ${graft.analytics.Dedup.P}, id) AS rk
+          FROM e) t
+        WHERE rk <= $k),
+      p AS (
+        SELECT a.id AS ia, b.id AS ib,
+          sqrt(list_reduce(list_transform(range(1, ${dim + 1}),
+            i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])),
+            (x, y) -> x + y)) AS dist
+        FROM h a JOIN h b ON a.id < b.id),
+      st AS (
+        SELECT CAST((SELECT count(*) FROM h) AS BIGINT) AS n_sample,
+          CAST(count(*) AS BIGINT) AS n_pairs,
+          MIN(dist) AS mn, MAX(dist) AS mx,
+          list_reduce(list(dist ORDER BY ia, ib), (x, y) -> x + y)
+            / CAST(count(*) AS DOUBLE) AS mean
+        FROM p),
+      vr AS (
+        SELECT sqrt(
+          list_reduce(list((dist - st.mean) * (dist - st.mean)
+            ORDER BY ia, ib), (x, y) -> x + y)
+          / CAST(st.n_pairs AS DOUBLE)) AS std
+        FROM p, st GROUP BY st.n_pairs, st.mean)
+      SELECT n_sample, n_pairs, mean AS mean_dist, std AS std_dist,
+        std / mean AS concentration, mn AS min_dist, mx AS max_dist
+      FROM st, vr""")) { (s, dir) =>
+        graft.analytics.EmbeddingStats.distanceConcentration(
+          Tables.load(s, dir, "embeddings"), "vec_id", "embedding",
+          dim = dim, k = k)
+      }
+    },
+
     Q("q23_cosine_topk", Some(s"""
       WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

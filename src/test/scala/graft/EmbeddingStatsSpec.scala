@@ -134,4 +134,40 @@ class EmbeddingStatsSpec extends SparkSpec {
       .orderBy("dim_idx").collect()
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
+
+  test("distanceConcentration: hand-computed stats over a 3-point " +
+      "sample, partition independence") {
+    import spark.implicits._
+    // right triangle (0,0), (3,0), (0,4): distances 3, 4, 5
+    // mean 4, var ((1)+(0)+(1))/3 = 2/3
+    val rows = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(3.0f, 0.0f)),
+      (3L, Seq(0.0f, 4.0f))).toDF("vec_id", "embedding")
+    val got = EmbeddingStats.distanceConcentration(rows, "vec_id",
+      "embedding", dim = 2, k = 8).collect()(0)
+    assert(got.getAs[Long]("n_sample") === 3L)
+    assert(got.getAs[Long]("n_pairs") === 3L)
+    assert(math.abs(got.getAs[Double]("mean_dist") - 4.0) < 1e-12)
+    assert(math.abs(got.getAs[Double]("std_dist")
+      - math.sqrt(2.0 / 3.0)) < 1e-12)
+    assert(got.getAs[Double]("min_dist") === 3.0)
+    assert(got.getAs[Double]("max_dist") === 5.0)
+    val b = EmbeddingStats.distanceConcentration(rows.repartition(5),
+      "vec_id", "embedding", dim = 2, k = 8).collect()(0)
+    assert(got.toSeq === b.toSeq)
+  }
+
+  test("distanceConcentration: k caps the sample deterministically " +
+      "by (hash, id) order") {
+    import spark.implicits._
+    val rows = (1L to 40L).map(i =>
+      (i, Seq(i.toFloat, (i * 2).toFloat))).toDF("vec_id", "embedding")
+    val got = EmbeddingStats.distanceConcentration(rows, "vec_id",
+      "embedding", dim = 2, k = 8).collect()(0)
+    assert(got.getAs[Long]("n_sample") === 8L)
+    assert(got.getAs[Long]("n_pairs") === 28L)
+    // collinear points: every distance is sqrt(5)·|i-j| along one
+    // axis, so contrast is positive and min < max
+    assert(got.getAs[Double]("min_dist") < got.getAs[Double]("max_dist"))
+  }
 }
