@@ -536,6 +536,66 @@ object Evaluation {
           .cast("double") / den.cast("double")).as("kappa"))
   }
 
+  /** Multi-class classification report — per-class confusion-derived
+    * precision / recall / F1 plus micro accuracy, the evaluation
+    * table every labeler/filter in the pipeline (language-ID, quality
+    * classes, source routing) gets scored with. [[cohenKappa]] is the
+    * two-rater agreement number; this is the per-class truth-vs-
+    * prediction breakdown.
+    *
+    * All counts are exact BIGINTs from one (truth, pred)-keyed
+    * aggregation (key space = |classes|² — flat at any corpus size,
+    * map-side combined); every ratio is ONE double division of exact
+    * integers — F1 as 2·tp/(n_true + n_pred), never the p·r
+    * composition, so engines can't diverge on an intermediate.
+    * Classes appearing only as truth or only as prediction still get
+    * a row (counts 0 on the missing side; ratios null on 0
+    * denominators). Rows with a null truth or prediction are
+    * excluded.
+    *
+    * Output: (class, n_true, n_pred, tp, precision, recall, f1,
+    * accuracy) ordered by class — accuracy is the scalar micro
+    * accuracy Σtp/n repeated per row.
+    */
+  def classificationReport(df: DataFrame, truthCol: Column,
+      predCol: Column): DataFrame = {
+    val base = df
+      .select(truthCol.cast("string").as("t"),
+        predCol.cast("string").as("p"))
+      .where(col("t").isNotNull && col("p").isNotNull)
+    val conf = base.groupBy("t", "p").agg(count(lit(1)).as("c"))
+    val byTrue = conf.groupBy("t").agg(sum(col("c")).as("n_true"))
+    val byPred = conf.groupBy("p").agg(sum(col("c")).as("n_pred"))
+    val tp = conf.where(col("t") === col("p"))
+      .select(col("t").as("cls"), col("c").as("tp"))
+    val classes = byTrue.select(col("t").as("cls"))
+      .union(byPred.select(col("p").as("cls"))).distinct()
+    val tot = conf.agg(sum(col("c")).as("n"),
+      sum(when(col("t") === col("p"), col("c")).otherwise(0L))
+        .as("tp_sum"))
+    val nTrue = coalesce(col("n_true"), lit(0L))
+    val nPred = coalesce(col("n_pred"), lit(0L))
+    val tpC = coalesce(col("tp"), lit(0L))
+    classes
+      .join(byTrue.withColumnRenamed("t", "cls"), Seq("cls"), "left")
+      .join(byPred.withColumnRenamed("p", "cls"), Seq("cls"), "left")
+      .join(tp, Seq("cls"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("cls").as("class"),
+        nTrue.cast("long").as("n_true"),
+        nPred.cast("long").as("n_pred"),
+        tpC.cast("long").as("tp"),
+        when(nPred > 0, tpC.cast("double") / nPred.cast("double"))
+          .as("precision"),
+        when(nTrue > 0, tpC.cast("double") / nTrue.cast("double"))
+          .as("recall"),
+        when(nTrue + nPred > 0, (tpC * 2).cast("double") /
+          (nTrue + nPred).cast("double")).as("f1"),
+        (col("tp_sum").cast("double") / col("n").cast("double"))
+          .as("accuracy"))
+      .orderBy("class")
+  }
+
   /** Spearman rank-correlation matrix over numeric columns — the
     * robust (monotone-invariant) companion of the Pearson matrix:
     * ρ is Pearson correlation of the columns' midranks, so a single

@@ -878,6 +878,66 @@ object TextQueries {
           col("lang") === "en", B)
           .orderBy("doc_id")
       }
+    },
+
+    // Language-ID scored against the ground-truth lang column: the
+    // multi-class classification report (per-class precision/recall/
+    // F1 from exact confusion counts + micro accuracy) — q25's
+    // predictions finally graded. Ground truth includes zh, which the
+    // stopword profile cannot predict: it surfaces as a class with
+    // n_pred = 0 and null precision, exactly what the report is for.
+    // Flat key space (|classes|²), every ratio one double division.
+    Q("q236_langid_report", Some(s"""
+      WITH pr AS (
+        SELECT tru, $duckLangCase AS prd FROM (
+          SELECT tru,
+            $duckLangScores
+          FROM (
+            SELECT lang AS tru,
+              string_split_regex(trim(text), '\\s+') AS t
+            FROM documents WHERE lang IS NOT NULL))),
+      conf AS (
+        SELECT tru, prd, CAST(count(*) AS BIGINT) AS c
+        FROM pr WHERE prd IS NOT NULL GROUP BY 1, 2),
+      bt AS (
+        SELECT tru, CAST(SUM(c) AS BIGINT) AS n_true
+        FROM conf GROUP BY 1),
+      bp AS (
+        SELECT prd, CAST(SUM(c) AS BIGINT) AS n_pred
+        FROM conf GROUP BY 1),
+      tpc AS (SELECT tru AS cls, c AS tp FROM conf WHERE tru = prd),
+      cls AS (SELECT tru AS cls FROM bt UNION SELECT prd FROM bp),
+      tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN tru = prd THEN c ELSE 0 END) AS BIGINT)
+            AS tps
+        FROM conf)
+      SELECT cls.cls AS class,
+        COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+        COALESCE(tp, 0) AS tp,
+        CASE WHEN COALESCE(n_pred, 0) > 0 THEN
+          CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE)
+          END AS "precision",
+        CASE WHEN COALESCE(n_true, 0) > 0 THEN
+          CAST(COALESCE(tp, 0) AS DOUBLE) / CAST(n_true AS DOUBLE)
+          END AS recall,
+        CASE WHEN COALESCE(n_true, 0) + COALESCE(n_pred, 0) > 0 THEN
+          CAST(COALESCE(tp, 0) * 2 AS DOUBLE)
+            / CAST(COALESCE(n_true, 0) + COALESCE(n_pred, 0) AS DOUBLE)
+          END AS f1,
+        CAST(tps AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy
+      FROM cls LEFT JOIN bt ON cls.cls = bt.tru
+      LEFT JOIN bp ON cls.cls = bp.prd
+      LEFT JOIN tpc ON cls.cls = tpc.cls
+      CROSS JOIN tot
+      ORDER BY class""")) { (s, dir) =>
+      val pred = Tables.load(s, dir, "documents")
+        .where(col("lang").isNotNull)
+        .select(col("lang"),
+          explode(array(TA.langProfile(col("text")))).as("r"))
+        .select(col("lang"), col("r.predicted").as("predicted"))
+      graft.analytics.Evaluation.classificationReport(pred,
+        col("lang"), col("predicted"))
     }
   )
 }

@@ -321,4 +321,35 @@ class EvaluationSpec extends SparkSpec {
       .collect().map { case (g, a, b) => g -> ((a, b)) }.toMap
     assert(r === Map("a" -> ((2L, 2L)), "b" -> ((2L, 2L))))
   }
+
+  test("classificationReport: hand-computed multi-class P/R/F1, " +
+      "one-sided classes get rows") {
+    import spark.implicits._
+    // truth/pred: en->en x3, en->fr, fr->fr, zh->en (zh never
+    // predicted; 'de' never true or predicted -> absent)
+    val df = Seq(
+      ("en", "en"), ("en", "en"), ("en", "en"), ("en", "fr"),
+      ("fr", "fr"), ("zh", "en"), (null, "en"), ("en", null))
+      .toDF("t", "p")
+    val got = Evaluation.classificationReport(df, col("t"), col("p"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("en", "fr", "zh"))
+    val en = got("en")
+    assert(en.getAs[Long]("n_true") === 4L)
+    assert(en.getAs[Long]("n_pred") === 4L)
+    assert(en.getAs[Long]("tp") === 3L)
+    assert(en.getAs[Double]("precision") === 0.75)
+    assert(en.getAs[Double]("recall") === 0.75)
+    assert(en.getAs[Double]("f1") === 6.0 / 8.0)
+    val fr = got("fr")
+    assert(fr.getAs[Long]("n_true") === 1L &&
+      fr.getAs[Long]("n_pred") === 2L && fr.getAs[Long]("tp") === 1L)
+    assert(fr.getAs[Double]("f1") === 2.0 / 3.0)
+    val zh = got("zh")
+    assert(zh.getAs[Long]("n_pred") === 0L)
+    assert(zh.isNullAt(zh.fieldIndex("precision")))
+    assert(zh.getAs[Double]("recall") === 0.0)
+    // micro accuracy: 4 correct of 6 scored rows (nulls excluded)
+    assert(en.getAs[Double]("accuracy") === 4.0 / 6.0)
+  }
 }
