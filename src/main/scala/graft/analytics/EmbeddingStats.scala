@@ -213,12 +213,69 @@ object EmbeddingStats {
     */
   def pcaTopComponent(df: DataFrame, vecCol: String, dim: Int,
       iterations: Int = 20): DataFrame = {
-    require(dim >= 2 && dim <= 1024, "pcaTopComponent needs 2<=dim<=1024")
-    require(iterations >= 1 && iterations <= 100,
-      "pcaTopComponent needs 1 <= iterations <= 100")
-    val qD = 1048576.0
     val sess = df.sparkSession
     import sess.implicits._
+    val (nD, sArr, cov) = covarianceMatrix(df, vecCol, dim)
+    val (lambda, v) = powerIterate(cov, dim, iterations)
+    val sg = canonicalSign(v, dim)
+    val trace = foldDim(dim)(i => cov(i)(i))
+    val explained = lambda / trace
+    (0 until dim).map { i =>
+      (i.toLong, sArr(i) / nD / 1048576.0, cov(i)(i), v(i) * sg,
+        lambda, explained)
+    }.toDF("dim_idx", "mu", "variance", "loading", "eigenvalue",
+      "explained")
+  }
+
+  /** Top-`nComponents` spectral profile via Hotelling deflation: run
+    * [[pcaTopComponent]]'s power iteration, subtract λ·u·uᵀ (the RAW
+    * iterate — the outer product is sign-invariant), iterate again.
+    * Adds `cum_explained`, the cumulative explained-variance ratio —
+    * the effective-dimensionality read ("two axes carry 80 % of the
+    * space"). Same determinism contract: the corpus pass is the one
+    * exact-integer moment aggregation, deflation and every fold are
+    * fixed double chains, and the oracle replays the deflated matrix
+    * through a second unrolled CTE block.
+    *
+    * Output: (component, dim_idx, loading, eigenvalue, explained,
+    * cum_explained) ordered by (component, dim_idx); component is
+    * 1-based.
+    */
+  def pcaTopComponents(df: DataFrame, vecCol: String, dim: Int,
+      nComponents: Int, iterations: Int = 20): DataFrame = {
+    require(nComponents >= 1 && nComponents <= 8,
+      "pcaTopComponents needs 1 <= nComponents <= 8")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val (_, _, cov0) = covarianceMatrix(df, vecCol, dim)
+    val trace = foldDim(dim)(i => cov0(i)(i))
+    var mat = cov0
+    var cumLambda = 0.0
+    val out = (1 to nComponents).flatMap { c =>
+      val (lambda, v) = powerIterate(mat, dim, iterations)
+      val sg = canonicalSign(v, dim)
+      // deflate with the RAW iterate: u_i·u_j is sign-invariant
+      mat = Array.tabulate(dim, dim)((i, j) =>
+        mat(i)(j) - lambda * v(i) * v(j))
+      cumLambda = if (c == 1) lambda else cumLambda + lambda
+      (0 until dim).map { i =>
+        (c.toLong, i.toLong, v(i) * sg, lambda, lambda / trace,
+          cumLambda / trace)
+      }
+    }
+    out.toDF("component", "dim_idx", "loading", "eigenvalue",
+      "explained", "cum_explained")
+      .orderBy("component", "dim_idx")
+  }
+
+  /** The shared one-pass exact moment aggregation behind the PCA
+    * family: (n as double, component sums ⌊x·2²⁰⌋, covariance matrix
+    * assembled from the exact integer sums — see [[pcaTopComponent]]
+    * for the full contract). */
+  private def covarianceMatrix(df: DataFrame, vecCol: String,
+      dim: Int): (Double, Array[Double], Array[Array[Double]]) = {
+    require(dim >= 2 && dim <= 1024, "PCA needs 2 <= dim <= 1024")
+    val qD = 1048576.0
     def vecSum(c: Column, n: Int): Column =
       org.apache.spark.sql.graft.ColumnBridge.column(
         graft.expressions.VecSumLong(
@@ -235,7 +292,7 @@ object EmbeddingStats {
     val agg = e.agg(count(lit(1)).as("n"), vecSum(fxVec, dim).as("s"),
       vecSum(prodVec, dim * dim).as("m")).collect()(0)
     val n = agg.getAs[Long]("n")
-    require(n > 0, "pcaTopComponent: empty input")
+    require(n > 0, "PCA: empty input")
     val nD = n.toDouble
     val sArr = agg.getAs[scala.collection.Seq[Long]]("s")
       .map(_.toDouble).toArray
@@ -244,29 +301,39 @@ object EmbeddingStats {
       mArr(i * dim + j).toDouble / nD / qD -
         (sArr(i) / nD / qD) * (sArr(j) / nD / qD)
     }
-    // left folds seeded with the first element — the list_reduce chain
-    def foldSum(vals: Int => Double): Double = {
-      var acc = vals(0); var k = 1
-      while (k < dim) { acc += vals(k); k += 1 }
-      acc
-    }
+    (nD, sArr, cov)
+  }
+
+  /** Left fold over dimension index, seeded with the FIRST element —
+    * the list_reduce chain every oracle replays. */
+  private def foldDim(dim: Int)(vals: Int => Double): Double = {
+    var acc = vals(0); var k = 1
+    while (k < dim) { acc += vals(k); k += 1 }
+    acc
+  }
+
+  /** `iterations` power-iteration steps from the uniform start;
+    * returns (final normalization constant, final RAW iterate). */
+  private def powerIterate(cov: Array[Array[Double]], dim: Int,
+      iterations: Int): (Double, Array[Double]) = {
+    require(iterations >= 1 && iterations <= 100,
+      "PCA needs 1 <= iterations <= 100")
     var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     var lambda = 0.0
     for (_ <- 1 to iterations) {
-      val mv = Array.tabulate(dim)(i => foldSum(j => cov(i)(j) * v(j)))
-      lambda = math.sqrt(foldSum(i => mv(i) * mv(i)))
+      val mv = Array.tabulate(dim)(i =>
+        foldDim(dim)(j => cov(i)(j) * v(j)))
+      lambda = math.sqrt(foldDim(dim)(i => mv(i) * mv(i)))
       v = mv.map(_ / lambda)
     }
-    // canonical sign: largest |loading| (ties -> lowest index) >= 0
+    (lambda, v)
+  }
+
+  /** Canonical sign factor: the component with the largest |loading|
+    * (ties to the lowest index) is made non-negative. */
+  private def canonicalSign(v: Array[Double], dim: Int): Double = {
     val pivot = (0 until dim).maxBy(i => (math.abs(v(i)), -i))
-    val sg = if (v(pivot) < 0) -1.0 else 1.0
-    val trace = foldSum(i => cov(i)(i))
-    val explained = lambda / trace
-    (0 until dim).map { i =>
-      (i.toLong, sArr(i) / nD / qD, cov(i)(i), v(i) * sg,
-        lambda, explained)
-    }.toDF("dim_idx", "mu", "variance", "loading", "eigenvalue",
-      "explained")
+    if (v(pivot) < 0) -1.0 else 1.0
   }
 
   /** Distance-concentration audit (Beyer et al. ICDT'99, "when is

@@ -395,6 +395,105 @@ object SimilarityQueries {
       }
     },
 
+    // Top-2 spectral profile via Hotelling deflation (q234's
+    // eigensolve, then subtract λ·u·uᵀ and iterate again): loadings,
+    // eigenvalues, per-component and CUMULATIVE explained variance —
+    // the effective-dimensionality read. The oracle replays both
+    // power iterations as two unrolled MATERIALIZED CTE blocks with
+    // the deflated matrix computed between them; the outer product
+    // uses the RAW iterate (sign-invariant), exactly as the engine.
+    {
+      val dim = 64
+      val iters = 12
+      def iterBlock(covName: String, p: String): String =
+        (1 to iters).map { t =>
+          s"""${p}mv$t AS MATERIALIZED (
+        SELECT $covName.i AS i,
+          list_reduce(list($covName.c * pv.v ORDER BY $covName.j),
+            (a, b) -> a + b) AS mv
+        FROM $covName JOIN ${p}v${t - 1} pv ON $covName.j = pv.i
+        GROUP BY $covName.i),
+      ${p}nm$t AS MATERIALIZED (
+        SELECT sqrt(list_reduce(list(mv * mv ORDER BY i),
+          (a, b) -> a + b)) AS nm FROM ${p}mv$t),
+      ${p}v$t AS MATERIALIZED (
+        SELECT i, mv / nm AS v FROM ${p}mv$t, ${p}nm$t)"""
+        }.mkString(",\n      ")
+      Q("q237_pca_spectrum", Some(s"""
+      WITH x AS (
+        SELECT unnest(list_transform(embedding,
+            e -> CAST(floor(CAST(e AS DOUBLE) * 1048576) AS BIGINT)))
+            AS fx,
+          unnest(range(1, len(embedding) + 1)) AS dim
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+      s AS (
+        SELECT dim, sum(CAST(fx AS HUGEINT)) AS s, count(*) AS c
+        FROM x GROUP BY 1),
+      nn AS (SELECT MAX(c) AS n FROM s),
+      ev AS (
+        SELECT list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+      m AS (
+        SELECT gi.i AS i, gj.j AS j,
+          sum(CAST(floor(v[gi.i] * v[gj.j] * 1048576.0) AS HUGEINT))
+            AS m
+        FROM ev, generate_series(1, $dim) gi(i),
+          generate_series(1, $dim) gj(j)
+        GROUP BY 1, 2),
+      cov AS MATERIALIZED (
+        SELECT m.i AS i, m.j AS j,
+          CAST(m.m AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1048576.0
+            - (CAST(si.s AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1048576.0)
+            * (CAST(sj.s AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1048576.0)
+            AS c
+        FROM m JOIN s si ON si.dim = m.i JOIN s sj ON sj.dim = m.j
+        CROSS JOIN nn),
+      v0 AS MATERIALIZED (
+        SELECT g.i AS i, 1.0 / sqrt(CAST($dim AS DOUBLE)) AS v
+        FROM generate_series(1, $dim) g(i)),
+      ${iterBlock("cov", "")},
+      cov2 AS MATERIALIZED (
+        SELECT cov.i AS i, cov.j AS j,
+          cov.c - nm$iters.nm * pa.v * pb.v AS c
+        FROM cov JOIN v$iters pa ON cov.i = pa.i
+        JOIN v$iters pb ON cov.j = pb.i
+        CROSS JOIN nm$iters),
+      bv0 AS MATERIALIZED (SELECT i, v FROM v0),
+      ${iterBlock("cov2", "b")},
+      tr AS (
+        SELECT list_reduce(list(c ORDER BY i), (a, b) -> a + b)
+          AS trace
+        FROM cov WHERE i = j),
+      sg1 AS (
+        SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg FROM (
+          SELECT v FROM v$iters ORDER BY abs(v) DESC, i ASC LIMIT 1)),
+      sg2 AS (
+        SELECT CASE WHEN v < 0 THEN -1.0 ELSE 1.0 END AS sg FROM (
+          SELECT v FROM bv$iters ORDER BY abs(v) DESC, i ASC LIMIT 1))
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS component,
+          CAST(pvt.i - 1 AS BIGINT) AS dim_idx,
+          pvt.v * sg1.sg AS loading, nm$iters.nm AS eigenvalue,
+          nm$iters.nm / tr.trace AS explained,
+          nm$iters.nm / tr.trace AS cum_explained
+        FROM v$iters pvt CROSS JOIN sg1 CROSS JOIN nm$iters
+        CROSS JOIN tr
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(bp.i - 1 AS BIGINT),
+          bp.v * sg2.sg, bnm$iters.nm,
+          bnm$iters.nm / tr.trace,
+          (nm$iters.nm + bnm$iters.nm) / tr.trace
+        FROM bv$iters bp CROSS JOIN sg2 CROSS JOIN bnm$iters
+        CROSS JOIN nm$iters CROSS JOIN tr)
+      ORDER BY component, dim_idx""")) { (s, dir) =>
+        graft.analytics.EmbeddingStats.pcaTopComponents(
+          Tables.load(s, dir, "embeddings"), "embedding", dim = dim,
+          nComponents = 2, iterations = iters)
+      }
+    },
+
     Q("q23_cosine_topk", Some(s"""
       WITH scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

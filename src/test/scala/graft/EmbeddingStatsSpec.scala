@@ -135,6 +135,31 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("pcaTopComponents: deflation recovers both axes of an " +
+      "axis-aligned cloud, cumulative explained reaches 1") {
+    import spark.implicits._
+    // independent axes: (±3, 0) and (0, ±2) -> Cov = diag(4.5, 2)
+    val rows = Seq(
+      Seq(3.0f, 0.0f), Seq(-3.0f, 0.0f),
+      Seq(0.0f, 2.0f), Seq(0.0f, -2.0f)).toDF("embedding")
+    val got = EmbeddingStats.pcaTopComponents(rows, "embedding",
+        dim = 2, nComponents = 2, iterations = 12)
+      .orderBy("component", "dim_idx").collect()
+    assert(got.length === 4)
+    val c1 = got.filter(_.getAs[Long]("component") == 1L)
+    val c2 = got.filter(_.getAs[Long]("component") == 2L)
+    // 12 iterations at eigengap 4.5:2 converge to ~(2/4.5)^12 ≈ 6e-5
+    // in the iterate; the spec checks math, the oracle checks parity
+    assert(math.abs(c1(0).getAs[Double]("eigenvalue") - 4.5) < 1e-6)
+    assert(math.abs(c1(0).getAs[Double]("loading") - 1.0) < 1e-4)
+    assert(math.abs(c1(1).getAs[Double]("loading")) < 1e-3)
+    assert(math.abs(c2(0).getAs[Double]("eigenvalue") - 2.0) < 1e-6)
+    assert(math.abs(c2(1).getAs[Double]("loading") - 1.0) < 1e-4)
+    assert(math.abs(c1(0).getAs[Double]("explained") - 4.5 / 6.5)
+      < 1e-6)
+    assert(math.abs(c2(0).getAs[Double]("cum_explained") - 1.0) < 1e-6)
+  }
+
   test("distanceConcentration: hand-computed stats over a 3-point " +
       "sample, partition independence") {
     import spark.implicits._
