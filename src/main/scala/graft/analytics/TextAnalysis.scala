@@ -363,4 +363,61 @@ object TextAnalysis {
       .orderBy(col("score_fp").desc, col("phrase"))
       .limit(k)
   }
+
+  /** Heaps'-law vocabulary-growth fit per source: OLS of
+    * ln(distinct tokens) on ln(total tokens) across documents —
+    * V ≈ K·N^β, so `beta` is the vocabulary-growth exponent (natural
+    * prose sits around 0.4–0.6; template/boilerplate-heavy sources
+    * grow much slower, near-random token soup near 1) and `ln_k` the
+    * log richness constant. The per-source comparison is a curation
+    * signal the per-doc quality scores can't see: it measures how a
+    * source's vocabulary SCALES, not how one document reads.
+    *
+    * Determinism ([[graft.analytics.Regression.groupOls]]'s contract
+    * on log points): per-doc token/type counts are exact integers;
+    * each ln is quantized to µln units (⌊ln·10⁶ + 0.5⌋ — the
+    * established ln-quantization convention) so the five OLS power
+    * sums accumulate as exact DECIMAL(38,0) integers, map-side
+    * combined, with one double conversion per statistic at the end.
+    * Docs with fewer than 2 tokens are excluded (ln 0 / degenerate
+    * points). Output: (source, n_docs, beta, ln_k, r2) ordered by
+    * source; null statistics for degenerate (constant-x) sources.
+    */
+  def heapsLaw(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val D = org.apache.spark.sql.types.DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(D)
+    val toks = tokens(col(textCol))
+    val base = docs
+      .where(col(textCol).isNotNull && col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("source"),
+        size(toks).cast("long").as("nt"),
+        size(array_distinct(toks)).cast("long").as("nv"))
+      .where(col("nt") >= 2 && col("nv") >= 1)
+    val pts = base.select(col("source"),
+      floor(log(col("nt").cast("double")) * lit(1000000.0) + lit(0.5))
+        .cast("long").as("x"),
+      floor(log(col("nv").cast("double")) * lit(1000000.0) + lit(0.5))
+        .cast("long").as("y"))
+    val sums = pts.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"),
+        sum(d(col("y")) * d(col("y"))).as("syy"))
+    val num = (d(col("n")) * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val den = (d(col("n")) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    val deny = (d(col("n")) * col("syy") - col("sy") * col("sy"))
+      .cast("double")
+    sums.select(col("source"), col("n").cast("long").as("n_docs"),
+        when(den > 0d, num / den).as("beta"),
+        when(den > 0d,
+          (col("sy").cast("double") - (num / den) *
+            col("sx").cast("double")) / col("n").cast("double") /
+            lit(1000000.0)).as("ln_k"),
+        when(den > 0d && deny > 0d, num * num / (den * deny)).as("r2"))
+      .orderBy("source")
+  }
 }

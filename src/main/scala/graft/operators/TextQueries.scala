@@ -938,6 +938,53 @@ object TextQueries {
         .select(col("lang"), col("r.predicted").as("predicted"))
       graft.analytics.Evaluation.classificationReport(pred,
         col("lang"), col("predicted"))
+    },
+
+    // Heaps'-law vocabulary growth per source: OLS of ln(types) on
+    // ln(tokens) across docs — beta is the vocabulary-growth
+    // exponent, the "does this source's vocabulary actually grow or
+    // is it template soup" curation signal. Per-doc counts exact,
+    // each ln quantized to µln units, OLS power sums exact
+    // DECIMAL/HUGEINT integers, one double conversion per statistic.
+    Q("q238_heaps_law", Some("""
+      WITH t AS (
+        SELECT source, string_split_regex(trim(text), '\s+') AS tk
+        FROM documents
+        WHERE text IS NOT NULL AND source IS NOT NULL),
+      c AS (
+        SELECT source, CAST(len(tk) AS BIGINT) AS nt,
+          CAST(len(list_distinct(tk)) AS BIGINT) AS nv
+        FROM t),
+      p AS (
+        SELECT source,
+          CAST(floor(ln(CAST(nt AS DOUBLE)) * 1000000.0 + 0.5)
+            AS BIGINT) AS x,
+          CAST(floor(ln(CAST(nv AS DOUBLE)) * 1000000.0 + 0.5)
+            AS BIGINT) AS y
+        FROM c WHERE nt >= 2 AND nv >= 1),
+      s AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n,
+          SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+          SUM(CAST(x AS HUGEINT) * y) AS sxy,
+          SUM(CAST(x AS HUGEINT) * x) AS sxx,
+          SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM p GROUP BY source),
+      f AS (
+        SELECT source, n,
+          CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+          CAST(n * sxx - sx * sx AS DOUBLE) AS den,
+          CAST(n * syy - sy * sy AS DOUBLE) AS deny,
+          CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM s)
+      SELECT source, n AS n_docs,
+        CASE WHEN den > 0 THEN num / den END AS beta,
+        CASE WHEN den > 0 THEN
+          (syd - (num / den) * sxd) / CAST(n AS DOUBLE) / 1000000.0
+          END AS ln_k,
+        CASE WHEN den > 0 AND deny > 0 THEN
+          num * num / (den * deny) END AS r2
+      FROM f ORDER BY source""")) { (s, dir) =>
+      TA.heapsLaw(Tables.load(s, dir, "documents"), "source", "text")
     }
   )
 }

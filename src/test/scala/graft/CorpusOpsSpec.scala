@@ -426,4 +426,32 @@ class CorpusOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  test("heapsLaw: perfect V = N^0.5 source fits beta 0.5, r2 1; " +
+      "constant-N source is degenerate") {
+    import spark.implicits._
+    import graft.analytics.TextAnalysis
+    def doc(types: Int, reps: Int): String =
+      (0 until types).flatMap(t => Seq.fill(reps)(s"w$t")).mkString(" ")
+    val docs = Seq(
+      ("a", doc(2, 2)),   // N=4,  V=2
+      ("a", doc(4, 4)),   // N=16, V=4
+      ("a", doc(8, 8)),   // N=64, V=8
+      ("b", doc(3, 1)), ("b", doc(2, 1)), // constant N would be
+      ("b", doc(3, 1))) // needed for degenerate; b has N in {3,2}
+      .toDF("source", "text")
+    val got = TextAnalysis.heapsLaw(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("n_docs") === 3L)
+    assert(math.abs(a.getAs[Double]("beta") - 0.5) < 1e-3)
+    assert(math.abs(a.getAs[Double]("ln_k")) < 1e-2)
+    assert(math.abs(a.getAs[Double]("r2") - 1.0) < 1e-6)
+    // truly degenerate source: every doc the same token count
+    val deg = TextAnalysis.heapsLaw(
+      Seq(("c", doc(2, 2)), ("c", doc(4, 1))).toDF("source", "text"),
+      "source", "text").collect()(0)
+    assert(deg.getAs[Long]("n_docs") === 2L)
+    assert(deg.isNullAt(deg.fieldIndex("beta"))) // N=4 for both docs
+  }
 }
