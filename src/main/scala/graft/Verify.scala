@@ -18,20 +18,32 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     val only = SparkEntry.nameFilter()
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only(name) }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    dump(spark, sfDir, outDir, only)
+    spark.stop()
+  }
+
+  /** Write every selected query result to `outDir/<name>` parquet plus
+    * `oracle_sql.json` — the driver's Verify protocol, shared with the
+    * standing OracleContractSpec hash gate. Returns failed names. */
+  private[graft] def dump(spark: SparkSession, sfDir: String,
+      outDir: String, only: String => Boolean): Seq[String] = {
+    new java.io.File(outDir).mkdirs()
+    val failed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if only(name) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          Some(name)
+        }
+      case _ => None
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       oracleJson(SparkEntry.oracleSql.filter { case (k, _) => only(k) }))
-    spark.stop()
+    failed
   }
 
   /** The oracle map as one JSON object. Escapes backslash, quote, and

@@ -16,6 +16,44 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
+  /** The per-document corpus-prep verdict — the decision a
+    * training-data run makes for every crawled document, as ONE
+    * declarative plan: language-ID + composite quality score +
+    * exact-dup keep-first rank (all from a single corpus scan: one
+    * content-keyed window, then one generator barrier evaluating both
+    * per-row profiles exactly once) joined with eval-set shingle
+    * contamination against `bench`. Returns (idCol, predicted,
+    * quality_score, is_dup, contamination, kept) with kept = 1 iff
+    * predicted = `keepLang` ∧ quality ≥ `minQuality` ∧ first copy ∧
+    * contamination < `maxContam`. Factored from the q79 operator so
+    * composed pipelines (q240) run the identical verdict. */
+  def prepVerdict(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, keepLang: String, minQuality: Double,
+      maxContam: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(idCol)
+    val base = corpus
+      .withColumn("is_dup", (row_number().over(w) > 1).cast("int"))
+      .select(col(idCol), col("is_dup"),
+        explode(array(struct(
+          TextAnalysis.langProfile(col(textCol)).as("lp"),
+          TextAnalysis.qualityProfile(col(textCol)).as("qp")))).as("r"))
+      .select(col(idCol),
+        col("r.lp.predicted").as("predicted"),
+        col("r.qp.quality_score").as("quality_score"),
+        col("is_dup"))
+    val cont = contamination(corpus, bench, idCol, textCol, n = 5)
+      .select(col(idCol), col("contamination"))
+    val contaminationC = coalesce(col("contamination"), lit(0.0))
+    base.join(cont, Seq(idCol), "left")
+      .select(col(idCol), col("predicted"), col("quality_score"),
+        col("is_dup"), contaminationC.as("contamination"),
+        (col("predicted") === keepLang &&
+          col("quality_score") >= minQuality &&
+          col("is_dup") === 0 &&
+          contaminationC < maxContam).cast("int").as("kept"))
+  }
+
   /** PII patterns: email, dashed international-ish phone, IPv4. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"

@@ -372,6 +372,96 @@ object Dedup {
     out
   }
 
+  /** Consumer-grade near-duplicate entry point: ONE call that routes
+    * to the scale-appropriate tier — exact n-gram Jaccard
+    * ([[ngramJaccardPairs]]), MinHash+LSH ([[minHashLshCandidates]]),
+    * or SimHash multi-block Hamming ([[simHashNearDups]]) — so a user
+    * gets the scale-safe plan without reading three scaladocs.
+    *
+    * All tiers emit the SAME schema: (id_a, id_b, score, method) with
+    * id_a < id_b, score in [0,1] (exact Jaccard / estimated Jaccard /
+    * 1 − hamming÷64), method naming the tier that ran.
+    *
+    * `strategy = "auto"` selects from statistics that are free or
+    * one-linear-job at the scale where they are consulted:
+    *
+    *  1. `nDocs = docs.count()` (parquet answers from footers). Above
+    *     `spark.graft.nearDupsExactMaxDocs` (default 1,000,000) the
+    *     exact tier is not even measured — its Σ df² stats pass costs
+    *     a full shingle explode, and at that corpus size exact
+    *     verification is the documented quadratic risk. Routing:
+    *     `threshold ≥ spark.graft.nearDupsSimhashMinThreshold`
+    *     (default 0.9, the near-identical regime where hamming ≤ 3
+    *     on 64-bit simhash is the standard detector) → "simhash"
+    *     (map-only fingerprints + one bucket join); otherwise →
+    *     "lsh" (linear candidate generation, estimated-Jaccard
+    *     scoring at the caller's threshold).
+    *  2. At or below the doc ceiling, ONE scalar job over the
+    *     document-frequency frame (the same Σ df² / max-df statistics
+    *     [[ngramJaccardPairs]] computes internally, with the same
+    *     auto stop-shingle cap) prices the exact tier: within
+    *     `spark.graft.nearDupsExactMaxDf2` (default 256 M collision
+    *     rows — the sf3 rehearsal ran 513 M in 75 s, so 256 M keeps
+    *     the tier comfortably under a minute on one node) → "exact";
+    *     beyond it the corpus has saturated its shingle space and the
+    *     same threshold routing as (1) applies.
+    *
+    * Explicit `strategy = "exact" | "lsh" | "simhash"` bypasses
+    * selection. The LSH tier keeps its own shingle width (`lshN`,
+    * default 3) and 32×16 signature layout; the simhash tier detects
+    * hamming ≤ `simhashMaxHamming` (default 3) regardless of
+    * `threshold` — near-identity is its contract.
+    */
+  def nearDups(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, strategy: String = "auto",
+      lshN: Int = 3, simhashMaxHamming: Int = 3): DataFrame = {
+    require(Set("auto", "exact", "lsh", "simhash")(strategy),
+      s"unknown near-dup strategy '$strategy'")
+    val conf = docs.sparkSession.conf
+    val chosen = if (strategy != "auto") strategy else {
+      val maxDocs =
+        conf.get("spark.graft.nearDupsExactMaxDocs", "1000000").toLong
+      val maxDf2 =
+        conf.get("spark.graft.nearDupsExactMaxDf2", "256000000").toLong
+      val simhashMinT = conf
+        .get("spark.graft.nearDupsSimhashMinThreshold", "0.9").toDouble
+      val nDocs = docs.count()
+      val exactOk = nDocs <= maxDocs && {
+        // the one-job Σ df² price of the exact tier, with the same
+        // auto stop-shingle cap ngramJaccardPairs will apply
+        val floor =
+          conf.get("spark.graft.jaccardStopShingleFloor", "64").toInt
+        val fraction = conf
+          .get("spark.graft.jaccardStopShingleFraction", "0.01").toDouble
+        val cap = math.max(floor.toLong, math.ceil(fraction * nDocs).toLong)
+        val dfm = shingleIndex(docs, idCol, textCol, n)
+          .select(h60(col("shingle")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
+        val cost = dfm.agg(coalesce(
+            sum(when(col("df") <= cap, col("df") * col("df"))), lit(0L)))
+          .collect()(0).getLong(0)
+        cost <= maxDf2
+      }
+      if (exactOk) "exact"
+      else if (threshold >= simhashMinT) "simhash"
+      else "lsh"
+    }
+    val out = chosen match {
+      case "exact" =>
+        ngramJaccardPairs(docs, idCol, textCol, n, threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard").as("score"))
+      case "lsh" =>
+        minHashLshCandidates(docs, idCol, textCol, lshN)
+          .filter(col("est_jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"), col("est_jaccard").as("score"))
+      case "simhash" =>
+        simHashNearDups(docs, idCol, textCol, simhashMaxHamming)
+          .select(col("id_a"), col("id_b"),
+            (lit(1.0) - col("hamming").cast("double") / 64.0).as("score"))
+    }
+    out.withColumn("method", lit(chosen))
+  }
+
   /** MinHash signature: for seed i, min over the shingle set of the
     * universal hash `(a_i·h30(shingle) + b_i) mod P`. Docs with fewer
     * than n tokens have no signature (empty shingle set).

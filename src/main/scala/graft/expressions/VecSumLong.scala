@@ -48,7 +48,11 @@ case class VecSumLong(child: Expression, len: Int,
         s"vec_sum_long: row has ${a.numElements()} elements, expected $len")
       var i = 0
       while (i < len) {
-        buf(i) += a.getLong(i) // throws on null element by contract
+        // ArrayData.getLong on a null slot returns 0 silently (UnsafeArrayData
+        // zeroes it) — an explicit check is the only way to honor the contract.
+        if (a.isNullAt(i)) throw new IllegalArgumentException(
+          s"vec_sum_long: null element at index $i (nulls would corrupt the sum)")
+        buf(i) += a.getLong(i)
         i += 1
       }
     }

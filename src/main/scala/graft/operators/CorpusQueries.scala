@@ -284,32 +284,9 @@ object CorpusQueries {
         val d = Tables.load(s, dir, "documents")
           .where(col("text").isNotNull)
         val corpus = d.where(col("source") =!= "src0")
-        // language, quality, and dup rank in ONE corpus scan: the
-        // window runs on the raw rows, then one generator barrier
-        // evaluates both per-row profiles exactly once
-        val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-        val base = corpus
-          .withColumn("is_dup",
-            (row_number().over(w) > 1).cast("int"))
-          .select(col("doc_id"), col("is_dup"),
-            explode(array(struct(
-              TA.langProfile(col("text")).as("lp"),
-              TA.qualityProfile(col("text")).as("qp")))).as("r"))
-          .select(col("doc_id"),
-            col("r.lp.predicted").as("predicted"),
-            col("r.qp.quality_score").as("quality_score"),
-            col("is_dup"))
-        val cont = CorpusOps.contamination(corpus,
-            d.where(col("source") === "src0"), "doc_id", "text", n = 5)
-          .select(col("doc_id"), col("contamination"))
-        val contamination = coalesce(col("contamination"), lit(0.0))
-        base.join(cont, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("predicted"), col("quality_score"),
-            col("is_dup"), contamination.as("contamination"),
-            (col("predicted") === keepLang &&
-              col("quality_score") >= minQuality &&
-              col("is_dup") === 0 &&
-              contamination < maxContam).cast("int").as("kept"))
+        CorpusOps.prepVerdict(corpus,
+            d.where(col("source") === "src0"), "doc_id", "text",
+            keepLang, minQuality, maxContam)
           .orderBy("doc_id")
       }
     },

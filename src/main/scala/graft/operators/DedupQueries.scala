@@ -23,10 +23,10 @@ object DedupQueries {
        |  for i in generate_series(1, greatest(len(t) - ${n - 1}, 0))])"""
       .stripMargin
 
-  private def duckShingleIndex(n: Int): String =
+  private def duckShingleIndex(n: Int, from: String = "documents"): String =
     s"""SELECT doc_id, unnest(${duckShingles(n)}) AS shingle
        |FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
-       |      FROM documents)""".stripMargin
+       |      FROM $from)""".stripMargin
 
   /** Stop-shingle-capped 60-bit shingle index + per-doc set sizes,
     * mirroring [[Dedup.ngramJaccardPairs]]'s DEFAULT semantics: shingles
@@ -54,7 +54,8 @@ object DedupQueries {
   private val MhBands = 16
   private def mhAgree: String = (0 until MhNumHashes)
     .map(i => s"CAST(sa.mh_$i = sb.mh_$i AS INT)").mkString(" + ")
-  private def mhCtes: String = {
+  private def mhCtes: String = mhCtesFrom("documents")
+  private def mhCtesFrom(from: String): String = {
     val rows = MhNumHashes / MhBands
     val coeffs = (0 until MhNumHashes).map(Dedup.hashCoeffs)
     val mhExprs = coeffs.zipWithIndex.map { case ((a, b), i) =>
@@ -65,7 +66,7 @@ object DedupQueries {
         .map(i => s"mh_$i").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws('-', $ks) AS bkey FROM sig"
     }.mkString("\n        UNION ALL ")
-    s"""sh AS (${duckShingleIndex(3)}),
+    s"""sh AS (${duckShingleIndex(3, from)}),
       hashes AS (
         SELECT doc_id,
           CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % $P AS h
@@ -1164,6 +1165,183 @@ object DedupQueries {
           verifyChars = 240, maxRel = 0.2)
         .withColumn("is_dup", col("is_dup").cast("long"))
         .orderBy("id_a", "id_b")
+    },
+
+    // Consumer-grade auto-routed near-dup entry point: ONE call
+    // (Dedup.nearDups, strategy="auto") that picks the tier from the
+    // free strategy statistics (corpus size, capped Σ df²) instead of
+    // making the user read three scaladocs. At this corpus size the
+    // selector prices the exact tier under the 256 M-collision budget
+    // and routes "exact", so the oracle replays the capped exact
+    // Jaccard with the uniform (id_a, id_b, score, method) schema all
+    // tiers share; NearDupsAutoSpec pins the lsh/simhash switchovers
+    // the sf corpus can't reach.
+    Q("q239_neardups_auto", Some(s"""
+      WITH sh AS (${duckShingleIndex(3)}),
+      $duckCappedShingleCtes,
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM shh a JOIN shh b USING (h) WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+        CAST(inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) AS score,
+        'exact' AS method
+      FROM pairs
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE)
+        / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.5
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      Dedup.nearDups(Tables.load(s, dir, "documents"),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // The composed end-to-end corpus-prep pipeline — the full "raw
+    // crawl → training shards" story a user of the LLM tier runs
+    // first, as ONE registered query: q79's per-doc verdict (lang +
+    // quality + exact-dup + decontamination) → q97's LSH near-dup
+    // representatives over the KEPT docs → q191's greedy token-budget
+    // selection over the survivors → q106's sharded JSONL export with
+    // the manifest computed from what was READ BACK from disk. Every
+    // stage is the same library call its standalone query verifies;
+    // the oracle replays the whole chain (verdict CTEs → recursive-CC
+    // over kept-doc LSH pairs → budget window → manifest group-by).
+    // kept/keptdocs are MATERIALIZED: the prefix feeds the 16-way
+    // band UNION and would otherwise re-expand per reference.
+    {
+      val keepLang = "en"; val minQuality = 0.75; val maxContam = 0.5
+      val budget = 8000L; val S = 4
+      Q("q240_corpus_pipeline", Some(s"""
+      WITH RECURSIVE tok AS (
+        SELECT doc_id, source, text,
+          string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL),
+      corpus AS (SELECT * FROM tok WHERE source <> 'src0'),
+      lang AS (
+        SELECT doc_id, ${TextQueries.duckLangCase} AS predicted FROM (
+          SELECT doc_id,
+            ${TextQueries.duckLangScores}
+          FROM corpus)),
+      qual AS (
+        SELECT doc_id,
+          (CAST(n_tokens BETWEEN 20 AND 100000 AS INT)
+           + CAST(mean_token_len BETWEEN 3.0 AND 10.0 AS INT)
+           + CAST(stop_ratio >= 0.01 AS INT)
+           + CAST(punct_ratio <= 0.1 AS INT))::DOUBLE / 4 AS quality_score
+        FROM (
+          SELECT doc_id, len(t) AS n_tokens,
+            length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(t)::DOUBLE AS mean_token_len,
+            len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for')))::DOUBLE / len(t)::DOUBLE AS stop_ratio,
+            length(regexp_replace(text, '[^.,!?;:]', '', 'g'))::DOUBLE / greatest(length(text), 1)::DOUBLE AS punct_ratio
+          FROM corpus)),
+      dup AS (
+        SELECT doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY md5(text)
+            ORDER BY doc_id) > 1 AS INT) AS is_dup
+        FROM corpus),
+      sh5 AS (
+        SELECT doc_id, source,
+          unnest(list_distinct(CASE WHEN len(t) >= 5
+            THEN list_transform(generate_series(1, len(t) - 4),
+                 i -> array_to_string(t[i:i+4], ' '))
+            ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+        FROM tok),
+      bench5 AS (SELECT DISTINCT shingle FROM sh5 WHERE source = 'src0'),
+      cont AS (
+        SELECT c.doc_id,
+          CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS contamination
+        FROM (SELECT doc_id, shingle FROM sh5 WHERE source <> 'src0') c
+        LEFT JOIN bench5 b USING (shingle)
+        GROUP BY 1),
+      kept AS MATERIALIZED (
+        SELECT c.doc_id
+        FROM (SELECT doc_id FROM corpus) c
+        JOIN lang l USING (doc_id)
+        JOIN qual q USING (doc_id)
+        JOIN dup d USING (doc_id)
+        LEFT JOIN cont ct USING (doc_id)
+        WHERE l.predicted = '$keepLang' AND q.quality_score >= $minQuality
+          AND d.is_dup = 0
+          AND COALESCE(ct.contamination, 0.0) < $maxContam),
+      keptdocs AS MATERIALIZED (
+        SELECT d.doc_id, d.text, d.n_chars
+        FROM documents d JOIN kept USING (doc_id)),
+      ${mhCtesFrom("keptdocs")},
+      scored AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE ($mhAgree) * 2 >= $MhNumHashes),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM scored
+        UNION SELECT id_b, id_a FROM scored),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+      labels AS (
+        SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+      assigned AS (
+        SELECT k.doc_id, COALESCE(l.rep, k.doc_id) AS rep
+        FROM keptdocs k LEFT JOIN labels l USING (doc_id)),
+      reps AS (
+        SELECT rep AS doc_id FROM assigned GROUP BY rep),
+      bd AS (
+        SELECT r.doc_id, CAST(d.n_chars AS BIGINT) AS score,
+          CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+            AS toks
+        FROM reps r JOIN documents d USING (doc_id)),
+      br AS (
+        SELECT doc_id,
+          SUM(toks) OVER (ORDER BY score DESC,
+            md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM bd),
+      sel AS (SELECT doc_id FROM br WHERE cum <= $budget),
+      seld AS (SELECT d.* FROM documents d JOIN sel USING (doc_id))
+      SELECT CAST(doc_id % $S AS BIGINT) AS shard,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+          AS n_tokens,
+        CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+        CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      FROM seld GROUP BY 1 ORDER BY shard""")) { (s, dir) =>
+        val d = Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull)
+        val corpus = d.where(col("source") =!= "src0")
+        val verdict = graft.analytics.CorpusOps.prepVerdict(corpus,
+          d.where(col("source") === "src0"), "doc_id", "text",
+          keepLang, minQuality, maxContam)
+        val keptDocs = corpus.join(
+          verdict.where(col("kept") === 1).select("doc_id"),
+          Seq("doc_id"))
+        val cand = Dedup.minHashLshCandidates(keptDocs, "doc_id",
+            "text", n = 3, numHashes = MhNumHashes, bands = MhBands)
+          .where(col("est_jaccard") >= 0.5)
+        val reps = Dedup.keepRepresentatives(
+          keptDocs.select("doc_id"), "doc_id", cand)
+        val repDocs = reps.select("doc_id").join(corpus, Seq("doc_id"))
+          .withColumn("toks",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+        val sel = graft.analytics.Sampling.tokenBudgetSelect(
+          repDocs, "doc_id", "n_chars", "toks", budget)
+        val selDocs = corpus.join(sel.select("doc_id"), Seq("doc_id"))
+        val out = Q.scratchPath("q240jsonl", dir)
+        val back = graft.warehouse.Writer.exportJsonlSharded(
+          selDocs, "doc_id", out, shards = S)
+        back.groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(trim(col("text")), "\\s+")).cast("long"))
+              .as("n_tokens"),
+            sum(octet_length(col("text")).cast("long")).as("n_bytes"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy("shard")
+      }
     }
   )
 }

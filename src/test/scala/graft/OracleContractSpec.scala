@@ -83,19 +83,24 @@ class OracleContractSpec extends SparkSpec {
         s"cannot dtype-match them):\n${bad.mkString("\n")}")
   }
 
-  test("spark row counts match DuckDB at sf0.001") {
-    val duck = requireHarness()
-    val mismatches = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        duck.get(name).flatMap { case (rowsOpt, _, _) =>
-          rowsOpt.flatMap { want =>
-            val got = Try(fn(spark, sfDir).count()).getOrElse(-1L)
-            if (got == want) None
-            else Some(s"$name: spark=$got duck=$want")
-          }
-        }
-    }
-    assert(mismatches.isEmpty,
-      s"row-count drift at sf0.001:\n${mismatches.mkString("\n")}")
+  test("full value-hash parity with DuckDB at sf0.001 (driver gate)") {
+    requireHarness() // same tooling preconditions (python3 + duckdb)
+    assume(Try(Runtime.getRuntime.exec(
+        Array("python3", "-c", "import pandas, numpy")).waitFor())
+      .toOption.contains(0), "pandas/numpy not available")
+    val outDir = tmpDir("graft-verify-sf0001")
+    val failed = Verify.dump(spark, sfDir, outDir, _ => true)
+    assert(failed.isEmpty, s"queries failed to execute: $failed")
+    val out = new StringBuilder
+    val code = Try {
+      import scala.sys.process._
+      Seq("python3", "tools/check_oracle.py", sfDir, outDir)
+        .!(ProcessLogger(l => out.append(l).append('\n'),
+          l => out.append(l).append('\n')))
+    }.getOrElse(-1)
+    val report = out.toString.linesIterator
+      .filterNot(_.startsWith("PASS")).mkString("\n")
+    assert(code == 0,
+      s"check_oracle.py gate failed (rows/schema/dtype/hash):\n$report")
   }
 }

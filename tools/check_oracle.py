@@ -138,7 +138,8 @@ def main(sf_dir, out_dir):
                 print(f"  spark cols: {list(got.columns)}")
                 print(f"  duck  cols: {list(want.columns)}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_lint} type-lint warnings")
+    # lints are hard failures (they gate the exit code), not warnings
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_lint} type-lint errors")
     sys.exit(1 if (n_fail or n_lint) else 0)
 
 

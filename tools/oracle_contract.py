@@ -43,7 +43,10 @@ def main(sf_dir, oracle_path):
             entry["rows"] = con.sql(
                 f"SELECT count(*) FROM ({sql})").fetchone()[0]
         except Exception as e:
-            entry["error"] = str(e).split("\n")[0][:500]
+            # braces would break OracleContractSpec's fixed-shape JSON
+            # parse and surface as a misleading "not reported" failure
+            msg = str(e).split("\n")[0][:500]
+            entry["error"] = msg.replace("{", "(").replace("}", ")")
         out[name] = entry
     json.dump(out, sys.stdout)
 
