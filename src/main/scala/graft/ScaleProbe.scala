@@ -102,6 +102,64 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"containskew","n":$n,"mode":"$abMode",""" +
           f""""pairs":$rows,"sec":$sec%.3f}""")
+      case "embdedup" :: sfDir :: bits :: rest =>
+        // Scale-rule probe for the bucketed embedding near-dup tier:
+        // candidates ≈ tables·n²/2^bits, so LINEAR scaling needs
+        // 2^bits ∝ n (constant expected bucket size), with `tables`
+        // carrying recall as per-table recall thins at higher bits.
+        // The oracled q22 pins bits=8 for the DuckDB replay; this
+        // probe measures the at-scale configuration.
+        val tables = rest.headOption.map(_.toInt).getOrElse(2)
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        emb.count(): Unit // warm the scan, untimed
+        val t0 = System.nanoTime()
+        val n = graft.analytics.Dedup.embeddingNearDupsBucketed(
+          emb, "vec_id", "embedding", threshold = 0.35,
+          bits = bits.toInt, tables = tables).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"embdedup","sf":"$sfDir","bits":${bits.toInt},""" +
+          f""""tables":$tables,"pairs":$n,"sec":$sec%.3f}""")
+      case "sqlsurface" :: sfDir :: _ =>
+        // A/B for the q231-vs-q63 cost question: the IDENTICAL
+        // kmv_distinct aggregation over the SAME table (lineitem),
+        // once through the Column API (q63's form) and once through
+        // the temp-view + spark.sql text path (q231's form). If the
+        // two times match, the q231/q63 bench gap is the 6× data-size
+        // difference (lineitem vs events), not a SQL-surface tax.
+        import org.apache.spark.sql.functions._
+        import graft.analytics.{Dedup, Sketches}
+        val li = Tables.load(spark, sfDir, "lineitem")
+        li.count(): Unit // warm the scan, untimed
+        def timed(f: => Unit): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        def colForm(): Unit = li
+          .filter(col("l_partkey").isNotNull)
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).cast("long")
+              .as("exact_distinct"),
+            Sketches.kmvDistinct(
+              Dedup.h30(col("l_partkey").cast("string")), 64)
+              .as("kmv_estimate"))
+          .orderBy("l_returnflag")
+          .write.format("noop").mode("overwrite").save()
+        def sqlForm(): Unit = {
+          li.createOrReplaceTempView("probe_li")
+          spark.sql(s"""
+            SELECT l_returnflag,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+              kmv_distinct(
+                CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 8),
+                  16, 10) AS BIGINT) % ${Dedup.P}, 64) AS kmv_estimate
+            FROM probe_li WHERE l_partkey IS NOT NULL
+            GROUP BY l_returnflag ORDER BY l_returnflag""")
+            .write.format("noop").mode("overwrite").save()
+        }
+        colForm(); sqlForm() // untimed codegen warmup for both forms
+        val tc = List.fill(3)(timed(colForm())).sorted.apply(1)
+        val ts = List.fill(3)(timed(sqlForm())).sorted.apply(1)
+        println(f"""{"probe":"sqlsurface","sf":"$sfDir",""" +
+          f""""column_sec":$tc%.3f,"sql_sec":$ts%.3f}""")
       case other =>
         System.err.println(s"unknown probe args: $other")
         sys.exit(2)

@@ -1375,6 +1375,38 @@ object Dedup {
       .select("id_a", "id_b", "score")
   }
 
+  /** [[embeddingNearDupsBucketed]] with the bucket width chosen FROM
+    * THE CORPUS — the consumer-grade default for the tier. A fixed
+    * `bits` is a scale bug, not a tuning knob: candidates are
+    * ≈ tables·n²/2^bits, so any pinned width turns quadratic once n
+    * outgrows it (the r15 sf10 rehearsal measured the oracled bits=8
+    * form at 228× wall for 10× vectors). Linear scaling needs a
+    * CONSTANT expected bucket size, i.e. 2^bits ∝ n: this picks
+    * `bits = clamp(⌈log₂(n / targetBucket)⌉, 1, 24)` from one
+    * count(*) (parquet answers it from footer metadata). Re-measured
+    * under that rule the same decade step ran 3.9 s → 15.0 s (3.8×
+    * for 10× vectors, bits 11→14). Per-table recall thins as buckets
+    * narrow; `tables` (independent hyperplane sets, OR-amplified) is
+    * the recall knob that compensates — the standard multi-table
+    * sign-LSH trade.
+    */
+  def embeddingNearDupsAuto(emb: DataFrame, idCol: String,
+      embCol: String, threshold: Double, targetBucket: Int = 32,
+      dim: Int = 64, tables: Int = 2): DataFrame = {
+    require(targetBucket >= 1, "targetBucket must be >= 1")
+    embeddingNearDupsBucketed(emb, idCol, embCol, threshold,
+      autoSignBits(emb.count(), targetBucket), dim, tables)
+  }
+
+  /** The 2^bits ∝ n rule behind [[embeddingNearDupsAuto]], pinned by
+    * spec: smallest width giving expected bucket ≤ `targetBucket`,
+    * clamped to [1, 24]. */
+  private[graft] def autoSignBits(n: Long, targetBucket: Int): Int = {
+    val raw = math.ceil(
+      math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2.0))
+    math.min(24, math.max(1, raw.toInt))
+  }
+
   /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995) —
     * the THIRD blocking family next to LSH banding and PPJoin prefix
     * filtering, and the one that wins when near-dups share a PREFIX

@@ -1342,6 +1342,42 @@ object DedupQueries {
             max(col("doc_id")).as("max_doc"))
           .orderBy("shard")
       }
+    },
+
+    // Auto-width embedding near-dup (the q22 tier made scale-safe):
+    // bits = clamp(⌈log₂(n/32)⌉, 1, 24) chosen from one count(*), so
+    // expected bucket size stays constant as the corpus grows — the
+    // r15 sf10 rehearsal measured the pinned-bits form at 228×/10×
+    // data and this rule at 3.8×. The oracle can't compute a dynamic
+    // hyperplane count, so it unrolls one candidate branch per bits
+    // value with COUNT(*)-gated ranges matching autoSignBits (n ≤ 64
+    // → 1 … 1024 < n ≤ 2048 → 6, covering every driver sf);
+    // AutoSignBitsSpec pins the rule itself across the full range.
+    {
+      val thr = 0.35; val targetBucket = 32
+      def branch(bits: Int): String = {
+        val lo = if (bits == 1) 0L else 32L << (bits - 1)
+        val hi = 32L << bits
+        s"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${SimilarityQueries.duckCosine(
+            "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS score
+        FROM embeddings a JOIN embeddings b
+          ON ${SimilarityQueries.duckAnyBucketMatch("a", "b", bits)}
+         AND a.vec_id < b.vec_id
+        WHERE (SELECT c FROM nn) > $lo AND (SELECT c FROM nn) <= $hi"""
+      }
+      Q("q241_embdedup_auto", Some(s"""
+      WITH nn AS (SELECT count(*) AS c FROM embeddings),
+      cand AS (${(1 to 6).map(branch).mkString("\n        UNION ALL\n")})
+      SELECT id_a, id_b, score FROM cand
+      WHERE score >= $thr
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+        Dedup.embeddingNearDupsAuto(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", threshold = thr,
+            targetBucket = targetBucket)
+          .orderBy("id_a", "id_b")
+      }
     }
   )
 }
