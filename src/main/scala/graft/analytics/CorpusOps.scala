@@ -304,6 +304,66 @@ object CorpusOps {
           .as("chunk_hash"))
   }
 
+  /** Chunk-level eval-set decontamination — the span-removal variant
+    * of [[contamination]]: instead of scoring (and possibly dropping)
+    * whole documents, each document is cut into non-overlapping
+    * `window`-token chunks and a chunk is DROPPED iff it contains any
+    * `n`-gram that appears in the benchmark set. This is what
+    * production decontamination actually ships (drop the quoted
+    * benchmark passage, keep the surrounding document).
+    *
+    * Scale shape: one map-side chunk+shingle explode over the corpus,
+    * one equi-join against the (distinct, benchmark-sized — broadcast
+    * while small) shingle set, two map-side-combined aggregations
+    * (chunk verdict, then per-doc stats). No window over corpus rows,
+    * no driver state.
+    *
+    * Chunks shorter than `n` tokens carry no n-gram and are always
+    * kept — identical semantics on both engines (empty shingle
+    * generation, not a special case). Returns per doc: (doc_id,
+    * n_chunks, n_kept, n_dropped, kept_tokens).
+    */
+  def decontaminateChunks(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, window: Int, n: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(n > 0, "n must be positive")
+    val benchSh = Dedup.shingleIndex(bench, idCol, textCol, n)
+      .select("shingle").distinct().withColumn("hit", lit(1L))
+    val chunks = corpus.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        Dedup.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+          lit(window))).as("start"), col("toks"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / window).cast("long").as("chunk_idx"),
+        slice(col("toks"), col("start"), lit(window)).as("ctoks"))
+      .withColumn("n_chunk_tokens", size(col("ctoks")).cast("long"))
+    // guard the sequence upper bound: sequence(1, 0) counts DOWN in
+    // Spark, so a chunk shorter than n must take the empty branch
+    val chunkShingles = when(size(col("ctoks")) >= n,
+      transform(sequence(lit(1), size(col("ctoks")) - (n - 1)),
+        i => array_join(slice(col("ctoks"), i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val shingled = chunks.select(col("doc_id"), col("chunk_idx"),
+      col("n_chunk_tokens"),
+      explode(concat(array(lit(null).cast("string")), chunkShingles))
+        .as("shingle"))
+    // the null sentinel keeps shingle-less chunks (len < n) in the
+    // frame with zero join hits, so the verdict aggregation sees them
+    val verdict = shingled
+      .join(benchSh, Seq("shingle"), "left")
+      .groupBy("doc_id", "chunk_idx")
+      .agg(first(col("n_chunk_tokens")).as("n_chunk_tokens"),
+        coalesce(max(col("hit")), lit(0L)).as("dropped"))
+    verdict.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(lit(1L) - col("dropped")).as("n_kept"),
+        sum(col("dropped")).as("n_dropped"),
+        sum(when(col("dropped") === 0L, col("n_chunk_tokens"))
+          .otherwise(lit(0L))).as("kept_tokens"))
+  }
+
   /** Exact substring dedup statistics (the ExactSubstr pass of Lee et
     * al. 2022, "Deduplicating Training Data Makes Language Models
     * Better"): every stride-1 window of `k` tokens whose content

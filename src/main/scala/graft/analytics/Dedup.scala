@@ -1220,6 +1220,69 @@ object Dedup {
     docs.join(kept, Seq(idCol))
   }
 
+  /** Quality-aware dedup apply — [[keepRepresentatives]] keeping the
+    * BEST-scored member of each near-dup cluster instead of the
+    * min-id one (what production pipelines actually do: Dolma keeps
+    * the longest document, quality-filtered corpora keep the highest
+    * classifier score). Tie-break is min doc id, so the choice is
+    * deterministic under any partitioning. `docs` must carry an
+    * integer-comparable `scoreCol`. Returns the kept docs' rows plus
+    * n_members — same contract as [[keepRepresentatives]], different
+    * survivor.
+    *
+    * Scale shape: cluster labels from the same star-contraction CC;
+    * the survivor per cluster is one max(struct(score, −id)) hash
+    * aggregation (map-side partials) — no window over corpus rows.
+    */
+  def keepBestRepresentatives(docs: DataFrame, idCol: String,
+      scoreCol: String, pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val clusters = connectedComponentsStar(pairs, aCol, bCol,
+        materializeResult = false)
+      .withColumnRenamed("doc_id", idCol)
+    val best = docs.select(col(idCol), col(scoreCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_rep"), col(idCol)).as("__rep"),
+        col(scoreCol).cast("long").as("__score"))
+      .groupBy("__rep")
+      .agg(max(struct(col("__score"), (-col(idCol)).as("__negid")))
+          .as("__b"),
+        count(lit(1)).as("n_members"))
+      .select((-col("__b.__negid")).as(idCol), col("n_members"))
+    docs.join(best, Seq(idCol))
+  }
+
+  /** Dedup-aware train/validation split — the leakage guard a
+    * training pipeline needs between dedup and sharding: assignment
+    * is by CLUSTER, not by document, so two near-duplicates can never
+    * straddle the split (the classic eval-leak: train on doc A,
+    * validate on its near-copy B). Each doc's cluster rep (from the
+    * same star-contraction CC; singletons are their own rep) is
+    * hashed with [[h30]] and the cluster goes to "val" when
+    * `h30(rep) mod 100 < valPct`, else "train" — deterministic, no
+    * rand(), stable as the corpus grows (a cluster's side never
+    * changes when unrelated docs arrive, because it depends only on
+    * its own rep id).
+    *
+    * Returns (doc_id, rep, split) for every doc in `docs`.
+    */
+  def clusterSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      valPct: Int, aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    require(valPct >= 0 && valPct <= 100, "valPct must be in [0, 100]")
+    val clusters = connectedComponentsStar(pairs, aCol, bCol,
+        materializeResult = false)
+      .withColumnRenamed("doc_id", idCol)
+    docs.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_rep"), col(idCol)).as("rep"))
+      .withColumn("split",
+        when(pmod(h30(col("rep").cast("string")), lit(100L)) < valPct,
+          lit("val")).otherwise(lit("train")))
+  }
+
   /** Incremental dedup assignment — what a production corpus pipeline
     * runs per ingest batch: given the EXISTING corpus's cluster
     * assignments (append-only; old clusters never move) and the

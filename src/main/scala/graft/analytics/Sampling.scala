@@ -170,6 +170,63 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Mixture-weighted corpus selection — [[tokenBudgetSelect]] run
+    * under PER-GROUP budgets (the "data mixture" a training run
+    * specifies: so many tokens of web, so many of code, …): within
+    * each listed group, greedily keep the best-scored docs until that
+    * group's token budget is spent; groups absent from `budgets` are
+    * dropped (the mixture is a whitelist).
+    *
+    * Scale shape mirrors [[tokenBudgetSelect]] exactly, with every
+    * window additionally keyed by the group: the budget map joins in
+    * as a broadcast literal frame; the cumsum window runs over the
+    * (group × distinct score) value-domain frame, never corpus rows;
+    * only each group's single boundary score ranks its docs by
+    * (md5(id), id). No global sort at any size.
+    *
+    * Returns (doc_id, g, score, toks) of selected docs, ordered by
+    * doc_id. Deterministic: integer scores, exact cumsums, hash ties.
+    */
+  def mixtureSelect(docs: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, tokensCol: String,
+      budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must list at least one group")
+    require(budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val d = docs.select(col(groupCol).as("g"), col(idCol).as("doc_id"),
+        col(scoreCol).cast("long").as("score"),
+        col(tokensCol).cast("long").as("toks"))
+      .where(col("doc_id").isNotNull && col("g").isNotNull &&
+        col("score").isNotNull && col("toks").isNotNull &&
+        col("toks") >= 0)
+    val bud = budgets.toSeq.sortBy(_._1).toDF("g", "budget")
+    val dd = d.join(broadcast(bud), Seq("g"))
+    val perScore = dd.groupBy("g", "score")
+      .agg(sum(col("toks")).as("t"), first(col("budget")).as("budget"))
+    val wDesc = Window.partitionBy("g").orderBy(col("score").desc)
+      .rowsBetween(Long.MinValue, -1)
+    val cum = perScore.withColumn("above",
+      coalesce(sum(col("t")).over(wDesc), lit(0L)))
+    val full = cum.where(col("above") + col("t") <= col("budget"))
+      .select("g", "score")
+    val boundary = cum
+      .where(col("above") <= col("budget") &&
+        col("above") + col("t") > col("budget"))
+      .select(col("g"), col("score"),
+        (col("budget") - col("above")).as("rem"))
+    val kept = dd.join(full, Seq("g", "score"), "left_semi")
+    val wTie = Window.partitionBy("g", "score")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val partial = dd.join(boundary, Seq("g", "score"))
+      .withColumn("__cum", sum(col("toks")).over(wTie))
+      .where(col("__cum") <= col("rem"))
+    kept.select("doc_id", "g", "score", "toks")
+      .unionByName(partial.select("doc_id", "g", "score", "toks"))
+      .orderBy("doc_id")
+  }
+
   /** Training-order shuffle audit: given the deterministic global
     * hash order a pipeline would emit examples in (md5 of the id —
     * the same order [[hashFraction]]/[[capPerGroup]] key off), how

@@ -291,6 +291,58 @@ object CorpusQueries {
       }
     },
 
+    // Chunk-level decontamination — the span-removal variant of q68:
+    // a 32-token chunk is dropped iff it contains ANY benchmark
+    // (src0) 5-gram; the doc keeps its clean chunks (what production
+    // decontamination ships — cut the quoted passage, keep the doc).
+    // One shingle equi-join + two hash aggregations; the oracle
+    // replays chunking, in-chunk shingles, and the any-hit verdict.
+    Q("q243_decontaminate_chunks", Some("""
+      WITH tok AS (
+        SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL),
+      bench AS (
+        SELECT DISTINCT unnest(list_distinct(CASE WHEN len(t) >= 5
+          THEN list_transform(generate_series(1, len(t) - 4),
+               i -> array_to_string(t[i:i+4], ' '))
+          ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+        FROM tok WHERE source = 'src0'),
+      ch AS (
+        SELECT doc_id, CAST((start - 1) // 32 AS BIGINT) AS chunk_idx,
+          t[start:start+31] AS ctoks
+        FROM (SELECT doc_id, t,
+                unnest(generate_series(1, greatest(len(t), 1), 32))
+                  AS start
+              FROM tok WHERE source <> 'src0')),
+      chs AS (
+        SELECT doc_id, chunk_idx,
+          CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+          unnest(list_concat(CAST([NULL] AS VARCHAR[]),
+            CASE WHEN len(ctoks) >= 5
+              THEN list_transform(generate_series(1, len(ctoks) - 4),
+                   i -> array_to_string(ctoks[i:i+4], ' '))
+              ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+        FROM ch),
+      v AS (
+        SELECT doc_id, chunk_idx, MIN(n_chunk_tokens) AS n_chunk_tokens,
+          MAX(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS dropped
+        FROM chs LEFT JOIN bench b USING (shingle)
+        GROUP BY 1, 2)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(1 - dropped) AS BIGINT) AS n_kept,
+        CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+        CAST(SUM(CASE WHEN dropped = 0 THEN n_chunk_tokens ELSE 0 END)
+          AS BIGINT) AS kept_tokens
+      FROM v GROUP BY 1 ORDER BY doc_id""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      CorpusOps.decontaminateChunks(
+          d.where(col("source") =!= "src0"),
+          d.where(col("source") === "src0"),
+          "doc_id", "text", window = 32, n = 5)
+        .orderBy("doc_id")
+    },
+
     // Corpus-wide exact paragraph dedup (C4/Dolma pass): later
     // occurrences of a repeated paragraph are dropped, documents are
     // reassembled from survivors. Paragraph = non-overlapping 3-token

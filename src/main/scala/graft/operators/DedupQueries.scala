@@ -1378,6 +1378,89 @@ object DedupQueries {
             targetBucket = targetBucket)
           .orderBy("id_a", "id_b")
       }
+    },
+
+    // Quality-aware dedup apply: q97's LSH clusters, but each cluster
+    // keeps its BEST-scored member (n_chars as the quality key, min
+    // doc id on ties) instead of the min id — what Dolma-style
+    // pipelines ship (keep the longest/highest-quality copy). One
+    // max(struct) hash aggregation per cluster; the oracle picks the
+    // survivor with a per-cluster ROW_NUMBER.
+    Q("q244_dedup_keep_best", Some(s"""
+      WITH RECURSIVE $mhCtes,
+      scored AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE ($mhAgree) * 2 >= $MhNumHashes),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM scored
+        UNION SELECT id_b, id_a FROM scored),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+      labels AS (
+        SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+      assigned AS (
+        SELECT d.doc_id, d.n_chars, COALESCE(l.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN labels l USING (doc_id)),
+      best AS (
+        SELECT rep, doc_id, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY rep
+            ORDER BY n_chars DESC, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY rep) AS n_members
+        FROM assigned)
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(n_chars AS BIGINT) AS n_chars,
+        CAST(n_members AS BIGINT) AS n_members
+      FROM best WHERE rn = 1 ORDER BY doc_id""")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text",
+          n = 3, numHashes = MhNumHashes, bands = MhBands)
+        .where(col("est_jaccard") >= 0.5)
+      Dedup.keepBestRepresentatives(
+          docs.select(col("doc_id"), col("n_chars").cast("long")
+            .as("n_chars")), "doc_id", "n_chars", cand)
+        .orderBy("doc_id")
+    },
+
+    // Dedup-aware train/val split: assignment by CLUSTER rep hash,
+    // never by document, so near-duplicates cannot straddle the split
+    // (the classic eval leak). Deterministic h30(rep) % 100 rule —
+    // stable as the corpus grows; the oracle replays the CC labels
+    // and the same md5-derived arithmetic.
+    Q("q245_cluster_split", Some(s"""
+      WITH RECURSIVE $mhCtes,
+      scored AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE ($mhAgree) * 2 >= $MhNumHashes),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM scored
+        UNION SELECT id_b, id_a FROM scored),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+      labels AS (
+        SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+      assigned AS (
+        SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN labels l USING (doc_id))
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        CAST(rep AS BIGINT) AS rep,
+        CASE WHEN (CAST('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+            AS BIGINT) % $P) % 100 < 10
+          THEN 'val' ELSE 'train' END AS split
+      FROM assigned ORDER BY doc_id""")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text",
+          n = 3, numHashes = MhNumHashes, bands = MhBands)
+        .where(col("est_jaccard") >= 0.5)
+      Dedup.clusterSplit(docs, "doc_id", cand, valPct = 10)
+        .orderBy("doc_id")
     }
   )
 }

@@ -626,6 +626,43 @@ object MiscQueries {
         "n_chars", "toks", budget = 12000L)
     },
 
+    // Mixture-weighted selection: the q191 greedy budget run under
+    // PER-SOURCE token budgets (the data-mixture spec of a training
+    // run; sources missing from the mixture are dropped). Spark runs
+    // the two-phase value-domain cumsum per group; the oracle runs
+    // the naive per-group window prefix — identical selected set.
+    {
+      val budgets = Map("src1" -> 900L, "src3" -> 500L, "src7" -> 300L)
+      val budgetValues = budgets.toSeq.sortBy(_._1)
+        .map { case (g, b) => s"('$g', $b)" }.mkString(", ")
+      Q("q242_mixture_select", Some(s"""
+      WITH d AS (
+        SELECT doc_id, source AS g, CAST(n_chars AS BIGINT) AS score,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+            AS toks
+        FROM documents
+        WHERE doc_id IS NOT NULL AND source IS NOT NULL
+          AND n_chars IS NOT NULL AND text IS NOT NULL),
+      b AS (SELECT * FROM (VALUES $budgetValues) AS t(g, budget)),
+      r AS (
+        SELECT d.doc_id, d.g, d.score, d.toks, b.budget,
+          SUM(d.toks) OVER (PARTITION BY d.g ORDER BY d.score DESC,
+            md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM d JOIN b USING (g))
+      SELECT doc_id, g AS source, score, toks FROM r
+      WHERE cum <= budget
+      ORDER BY doc_id""")) { (s, dir) =>
+        val d = Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .withColumn("toks",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+        graft.analytics.Sampling.mixtureSelect(d, "doc_id", "source",
+            "n_chars", "toks", budgets)
+          .withColumnRenamed("g", "source")
+      }
+    },
+
     // Training-order shuffle audit: within 8 hash buckets of the
     // deterministic md5 emit order, count adjacent same-source pairs
     // — per-bucket windows, never one global sort; the 7 boundary
