@@ -214,7 +214,22 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Option[Int] = None,
-      autoStopShingles: Boolean = true): DataFrame = {
+      autoStopShingles: Boolean = true): DataFrame =
+    ngramJaccardPairsImpl(docs, idCol, textCol, n, threshold, maxDf,
+      autoStopShingles, abortBudget = None).get
+
+  /** [[ngramJaccardPairs]] that ABORTS (returns None, one scalar job
+    * spent) when the capped Σ df² exceeds `abortBudget` — the
+    * [[nearDups]] auto-router's exact-tier probe. Threading the
+    * budget here instead of pre-pricing in the router means the
+    * shingle index and the strategy statistics are built ONCE and
+    * reused by the exact tier when it qualifies (the r15 bench
+    * measured the separate pre-pricing pass costing q239 ~2× the
+    * plain q19 run at sf1). */
+  private def ngramJaccardPairsImpl(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double, maxDf: Option[Int],
+      autoStopShingles: Boolean,
+      abortBudget: Option[Long]): Option[DataFrame] = {
     val conf = docs.sparkSession.conf
     val effMaxDf: Option[Int] = maxDf.orElse {
       if (!autoStopShingles) None
@@ -255,6 +270,10 @@ object Dedup {
       coalesce(sum(when(inCap, col("df"))), lit(0L)),
       coalesce(max(col("df")), lit(0L))).collect()(0)
     val cost = statsRow.getLong(0)
+    if (abortBudget.exists(cost > _)) {
+      sh0.unpersist(false)
+      return None
+    }
     val nPostings = statsRow.getLong(1)
     val capActive = effMaxDf.exists(m => statsRow.getLong(2) > m)
     val dfm = if (capActive) dfm0.filter(col("df") <= effMaxDf.get)
@@ -369,7 +388,7 @@ object Dedup {
     // be a lineage-cutting checkpoint, not persist+count
     val out = materialize(result)
     sh0.unpersist(false)
-    out
+    Some(out)
   }
 
   /** Consumer-grade near-duplicate entry point: ONE call that routes
@@ -396,15 +415,18 @@ object Dedup {
     *     (map-only fingerprints + one bucket join); otherwise →
     *     "lsh" (linear candidate generation, estimated-Jaccard
     *     scoring at the caller's threshold).
-    *  2. At or below the doc ceiling, ONE scalar job over the
-    *     document-frequency frame (the same Σ df² / max-df statistics
-    *     [[ngramJaccardPairs]] computes internally, with the same
-    *     auto stop-shingle cap) prices the exact tier: within
+    *  2. At or below the doc ceiling, the exact tier PRICES ITSELF:
+    *     [[ngramJaccardPairs]]'s own strategy-stats job (Σ df² with
+    *     the auto stop-shingle cap) runs with an abort budget of
     *     `spark.graft.nearDupsExactMaxDf2` (default 256 M collision
     *     rows — the sf3 rehearsal ran 513 M in 75 s, so 256 M keeps
-    *     the tier comfortably under a minute on one node) → "exact";
-    *     beyond it the corpus has saturated its shingle space and the
-    *     same threshold routing as (1) applies.
+    *     the tier comfortably under a minute on one node). Within
+    *     budget → "exact", with the already-built shingle index
+    *     reused (no pre-pricing pass — the r15 bench measured a
+    *     separate pricing pass costing ~2× plain q19 at sf1); beyond
+    *     it the corpus has saturated its shingle space, the probe
+    *     aborts after one scalar job, and the threshold routing of
+    *     (1) applies.
     *
     * Explicit `strategy = "exact" | "lsh" | "simhash"` bypasses
     * selection. The LSH tier keeps its own shingle width (`lshN`,
@@ -418,48 +440,46 @@ object Dedup {
     require(Set("auto", "exact", "lsh", "simhash")(strategy),
       s"unknown near-dup strategy '$strategy'")
     val conf = docs.sparkSession.conf
-    val chosen = if (strategy != "auto") strategy else {
-      val maxDocs =
-        conf.get("spark.graft.nearDupsExactMaxDocs", "1000000").toLong
-      val maxDf2 =
-        conf.get("spark.graft.nearDupsExactMaxDf2", "256000000").toLong
+    def exactOut(d: DataFrame): DataFrame =
+      d.select(col("id_a"), col("id_b"), col("jaccard").as("score"))
+        .withColumn("method", lit("exact"))
+    def lshOut(): DataFrame =
+      minHashLshCandidates(docs, idCol, textCol, lshN)
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("est_jaccard").as("score"))
+        .withColumn("method", lit("lsh"))
+    def simhashOut(): DataFrame =
+      simHashNearDups(docs, idCol, textCol, simhashMaxHamming)
+        .select(col("id_a"), col("id_b"),
+          (lit(1.0) - col("hamming").cast("double") / 64.0).as("score"))
+        .withColumn("method", lit("simhash"))
+    def bigCorpusTier(): DataFrame = {
       val simhashMinT = conf
         .get("spark.graft.nearDupsSimhashMinThreshold", "0.9").toDouble
-      val nDocs = docs.count()
-      val exactOk = nDocs <= maxDocs && {
-        // the one-job Σ df² price of the exact tier, with the same
-        // auto stop-shingle cap ngramJaccardPairs will apply
-        val floor =
-          conf.get("spark.graft.jaccardStopShingleFloor", "64").toInt
-        val fraction = conf
-          .get("spark.graft.jaccardStopShingleFraction", "0.01").toDouble
-        val cap = math.max(floor.toLong, math.ceil(fraction * nDocs).toLong)
-        val dfm = shingleIndex(docs, idCol, textCol, n)
-          .select(h60(col("shingle")).as("h"))
-          .groupBy("h").agg(count(lit(1)).as("df"))
-        val cost = dfm.agg(coalesce(
-            sum(when(col("df") <= cap, col("df") * col("df"))), lit(0L)))
-          .collect()(0).getLong(0)
-        cost <= maxDf2
-      }
-      if (exactOk) "exact"
-      else if (threshold >= simhashMinT) "simhash"
-      else "lsh"
+      if (threshold >= simhashMinT) simhashOut() else lshOut()
     }
-    val out = chosen match {
-      case "exact" =>
-        ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-          .select(col("id_a"), col("id_b"), col("jaccard").as("score"))
-      case "lsh" =>
-        minHashLshCandidates(docs, idCol, textCol, lshN)
-          .filter(col("est_jaccard") >= threshold)
-          .select(col("id_a"), col("id_b"), col("est_jaccard").as("score"))
-      case "simhash" =>
-        simHashNearDups(docs, idCol, textCol, simhashMaxHamming)
-          .select(col("id_a"), col("id_b"),
-            (lit(1.0) - col("hamming").cast("double") / 64.0).as("score"))
+    strategy match {
+      case "exact" => exactOut(
+        ngramJaccardPairs(docs, idCol, textCol, n, threshold))
+      case "lsh" => lshOut()
+      case "simhash" => simhashOut()
+      case "auto" =>
+        val maxDocs =
+          conf.get("spark.graft.nearDupsExactMaxDocs", "1000000").toLong
+        val maxDf2 =
+          conf.get("spark.graft.nearDupsExactMaxDf2", "256000000").toLong
+        if (docs.count() > maxDocs) bigCorpusTier()
+        else
+          // the exact tier prices itself: its own strategy-stats job
+          // doubles as the router (abort = one scalar job, no work
+          // repeated when it qualifies)
+          ngramJaccardPairsImpl(docs, idCol, textCol, n, threshold,
+            maxDf = None, autoStopShingles = true,
+            abortBudget = Some(maxDf2)) match {
+            case Some(d) => exactOut(d)
+            case None => bigCorpusTier()
+          }
     }
-    out.withColumn("method", lit(chosen))
   }
 
   /** MinHash signature: for seed i, min over the shingle set of the
