@@ -663,6 +663,43 @@ object MiscQueries {
       }
     },
 
+    // Token-balanced shard manifest: equal-TOKEN shards via the
+    // distributed global-cumsum (per-bucket offsets + bucket-local
+    // windows — no global sort), vs q106's doc-count doc_id % S. The
+    // oracle runs the naive single-window prefix over the same
+    // (bucket, md5, id) order — different algorithm, identical
+    // assignment.
+    Q("q246_token_shards", Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+            AS toks,
+          (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % ${Dedup.P}) % 8 AS bucket,
+          md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      r AS (
+        SELECT doc_id, toks,
+          COALESCE(SUM(toks) OVER (ORDER BY bucket, ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS pre
+        FROM d)
+      SELECT CAST(pre // 2000 AS BIGINT) AS shard,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(toks) AS BIGINT) AS n_tokens
+      FROM r GROUP BY 1 ORDER BY shard""")) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .withColumn("toks",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      graft.warehouse.Writer.tokenBalancedShards(d, "doc_id", "toks",
+          shardTokens = 2000L, buckets = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("n_tokens"))
+        .orderBy("shard")
+    },
+
     // Training-order shuffle audit: within 8 hash buckets of the
     // deterministic md5 emit order, count adjacent same-source pairs
     // — per-bucket windows, never one global sort; the 7 boundary

@@ -80,6 +80,57 @@ object Writer {
       .orderBy("part", "out_group")
   }
 
+  /** Token-balanced shard assignment — equal-TOKEN training shards
+    * instead of the doc-count sharding of `doc_id % S` (which skews
+    * shard token mass by document-length variance): each document is
+    * placed at its exclusive prefix position in a deterministic
+    * corpus order and `shard = prefix_tokens div shardTokens` — the
+    * exclusive-prefix fill of [[compactionPlan]] lifted to a GLOBAL
+    * order without a global sort.
+    *
+    * Scale shape (the distributed global-cumsum pattern): docs order
+    * by (bucket, md5(id), id) with bucket = h30(id) mod `buckets`;
+    * per-bucket token masses aggregate first and cumsum over the
+    * |buckets|-row frame (value-domain window), giving each bucket an
+    * exclusive global OFFSET; within a bucket one bucket-partitioned
+    * window cumsum adds the local prefix. No window ever sees more
+    * than one bucket of corpus rows. Deterministic: same md5-hash
+    * emit order as the shuffle-audit family.
+    *
+    * Returns (doc_id, bucket, toks, shard), shard ∈ [0, totalTokens /
+    * shardTokens].
+    */
+  def tokenBalancedShards(docs: DataFrame, idCol: String,
+      tokensCol: String, shardTokens: Long, buckets: Int): DataFrame = {
+    require(shardTokens > 0, "shardTokens must be positive")
+    require(buckets >= 1, "buckets must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(col(idCol).as("doc_id"),
+        col(tokensCol).cast("long").as("toks"))
+      .where(col("doc_id").isNotNull && col("toks").isNotNull &&
+        col("toks") >= 0)
+      .withColumn("bucket", pmod(
+        graft.analytics.Dedup.h30(col("doc_id").cast("string")),
+        lit(buckets.toLong)))
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+    val wBucketSeq = Window.orderBy("bucket")
+      .rowsBetween(Long.MinValue, -1)
+    // |buckets| rows: exclusive global offset per bucket
+    val offsets = d.groupBy("bucket")
+      .agg(sum(col("toks")).as("__bt"))
+      .withColumn("offset",
+        coalesce(sum(col("__bt")).over(wBucketSeq), lit(0L)))
+      .select("bucket", "offset")
+    val wLocal = Window.partitionBy("bucket").orderBy("ord", "doc_id")
+      .rowsBetween(Long.MinValue, -1)
+    d.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("__pre", col("offset") +
+        coalesce(sum(col("toks")).over(wLocal), lit(0L)))
+      .withColumn("shard", expr(s"__pre div ${shardTokens}L"))
+      .select("doc_id", "bucket", "toks", "shard")
+  }
+
   /** Zone-map (min/max pruning) audit: for each candidate predicate
     * range, how many partitions could a scan SKIP on min/max
     * statistics alone, and how many rows does that save — the

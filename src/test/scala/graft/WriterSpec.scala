@@ -445,4 +445,44 @@ class WriterSpec extends SparkSpec {
     assert(lx > 240, s"baseline x envelope unexpectedly narrow: $lx")
     assert(ly < 32)
   }
+
+  test("tokenBalancedShards: two-phase equals the naive global prefix") {
+    import graft.warehouse.Writer
+    val docs = (1L to 40L).map(i => (i, 1L + i % 7)).toDF("doc_id", "toks")
+    val got = Writer.tokenBalancedShards(docs, "doc_id", "toks",
+        shardTokens = 13L, buckets = 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    // naive replay: order by (bucket, md5(id), id), exclusive cumsum
+    def h30(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d, 16) % graft.analytics.Dedup.P
+    }
+    def md5(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes)
+      .map("%02x".format(_)).mkString
+    val ordered = (1L to 40L).sortBy(i =>
+      (h30(i.toString) % 4, md5(i.toString), i))
+    var pre = 0L
+    val want = ordered.map { i =>
+      val s = pre / 13L; pre += 1L + i % 7; i -> s
+    }.toMap
+    assert(got === want)
+  }
+
+  test("tokenBalancedShards: shards are token-balanced, id%S is not") {
+    import graft.warehouse.Writer
+    // long docs on even ids: id-mod sharding piles tokens on shard 0
+    val docs = (1L to 100L).map(i =>
+      (i, if (i % 2 == 0) 100L else 1L)).toDF("doc_id", "toks")
+    val shards = Writer.tokenBalancedShards(docs, "doc_id", "toks",
+        shardTokens = 1000L, buckets = 4)
+      .groupBy("shard").agg(sum("toks").as("t"))
+      .select("t").as[Long].collect().sorted
+    // every full shard carries ~shardTokens; only the single
+    // remainder shard may be light (sorted ascending -> drop head)
+    assert(shards.max <= 1100L, s"overfull: ${shards.mkString(",")}")
+    assert(shards.sorted.tail.forall(_ >= 900L),
+      s"unbalanced: ${shards.mkString(",")}")
+  }
 }
