@@ -227,6 +227,46 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** Mixture PLAN — the sizing question answered before
+    * [[mixtureSelect]] runs: given target weights and a total token
+    * budget, how many tokens does each source need (target = ⌊w·B⌋),
+    * how many does it have, and what is the epoch/repeat factor
+    * (DoReMi-style mixture planning: repeat_factor > 1 means the
+    * source must be seen multiple times; < 1 means subsample).
+    * Sources not in `weights` are dropped (the mixture is a
+    * whitelist). One map-side-combined aggregation over the corpus +
+    * a broadcast literal join — a planning query, not a selection.
+    *
+    * Returns per source: (g, available_tokens, target_tokens,
+    * repeat_factor, action) with repeat_factor the one double
+    * division of two exact longs and action ∈ repeat/subsample/exact.
+    */
+  def mixturePlan(docs: DataFrame, groupCol: String, tokensCol: String,
+      weights: Map[String, Double], totalBudget: Long): DataFrame = {
+    require(weights.nonEmpty, "weights must list at least one group")
+    require(weights.values.forall(w => w >= 0 && w <= 1),
+      "weights must be in [0, 1]")
+    require(totalBudget >= 0, "totalBudget must be >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = weights.toSeq.sortBy(_._1)
+      .map { case (g, w) => (g, math.floor(w * totalBudget).toLong) }
+      .toDF("g", "target_tokens")
+    docs.select(col(groupCol).as("g"),
+        col(tokensCol).cast("long").as("toks"))
+      .where(col("g").isNotNull && col("toks").isNotNull)
+      .groupBy("g").agg(sum(col("toks")).as("available_tokens"))
+      .join(broadcast(targets), Seq("g"))
+      .withColumn("repeat_factor",
+        col("target_tokens").cast("double") /
+          col("available_tokens").cast("double"))
+      .withColumn("action",
+        when(col("target_tokens") > col("available_tokens"), lit("repeat"))
+          .when(col("target_tokens") < col("available_tokens"),
+            lit("subsample"))
+          .otherwise(lit("exact")))
+  }
+
   /** Training-order shuffle audit: given the deterministic global
     * hash order a pipeline would emit examples in (md5 of the id —
     * the same order [[hashFraction]]/[[capPerGroup]] key off), how

@@ -179,6 +179,56 @@ object CorpusQueries {
         .orderBy("shard", "seq_id")
     },
 
+    // Packing-efficiency audit over the q72 chain: per shard, how
+    // well do the packed sequences fill the 512-token context —
+    // n_seqs, total/min/max sequence tokens, and utilization (exact
+    // integer sums, one double division against n_seqs·512). The
+    // pre-padding waste report a training-data run reads before
+    // committing a context length.
+    Q("q248_packing_efficiency", Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), ch AS (
+        SELECT doc_id,
+          CAST((start - 1) // 32 AS BIGINT) AS chunk_idx,
+          CAST(least(32, len(t) - start + 1) AS BIGINT) AS n_chunk_tokens
+        FROM (SELECT doc_id, t,
+                unnest(generate_series(1, len(t), 32)) AS start
+              FROM tok)
+      ), cum AS (
+        SELECT doc_id, chunk_idx, n_chunk_tokens, doc_id % 16 AS shard,
+          COALESCE(SUM(n_chunk_tokens) OVER (
+            PARTITION BY doc_id % 16 ORDER BY doc_id, chunk_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_excl
+        FROM ch
+      ), seqs AS (
+        SELECT CAST(shard AS BIGINT) AS shard,
+          CAST(floor(cum_excl / 512) AS BIGINT) AS seq_id,
+          CAST(sum(n_chunk_tokens) AS BIGINT) AS n_tokens
+        FROM cum GROUP BY 1, 2)
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_seqs,
+        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        CAST(MIN(n_tokens) AS BIGINT) AS min_seq_tokens,
+        CAST(MAX(n_tokens) AS BIGINT) AS max_seq_tokens,
+        CAST(SUM(n_tokens) AS DOUBLE)
+          / (CAST(count(*) AS DOUBLE) * 512.0) AS utilization
+      FROM seqs GROUP BY shard ORDER BY shard""")) { (s, dir) =>
+      val chunks = CorpusOps.chunk(Tables.load(s, dir, "documents"),
+        "doc_id", "text", window = 32, stride = 32)
+      CorpusOps.packSequences(chunks, budget = 512, shards = 16)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("n_tokens")).as("min_seq_tokens"),
+          max(col("n_tokens")).as("max_seq_tokens"),
+          (sum(col("n_tokens")).cast("double") /
+            (count(lit(1)).cast("double") * lit(512.0)))
+            .as("utilization"))
+        .orderBy("shard")
+    },
+
     // URL curation: host/TLD facets + blocklist gate over synthetic
     // source URLs (the corpus carries none; doc_id-derived URLs — a
     // sliver malformed on purpose — exercise the real parse path).

@@ -663,6 +663,47 @@ object MiscQueries {
       }
     },
 
+    // Mixture PLAN (the sizing run before q242's selection): per
+    // source, available vs target tokens (target = floor(w*B),
+    // computed once driver-side and baked into both plans as the
+    // same literal) and the DoReMi-style repeat factor. One
+    // aggregation + a broadcast literal join.
+    {
+      val weights = Map("src1" -> 0.5, "src2" -> 0.3, "src5" -> 0.2)
+      val totalBudget = 3000L
+      val targetRows = weights.toSeq.sortBy(_._1)
+        .map { case (g, w) =>
+          s"('$g', ${math.floor(w * totalBudget).toLong})" }
+        .mkString(", ")
+      Q("q247_mixture_plan", Some(s"""
+      WITH d AS (
+        SELECT source AS g,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+            AS toks
+        FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+      avail AS (
+        SELECT g, CAST(SUM(toks) AS BIGINT) AS available_tokens
+        FROM d GROUP BY g),
+      t AS (SELECT * FROM (VALUES $targetRows) AS v(g, target_tokens))
+      SELECT g, available_tokens,
+        CAST(target_tokens AS BIGINT) AS target_tokens,
+        CAST(target_tokens AS DOUBLE) / CAST(available_tokens AS DOUBLE)
+          AS repeat_factor,
+        CASE WHEN target_tokens > available_tokens THEN 'repeat'
+             WHEN target_tokens < available_tokens THEN 'subsample'
+             ELSE 'exact' END AS action
+      FROM avail JOIN t USING (g)
+      ORDER BY g""")) { (s, dir) =>
+        val d = Tables.load(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .withColumn("toks",
+            size(split(trim(col("text")), "\\s+")).cast("long"))
+        graft.analytics.Sampling.mixturePlan(d, "source", "toks",
+            weights, totalBudget)
+          .orderBy("g")
+      }
+    },
+
     // Token-balanced shard manifest: equal-TOKEN shards via the
     // distributed global-cumsum (per-bucket offsets + bucket-local
     // windows — no global sort), vs q106's doc-count doc_id % S. The

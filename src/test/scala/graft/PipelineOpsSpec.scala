@@ -100,6 +100,21 @@ class PipelineOpsSpec extends SparkSpec {
       split == (if (rule(rep)) "val" else "train") })
   }
 
+  test("mixturePlan: targets, repeat factors, and actions") {
+    val docs = Seq(("A", 100L), ("A", 100L), ("B", 50L), ("C", 1L))
+      .toDF("g", "toks")
+    val got = Sampling.mixturePlan(docs, "g", "toks",
+        Map("A" -> 0.5, "B" -> 0.5), totalBudget = 200L)
+      .orderBy("g")
+      .select("g", "available_tokens", "target_tokens",
+        "repeat_factor", "action")
+      .as[(String, Long, Long, Double, String)].collect().toSeq
+    // A: 200 available, target 100 -> subsample at 0.5; B: 50
+    // available, target 100 -> repeat at 2.0; C not in the mixture
+    assert(got === Seq(("A", 200L, 100L, 0.5, "subsample"),
+      ("B", 50L, 100L, 2.0, "repeat")))
+  }
+
   test("clusterSplit: valPct 0 and 100 are total") {
     val docs = (1L to 5L).map(Tuple1(_)).toDF("doc_id")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
