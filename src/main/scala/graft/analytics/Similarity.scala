@@ -385,6 +385,34 @@ object Similarity {
           col("embedding").as("cent_emb")),
       k, nprobe)
 
+  /** The nlist ∝ √n rule for IVF cell counts, pinned by spec: with
+    * `nlist = ⌈√n⌉` both the assignment pass (n·nlist broadcast
+    * cosines) and the per-query probe work (nprobe·n/nlist
+    * candidates) grow as n^1.5 / n^0.5 respectively — the standard
+    * flat-IVF operating point (FAISS's published guidance is the
+    * same √n·c family). A PINNED nlist is the same class of scale
+    * bug the r15 rehearsal measured on q22's pinned LSH width: cells
+    * grow linearly with the corpus and probe cost with them. Clamped
+    * to [1, 65536] — the codebook stays model-sized (65536·64
+    * doubles ≈ 32 MB) under [[kmeansCodebook]]'s collect budget. */
+  def autoNlist(n: Long): Int =
+    math.min(65536L, math.max(1L,
+      math.ceil(math.sqrt(math.max(n, 0).toDouble)).toLong)).toInt
+
+  /** Consumer-grade trained IVF: codebook size from [[autoNlist]]
+    * (one count(*)), trained with [[kmeansCodebook]], probed with
+    * [[ivfTopKWith]]. `nprobe` stays the caller's recall knob. The
+    * oracled q46/q58/q98 pin their cell counts for the DuckDB
+    * replay; this is the entry point that doesn't need the caller to
+    * size anything. */
+  def ivfTopKAuto(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int, dim: Int = 64, iterations: Int = 2): DataFrame = {
+    val nlist = autoNlist(corpus.count())
+    ivfTopKWith(queries, corpus,
+      kmeansCodebook(corpus, "vec_id", "embedding", nlist, dim,
+        iterations), k, nprobe)
+  }
+
   /** Per-query recall@k of an approximate top-k result against the
     * exact one (both shaped like the `*TopK` outputs — at least
     * `query_id, neighbor_id`). Queries with an empty approximate

@@ -29,6 +29,30 @@ class AutoSignBitsSpec extends SparkSpec {
     assert(Dedup.autoSignBits(Long.MaxValue, 32) === 24)
   }
 
+  test("autoNlist: sqrt rule, clamped to the codebook budget") {
+    import graft.analytics.Similarity
+    assert(Similarity.autoNlist(0) === 1)
+    assert(Similarity.autoNlist(100) === 10)
+    assert(Similarity.autoNlist(101) === 11)
+    assert(Similarity.autoNlist(1000000) === 1000)
+    assert(Similarity.autoNlist(Long.MaxValue) === 65536)
+  }
+
+  test("ivfTopKAuto equals ivfTopKWith at the chosen codebook") {
+    import graft.analytics.Similarity
+    val emb = (0L until 9L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 17 + d * 5) % 11 - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.limit(2)
+    val auto = Similarity.ivfTopKAuto(q, emb, k = 3, nprobe = 2,
+        dim = 8).orderBy("query_id", "neighbor_id").collect()
+    val cb = Similarity.kmeansCodebook(emb, "vec_id", "embedding",
+      Similarity.autoNlist(9), 8, 2) // n=9 -> nlist=3
+    val pinned = Similarity.ivfTopKWith(q, emb, cb, k = 3, nprobe = 2)
+      .orderBy("query_id", "neighbor_id").collect()
+    assert(auto.toSeq === pinned.toSeq)
+  }
+
   test("auto variant equals the bucketed form at the chosen width") {
     val emb = (0L until 70L).map { i =>
       (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
