@@ -637,6 +637,21 @@ object Similarity {
     * the knob the paper tunes. Nothing is ever pairwise across
     * cells, and no driver-side state beyond the k·dim codebook.
     */
+  /** [[semDedup]] with the cell count chosen from the corpus via the
+    * same √n rule as [[autoNlist]] — the consumer default for the
+    * semantic tier. SemDeDup under flat k-means is inherently
+    * Θ(n^1.5): the within-cell pairwise term is n²/k and the
+    * assignment term n·k, so k = √n is the operating point (the r15
+    * sf10 rehearsal measured the oracle-pinned k=8 form at
+    * 35.9×/decade and the √n rule at 14.8×, consistent with n^1.5's
+    * ≤ 31.6×). True linearity needs a hierarchical quantizer; the
+    * LINEAR embedding near-dup path remains
+    * [[graft.analytics.Dedup.embeddingNearDupsAuto]] (3.8×/decade). */
+  def semDedupAuto(emb: DataFrame, idCol: String, embCol: String,
+      dim: Int, threshold: Double, iterations: Int = 2): DataFrame =
+    semDedup(emb, idCol, embCol, autoNlist(emb.count()), dim,
+      iterations, threshold)
+
   def semDedup(emb: DataFrame, idCol: String, embCol: String,
       k: Int, dim: Int, iterations: Int, threshold: Double,
       codebook: Option[DataFrame] = None): DataFrame = {

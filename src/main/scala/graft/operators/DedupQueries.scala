@@ -1461,6 +1461,72 @@ object DedupQueries {
         .where(col("est_jaccard") >= 0.5)
       Dedup.clusterSplit(docs, "doc_id", cand, valPct = 10)
         .orderBy("doc_id")
+    },
+
+    // Split-leakage audit: q245's guarantee AS A QUERY — join every
+    // near-dup pair with its endpoints' split sides and count pairs
+    // that straddle train/val (zero by construction for the
+    // cluster-keyed split; the per-doc hash split leaks, which the
+    // spec demonstrates). Also reports the split populations so the
+    // audit carries its denominators.
+    Q("q249_split_leakage", Some(s"""
+      WITH RECURSIVE $mhCtes,
+      scored AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE ($mhAgree) * 2 >= $MhNumHashes),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM scored
+        UNION SELECT id_b, id_a FROM scored),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+      labels AS (
+        SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+      assigned AS (
+        SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS rep
+        FROM documents d LEFT JOIN labels l USING (doc_id)),
+      splits AS (
+        SELECT doc_id,
+          CASE WHEN (CAST('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+              AS BIGINT) % $P) % 100 < 10
+            THEN 'val' ELSE 'train' END AS split
+        FROM assigned),
+      pairsplit AS (
+        SELECT sa.split AS split_a, sb.split AS split_b FROM scored
+        JOIN splits sa ON id_a = sa.doc_id
+        JOIN splits sb ON id_b = sb.doc_id)
+      SELECT CAST((SELECT count(*) FROM pairsplit) AS BIGINT) AS n_pairs,
+        CAST((SELECT count(*) FROM pairsplit WHERE split_a <> split_b)
+          AS BIGINT) AS n_cross_split,
+        CAST((SELECT count(*) FROM splits WHERE split = 'train')
+          AS BIGINT) AS n_train,
+        CAST((SELECT count(*) FROM splits WHERE split = 'val')
+          AS BIGINT) AS n_val""")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text",
+          n = 3, numHashes = MhNumHashes, bands = MhBands)
+        .where(col("est_jaccard") >= 0.5)
+        .select("id_a", "id_b")
+      val splits = Dedup.clusterSplit(docs, "doc_id", cand, valPct = 10)
+      val pairSides = cand
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), Seq("id_a"))
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), Seq("id_b"))
+      val sides = splits.groupBy()
+        .agg(sum(when(col("split") === "train", 1L).otherwise(0L))
+            .as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L))
+            .as("n_val"))
+      pairSides.groupBy()
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+            .as("n_cross_split"))
+        .crossJoin(broadcast(sides)) // 1-row side -> BNLJ, never CP
+        .select("n_pairs", "n_cross_split", "n_train", "n_val")
     }
   )
 }

@@ -115,6 +115,28 @@ class PipelineOpsSpec extends SparkSpec {
       ("B", 50L, 100L, 2.0, "repeat")))
   }
 
+  test("clusterSplit never leaks a pair; per-doc hash split does") {
+    // pick two ids whose h30 % 100 land on opposite sides of 10 so a
+    // DOC-keyed split provably separates them; the CLUSTER-keyed
+    // split cannot
+    def h30pct(i: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).take(4).map("%02x".format(_))
+        .mkString
+      (java.lang.Long.parseLong(d, 16) % Dedup.P) % 100
+    }
+    val va = (1L to 500L).find(h30pct(_) < 10).get
+    val tr = (1L to 500L).find(h30pct(_) >= 10).get
+    val docs = Seq(va, tr).toDF("doc_id")
+    val pairs = Seq((math.min(va, tr), math.max(va, tr)))
+      .toDF("id_a", "id_b")
+    val clustered = Dedup.clusterSplit(docs, "doc_id", pairs, 10)
+      .select("split").as[String].collect().distinct
+    assert(clustered.length === 1, "cluster split must not straddle")
+    // doc-keyed rule on the same two ids straddles by construction
+    assert(Set(h30pct(va) < 10, h30pct(tr) < 10).size === 2)
+  }
+
   test("clusterSplit: valPct 0 and 100 are total") {
     val docs = (1L to 5L).map(Tuple1(_)).toDF("doc_id")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
