@@ -102,6 +102,21 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"containskew","n":$n,"mode":"$abMode",""" +
           f""""pairs":$rows,"sec":$sec%.3f}""")
+      case "neardups" :: sfDir :: rest =>
+        // Which tier does the auto-router pick at this corpus size,
+        // and what does the routed plan cost end-to-end?
+        val thr = rest.headOption.map(_.toDouble).getOrElse(0.5)
+        val docs = Tables.load(spark, sfDir, "documents")
+        docs.count(): Unit // warm the scan, untimed
+        val t0 = System.nanoTime()
+        val out = graft.analytics.Dedup.nearDups(docs, "doc_id",
+          "text", n = 3, threshold = thr)
+        val method = out.select("method").limit(1)
+          .collect().headOption.map(_.getString(0)).getOrElse("empty")
+        val pairs = out.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"neardups","sf":"$sfDir","threshold":$thr,""" +
+          f""""method":"$method","pairs":$pairs,"sec":$sec%.3f}""")
       case "embdedup" :: sfDir :: bits :: rest =>
         // Scale-rule probe for the bucketed embedding near-dup tier:
         // candidates ≈ tables·n²/2^bits, so LINEAR scaling needs
