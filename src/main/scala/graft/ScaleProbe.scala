@@ -128,12 +128,37 @@ object ScaleProbe {
         val emb = Tables.load(spark, sfDir, "embeddings")
         emb.count(): Unit // warm the scan, untimed
         val t0 = System.nanoTime()
-        val n = graft.analytics.Dedup.embeddingNearDupsBucketed(
+        val df = graft.analytics.Dedup.embeddingNearDupsBucketed(
           emb, "vec_id", "embedding", threshold = 0.35,
-          bits = bits.toInt, tables = tables).count()
+          bits = bits.toInt, tables = tables)
+        if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
+          df.explain("formatted")
+        val n = df.count()
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"embdedup","sf":"$sfDir","bits":${bits.toInt},""" +
           f""""tables":$tables,"pairs":$n,"sec":$sec%.3f}""")
+      case "embbuckets" :: sfDir :: bits :: rest =>
+        // Per-table sign-bucket skew diagnostic: top bucket sizes and
+        // the Σ C(b,2) candidate mass for each seeded table.
+        import org.apache.spark.sql.functions._
+        val nT = rest.headOption.map(_.toInt).getOrElse(4)
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        for (t <- 0 until nT) {
+          val sizes = emb.select(graft.analytics.Similarity.signBucket(
+              col("embedding"), bits.toInt, 64,
+              graft.analytics.Similarity.tableSeed(t)).as("bucket"))
+            .groupBy("bucket").count()
+            .orderBy(col("count").desc).limit(5)
+            .select("count").collect().map(_.getLong(0))
+          val mass = emb.select(graft.analytics.Similarity.signBucket(
+              col("embedding"), bits.toInt, 64,
+              graft.analytics.Similarity.tableSeed(t)).as("bucket"))
+            .groupBy("bucket").count()
+            .agg(sum(col("count") * (col("count") - 1)).cast("long"))
+            .collect()(0).getLong(0) / 2
+          println(s"""{"probe":"embbuckets","table":$t,""" +
+            s""""top":${sizes.mkString("[", ",", "]")},"pairMass":$mass}""")
+        }
       case "sqlsurface" :: sfDir :: _ =>
         // A/B for the q231-vs-q63 cost question: the IDENTICAL
         // kmv_distinct aggregation over the SAME table (lineitem),

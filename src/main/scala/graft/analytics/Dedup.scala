@@ -1468,14 +1468,20 @@ object Dedup {
     * `bits = clamp(⌈log₂(n / targetBucket)⌉, 1, 24)` from one
     * count(*) (parquet answers it from footer metadata). Re-measured
     * under that rule the same decade step ran 3.9 s → 15.0 s (3.8×
-    * for 10× vectors, bits 11→14). Per-table recall thins as buckets
-    * narrow; `tables` (independent hyperplane sets, OR-amplified) is
-    * the recall knob that compensates — the standard multi-table
-    * sign-LSH trade.
+    * for 10× vectors, bits 11→14, tables 2). Per-table recall thins
+    * as buckets narrow; `tables` (independent hyperplane sets,
+    * OR-amplified) is the recall knob that compensates — the
+    * standard multi-table sign-LSH trade, measured on the sf0.01
+    * corpus against exact all-pairs truth at τ=0.35 (a MODERATE
+    * similarity band — the tier's hard case; sign retention is
+    * (1−θ/π)^bits per table, so near-identity pairs recall far
+    * higher): bits=4 t=2 → 0.28, t=4 → 0.49, t=8 → 0.74. Default
+    * t=4: 2× the candidate cost of the bucketed primitive's default
+    * for +0.21 recall; q251 keeps the number audited per band.
     */
   def embeddingNearDupsAuto(emb: DataFrame, idCol: String,
       embCol: String, threshold: Double, targetBucket: Int = 32,
-      dim: Int = 64, tables: Int = 2): DataFrame = {
+      dim: Int = 64, tables: Int = 4): DataFrame = {
     require(targetBucket >= 1, "targetBucket must be >= 1")
     embeddingNearDupsBucketed(emb, idCol, embCol, threshold,
       autoSignBits(emb.count(), targetBucket), dim, tables)

@@ -107,6 +107,29 @@ object DedupQueries {
         SELECT doc_id, $nibbleExprs AS simhash_hex FROM votes)"""
   }
 
+  /** Shared q241/q251 oracle pieces: the COUNT(*)-branched auto-width
+    * sign-LSH candidate CTEs (`nn` + `cand(id_a, id_b, score)`). One
+    * unrolled branch per bits ∈ 1..6 with range gates matching
+    * [[Dedup.autoSignBits]] (targetBucket 32): n ≤ 64 → 1, then one
+    * bit per doubling — covering every driver sf. */
+  private def embAutoCandCtes: String = {
+    def branch(bits: Int): String = {
+      val lo = if (bits == 1) 0L else 32L << (bits - 1)
+      val hi = 32L << bits
+      s"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          ${SimilarityQueries.duckCosine(
+            "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS score
+        FROM embeddings a JOIN embeddings b
+          ON ${SimilarityQueries.duckAnyBucketMatch("a", "b", bits,
+            tables = 4)}
+         AND a.vec_id < b.vec_id
+        WHERE (SELECT c FROM nn) > $lo AND (SELECT c FROM nn) <= $hi"""
+    }
+    s"""nn AS (SELECT count(*) AS c FROM embeddings),
+      cand AS (${(1 to 6).map(branch).mkString("\n        UNION ALL\n")})"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // Inverted-index n-gram Jaccard: candidate pairs share >=1 shingle;
@@ -1355,21 +1378,8 @@ object DedupQueries {
     // AutoSignBitsSpec pins the rule itself across the full range.
     {
       val thr = 0.35; val targetBucket = 32
-      def branch(bits: Int): String = {
-        val lo = if (bits == 1) 0L else 32L << (bits - 1)
-        val hi = 32L << bits
-        s"""
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          ${SimilarityQueries.duckCosine(
-            "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS score
-        FROM embeddings a JOIN embeddings b
-          ON ${SimilarityQueries.duckAnyBucketMatch("a", "b", bits)}
-         AND a.vec_id < b.vec_id
-        WHERE (SELECT c FROM nn) > $lo AND (SELECT c FROM nn) <= $hi"""
-      }
       Q("q241_embdedup_auto", Some(s"""
-      WITH nn AS (SELECT count(*) AS c FROM embeddings),
-      cand AS (${(1 to 6).map(branch).mkString("\n        UNION ALL\n")})
+      WITH $embAutoCandCtes
       SELECT id_a, id_b, score FROM cand
       WHERE score >= $thr
       ORDER BY id_a, id_b""")) { (s, dir) =>
@@ -1527,6 +1537,61 @@ object DedupQueries {
             .as("n_cross_split"))
         .crossJoin(broadcast(sides)) // 1-row side -> BNLJ, never CP
         .select("n_pairs", "n_cross_split", "n_train", "n_val")
+    },
+
+    // Recall calibration for the auto-width embedding tier (the q241
+    // counterpart of q170/q202), BANDED BY TRUE SIMILARITY: ground
+    // truth = exact all-pairs cosine (the tiny-corpus baseline, BNLJ
+    // on the broadcastable side — a calibration query runs at sample
+    // scale by design); caught = the auto-bits bucketed pairs. The
+    // bucketed tier never emits a false positive (every candidate is
+    // exact-cosine verified), and sign-LSH retention is
+    // (1 − θ/π)^bits per table, so recall RISES with similarity —
+    // strong where the tier is meant to operate (near-identity),
+    // honest about the weak low-similarity band (measured ~0.28
+    // overall at τ=0.35, sf0.01). Banded output makes the trade
+    // auditable instead of hiding it in one blended number.
+    Q("q251_embdedup_auto_recall", Some(s"""
+      WITH $embAutoCandCtes,
+      auto AS (
+        SELECT DISTINCT id_a, id_b FROM cand WHERE score >= 0.35),
+      bf AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CASE WHEN ${SimilarityQueries.duckCosine(
+            "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.8
+              THEN '0.80+'
+            WHEN ${SimilarityQueries.duckCosine(
+              "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.6
+              THEN '0.60-0.80'
+            ELSE '0.35-0.60' END AS band
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ${SimilarityQueries.duckCosine(
+          "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.35)
+      SELECT band, CAST(count(*) AS BIGINT) AS n_true,
+        CAST(SUM(CASE WHEN auto.id_a IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_caught,
+        CAST(SUM(CASE WHEN auto.id_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS DOUBLE)
+          / CAST(count(*) AS DOUBLE) AS recall
+      FROM bf LEFT JOIN auto USING (id_a, id_b)
+      GROUP BY band ORDER BY band""")) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val bf = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+          threshold = 0.35)
+        .select(col("id_a"), col("id_b"),
+          when(col("score") >= 0.8, lit("0.80+"))
+            .when(col("score") >= 0.6, lit("0.60-0.80"))
+            .otherwise(lit("0.35-0.60")).as("band"))
+      val auto = Dedup.embeddingNearDupsAuto(emb, "vec_id", "embedding",
+          threshold = 0.35)
+        .select("id_a", "id_b").withColumn("__c", lit(1L))
+      bf.join(auto, Seq("id_a", "id_b"), "left")
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("__c")), lit(0L)).as("n_caught"))
+        .withColumn("recall",
+          col("n_caught").cast("double") / col("n_true").cast("double"))
+        .orderBy("band")
     }
   )
 }

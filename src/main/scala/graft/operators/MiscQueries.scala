@@ -741,6 +741,68 @@ object MiscQueries {
         .orderBy("shard")
     },
 
+    // Incremental shard append: new docs (doc_id % 5 == 0, the q78
+    // ingest-batch convention) fill the token-balanced shard layout
+    // FROM the existing corpus's total token mass — the first new doc
+    // lands in the existing partial tail shard and no existing
+    // assignment moves (append-only, spec-pinned). Output: combined
+    // per-shard manifest with the batch's contribution.
+    Q("q250_shard_append", Some(s"""
+      WITH d AS (
+        SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+            AS toks,
+          (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+            AS BIGINT) % ${Dedup.P}) % 8 AS bucket,
+          md5(CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      old AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+      nw AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+      base AS (SELECT COALESCE(SUM(toks), 0) AS b FROM old),
+      ro AS (
+        SELECT doc_id, toks, 0 AS is_new,
+          COALESCE(SUM(toks) OVER (ORDER BY bucket, ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS pre
+        FROM old),
+      rn AS (
+        SELECT doc_id, toks, 1 AS is_new,
+          (SELECT b FROM base)
+          + COALESCE(SUM(toks) OVER (ORDER BY bucket, ord, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS pre
+        FROM nw),
+      u AS (SELECT * FROM ro UNION ALL SELECT * FROM rn)
+      SELECT CAST(pre // 2000 AS BIGINT) AS shard,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(is_new) AS BIGINT) AS n_new,
+        CAST(SUM(toks) AS BIGINT) AS n_tokens
+      FROM u GROUP BY 1 ORDER BY shard""")) { (s, dir) =>
+      import graft.warehouse.Writer
+      val d = Tables.load(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .withColumn("toks",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      val old = d.where(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      val nw = d.where(pmod(col("doc_id"), lit(5L)) === 0L)
+      // one scalar aggregate: the existing corpus's total token mass
+      // (in production this is read from the existing manifest)
+      val base = old.agg(coalesce(sum(col("toks")), lit(0L)))
+        .collect()(0).getLong(0)
+      val oldAssign = Writer.tokenBalancedShards(old, "doc_id", "toks",
+          shardTokens = 2000L, buckets = 8)
+        .withColumn("is_new", lit(0L))
+      val newAssign = Writer.tokenBalancedShardsAppend(nw, "doc_id",
+          "toks", shardTokens = 2000L, buckets = 8, baseTokens = base)
+        .withColumn("is_new", lit(1L))
+      oldAssign.unionByName(newAssign)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_new")).as("n_new"),
+          sum(col("toks")).as("n_tokens"))
+        .orderBy("shard")
+    },
+
     // Training-order shuffle audit: within 8 hash buckets of the
     // deterministic md5 emit order, count adjacent same-source pairs
     // — per-bucket windows, never one global sort; the 7 boundary

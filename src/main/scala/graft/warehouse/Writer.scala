@@ -101,7 +101,13 @@ object Writer {
     * shardTokens].
     */
   def tokenBalancedShards(docs: DataFrame, idCol: String,
-      tokensCol: String, shardTokens: Long, buckets: Int): DataFrame = {
+      tokensCol: String, shardTokens: Long, buckets: Int): DataFrame =
+    tokenBalancedShardsFrom(docs, idCol, tokensCol, shardTokens,
+      buckets, 0L)
+
+  private def tokenBalancedShardsFrom(docs: DataFrame, idCol: String,
+      tokensCol: String, shardTokens: Long, buckets: Int,
+      baseTokens: Long): DataFrame = {
     require(shardTokens > 0, "shardTokens must be positive")
     require(buckets >= 1, "buckets must be >= 1")
     import org.apache.spark.sql.expressions.Window
@@ -125,10 +131,29 @@ object Writer {
     val wLocal = Window.partitionBy("bucket").orderBy("ord", "doc_id")
       .rowsBetween(Long.MinValue, -1)
     d.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("__pre", col("offset") +
+      .withColumn("__pre", lit(baseTokens) + col("offset") +
         coalesce(sum(col("toks")).over(wLocal), lit(0L)))
       .withColumn("shard", expr(s"__pre div ${shardTokens}L"))
       .select("doc_id", "bucket", "toks", "shard")
+  }
+
+  /** Incremental [[tokenBalancedShards]] — append an ingest batch to
+    * an already-sharded corpus WITHOUT re-sharding it: new docs take
+    * the same deterministic (bucket, md5, id) order among themselves
+    * and fill from global position `baseTokens` (the existing
+    * corpus's total token mass), so the first new doc lands in the
+    * existing partial tail shard and existing assignments never move
+    * — the append-only contract of the incremental-dedup family
+    * applied to the export layer. Same distributed global-cumsum
+    * shape; `baseTokens` is one scalar the caller reads from the
+    * existing manifest.
+    */
+  def tokenBalancedShardsAppend(newDocs: DataFrame, idCol: String,
+      tokensCol: String, shardTokens: Long, buckets: Int,
+      baseTokens: Long): DataFrame = {
+    require(baseTokens >= 0, "baseTokens must be >= 0")
+    tokenBalancedShardsFrom(newDocs, idCol, tokensCol, shardTokens,
+      buckets, baseTokens)
   }
 
   /** Zone-map (min/max pruning) audit: for each candidate predicate

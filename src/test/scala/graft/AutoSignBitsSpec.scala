@@ -60,8 +60,8 @@ class AutoSignBitsSpec extends SparkSpec {
     val auto = Dedup.embeddingNearDupsAuto(emb, "vec_id", "embedding",
         threshold = 0.35).orderBy("id_a", "id_b").collect()
     val pinned = Dedup.embeddingNearDupsBucketed(emb, "vec_id",
-        "embedding", threshold = 0.35, bits = 2)
+        "embedding", threshold = 0.35, bits = 2, tables = 4)
       .orderBy("id_a", "id_b").collect()
-    assert(auto.toSeq === pinned.toSeq) // n=70 -> bits=2
+    assert(auto.toSeq === pinned.toSeq) // n=70 -> bits=2; auto t=4
   }
 }

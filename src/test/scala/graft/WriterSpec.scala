@@ -485,4 +485,25 @@ class WriterSpec extends SparkSpec {
     assert(shards.sorted.tail.forall(_ >= 900L),
       s"unbalanced: ${shards.mkString(",")}")
   }
+
+  test("tokenBalancedShardsAppend: append-only, fills the tail shard") {
+    import graft.warehouse.Writer
+    val old = (1L to 10L).map((_, 7L)).toDF("doc_id", "toks")
+    val nw = (11L to 14L).map((_, 7L)).toDF("doc_id", "toks")
+    val oldA = Writer.tokenBalancedShards(old, "doc_id", "toks", 20L, 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    // appending must not move any existing assignment (same call is
+    // deterministic) and new docs start at base = 70 -> shard 3 first
+    val newA = Writer.tokenBalancedShardsAppend(nw, "doc_id", "toks",
+        20L, 4, baseTokens = 70L)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(oldA.values.max === 3L) // 70 tokens / 20 -> shards 0..3
+    // first new doc (in hash order) lands in the partial shard 3
+    assert(newA.values.min === 3L)
+    assert(newA.values.max >= 4L) // batch spills into fresh shards
+    // re-running the old assignment after the append is byte-stable
+    val oldA2 = Writer.tokenBalancedShards(old, "doc_id", "toks", 20L, 4)
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    assert(oldA === oldA2)
+  }
 }
