@@ -1333,29 +1333,18 @@ object DedupQueries {
         CAST(MIN(doc_id) AS BIGINT) AS min_doc,
         CAST(MAX(doc_id) AS BIGINT) AS max_doc
       FROM seld GROUP BY 1 ORDER BY shard""")) { (s, dir) =>
+        import graft.pipeline.CorpusPipeline
         val d = Tables.load(s, dir, "documents")
           .where(col("text").isNotNull)
-        val corpus = d.where(col("source") =!= "src0")
-        val verdict = graft.analytics.CorpusOps.prepVerdict(corpus,
-          d.where(col("source") === "src0"), "doc_id", "text",
-          keepLang, minQuality, maxContam)
-        val keptDocs = corpus.join(
-          verdict.where(col("kept") === 1).select("doc_id"),
-          Seq("doc_id"))
-        val cand = Dedup.minHashLshCandidates(keptDocs, "doc_id",
-            "text", n = 3, numHashes = MhNumHashes, bands = MhBands)
-          .where(col("est_jaccard") >= 0.5)
-        val reps = Dedup.keepRepresentatives(
-          keptDocs.select("doc_id"), "doc_id", cand)
-        val repDocs = reps.select("doc_id").join(corpus, Seq("doc_id"))
-          .withColumn("toks",
-            size(split(trim(col("text")), "\\s+")).cast("long"))
-        val sel = graft.analytics.Sampling.tokenBudgetSelect(
-          repDocs, "doc_id", "n_chars", "toks", budget)
-        val selDocs = corpus.join(sel.select("doc_id"), Seq("doc_id"))
-        val out = Q.scratchPath("q240jsonl", dir)
-        val back = graft.warehouse.Writer.exportJsonlSharded(
-          selDocs, "doc_id", out, shards = S)
+        val back = CorpusPipeline.prepareAndExport(
+          d.where(col("source") =!= "src0"),
+          d.where(col("source") === "src0"),
+          "doc_id", "text", "n_chars",
+          CorpusPipeline.Config(keepLang = keepLang,
+            minQuality = minQuality, maxContam = maxContam,
+            lshNumHashes = MhNumHashes, lshBands = MhBands,
+            tokenBudget = budget),
+          Q.scratchPath("q240jsonl", dir), shards = S)
         back.groupBy(col("shard").cast("long").as("shard"))
           .agg(count(lit(1)).as("n_docs"),
             sum(size(split(trim(col("text")), "\\s+")).cast("long"))
