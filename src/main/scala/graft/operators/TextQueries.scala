@@ -41,6 +41,61 @@ object TextQueries {
     * can only drift together. Defined BEFORE `all` — object vals
     * initialize in declaration order, and a forward reference would
     * silently interpolate 0.0 into the oracle SQL. */
+  /** Shared q110/q252 BPE oracle pieces: merge count, the
+    * sentinel-encoded symbol string of an expression, and the full
+    * train+encode CTE chain `wd → w0..wM / m1..mM → d0..dM` (see the
+    * q110 comment for the agreement argument). */
+  private val BpeM = 24
+  private def duckEnc(c: String): String =
+    s"substr('\u00b7' || regexp_replace($c, '(.)', '\\1\u00b7\u00b7', 'g'), 1, " +
+      s"length('\u00b7' || regexp_replace($c, '(.)', '\\1\u00b7\u00b7', 'g')) - 1)"
+  private def bpeCtes: String = {
+    val M = BpeM
+    val sb = new StringBuilder
+    sb.append(s"""
+      wd AS MATERIALIZED (
+        SELECT word, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents WHERE text IS NOT NULL)
+        WHERE len(word) >= 1 GROUP BY word),
+      w0 AS MATERIALIZED (
+        SELECT ${duckEnc("word")} AS enc, freq FROM wd)""")
+    for (k <- 1 to M) sb.append(s""",
+      m$k AS MATERIALIZED (
+        SELECT '\u00b7' || l || '\u00b7\u00b7' || r || '\u00b7' AS pat,
+               '\u00b7' || l || r || '\u00b7' AS rep
+        FROM (
+          SELECT t[i] AS l, t[i+1] AS r, SUM(freq) AS c FROM (
+            SELECT t, freq,
+              unnest(generate_series(1, len(t) - 1)) AS i FROM (
+              SELECT string_split(substr(enc, 2, length(enc) - 2),
+                '\u00b7\u00b7') AS t, freq
+              FROM w${k - 1}) WHERE len(t) >= 2)
+          GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1)),
+      w$k AS MATERIALIZED (
+        SELECT replace(enc,
+          coalesce((SELECT pat FROM m$k), '\u00b7\u00b7\u00b7'),
+          coalesce((SELECT rep FROM m$k), '\u00b7\u00b7\u00b7')) AS enc,
+          freq
+        FROM w${k - 1})""")
+    sb.append(s""",
+      d0 AS (
+        SELECT doc_id,
+          array_to_string([${duckEnc("w")}
+            for w in string_split_regex(trim(text), '\\s+')], ' ') AS enc,
+          len(string_split_regex(trim(text), '\\s+')) AS n_words,
+          trim(text) = '' AS blank
+        FROM documents WHERE text IS NOT NULL)""")
+    for (k <- 1 to M) sb.append(s""",
+      d$k AS (
+        SELECT doc_id, replace(enc,
+          coalesce((SELECT pat FROM m$k), '\u00b7\u00b7\u00b7'),
+          coalesce((SELECT rep FROM m$k), '\u00b7\u00b7\u00b7')) AS enc,
+          n_words, blank
+        FROM d${k - 1})""")
+    sb.toString
+  }
+
   private val LmAlpha = 0.1
   private val LmHeadBelow = 3.3727
   private val LmTailAbove = 3.3992
@@ -242,57 +297,7 @@ object TextQueries {
     // sentinel-encoded replaces, so merge tables — and therefore every
     // token count — can only agree or hash-mismatch loudly.
     {
-      val M = 24
-      // sentinel-encoded symbol string of expression c (see
-      // graft.analytics.Bpe: '·' wraps symbols, '··' separates them)
-      def duckEnc(c: String): String =
-        s"substr('\u00b7' || regexp_replace($c, '(.)', '\\1\u00b7\u00b7', 'g'), 1, " +
-          s"length('\u00b7' || regexp_replace($c, '(.)', '\\1\u00b7\u00b7', 'g')) - 1)"
-      def bpeCtes: String = {
-        val sb = new StringBuilder
-        sb.append(s"""
-      wd AS MATERIALIZED (
-        SELECT word, COUNT(*) AS freq FROM (
-          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
-          FROM documents WHERE text IS NOT NULL)
-        WHERE len(word) >= 1 GROUP BY word),
-      w0 AS MATERIALIZED (
-        SELECT ${duckEnc("word")} AS enc, freq FROM wd)""")
-        for (k <- 1 to M) sb.append(s""",
-      m$k AS MATERIALIZED (
-        SELECT '\u00b7' || l || '\u00b7\u00b7' || r || '\u00b7' AS pat,
-               '\u00b7' || l || r || '\u00b7' AS rep
-        FROM (
-          SELECT t[i] AS l, t[i+1] AS r, SUM(freq) AS c FROM (
-            SELECT t, freq,
-              unnest(generate_series(1, len(t) - 1)) AS i FROM (
-              SELECT string_split(substr(enc, 2, length(enc) - 2),
-                '\u00b7\u00b7') AS t, freq
-              FROM w${k - 1}) WHERE len(t) >= 2)
-          GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1)),
-      w$k AS MATERIALIZED (
-        SELECT replace(enc,
-          coalesce((SELECT pat FROM m$k), '\u00b7\u00b7\u00b7'),
-          coalesce((SELECT rep FROM m$k), '\u00b7\u00b7\u00b7')) AS enc,
-          freq
-        FROM w${k - 1})""")
-        sb.append(s""",
-      d0 AS (
-        SELECT doc_id,
-          array_to_string([${duckEnc("w")}
-            for w in string_split_regex(trim(text), '\\s+')], ' ') AS enc,
-          len(string_split_regex(trim(text), '\\s+')) AS n_words,
-          trim(text) = '' AS blank
-        FROM documents WHERE text IS NOT NULL)""")
-        for (k <- 1 to M) sb.append(s""",
-      d$k AS (
-        SELECT doc_id, replace(enc,
-          coalesce((SELECT pat FROM m$k), '\u00b7\u00b7\u00b7'),
-          coalesce((SELECT rep FROM m$k), '\u00b7\u00b7\u00b7')) AS enc,
-          n_words, blank
-        FROM d${k - 1})""")
-        sb.toString
-      }
+      val M = BpeM
       Q("q110_bpe_encode", Some(s"""
       WITH $bpeCtes
       SELECT doc_id,
@@ -325,6 +330,55 @@ object TextQueries {
             coalesce(col("n_tokens"), lit(0L)).cast("long")
               .as("n_tokens"))
           .orderBy("doc_id")
+      }
+    },
+
+    // Tokenizer fertility per source (tokens per word under the q110
+    // BPE): the tokenizer-evaluation number a corpus run reads before
+    // committing a vocab — high-fertility sources burn context
+    // budget. Same train+encode chain as q110, aggregated per source
+    // with exact integer sums and one guarded double division.
+    {
+      val M = BpeM
+      Q("q252_tokenizer_fertility", Some(s"""
+      WITH $bpeCtes,
+      per AS (
+        SELECT doc_id,
+          CAST(CASE WHEN blank THEN 0 ELSE n_words END AS BIGINT)
+            AS n_words,
+          CAST(CASE WHEN blank THEN 0 ELSE n_words +
+            (length(enc) - length(replace(enc, '··', '·')))
+            END AS BIGINT) AS n_tokens
+        FROM d$M)
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS n_words,
+        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_tokens) AS DOUBLE)
+          / CAST(NULLIF(SUM(n_words), 0) AS DOUBLE) AS fertility
+      FROM per JOIN documents d USING (doc_id)
+      WHERE d.source IS NOT NULL
+      GROUP BY d.source ORDER BY d.source""")) { (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val merges = Bpe.train(docs, "text", M)
+        val base = docs.where(col("text").isNotNull)
+        val wordsDf = base.where(trim(col("text")) =!= "")
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("word"))
+        val vocabTok = wordsDf.select("word").distinct()
+          .withColumn("wtok", Bpe.wordTokenCount(col("word"), merges))
+        val counts = wordsDf.join(vocabTok, "word")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"), sum("wtok").as("n_tokens"))
+        base.select("doc_id", "source")
+          .where(col("source").isNotNull)
+          .join(counts, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("n_words"), lit(0L))).as("n_words"),
+            sum(coalesce(col("n_tokens"), lit(0L))).as("n_tokens"))
+          .withColumn("fertility", col("n_tokens").cast("double") /
+            when(col("n_words") > 0, col("n_words").cast("double")))
+          .orderBy("source")
       }
     },
 
