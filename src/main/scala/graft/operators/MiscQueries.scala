@@ -803,6 +803,47 @@ object MiscQueries {
         .orderBy("shard")
     },
 
+    // Corpus snapshot diff — the governance query between two corpus
+    // versions (old = doc_id % 5 != 0, new = the batch convention's
+    // complement flipped: here new snapshot = everything except
+    // doc_id % 7 == 0, so adds, removals, AND content changes all
+    // occur): per source, docs added / removed / changed (content
+    // hash moved) / unchanged. One full outer join on doc_id over
+    // md5(text) — a plain hash exchange at any size.
+    Q("q253_corpus_diff", Some("""
+      WITH old AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE doc_id % 5 <> 0 AND text IS NOT NULL),
+      nw AS (
+        SELECT doc_id, source,
+          md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                   ELSE text END) AS h
+        FROM documents
+        WHERE doc_id % 7 <> 0 AND text IS NOT NULL),
+      d AS (
+        SELECT COALESCE(o.source, n.source) AS source,
+          CASE WHEN o.doc_id IS NULL THEN 'added'
+               WHEN n.doc_id IS NULL THEN 'removed'
+               WHEN o.h <> n.h THEN 'changed'
+               ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN nw n USING (doc_id))
+      SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+      FROM d GROUP BY 1, 2 ORDER BY source, status""")) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .where(col("text").isNotNull)
+      val old = docs.where(pmod(col("doc_id"), lit(5L)) =!= 0L)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val nw = docs.where(pmod(col("doc_id"), lit(7L)) =!= 0L)
+        .select(col("doc_id"), col("source"),
+          md5(when(pmod(col("doc_id"), lit(11L)) === 0L,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+            .as("h"))
+      graft.warehouse.Snapshot.corpusDiff(old, nw, "doc_id", "h")
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "status")
+    },
+
     // Training-order shuffle audit: within 8 hash buckets of the
     // deterministic md5 emit order, count adjacent same-source pairs
     // — per-bucket windows, never one global sort; the 7 boundary

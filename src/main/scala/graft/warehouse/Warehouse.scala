@@ -333,6 +333,36 @@ object DateDim {
   }
 }
 
+/** Snapshot governance between corpus versions — the diff an
+  * incremental pipeline runs between crawls. */
+object Snapshot {
+
+  /** Diff two corpus versions keyed on `idCol` with content identity
+    * `hashCol`: per row, status ∈ added (only in `nw`) / removed
+    * (only in `old`) / changed (hash moved) / unchanged. Any OTHER
+    * column present in both frames is carried through coalesced
+    * old-first. One full-outer hash join on the id — a plain
+    * exchange at any size.
+    */
+  def corpusDiff(old: DataFrame, nw: DataFrame, idCol: String,
+      hashCol: String): DataFrame = {
+    val extras = old.columns.toSeq
+      .filter(c => c != idCol && c != hashCol && nw.columns.contains(c))
+    val oo = old.select(col(idCol) +: col(hashCol).as("__oh") +:
+      extras.map(c => col(c).as(s"__o_$c")): _*)
+    val nn = nw.select(col(idCol) +: col(hashCol).as("__nh") +:
+      extras.map(c => col(c).as(s"__n_$c")): _*)
+    oo.join(nn, Seq(idCol), "full_outer")
+      .select(col(idCol) +:
+        extras.map(c =>
+          coalesce(col(s"__o_$c"), col(s"__n_$c")).as(c)) :+
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") =!= col("__nh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"): _*)
+  }
+}
+
 /** Audit-log bookkeeping (S14, `etl_audit_log`
   * `db/init/01-schema.sql:227-243`; writers `etl/orchestrator.py:
   * 168-176`, `postgres_loader.py:178-190`). The reference UPDATEs the

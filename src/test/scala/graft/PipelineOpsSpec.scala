@@ -100,6 +100,22 @@ class PipelineOpsSpec extends SparkSpec {
       split == (if (rule(rep)) "val" else "train") })
   }
 
+  test("corpusDiff: four statuses, extras coalesced old-first") {
+    import graft.warehouse.Snapshot
+    val old = Seq((1L, "h1", "a"), (2L, "h2", "a"), (3L, "h3", "b"))
+      .toDF("id", "h", "src")
+    val nw = Seq((1L, "h1", "a"), (2L, "h2x", "a2"), (4L, "h4", "c"))
+      .toDF("id", "h", "src")
+    val got = Snapshot.corpusDiff(old, nw, "id", "h")
+      .orderBy("id").select("id", "src", "status")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", "unchanged"),
+      (2L, "a", "changed"), // extras coalesce OLD-first ("a", not "a2")
+      (3L, "b", "removed"),
+      (4L, "c", "added")))
+  }
+
   test("mixturePlan: targets, repeat factors, and actions") {
     val docs = Seq(("A", 100L), ("A", 100L), ("B", 50L), ("C", 1L))
       .toDF("g", "toks")
