@@ -1581,6 +1581,90 @@ object DedupQueries {
         .withColumn("recall",
           col("n_caught").cast("double") / col("n_true").cast("double"))
         .orderBy("band")
+    },
+
+    // Exact-dup safety audit for the LSH dedup apply: identical docs
+    // have identical minhash signatures, collide in EVERY band, and
+    // therefore land in one cluster — so after q97's keep-first apply
+    // no exact-duplicate PAIR can survive (n_multi_survivor = 0 by
+    // construction; the audit proves it against the exact md5-group
+    // truth). The synthetic corpus carries no exact text dups, so the
+    // audit PLANTS them (q73's synthetic-input pattern): every
+    // doc_id % 10 = 0 doc is duplicated under id + 10^9, making the
+    // guarantee observable rather than vacuous. n_zero_survivor > 0
+    // is legitimate — an exact group inside a larger near-dup cluster
+    // whose representative is another member — and quantifies the
+    // over-merge q228's transitivity census warns about, from the
+    // exact-dup side.
+    Q("q254_dedup_exact_audit", Some(s"""
+      WITH RECURSIVE documents2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000 AS doc_id, text FROM documents
+        WHERE doc_id % 10 = 0),
+      ${mhCtesFrom("documents2")},
+      scored AS (
+        SELECT id_a, id_b FROM cand
+        JOIN sig sa ON id_a = sa.doc_id
+        JOIN sig sb ON id_b = sb.doc_id
+        WHERE ($mhAgree) * 2 >= $MhNumHashes),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM scored
+        UNION SELECT id_b, id_a FROM scored),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+      labels AS (
+        SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id),
+      assigned AS (
+        SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS rep
+        FROM documents2 d LEFT JOIN labels l USING (doc_id)),
+      kept AS (SELECT MIN(doc_id) AS doc_id FROM assigned GROUP BY rep),
+      eg AS (
+        SELECT md5(text) AS th, doc_id FROM documents2
+        WHERE text IS NOT NULL),
+      gs AS (
+        SELECT th, COUNT(*) AS n,
+          SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS n_kept
+        FROM eg LEFT JOIN kept k USING (doc_id) GROUP BY th)
+      SELECT
+        CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_groups,
+        CAST(SUM(CASE WHEN n > 1 AND n_kept = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_single_survivor,
+        CAST(SUM(CASE WHEN n > 1 AND n_kept = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_zero_survivor,
+        CAST(SUM(CASE WHEN n > 1 AND n_kept > 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_multi_survivor
+      FROM gs""")) { (s, dir) =>
+      val base = Tables.load(s, dir, "documents")
+        .select("doc_id", "text")
+      val docs = base.unionByName(
+        base.where(pmod(col("doc_id"), lit(10L)) === 0L)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            col("text")))
+      val cand = Dedup.minHashLshCandidates(docs, "doc_id", "text",
+          n = 3, numHashes = MhNumHashes, bands = MhBands)
+        .where(col("est_jaccard") >= 0.5)
+      val kept = Dedup.keepRepresentatives(
+          docs.select("doc_id"), "doc_id", cand)
+        .select("doc_id").withColumn("__k", lit(1L))
+      docs.where(col("text").isNotNull)
+        .select(md5(col("text")).as("th"), col("doc_id"))
+        .join(kept, Seq("doc_id"), "left")
+        .groupBy("th")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(col("__k")), lit(0L)).as("n_kept"))
+        .agg(
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          sum(when(col("n") > 1 && col("n_kept") === 1L, 1L)
+            .otherwise(0L)).as("n_single_survivor"),
+          sum(when(col("n") > 1 && col("n_kept") === 0L, 1L)
+            .otherwise(0L)).as("n_zero_survivor"),
+          sum(when(col("n") > 1 && col("n_kept") > 1L, 1L)
+            .otherwise(0L)).as("n_multi_survivor"))
     }
   )
 }
