@@ -77,6 +77,7 @@ object Behavior {
     val perT = perUser.groupBy("t_days")
       .agg(sum(col("converted").cast("long")).as("d"),
         sum((!col("converted")).cast("long")).as("c"))
+    // |buckets|-row window: single partition is the point
     val wAsc = Window.orderBy("t_days")
       .rowsBetween(Long.MinValue, -1)
     val wCum = Window.orderBy("t_days")
@@ -194,6 +195,7 @@ object Behavior {
       .rowsBetween(Long.MinValue, -1)
     val perBucket = rows.groupBy("bucket")
       .agg(max(col("t")).as("bmax"))
+    // |buckets|-row window: single partition is the point
     val wB = Window.orderBy("bucket").rowsBetween(Long.MinValue, -1)
     val pref = perBucket.withColumn("pmax",
       max(col("bmax")).over(wB))

@@ -229,7 +229,8 @@ object Dedup {
   private def ngramJaccardPairsImpl(docs: DataFrame, idCol: String,
       textCol: String, n: Int, threshold: Double, maxDf: Option[Int],
       autoStopShingles: Boolean,
-      abortBudget: Option[Long]): Option[DataFrame] = {
+      abortBudget: Option[Long],
+      knownCount: Option[Long] = None): Option[DataFrame] = {
     val conf = docs.sparkSession.conf
     val effMaxDf: Option[Int] = maxDf.orElse {
       if (!autoStopShingles) None
@@ -238,8 +239,10 @@ object Dedup {
         val fraction =
           conf.get("spark.graft.jaccardStopShingleFraction", "0.01").toDouble
         // one count-star over the input (parquet scans answer it from
-        // footer metadata); the cap must exist before the df filter
-        val nDocs = docs.count()
+        // footer metadata); the cap must exist before the df filter —
+        // the auto router already counted for its maxDocs gate and
+        // threads that count in, so the probe path scans once
+        val nDocs = knownCount.getOrElse(docs.count())
         Some(math.max(floor.toLong, math.ceil(fraction * nDocs).toLong)
           .min(Int.MaxValue).toInt)
       }
@@ -468,14 +471,16 @@ object Dedup {
           conf.get("spark.graft.nearDupsExactMaxDocs", "1000000").toLong
         val maxDf2 =
           conf.get("spark.graft.nearDupsExactMaxDf2", "256000000").toLong
-        if (docs.count() > maxDocs) bigCorpusTier()
+        val nDocs = docs.count()
+        if (nDocs > maxDocs) bigCorpusTier()
         else
           // the exact tier prices itself: its own strategy-stats job
           // doubles as the router (abort = one scalar job, no work
-          // repeated when it qualifies)
+          // repeated when it qualifies); the maxDocs count is threaded
+          // through so the stop-shingle cap doesn't recount
           ngramJaccardPairsImpl(docs, idCol, textCol, n, threshold,
             maxDf = None, autoStopShingles = true,
-            abortBudget = Some(maxDf2)) match {
+            abortBudget = Some(maxDf2), knownCount = Some(nDocs)) match {
             case Some(d) => exactOut(d)
             case None => bigCorpusTier()
           }

@@ -72,6 +72,7 @@ object Evaluation {
     // exclusive cross-bucket offsets over the ≤`buckets`-row frame
     // (the unpartitioned window is safe: its input is bucket totals,
     // never rows)
+    // |buckets|-row window: single partition is the point
     val wOff = Window.orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = gb.groupBy("b")
@@ -467,6 +468,7 @@ object Evaluation {
     // merged-sample midrank of a value is GLOBAL: one window over
     // the value domain (|distinct cents| rows, never corpus rows)
     // serves every group's rank sum.
+    // |buckets|-row window: single partition is the point
     val w = org.apache.spark.sql.expressions.Window.orderBy("v")
       .rowsBetween(Long.MinValue, -1)
     val ranked = perV
@@ -682,6 +684,7 @@ object Evaluation {
         floor((col("v") - lo).cast("double") /
           (hi - lo + 1).toDouble * buckets).cast("int"))
     val gb = vals.withColumn("b", bucket)
+    // |buckets|-row window: single partition is the point
     val wOff = Window.orderBy("b")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = gb.groupBy("b").agg(sum("cnt").as("bc"))

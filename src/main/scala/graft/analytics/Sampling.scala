@@ -148,6 +148,7 @@ object Sampling {
       .where(col("doc_id").isNotNull && col("score").isNotNull &&
         col("toks").isNotNull && col("toks") >= 0)
     val perScore = d.groupBy("score").agg(sum(col("toks")).as("t"))
+    // |buckets|-row window: single partition is the point
     val wDesc = Window.orderBy(col("score").desc)
       .rowsBetween(Long.MinValue, -1)
     val cum = perScore.withColumn("above",
@@ -258,8 +259,13 @@ object Sampling {
       .groupBy("g").agg(sum(col("toks")).as("available_tokens"))
       .join(broadcast(targets), Seq("g"))
       .withColumn("repeat_factor",
-        col("target_tokens").cast("double") /
-          col("available_tokens").cast("double"))
+        // guard the zero-token group (all docs in a whitelisted source
+        // carrying 0 tokens): target/0 would read Infinity — null is
+        // the honest "no finite repeat factor exists" answer, same
+        // contract as the q252 fertility computation
+        when(col("available_tokens") > 0,
+          col("target_tokens").cast("double") /
+            col("available_tokens").cast("double")))
       .withColumn("action",
         when(col("target_tokens") > col("available_tokens"), lit("repeat"))
           .when(col("target_tokens") < col("available_tokens"),

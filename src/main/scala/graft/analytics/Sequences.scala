@@ -41,6 +41,7 @@ object Sequences {
 
     // cross-bucket gaps: per-bucket summary frame, one row per
     // occupied bucket — the only unpartitioned window runs here
+    // |buckets|-row window: single partition is the point
     val wB = Window.orderBy("b")
     val boundary = keys.groupBy("b")
       .agg(min("k").as("lo"), max("k").as("hi"))

@@ -123,6 +123,7 @@ object TimeSeries {
     require(window >= 2, "window must be >= 2")
     val D = DecimalType(38, 0)
     def d(c: Column): Column = c.cast(D)
+    // |buckets|-row window: single partition is the point
     val w = Window.orderBy(dayCol).rowsBetween(-(window - 1), 0)
     val x = col(xCol)
     val y = col(yCol)

@@ -126,8 +126,19 @@ object DedupQueries {
          AND a.vec_id < b.vec_id
         WHERE (SELECT c FROM nn) > $lo AND (SELECT c FROM nn) <= $hi"""
     }
+    // terminal guard: beyond the unrolled range (n > 2048 ⇒ bits > 6)
+    // the union above would be silently EMPTY and the gate would fail
+    // as an opaque hash mismatch — raise a named error instead so an
+    // unsupported-scale corpus is a one-line diagnosis, and extending
+    // the unroll is the fix
     s"""nn AS (SELECT count(*) AS c FROM embeddings),
-      cand AS (${(1 to 6).map(branch).mkString("\n        UNION ALL\n")})"""
+      cand AS (${(1 to 6).map(branch).mkString("\n        UNION ALL\n")}
+        UNION ALL
+        SELECT CAST(error('embAutoCandCtes: corpus has ' || c ||
+            ' embeddings > 2048 - extend the bits unroll past 6')
+            AS BIGINT) AS id_a,
+          CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS score
+        FROM nn WHERE c > ${32L << 6})"""
   }
 
   val all: Seq[Q] = Seq(

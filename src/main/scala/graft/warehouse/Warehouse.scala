@@ -348,17 +348,22 @@ object Snapshot {
       hashCol: String): DataFrame = {
     val extras = old.columns.toSeq
       .filter(c => c != idCol && c != hashCol && nw.columns.contains(c))
+    // presence is an explicit marker per side, NOT hash nullness — a
+    // row whose content hash is legitimately null (md5 of null text)
+    // must still count as present, and the hash comparison below is
+    // null-safe so a one-sided-null pair reads "changed", not
+    // "unchanged" via =!='s null propagation
     val oo = old.select(col(idCol) +: col(hashCol).as("__oh") +:
-      extras.map(c => col(c).as(s"__o_$c")): _*)
+      lit(1).as("__op") +: extras.map(c => col(c).as(s"__o_$c")): _*)
     val nn = nw.select(col(idCol) +: col(hashCol).as("__nh") +:
-      extras.map(c => col(c).as(s"__n_$c")): _*)
+      lit(1).as("__np") +: extras.map(c => col(c).as(s"__n_$c")): _*)
     oo.join(nn, Seq(idCol), "full_outer")
       .select(col(idCol) +:
         extras.map(c =>
           coalesce(col(s"__o_$c"), col(s"__n_$c")).as(c)) :+
-        when(col("__oh").isNull, lit("added"))
-          .when(col("__nh").isNull, lit("removed"))
-          .when(col("__oh") =!= col("__nh"), lit("changed"))
+        when(col("__op").isNull, lit("added"))
+          .when(col("__np").isNull, lit("removed"))
+          .when(!(col("__oh") <=> col("__nh")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"): _*)
   }
 }

@@ -120,6 +120,7 @@ object Writer {
         graft.analytics.Dedup.h30(col("doc_id").cast("string")),
         lit(buckets.toLong)))
       .withColumn("ord", md5(col("doc_id").cast("string")))
+    // |buckets|-row window: single partition is the point
     val wBucketSeq = Window.orderBy("bucket")
       .rowsBetween(Long.MinValue, -1)
     // |buckets| rows: exclusive global offset per bucket

@@ -116,6 +116,36 @@ class PipelineOpsSpec extends SparkSpec {
       (4L, "c", "added")))
   }
 
+  test("corpusDiff: null content hashes are presence, not absence") {
+    import graft.warehouse.Snapshot
+    // id 1: present both sides, null old hash -> CHANGED (not 'added');
+    // id 2: only in old with a null hash -> REMOVED (not 'added');
+    // id 3: null hash BOTH sides -> unchanged (null-safe equality)
+    val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("id", "h")
+    val nw = Seq((1L, Some("h1")), (3L, Option.empty[String]))
+      .toDF("id", "h")
+    val got = Snapshot.corpusDiff(old, nw, "id", "h")
+      .orderBy("id").select("id", "status")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "changed"), (2L, "removed"),
+      (3L, "unchanged")))
+  }
+
+  test("mixturePlan: zero-token group yields null repeat factor") {
+    val docs = Seq(("A", 0L), ("A", 0L), ("B", 50L)).toDF("g", "toks")
+    val got = Sampling.mixturePlan(docs, "g", "toks",
+        Map("A" -> 0.5, "B" -> 0.5), totalBudget = 100L)
+      .orderBy("g")
+      .select("g", "available_tokens", "target_tokens",
+        "repeat_factor", "action")
+      .as[(String, Long, Long, Option[Double], String)].collect().toSeq
+    // A has docs but zero tokens: no finite repeat factor exists ->
+    // null (never Infinity); the action still reads 'repeat'
+    assert(got === Seq(("A", 0L, 50L, None, "repeat"),
+      ("B", 50L, 50L, Some(1.0), "exact")))
+  }
+
   test("mixturePlan: targets, repeat factors, and actions") {
     val docs = Seq(("A", 100L), ("A", 100L), ("B", 50L), ("C", 1L))
       .toDF("g", "toks")

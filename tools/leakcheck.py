@@ -63,15 +63,26 @@ def main():
     commit = subprocess.run(
         ["git", "-C", str(ROOT), "rev-parse", "HEAD"],
         capture_output=True, text=True).stdout.strip()
+    # LEAKCHECK.json is DRIVER-FORMAT (round/n_hits/hits, no trailing
+    # newline): the per-round driver overwrites this file with exactly
+    # that shape, so emitting the same bytes keeps `git status` clean
+    # after a driver pass. Provenance (generated_at/commit) that the
+    # driver would strip lives in the committed sidecar instead.
     out = {
+        "round": rnd,
+        "n_hits": sum(len(v) for v in hits.values()),
+        "hits": hits,
+    }
+    (ROOT / "LEAKCHECK.json").write_text(json.dumps(out, indent=2))
+    prov = {
         "round": rnd,
         "generated_at": datetime.now(timezone.utc)
             .strftime("%Y-%m-%dT%H:%M:%SZ"),
         "commit": commit,
-        "n_hits": sum(len(v) for v in hits.values()),
-        "hits": hits,
+        "n_hits": out["n_hits"],
     }
-    (ROOT / "LEAKCHECK.json").write_text(json.dumps(out, indent=2) + "\n")
+    (ROOT / "LEAKCHECK_PROVENANCE.json").write_text(
+        json.dumps(prov, indent=2) + "\n")
     print(f"LEAKCHECK.json: {out['n_hits']} hits at {commit[:12]}")
 
 
