@@ -1486,10 +1486,17 @@ object Dedup {
     */
   def embeddingNearDupsAuto(emb: DataFrame, idCol: String,
       embCol: String, threshold: Double, targetBucket: Int = 32,
-      dim: Int = 64, tables: Int = 4): DataFrame = {
+      dim: Int = 64, tables: Int = 4,
+      targetRecall: Option[Double] = None): DataFrame = {
     require(targetBucket >= 1, "targetBucket must be >= 1")
-    embeddingNearDupsBucketed(emb, idCol, embCol, threshold,
-      autoSignBits(emb.count(), targetBucket), dim, tables)
+    val bits = autoSignBits(emb.count(), targetBucket)
+    // recall-targeted mode: the retention model is closed-form, so
+    // given (threshold, target recall) the table count is the model
+    // INVERTED rather than a knob the caller has to calibrate
+    val t = targetRecall.map(r => autoSignTables(bits, threshold, r))
+      .getOrElse(tables)
+    embeddingNearDupsBucketed(emb, idCol, embCol, threshold, bits,
+      dim, t)
   }
 
   /** The 2^bits ∝ n rule behind [[embeddingNearDupsAuto]], pinned by
@@ -1499,6 +1506,46 @@ object Dedup {
     val raw = math.ceil(
       math.log(math.max(n, 1).toDouble / targetBucket) / math.log(2.0))
     math.min(24, math.max(1, raw.toInt))
+  }
+
+  /** Per-pair sign-LSH retention model at cosine similarity `s`,
+    * `bits`-wide buckets, `tables` OR'd independent tables: a random
+    * hyperplane splits a pair at angle θ = acos(s) with probability
+    * θ/π (Goemans–Williamson), so one table retains it with
+    * (1 − θ/π)^bits and ANY of `tables` tables with
+    * 1 − (1 − (1 − θ/π)^bits)^tables. Recall is increasing in `s`,
+    * so the value at the accept threshold is the FLOOR of the
+    * model-predicted per-pair recall over everything the tier is
+    * asked to find (q251/q256 audit it per band). */
+  private[graft] def signRecallModel(bits: Int, tables: Int,
+      s: Double): Double = {
+    val p1 = 1.0 - math.acos(math.min(1.0, math.max(-1.0, s))) / math.Pi
+    val p = math.pow(p1, bits)
+    1.0 - math.pow(1.0 - p, tables)
+  }
+
+  /** [[signRecallModel]] inverted for the table count — the
+    * recall-targeted sizing rule behind
+    * `embeddingNearDupsAuto(targetRecall = …)`: the smallest T with
+    * 1 − (1 − p)^T ≥ targetRecall where p = (1 − acos(τ)/π)^bits,
+    * i.e. T = ⌈ln(1 − R) / ln(1 − p)⌉. Clamped to [1, maxTables]
+    * (candidate cost is linear in T — the cap bounds the spend when
+    * the target is unreachable at this width, e.g. a low-similarity
+    * τ against wide buckets; the honest fix there is more bits'
+    * complement: fewer bits, not unbounded tables). */
+  private[graft] def autoSignTables(bits: Int, threshold: Double,
+      targetRecall: Double, maxTables: Int = 64): Int = {
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val p1 = 1.0 -
+      math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val p = math.pow(p1, bits)
+    if (p >= 1.0) 1
+    else if (p <= 0.0) maxTables
+    else {
+      val t = math.ceil(math.log1p(-targetRecall) / math.log1p(-p))
+      math.min(maxTables.toDouble, math.max(1.0, t)).toInt
+    }
   }
 
   /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995) —

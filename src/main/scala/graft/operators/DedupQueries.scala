@@ -107,22 +107,53 @@ object DedupQueries {
         SELECT doc_id, $nibbleExprs AS simhash_hex FROM votes)"""
   }
 
-  /** Shared q241/q251 oracle pieces: the COUNT(*)-branched auto-width
-    * sign-LSH candidate CTEs (`nn` + `cand(id_a, id_b, score)`). One
-    * unrolled branch per bits ∈ 1..6 with range gates matching
-    * [[Dedup.autoSignBits]] (targetBucket 32): n ≤ 64 → 1, then one
-    * bit per doubling — covering every driver sf. */
-  private def embAutoCandCtes: String = {
+  /** The COUNT(*) range gate of the auto-width unroll: branch `bits`
+    * applies when n ∈ (lo, hi], matching [[Dedup.autoSignBits]]
+    * (targetBucket 32): n ≤ 64 → 1, then one bit per doubling. */
+  private def embAutoGate(bits: Int): (Long, Long) = {
+    val lo = if (bits == 1) 0L else 32L << (bits - 1)
+    (lo, 32L << bits)
+  }
+
+  /** COUNT(*)-branched scalar CASE over the auto-width gates —
+    * `valueOf(bits)` must return a SQL literal; shared by the bits /
+    * tables / model-floor output columns of q251/q256 so the oracle
+    * replays the corpus-dependent parameter exactly as the Scala
+    * selection rule computes it. */
+  private def embAutoCase(valueOf: Int => String): String =
+    (1 to 6).map { b =>
+      val (lo, hi) = embAutoGate(b)
+      s"WHEN (SELECT c FROM nn) > $lo AND (SELECT c FROM nn) <= $hi" +
+        s" THEN ${valueOf(b)}"
+    }.mkString("(CASE ", " ", " END)")
+
+  /** A Scala double as a SQL DOUBLE literal: round-tripped through
+    * `Double.toString` (shortest repr that parses back to the same
+    * double) and a string cast, so both engines hold the identical
+    * bit pattern. */
+  private def duckDouble(v: Double): String = s"CAST('$v' AS DOUBLE)"
+
+  /** COUNT(*)-branched model floor at similarity `sLo` for the
+    * shipped tables=4 default — the q251 per-band floor column. */
+  private def duckRecallFloor(sLo: Double): String =
+    embAutoCase(b => duckDouble(Dedup.signRecallModel(b, 4, sLo)))
+
+  /** Shared q241/q251/q256 oracle pieces: the COUNT(*)-branched
+    * auto-width sign-LSH candidate CTEs (`nn` + `cand(id_a, id_b,
+    * score)`). One unrolled branch per bits ∈ 1..6 — covering every
+    * driver sf. `tablesOf(bits)` sets the per-branch OR-amplification
+    * width (4 = the shipped default; q256 passes the recall-targeted
+    * [[Dedup.autoSignTables]] inversion). */
+  private def embAutoCandCtes(tablesOf: Int => Int = _ => 4): String = {
     def branch(bits: Int): String = {
-      val lo = if (bits == 1) 0L else 32L << (bits - 1)
-      val hi = 32L << bits
+      val (lo, hi) = embAutoGate(bits)
       s"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           ${SimilarityQueries.duckCosine(
             "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS score
         FROM embeddings a JOIN embeddings b
           ON ${SimilarityQueries.duckAnyBucketMatch("a", "b", bits,
-            tables = 4)}
+            tables = tablesOf(bits))}
          AND a.vec_id < b.vec_id
         WHERE (SELECT c FROM nn) > $lo AND (SELECT c FROM nn) <= $hi"""
     }
@@ -1379,7 +1410,7 @@ object DedupQueries {
     {
       val thr = 0.35; val targetBucket = 32
       Q("q241_embdedup_auto", Some(s"""
-      WITH $embAutoCandCtes
+      WITH ${embAutoCandCtes()}
       SELECT id_a, id_b, score FROM cand
       WHERE score >= $thr
       ORDER BY id_a, id_b""")) { (s, dir) =>
@@ -1552,7 +1583,7 @@ object DedupQueries {
     // overall at τ=0.35, sf0.01). Banded output makes the trade
     // auditable instead of hiding it in one blended number.
     Q("q251_embdedup_auto_recall", Some(s"""
-      WITH $embAutoCandCtes,
+      WITH ${embAutoCandCtes()},
       auto AS (
         SELECT DISTINCT id_a, id_b FROM cand WHERE score >= 0.35),
       bf AS (
@@ -1566,16 +1597,32 @@ object DedupQueries {
             ELSE '0.35-0.60' END AS band
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE ${SimilarityQueries.duckCosine(
-          "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.35)
-      SELECT band, CAST(count(*) AS BIGINT) AS n_true,
-        CAST(SUM(CASE WHEN auto.id_a IS NOT NULL THEN 1 ELSE 0 END)
-          AS BIGINT) AS n_caught,
-        CAST(SUM(CASE WHEN auto.id_a IS NOT NULL THEN 1 ELSE 0 END)
-            AS DOUBLE)
-          / CAST(count(*) AS DOUBLE) AS recall
-      FROM bf LEFT JOIN auto USING (id_a, id_b)
-      GROUP BY band ORDER BY band""")) { (s, dir) =>
+          "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.35),
+      r AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS n_true,
+          CAST(SUM(CASE WHEN auto.id_a IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_caught,
+          CAST(SUM(CASE WHEN auto.id_a IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE)
+            / CAST(count(*) AS DOUBLE) AS recall,
+          CASE band
+            WHEN '0.35-0.60' THEN ${duckRecallFloor(0.35)}
+            WHEN '0.60-0.80' THEN ${duckRecallFloor(0.60)}
+            ELSE ${duckRecallFloor(0.80)} END AS model_floor
+        FROM bf LEFT JOIN auto USING (id_a, id_b)
+        GROUP BY band)
+      SELECT band, n_true, n_caught, recall, model_floor,
+        recall >= model_floor AS meets_floor
+      FROM r ORDER BY band""")) { (s, dir) =>
       val emb = Tables.load(s, dir, "embeddings")
+      // model floor per band: the closed-form retention at the band's
+      // LOWER similarity edge (recall rises with similarity, so this
+      // is the prediction's worst case) at the width the auto rule
+      // picks for THIS corpus and the shipped tables=4 default —
+      // measured band recall must sit on or above it
+      val bits = Dedup.autoSignBits(emb.count(), 32)
+      def floorAt(sLo: Double): Double =
+        Dedup.signRecallModel(bits, 4, sLo)
       val bf = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
           threshold = 0.35)
         .select(col("id_a"), col("id_b"),
@@ -1591,7 +1638,83 @@ object DedupQueries {
           coalesce(sum(col("__c")), lit(0L)).as("n_caught"))
         .withColumn("recall",
           col("n_caught").cast("double") / col("n_true").cast("double"))
+        .withColumn("model_floor",
+          when(col("band") === "0.35-0.60", lit(floorAt(0.35)))
+            .when(col("band") === "0.60-0.80", lit(floorAt(0.60)))
+            .otherwise(lit(floorAt(0.80))))
+        .withColumn("meets_floor", col("recall") >= col("model_floor"))
         .orderBy("band")
+    },
+
+    // Recall-TARGETED embedding near-dup: the q251 retention model
+    // INVERTED — given (τ=0.35, target recall 0.8: the MODERATE
+    // band, exactly where the t=4 default measured an honest 0.49)
+    // solve for the table count,
+    // T = ⌈ln(1−R)/ln(1−(1−acos τ/π)^bits)⌉, at the
+    // width the auto rule picks for this corpus
+    // (Dedup.autoSignTables; AutoSignBitsSpec pins the inversion).
+    // The oracle replays bits AND tables through the same COUNT(*)
+    // gates (per-branch table counts in the candidate CTE), and the
+    // output row carries the chosen parameters, the model floor at
+    // τ, the measured recall against exact all-pairs truth, and
+    // meets_target — the contract "asking for recall R actually
+    // buys recall ≥ R" as a hash-checked result, not a doc claim.
+    Q("q256_embdedup_target_recall", Some(s"""
+      WITH ${embAutoCandCtes(b =>
+        Dedup.autoSignTables(b, 0.35, 0.8))},
+      auto AS (
+        SELECT DISTINCT id_a, id_b FROM cand WHERE score >= 0.35),
+      bf AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ${SimilarityQueries.duckCosine(
+          "a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.35),
+      r AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_true,
+          CAST(COALESCE(SUM(CASE WHEN auto.id_a IS NOT NULL
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_caught,
+          CASE WHEN count(*) > 0 THEN
+            CAST(SUM(CASE WHEN auto.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE)
+              / CAST(count(*) AS DOUBLE) END AS recall
+        FROM bf LEFT JOIN auto USING (id_a, id_b))
+      SELECT n_true, n_caught, recall,
+        ${embAutoCase(b => s"CAST($b AS BIGINT)")} AS bits,
+        ${embAutoCase(b =>
+          s"CAST(${Dedup.autoSignTables(b, 0.35, 0.8)} AS BIGINT)")}
+          AS tables,
+        ${embAutoCase(b => duckDouble(Dedup.signRecallModel(b,
+          Dedup.autoSignTables(b, 0.35, 0.8), 0.35)))} AS model_floor,
+        COALESCE(recall >= 0.8, TRUE) AS meets_target
+      FROM r""")) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val bits = Dedup.autoSignBits(emb.count(), 32)
+      val tables = Dedup.autoSignTables(bits, 0.35, 0.8)
+      val bf = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+          threshold = 0.35)
+        .select("id_a", "id_b")
+      val auto = Dedup.embeddingNearDupsAuto(emb, "vec_id", "embedding",
+          threshold = 0.35, targetRecall = Some(0.8))
+        .select("id_a", "id_b").withColumn("__c", lit(1L))
+      bf.join(auto, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true"),
+          coalesce(sum(col("__c")), lit(0L)).as("n_caught"))
+        .withColumn("recall",
+          // n_true = 0 (a corpus with no τ-pairs at all) is a
+          // legitimate calibration outcome: recall is undefined,
+          // null on both engines — never a divide-by-zero
+          when(col("n_true") > 0,
+            col("n_caught").cast("double") /
+              col("n_true").cast("double")))
+        .withColumn("bits", lit(bits.toLong))
+        .withColumn("tables", lit(tables.toLong))
+        .withColumn("model_floor",
+          lit(Dedup.signRecallModel(bits, tables, 0.35)))
+        // vacuously true on a corpus with no τ-pairs (nothing to
+        // find, nothing missed) — also sidesteps the engines'
+        // differing null-boolean renderings in the value hash
+        .withColumn("meets_target",
+          coalesce(col("recall") >= 0.8, lit(true)))
     },
 
     // Exact-dup safety audit for the LSH dedup apply: identical docs

@@ -53,6 +53,63 @@ class AutoSignBitsSpec extends SparkSpec {
     assert(auto.toSeq === pinned.toSeq)
   }
 
+  test("signRecallModel: Goemans-Williamson retention, monotone") {
+    // closed form: 1 - (1 - (1 - acos(s)/pi)^bits)^tables
+    def m(b: Int, t: Int, s: Double) = Dedup.signRecallModel(b, t, s)
+    // identical vectors always collide; orthogonal pairs retain
+    // (1/2)^bits per table
+    assert(m(8, 1, 1.0) === 1.0)
+    assert(math.abs(m(1, 1, 0.0) - 0.5) < 1e-12)
+    assert(math.abs(m(4, 1, 0.0) - 1.0 / 16) < 1e-12)
+    // monotone: recall rises with similarity and tables, falls with
+    // bits
+    assert(m(4, 4, 0.8) > m(4, 4, 0.35))
+    assert(m(4, 8, 0.35) > m(4, 4, 0.35))
+    assert(m(6, 4, 0.35) < m(4, 4, 0.35))
+  }
+
+  test("autoSignTables: smallest T with model recall >= target") {
+    def inv(b: Int, s: Double, r: Double) =
+      Dedup.autoSignTables(b, s, r)
+    // the q256 operating points (oracle replays these through the
+    // same COUNT(*) gates — changing the rule must break this FIRST)
+    assert(inv(3, 0.35, 0.8) === 7)
+    assert(inv(4, 0.35, 0.8) === 11)
+    assert(inv(6, 0.35, 0.8) === 30)
+    assert(inv(4, 0.8, 0.8) === 4)
+    // minimality + sufficiency: T meets the target (unless the
+    // 64-table cap binds — an unreachable target stops at the cap,
+    // documented), and T-1 never does
+    for (b <- 1 to 8; s <- Seq(0.35, 0.6, 0.8); r <- Seq(0.5, 0.8, 0.95)) {
+      val t = inv(b, s, r)
+      if (t < 64)
+        assert(Dedup.signRecallModel(b, t, s) >= r - 1e-12,
+          s"bits=$b s=$s r=$r t=$t under-delivers")
+      if (t > 1 && t < 64)
+        assert(Dedup.signRecallModel(b, t - 1, s) < r,
+          s"bits=$b s=$s r=$r t=$t not minimal")
+    }
+    // threshold 1.0 collides always: one table suffices; the cap
+    // bounds an unreachable target
+    assert(inv(24, 1.0, 0.99) === 1)
+    assert(inv(24, 0.05, 0.99) === 64)
+  }
+
+  test("targetRecall routes through autoSignTables") {
+    val emb = (0L until 70L).map { i =>
+      (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    // n=70 -> bits=2; autoSignTables(2, 0.35, 0.8) tables
+    val t = Dedup.autoSignTables(2, 0.35, 0.8)
+    val targeted = Dedup.embeddingNearDupsAuto(emb, "vec_id",
+        "embedding", threshold = 0.35, targetRecall = Some(0.8))
+      .orderBy("id_a", "id_b").collect()
+    val pinned = Dedup.embeddingNearDupsBucketed(emb, "vec_id",
+        "embedding", threshold = 0.35, bits = 2, tables = t)
+      .orderBy("id_a", "id_b").collect()
+    assert(targeted.toSeq === pinned.toSeq)
+  }
+
   test("auto variant equals the bucketed form at the chosen width") {
     val emb = (0L until 70L).map { i =>
       (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
