@@ -42,6 +42,25 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"semdedup","sf":"$sfDir","k":${k.toInt},""" +
           f""""threshold":$tau,"rows":$n,"sec":$sec%.3f}""")
+      case "semdedup2" :: sfDir :: rest =>
+        // the two-level (sub-n^1.5) semantic tier at its auto
+        // operating point: k1 = ceil(n^1/3) capped, residual bits
+        // from the constant-bucket rule — the decade ratio this
+        // prints is the round-16 scale contract for semDedupAuto
+        val tau = rest.headOption.map(_.toDouble).getOrElse(0.35)
+        val emb = Tables.load(spark, sfDir, "embeddings")
+        val dim = 64
+        val nIn = emb.count() // warm the scan; also sizes the rules
+        val k1 = graft.analytics.Similarity.autoCoarseCells(nIn)
+        val bits2 = graft.analytics.Similarity.autoResidualBits(
+          nIn, k1, 32)
+        val t0 = System.nanoTime()
+        val n = graft.analytics.Similarity.semDedupAuto(
+          emb, "vec_id", "embedding", dim = dim,
+          threshold = tau).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"semdedup2","sf":"$sfDir","k1":$k1,""" +
+          f""""bits2":$bits2,"threshold":$tau,"rows":$n,"sec":$sec%.3f}""")
       case "kmeans" :: sfDir :: k :: _ =>
         val emb = Tables.load(spark, sfDir, "embeddings")
         emb.count(): Unit

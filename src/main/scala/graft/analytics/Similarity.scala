@@ -621,6 +621,142 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rn")
   }
 
+  /** Sign-bit LSH bucket of a vector's RESIDUAL against its cluster
+    * centroid — bit b is `fold_b(vec) − fold_b(cent) ≥ 0` with the
+    * same seeded hyperplane folds as [[signBucket]] (the native
+    * [[graft.expressions.ResidualSignBuckets]] single pass).
+    * Centering is what makes within-cluster LSH split: raw
+    * projections of same-cell vectors concentrate around the
+    * centroid's own projection (most raw bits are constant inside a
+    * cell), residual projections spread around 0. */
+  def residualSignBucket(vec: Column, cent: Column, bits: Int,
+      dim: Int, seed: Long = 42L): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.ResidualSignBuckets(
+      ColumnBridge.expression(vec.cast("array<double>")),
+      ColumnBridge.expression(cent.cast("array<double>")),
+      hyperplaneSigns(bits, dim, seed)))
+  }
+
+  /** Coarse cell count for the TWO-LEVEL semantic tier: ⌈n^⅓⌉,
+    * clamped to [1, 4096]. The cube root balances the two
+    * super-linear terms the two-level design still carries — k-means
+    * training/assignment is n·k₁ and nothing else grows with k₁ —
+    * at n^{4/3} worst case with a tiny constant (codegen'd broadcast
+    * dot products), and the cap makes the whole path strictly linear
+    * beyond n ≈ 7·10¹⁰ (assignment ≤ 4096 dots/vector; the residual
+    * bits below absorb the growing cell size). √n cells — the FLAT
+    * tier's operating point — would put assignment at n^1.5, which
+    * is exactly the term the r15 sf10 rehearsal measured blowing up
+    * (14.8×/decade even at k=√n). */
+  def autoCoarseCells(n: Long): Int =
+    math.min(4096L, math.max(1L,
+      math.ceil(math.cbrt(math.max(n, 0).toDouble)).toLong)).toInt
+
+  /** Residual-LSH width for the two-level semantic tier: the
+    * smallest `bits` giving an expected (cell, bucket) size ≤
+    * `targetCell`, i.e. ⌈log₂(n / (k₁·targetCell))⌉ clamped to
+    * [0, 24] — 0 means the corpus is small enough that cells need no
+    * second-level split (the pass degrades to the exact within-cell
+    * form). 2^bits ∝ n/k₁ is the same constant-bucket rule as
+    * [[graft.analytics.Dedup.autoSignBits]]: it is what keeps the
+    * within-bucket pairwise term LINEAR (n·targetCell·tables
+    * cosines) at any corpus size. */
+  def autoResidualBits(n: Long, k1: Int, targetCell: Int = 32): Int = {
+    require(k1 >= 1 && targetCell >= 1,
+      "autoResidualBits: k1 and targetCell must be >= 1")
+    val perCell = math.max(n, 0).toDouble / k1
+    val raw = math.ceil(math.log(perCell / targetCell) / math.log(2.0))
+    math.min(24, math.max(0, if (raw.isNaN) 0 else raw.toInt))
+  }
+
+  /** TWO-LEVEL semantic dedup — the sub-n^1.5 form of [[semDedup]]:
+    * level 1 is the same deterministic spherical k-means (k₁ coarse
+    * cells, centroid distance still defines the keep rule), level 2
+    * splits each cell by `bits2`-wide sign-LSH over RESIDUAL vectors
+    * (`tables` independent seeded tables, OR-amplified), and the
+    * pairwise pass runs only within (cell, residual-bucket) — the
+    * hierarchical-quantizer shape (IVF coarse level + in-cell
+    * refinement) that removes the flat tier's Σ|cell|² = n²/k term.
+    *
+    * Semantics: a vector is dropped iff some CANDIDATE neighbor
+    * (same cell, same residual bucket in ≥1 table) at cosine ≥
+    * `threshold` sits strictly closer to the LEVEL-1 centroid (ties
+    * by lower id); `near_dups` counts candidate neighbors at ≥
+    * `threshold`. With `bits2 = 0` every cell is one bucket and this
+    * is EXACTLY [[semDedup]] at the same codebook (spec-pinned); with
+    * `bits2 > 0` the trade is the standard LSH one — recall within
+    * cell, never precision (every surviving pair is exact-cosine
+    * verified).
+    *
+    * Scale shape: training/assignment n·k₁ broadcast cosines
+    * (n^{4/3} at the [[autoCoarseCells]] operating point, linear
+    * past its cap), residual bucketing map-only n·bits2·dim,
+    * pairwise n·targetCell·tables cosines under the
+    * [[autoResidualBits]] rule — no term is n^1.5, which the flat
+    * tier could not say (measured 14.8×/decade at sf10 even at
+    * k=√n). `codebook` accepts a persisted IVF coarse quantizer
+    * ([[buildIvfIndex]]'s `codebook` table) so a pipeline that
+    * already indexed the corpus pays no second training pass.
+    */
+  def semDedupTwoLevel(emb: DataFrame, idCol: String, embCol: String,
+      k1: Int, dim: Int, iterations: Int, threshold: Double,
+      bits2: Int, tables: Int = 2,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    require(bits2 >= 0 && bits2 <= 24,
+      s"bits2 must be in [0, 24], got $bits2")
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val cb = codebook.getOrElse(
+      kmeansCodebook(emb, idCol, embCol, k1, dim, iterations))
+    // consumed by every table's bucket pass, both pair sides, and
+    // the final output — checkpoint-materialize like [[semDedup]]
+    val cells = Dedup.materialize(nearestCell(cb, emb
+        .select(col(idCol).as("vec_id"),
+          col(embCol).cast("array<double>").as("embedding")),
+      "vec_id", "embedding"))
+    val withCent = cells.join(broadcast(cb.select(
+      col("centroid_id").cast("int").as("cell"), col("cent_emb"))),
+      Seq("cell"))
+    // ids only through the per-table joins + dedup (the
+    // embeddingNearDupsBucketed discipline: vector payloads would
+    // multiply the exchanged bytes by the embedding width)
+    def bucketed(t: Int): DataFrame = withCent.select(col("vec_id"),
+      col("cell"),
+      (if (bits2 == 0) lit(0)
+       else residualSignBucket(col("embedding"), col("cent_emb"),
+         bits2, dim, tableSeed(t))).as("rb"))
+    val cand = (0 until tables).map { t =>
+      val b = bucketed(t)
+      b.select(col("cell"), col("rb"), col("vec_id").as("id_a"))
+        .join(b.select(col("cell"), col("rb"),
+          col("vec_id").as("id_b")), Seq("cell", "rb"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b")
+    }.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
+    val pairs = cand
+      .join(cells.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("cscore").as("ca")),
+        Seq("id_a"))
+      .join(cells.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("cscore").as("cb")),
+        Seq("id_b"))
+      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("sim") >= threshold)
+    val nearCnt = pairs.groupBy(col("id_a").as("vec_id"))
+      .agg(count(lit(1)).as("near_dups"))
+    val dominated = pairs
+      .filter(col("cb") < col("ca") ||
+        (col("cb") === col("ca") && col("id_b") < col("id_a")))
+      .select(col("id_a").as("vec_id")).distinct()
+      .withColumn("__dom", lit(true))
+    cells.join(nearCnt, Seq("vec_id"), "left")
+      .join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("__dom").isNull.as("kept"),
+        coalesce(col("near_dups"), lit(0L)).as("near_dups"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings with k-means and pruning
     * near-duplicates WITHIN each cluster only. A vector is dropped
@@ -637,20 +773,26 @@ object Similarity {
     * the knob the paper tunes. Nothing is ever pairwise across
     * cells, and no driver-side state beyond the k·dim codebook.
     */
-  /** [[semDedup]] with the cell count chosen from the corpus via the
-    * same √n rule as [[autoNlist]] — the consumer default for the
-    * semantic tier. SemDeDup under flat k-means is inherently
-    * Θ(n^1.5): the within-cell pairwise term is n²/k and the
-    * assignment term n·k, so k = √n is the operating point (the r15
-    * sf10 rehearsal measured the oracle-pinned k=8 form at
-    * 35.9×/decade and the √n rule at 14.8×, consistent with n^1.5's
-    * ≤ 31.6×). True linearity needs a hierarchical quantizer; the
-    * LINEAR embedding near-dup path remains
-    * [[graft.analytics.Dedup.embeddingNearDupsAuto]] (3.8×/decade). */
+  /** The consumer default for the semantic tier — since round 16 the
+    * TWO-LEVEL form ([[semDedupTwoLevel]]), sized from one count(*):
+    * k₁ = [[autoCoarseCells]] (⌈n^⅓⌉, capped), residual width =
+    * [[autoResidualBits]] (2^bits ∝ n/k₁, constant expected bucket),
+    * two OR'd residual tables. The FLAT form it replaced is
+    * inherently Θ(n^1.5) — within-cell pairwise n²/k vs assignment
+    * n·k, optimum k=√n; the r15 sf10 rehearsal measured it at
+    * 14.8×/decade even at k=√n — and remains available as
+    * [[semDedup]] (oracled at a pinned k by q103) for corpora small
+    * enough that exact within-cell semantics matter more than the
+    * n^1.5. The fully LINEAR non-centroid path remains
+    * [[graft.analytics.Dedup.embeddingNearDupsAuto]]. */
   def semDedupAuto(emb: DataFrame, idCol: String, embCol: String,
-      dim: Int, threshold: Double, iterations: Int = 2): DataFrame =
-    semDedup(emb, idCol, embCol, autoNlist(emb.count()), dim,
-      iterations, threshold)
+      dim: Int, threshold: Double, iterations: Int = 2,
+      targetCell: Int = 32): DataFrame = {
+    val n = emb.count()
+    val k1 = autoCoarseCells(n)
+    semDedupTwoLevel(emb, idCol, embCol, k1, dim, iterations,
+      threshold, autoResidualBits(n, k1, targetCell))
+  }
 
   def semDedup(emb: DataFrame, idCol: String, embCol: String,
       k: Int, dim: Int, iterations: Int, threshold: Double,

@@ -32,6 +32,27 @@ object SimilarityQueries {
     }.mkString(" + ")
   }
 
+  /** One hyperplane fold: the left-assoc multiply-add `list_reduce`
+    * shared by [[duckSignBucket]] and [[duckResidualBucket]]. */
+  private def duckFold(vec: String, arr: String): String =
+    s"list_reduce(list_transform(list_zip($vec, $arr::DOUBLE[]), " +
+      s"x -> x[1] * x[2]), (acc, v) -> acc + v)"
+
+  /** DuckDB mirror of [[Similarity.residualSignBucket]]: per bit, the
+    * DIFFERENCE of the vector's and the centroid's folds (each
+    * left-assoc, then one subtract — the pinned evaluation order),
+    * bit i contributes `1 << i` iff the difference is ≥ 0. */
+  private[operators] def duckResidualBucket(vec: String, cent: String,
+      bits: Int, dim: Int = 64, seed: Long = 42L): String = {
+    val signs = Similarity.hyperplaneSigns(bits, dim, seed)
+    (0 until bits).map { i =>
+      val arr = signs(i).map(s => if (s > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"CASE WHEN (${duckFold(vec, arr)}) - (${duckFold(cent, arr)})" +
+        s" >= 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+  }
+
   /** Any-table bucket-match join condition (the OR-amplified candidate
     * rule of [[Similarity.bucketedTopK]]) between aliases `a` and `b`. */
   private[operators] def duckAnyBucketMatch(a: String, b: String,
@@ -1023,6 +1044,74 @@ object SimilarityQueries {
         Similarity.semDedup(Tables.load(s, dir, "embeddings"),
             "vec_id", "embedding", k = kC, dim = dim,
             iterations = iters, threshold = 0.35)
+          .orderBy("vec_id")
+      }
+    },
+
+    // TWO-LEVEL semantic dedup — the sub-n^1.5 replacement for the
+    // flat SemDeDup internals (the only designed tier the r15 sf10
+    // rehearsal measured super-linear, 14.8x/decade even at k=sqrt n):
+    // level 1 the same trained k-means (centroid distance still
+    // drives the keep rule), level 2 splits each cell by sign-LSH
+    // over RESIDUAL vectors (raw projections of same-cell vectors
+    // concentrate around the centroid's — residual centering is what
+    // makes the buckets actually split), pairwise only within
+    // (cell, residual bucket) in ANY of 2 OR'd tables. The oracle
+    // replays the Lloyd training, the argmax assignment, both
+    // residual tables' fold-difference buckets, and the within-bucket
+    // prune — parameters pinned (k1=8, bits2=2, t=2) like q103; the
+    // auto sizing rules (k1 = ceil(n^1/3) capped, 2^bits ∝ n/k1) are
+    // spec-pinned and measured by ScaleProbe semdedup2.
+    {
+      val k1 = 8; val dim = 64; val iters = 2; val tau = "0.35"
+      val bits2 = 2; val tables = 2
+      val rbCols = (0 until tables).map { t =>
+        duckResidualBucket("s.embedding::DOUBLE[]", "c.cent_emb",
+          bits2, dim, Similarity.tableSeed(t)) + s" AS rb$t"
+      }.mkString(",\n          ")
+      val rbMatch = (0 until tables).map(t => s"a.rb$t = b.rb$t")
+        .mkString("(", " OR ", ")")
+      Q("q255_semdedup_two_level", Some(s"""
+      WITH ${trainedCentCtes(k1, dim, iters)},
+      semcells AS (
+        SELECT vec_id, embedding, cell, cscore FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+            ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} AS cscore,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN cent$iters c) t
+        WHERE rn = 1),
+      bk AS MATERIALIZED (
+        SELECT s.vec_id, s.embedding, s.cell, s.cscore,
+          $rbCols
+        FROM semcells s JOIN cent$iters c ON s.cell = c.centroid_id),
+      sempairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          a.cscore AS ca, b.cscore AS cb,
+          ${duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}
+            AS sim
+        FROM bk a JOIN bk b
+          ON a.cell = b.cell AND $rbMatch
+         AND a.vec_id <> b.vec_id),
+      near AS (
+        SELECT id_a, COUNT(*) AS near_dups FROM sempairs
+        WHERE sim >= $tau GROUP BY id_a),
+      dom AS (
+        SELECT DISTINCT id_a FROM sempairs
+        WHERE sim >= $tau
+          AND (cb < ca OR (cb = ca AND id_b < id_a)))
+      SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+        (d.id_a IS NULL) AS kept,
+        CAST(COALESCE(n.near_dups, 0) AS BIGINT) AS near_dups
+      FROM semcells c
+      LEFT JOIN dom d ON c.vec_id = d.id_a
+      LEFT JOIN near n ON c.vec_id = n.id_a
+      ORDER BY c.vec_id""")) { (s, dir) =>
+        Similarity.semDedupTwoLevel(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", k1 = k1, dim = dim,
+            iterations = iters, threshold = 0.35, bits2 = bits2,
+            tables = tables)
           .orderBy("vec_id")
       }
     }

@@ -371,6 +371,118 @@ class SimilaritySpec extends SparkSpec {
     assert(many(1)._3 === one(1)._3 && many(1)._2.isNaN)
   }
 
+  test("semDedupTwoLevel: bits2=0 equals flat semDedup exactly") {
+    // one bucket per cell means the candidate set IS the within-cell
+    // all-pairs set — the two-level form must reproduce the flat
+    // tier row for row at the same codebook
+    val d = corpus
+    val flat = Similarity.semDedup(d, "vec_id", "embedding",
+        k = 4, dim = Dim, iterations = 2, threshold = 0.95)
+      .orderBy("vec_id").collect()
+    val two = Similarity.semDedupTwoLevel(d, "vec_id", "embedding",
+        k1 = 4, dim = Dim, iterations = 2, threshold = 0.95,
+        bits2 = 0, tables = 3)
+      .orderBy("vec_id").collect()
+    assert(two.toSeq === flat.toSeq)
+  }
+
+  test("semDedupTwoLevel: drop rule, precision, partitioning") {
+    val d = corpus
+    val got = Similarity.semDedupTwoLevel(d, "vec_id", "embedding",
+      k1 = 4, dim = Dim, iterations = 2, threshold = 0.95,
+      bits2 = 2, tables = 2)
+    val rows = got.orderBy("vec_id").collect()
+    assert(rows.length === d.count())
+    // splitting only PRUNES candidates: dropped ⊆ flat-dropped (no
+    // false positives — every two-level drop has a flat witness),
+    // and per-row near_dups never exceeds the flat count
+    val flat = Similarity.semDedup(d, "vec_id", "embedding",
+        k = 4, dim = Dim, iterations = 2, threshold = 0.95)
+      .orderBy("vec_id").collect()
+    rows.zip(flat).foreach { case (t, f) =>
+      assert(t.getAs[Long]("vec_id") === f.getAs[Long]("vec_id"))
+      assert(t.getAs[Int]("cell") === f.getAs[Int]("cell"))
+      assert(t.getAs[Long]("near_dups") <= f.getAs[Long]("near_dups"))
+      if (!t.getAs[Boolean]("kept"))
+        assert(!f.getAs[Boolean]("kept"),
+          s"two-level dropped ${t.getAs[Long]("vec_id")} that flat kept")
+    }
+    // a vector with zero candidate near-dups is always kept
+    rows.filter(_.getAs[Long]("near_dups") == 0L)
+      .foreach(r => assert(r.getAs[Boolean]("kept")))
+    // deterministic under repartitioning
+    val again = Similarity.semDedupTwoLevel(d.repartition(7), "vec_id",
+        "embedding", k1 = 4, dim = Dim, iterations = 2,
+        threshold = 0.95, bits2 = 2, tables = 2)
+      .orderBy("vec_id").collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("two-level auto sizing rules: cube-root cells, constant bucket") {
+    // k1 = ceil(n^(1/3)) clamped [1, 4096]
+    assert(Similarity.autoCoarseCells(0) === 1)
+    assert(Similarity.autoCoarseCells(8) === 2)
+    assert(Similarity.autoCoarseCells(500) === 8)
+    assert(Similarity.autoCoarseCells(1000000) === 100)
+    assert(Similarity.autoCoarseCells(Long.MaxValue) === 4096)
+    // bits2: smallest width with expected (cell, bucket) <= target;
+    // 0 = no split needed
+    assert(Similarity.autoResidualBits(500, 8, 32) === 1) // 62.5/cell
+    assert(Similarity.autoResidualBits(256, 8, 32) === 0)
+    assert(Similarity.autoResidualBits(0, 1, 32) === 0)
+    for (n <- Seq(1000L, 100000L, 10000000L, 1000000000L)) {
+      val k1 = Similarity.autoCoarseCells(n)
+      val b = Similarity.autoResidualBits(n, k1, 32)
+      assert(b === 24 ||
+        n.toDouble / k1 / (1L << b) <= 32.0,
+        s"n=$n k1=$k1 bits=$b bucket=${n.toDouble / k1 / (1L << b)}")
+    }
+    // semDedupAuto routes through the two-level form at those sizes
+    val d = corpus
+    val n = d.count()
+    val k1 = Similarity.autoCoarseCells(n)
+    val auto = Similarity.semDedupAuto(d, "vec_id", "embedding",
+      dim = Dim, threshold = 0.95).orderBy("vec_id").collect()
+    val pinned = Similarity.semDedupTwoLevel(d, "vec_id", "embedding",
+        k1 = k1, dim = Dim, iterations = 2, threshold = 0.95,
+        bits2 = Similarity.autoResidualBits(n, k1, 32))
+      .orderBy("vec_id").collect()
+    assert(auto.toSeq === pinned.toSeq)
+  }
+
+  test("residualSignBucket: fold-difference bits, null parity") {
+    import spark.implicits._
+    // dim=2, bits=2: check the sign arithmetic directly against the
+    // generated hyperplanes
+    val signs = Similarity.hyperplaneSigns(2, 2, 42L)
+    val rows = Seq(
+      (1L, Seq(1.0, 2.0), Seq(0.5, 0.5)),
+      (2L, Seq(-3.0, 1.0), Seq(0.0, 0.0)),
+      (3L, Seq(1.0, 1.0), Seq(1.0, 1.0))) // zero residual -> all >= 0
+    val got = rows.toDF("id", "v", "c")
+      .withColumn("rb",
+        Similarity.residualSignBucket(col("v"), col("c"), 2, 2, 42L))
+      .orderBy("id").collect().map(_.getAs[Int]("rb"))
+    def expected(v: Seq[Double], c: Seq[Double]): Int =
+      (0 until 2).map { b =>
+        val pv = v(0) * signs(b)(0) + v(1) * signs(b)(1)
+        val pc = c(0) * signs(b)(0) + c(1) * signs(b)(1)
+        if (pv - pc >= 0) 1 << b else 0
+      }.sum
+    rows.zip(got).foreach { case ((_, v, c), rb) =>
+      assert(rb === expected(v, c))
+    }
+    assert(got(2) === 3) // zero residual: every bit >= 0
+    // null array on either side buckets to 0, SignBuckets parity
+    val nulls = Seq((1L, Option.empty[Seq[Double]], Some(Seq(1.0, 1.0))),
+      (2L, Some(Seq(1.0, 1.0)), Option.empty[Seq[Double]]))
+      .toDF("id", "v", "c")
+      .withColumn("rb",
+        Similarity.residualSignBucket(col("v"), col("c"), 2, 2, 42L))
+      .collect().map(_.getAs[Int]("rb"))
+    assert(nulls.forall(_ === 0))
+  }
+
   test("semDedup: impossible threshold keeps everything") {
     val d = corpus
     val got = Similarity.semDedup(d, "vec_id", "embedding",
