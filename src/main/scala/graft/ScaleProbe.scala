@@ -61,6 +61,67 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"semdedup2","sf":"$sfDir","k1":$k1,""" +
           f""""bits2":$bits2,"threshold":$tau,"rows":$n,"sec":$sec%.3f}""")
+      case "corpusop" :: sfDir :: op :: _ =>
+        // sf1→sf10 decade measurements for the corpus-tier entry
+        // points that previously had only one-shot numbers: each op
+        // is the same chain its oracled query runs (keepbest/split
+        // include the linear simhash pair generation they consume —
+        // the ratio is the end-to-end consumer cost)
+        import org.apache.spark.sql.functions._
+        import graft.analytics.{Bpe, Dedup}
+        val docs = Tables.load(spark, sfDir, "documents")
+        docs.count(): Unit // warm the scan, untimed
+        val t0 = System.nanoTime()
+        val rows: Long = op match {
+          case "keepbest" =>
+            val pairs = Dedup.simHashNearDups(docs, "doc_id", "text", 3)
+              .select("id_a", "id_b")
+            Dedup.keepBestRepresentatives(
+              docs.withColumn("q", length(col("text")).cast("long")),
+              "doc_id", "q", pairs).count()
+          case "split" =>
+            val pairs = Dedup.simHashNearDups(docs, "doc_id", "text", 3)
+              .select("id_a", "id_b")
+            Dedup.clusterSplit(docs, "doc_id", pairs, 10).count()
+          case "shards" =>
+            val d = docs.where(col("text").isNotNull)
+              .withColumn("toks",
+                size(split(trim(col("text")), "\\s+")).cast("long"))
+            graft.warehouse.Writer.tokenBalancedShards(
+              d, "doc_id", "toks", shardTokens = 2000L, buckets = 32)
+              .groupBy("shard").count().count()
+          case "diff" =>
+            val base = docs.where(col("text").isNotNull)
+            val old = base.where(pmod(col("doc_id"), lit(5L)) =!= 0L)
+              .select(col("doc_id"), md5(col("text")).as("h"))
+            val nw = base.where(pmod(col("doc_id"), lit(7L)) =!= 0L)
+              .select(col("doc_id"),
+                md5(when(pmod(col("doc_id"), lit(11L)) === 0L,
+                  concat(col("text"), lit(" v2")))
+                  .otherwise(col("text"))).as("h"))
+            graft.warehouse.Snapshot.corpusDiff(old, nw, "doc_id", "h")
+              .groupBy("status").count().count()
+          case "fertility" =>
+            // the q252 chain: BPE train → per-word token counts over
+            // the DISTINCT vocab → per-source fertility
+            val merges = Bpe.train(docs, "text", 24)
+            val base = docs.where(col("text").isNotNull)
+            val words = base.where(trim(col("text")) =!= "")
+              .select(col("doc_id"),
+                explode(split(trim(col("text")), "\\s+")).as("word"))
+            val vocabTok = words.select("word").distinct()
+              .withColumn("wtok",
+                Bpe.wordTokenCount(col("word"), merges))
+            words.join(vocabTok, "word")
+              .join(base.select("doc_id", "source"), Seq("doc_id"))
+              .groupBy("source")
+              .agg(sum("wtok").as("n_tokens")).count()
+          case m => sys.error(s"unknown corpusop '$m' (keepbest|" +
+            "split|shards|diff|fertility)")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"corpusop","op":"$op","sf":"$sfDir",""" +
+          f""""rows":$rows,"sec":$sec%.3f}""")
       case "kmeans" :: sfDir :: k :: _ =>
         val emb = Tables.load(spark, sfDir, "embeddings")
         emb.count(): Unit

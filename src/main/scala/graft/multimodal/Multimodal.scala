@@ -535,6 +535,34 @@ object Multimodal {
       }
   }
 
+  case class VideoFrameAHashRow(media_id: Long, frame_idx: Int,
+      ahash: Long)
+
+  /** Per-FRAME perceptual fingerprints for MJPEG-in-AVI video: the
+    * same real decode path as [[videoFrames]]
+    * ([[VideoContainers.aviFrames]] → `javax.imageio`), each decoded
+    * frame hashed with [[aHash64]] — the temporal sibling of
+    * [[imageAHashes]], and the building block of video-level
+    * near-dup (pair per-frame hashes downstream with
+    * `Dedup.hamming64NearDups`, or min-hash the frame-hash sequence).
+    * Non-AVI containers and undecodable frame payloads emit nothing
+    * (skip-don't-fail, same contract as [[videoFrames]]). Map-only at
+    * any corpus size. */
+  def videoFrameAHashes(media: DataFrame): Dataset[VideoFrameAHashRow] = {
+    val sess = media.sparkSession
+    import sess.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        VideoContainers.aviFrames(bytes).getOrElse(Vector.empty)
+          .iterator.zipWithIndex.flatMap { case (fb, i) =>
+            decodeImage(fb).map(img =>
+              VideoFrameAHashRow(id, i, aHash64(img)))
+          }
+      }
+  }
+
   /** STUB resize — metadata-only transform (a real implementation
     * would transcode `content`); the plumbing (schema evolution,
     * null-safety) is real. */

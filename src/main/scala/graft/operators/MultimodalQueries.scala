@@ -212,6 +212,59 @@ object MultimodalQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // REAL video frame decode → per-FRAME 64-bit average-hash: the
+    // q102 MJPEG toolchain composed with the q175 fingerprint. The
+    // fixture stores per-frame CELL LUMA SUMS derived from the block
+    // PATTERN formula (never from decoding the payload); Spark must
+    // recover identical cell sums from javax.imageio's decoded
+    // pixels, and DuckDB assembles each frame's hash from the stored
+    // sums with pure BIGINT arithmetic (cell over global mean ⇔
+    // sum·64 > total at the fixture's equal-cell geometries; bit 1
+    // is the sign bit, added as the min-Long literal). Uniform
+    // frames must hash to 0 (no cell STRICTLY above the mean), the
+    // checkerboard and its inversion to complementary patterns; the
+    // non-MJPEG AVI (media 11) emits no rows.
+    Q("q257_video_frame_ahash", Some(s"""
+      WITH v AS (
+        SELECT media_id, frame_cell_sums
+        FROM read_json('${IngestQueries.fixturesDir}/media.jsonl',
+          format='newline_delimited',
+          columns={'media_id': 'BIGINT', 'kind': 'VARCHAR',
+            'frame_cell_sums': 'BIGINT[][]', 'payload_b64': 'VARCHAR'})
+        WHERE frame_cell_sums IS NOT NULL),
+      f AS (
+        SELECT media_id,
+          CAST(unnest(range(len(frame_cell_sums))) AS INT) AS frame_idx,
+          unnest(frame_cell_sums) AS cells
+        FROM v),
+      e AS (
+        SELECT media_id, frame_idx, cells, list_sum(cells) AS total,
+          unnest(generate_series(1, 64)) AS i
+        FROM f),
+      h AS (
+        SELECT media_id, frame_idx,
+          CAST(SUM(CASE WHEN cells[i] * 64 > total THEN
+            CASE WHEN i = 1 THEN (-9223372036854775807 - 1)
+                 ELSE (CAST(1 AS BIGINT) << (64 - i)) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM e GROUP BY media_id, frame_idx)
+      SELECT media_id, frame_idx, ahash FROM h
+      ORDER BY media_id, frame_idx""")) { (s, _) =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload_b64",
+          org.apache.spark.sql.types.StringType)))
+      val media = s.read.schema(schema)
+        .json(s"${IngestQueries.fixturesDir}/media.jsonl")
+        .select(col("media_id"), lit("video").as("kind"),
+          unbase64(col("payload_b64")).as("content"))
+      Multimodal.videoFrameAHashes(media).toDF()
+        .select(col("media_id"), col("frame_idx").cast("int"),
+          col("ahash"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // REAL image decode → 64-bit perceptual average-hash against a
     // cross-language oracle: the fixture's PNGs are hand-rolled (and
     // one exact DC-only JPEG reused from the MJPEG toolchain) from

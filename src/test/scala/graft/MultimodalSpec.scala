@@ -468,6 +468,40 @@ class MultimodalSpec extends SparkSpec {
       (9L, 2, 16, 16, 200.0), (10L, 0, 8, 8, 77.0)))
   }
 
+  test("videoFrameAHashes: per-frame fingerprints match the block " +
+      "pattern in closed form") {
+    val media = Seq(
+      (9L, "video", fixtureRows(9L)),   // non-uniform f0, uniform f1/f2
+      (12L, "video", fixtureRows(12L)), // checker, inverse, gradient
+      (11L, "video", fixtureRows(11L)), // xvid: no decodable frames
+      (7L, "video", fixtureRows(7L)))   // garbage: not an AVI
+      .toDF("media_id", "kind", "content")
+    val rows = Multimodal.videoFrameAHashes(media)
+      .orderBy("media_id", "frame_idx").collect()
+      .map(r => (r.media_id, r.frame_idx, r.ahash))
+    // closed form for block-aligned frames: cell (cy, cx) takes its
+    // block's value, bit 63-(cy*8+cx) set iff value > frame mean
+    def hashOf(blocks: Seq[Seq[Int]]): Long = {
+      val mean = blocks.flatten.sum.toDouble / blocks.flatten.size
+      (0 until 64).map { i =>
+        val (cy, cx) = (i / 8, i % 8)
+        val v = blocks(cy * blocks.size / 8)(cx * blocks.head.size / 8)
+        if (v > mean) 1L << (63 - i) else 0L
+      }.sum
+    }
+    assert(rows.length === 6)
+    assert(rows(0) === ((9L, 0, hashOf(Seq(Seq(60, 68), Seq(124, 132))))))
+    assert(rows(1) === ((9L, 1, 0L))) // uniform: nothing STRICTLY above
+    assert(rows(2) === ((9L, 2, 0L)))
+    val checker = hashOf(Seq(Seq(10, 200), Seq(200, 10)))
+    val inverse = hashOf(Seq(Seq(200, 10), Seq(10, 200)))
+    assert(rows(3) === ((12L, 0, checker)))
+    assert(rows(4) === ((12L, 1, inverse)))
+    // complementary patterns: together they set all 64 bits
+    assert((checker | inverse) === -1L && (checker & inverse) === 0L)
+    assert(rows(5) === ((12L, 2, hashOf(Seq(Seq(50, 60), Seq(70, 80))))))
+  }
+
   test("videoMetadata yields typed filterable columns; unparseable " +
       "payloads keep all-null metadata rows") {
     val rows = Seq(

@@ -206,6 +206,25 @@ def avi(us_per_frame, w, h, frames, handler=b"MJPG"):
     return rchunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+def cell_sums(blocks):
+    """Per-frame aHash ORACLE input: the 64 cell luma SUMS of the 8x8
+    average-hash grid, derived from the block PATTERN (never from
+    decoding the payload — the independent cross-language derivation,
+    same contract as images.jsonl's block_sums). Requires w, h in
+    {8, 16, 32, 64} so every aHash cell lies fully inside one flat
+    8x8 JPEG block (cell width w/8 divides the block width)."""
+    bh, bw = len(blocks), len(blocks[0])
+    h, w = bh * 8, bw * 8
+    assert w in (8, 16, 32, 64) and h in (8, 16, 32, 64), (w, h)
+    cpx = (w // 8) * (h // 8)  # pixels per aHash cell (all equal)
+    out = []
+    for cy in range(8):
+        for cx in range(8):
+            y, x = cy * h // 8, cx * w // 8  # cell origin pixel
+            out.append(blocks[y // 8][x // 8] * cpx)
+    return out
+
+
 rows = [
     # --- MP4 family: duration_s = ticks / timescale
     dict(media_id=1, kind="mp4", doctype="isom", timescale=600,
@@ -247,6 +266,9 @@ rows = [
     dict(media_id=9, kind="avi", doctype="avi", timescale=1000000,
          duration_ticks=120000, codec="MJPG", width=16, height=16,
          n_tracks=1, frame_lumas=[96.0, 128.0, 200.0],
+         frame_cell_sums=[cell_sums([[60, 68], [124, 132]]),
+                          cell_sums([[128, 128], [128, 128]]),
+                          cell_sums([[200, 200], [200, 200]])],
          payload=avi(40000, 16, 16, [
              jpeg_gray([[60, 68], [124, 132]]),
              jpeg_gray([[128, 128], [128, 128]]),
@@ -254,7 +276,21 @@ rows = [
     dict(media_id=10, kind="avi", doctype="avi", timescale=1000000,
          duration_ticks=33333, codec="MJPG", width=8, height=8,
          n_tracks=1, frame_lumas=[77.0],
+         frame_cell_sums=[cell_sums([[77]])],
          payload=avi(33333, 8, 8, [jpeg_gray([[77]])])),
+    # multi-frame NON-UNIFORM MJPEG: checkerboard, its inversion, and
+    # a gradient — frames whose aHash has structure (the uniform
+    # frames above hash to 0: no cell strictly above the mean)
+    dict(media_id=12, kind="avi", doctype="avi", timescale=1000000,
+         duration_ticks=90000, codec="MJPG", width=16, height=16,
+         n_tracks=1, frame_lumas=[105.0, 105.0, 65.0],
+         frame_cell_sums=[cell_sums([[10, 200], [200, 10]]),
+                          cell_sums([[200, 10], [10, 200]]),
+                          cell_sums([[50, 60], [70, 80]])],
+         payload=avi(30000, 16, 16, [
+             jpeg_gray([[10, 200], [200, 10]]),
+             jpeg_gray([[200, 10], [10, 200]]),
+             jpeg_gray([[50, 60], [70, 80]])])),
     # non-MJPEG AVI: container metadata parses, frames do NOT decode
     dict(media_id=11, kind="avi", doctype="avi", timescale=1000000,
          duration_ticks=100000, codec="xvid", width=32, height=24,
