@@ -1530,9 +1530,24 @@ object Dedup {
     * 1 − (1 − p)^T ≥ targetRecall where p = (1 − acos(τ)/π)^bits,
     * i.e. T = ⌈ln(1 − R) / ln(1 − p)⌉. Clamped to [1, maxTables]
     * (candidate cost is linear in T — the cap bounds the spend when
-    * the target is unreachable at this width, e.g. a low-similarity
-    * τ against wide buckets; the honest fix there is more bits'
-    * complement: fewer bits, not unbounded tables). */
+    * the target is unreachable at this width).
+    *
+    * HONEST SCALE ACCOUNTING: at the auto width (2^bits ∝ n) the
+    * per-table retention p = p1^bits shrinks polynomially in n
+    * (p1 < 1 fixed by τ), so the T needed for a FIXED (τ, R) grows
+    * ≈ n^(−log₂ p1) and eventually hits the cap — constant-recall
+    * moderate-similarity retrieval is not free at scale. Closed
+    * form: candidates ≈ T·n²/2^bits with T ≈ −ln(1−R)/p, minimized
+    * at the finest granularity bits ≈ log₂ n, giving cost
+    * ∝ n^(2−log₂(2·p1)) — e.g. n^1.70 at τ=0.35 (p1=0.614), n^1.33
+    * at τ=0.8 (p1=0.795), linear only as τ→1. The auto-width
+    * default (fixed tables) is the LINEAR operating point whose
+    * recall at fixed moderate τ instead thins slowly with n; this
+    * inversion buys back recall at a priced, capped cost. At 100 TB
+    * the practical recipe is the near-identity band (τ ≥ 0.8, cost
+    * ≤ n^1.33 uncapped, usually a handful of tables) and routing
+    * moderate-τ semantic grouping to the two-level centroid tier
+    * ([[graft.analytics.Similarity.semDedupTwoLevel]]). */
   private[graft] def autoSignTables(bits: Int, threshold: Double,
       targetRecall: Double, maxTables: Int = 64): Int = {
     require(targetRecall > 0 && targetRecall < 1,

@@ -450,6 +450,25 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.toSeq === pinned.toSeq)
   }
 
+  test("semDedupTwoLevel reuses a persisted IVF coarse quantizer") {
+    // the index-once/dedup-free shape: a pipeline that already built
+    // an ANN index feeds its stored codebook straight in — zero
+    // additional training passes, identical result to training fresh
+    // (kmeansCodebook is deterministic)
+    val d = corpus
+    val idx = tmpDir("ivf-semdedup")
+    Similarity.buildIvfIndex(d, idx, k = 4, dim = Dim, iterations = 2)
+    val stored = spark.read.parquet(s"$idx/codebook")
+    val viaIndex = Similarity.semDedupTwoLevel(d, "vec_id", "embedding",
+        k1 = 4, dim = Dim, iterations = 2, threshold = 0.95,
+        bits2 = 2, codebook = Some(stored))
+      .orderBy("vec_id").collect()
+    val trained = Similarity.semDedupTwoLevel(d, "vec_id", "embedding",
+        k1 = 4, dim = Dim, iterations = 2, threshold = 0.95, bits2 = 2)
+      .orderBy("vec_id").collect()
+    assert(viaIndex.toSeq === trained.toSeq)
+  }
+
   test("residualSignBucket: fold-difference bits, null parity") {
     import spark.implicits._
     // dim=2, bits=2: check the sign arithmetic directly against the
