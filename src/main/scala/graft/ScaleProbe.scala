@@ -116,8 +116,19 @@ object ScaleProbe {
               .join(base.select("doc_id", "source"), Seq("doc_id"))
               .groupBy("source")
               .agg(sum("wtok").as("n_tokens")).count()
+          case "semdecon" =>
+            // semantic decontamination at the recall-targeted auto
+            // sizing: benchmark = 128 vectors (eval-suite-sized,
+            // broadcast), corpus = the rest — map-only per table +
+            // one argmax aggregation, the linear tier by shape
+            val emb = Tables.load(spark, sfDir, "embeddings")
+            graft.analytics.CorpusOps.semanticContaminationAuto(
+              emb.where(col("vec_id") >= 128),
+              emb.where(col("vec_id") < 128),
+              "vec_id", "embedding", threshold = 0.35,
+              targetRecall = 0.8).count()
           case m => sys.error(s"unknown corpusop '$m' (keepbest|" +
-            "split|shards|diff|fertility)")
+            "split|shards|diff|fertility|semdecon)")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"corpusop","op":"$op","sf":"$sfDir",""" +

@@ -431,4 +431,82 @@ object CorpusOps {
         coalesce(col("n_dup_spans"), lit(0L)).cast("long").as("n_dup_spans"),
         coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"))
   }
+
+  /** SEMANTIC eval-set decontamination — the embedding-level
+    * complement of the n-gram [[decontaminateChunks]]: an n-gram
+    * check only catches VERBATIM benchmark quotes, while a
+    * paraphrased or re-worded leak shares almost no shingles but
+    * sits next to the benchmark item in embedding space. For every
+    * corpus vector, find its best benchmark match at cosine ≥
+    * `threshold` among sign-LSH candidates (same bucket in ANY of
+    * `tables` seeded tables) and report (vec_id, bench_id, score,
+    * contaminated); clean docs keep a row with null match columns —
+    * the survivor list is `filter(!contaminated)`.
+    *
+    * Scale shape: the benchmark side is eval-suite-sized and
+    * BROADCAST (both its buckets and its vectors); the corpus is
+    * touched map-only per table (bucket expression + broadcast-hash
+    * join) plus one aggregation for the per-doc argmax — no corpus
+    * self-join, no shuffle keyed on anything wider than `idCol`.
+    * Recall follows the q251/q256 retention model; size `bits` via
+    * [[Dedup.autoSignBits]] and `tables` via [[Dedup.autoSignTables]]
+    * (that composition is [[semanticContaminationAuto]]).
+    *
+    * Deterministic: best match = max (score, lowest bench id) under
+    * the engines' shared NaN-greatest ordering; the bucketing and
+    * cosine are the oracle-bit-identical seeded expressions.
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, embCol: String, threshold: Double, bits: Int,
+      dim: Int = 64, tables: Int = 2): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    val b = bench.select(col(idCol).as("bench_id"),
+      col(embCol).cast("array<double>").as("b_emb"))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("c_emb"))
+    val cand = (0 until tables).map { t =>
+      val seed = Similarity.tableSeed(t)
+      val bb = b.select(col("bench_id"),
+        Similarity.signBucket(col("b_emb"), bits, dim, seed)
+          .as("bucket"))
+      val cc = c.select(col("vec_id"),
+        Similarity.signBucket(col("c_emb"), bits, dim, seed)
+          .as("bucket"))
+      cc.join(broadcast(bb), Seq("bucket"))
+        .select("vec_id", "bench_id")
+    }.reduce(_ unionByName _)
+      .dropDuplicates("vec_id", "bench_id")
+    val scored = cand
+      .join(c, Seq("vec_id"))
+      .join(broadcast(b), Seq("bench_id"))
+      .withColumn("score",
+        Similarity.cosine(col("c_emb"), col("b_emb")))
+      .filter(col("score") >= threshold)
+    val best = scored.groupBy("vec_id")
+      .agg(max(struct(col("score"), (-col("bench_id")).as("nb")))
+        .as("__m"))
+      .select(col("vec_id"), (-col("__m.nb")).as("bench_id"),
+        col("__m.score").as("score"))
+    c.select("vec_id").join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("bench_id"), col("score"),
+        col("bench_id").isNotNull.as("contaminated"))
+  }
+
+  /** [[semanticContamination]] sized from the corpus and a recall
+    * target: bucket width from the constant-bucket rule
+    * ([[Dedup.autoSignBits]], one count(*)) and table count from the
+    * inverted retention model ([[Dedup.autoSignTables]]) — "flag
+    * paraphrase leaks at τ with recall ≥ R" as a one-call contract.
+    * Decontamination is the use case where the recall target
+    * MATTERS most: a missed leak poisons an eval, so the caller
+    * states the recall and the engine pays the (priced, capped)
+    * table cost. */
+  def semanticContaminationAuto(corpus: DataFrame, bench: DataFrame,
+      idCol: String, embCol: String, threshold: Double,
+      targetRecall: Double = 0.8, dim: Int = 64,
+      targetBucket: Int = 32): DataFrame = {
+    val bits = Dedup.autoSignBits(corpus.count(), targetBucket)
+    semanticContamination(corpus, bench, idCol, embCol, threshold,
+      bits, dim, Dedup.autoSignTables(bits, threshold, targetRecall))
+  }
 }

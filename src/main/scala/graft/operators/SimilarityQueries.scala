@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.analytics.Similarity
+import graft.analytics.{CorpusOps, Similarity}
 
 /** Similarity-search queries (north-star ANN tier) over `embeddings`.
   * The cosine is a left-fold double sum in both engines (Spark
@@ -1114,6 +1114,57 @@ object SimilarityQueries {
             tables = tables)
           .orderBy("vec_id")
       }
+    },
+
+    // SEMANTIC eval-set decontamination: an n-gram check (q68/q243)
+    // only catches VERBATIM benchmark quotes — a paraphrased leak
+    // shares no shingles but sits next to the benchmark item in
+    // embedding space. Benchmark = the first 32 vectors (eval-suite-
+    // sized, broadcast); corpus = the rest; a corpus doc is flagged
+    // iff some benchmark vector at cosine >= 0.35 shares a sign
+    // bucket in either of 2 seeded tables, reporting the best match
+    // (max score, tie lowest bench id — NaN-greatest ordering shared
+    // by both engines). Clean docs keep a null-match row: the
+    // survivor list is WHERE NOT contaminated. Pinned bits=4/t=2
+    // like q22; the recall-targeted auto sizing
+    // (CorpusOps.semanticContaminationAuto — bits from the constant-
+    // bucket rule, tables from the q256 inversion) is spec-pinned.
+    Q("q258_semantic_decontamination", Some(s"""
+      WITH b AS (
+        SELECT vec_id AS bench_id, embedding FROM embeddings
+        WHERE vec_id < 32),
+      c AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 32),
+      cand AS (
+        SELECT DISTINCT c.vec_id, b.bench_id
+        FROM c JOIN b ON ${duckAnyBucketMatch("c", "b", 4, 64, 2)}),
+      scored AS (
+        SELECT cand.vec_id, cand.bench_id,
+          ${duckCosine("c.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}
+            AS score
+        FROM cand
+        JOIN c ON cand.vec_id = c.vec_id
+        JOIN b ON cand.bench_id = b.bench_id
+        WHERE ${duckCosine("c.embedding::DOUBLE[]",
+          "b.embedding::DOUBLE[]")} >= 0.35),
+      best AS (
+        SELECT vec_id, bench_id, score FROM (
+          SELECT vec_id, bench_id, score,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY score DESC, bench_id) AS rn
+          FROM scored) t
+        WHERE rn = 1)
+      SELECT c.vec_id, best.bench_id, best.score,
+        (best.bench_id IS NOT NULL) AS contaminated
+      FROM c LEFT JOIN best USING (vec_id)
+      ORDER BY c.vec_id""")) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      CorpusOps.semanticContamination(
+          emb.filter(col("vec_id") >= 32),
+          emb.filter(col("vec_id") < 32),
+          "vec_id", "embedding", threshold = 0.35, bits = 4,
+          tables = 2)
+        .orderBy("vec_id")
     }
   )
 }

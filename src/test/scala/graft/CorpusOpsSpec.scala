@@ -454,4 +454,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(deg.getAs[Long]("n_docs") === 2L)
     assert(deg.isNullAt(deg.fieldIndex("beta"))) // N=4 for both docs
   }
+  test("semanticContamination flags planted paraphrase leaks only") {
+    import graft.analytics.{Dedup, Similarity}
+    // corpus: 13 distinct vectors (the generator is periodic mod 13,
+    // so a longer range would plant REAL extra copies); bench: copies
+    // of corpus vectors 100 and 101 (a "paraphrase leak" at cosine 1)
+    // plus one vector near-orthogonal to everything
+    def v(i: Long): Array[Double] =
+      Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toDouble)
+    val corpus = (100L until 113L).map(i => (i, v(i)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((1L, v(100)), (2L, v(101)),
+      (3L, Array.tabulate(8)(d => if (d == 7) 1e6 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val got = CorpusOps.semanticContamination(corpus, bench,
+        "vec_id", "embedding", threshold = 0.999, bits = 2,
+        dim = 8, tables = 4)
+      .orderBy("vec_id").collect()
+    assert(got.length === 13)
+    val flagged = got.filter(_.getAs[Boolean]("contaminated"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bench_id")))
+    // identical vectors ALWAYS share every sign bucket, so the
+    // planted leaks cannot be missed whatever the table draw
+    assert(flagged.toSet === Set((100L, 1L), (101L, 2L)))
+    // clean rows carry null match columns
+    got.filterNot(_.getAs[Boolean]("contaminated")).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("bench_id")))
+      assert(r.isNullAt(r.fieldIndex("score")))
+    }
+    // auto variant routes through the pinned sizing rules
+    val n = corpus.count()
+    val bits = Dedup.autoSignBits(n, 32)
+    val t = Dedup.autoSignTables(bits, 0.999, 0.8)
+    val auto = CorpusOps.semanticContaminationAuto(corpus, bench,
+        "vec_id", "embedding", threshold = 0.999, targetRecall = 0.8,
+        dim = 8)
+      .orderBy("vec_id").collect()
+    val pinned = CorpusOps.semanticContamination(corpus, bench,
+        "vec_id", "embedding", threshold = 0.999, bits = bits,
+        dim = 8, tables = t)
+      .orderBy("vec_id").collect()
+    assert(auto.toSeq === pinned.toSeq)
+    // best-match tie-break: two bench copies of the same vector must
+    // resolve to the LOWER bench id
+    val bench2 = Seq((7L, v(100)), (4L, v(100))).toDF("vec_id", "embedding")
+    val tie = CorpusOps.semanticContamination(corpus, bench2,
+        "vec_id", "embedding", threshold = 0.999, bits = 2,
+        dim = 8, tables = 2)
+      .filter(col("contaminated")).collect()
+    assert(tie.map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("bench_id"))).toSet === Set((100L, 4L)))
+  }
+
 }
