@@ -563,6 +563,47 @@ object Multimodal {
       }
   }
 
+  /** Video near-duplicate pairs by frame-fingerprint SET overlap:
+    * two videos are scored by the exact Jaccard of their distinct
+    * per-frame [[aHash64]] sets — the re-encode detector. The hash
+    * is resolution- and codec-invariant for content whose aHash
+    * cells land on the same side of the frame mean, so a re-encoded
+    * / upscaled copy of a video carries the identical fingerprint
+    * set and pairs at jaccard 1.0; unrelated videos meet only
+    * through degenerate shared frames (e.g. two uniform frames both
+    * hash 0 — visible in the output as low-jaccard pairs a caller
+    * thresholds away).
+    *
+    * Scale shape: decode is map-only ([[videoFrameAHashes]]); pairs
+    * come from an equi-join on the 64-bit hash value (candidate
+    * volume = Σ df² over hash values, the q19 inverted-index shape —
+    * never all-pairs over videos); sizes and intersections both
+    * count DISTINCT hashes so the jaccard is set-semantics exact.
+    * Returns (id_a, id_b, inter, size_a, size_b, jaccard),
+    * id_a < id_b. */
+  def videoNearDups(media: DataFrame): DataFrame = {
+    val fh = videoFrameAHashes(media).toDF()
+      .select(col("media_id"), col("ahash")).distinct()
+    val sizes = fh.groupBy("media_id")
+      .agg(count(lit(1)).as("set_size"))
+    val pairs = fh.select(col("media_id").as("id_a"), col("ahash"))
+      .join(fh.select(col("media_id").as("id_b"), col("ahash")),
+        Seq("ahash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("media_id").as("id_a"),
+        col("set_size").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("media_id").as("id_b"),
+        col("set_size").as("size_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("size_a"), col("size_b"),
+        (col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** STUB resize — metadata-only transform (a real implementation
     * would transcode `content`); the plumbing (schema evolution,
     * null-safety) is real. */

@@ -265,6 +265,71 @@ object MultimodalQueries {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Video near-dup by frame-fingerprint sets — the re-encode
+    // detector over the q257 hashes: media 13 is media 12 re-encoded
+    // at 2× resolution, and because the aHash is resolution-invariant
+    // for block-constant content the pair MUST score jaccard 1.0;
+    // videos sharing only degenerate frames (uniform frames hash 0:
+    // media 9 ∩ media 10) surface as the low-jaccard tail a caller
+    // thresholds away. The oracle re-derives every per-video hash set
+    // from the stored cell sums (decoder-independent) and
+    // brute-forces the pair lattice.
+    Q("q259_video_near_dup", Some(s"""
+      WITH v AS (
+        SELECT media_id, frame_cell_sums
+        FROM read_json('${IngestQueries.fixturesDir}/media.jsonl',
+          format='newline_delimited',
+          columns={'media_id': 'BIGINT', 'kind': 'VARCHAR',
+            'frame_cell_sums': 'BIGINT[][]', 'payload_b64': 'VARCHAR'})
+        WHERE frame_cell_sums IS NOT NULL),
+      f AS (
+        SELECT media_id,
+          CAST(unnest(range(len(frame_cell_sums))) AS INT) AS fr,
+          unnest(frame_cell_sums) AS cells
+        FROM v),
+      e AS (
+        SELECT media_id, fr, cells, list_sum(cells) AS total,
+          unnest(generate_series(1, 64)) AS i
+        FROM f),
+      h AS (
+        SELECT media_id, fr,
+          CAST(SUM(CASE WHEN cells[i] * 64 > total THEN
+            CASE WHEN i = 1 THEN (-9223372036854775807 - 1)
+                 ELSE (CAST(1 AS BIGINT) << (64 - i)) END
+            ELSE 0 END) AS BIGINT) AS ahash
+        FROM e GROUP BY media_id, fr),
+      hs AS (SELECT DISTINCT media_id, ahash FROM h),
+      sz AS (
+        SELECT media_id, COUNT(*) AS set_size FROM hs GROUP BY 1),
+      p AS (
+        SELECT a.media_id AS id_a, b.media_id AS id_b,
+          COUNT(*) AS inter
+        FROM hs a JOIN hs b
+          ON a.ahash = b.ahash AND a.media_id < b.media_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        CAST(sa.set_size AS BIGINT) AS size_a,
+        CAST(sb.set_size AS BIGINT) AS size_b,
+        CAST(inter AS DOUBLE)
+          / CAST(sa.set_size + sb.set_size - inter AS DOUBLE)
+          AS jaccard
+      FROM p
+      JOIN sz sa ON id_a = sa.media_id
+      JOIN sz sb ON id_b = sb.media_id
+      ORDER BY id_a, id_b""")) { (s, _) =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload_b64",
+          org.apache.spark.sql.types.StringType)))
+      val media = s.read.schema(schema)
+        .json(s"${IngestQueries.fixturesDir}/media.jsonl")
+        .select(col("media_id"), lit("video").as("kind"),
+          unbase64(col("payload_b64")).as("content"))
+      Multimodal.videoNearDups(media)
+        .orderBy("id_a", "id_b")
+    },
+
     // REAL image decode → 64-bit perceptual average-hash against a
     // cross-language oracle: the fixture's PNGs are hand-rolled (and
     // one exact DC-only JPEG reused from the MJPEG toolchain) from

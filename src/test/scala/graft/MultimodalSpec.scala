@@ -502,6 +502,28 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(5) === ((12L, 2, hashOf(Seq(Seq(50, 60), Seq(70, 80))))))
   }
 
+  test("videoNearDups: a 2x re-encode pairs at jaccard 1.0") {
+    val media = Seq(
+      (9L, "video", fixtureRows(9L)),
+      (10L, "video", fixtureRows(10L)),
+      (12L, "video", fixtureRows(12L)),
+      (13L, "video", fixtureRows(13L)), // media 12 at 2x resolution
+      (11L, "video", fixtureRows(11L))) // xvid: no frames, no pairs
+      .toDF("media_id", "kind", "content")
+    val rows = Multimodal.videoNearDups(media)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard")))
+    // the aHash is resolution-invariant for block-constant content,
+    // so the re-encoded copy carries the IDENTICAL fingerprint set
+    assert(rows.contains((12L, 13L, 1.0)))
+    // uniform frames hash 0 on any video — the degenerate overlap
+    // surfaces as a LOW-jaccard pair, never as 1.0
+    assert(rows.contains((9L, 10L, 0.5)))
+    assert(rows.filter { case (a, b, _) => (a, b) != ((12L, 13L)) }
+      .forall(_._3 <= 0.5))
+  }
+
   test("videoMetadata yields typed filterable columns; unparseable " +
       "payloads keep all-null metadata rows") {
     val rows = Seq(

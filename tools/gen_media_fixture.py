@@ -206,6 +206,13 @@ def avi(us_per_frame, w, h, frames, handler=b"MJPG"):
     return rchunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
+def up2(blocks):
+    """2x nearest-neighbor block upscale: the same pattern rendered at
+    double resolution (a 'higher-quality re-encode')."""
+    return [[v for v in row for _ in (0, 1)]
+            for row in blocks for _ in (0, 1)]
+
+
 def cell_sums(blocks):
     """Per-frame aHash ORACLE input: the 64 cell luma SUMS of the 8x8
     average-hash grid, derived from the block PATTERN (never from
@@ -291,6 +298,21 @@ rows = [
              jpeg_gray([[10, 200], [200, 10]]),
              jpeg_gray([[200, 10], [10, 200]]),
              jpeg_gray([[50, 60], [70, 80]])])),
+    # RE-ENCODE of media 12 at 2x resolution (each 8x8 block becomes
+    # a 2x2 block group): the aHash is resolution-invariant for
+    # block-constant patterns, so every frame of 13 must hash
+    # IDENTICALLY to its media-12 original — the property that makes
+    # re-encoded duplicate videos detectable (q259)
+    dict(media_id=13, kind="avi", doctype="avi", timescale=1000000,
+         duration_ticks=90000, codec="MJPG", width=32, height=32,
+         n_tracks=1, frame_lumas=[105.0, 105.0, 65.0],
+         frame_cell_sums=[cell_sums(up2([[10, 200], [200, 10]])),
+                          cell_sums(up2([[200, 10], [10, 200]])),
+                          cell_sums(up2([[50, 60], [70, 80]]))],
+         payload=avi(30000, 32, 32, [
+             jpeg_gray(up2([[10, 200], [200, 10]])),
+             jpeg_gray(up2([[200, 10], [10, 200]])),
+             jpeg_gray(up2([[50, 60], [70, 80]]))])),
     # non-MJPEG AVI: container metadata parses, frames do NOT decode
     dict(media_id=11, kind="avi", doctype="avi", timescale=1000000,
          duration_ticks=100000, codec="xvid", width=32, height=24,
