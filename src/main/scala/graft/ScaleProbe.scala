@@ -70,7 +70,11 @@ object ScaleProbe {
         import org.apache.spark.sql.functions._
         import graft.analytics.{Bpe, Dedup}
         val docs = Tables.load(spark, sfDir, "documents")
-        docs.count(): Unit // warm the scan, untimed
+        lazy val embT = Tables.load(spark, sfDir, "embeddings")
+        // warm the table the op actually scans, untimed (a cold
+        // parquet scan is a fixed cost that skews decade ratios)
+        if (op == "semdecon") embT.count(): Unit
+        else docs.count(): Unit
         val t0 = System.nanoTime()
         val rows: Long = op match {
           case "keepbest" =>
@@ -121,10 +125,9 @@ object ScaleProbe {
             // sizing: benchmark = 128 vectors (eval-suite-sized,
             // broadcast), corpus = the rest — map-only per table +
             // one argmax aggregation, the linear tier by shape
-            val emb = Tables.load(spark, sfDir, "embeddings")
             graft.analytics.CorpusOps.semanticContaminationAuto(
-              emb.where(col("vec_id") >= 128),
-              emb.where(col("vec_id") < 128),
+              embT.where(col("vec_id") >= 128),
+              embT.where(col("vec_id") < 128),
               "vec_id", "embedding", threshold = 0.35,
               targetRecall = 0.8).count()
           case m => sys.error(s"unknown corpusop '$m' (keepbest|" +

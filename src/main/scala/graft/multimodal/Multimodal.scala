@@ -582,8 +582,13 @@ object Multimodal {
     * Returns (id_a, id_b, inter, size_a, size_b, jaccard),
     * id_a < id_b. */
   def videoNearDups(media: DataFrame): DataFrame = {
-    val fh = videoFrameAHashes(media).toDF()
-      .select(col("media_id"), col("ahash")).distinct()
+    // consumed three times (sizes + both self-join sides) —
+    // checkpoint-materialize so the dominant cost (payload decode +
+    // per-frame hashing) runs once, not once per consumer (the
+    // semDedup discipline)
+    val fh = graft.analytics.Dedup.materialize(
+      videoFrameAHashes(media).toDF()
+        .select(col("media_id"), col("ahash")).distinct())
     val sizes = fh.groupBy("media_id")
       .agg(count(lit(1)).as("set_size"))
     val pairs = fh.select(col("media_id").as("id_a"), col("ahash"))

@@ -28,7 +28,7 @@ object SimilarityQueries {
     (0 until bits).map { i =>
       val arr = signs(i).map(s => if (s > 0) "1.0" else "-1.0")
         .mkString("[", ",", "]")
-      s"CASE WHEN list_reduce(list_transform(list_zip($tbl.embedding::DOUBLE[], $arr::DOUBLE[]), x -> x[1] * x[2]), (acc, v) -> acc + v) >= 0 THEN ${1 << i} ELSE 0 END"
+      s"CASE WHEN ${duckFold(s"$tbl.embedding::DOUBLE[]", arr)} >= 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
   }
 
