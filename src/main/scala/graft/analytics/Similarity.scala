@@ -681,8 +681,9 @@ object Similarity {
     *
     * Semantics: a vector is dropped iff some CANDIDATE neighbor
     * (same cell, same residual bucket in ≥1 table) at cosine ≥
-    * `threshold` sits strictly closer to the LEVEL-1 centroid (ties
-    * by lower id); `near_dups` counts candidate neighbors at ≥
+    * `threshold` sits strictly FARTHER from the LEVEL-1 centroid
+    * (the keep-the-extreme-member rule; on ties the lower id
+    * survives); `near_dups` counts candidate neighbors at ≥
     * `threshold`. With `bits2 = 0` every cell is one bucket and this
     * is EXACTLY [[semDedup]] at the same codebook (spec-pinned); with
     * `bits2 > 0` the trade is the standard LSH one — recall within
@@ -714,19 +715,13 @@ object Similarity {
         .select(col(idCol).as("vec_id"),
           col(embCol).cast("array<double>").as("embedding")),
       "vec_id", "embedding"))
-    val withCent = cells.join(broadcast(cb.select(
-      col("centroid_id").cast("int").as("cell"), col("cent_emb"))),
-      Seq("cell"))
+    val bucketed = withResidualBuckets(cells, cb, bits2, dim, tables)
     // ids only through the per-table joins + dedup (the
     // embeddingNearDupsBucketed discipline: vector payloads would
     // multiply the exchanged bytes by the embedding width)
-    def bucketed(t: Int): DataFrame = withCent.select(col("vec_id"),
-      col("cell"),
-      (if (bits2 == 0) lit(0)
-       else residualSignBucket(col("embedding"), col("cent_emb"),
-         bits2, dim, tableSeed(t))).as("rb"))
     val cand = (0 until tables).map { t =>
-      val b = bucketed(t)
+      val b = bucketed.select(col("vec_id"), col("cell"),
+        col(s"rb$t").as("rb"))
       b.select(col("cell"), col("rb"), col("vec_id").as("id_a"))
         .join(b.select(col("cell"), col("rb"),
           col("vec_id").as("id_b")), Seq("cell", "rb"))
@@ -757,13 +752,157 @@ object Similarity {
         coalesce(col("near_dups"), lit(0L)).as("near_dups"))
   }
 
+  /** (vec_id, embedding, cell, cscore) + one `rb<t>` residual-bucket
+    * column per table — the shared assignment shape of the two-level
+    * tier: all tables' buckets in ONE pass over the broadcast-joined
+    * centroids. */
+  private def withResidualBuckets(cells: DataFrame, cb: DataFrame,
+      bits2: Int, dim: Int, tables: Int): DataFrame = {
+    val withCent = cells.join(broadcast(cb.select(
+      col("centroid_id").cast("int").as("cell"), col("cent_emb"))),
+      Seq("cell"))
+    (0 until tables).foldLeft(withCent) { (d, t) =>
+      d.withColumn(s"rb$t",
+        if (bits2 == 0) lit(0)
+        else residualSignBucket(col("embedding"), col("cent_emb"),
+          bits2, dim, tableSeed(t)))
+    }.drop("cent_emb")
+  }
+
+  /** Build + persist the TWO-LEVEL SEMANTIC DEDUP STATE — the
+    * append-only index the incremental path assigns against:
+    * `codebook` (the frozen coarse quantizer), `cells` (every
+    * vector's cell, centroid score, residual buckets, embedding, and
+    * survival verdict), and `params` (dim/bits2/tables, so an
+    * increment recomputes buckets identically). Returns the initial
+    * corpus verdict (same shape as [[semDedupTwoLevel]]).
+    *
+    * Build pays the training + assignment once; after that,
+    * [[semDedupAssignIncrement]] never rescans this corpus — the
+    * same contract as [[graft.analytics.Dedup.incrementalAssign]]
+    * and the streaming LSH state. */
+  def buildSemDedupState(emb: DataFrame, idCol: String,
+      embCol: String, statePath: String, k1: Int, dim: Int,
+      iterations: Int, threshold: Double, bits2: Int,
+      tables: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = kmeansCodebook(emb, idCol, embCol, k1, dim, iterations)
+    cb.write.mode("overwrite").parquet(s"$statePath/codebook")
+    Seq((dim, bits2, tables)).toDF("dim", "bits2", "tables")
+      .write.mode("overwrite").parquet(s"$statePath/params")
+    val verdict = semDedupTwoLevel(emb, idCol, embCol, k1, dim,
+      iterations, threshold, bits2, tables, Some(cb))
+    val cells = withResidualBuckets(
+      nearestCell(cb, emb.select(col(idCol).as("vec_id"),
+        col(embCol).cast("array<double>").as("embedding")),
+        "vec_id", "embedding"),
+      cb, bits2, dim, tables)
+    val stateCols = Seq("vec_id", "cell", "cscore", "embedding") ++
+      (0 until tables).map(t => s"rb$t") :+ "kept"
+    cells.join(verdict.select(col("vec_id"), col("kept")),
+        Seq("vec_id"))
+      .select(stateCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$statePath/cells")
+    verdict
+  }
+
+  /** INCREMENTAL two-level semantic dedup — the per-ingest-batch
+    * call: assign `newEmb` against the FROZEN stored coarse
+    * quantizer, recompute the same residual buckets, and judge each
+    * new vector against (a) stored corpus vectors sharing a
+    * (cell, bucket) in any table and (b) the other new vectors. Old
+    * assignments and verdicts NEVER change (append-only; the old
+    * corpus is read through its stored cell table, never rescanned
+    * or re-paired with itself).
+    *
+    * Drop rule, deterministic: a new vector is dropped iff it has
+    * ANY old candidate neighbor at cosine ≥ `threshold` (the stored
+    * corpus wins — its own cluster structure already carries a
+    * survivor; matching a dropped old member still means the content
+    * is represented), OR a dominating NEW neighbor (farther from the
+    * centroid, ties by lower id — the [[semDedupTwoLevel]]
+    * keep-the-extreme-member rule).
+    * `near_dups` counts distinct candidate neighbors (old + new) at
+    * ≥ `threshold`; `joined_existing` = 1 iff an old neighbor
+    * matched. New rows (with verdicts) are appended to the state, so
+    * increments compose.
+    *
+    * Scale shape per batch: assignment |batch|·k₁ broadcast cosines,
+    * bucket computation map-only, candidates are equi-joins keyed
+    * (cell, bucket) — batch × bounded-bucket, never batch × corpus.
+    */
+  def semDedupAssignIncrement(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, newEmb: DataFrame, idCol: String,
+      embCol: String, threshold: Double): DataFrame = {
+    val cb = spark.read.parquet(s"$statePath/codebook")
+    val p = spark.read.parquet(s"$statePath/params").collect()(0)
+    val (dim, bits2, tables) =
+      (p.getAs[Int]("dim"), p.getAs[Int]("bits2"),
+        p.getAs[Int]("tables"))
+    val old = spark.read.parquet(s"$statePath/cells")
+    // consumed per table + near/dom/output — materialize like the
+    // batch tier
+    val nb = Dedup.materialize(withResidualBuckets(
+      nearestCell(cb, newEmb.select(col(idCol).as("vec_id"),
+        col(embCol).cast("array<double>").as("embedding")),
+        "vec_id", "embedding"),
+      cb, bits2, dim, tables))
+    def candAgainst(other: DataFrame, tagOld: Boolean): DataFrame =
+      (0 until tables).map { t =>
+        val a = nb.select(col("cell"), col(s"rb$t").as("rb"),
+          col("vec_id"))
+        val b = other.select(col("cell"), col(s"rb$t").as("rb"),
+          col("vec_id").as("nid"), col("embedding").as("n_emb"),
+          col("cscore").as("n_cscore"))
+        a.join(b, Seq("cell", "rb"))
+          .filter(col("vec_id") =!= col("nid"))
+          .select("vec_id", "nid", "n_emb", "n_cscore")
+      }.reduce(_ unionByName _)
+        .dropDuplicates("vec_id", "nid")
+        .withColumn("is_old", lit(tagOld))
+    val cand = candAgainst(old, tagOld = true)
+      .unionByName(candAgainst(nb, tagOld = false))
+    val scored = cand
+      .join(nb.select(col("vec_id"), col("embedding"),
+        col("cscore")), Seq("vec_id"))
+      .withColumn("sim", cosine(col("embedding"), col("n_emb")))
+      .filter(col("sim") >= threshold)
+    val nearCnt = scored.groupBy("vec_id")
+      .agg(count(lit(1)).as("near_dups"),
+        max(col("is_old").cast("int")).as("joined_existing"))
+    // new-vs-new domination matches the batch tier's
+    // keep-the-extreme-member rule EXACTLY (neighbor farther from
+    // the centroid — lower cscore — dominates; ties by lower id)
+    val dominated = scored
+      .filter(col("is_old") ||
+        col("n_cscore") < col("cscore") ||
+        (col("n_cscore") === col("cscore") && col("nid") < col("vec_id")))
+      .select("vec_id").distinct()
+      .withColumn("__dom", lit(true))
+    val verdict = nb.select("vec_id", "cell")
+      .join(nearCnt, Seq("vec_id"), "left")
+      .join(dominated, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("__dom").isNull.as("kept"),
+        coalesce(col("near_dups"), lit(0L)).as("near_dups"),
+        coalesce(col("joined_existing"), lit(0)).as("joined_existing"))
+    val stateCols = Seq("vec_id", "cell", "cscore", "embedding") ++
+      (0 until tables).map(t => s"rb$t") :+ "kept"
+    nb.join(verdict.select("vec_id", "kept"), Seq("vec_id"))
+      .select(stateCols.map(col): _*)
+      .write.mode("append").parquet(s"$statePath/cells")
+    verdict
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings with k-means and pruning
     * near-duplicates WITHIN each cluster only. A vector is dropped
     * iff some same-cluster vector at cosine >= `threshold` sits
-    * strictly closer to the cluster centroid (ties broken by lower
-    * id) — the paper's keep-the-extreme-member rule made
-    * deterministic. Returns one row per vector: its cell, whether it
+    * strictly FARTHER from the cluster centroid (lower centroid
+    * cosine; on ties the lower id survives) — the paper's
+    * keep-the-extreme-member rule (SemDeDup retains the example
+    * LEAST similar to its centroid) made deterministic. Returns one row per vector: its cell, whether it
     * survives, and its same-cell near-duplicate count.
     *
     * Scale posture: the codebook is tiny model state (broadcast both

@@ -1165,6 +1165,108 @@ object SimilarityQueries {
           "vec_id", "embedding", threshold = 0.35, bits = 4,
           tables = 2)
         .orderBy("vec_id")
+    },
+
+    // INCREMENTAL two-level semantic dedup — the per-ingest-batch
+    // path of q255: build the state (frozen coarse quantizer +
+    // assigned cells with residual buckets and verdicts) from the
+    // first 256 vectors, then judge the remaining vectors against
+    // stored cells + each other WITHOUT ever re-pairing the old
+    // corpus with itself. Drop rule: any old candidate neighbor at
+    // cosine >= tau (the stored corpus wins — its cluster structure
+    // already carries a survivor), or a dominating new neighbor
+    // (farther from the centroid, ties by lower id — the
+    // keep-the-extreme-member rule). The oracle replays the FULL
+    // chain: Lloyd training over the old subset, both sides'
+    // argmax assignments and residual fold-difference buckets, the
+    // old-new and new-new candidate joins, and the verdict.
+    {
+      val k1 = 8; val dim = 64; val iters = 2; val tau = "0.35"
+      val bits2 = 2; val tables = 2
+      def rbCols(alias: String): String = (0 until tables).map { t =>
+        duckResidualBucket(s"$alias.embedding::DOUBLE[]", "c.cent_emb",
+          bits2, dim, Similarity.tableSeed(t)) + s" AS rb$t"
+      }.mkString(",\n          ")
+      val rbMatch = (0 until tables)
+        .map(t => s"n.rb$t = o.rb$t").mkString("(", " OR ", ")")
+      val rbMatchNN = (0 until tables)
+        .map(t => s"n.rb$t = m.rb$t").mkString("(", " OR ", ")")
+      Q("q260_semdedup_incremental", Some(s"""
+      WITH oldv AS (
+        SELECT * FROM embeddings WHERE vec_id < 256),
+      ${trainedCentCtes(k1, dim, iters, src = "oldv")},
+      ocell AS (
+        SELECT vec_id, embedding, cell, cscore FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+            ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} AS cscore,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS rn
+          FROM oldv e CROSS JOIN cent$iters c) t
+        WHERE rn = 1),
+      ob AS MATERIALIZED (
+        SELECT s.vec_id, s.embedding, s.cell, s.cscore,
+          ${rbCols("s")}
+        FROM ocell s JOIN cent$iters c ON s.cell = c.centroid_id),
+      newv AS (
+        SELECT * FROM embeddings WHERE vec_id >= 256),
+      ncell AS (
+        SELECT vec_id, embedding, cell, cscore FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+            ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} AS cscore,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS rn
+          FROM newv e CROSS JOIN cent$iters c) t
+        WHERE rn = 1),
+      nb AS MATERIALIZED (
+        SELECT s.vec_id, s.embedding, s.cell, s.cscore,
+          ${rbCols("s")}
+        FROM ncell s JOIN cent$iters c ON s.cell = c.centroid_id),
+      cand AS (
+        SELECT n.vec_id, o.vec_id AS nid, o.embedding AS n_emb,
+          o.cscore AS n_cscore, TRUE AS is_old
+        FROM nb n JOIN ob o ON n.cell = o.cell AND $rbMatch
+        UNION ALL
+        SELECT n.vec_id, m.vec_id, m.embedding, m.cscore, FALSE
+        FROM nb n JOIN nb m ON n.cell = m.cell AND $rbMatchNN
+         AND n.vec_id <> m.vec_id),
+      scored AS (
+        SELECT c.vec_id, c.nid, c.is_old, c.n_cscore, n.cscore,
+          ${duckCosine("n.embedding::DOUBLE[]", "c.n_emb::DOUBLE[]")}
+            AS sim
+        FROM cand c JOIN nb n ON c.vec_id = n.vec_id
+        WHERE ${duckCosine("n.embedding::DOUBLE[]",
+          "c.n_emb::DOUBLE[]")} >= $tau),
+      near AS (
+        SELECT vec_id, COUNT(*) AS near_dups,
+          MAX(CASE WHEN is_old THEN 1 ELSE 0 END) AS joined
+        FROM scored GROUP BY vec_id),
+      dom AS (
+        SELECT DISTINCT vec_id FROM scored
+        WHERE is_old OR n_cscore < cscore
+           OR (n_cscore = cscore AND nid < vec_id))
+      SELECT n.vec_id, CAST(n.cell AS INT) AS cell,
+        (d.vec_id IS NULL) AS kept,
+        CAST(COALESCE(near.near_dups, 0) AS BIGINT) AS near_dups,
+        CAST(COALESCE(near.joined, 0) AS INT) AS joined_existing
+      FROM nb n
+      LEFT JOIN dom d ON n.vec_id = d.vec_id
+      LEFT JOIN near ON n.vec_id = near.vec_id
+      ORDER BY n.vec_id""")) { (s, dir) =>
+        val emb = Tables.load(s, dir, "embeddings")
+        val statePath = Q.scratchPath("q260state", dir)
+        Similarity.buildSemDedupState(
+          emb.filter(col("vec_id") < 256), "vec_id", "embedding",
+          statePath, k1 = k1, dim = dim, iterations = iters,
+          threshold = 0.35, bits2 = bits2, tables = tables)
+        Similarity.semDedupAssignIncrement(s, statePath,
+            emb.filter(col("vec_id") >= 256), "vec_id", "embedding",
+            threshold = 0.35)
+          .withColumn("joined_existing",
+            col("joined_existing").cast("int"))
+          .orderBy("vec_id")
+      }
     }
   )
 }

@@ -469,6 +469,49 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex.toSeq === trained.toSeq)
   }
 
+  test("semDedup increments compose append-only") {
+    import spark.implicits._
+    val statePath = tmpDir("semdedup-state")
+    val base = corpus.filter(col("vec_id") < 60)
+    val built = Similarity.buildSemDedupState(base, "vec_id",
+      "embedding", statePath, k1 = 4, dim = Dim, iterations = 2,
+      threshold = 0.95, bits2 = 2, tables = 2)
+      .orderBy("vec_id").collect()
+    // batch B: one exact copy of an old vector (id 1000 = old id 3)
+    // plus a far-out vector nothing matches
+    val oldVec = base.filter(col("vec_id") === 3)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val farVec = Array.tabulate(Dim)(d => if (d == Dim - 1) 1e6f else 0f)
+    val b = Seq((1000L, oldVec), (1001L, farVec))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.semDedupAssignIncrement(spark, statePath, b,
+        "vec_id", "embedding", threshold = 0.95)
+      .orderBy("vec_id").collect()
+    assert(r1.length === 2)
+    // the copy of an old vector drops against the stored corpus
+    assert(!r1(0).getAs[Boolean]("kept"))
+    assert(r1(0).getAs[Int]("joined_existing") === 1)
+    // the far-out vector survives with no neighbors
+    assert(r1(1).getAs[Boolean]("kept"))
+    assert(r1(1).getAs[Long]("near_dups") === 0L)
+    // batch C: a copy of the BATCH-B far-out vector — it must drop
+    // against the APPENDED state (proves increments compose), and
+    // report having joined an existing cluster
+    val c2 = Seq((2000L, farVec)).toDF("vec_id", "embedding")
+    val r2 = Similarity.semDedupAssignIncrement(spark, statePath, c2,
+        "vec_id", "embedding", threshold = 0.95).collect()
+    assert(!r2(0).getAs[Boolean]("kept"))
+    assert(r2(0).getAs[Int]("joined_existing") === 1)
+    // old verdicts never change: the stored cells still carry the
+    // build-time kept flags for every original id
+    val stored = spark.read.parquet(s"$statePath/cells")
+      .filter(col("vec_id") < 60)
+      .select("vec_id", "kept").orderBy("vec_id").collect()
+    assert(stored.map(r => (r.getLong(0), r.getBoolean(1))).toSeq ===
+      built.map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Boolean]("kept"))).toSeq)
+  }
+
   test("residualSignBucket: fold-difference bits, null parity") {
     import spark.implicits._
     // dim=2, bits=2: check the sign arithmetic directly against the
