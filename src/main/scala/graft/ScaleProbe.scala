@@ -73,7 +73,7 @@ object ScaleProbe {
         lazy val embT = Tables.load(spark, sfDir, "embeddings")
         // warm the table the op actually scans, untimed (a cold
         // parquet scan is a fixed cost that skews decade ratios)
-        if (op == "semdecon") embT.count(): Unit
+        if (op == "semdecon" || op == "semincr") embT.count(): Unit
         else docs.count(): Unit
         val t0 = System.nanoTime()
         val rows: Long = op match {
@@ -130,8 +130,32 @@ object ScaleProbe {
               embT.where(col("vec_id") < 128),
               "vec_id", "embedding", threshold = 0.35,
               targetRecall = 0.8).count()
+          case "semincr" =>
+            // incremental semantic dedup: build the state over 90 %
+            // of the embeddings UNTIMED (the one-time index cost),
+            // then time ONE 10 %-batch increment — the recurring
+            // per-ingest cost the append-only contract is about
+            val n0 = embT.count()
+            val k1 = graft.analytics.Similarity.autoCoarseCells(n0)
+            val bits2 = graft.analytics.Similarity.autoResidualBits(
+              n0, k1, 32)
+            val statePath = graft.util.Scratch.path(
+              "semincr_" + Integer.toHexString(sfDir.hashCode))
+            graft.analytics.Similarity.buildSemDedupState(
+              embT.where(pmod(col("vec_id"), lit(10L)) =!= 0L),
+              "vec_id", "embedding", statePath, k1 = k1, dim = 64,
+              iterations = 2, threshold = 0.35, bits2 = bits2)
+            val tInc = System.nanoTime()
+            val r = graft.analytics.Similarity.semDedupAssignIncrement(
+              spark, statePath,
+              embT.where(pmod(col("vec_id"), lit(10L)) === 0L),
+              "vec_id", "embedding", threshold = 0.35).count()
+            println(f"""{"probe":"semincr","sf":"$sfDir","k1":$k1,""" +
+              f""""bits2":$bits2,"batch_rows":$r,""" +
+              f""""inc_sec":${(System.nanoTime() - tInc) / 1e9}%.3f}""")
+            r
           case m => sys.error(s"unknown corpusop '$m' (keepbest|" +
-            "split|shards|diff|fertility|semdecon)")
+            "split|shards|diff|fertility|semdecon|semincr)")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"corpusop","op":"$op","sf":"$sfDir",""" +

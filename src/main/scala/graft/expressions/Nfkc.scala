@@ -153,6 +153,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"sign_buckets expects (emb, bits, dim[, seed]), got " +
             s"${other.length} arguments")
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("residual_sign_buckets"),
+      new ExpressionInfo(classOf[ResidualSignBuckets].getName,
+        "residual_sign_buckets"),
+      (children: Seq[Expression]) => children match {
+        // residual_sign_buckets(emb, cent, bits, dim[, seed]) — the
+        // within-cell splitter of the two-level semantic tier, SQL
+        // surface of Similarity.residualSignBucket (same
+        // analysis-time literal contract as sign_buckets)
+        case args if args.length == 4 || args.length == 5 =>
+          val bits =
+            litInt("residual_sign_buckets", args(2), "bits", 1, 31)
+          val dim =
+            litInt("residual_sign_buckets", args(3), "dim", 1, 65536)
+          val seed =
+            if (args.length == 5) litArg("residual_sign_buckets",
+                args(4), "seed") match {
+              case n: Number => n.longValue()
+              case other => throw new IllegalArgumentException(
+                "residual_sign_buckets: seed must be an integer, " +
+                  s"got $other")
+            }
+            else 42L
+          ResidualSignBuckets(args(0), args(1),
+            SignBuckets.hyperplaneSigns(bits, dim, seed))
+        case other => throw new IllegalArgumentException(
+          "residual_sign_buckets expects (emb, cent, bits, dim" +
+            s"[, seed]), got ${other.length} arguments")
+      }))
     // Sketch aggregates for the SQL-only consumer (the DataFrame
     // surface is graft.analytics.Sketches): each is a bounded-state
     // TypedImperativeAggregate — the analyzer wraps the returned

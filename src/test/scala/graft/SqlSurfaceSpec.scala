@@ -72,6 +72,40 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("must be a literal")))
   }
 
+  test("residual_sign_buckets SQL function equals the Column API") {
+    Tables.registerAll(spark, dir)
+    // residual against a fixed reference vector: SQL text vs the
+    // Column API must bucket identically (same seeded hyperplanes,
+    // same fold-difference arithmetic)
+    val refSql = (0 until 64).map(d => s"CAST(0.25 * $d AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val viaSql = spark.sql(s"""
+      SELECT vec_id, residual_sign_buckets(
+        CAST(embedding AS ARRAY<DOUBLE>), $refSql, 6, 64, 7) AS rb
+      FROM embeddings ORDER BY vec_id""").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val refCol = org.apache.spark.sql.functions.array(
+      (0 until 64).map(d => lit(0.25 * d)): _*)
+    val viaApi = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.analytics.Similarity.residualSignBucket(
+          col("embedding"), refCol, bits = 6, dim = 64, seed = 7L)
+          .as("rb"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+    // non-literal bits rejected at analysis time
+    val e = intercept[Exception] {
+      spark.sql(s"""SELECT residual_sign_buckets(
+        CAST(embedding AS ARRAY<DOUBLE>), $refSql,
+        CAST(vec_id AS INT), 64) FROM embeddings""").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("must be a literal")))
+  }
+
   test("sketch aggregates via SQL equal the Column API and enforce " +
       "literal shape parameters") {
     Tables.registerAll(spark, dir)
