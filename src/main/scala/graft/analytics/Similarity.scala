@@ -895,6 +895,51 @@ object Similarity {
     verdict
   }
 
+  /** Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws", arXiv:2206.14486): rank every vector within its
+    * k-means cell by similarity to the cell centroid and DROP the
+    * most prototypical `pruneFraction` of each cell — on large
+    * corpora, pruning EASY (centroid-hugging) examples beats random
+    * and beats pruning hard ones, which is what lets data pruning
+    * break the power-law scaling curve. The centroid machinery is
+    * the same deterministic codebook as the semantic-dedup tier
+    * (pass a persisted IVF `codebook` to skip training).
+    *
+    * Per vector: its cell, centroid cosine, 1-based rank within the
+    * cell (closest first, ties by lower id), the cell size, and
+    * `kept` = rank > ⌊pruneFraction·|cell|⌋ — so every cell retains
+    * ≥1 member for any fraction < 1, small cells lose nothing until
+    * the fraction covers a whole member, and the verdict is
+    * deterministic under any partitioning.
+    *
+    * Scale shape: one broadcast assignment pass (n·k codegen'd
+    * cosines) + one cell-keyed window (cells are the partition key —
+    * bounded by the √n-style cell sizing, never a global sort).
+    */
+  def prototypicality(emb: DataFrame, idCol: String, embCol: String,
+      k: Int, dim: Int, iterations: Int, pruneFraction: Double,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    require(pruneFraction >= 0 && pruneFraction < 1,
+      s"pruneFraction must be in [0, 1), got $pruneFraction")
+    val cb = codebook.getOrElse(
+      kmeansCodebook(emb, idCol, embCol, k, dim, iterations))
+    val cells = nearestCell(cb, emb
+        .select(col(idCol).as("vec_id"),
+          col(embCol).cast("array<double>").as("embedding")),
+      "vec_id", "embedding")
+    val w = Window.partitionBy("cell")
+      .orderBy(col("cscore").desc, col("vec_id"))
+    cells
+      .withColumn("rank_in_cell", row_number().over(w).cast("long"))
+      .withColumn("cell_size",
+        count(lit(1)).over(Window.partitionBy("cell")).cast("long"))
+      .select(col("vec_id"), col("cell"), col("cscore"),
+        col("rank_in_cell"), col("cell_size"),
+        (col("rank_in_cell") >
+          floor(lit(pruneFraction) * col("cell_size")))
+          .as("kept"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings with k-means and pruning
     * near-duplicates WITHIN each cluster only. A vector is dropped

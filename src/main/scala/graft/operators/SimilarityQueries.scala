@@ -1167,6 +1167,41 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Prototypicality pruning (Sorscher et al. 2022): rank each
+    // vector within its k-means cell by centroid cosine and drop the
+    // most prototypical 25% per cell — the data-pruning rule that
+    // breaks power-law scaling on large corpora (prune EASY examples,
+    // keep hard ones). Same trained-codebook replay as q103; the
+    // verdict is one cell-keyed window — floor(0.25·|cell|) uses an
+    // exactly-representable fraction so no FP boundary can disagree.
+    Q("q261_prototypicality_prune", Some(s"""
+      WITH ${trainedCentCtes(8, 64, 2)},
+      semcells AS (
+        SELECT vec_id, cell, cscore FROM (
+          SELECT e.vec_id, c.centroid_id AS cell,
+            ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} AS cscore,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN cent2 c) t
+        WHERE rn = 1),
+      r AS (
+        SELECT vec_id, cell, cscore,
+          ROW_NUMBER() OVER (PARTITION BY cell
+            ORDER BY cscore DESC, vec_id) AS rank_in_cell,
+          COUNT(*) OVER (PARTITION BY cell) AS cell_size
+        FROM semcells)
+      SELECT vec_id, CAST(cell AS INT) AS cell, cscore,
+        CAST(rank_in_cell AS BIGINT) AS rank_in_cell,
+        CAST(cell_size AS BIGINT) AS cell_size,
+        (rank_in_cell > floor(0.25 * cell_size)) AS kept
+      FROM r ORDER BY vec_id""")) { (s, dir) =>
+      Similarity.prototypicality(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", k = 8, dim = 64, iterations = 2,
+          pruneFraction = 0.25)
+        .orderBy("vec_id")
+    },
+
     // INCREMENTAL two-level semantic dedup — the per-ingest-batch
     // path of q255: build the state (frozen coarse quantizer +
     // assigned cells with residual buckets and verdicts) from the

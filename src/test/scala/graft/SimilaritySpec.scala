@@ -469,6 +469,33 @@ class SimilaritySpec extends SparkSpec {
     assert(viaIndex.toSeq === trained.toSeq)
   }
 
+  test("prototypicality: drops exactly the closest fraction per cell") {
+    val got = Similarity.prototypicality(corpus, "vec_id", "embedding",
+      k = 4, dim = Dim, iterations = 2, pruneFraction = 0.25)
+    val rows = got.orderBy("vec_id").collect()
+    assert(rows.length === corpus.count())
+    rows.groupBy(_.getAs[Int]("cell")).foreach { case (_, rs) =>
+      val size = rs.head.getAs[Long]("cell_size")
+      assert(rs.length === size)
+      val dropped = rs.filterNot(_.getAs[Boolean]("kept"))
+      // exactly floor(0.25*size) dropped, and they are the TOP ranks
+      // (the centroid-hugging prototypical members)
+      assert(dropped.length === (0.25 * size).toInt)
+      assert(dropped.map(_.getAs[Long]("rank_in_cell")).sorted.toSeq ===
+        (1L to dropped.length.toLong))
+      assert(rs.exists(_.getAs[Boolean]("kept"))) // never empties a cell
+    }
+    // fraction 0 keeps everything; determinism under repartitioning
+    val all = Similarity.prototypicality(corpus, "vec_id", "embedding",
+      k = 4, dim = Dim, iterations = 2, pruneFraction = 0.0).collect()
+    assert(all.forall(_.getAs[Boolean]("kept")))
+    val again = Similarity.prototypicality(corpus.repartition(7),
+        "vec_id", "embedding", k = 4, dim = Dim, iterations = 2,
+        pruneFraction = 0.25)
+      .orderBy("vec_id").collect()
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("semDedup increments compose append-only") {
     import spark.implicits._
     val statePath = tmpDir("semdedup-state")
