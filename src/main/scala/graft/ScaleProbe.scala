@@ -75,6 +75,22 @@ object ScaleProbe {
         // parquet scan is a fixed cost that skews decade ratios)
         if (op == "semdecon" || op == "semincr") embT.count(): Unit
         else docs.count(): Unit
+        // semincr's 90 % state build is the one-time index cost, not
+        // the recurring per-ingest cost this probe measures — run it
+        // in the untimed warm phase so the standard corpusop line
+        // reports the increment alone
+        lazy val semincrState = graft.operators.Q.scratchPath(
+          "semincr", sfDir)
+        if (op == "semincr") {
+          val n0 = embT.count()
+          val k1 = graft.analytics.Similarity.autoCoarseCells(n0)
+          graft.analytics.Similarity.buildSemDedupState(
+            embT.where(pmod(col("vec_id"), lit(10L)) =!= 0L),
+            "vec_id", "embedding", semincrState, k1 = k1, dim = 64,
+            iterations = 2, threshold = 0.35,
+            bits2 = graft.analytics.Similarity.autoResidualBits(
+              n0, k1, 32))
+        }
         val t0 = System.nanoTime()
         val rows: Long = op match {
           case "keepbest" =>
@@ -131,29 +147,13 @@ object ScaleProbe {
               "vec_id", "embedding", threshold = 0.35,
               targetRecall = 0.8).count()
           case "semincr" =>
-            // incremental semantic dedup: build the state over 90 %
-            // of the embeddings UNTIMED (the one-time index cost),
-            // then time ONE 10 %-batch increment — the recurring
-            // per-ingest cost the append-only contract is about
-            val n0 = embT.count()
-            val k1 = graft.analytics.Similarity.autoCoarseCells(n0)
-            val bits2 = graft.analytics.Similarity.autoResidualBits(
-              n0, k1, 32)
-            val statePath = graft.util.Scratch.path(
-              "semincr_" + Integer.toHexString(sfDir.hashCode))
-            graft.analytics.Similarity.buildSemDedupState(
-              embT.where(pmod(col("vec_id"), lit(10L)) =!= 0L),
-              "vec_id", "embedding", statePath, k1 = k1, dim = 64,
-              iterations = 2, threshold = 0.35, bits2 = bits2)
-            val tInc = System.nanoTime()
-            val r = graft.analytics.Similarity.semDedupAssignIncrement(
-              spark, statePath,
+            // ONE 10 %-batch increment against the state built in the
+            // warm phase — the recurring per-ingest cost the
+            // append-only contract is about
+            graft.analytics.Similarity.semDedupAssignIncrement(
+              spark, semincrState,
               embT.where(pmod(col("vec_id"), lit(10L)) === 0L),
-              "vec_id", "embedding", threshold = 0.35).count()
-            println(f"""{"probe":"semincr","sf":"$sfDir","k1":$k1,""" +
-              f""""bits2":$bits2,"batch_rows":$r,""" +
-              f""""inc_sec":${(System.nanoTime() - tInc) / 1e9}%.3f}""")
-            r
+              "vec_id", "embedding").count()
           case m => sys.error(s"unknown corpusop '$m' (keepbest|" +
             "split|shards|diff|fertility|semdecon|semincr)")
         }

@@ -709,13 +709,29 @@ object Similarity {
     require(tables >= 1, s"tables must be >= 1, got $tables")
     val cb = codebook.getOrElse(
       kmeansCodebook(emb, idCol, embCol, k1, dim, iterations))
-    // consumed by every table's bucket pass, both pair sides, and
-    // the final output — checkpoint-materialize like [[semDedup]]
-    val cells = Dedup.materialize(nearestCell(cb, emb
-        .select(col(idCol).as("vec_id"),
-          col(embCol).cast("array<double>").as("embedding")),
-      "vec_id", "embedding"))
-    val bucketed = withResidualBuckets(cells, cb, bits2, dim, tables)
+    twoLevelVerdict(
+      twoLevelBucketed(emb, idCol, embCol, cb, bits2, dim, tables),
+      threshold, tables)
+  }
+
+  /** Materialized bucketed assignment of the two-level tier —
+    * consumed by every table's candidate pass, both pair sides, the
+    * verdict output, and (on the state path) the persisted cells
+    * write, so the n·k₁ assignment and the bucket hashing run ONCE. */
+  private def twoLevelBucketed(emb: DataFrame, idCol: String,
+      embCol: String, cb: DataFrame, bits2: Int, dim: Int,
+      tables: Int): DataFrame =
+    Dedup.materialize(withResidualBuckets(
+      nearestCell(cb, emb.select(col(idCol).as("vec_id"),
+        col(embCol).cast("array<double>").as("embedding")),
+        "vec_id", "embedding"),
+      cb, bits2, dim, tables))
+
+  /** The within-(cell, bucket) prune over a [[twoLevelBucketed]]
+    * frame — the verdict tail shared by [[semDedupTwoLevel]] and
+    * [[buildSemDedupState]]. */
+  private def twoLevelVerdict(bucketed: DataFrame, threshold: Double,
+      tables: Int): DataFrame = {
     // ids only through the per-table joins + dedup (the
     // embeddingNearDupsBucketed discipline: vector payloads would
     // multiply the exchanged bytes by the embedding width)
@@ -730,10 +746,10 @@ object Similarity {
     }.reduce(_ unionByName _)
       .dropDuplicates("id_a", "id_b")
     val pairs = cand
-      .join(cells.select(col("vec_id").as("id_a"),
+      .join(bucketed.select(col("vec_id").as("id_a"),
         col("embedding").as("emb_a"), col("cscore").as("ca")),
         Seq("id_a"))
-      .join(cells.select(col("vec_id").as("id_b"),
+      .join(bucketed.select(col("vec_id").as("id_b"),
         col("embedding").as("emb_b"), col("cscore").as("cb")),
         Seq("id_b"))
       .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
@@ -745,12 +761,18 @@ object Similarity {
         (col("cb") === col("ca") && col("id_b") < col("id_a")))
       .select(col("id_a").as("vec_id")).distinct()
       .withColumn("__dom", lit(true))
-    cells.join(nearCnt, Seq("vec_id"), "left")
+    bucketed.join(nearCnt, Seq("vec_id"), "left")
       .join(dominated, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         col("__dom").isNull.as("kept"),
         coalesce(col("near_dups"), lit(0L)).as("near_dups"))
   }
+
+  /** The persisted cell-table schema, shared by the build and
+    * append writers so the two parquet writes can never diverge. */
+  private def semStateCols(tables: Int): Seq[String] =
+    Seq("vec_id", "cell", "cscore", "embedding") ++
+      (0 until tables).map(t => s"rb$t") :+ "kept"
 
   /** (vec_id, embedding, cell, cscore) + one `rb<t>` residual-bucket
     * column per table — the shared assignment shape of the two-level
@@ -773,8 +795,10 @@ object Similarity {
     * append-only index the incremental path assigns against:
     * `codebook` (the frozen coarse quantizer), `cells` (every
     * vector's cell, centroid score, residual buckets, embedding, and
-    * survival verdict), and `params` (dim/bits2/tables, so an
-    * increment recomputes buckets identically). Returns the initial
+    * survival verdict), and `params` (dim/bits2/tables/threshold, so
+    * an increment recomputes buckets AND verdicts identically —
+    * threshold is state, not a per-call knob: one cell table, one
+    * dedup semantics). Returns the initial
     * corpus verdict (same shape as [[semDedupTwoLevel]]).
     *
     * Build pays the training + assignment once; after that,
@@ -789,20 +813,21 @@ object Similarity {
     import spark.implicits._
     val cb = kmeansCodebook(emb, idCol, embCol, k1, dim, iterations)
     cb.write.mode("overwrite").parquet(s"$statePath/codebook")
-    Seq((dim, bits2, tables)).toDF("dim", "bits2", "tables")
+    // threshold is part of the state: a verdict column mixing two
+    // thresholds in one cell table is silent nonsense, so increments
+    // read it back instead of taking it as a parameter
+    Seq((dim, bits2, tables, threshold))
+      .toDF("dim", "bits2", "tables", "threshold")
       .write.mode("overwrite").parquet(s"$statePath/params")
-    val verdict = semDedupTwoLevel(emb, idCol, embCol, k1, dim,
-      iterations, threshold, bits2, tables, Some(cb))
-    val cells = withResidualBuckets(
-      nearestCell(cb, emb.select(col(idCol).as("vec_id"),
-        col(embCol).cast("array<double>").as("embedding")),
-        "vec_id", "embedding"),
-      cb, bits2, dim, tables)
-    val stateCols = Seq("vec_id", "cell", "cscore", "embedding") ++
-      (0 until tables).map(t => s"rb$t") :+ "kept"
-    cells.join(verdict.select(col("vec_id"), col("kept")),
+    // ONE materialized assignment feeds both the verdict and the
+    // persisted cell table
+    val bucketed = twoLevelBucketed(emb, idCol, embCol, cb, bits2,
+      dim, tables)
+    val verdict = Dedup.materialize(
+      twoLevelVerdict(bucketed, threshold, tables))
+    bucketed.join(verdict.select(col("vec_id"), col("kept")),
         Seq("vec_id"))
-      .select(stateCols.map(col): _*)
+      .select(semStateCols(tables).map(col): _*)
       .write.mode("overwrite").parquet(s"$statePath/cells")
     verdict
   }
@@ -811,7 +836,8 @@ object Similarity {
     * call: assign `newEmb` against the FROZEN stored coarse
     * quantizer, recompute the same residual buckets, and judge each
     * new vector against (a) stored corpus vectors sharing a
-    * (cell, bucket) in any table and (b) the other new vectors. Old
+    * (cell, bucket) in any table and (b) the other new vectors, at
+    * the threshold the state was BUILT with (read from `params`). Old
     * assignments and verdicts NEVER change (append-only; the old
     * corpus is read through its stored cell table, never rescanned
     * or re-paired with itself).
@@ -834,38 +860,42 @@ object Similarity {
     */
   def semDedupAssignIncrement(spark: org.apache.spark.sql.SparkSession,
       statePath: String, newEmb: DataFrame, idCol: String,
-      embCol: String, threshold: Double): DataFrame = {
+      embCol: String): DataFrame = {
     val cb = spark.read.parquet(s"$statePath/codebook")
     val p = spark.read.parquet(s"$statePath/params").collect()(0)
-    val (dim, bits2, tables) =
+    val (dim, bits2, tables, threshold) =
       (p.getAs[Int]("dim"), p.getAs[Int]("bits2"),
-        p.getAs[Int]("tables"))
+        p.getAs[Int]("tables"), p.getAs[Double]("threshold"))
     val old = spark.read.parquet(s"$statePath/cells")
     // consumed per table + near/dom/output — materialize like the
     // batch tier
-    val nb = Dedup.materialize(withResidualBuckets(
-      nearestCell(cb, newEmb.select(col(idCol).as("vec_id"),
-        col(embCol).cast("array<double>").as("embedding")),
-        "vec_id", "embedding"),
-      cb, bits2, dim, tables))
+    val nb = twoLevelBucketed(newEmb, idCol, embCol, cb, bits2, dim,
+      tables)
+    // ids only through the candidate joins + dedup (the
+    // embeddingNearDupsBucketed discipline); neighbor payloads join
+    // back once per surviving candidate below
     def candAgainst(other: DataFrame, tagOld: Boolean): DataFrame =
       (0 until tables).map { t =>
-        val a = nb.select(col("cell"), col(s"rb$t").as("rb"),
-          col("vec_id"))
-        val b = other.select(col("cell"), col(s"rb$t").as("rb"),
-          col("vec_id").as("nid"), col("embedding").as("n_emb"),
-          col("cscore").as("n_cscore"))
-        a.join(b, Seq("cell", "rb"))
+        nb.select(col("cell"), col(s"rb$t").as("rb"), col("vec_id"))
+          .join(other.select(col("cell"), col(s"rb$t").as("rb"),
+            col("vec_id").as("nid")), Seq("cell", "rb"))
           .filter(col("vec_id") =!= col("nid"))
-          .select("vec_id", "nid", "n_emb", "n_cscore")
+          .select("vec_id", "nid")
       }.reduce(_ unionByName _)
         .dropDuplicates("vec_id", "nid")
         .withColumn("is_old", lit(tagOld))
     val cand = candAgainst(old, tagOld = true)
       .unionByName(candAgainst(nb, tagOld = false))
+    // old and new ids live in disjoint ranges of one state, so a
+    // single neighbor-payload lookup serves both candidate kinds
+    val nbrs = old.select(col("vec_id").as("nid"),
+        col("embedding").as("n_emb"), col("cscore").as("n_cscore"))
+      .unionByName(nb.select(col("vec_id").as("nid"),
+        col("embedding").as("n_emb"), col("cscore").as("n_cscore")))
     val scored = cand
       .join(nb.select(col("vec_id"), col("embedding"),
         col("cscore")), Seq("vec_id"))
+      .join(nbrs, Seq("nid"))
       .withColumn("sim", cosine(col("embedding"), col("n_emb")))
       .filter(col("sim") >= threshold)
     val nearCnt = scored.groupBy("vec_id")
@@ -880,17 +910,17 @@ object Similarity {
         (col("n_cscore") === col("cscore") && col("nid") < col("vec_id")))
       .select("vec_id").distinct()
       .withColumn("__dom", lit(true))
-    val verdict = nb.select("vec_id", "cell")
+    // the verdict is consumed twice (the state append below and the
+    // caller) — materialize so the scoring pipeline runs once
+    val verdict = Dedup.materialize(nb.select("vec_id", "cell")
       .join(nearCnt, Seq("vec_id"), "left")
       .join(dominated, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         col("__dom").isNull.as("kept"),
         coalesce(col("near_dups"), lit(0L)).as("near_dups"),
-        coalesce(col("joined_existing"), lit(0)).as("joined_existing"))
-    val stateCols = Seq("vec_id", "cell", "cscore", "embedding") ++
-      (0 until tables).map(t => s"rb$t") :+ "kept"
+        coalesce(col("joined_existing"), lit(0)).as("joined_existing")))
     nb.join(verdict.select("vec_id", "kept"), Seq("vec_id"))
-      .select(stateCols.map(col): _*)
+      .select(semStateCols(tables).map(col): _*)
       .write.mode("append").parquet(s"$statePath/cells")
     verdict
   }

@@ -1296,8 +1296,7 @@ object SimilarityQueries {
           statePath, k1 = k1, dim = dim, iterations = iters,
           threshold = 0.35, bits2 = bits2, tables = tables)
         Similarity.semDedupAssignIncrement(s, statePath,
-            emb.filter(col("vec_id") >= 256), "vec_id", "embedding",
-            threshold = 0.35)
+            emb.filter(col("vec_id") >= 256), "vec_id", "embedding")
           .withColumn("joined_existing",
             col("joined_existing").cast("int"))
           .orderBy("vec_id")

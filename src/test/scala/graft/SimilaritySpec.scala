@@ -512,7 +512,7 @@ class SimilaritySpec extends SparkSpec {
     val b = Seq((1000L, oldVec), (1001L, farVec))
       .toDF("vec_id", "embedding")
     val r1 = Similarity.semDedupAssignIncrement(spark, statePath, b,
-        "vec_id", "embedding", threshold = 0.95)
+        "vec_id", "embedding")
       .orderBy("vec_id").collect()
     assert(r1.length === 2)
     // the copy of an old vector drops against the stored corpus
@@ -526,7 +526,7 @@ class SimilaritySpec extends SparkSpec {
     // report having joined an existing cluster
     val c2 = Seq((2000L, farVec)).toDF("vec_id", "embedding")
     val r2 = Similarity.semDedupAssignIncrement(spark, statePath, c2,
-        "vec_id", "embedding", threshold = 0.95).collect()
+        "vec_id", "embedding").collect()
     assert(!r2(0).getAs[Boolean]("kept"))
     assert(r2(0).getAs[Int]("joined_existing") === 1)
     // old verdicts never change: the stored cells still carry the
