@@ -73,7 +73,7 @@ object ScaleProbe {
         lazy val embT = Tables.load(spark, sfDir, "embeddings")
         // warm the table the op actually scans, untimed (a cold
         // parquet scan is a fixed cost that skews decade ratios)
-        if (op == "semdecon" || op == "semincr") embT.count(): Unit
+        if (Set("semdecon", "semincr", "protopr")(op)) embT.count(): Unit
         else docs.count(): Unit
         // semincr's 90 % state build is the one-time index cost, not
         // the recurring per-ingest cost this probe measures — run it
@@ -154,8 +154,16 @@ object ScaleProbe {
               spark, semincrState,
               embT.where(pmod(col("vec_id"), lit(10L)) === 0L),
               "vec_id", "embedding").count()
+          case "protopr" =>
+            // prototypicality pruning at the cube-root cell sizing:
+            // one n*k1 broadcast assignment + one cell-keyed window
+            val n0 = embT.count()
+            graft.analytics.Similarity.prototypicality(
+              embT, "vec_id", "embedding",
+              k = graft.analytics.Similarity.autoCoarseCells(n0),
+              dim = 64, iterations = 2, pruneFraction = 0.25).count()
           case m => sys.error(s"unknown corpusop '$m' (keepbest|" +
-            "split|shards|diff|fertility|semdecon|semincr)")
+            "split|shards|diff|fertility|semdecon|semincr|protopr)")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"corpusop","op":"$op","sf":"$sfDir",""" +
