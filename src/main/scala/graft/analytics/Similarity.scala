@@ -970,6 +970,46 @@ object Similarity {
           .as("kept"))
   }
 
+  /** Clustering-quality audit against ground-truth labels: per
+    * k-means cell, its size, majority label (ties to the lowest
+    * label), majority count, and purity = majority/size — the
+    * label-agreement number a pipeline reads before trusting a
+    * codebook for routing (IVF cells, the semantic-dedup tiers, the
+    * prototypicality pruner all share it). Purity is chosen over
+    * NMI deliberately: counts and one ratio are exact in any
+    * engine, while entropy terms drag libm `ln` differences into
+    * the oracle comparison.
+    *
+    * Rows with a null label are excluded (audits run on the labeled
+    * subset); cells with no labeled member are absent. One broadcast
+    * assignment + two map-side-combined aggregations — no window
+    * over corpus rows, no driver state beyond the codebook.
+    */
+  def clusterLabelAudit(emb: DataFrame, idCol: String,
+      embCol: String, labelCol: String, k: Int, dim: Int,
+      iterations: Int, codebook: Option[DataFrame] = None): DataFrame = {
+    val cb = codebook.getOrElse(
+      kmeansCodebook(emb, idCol, embCol, k, dim, iterations))
+    val cells = nearestCell(cb, emb
+        .select(col(idCol).as("vec_id"),
+          col(embCol).cast("array<double>").as("embedding")),
+      "vec_id", "embedding")
+      .select("vec_id", "cell")
+    val perLabel = cells
+      .join(emb.select(col(idCol).as("vec_id"),
+          col(labelCol).cast("int").as("label"))
+        .where(col("label").isNotNull), Seq("vec_id"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("cnt"))
+    perLabel.groupBy("cell")
+      .agg(sum(col("cnt")).as("cell_size"),
+        max(struct(col("cnt"), (-col("label")).as("nl"))).as("__m"))
+      .select(col("cell"), col("cell_size"),
+        (-col("__m.nl")).as("majority_label"),
+        col("__m.cnt").as("majority_count"),
+        (col("__m.cnt").cast("double") /
+          col("cell_size").cast("double")).as("purity"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     * deduplication by clustering embeddings with k-means and pruning
     * near-duplicates WITHIN each cluster only. A vector is dropped

@@ -1202,6 +1202,50 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // Clustering-quality audit: per trained k-means cell, the
+    // ground-truth-label purity (majority/size, ties to the lowest
+    // label) — the agreement number read before trusting a codebook
+    // for IVF routing or semantic dedup. Purity over NMI on purpose:
+    // exact counts and one double ratio, no libm entropy in the
+    // cross-engine hash. Same Lloyd replay as q103/q255/q261.
+    Q("q262_cluster_purity", Some(s"""
+      WITH ${trainedCentCtes(8, 64, 2)},
+      semcells AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.centroid_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS rn
+          FROM embeddings e CROSS JOIN cent2 c) t
+        WHERE rn = 1),
+      cl AS (
+        SELECT s.cell, e.label, COUNT(*) AS cnt
+        FROM semcells s JOIN embeddings e USING (vec_id)
+        WHERE e.label IS NOT NULL
+        GROUP BY 1, 2),
+      agg AS (SELECT cell, SUM(cnt) AS cell_size FROM cl GROUP BY cell),
+      maj AS (
+        SELECT cell, label AS majority_label, cnt AS majority_count
+        FROM (
+          SELECT cell, label, cnt,
+            ROW_NUMBER() OVER (PARTITION BY cell
+              ORDER BY cnt DESC, label) AS rn
+          FROM cl) t
+        WHERE rn = 1)
+      SELECT CAST(a.cell AS INT) AS cell,
+        CAST(cell_size AS BIGINT) AS cell_size,
+        CAST(majority_label AS INT) AS majority_label,
+        CAST(majority_count AS BIGINT) AS majority_count,
+        CAST(majority_count AS DOUBLE) / CAST(cell_size AS DOUBLE)
+          AS purity
+      FROM agg a JOIN maj USING (cell)
+      ORDER BY cell""")) { (s, dir) =>
+      Similarity.clusterLabelAudit(Tables.load(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", k = 8, dim = 64,
+          iterations = 2)
+        .orderBy("cell")
+    },
+
     // INCREMENTAL two-level semantic dedup — the per-ingest-batch
     // path of q255: build the state (frozen coarse quantizer +
     // assigned cells with residual buckets and verdicts) from the

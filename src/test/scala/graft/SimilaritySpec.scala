@@ -496,6 +496,35 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSeq === again.toSeq)
   }
 
+  test("clusterLabelAudit: purity recovers the planted clusters") {
+    import spark.implicits._
+    // ground truth: the corpus is generated from 4 well-separated
+    // centers with label = id % 4 — a 4-cell codebook should align
+    // almost perfectly with the labels
+    val labeled = corpus.withColumn("label",
+      pmod(col("vec_id"), lit(4L)).cast("int"))
+    val got = Similarity.clusterLabelAudit(labeled, "vec_id",
+        "embedding", "label", k = 4, dim = Dim, iterations = 2)
+      .orderBy("cell").collect()
+    assert(got.map(_.getAs[Long]("cell_size")).sum === 120L)
+    got.foreach { r =>
+      assert(r.getAs[Double]("purity") >= 0.9,
+        s"cell ${r.getAs[Int]("cell")} purity ${r.getAs[Double]("purity")}")
+      assert(r.getAs[Long]("majority_count") <=
+        r.getAs[Long]("cell_size"))
+    }
+    // the 4 majority labels are distinct (each cell owns one cluster)
+    assert(got.map(_.getAs[Int]("majority_label")).distinct.length === 4)
+    // null labels are excluded, not grouped: nulling half the labels
+    // halves the audited mass but keeps purity semantics
+    val half = corpus.withColumn("label",
+      when(pmod(col("vec_id"), lit(2L)) === 0L,
+        pmod(col("vec_id"), lit(4L)).cast("int")))
+    val g2 = Similarity.clusterLabelAudit(half, "vec_id", "embedding",
+      "label", k = 4, dim = Dim, iterations = 2).collect()
+    assert(g2.map(_.getAs[Long]("cell_size")).sum === 60L)
+  }
+
   test("semDedup increments compose append-only") {
     import spark.implicits._
     val statePath = tmpDir("semdedup-state")
