@@ -19,7 +19,7 @@ object SparkEntry {
       MultimodalQueries.all ++ AnalyticsQueries.all ++
       AdvancedQueries.all ++ StatsQueries.all ++ TimeSeriesQueries.all ++
       MiscQueries.all ++ RelevanceQueries.all ++ BehaviorQueries.all ++
-      CorpusQueries.all ++ IngestQueries.all
+      CorpusQueries.all ++ IngestQueries.all ++ GeoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. */

@@ -1,0 +1,115 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Agro-climatic derived indicators over daily weather series — the
+  * downstream analytics a user of the reference warehouse
+  * (`db/init/01-schema.sql` `weather_fact`: temp_max/temp_min/
+  * precipitation per location per day) computes from the star schema:
+  * growing degree days, frost/heat-stress censuses, dry-spell run
+  * lengths, and multi-year monthly climate normals with anomaly
+  * flags. The reference stops at storing the cleaned facts; these are
+  * the standard FAO-style aggregations its consumers run next.
+  *
+  * All inputs are fixed-point (temperature/precip in integer cents),
+  * so every aggregation is an exact integer/decimal sum — the final
+  * unit conversion to double is one deterministic division, and every
+  * operator is hash-comparable across engines.
+  *
+  * Scale shape: each operator is one or two keyed aggregations over
+  * the daily series (map-side combined); the dry-spell islands add one
+  * window sort per location partition. Nothing joins the fact table to
+  * itself; at 100 TB these run as a single pass over a
+  * location-partitioned scan.
+  */
+object Agro {
+
+  /** Growing degree days + stress censuses per location over a daily
+    * (location, tmax_cents, tmin_cents) series.
+    *
+    * GDD (base b) accumulates max(0, (tmax+tmin)/2 − b) per day; to
+    * stay integer-exact the DOUBLED daily value max(0, tmax_c + tmin_c
+    * − 2·b_c) is summed in cents and divided by 200 once at the end.
+    * Frost days count tmin below `frostBelowCents`, heat-stress days
+    * tmax above `heatAboveCents` (FAO convention: strict comparisons).
+    *
+    * Output per location: (loc, n_days, gdd, frost_days, heat_days)
+    * with gdd an exact-integer-derived double in degree-days.
+    */
+  def gdd(daily: DataFrame, locCol: String, tmaxCents: String,
+      tminCents: String, baseCents: Long = 1000L,
+      frostBelowCents: Long = 0L, heatAboveCents: Long = 3000L)
+      : DataFrame =
+    daily.groupBy(col(locCol).as("loc"))
+      .agg(count(lit(1)).as("n_days"),
+        (sum(greatest(lit(0L),
+          col(tmaxCents) + col(tminCents) - lit(2 * baseCents)))
+          .cast("double") / lit(200.0)).as("gdd"),
+        sum(when(col(tminCents) < lit(frostBelowCents), 1L)
+          .otherwise(0L)).as("frost_days"),
+        sum(when(col(tmaxCents) > lit(heatAboveCents), 1L)
+          .otherwise(0L)).as("heat_days"))
+
+  /** Dry-spell (consecutive-dry-day) runs per location over a daily
+    * (location, day DATE, is_dry BOOLEAN) series — the gaps-and-islands
+    * pattern keyed by `day − row_number()`: a run is a maximal set of
+    * CALENDAR-consecutive observed-dry days, so an unobserved day
+    * breaks a run (missing ≠ dry). One window sort per location over
+    * dry rows only, then one aggregation.
+    *
+    * Output per location: (loc, dry_days, n_runs, max_run,
+    * n_spells — runs of at least `spellMinDays`). Locations with no
+    * dry day are preserved with zero counts and a null max_run.
+    */
+  def drySpells(daily: DataFrame, locCol: String, dayCol: String,
+      isDryCol: String, spellMinDays: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dry = daily.where(col(isDryCol))
+      .select(col(locCol).as("loc"), col(dayCol).as("_day"))
+    val w = Window.partitionBy("loc").orderBy("_day")
+    val runs = dry
+      .withColumn("_grp", date_sub(col("_day"), row_number().over(w)))
+      .groupBy("loc", "_grp").agg(count(lit(1)).as("_len"))
+      .groupBy("loc")
+      .agg(sum(col("_len")).as("dry_days"),
+        count(lit(1)).as("n_runs"), max(col("_len")).as("max_run"),
+        sum(when(col("_len") >= spellMinDays, 1L).otherwise(0L))
+          .as("n_spells"))
+    daily.select(col(locCol).as("loc")).distinct()
+      .join(runs, Seq("loc"), "left")
+      .select(col("loc"), coalesce(col("dry_days"), lit(0L)).as("dry_days"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"), col("max_run"),
+        coalesce(col("n_spells"), lit(0L)).as("n_spells"))
+  }
+
+  /** Multi-year monthly climate normals + anomaly census over a
+    * monthly (location, year, month, value_cents) series: the normal
+    * is the across-year mean of the month's value; a (loc, month,
+    * year) observation is anomalous when it deviates from the normal
+    * by more than `relThresholdPct` percent of the normal's absolute
+    * value. The comparison is cross-multiplied in integers
+    * (|v·n − Σ|·100 > pct·|Σ|·… with n the year count), so no
+    * float boundary can disagree between engines.
+    *
+    * Output per (loc, month): (loc, month, n_years, normal — exact
+    * Σ/n/100 double, n_anom).
+    */
+  def monthlyNormals(monthly: DataFrame, locCol: String, yearCol: String,
+      monthCol: String, valueCents: String, relThresholdPct: Long = 50L)
+      : DataFrame = {
+    val stats = monthly.groupBy(col(locCol).as("loc"),
+        col(monthCol).as("month"))
+      .agg(count(lit(1)).as("n_years"), sum(col(valueCents)).as("_sum"))
+    monthly.select(col(locCol).as("loc"), col(monthCol).as("month"),
+        col(valueCents).as("_v"))
+      .join(stats, Seq("loc", "month"))
+      .groupBy("loc", "month")
+      .agg(first(col("n_years")).as("n_years"),
+        (first(col("_sum")).cast("double") /
+          first(col("n_years")).cast("double") / lit(100.0)).as("normal"),
+        sum(when(abs(col("_v") * col("n_years") - col("_sum")) * lit(100L)
+          > lit(relThresholdPct) * abs(col("_sum")), 1L).otherwise(0L))
+          .as("n_anom"))
+  }
+}

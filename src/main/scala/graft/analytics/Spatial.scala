@@ -1,0 +1,210 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Grid-bucketed geospatial joins over integer micro-degree
+  * coordinates — the spatial tier of an agro-climatic warehouse
+  * (reference domain: locations keyed by lat/lon,
+  * `etl/transform/cleaners.py` coordinate handling + the
+  * `location_dim` of `db/init/01-schema.sql`). The reference resolves
+  * coordinates to dimension rows only by exact hash
+  * (`generate_location_hash`); the questions its users ask next —
+  * "which weather station is nearest to this field?", "interpolate
+  * soil pH at an unsampled point", "where are observations dense?" —
+  * need a spatial JOIN, which this file provides Spark-first.
+  *
+  * Representation: coordinates are integer micro-degrees (lat ∈
+  * [−90e6, 90e6], lon ∈ [−180e6, 180e6)) — exact in BIGINT in every
+  * engine, no floating-point boundary behavior. The distance metric is
+  * squared equirectangular micro-degrees `dlat² + dlon_wrapped²`
+  * (longitude wraps at ±180°): monotone in true distance at warehouse
+  * extents, exact in 64-bit (max ≈ 6.5e16 < 2⁶³), and — because it is
+  * integer — bit-identical across engines, so nearest-neighbor
+  * argmins can be oracle-checked by value hash.
+  *
+  * Scale shape (the reason this is a library operator and not a SQL
+  * cross join): every operator buckets both sides onto a fixed grid of
+  * `cellMicro`-sized cells and probes only the 3×3 neighbor ring — an
+  * EQUI-join on cell id. Candidates per point ≈ 9 · station density ·
+  * cell area; nothing is ever points × stations. At 100 TB the cell id
+  * is also the natural partition/bucket key: pre-bucketing both sides
+  * by cell makes the probe a zero-exchange sort-merge join.
+  *
+  * Contract: the ring probe is EXACT for any true nearest neighbor
+  * within one cell width `cellMicro` of the query point (the 3×3 ring
+  * covers that disc entirely); a point whose nearest station is
+  * farther returns the nearest RING candidate if any, else a null
+  * match. This radius-bounded semantics is what scales — an unbounded
+  * exact NN over sparse stations degenerates to all-pairs — and the
+  * cell width is the explicit accuracy/cost knob.
+  */
+object Spatial {
+
+  /** Degrees of longitude in micro-degrees (wrap modulus). */
+  val LonWrapMicro: Long = 360000000L
+
+  /** Grid cell coordinates for a micro-degree point: `cell_lat` =
+    * (lat+90e6) div cellMicro, `cell_lon` = (lon+180e6) div cellMicro.
+    * Operands are non-negative, so truncating and flooring division
+    * agree in every engine. `cellMicro` must divide 360e6 so the
+    * longitude ring wraps onto a whole number of cells.
+    */
+  def cellOf(latMicro: Column, lonMicro: Column, cellMicro: Long)
+      : (Column, Column) = {
+    require(LonWrapMicro % cellMicro == 0,
+      s"cellMicro=$cellMicro must divide 360e6 micro-degrees")
+    (((latMicro + lit(90000000L)) / lit(cellMicro)).cast("long"),
+      ((lonMicro + lit(180000000L)) / lit(cellMicro)).cast("long"))
+  }
+
+  /** Squared equirectangular distance in micro-degrees², longitude
+    * wrapped at ±180°. Integer-exact (inputs are BIGINT micro-degrees).
+    */
+  def dist2(plat: Column, plon: Column, slat: Column, slon: Column)
+      : Column = {
+    val dlat = plat - slat
+    val rawDlon = abs(plon - slon)
+    val dlon = least(rawDlon, lit(LonWrapMicro) - rawDlon)
+    dlat * dlat + dlon * dlon
+  }
+
+  /** 3×3 neighbor-ring candidate pairs between `points` and
+    * `stations`: one row per (point, station) with the station in any
+    * of the point's nine surrounding grid cells, carrying the exact
+    * integer `d2`. The join is an equi-join on cell id — the only
+    * shuffles are the two cell-keyed exchanges. Longitude cells wrap;
+    * latitude cells outside the grid simply match nothing.
+    *
+    * Output: point id/lat/lon, station id, `d2` (BIGINT), plus
+    * `_svalue` when `stationValue` is set (payload for interpolation).
+    */
+  def ringCandidates(points: DataFrame, pid: String, platCol: String,
+      plonCol: String, stations: DataFrame, sid: String,
+      slatCol: String, slonCol: String, cellMicro: Long,
+      stationValue: Option[Column] = None): DataFrame = {
+    val nLonCells = LonWrapMicro / cellMicro
+    val (scl, scn) = cellOf(col(slatCol), col(slonCol), cellMicro)
+    val svalue = stationValue.getOrElse(lit(null))
+    val st = stations.select(col(sid).as("_sid"),
+      col(slatCol).as("_slat"), col(slonCol).as("_slon"),
+      svalue.as("_svalue"), scl.as("_cl"), scn.as("_cn"))
+    val (pcl, pcn) = cellOf(col(platCol), col(plonCol), cellMicro)
+    // nine probe cells per point: lat offsets clip off-grid naturally,
+    // lon offsets wrap (+nLonCells keeps the operand non-negative so
+    // % agrees across engines)
+    val probes = points.select(col(pid).as("_pid"),
+      col(platCol).as("_plat"), col(plonCol).as("_plon"),
+      pcl.as("_pcl0"), pcn.as("_pcn0"))
+      .withColumn("_di", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dj", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("_pid"), col("_plat"), col("_plon"),
+        (col("_pcl0") + col("_di")).as("_cl"),
+        ((col("_pcn0") + col("_dj") + lit(nLonCells)) % lit(nLonCells))
+          .as("_cn"))
+    probes.join(st, Seq("_cl", "_cn"))
+      .select(col("_pid"), col("_plat"), col("_plon"), col("_sid"),
+        col("_svalue"),
+        dist2(col("_plat"), col("_plon"), col("_slat"), col("_slon"))
+          .as("_d2"))
+  }
+
+  /** Nearest station per point within the 3×3 cell ring (radius-bounded
+    * nearest neighbor — see class contract). Ties break to the lowest
+    * station id via a lexicographic min(struct) aggregation (one
+    * map-side-combined shuffle, no window sort). Points with no ring
+    * candidate are preserved with a null station and `n_cand = 0`.
+    *
+    * Output: (pid, station, d2, n_cand) ordered by nothing — callers
+    * order.
+    */
+  def nearestStation(points: DataFrame, pid: String, platCol: String,
+      plonCol: String, stations: DataFrame, sid: String,
+      slatCol: String, slonCol: String, cellMicro: Long): DataFrame = {
+    val cand = ringCandidates(points, pid, platCol, plonCol,
+      stations, sid, slatCol, slonCol, cellMicro)
+    val best = cand.groupBy("_pid")
+      .agg(min(struct(col("_d2"), col("_sid"))).as("_best"),
+        count(lit(1)).as("n_cand"))
+      .select(col("_pid"), col("_best._sid").as("station"),
+        col("_best._d2").as("d2"), col("n_cand"))
+    points.select(col(pid).as("_pid"))
+      .join(best, Seq("_pid"), "left")
+      .select(col("_pid").as(pid), col("station"), col("d2"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+  }
+
+  /** Inverse-distance-weighted estimate of a station attribute at each
+    * point, from the stations in the point's 3×3 cell ring. Weights are
+    * the INTEGER `10¹⁸ div (d2+1)` — deterministic in every engine (no
+    * float reciprocal) — and both Σw·v and Σw accumulate as exact
+    * DECIMAL(38,0), so the estimate `Σw·v / Σw` is one double division
+    * of two exact integers: bit-identical regardless of partitioning or
+    * summation order. A coincident station (d2=0) dominates with weight
+    * 10¹⁸, the IDW limit behavior. `valueCents` must be an integral
+    * column (fixed-point cents of the attribute).
+    *
+    * Output: (pid, n_cand, est) with `est` in the original unit
+    * (cents/100); null when the ring is empty.
+    */
+  def idwEstimate(points: DataFrame, pid: String, platCol: String,
+      plonCol: String, stations: DataFrame, sid: String,
+      slatCol: String, slonCol: String, valueCents: Column,
+      cellMicro: Long): DataFrame = {
+    val cand = ringCandidates(points, pid, platCol, plonCol,
+      stations, sid, slatCol, slonCol, cellMicro,
+      stationValue = Some(valueCents))
+    val w = expr("CAST(1000000000000000000 AS BIGINT) div (_d2 + 1)")
+    val dec38 = DecimalType(38, 0)
+    val agg = cand
+      .select(col("_pid"), w.cast(dec38).as("_w"),
+        col("_svalue").cast(dec38).as("_v"))
+      .groupBy("_pid")
+      .agg(sum(col("_w") * col("_v")).as("_num"),
+        sum(col("_w")).as("_den"), count(lit(1)).as("n_cand"))
+      .select(col("_pid"), col("n_cand"),
+        (col("_num").cast("double") / col("_den").cast("double") /
+          lit(100.0)).as("est"))
+    points.select(col(pid).as("_pid"))
+      .join(agg, Seq("_pid"), "left")
+      .select(col("_pid").as(pid),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("est"))
+  }
+
+  /** Per-cell density census with 3×3 ring smoothing: for every cell
+    * that contains at least one point — (cell_lat, cell_lon, n_points,
+    * n_stations, ring_points) where `ring_points` sums point counts
+    * over the cell and its eight neighbors (the smoothed density used
+    * for hot-spot detection). Two linear aggregations (points emit one
+    * row per neighbor cell — 9n rows, one shuffle) plus one station
+    * count; joins are cell-keyed equi-joins.
+    */
+  def ringDensity(points: DataFrame, platCol: String, plonCol: String,
+      stations: DataFrame, slatCol: String, slonCol: String,
+      cellMicro: Long): DataFrame = {
+    val nLonCells = LonWrapMicro / cellMicro
+    val (pcl, pcn) = cellOf(col(platCol), col(plonCol), cellMicro)
+    val ptCells = points.select(pcl.as("cell_lat"), pcn.as("cell_lon"))
+    val perCell = ptCells.groupBy("cell_lat", "cell_lon")
+      .agg(count(lit(1)).as("n_points"))
+    // ring contributions: each point also counts toward its 8 neighbors
+    val contrib = ptCells
+      .withColumn("_di", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dj", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select((col("cell_lat") + col("_di")).as("cell_lat"),
+        ((col("cell_lon") + col("_dj") + lit(nLonCells)) % lit(nLonCells))
+          .as("cell_lon"))
+      .groupBy("cell_lat", "cell_lon")
+      .agg(count(lit(1)).as("ring_points"))
+    val (scl, scn) = cellOf(col(slatCol), col(slonCol), cellMicro)
+    val stCells = stations.select(scl.as("cell_lat"), scn.as("cell_lon"))
+      .groupBy("cell_lat", "cell_lon")
+      .agg(count(lit(1)).as("n_stations"))
+    perCell.join(contrib, Seq("cell_lat", "cell_lon"), "left")
+      .join(stCells, Seq("cell_lat", "cell_lon"), "left")
+      .select(col("cell_lat"), col("cell_lon"), col("n_points"),
+        coalesce(col("n_stations"), lit(0L)).as("n_stations"),
+        col("ring_points"))
+  }
+}

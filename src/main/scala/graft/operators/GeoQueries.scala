@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.analytics.{Agro, Spatial}
+
+/** Spatial + agro-climatic tier (q263–q268): grid-bucketed nearest-
+  * station join, inverse-distance interpolation, ring-smoothed density,
+  * growing degree days, dry-spell islands, and monthly climate normals
+  * — the queries a consumer of the reference's agro-climatic star
+  * schema (`db/init/01-schema.sql` location/weather tables) runs on
+  * top of it. The corpus has no coordinate columns, so both engines
+  * derive deterministic synthetic micro-degree coordinates from the
+  * integer keys (multiplicative-hash mod range — BIGINT-exact in Spark
+  * and DuckDB alike): customers are the query points ("fields"),
+  * suppliers the stations.
+  *
+  * Every computation is integer/decimal-exact until one final double
+  * division (see [[graft.analytics.Spatial]] / [[graft.analytics.Agro]]
+  * scaladoc for the per-operator determinism argument).
+  */
+object GeoQueries {
+
+  /** 10° grid cells: 17×36 over the globe — the accuracy/cost knob of
+    * the ring probe (contract: exact NN within one cell width). */
+  private val CellMicro = 10000000L
+
+  // deterministic synthetic coordinates (micro-degrees) from keys;
+  // multiplications stay < 2^63 for every corpus scale
+  private def latOf(key: String, mult: Long, add: Long) =
+    (col(key) * lit(mult) + lit(add)) % lit(170000001L) - lit(85000000L)
+  private def lonOf(key: String, mult: Long, add: Long) =
+    (col(key) * lit(mult) + lit(add)) % lit(360000000L) - lit(180000000L)
+
+  private def points(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "customer").select(col("c_custkey"),
+      latOf("c_custkey", 2654435761L, 0L).as("plat"),
+      lonOf("c_custkey", 1103515245L, 12345L).as("plon"))
+
+  private def stations(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "supplier").select(col("s_suppkey"),
+      col("s_acctbal"),
+      latOf("s_suppkey", 2246822519L, 97L).as("slat"),
+      lonOf("s_suppkey", 2654435761L, 31L).as("slon"))
+
+  /** Shared oracle CTEs: the same key→coordinate derivation, cell
+    * assignment, 3×3 ring probe, and integer wrap-aware d² as the
+    * Spark operators, in DuckDB SQL. `//` (floor div) and `div` agree
+    * because every dividend is non-negative.
+    */
+  private val duckGeo = """
+    pts AS (
+      SELECT c_custkey,
+        (c_custkey * 2654435761) % 170000001 - 85000000 AS plat,
+        (c_custkey * 1103515245 + 12345) % 360000000 - 180000000 AS plon
+      FROM customer),
+    st AS (
+      SELECT s_suppkey, s_acctbal,
+        (s_suppkey * 2246822519 + 97) % 170000001 - 85000000 AS slat,
+        (s_suppkey * 2654435761 + 31) % 360000000 - 180000000 AS slon
+      FROM supplier),
+    stc AS (
+      SELECT *, (slat + 90000000) // 10000000 AS cl,
+        (slon + 180000000) // 10000000 AS cn
+      FROM st),
+    probe AS (
+      SELECT p.c_custkey, p.plat, p.plon,
+        (p.plat + 90000000) // 10000000 + i.i AS cl,
+        ((p.plon + 180000000) // 10000000 + j.j + 36) % 36 AS cn
+      FROM pts p,
+        (SELECT unnest([-1, 0, 1]) AS i) i,
+        (SELECT unnest([-1, 0, 1]) AS j) j),
+    cand AS (
+      SELECT pr.c_custkey, s.s_suppkey, s.s_acctbal,
+        (pr.plat - s.slat) * (pr.plat - s.slat)
+          + least(abs(pr.plon - s.slon), 360000000 - abs(pr.plon - s.slon))
+          * least(abs(pr.plon - s.slon), 360000000 - abs(pr.plon - s.slon))
+          AS d2
+      FROM probe pr JOIN stc s ON pr.cl = s.cl AND pr.cn = s.cn)"""
+
+  val all: Seq[Q] = Seq(
+
+    // Radius-bounded nearest weather station per field point: 3×3
+    // grid-ring candidates (cell-keyed equi-join, never points ×
+    // stations), exact integer d² argmin, ties to the lowest station
+    // id, unmatched points preserved with null station / n_cand 0.
+    Q("q263_nearest_station", Some(s"""
+      WITH $duckGeo,
+      best AS (
+        SELECT c_custkey, s_suppkey, d2,
+          row_number() OVER (PARTITION BY c_custkey
+            ORDER BY d2, s_suppkey) AS rn,
+          count(*) OVER (PARTITION BY c_custkey) AS n_cand
+        FROM cand)
+      SELECT p.c_custkey, b.s_suppkey AS station, b.d2,
+        CAST(COALESCE(b.n_cand, 0) AS BIGINT) AS n_cand
+      FROM pts p
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (c_custkey)
+      ORDER BY p.c_custkey""")) { (s, dir) =>
+      Spatial.nearestStation(points(s, dir), "c_custkey", "plat", "plon",
+        stations(s, dir), "s_suppkey", "slat", "slon", CellMicro)
+        .orderBy("c_custkey")
+    },
+
+    // Inverse-distance-weighted interpolation of the station attribute
+    // (s_acctbal) at each field point from its ring candidates: integer
+    // weights 10^18 div (d2+1), Σw·v and Σw exact (DECIMAL(38) /
+    // HUGEINT), one double division at the end — bit-identical across
+    // engines and partitionings.
+    Q("q264_idw_interpolate", Some(s"""
+      WITH $duckGeo,
+      wgt AS (
+        SELECT c_custkey,
+          1000000000000000000 // (d2 + 1) AS w,
+          CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        FROM cand),
+      agg AS (
+        SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_cand,
+          SUM(CAST(w AS HUGEINT) * vc) AS num, SUM(CAST(w AS HUGEINT)) AS den
+        FROM wgt GROUP BY c_custkey)
+      SELECT p.c_custkey, CAST(COALESCE(a.n_cand, 0) AS BIGINT) AS n_cand,
+        CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) / 100.0 AS est
+      FROM pts p LEFT JOIN agg a USING (c_custkey)
+      ORDER BY p.c_custkey""")) { (s, dir) =>
+      val st = stations(s, dir)
+      Spatial.idwEstimate(points(s, dir), "c_custkey", "plat", "plon",
+        st, "s_suppkey", "slat", "slon",
+        (Q.dec(col("s_acctbal")) * 100).cast("long"), CellMicro)
+        .orderBy("c_custkey")
+    },
+
+    // Per-cell density census with 3×3 ring smoothing: observation
+    // hot-spot detection. Points emit one row per neighbor cell (9n,
+    // one shuffle); all joins are cell-keyed.
+    Q("q265_ring_density", Some(s"""
+      WITH $duckGeo,
+      pc AS (
+        SELECT (plat + 90000000) // 10000000 AS cell_lat,
+          (plon + 180000000) // 10000000 AS cell_lon
+        FROM pts),
+      per_cell AS (
+        SELECT cell_lat, cell_lon, CAST(count(*) AS BIGINT) AS n_points
+        FROM pc GROUP BY 1, 2),
+      contrib AS (
+        SELECT pc.cell_lat + i.i AS cell_lat,
+          (pc.cell_lon + j.j + 36) % 36 AS cell_lon,
+          CAST(count(*) AS BIGINT) AS ring_points
+        FROM pc,
+          (SELECT unnest([-1, 0, 1]) AS i) i,
+          (SELECT unnest([-1, 0, 1]) AS j) j
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT cl AS cell_lat, cn AS cell_lon,
+          CAST(count(*) AS BIGINT) AS n_stations
+        FROM stc GROUP BY 1, 2)
+      SELECT p.cell_lat, p.cell_lon, p.n_points,
+        CAST(COALESCE(s.n_stations, 0) AS BIGINT) AS n_stations,
+        c.ring_points
+      FROM per_cell p
+      LEFT JOIN contrib c USING (cell_lat, cell_lon)
+      LEFT JOIN sc s USING (cell_lat, cell_lon)
+      ORDER BY p.cell_lat, p.cell_lon""")) { (s, dir) =>
+      Spatial.ringDensity(
+        points(s, dir), "plat", "plon",
+        stations(s, dir), "slat", "slon", CellMicro)
+        .orderBy("cell_lat", "cell_lon")
+    },
+
+    // Growing degree days (base 10 °C) + frost / heat-stress censuses
+    // per location over the synthetic daily series (per-event
+    // temperature in exact cents: value-cents % 5000 − 1000 ∈
+    // [−10.00, 39.99] °C; daily tmax/tmin are integer max/min). The
+    // doubled GDD accumulates in cents and divides by 200 once.
+    Q("q266_gdd", Some("""
+      WITH e AS (
+        SELECT user_id AS loc, CAST(ts AS DATE) AS day,
+          (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 5000)
+            - 1000 AS t_c
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      d AS (
+        SELECT loc, day, max(t_c) AS tmax_c, min(t_c) AS tmin_c
+        FROM e GROUP BY 1, 2)
+      SELECT loc, CAST(count(*) AS BIGINT) AS n_days,
+        CAST(SUM(greatest(0, tmax_c + tmin_c - 2000)) AS DOUBLE) / 200.0
+          AS gdd,
+        CAST(SUM(CASE WHEN tmin_c < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS frost_days,
+        CAST(SUM(CASE WHEN tmax_c > 3000 THEN 1 ELSE 0 END) AS BIGINT)
+          AS heat_days
+      FROM d GROUP BY loc ORDER BY loc""")) { (s, dir) =>
+      Agro.gdd(dailyTemps(s, dir), "loc", "tmax_c", "tmin_c")
+        .orderBy("loc")
+    },
+
+    // Dry-spell islands per location: consecutive observed-dry calendar
+    // days (missing day breaks the run) — longest run, run count, and
+    // spells of ≥3 days. Dry flag is a deterministic hash of the
+    // exact daily cents sum (40% dry rate).
+    Q("q267_dry_spells", Some("""
+      WITH e AS (
+        SELECT user_id AS loc, CAST(ts AS DATE) AS day,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      d AS (
+        SELECT loc, day, CAST(SUM(c) AS BIGINT) % 10 < 4 AS is_dry
+        FROM e GROUP BY 1, 2),
+      dry AS (
+        SELECT loc, day,
+          day - CAST(row_number() OVER (PARTITION BY loc ORDER BY day)
+            AS INTEGER) AS grp
+        FROM d WHERE is_dry),
+      runs AS (
+        SELECT loc, grp, CAST(count(*) AS BIGINT) AS len
+        FROM dry GROUP BY 1, 2),
+      agg AS (
+        SELECT loc, CAST(SUM(len) AS BIGINT) AS dry_days,
+          CAST(count(*) AS BIGINT) AS n_runs, max(len) AS max_run,
+          CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_spells
+        FROM runs GROUP BY loc)
+      SELECT l.loc, CAST(COALESCE(a.dry_days, 0) AS BIGINT) AS dry_days,
+        CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs, a.max_run,
+        CAST(COALESCE(a.n_spells, 0) AS BIGINT) AS n_spells
+      FROM (SELECT DISTINCT loc FROM d) l
+      LEFT JOIN agg a USING (loc)
+      ORDER BY l.loc""")) { (s, dir) =>
+      val daily = dailyCents(s, dir)
+        .select(col("loc"), col("day"),
+          (col("c") % 10L < 4L).as("is_dry"))
+      Agro.drySpells(daily, "loc", "day", "is_dry", spellMinDays = 3)
+        .orderBy("loc")
+    },
+
+    // Multi-year monthly climate normals + anomaly census over the
+    // orders-derived monthly series (1995–2001): normal = across-year
+    // mean (exact Σ cents / n), anomaly = deviation > 50% of the
+    // normal, compared cross-multiplied in integers.
+    Q("q268_monthly_normals", Some("""
+      WITH m AS (
+        SELECT o_custkey % 25 AS loc,
+          CAST(year(o_orderdate) AS BIGINT) AS y,
+          CAST(month(o_orderdate) AS BIGINT) AS month,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS v_c
+        FROM orders GROUP BY 1, 2, 3),
+      s AS (
+        SELECT loc, month, CAST(count(*) AS BIGINT) AS n_years,
+          CAST(SUM(v_c) AS BIGINT) AS sum_c
+        FROM m GROUP BY 1, 2)
+      SELECT m.loc, m.month, s.n_years,
+        CAST(s.sum_c AS DOUBLE) / CAST(s.n_years AS DOUBLE) / 100.0
+          AS normal,
+        CAST(SUM(CASE WHEN abs(m.v_c * s.n_years - s.sum_c) * 100
+          > 50 * abs(s.sum_c) THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+      FROM m JOIN s ON m.loc = s.loc AND m.month = s.month
+      GROUP BY m.loc, m.month, s.n_years, s.sum_c
+      ORDER BY m.loc, m.month""")) { (s, dir) =>
+      val monthly = Tables.load(s, dir, "orders")
+        .groupBy((col("o_custkey") % 25L).as("loc"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("month"))
+        .agg((sum(Q.dec(col("o_totalprice"))) * 100).cast("long")
+          .as("v_c"))
+      Agro.monthlyNormals(monthly, "loc", "y", "month", "v_c",
+        relThresholdPct = 50L)
+        .orderBy("loc", "month")
+    }
+  )
+
+  /** Synthetic daily series shared by q266/q267: per (location, day)
+    * exact cents sum and derived temperatures. */
+  private def dailyCents(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.load(s, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id").as("loc"), to_date(col("ts")).as("day"),
+        (Q.dec(col("value")) * 100).cast("long").as("_c"))
+      .groupBy("loc", "day").agg(sum(col("_c")).as("c"))
+
+  private def dailyTemps(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Tables.load(s, dir, "events")
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id").as("loc"), to_date(col("ts")).as("day"),
+        ((Q.dec(col("value")) * 100).cast("long") % 5000L - 1000L)
+          .as("t_c"))
+      .groupBy("loc", "day")
+      .agg(max(col("t_c")).as("tmax_c"), min(col("t_c")).as("tmin_c"))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.sql.Date
+import org.apache.spark.sql.functions._
+import graft.analytics.Agro
+
+class AgroSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gdd: doubled-cents accumulation, frost and heat censuses") {
+    // loc 1: (tmax, tmin) = (25.00, 5.00) → gdd 5.0; (12.00, −2.00) →
+    // max(0, 12−2−20)=0, frost; (35.00, 20.00) → 17.5, heat
+    val daily = Seq(
+      (1L, 2500L, 500L), (1L, 1200L, -200L), (1L, 3500L, 2000L),
+      (2L, 900L, 100L)) // below base → gdd 0
+      .toDF("loc", "tmax_c", "tmin_c")
+    val got = Agro.gdd(daily, "loc", "tmax_c", "tmin_c")
+      .orderBy("loc")
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 22.5, 1L, 1L),
+      (2L, 1L, 0.0, 0L, 0L)))
+  }
+
+  test("gdd: exact-boundary day contributes zero, not negative") {
+    // tmax+tmin = 2·base exactly → max(0, 0) = 0
+    val daily = Seq((1L, 1500L, 500L)).toDF("loc", "tmax_c", "tmin_c")
+    val got = Agro.gdd(daily, "loc", "tmax_c", "tmin_c")
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 0.0, 0L, 0L)))
+  }
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("drySpells: missing calendar day breaks a run") {
+    // loc 1 dry: Jan 1,2,3 (run 3), Jan 5,6 (run 2 — Jan 4 observed
+    // wet), Jan 9 (run 1 — Jan 7/8 unobserved)
+    val daily = Seq(
+      (1L, d("2024-01-01"), true), (1L, d("2024-01-02"), true),
+      (1L, d("2024-01-03"), true), (1L, d("2024-01-04"), false),
+      (1L, d("2024-01-05"), true), (1L, d("2024-01-06"), true),
+      (1L, d("2024-01-09"), true),
+      (2L, d("2024-01-01"), false)) // never dry
+      .toDF("loc", "day", "is_dry")
+    val got = Agro.drySpells(daily, "loc", "day", "is_dry",
+      spellMinDays = 3).orderBy("loc")
+      .as[(Long, Long, Long, Option[Long], Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 6L, 3L, Some(3L), 1L),
+      (2L, 0L, 0L, None, 0L)))
+  }
+
+  test("monthlyNormals: exact normals; strict > anomaly threshold") {
+    // loc 1 month 1 across 3 years: 100.00, 200.00, 300.00 → normal
+    // 200.00; |100·3−600|·100 = 30000 vs 50·600 = 30000 → NOT > (50%
+    // exactly), so zero anomalies at the boundary
+    val m1 = Seq(
+      (1L, 1995L, 1L, 10000L), (1L, 1996L, 1L, 20000L),
+      (1L, 1997L, 1L, 30000L)).toDF("loc", "y", "month", "v_c")
+    val got1 = Agro.monthlyNormals(m1, "loc", "y", "month", "v_c", 50L)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got1 === Seq((1L, 1L, 3L, 200.0, 0L)))
+
+    // push one year past the threshold: 90, 200, 310 → mean 200,
+    // |90−200| = 110 > 100 → 2 anomalies (310 symmetric)
+    val m2 = Seq(
+      (1L, 1995L, 1L, 9000L), (1L, 1996L, 1L, 20000L),
+      (1L, 1997L, 1L, 31000L)).toDF("loc", "y", "month", "v_c")
+    val got2 = Agro.monthlyNormals(m2, "loc", "y", "month", "v_c", 50L)
+      .as[(Long, Long, Long, Double, Long)].collect().toSeq
+    assert(got2 === Seq((1L, 1L, 3L, 200.0, 2L)))
+  }
+}

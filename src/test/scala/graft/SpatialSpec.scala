@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.analytics.Spatial
+
+class SpatialSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Cell = 10000000L // 10° cells, as the q263-q265 queries use
+
+  private def pts(rows: (Long, Long, Long)*): DataFrame =
+    rows.toDF("pid", "plat", "plon")
+  private def sts(rows: (Long, Long, Long)*): DataFrame =
+    rows.toDF("sid", "slat", "slon")
+
+  private def nearest(p: DataFrame, s: DataFrame) =
+    Spatial.nearestStation(p, "pid", "plat", "plon",
+      s, "sid", "slat", "slon", Cell)
+      .orderBy("pid")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toSeq
+
+  test("nearestStation: picks the closer ring candidate, exact d2") {
+    // point at origin; station 1 at (1°, 1°), station 2 at (2°, 0°)
+    val got = nearest(
+      pts((7L, 0L, 0L)),
+      sts((1L, 1000000L, 1000000L), (2L, 2000000L, 0L)))
+    // d2(1) = 2e12, d2(2) = 4e12 → station 1
+    assert(got === Seq((7L, Some(1L), Some(2000000000000L), 2L)))
+  }
+
+  test("nearestStation: ties break to the lowest station id") {
+    val got = nearest(
+      pts((1L, 0L, 0L)),
+      sts((9L, 1000000L, 0L), (3L, -1000000L, 0L), (5L, 0L, 1000000L)))
+    assert(got === Seq((1L, Some(3L), Some(1000000000000L), 3L)))
+  }
+
+  test("nearestStation: empty ring preserves the point with nulls") {
+    // station 3 cells away (>1 ring) — no candidate
+    val got = nearest(pts((1L, 0L, 0L)), sts((1L, 45000000L, 0L)))
+    assert(got === Seq((1L, None, None, 0L)))
+  }
+
+  test("nearestStation: longitude ring and distance wrap at ±180°") {
+    // point near +180°, station near −180°: 0.4° apart across the seam
+    val got = nearest(
+      pts((1L, 0L, 179800000L)),
+      sts((4L, 0L, -179800000L)))
+    assert(got === Seq((1L, Some(4L), Some(400000L * 400000L), 1L)))
+  }
+
+  test("cellOf rejects a cell width that does not divide 360 degrees") {
+    intercept[IllegalArgumentException] {
+      Spatial.cellOf(lit(0L), lit(0L), 7000000L)
+    }
+  }
+
+  test("idwEstimate: coincident station dominates; equidistant average") {
+    val p = pts((1L, 0L, 0L), (2L, 50000000L, 50000000L))
+    // station 10 sits ON point 1 (its only candidate, weight 1e18);
+    // stations 20/21 are equidistant from point 2 and its only
+    // candidates → exact mean of their values
+    val s = Seq(
+      (10L, 0L, 0L, 700L),
+      (20L, 49000000L, 50000000L, 100L),
+      (21L, 51000000L, 50000000L, 300L)).toDF("sid", "slat", "slon", "vc")
+    val got = Spatial.idwEstimate(p, "pid", "plat", "plon",
+      s, "sid", "slat", "slon", col("vc"), Cell)
+      .orderBy("pid")
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, Some(7.0)),   // d2=0 sole candidate: exact value
+      (2L, 2L, Some(2.0)))) // equal weights: exact (100+300)/2 cents
+  }
+
+  test("idwEstimate: empty ring yields null estimate, n_cand 0") {
+    val got = Spatial.idwEstimate(pts((1L, 0L, 0L)), "pid", "plat",
+      "plon", Seq((1L, 80000000L, 0L, 5L)).toDF("sid", "slat", "slon", "vc"),
+      "sid", "slat", "slon", col("vc"), Cell)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    assert(got === Seq((1L, 0L, None)))
+  }
+
+  test("ringDensity: own cell included, neighbors summed, lon wraps") {
+    // three points: two in cell (9,0) (lon near −180°), one in cell
+    // (9,35) (lon near +180°) — lon-adjacent by wrap; a station in (9,0)
+    val p = pts((1L, 1000000L, -179000000L), (2L, 2000000L, -178000000L),
+      (3L, 1000000L, 175000000L))
+    val s = sts((1L, 500000L, -179500000L))
+    val got = Spatial.ringDensity(p, "plat", "plon", s, "slat", "slon",
+      Cell).orderBy("cell_lat", "cell_lon")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (9L, 0L, 2L, 1L, 3L),  // own 2 + wrapped neighbor 1
+      (9L, 35L, 1L, 0L, 3L)))
+  }
+}
