@@ -92,6 +92,96 @@ object LangModel {
         col("n_bigrams"))
   }
 
+  /** Positioned trigram stream: one (doc_id, i, w1, w2, w3) row per
+    * trigram. Documents with fewer than three tokens drop out. */
+  def trigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("__t")) - 2),
+        i => struct(i.as("i"),
+          element_at(col("__t"), i).as("w1"),
+          element_at(col("__t"), i + 1).as("w2"),
+          element_at(col("__t"), i + 2).as("w3")))).as("b"))
+      .select(col("doc_id"), col("b.i").as("i"), col("b.w1").as("w1"),
+        col("b.w2").as("w2"), col("b.w3").as("w3"))
+
+  /** Per-document cross-entropy under an interpolated Kneser–Ney
+    * trigram model trained on the scored corpus (Kneser & Ney 1995;
+    * the modified-KN fixed-discount form with a single discount D):
+    *
+    *   P(w₃|w₁w₂) = max(c(w₁w₂w₃)−D, 0)/c(w₁w₂·)
+    *                + D·N₁₊(w₁w₂·)/c(w₁w₂·) · P(w₃|w₂)
+    *   P(w₃|w₂)   = max(N₁₊(·w₂w₃)−D, 0)/N₁₊(·w₂·)
+    *                + D·N₁₊(w₂·)/N₁₊(·w₂·) · P_cont(w₃)
+    *   P_cont(w₃) = N₁₊(·w₃)/N₁₊(··)
+    *
+    * Self-scoring means every scored trigram was seen in training, so
+    * every denominator is positive. This is the CCNet quality filter
+    * one modeling order up from [[bigramCrossEntropy]] — continuation
+    * counts make it far less degenerate on repeated boilerplate than
+    * raw MLE counts.
+    *
+    * Scale shape: the trigram stream explodes once; all six count
+    * tables are vocabulary-sized keyed aggregations of it (map-side
+    * combined) joined back to the stream (AQE broadcasts the small
+    * ones); the only driver scalar is N₁₊(··), one long. Per-document
+    * reduce is one doc-keyed shuffle.
+    *
+    * Determinism: counts are exact integers; the probability is one
+    * fixed double expression tree over them (both engines evaluate the
+    * identical shape); Σ ln P folds position-sorted; callers round the
+    * final score to 4 decimals for cross-engine comparison (ln ulp —
+    * see class doc of [[bigramCrossEntropy]]).
+    */
+  def knTrigramCrossEntropy(docs: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    val tri = trigrams(docs, idCol, textCol)
+    val bigTypes = bigrams(docs, idCol, textCol)
+      .select("w1", "w2").distinct()
+    val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val ctx = tri.groupBy("w1", "w2").agg(count(lit(1)).as("c2ctx"),
+      count_distinct(col("w3")).as("n1f2"))
+    val mid = tri.groupBy("w2", "w3")
+      .agg(count_distinct(col("w1")).as("m23"))
+    val mid2 = mid.groupBy("w2").agg(sum(col("m23")).as("mid2"))
+    val fb = bigTypes.groupBy(col("w1").as("w2"))
+      .agg(count(lit(1)).as("n1fb2"))
+    val ct = bigTypes.groupBy(col("w2").as("w3"))
+      .agg(count(lit(1)).as("contw3"))
+    // N₁₊(··): total distinct bigram types — the model's only driver
+    // scalar (mirrors the vocab scalar of the bigram tier)
+    val b = bigTypes.count()
+    val d = lit(discount)
+    val p =
+      (greatest(col("c3").cast("double") - d, lit(0.0)) /
+        col("c2ctx").cast("double")) +
+        ((d * col("n1f2").cast("double") / col("c2ctx").cast("double")) *
+          ((greatest(col("m23").cast("double") - d, lit(0.0)) /
+            col("mid2").cast("double")) +
+            ((d * col("n1fb2").cast("double") /
+              col("mid2").cast("double")) *
+              (col("contw3").cast("double") / lit(b.toDouble)))))
+    tri.join(c3, Seq("w1", "w2", "w3"))
+      .join(ctx, Seq("w1", "w2"))
+      .join(mid, Seq("w2", "w3"))
+      .join(mid2, Seq("w2"))
+      .join(fb, Seq("w2"))
+      .join(ct, Seq("w3"))
+      .select(col("doc_id"), col("i"), log(p).as("logp"))
+      .groupBy("doc_id")
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("i"), col("logp")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("logp")).as("__sum"),
+        count(lit(1)).as("n_trigrams"))
+      .select(col("doc_id"),
+        (-col("__sum") / col("n_trigrams")).as("ce"),
+        col("n_trigrams"))
+  }
+
   /** CCNet-style quality bucketing of the rounded score: fixed
     * thresholds (CCNet publishes per-language cutoff tables computed
     * offline; these are the corpus-calibrated equivalents), strict

@@ -287,6 +287,70 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Interpolated Kneser–Ney TRIGRAM cross-entropy (Kneser & Ney
+    // 1995; fixed discount 0.75) — the CCNet filter one modeling
+    // order up from q108: continuation counts N₁₊ replace raw MLE
+    // counts at the backoff levels, so boilerplate repetition can't
+    // fake fluency. Six exact count tables joined back to the trigram
+    // stream; probability is one fixed double expression tree;
+    // Σ ln P folds position-sorted; scores compare at 4 decimals.
+    Q("q269_kn_trigram", Some("""
+      WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL),
+      tri AS (
+        SELECT doc_id, i, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i
+              FROM tok WHERE len(t) >= 3)),
+      bt AS (
+        SELECT DISTINCT t[i] AS w1, t[i+1] AS w2
+        FROM (SELECT t, unnest(generate_series(1, len(t)-1)) AS i
+              FROM tok WHERE len(t) >= 2)),
+      c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+      ctx AS (SELECT w1, w2, COUNT(*) AS c2ctx,
+                COUNT(DISTINCT w3) AS n1f2 FROM tri GROUP BY 1, 2),
+      mid AS (SELECT w2, w3, COUNT(DISTINCT w1) AS m23
+              FROM tri GROUP BY 1, 2),
+      mid2 AS (SELECT w2, CAST(SUM(m23) AS BIGINT) AS mid2
+               FROM mid GROUP BY 1),
+      fb AS (SELECT w1 AS w2, COUNT(*) AS n1fb2 FROM bt GROUP BY 1),
+      ct AS (SELECT w2 AS w3, COUNT(*) AS contw3 FROM bt GROUP BY 1),
+      b AS (SELECT COUNT(*) AS b FROM bt),
+      sc AS (
+        SELECT tr.doc_id, tr.i,
+          ln((greatest(CAST(c3.c3 AS DOUBLE) - 0.75, 0.0)
+                / CAST(ctx.c2ctx AS DOUBLE))
+            + ((0.75 * CAST(ctx.n1f2 AS DOUBLE)
+                / CAST(ctx.c2ctx AS DOUBLE)) *
+              ((greatest(CAST(mid.m23 AS DOUBLE) - 0.75, 0.0)
+                  / CAST(mid2.mid2 AS DOUBLE))
+                + ((0.75 * CAST(fb.n1fb2 AS DOUBLE)
+                    / CAST(mid2.mid2 AS DOUBLE)) *
+                  (CAST(ct.contw3 AS DOUBLE)
+                    / CAST((SELECT b FROM b) AS DOUBLE)))))) AS logp
+        FROM tri tr
+        JOIN c3 ON tr.w1 = c3.w1 AND tr.w2 = c3.w2 AND tr.w3 = c3.w3
+        JOIN ctx ON tr.w1 = ctx.w1 AND tr.w2 = ctx.w2
+        JOIN mid ON tr.w2 = mid.w2 AND tr.w3 = mid.w3
+        JOIN mid2 ON tr.w2 = mid2.w2
+        JOIN fb ON tr.w2 = fb.w2
+        JOIN ct ON tr.w3 = ct.w3),
+      ce AS (
+        SELECT doc_id,
+          round_even(-list_reduce(list_prepend(0.0, list(logp ORDER BY i)),
+            (acc, v) -> acc + v) / COUNT(*), 4) AS ce4,
+          COUNT(*) AS n_trigrams
+        FROM sc GROUP BY doc_id)
+      SELECT doc_id, ce4, CAST(n_trigrams AS BIGINT) AS n_trigrams
+      FROM ce ORDER BY doc_id""")) { (s, dir) =>
+      LangModel.knTrigramCrossEntropy(
+          Tables.load(s, dir, "documents"), "doc_id", "text",
+          discount = 0.75)
+        .select(col("doc_id"), bround(col("ce"), 4).as("ce4"),
+          col("n_trigrams").cast("long").as("n_trigrams"))
+        .orderBy("doc_id")
+    },
+
     // BPE tokenizer train + ENCODE (Sennrich et al. 2016): learn 24
     // merges from corpus-weighted pair statistics, then encode every
     // document and report its BPE token count. Spark trains from the
