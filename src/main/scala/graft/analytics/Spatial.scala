@@ -172,6 +172,61 @@ object Spatial {
         coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("est"))
   }
 
+  /** Grid-density spatial clustering (the STING/GriDBSCAN family:
+    * DBSCAN with the grid cell as the density unit): a cell is DENSE
+    * when it holds at least `minPts` points; dense cells that are
+    * 8-neighbors (longitude wrapping) merge into one cluster via
+    * connected components; every point in a dense cell gets its
+    * cluster id (the component's minimum encoded cell id), points in
+    * sparse cells are noise (null cluster).
+    *
+    * Scale shape: density is one cell-keyed count; the component graph
+    * has one node per DENSE CELL — orders of magnitude smaller than
+    * the point set (the reason grid-DBSCAN scales where point-level
+    * DBSCAN's ε-join does not) — contracted by the same
+    * large-star/small-star loop the dedup tier uses; the final assign
+    * is a cell-keyed equi-join back to points.
+    *
+    * Output: (pid, cell_lat, cell_lon, cluster BIGINT nullable)
+    * — cluster ids are `cell_lat·1000 + cell_lon` minima, stable
+    * across engines.
+    */
+  def gridClusters(points: DataFrame, pid: String, platCol: String,
+      plonCol: String, cellMicro: Long, minPts: Long): DataFrame = {
+    val nLonCells = LonWrapMicro / cellMicro
+    val (pcl, pcn) = cellOf(col(platCol), col(plonCol), cellMicro)
+    val pts = points.select(col(pid).as("_pid"),
+      pcl.as("cell_lat"), pcn.as("cell_lon"))
+    val dense = pts.groupBy("cell_lat", "cell_lon")
+      .agg(count(lit(1)).as("_n")).where(col("_n") >= minPts)
+      .select(col("cell_lat"), col("cell_lon"),
+        (col("cell_lat") * lit(1000L) + col("cell_lon")).as("_cid"))
+    // dense-cell adjacency (8-neighborhood, lon wraps): probe the ring
+    // and keep hits on other dense cells — an equi-join on cell id
+    val probes = dense
+      .withColumn("_di", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dj", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("_cid").as("id_a"),
+        (col("cell_lat") + col("_di")).as("cell_lat"),
+        ((col("cell_lon") + col("_dj") + lit(nLonCells)) % lit(nLonCells))
+          .as("cell_lon"))
+    val edges = probes
+      .join(dense.select(col("cell_lat"), col("cell_lon"),
+        col("_cid").as("id_b")), Seq("cell_lat", "cell_lon"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val labels = Dedup.connectedComponentsStar(edges, "id_a", "id_b",
+      materializeResult = false)
+      .select(col("doc_id").as("_cid"), col("cluster_rep"))
+    // isolated dense cells are their own singleton cluster
+    val cellCluster = dense.join(labels, Seq("_cid"), "left")
+      .select(col("cell_lat"), col("cell_lon"),
+        coalesce(col("cluster_rep"), col("_cid")).as("cluster"))
+    pts.join(cellCluster, Seq("cell_lat", "cell_lon"), "left")
+      .select(col("_pid").as(pid), col("cell_lat"), col("cell_lon"),
+        col("cluster"))
+  }
+
   /** Per-cell density census with 3×3 ring smoothing: for every cell
     * that contains at least one point — (cell_lat, cell_lon, n_points,
     * n_stations, ring_points) where `ring_points` sums point counts

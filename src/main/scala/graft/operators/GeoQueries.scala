@@ -166,6 +166,47 @@ object GeoQueries {
         .orderBy("cell_lat", "cell_lon")
     },
 
+    // Grid-density spatial clustering (GriDBSCAN family): dense cells
+    // (≥2 points) merge across 8-neighborhoods (lon wrap) via
+    // connected components over the CELL graph — node count is dense
+    // cells, not points; sparse-cell points are noise (null cluster).
+    // Oracle reaches the same min-cell-id fixpoint by recursive CTE;
+    // Spark by large-star/small-star contraction.
+    Q("q270_grid_clusters", Some(s"""
+      WITH RECURSIVE $duckGeo,
+      pc AS (
+        SELECT c_custkey, (plat + 90000000) // 10000000 AS cell_lat,
+          (plon + 180000000) // 10000000 AS cell_lon
+        FROM pts),
+      dense AS (
+        SELECT cell_lat, cell_lon,
+          cell_lat * 1000 + cell_lon AS cid
+        FROM pc GROUP BY 1, 2 HAVING count(*) >= 2),
+      edges AS (
+        SELECT DISTINCT a.cid AS src, b.cid AS dst
+        FROM dense a,
+          (SELECT unnest([-1, 0, 1]) AS i) i,
+          (SELECT unnest([-1, 0, 1]) AS j) j,
+          dense b
+        WHERE b.cell_lat = a.cell_lat + i.i
+          AND b.cell_lon = (a.cell_lon + j.j + 36) % 36
+          AND a.cid <> b.cid),
+      reach(id, r) AS (
+        SELECT cid, cid FROM dense
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+      cl AS (
+        SELECT id AS cid, MIN(r) AS cluster FROM reach GROUP BY id)
+      SELECT p.c_custkey, p.cell_lat, p.cell_lon, cl.cluster
+      FROM pc p
+      LEFT JOIN dense d USING (cell_lat, cell_lon)
+      LEFT JOIN cl ON d.cid = cl.cid
+      ORDER BY p.c_custkey""")) { (s, dir) =>
+      Spatial.gridClusters(points(s, dir), "c_custkey", "plat", "plon",
+        CellMicro, minPts = 2L)
+        .orderBy("c_custkey")
+    },
+
     // Growing degree days (base 10 °C) + frost / heat-stress censuses
     // per location over the synthetic daily series (per-event
     // temperature in exact cents: value-cents % 5000 − 1000 ∈

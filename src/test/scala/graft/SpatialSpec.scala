@@ -82,6 +82,26 @@ class SpatialSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, None)))
   }
 
+  test("gridClusters: neighbor merge, wrap merge, noise, singleton") {
+    // cells (9,0) and (9,35): dense, lon-adjacent by wrap → one
+    // cluster (min cid 9000... no: (9,35) cid 9035, (9,0) cid 9000 →
+    // rep 9000); cell (12,18): dense but isolated → singleton 12018;
+    // cell (0,18): one point → noise
+    val p = pts(
+      (1L, 1000000L, -179000000L), (2L, 2000000L, -178000000L), // (9,0)
+      (3L, 1000000L, 175000000L), (4L, 2000000L, 176000000L),   // (9,35)
+      (5L, 35000000L, 1000000L), (6L, 36000000L, 2000000L),     // (12,18)
+      (7L, -85000000L, 0L))                                     // (0,18)
+    val got = Spatial.gridClusters(p, "pid", "plat", "plon", Cell,
+      minPts = 2L).orderBy("pid")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(got === Seq(
+      (1L, 9L, 0L, Some(9000L)), (2L, 9L, 0L, Some(9000L)),
+      (3L, 9L, 35L, Some(9000L)), (4L, 9L, 35L, Some(9000L)),
+      (5L, 12L, 18L, Some(12018L)), (6L, 12L, 18L, Some(12018L)),
+      (7L, 0L, 18L, None)))
+  }
+
   test("ringDensity: own cell included, neighbors summed, lon wraps") {
     // three points: two in cell (9,0) (lon near −180°), one in cell
     // (9,35) (lon near +180°) — lon-adjacent by wrap; a station in (9,0)
