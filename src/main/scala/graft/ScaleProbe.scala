@@ -326,6 +326,45 @@ object ScaleProbe {
         val ts = List.fill(3)(timed(sqlForm())).sorted.apply(1)
         println(f"""{"probe":"sqlsurface","sf":"$sfDir",""" +
           f""""column_sec":$tc%.3f,"sql_sec":$ts%.3f}""")
+      case "spatial" :: sfDir :: rest =>
+        // decade measurement for the spatial tier: auto-width
+        // nearest-station join + grid clustering over the key-derived
+        // synthetic coordinates (the q263/q270/q271 derivation).
+        // Customers and suppliers both scale with sf, so a PINNED cell
+        // width would show the O(points·stations) blowup here; the
+        // auto rule (cells ∝ stations) is what this probe certifies.
+        import org.apache.spark.sql.functions._
+        import graft.analytics.Spatial
+        val op = rest.headOption.getOrElse("nearest")
+        val pts = Tables.load(spark, sfDir, "customer")
+          .select(col("c_custkey"),
+            ((col("c_custkey") * lit(2654435761L)) % lit(170000001L)
+              - lit(85000000L)).as("plat"),
+            ((col("c_custkey") * lit(1103515245L) + lit(12345L))
+              % lit(360000000L) - lit(180000000L)).as("plon"))
+        val st = Tables.load(spark, sfDir, "supplier")
+          .select(col("s_suppkey"),
+            ((col("s_suppkey") * lit(2246822519L) + lit(97L))
+              % lit(170000001L) - lit(85000000L)).as("slat"),
+            ((col("s_suppkey") * lit(2654435761L) + lit(31L))
+              % lit(360000000L) - lit(180000000L)).as("slon"))
+        pts.count(): Unit // warm both scans, untimed
+        val nSt = st.count()
+        val w = Spatial.autoCellMicro(nSt)
+        val t0 = System.nanoTime()
+        val rows: Long = op match {
+          case "nearest" =>
+            Spatial.nearestStation(pts, "c_custkey", "plat", "plon",
+              st, "s_suppkey", "slat", "slon", w).count()
+          case "clusters" =>
+            Spatial.gridClusters(pts, "c_custkey", "plat", "plon",
+              w, minPts = 2L).count()
+          case m => sys.error(s"spatial op must be nearest|clusters: $m")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"spatial","op":"$op","sf":"$sfDir",""" +
+          f""""stations":$nSt,"cellMicro":$w,"rows":$rows,""" +
+          f""""sec":$sec%.3f}""")
       case other =>
         System.err.println(s"unknown probe args: $other")
         sys.exit(2)

@@ -45,6 +45,27 @@ object Spatial {
   /** Degrees of longitude in micro-degrees (wrap modulus). */
   val LonWrapMicro: Long = 360000000L
 
+  /** Admissible cell widths, finest first — every rung divides both
+    * 180e6 and 360e6 micro-degrees so the grid tiles exactly. */
+  val CellLadderMicro: Seq[Long] = Seq(100000L, 200000L, 500000L,
+    1000000L, 2000000L, 3000000L, 4000000L, 5000000L, 10000000L)
+
+  /** Auto cell width: the FINEST ladder rung whose expected 3×3-ring
+    * candidate count still reaches `targetPerRing` at the observed
+    * station density — 9·n / cells(w) ≥ target with cells(w) =
+    * (180e6/w)·(360e6/w). A pinned width is the q22-bug class of this
+    * tier: at fixed w the ring join degenerates to O(points·stations)
+    * as density grows; cells ∝ stations keeps per-point candidates
+    * constant, so total candidate volume stays linear in points.
+    * Falls back to the coarsest rung (10°) for sparse station sets,
+    * where a finer grid would leave rings empty.
+    */
+  def autoCellMicro(nStations: Long, targetPerRing: Long = 8L): Long =
+    CellLadderMicro.find { w =>
+      val cells = BigInt(180000000L / w) * BigInt(LonWrapMicro / w)
+      BigInt(9) * nStations >= BigInt(targetPerRing) * cells
+    }.getOrElse(CellLadderMicro.last)
+
   /** Grid cell coordinates for a micro-degree point: `cell_lat` =
     * (lat+90e6) div cellMicro, `cell_lon` = (lon+180e6) div cellMicro.
     * Operands are non-negative, so truncating and flooring division
@@ -133,6 +154,20 @@ object Spatial {
       .join(best, Seq("_pid"), "left")
       .select(col("_pid").as(pid), col("station"), col("d2"),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"))
+  }
+
+  /** [[nearestStation]] at the [[autoCellMicro]] width for the
+    * observed station count (one count job, mirroring the
+    * `autoSignBits` sizing idiom of the embedding tier). The output
+    * carries the chosen width as `cell_micro` for observability. */
+  def nearestStationAuto(points: DataFrame, pid: String, platCol: String,
+      plonCol: String, stations: DataFrame, sid: String,
+      slatCol: String, slonCol: String, targetPerRing: Long = 8L)
+      : DataFrame = {
+    val w = autoCellMicro(stations.count(), targetPerRing)
+    nearestStation(points, pid, platCol, plonCol,
+      stations, sid, slatCol, slonCol, w)
+      .withColumn("cell_micro", lit(w))
   }
 
   /** Inverse-distance-weighted estimate of a station attribute at each

@@ -78,7 +78,84 @@ object GeoQueries {
           AS d2
       FROM probe pr JOIN stc s ON pr.cl = s.cl AND pr.cn = s.cn)"""
 
+  /** One auto-width oracle branch: the full nearest-station result at
+    * cell width `w`, gated on the station count range [lo, hi). Mirrors
+    * [[graft.analytics.Spatial.autoCellMicro]]'s rung selection —
+    * thresholds are the Scala rule's own values inlined as literals
+    * (the embAutoCandCtes idiom). */
+  private def duckNearestBranch(w: Long, lo: Long, hi: Long): String = {
+    val nLon = 360000000L / w
+    s"""
+      SELECT p.c_custkey, b.s_suppkey AS station, b.d2,
+        CAST(COALESCE(b.n_cand, 0) AS BIGINT) AS n_cand,
+        CAST($w AS BIGINT) AS cell_micro
+      FROM pts p LEFT JOIN (
+        SELECT * FROM (
+          SELECT pr.c_custkey, s.s_suppkey,
+            (pr.plat - s.slat) * (pr.plat - s.slat)
+              + least(abs(pr.plon - s.slon),
+                  360000000 - abs(pr.plon - s.slon))
+              * least(abs(pr.plon - s.slon),
+                  360000000 - abs(pr.plon - s.slon)) AS d2,
+            row_number() OVER (PARTITION BY pr.c_custkey
+              ORDER BY (pr.plat - s.slat) * (pr.plat - s.slat)
+                + least(abs(pr.plon - s.slon),
+                    360000000 - abs(pr.plon - s.slon))
+                * least(abs(pr.plon - s.slon),
+                    360000000 - abs(pr.plon - s.slon)),
+                s.s_suppkey) AS rn,
+            count(*) OVER (PARTITION BY pr.c_custkey) AS n_cand
+          FROM (
+            SELECT p2.c_custkey, p2.plat, p2.plon,
+              (p2.plat + 90000000) // $w + i.i AS cl,
+              ((p2.plon + 180000000) // $w + j.j + $nLon) % $nLon AS cn
+            FROM pts p2,
+              (SELECT unnest([-1, 0, 1]) AS i) i,
+              (SELECT unnest([-1, 0, 1]) AS j) j) pr
+          JOIN (
+            SELECT *, (slat + 90000000) // $w AS cl,
+              (slon + 180000000) // $w AS cn
+            FROM st) s
+          ON pr.cl = s.cl AND pr.cn = s.cn)
+        WHERE rn = 1) b USING (c_custkey)
+      WHERE (SELECT c FROM ns) >= $lo AND (SELECT c FROM ns) < $hi"""
+  }
+
   val all: Seq[Q] = Seq(
+
+    // Auto-width nearest-station join: the cell width comes from the
+    // autoCellMicro rule (cells ∝ stations — a pinned width is this
+    // tier's q22-bug class: fixed grid + growing density ⇒
+    // O(points·stations) ring joins). Oracle unrolls one COUNT-gated
+    // branch per reachable rung (10° for n<2304, 5° for n<3600) with
+    // a terminal error branch beyond, mirroring the Scala thresholds.
+    Q("q271_nearest_station_auto", Some(s"""
+      WITH pts AS (
+        SELECT c_custkey,
+          (c_custkey * 2654435761) % 170000001 - 85000000 AS plat,
+          (c_custkey * 1103515245 + 12345) % 360000000 - 180000000 AS plon
+        FROM customer),
+      st AS (
+        SELECT s_suppkey,
+          (s_suppkey * 2246822519 + 97) % 170000001 - 85000000 AS slat,
+          (s_suppkey * 2654435761 + 31) % 360000000 - 180000000 AS slon
+        FROM supplier),
+      ns AS (SELECT count(*) AS c FROM supplier),
+      res AS (${duckNearestBranch(10000000L, 0L, 2304L)}
+        UNION ALL${duckNearestBranch(5000000L, 2304L, 3600L)}
+        UNION ALL
+        SELECT CAST(error('q271 oracle: ' || c || ' stations >= 3600'
+            || ' - extend the rung unroll') AS BIGINT) AS c_custkey,
+          CAST(NULL AS BIGINT) AS station, CAST(NULL AS BIGINT) AS d2,
+          CAST(NULL AS BIGINT) AS n_cand,
+          CAST(NULL AS BIGINT) AS cell_micro
+        FROM ns WHERE c >= 3600)
+      SELECT c_custkey, station, d2, n_cand, cell_micro
+      FROM res ORDER BY c_custkey""")) { (s, dir) =>
+      Spatial.nearestStationAuto(points(s, dir), "c_custkey", "plat",
+        "plon", stations(s, dir), "s_suppkey", "slat", "slon")
+        .orderBy("c_custkey")
+    },
 
     // Radius-bounded nearest weather station per field point: 3×3
     // grid-ring candidates (cell-keyed equi-join, never points ×

@@ -82,6 +82,26 @@ class SpatialSpec extends SparkSpec {
     assert(got === Seq((1L, 0L, None)))
   }
 
+  test("autoCellMicro: rung thresholds match the oracle gates") {
+    // thresholds are ceil(target·cells(w)/9) per rung; the q271 oracle
+    // inlines 2304/3600 — this pins the Scala rule to those literals
+    assert(Spatial.autoCellMicro(1L) === 10000000L)
+    assert(Spatial.autoCellMicro(2303L) === 10000000L)
+    assert(Spatial.autoCellMicro(2304L) === 5000000L)
+    assert(Spatial.autoCellMicro(3599L) === 5000000L)
+    assert(Spatial.autoCellMicro(3600L) === 4000000L)
+    assert(Spatial.autoCellMicro(6400L) === 3000000L)
+    assert(Spatial.autoCellMicro(14400L) === 2000000L)
+    assert(Spatial.autoCellMicro(57600L) === 1000000L)
+    assert(Spatial.autoCellMicro(230400L) === 500000L)
+    assert(Spatial.autoCellMicro(1440000L) === 200000L)
+    assert(Spatial.autoCellMicro(5760000L) === 100000L)
+    // width never grows with density
+    val ws = Seq(10L, 100L, 1000L, 10000L, 100000L, 1000000L, 10000000L)
+      .map(Spatial.autoCellMicro(_))
+    assert(ws === ws.sorted.reverse)
+  }
+
   test("gridClusters: neighbor merge, wrap merge, noise, singleton") {
     // cells (9,0) and (9,35): dense, lon-adjacent by wrap → one
     // cluster (min cid 9000... no: (9,35) cid 9035, (9,0) cid 9000 →
