@@ -243,6 +243,68 @@ object GeoQueries {
         .orderBy("cell_lat", "cell_lon")
     },
 
+    // Spatio-temporal enrichment — the composed consumer query of this
+    // tier: each order gets its customer's nearest station (grid-ring
+    // NN) and that station's latest daily shipment reading at or
+    // before the order date (as-of join, union-and-carry-forward — one
+    // shuffle, no range explosion). Readings are exact cents; orders
+    // whose field has no in-range station drop (radius-bounded
+    // semantics); orders before their station's first reading keep
+    // null as-of columns.
+    Q("q272_station_asof", Some(s"""
+      WITH $duckGeo,
+      best AS (
+        SELECT c_custkey, s_suppkey, d2,
+          row_number() OVER (PARTITION BY c_custkey
+            ORDER BY d2, s_suppkey) AS rn
+        FROM cand),
+      nearest AS (
+        SELECT c_custkey, s_suppkey AS station FROM best WHERE rn = 1),
+      rd AS (
+        SELECT l_suppkey AS station, CAST(l_shipdate AS DATE) AS rday,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS reading_cents
+        FROM lineitem GROUP BY 1, 2),
+      o AS (
+        SELECT o_orderkey, n.station, CAST(o_orderdate AS DATE) AS day
+        FROM orders JOIN nearest n ON o_custkey = n.c_custkey),
+      j AS (
+        SELECT o.o_orderkey, r.rday, r.reading_cents,
+          row_number() OVER (PARTITION BY o.o_orderkey
+            ORDER BY r.rday DESC) AS rn
+        FROM o JOIN rd r ON o.station = r.station AND r.rday <= o.day)
+      SELECT o.o_orderkey, o.station, strftime(o.day, '%Y-%m-%d') AS day,
+        strftime(j.rday, '%Y-%m-%d') AS asof_day,
+        j.reading_cents AS asof_reading_cents
+      FROM o LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        USING (o_orderkey)
+      ORDER BY o.o_orderkey""")) { (s, dir) =>
+      import graft.analytics.AsOfJoin
+      val near = Spatial.nearestStation(points(s, dir), "c_custkey",
+          "plat", "plon", stations(s, dir), "s_suppkey", "slat", "slon",
+          CellMicro)
+        .where(col("station").isNotNull)
+        .select(col("c_custkey"), col("station"))
+      val rd = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("station"),
+          to_date(col("l_shipdate")).as("day"))
+        .agg((sum(Q.dec(col("l_quantity"))) * 100).cast("long")
+          .as("reading_cents"))
+        .select(col("station"), col("day"), col("day").as("rday"),
+          col("reading_cents"))
+      val left = Tables.load(s, dir, "orders")
+        .join(near, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("station"),
+          to_date(col("o_orderdate")).as("day"))
+      AsOfJoin.lastPrior(left, rd, Seq("station"), "day",
+          Seq("rday", "reading_cents"))
+        .select(col("o_orderkey"), col("station"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          date_format(col("asof_rday"), "yyyy-MM-dd").as("asof_day"),
+          col("asof_reading_cents"))
+        .orderBy("o_orderkey")
+    },
+
     // Grid-density spatial clustering (GriDBSCAN family): dense cells
     // (≥2 points) merge across 8-neighborhoods (lon wrap) via
     // connected components over the CELL graph — node count is dense
