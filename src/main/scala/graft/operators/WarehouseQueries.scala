@@ -358,6 +358,52 @@ object WarehouseQueries {
           keyTable, col("event_type"), col("event_id"))
         .select("event_id", "key_hash")
         .orderBy("event_id")
+    },
+
+    // Manifest-versioned lake with time travel: three commits (append
+    // ≤1996, append 1997–1998, OVERWRITE with ≥1999), then per-year
+    // aggregates read from snapshot v2 (the two appends) AND snapshot
+    // v3 — proving old versions stay readable after an overwrite and
+    // the overwrite hides nothing it shouldn't. Commits run once per
+    // JVM (build-once scratch, the q98 idiom); reads resolve the
+    // manifest, never list data/. Oracle recomputes both year slices
+    // straight from orders.
+    Q("q273_time_travel", Some("""
+      WITH y AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        FROM orders),
+      v2 AS (
+        SELECT 'v2' AS snapshot, yr, CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(p) * 100 AS BIGINT) AS total_cents
+        FROM y WHERE yr <= 1998 GROUP BY yr),
+      v3 AS (
+        SELECT 'v3' AS snapshot, yr, CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(p) * 100 AS BIGINT) AS total_cents
+        FROM y WHERE yr >= 1999 GROUP BY yr)
+      SELECT * FROM (SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+      ORDER BY snapshot, yr""")) { (s, dir) =>
+      import graft.warehouse.Versioned
+      val path = Q.scratchPath("timetravel", dir)
+      if (Versioned.versions(s, path).isEmpty) {
+        val y = Tables.load(s, dir, "orders")
+          .select(year(col("o_orderdate")).cast("long").as("yr"),
+            Q.dec(col("o_totalprice")).as("p"))
+        Versioned.commit(y.where(col("yr") <= 1996L), path): Unit
+        Versioned.commit(
+          y.where(col("yr") >= 1997L && col("yr") <= 1998L), path): Unit
+        Versioned.commit(y.where(col("yr") >= 1999L), path,
+          overwrite = true): Unit
+      }
+      def agg(v: Long, tag: String) =
+        Versioned.read(s, path, Some(v))
+          .groupBy("yr")
+          .agg(count(lit(1)).as("n"),
+            (sum(col("p")) * 100).cast("long").as("total_cents"))
+          .select(lit(tag).as("snapshot"), col("yr"), col("n"),
+            col("total_cents"))
+      agg(2L, "v2").unionByName(agg(3L, "v3"))
+        .orderBy("snapshot", "yr")
     }
   )
 }

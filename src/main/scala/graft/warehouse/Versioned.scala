@@ -1,0 +1,107 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-based table versioning — snapshot isolation and time
+  * travel for a parquet lake, the Iceberg/Delta core idea at library
+  * size. The reference keeps one mutable PostgreSQL state
+  * (`db/init/01-schema.sql`) with no history; a 100 TB lake needs
+  * immutable data + named snapshots instead.
+  *
+  * Layout under `path/`:
+  *   - `data/seg-<version>/part-*.parquet` — immutable segment dirs,
+  *     one per commit, NEVER rewritten;
+  *   - `_versions/v<NNNNN>.list` — one manifest per version: the
+  *     newline-separated list of segment dirs LIVE in that snapshot.
+  *
+  * A commit writes its segment FIRST and publishes the manifest LAST
+  * (tmp + atomic rename), so a torn commit leaves an orphan segment
+  * that no reader ever sees — readers resolve a manifest, then scan
+  * exactly the listed dirs (no directory listing of `data/`, the
+  * object-store-scale property: the manifest is the source of truth).
+  * Appends reference the parent's segments plus the new one;
+  * overwrites reference only the new one. Old versions stay readable
+  * until a retention job deletes their manifests and unreferenced
+  * segments.
+  *
+  * Scale shape: manifests are O(commits) lines of text; reads are
+  * plain multi-dir parquet scans (column pruning / predicate pushdown
+  * / partition parallelism all intact); commit coordination is one
+  * atomic rename — no table-wide locks, no data rewrite on append.
+  */
+object Versioned {
+
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestDir(root: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(root, "_versions")
+
+  private def manifestPath(root: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(manifestDir(root), f"v$v%05d.list")
+
+  /** All committed version numbers, ascending (empty for a fresh
+    * path). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val (f, root) = fs(spark, path)
+    val dir = manifestDir(root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d{5}\\.list") =>
+        n.stripPrefix("v").stripSuffix(".list").toLong }
+      .sorted
+  }
+
+  private def readManifest(f: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, v: Long): Seq[String] = {
+    val in = f.open(manifestPath(root, v))
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit `df` as the next version. `overwrite = false` (append)
+    * keeps the parent snapshot's segments live; `overwrite = true`
+    * makes the new segment the whole table. Returns the new version
+    * number. Torn-commit safe: the segment is fully written before the
+    * manifest rename publishes it.
+    */
+  def commit(df: DataFrame, path: String,
+      overwrite: Boolean = false): Long = {
+    val spark = df.sparkSession
+    val (f, root) = fs(spark, path)
+    val prev = versions(spark, path)
+    val v = prev.lastOption.getOrElse(0L) + 1L
+    val segRel = f"data/seg-$v%05d"
+    df.write.mode("errorifexists").parquet(s"$path/$segRel")
+    val live =
+      if (overwrite || prev.isEmpty) Seq(segRel)
+      else readManifest(f, root, prev.last) :+ segRel
+    val tmp = new org.apache.hadoop.fs.Path(
+      manifestDir(root), f".v$v%05d.tmp")
+    val out = f.create(tmp, true)
+    try out.write((live.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, manifestPath(root, v)))
+      sys.error(s"Versioned.commit: publish rename failed for v$v")
+    v
+  }
+
+  /** Snapshot read — the given version, or the latest when
+    * unspecified. Fails with a named error on an unknown version
+    * instead of an empty scan. */
+  def read(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame = {
+    val (f, root) = fs(spark, path)
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"Versioned.read: no committed versions at $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"Versioned.read: version $v not in ${vs.mkString(",")} at $path")
+    val segs = readManifest(f, root, v).map(rel => s"$path/$rel")
+    spark.read.parquet(segs: _*)
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.warehouse.Versioned
+
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("append/overwrite lineage and time travel") {
+    val path = tmpDir("vtt") + "/t"
+    val v1 = Versioned.commit(Seq(1, 2).toDF("x"), path)
+    val v2 = Versioned.commit(Seq(3).toDF("x"), path)
+    val v3 = Versioned.commit(Seq(9).toDF("x"), path, overwrite = true)
+    assert((v1, v2, v3) === (1L, 2L, 3L))
+    assert(Versioned.versions(spark, path) === Seq(1L, 2L, 3L))
+    def xs(v: Long) = Versioned.read(spark, path, Some(v))
+      .as[Int].collect().sorted.toSeq
+    assert(xs(1) === Seq(1, 2))
+    assert(xs(2) === Seq(1, 2, 3)) // append keeps parent segments
+    assert(xs(3) === Seq(9))       // overwrite replaces the table
+    // latest = v3; old snapshots still readable after the overwrite
+    assert(Versioned.read(spark, path).as[Int].collect().toSeq === Seq(9))
+    assert(xs(2) === Seq(1, 2, 3))
+  }
+
+  test("a torn commit (segment without manifest) is invisible") {
+    val path = tmpDir("vtorn") + "/t"
+    Versioned.commit(Seq(1).toDF("x"), path): Unit
+    // simulate a crash between segment write and manifest publish
+    Seq(99).toDF("x").write.parquet(s"$path/data/seg-zzzzz")
+    assert(Versioned.versions(spark, path) === Seq(1L))
+    assert(Versioned.read(spark, path).as[Int].collect().toSeq === Seq(1))
+    // the next commit continues the lineage past the orphan
+    Versioned.commit(Seq(2).toDF("x"), path): Unit
+    assert(Versioned.read(spark, path)
+      .as[Int].collect().sorted.toSeq === Seq(1, 2))
+  }
+
+  test("unknown version and empty table fail with named errors") {
+    val path = tmpDir("vempty") + "/t"
+    val e1 = intercept[IllegalArgumentException] {
+      Versioned.read(spark, path)
+    }
+    assert(e1.getMessage.contains("no committed versions"))
+    Versioned.commit(Seq(1).toDF("x"), path): Unit
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.read(spark, path, Some(7L))
+    }
+    assert(e2.getMessage.contains("version 7 not in"))
+  }
+
+  test("snapshot isolation: a reader plan resolved at v1 is unaffected " +
+      "by a later commit") {
+    val path = tmpDir("viso") + "/t"
+    Versioned.commit(Seq(1).toDF("x"), path): Unit
+    val snap = Versioned.read(spark, path, Some(1L))
+    Versioned.commit(Seq(2).toDF("x"), path): Unit
+    assert(snap.as[Int].collect().toSeq === Seq(1))
+  }
+}
