@@ -404,6 +404,49 @@ object WarehouseQueries {
             col("total_cents"))
       agg(2L, "v2").unionByName(agg(3L, "v3"))
         .orderBy("snapshot", "yr")
+    },
+
+    // Incremental view maintenance over the versioned lake: a per-year
+    // (cnt, sum, mx) aggregate VIEW folded commit-by-commit through
+    // mergeAggStates (never rescanning old segments), then audited
+    // against a direct aggregate of the final snapshot — `consistent`
+    // goes false (and the hash goes loud) on any divergence. The IVM
+    // pattern: refresh cost ∝ delta, not table.
+    Q("q274_incremental_view", Some("""
+      WITH y AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders)
+      SELECT yr, CAST(count(*) AS BIGINT) AS cnt,
+        CAST(SUM(c) AS BIGINT) AS sum, CAST(MAX(c) AS BIGINT) AS mx,
+        TRUE AS consistent
+      FROM y GROUP BY yr ORDER BY yr""")) { (s, dir) =>
+      import graft.warehouse.Versioned
+      val path = Q.scratchPath("ivm", dir)
+      val y = Tables.load(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          (Q.dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      val slices = Seq(
+        y.where(col("yr") <= 1996L),
+        y.where(col("yr") >= 1997L && col("yr") <= 1998L),
+        y.where(col("yr") >= 1999L))
+      if (Versioned.versions(s, path).isEmpty)
+        slices.foreach(sl => Versioned.commit(sl, path): Unit)
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("yr").agg(count(lit(1)).as("cnt"),
+          sum(col("c")).as("sum"), max(col("c")).as("mx"))
+      // the view: fold each commit's DELTA into the running state
+      val view = slices.map(agg).reduce(
+        Merge.mergeAggStates(_, _, Seq("yr")))
+      val table = agg(Versioned.read(s, path))
+        .select(col("yr"), col("cnt").as("t_cnt"),
+          col("sum").as("t_sum"), col("mx").as("t_mx"))
+      view.join(table, Seq("yr"), "full_outer")
+        .select(col("yr"), col("cnt"), col("sum"), col("mx"),
+          coalesce(col("cnt") === col("t_cnt") &&
+            col("sum") === col("t_sum") && col("mx") === col("t_mx"),
+            lit(false)).as("consistent"))
+        .orderBy("yr")
     }
   )
 }

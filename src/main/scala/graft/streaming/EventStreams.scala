@@ -214,4 +214,23 @@ object EventStreams {
         graft.warehouse.Merge.upsertPartitioned(batch.sparkSession,
           path, batch.toDF(), keys, updateCols, tiebreak, partitionCols)
       }
+
+  /** Stream → versioned-lake sink: every micro-batch commits as one
+    * [[graft.warehouse.Versioned]] append, so downstream readers get
+    * SNAPSHOT-ISOLATED, time-travelable views of the ingest (a reader
+    * resolved at version v never sees half of batch v+1 — the
+    * exactly-once read contract a plain parquet append sink lacks).
+    * Empty micro-batches commit nothing (no empty versions). Combined
+    * with checkpointing, a replayed batch lands as a NEW version;
+    * readers pinned to pre-crash versions are unaffected, and a
+    * dedup-on-read (or [[graft.warehouse.Idempotency]] keys) restores
+    * exactly-once semantics on the data itself.
+    */
+  def versionedSink(events: DataFrame, path: String) =
+    events.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.warehouse.Versioned.commit(batch.toDF(), path): Unit
+      }
 }

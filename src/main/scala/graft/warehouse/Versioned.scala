@@ -28,6 +28,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * plain multi-dir parquet scans (column pruning / predicate pushdown
   * / partition parallelism all intact); commit coordination is one
   * atomic rename — no table-wide locks, no data rewrite on append.
+  *
+  * Concurrency: optimistic single-winner commits — two writers racing
+  * to the same version both stage segments, but only one manifest
+  * rename can land (rename-to-existing fails on HDFS-semantics
+  * filesystems); the loser errors and retries on the next version,
+  * its staged segment left as an orphan for [[vacuum]]. Object stores
+  * without atomic rename need an external commit lock, same as every
+  * manifest-based format.
   */
 object Versioned {
 
@@ -88,6 +96,32 @@ object Versioned {
     if (!f.rename(tmp, manifestPath(root, v)))
       sys.error(s"Versioned.commit: publish rename failed for v$v")
     v
+  }
+
+  /** Retention: keep the last `keepLast` versions, delete older
+    * manifests and every segment no retained manifest references
+    * (orphans from torn commits go too). Returns (manifests deleted,
+    * segments deleted). Readers of retained versions are unaffected —
+    * their manifests and segments survive verbatim; this is the
+    * vacuum side of the snapshot contract, run as a maintenance job.
+    */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int)
+      : (Int, Int) = {
+    require(keepLast >= 1, "Versioned.vacuum: keepLast must be >= 1")
+    val (f, root) = fs(spark, path)
+    val vs = versions(spark, path)
+    val keep = vs.takeRight(keepLast).toSet
+    val live = vs.filter(keep)
+      .flatMap(v => readManifest(f, root, v)).toSet
+    val dropManifests = vs.filterNot(keep)
+    dropManifests.foreach(v => f.delete(manifestPath(root, v), false))
+    val dataDir = new org.apache.hadoop.fs.Path(root, "data")
+    val dropSegs =
+      if (!f.exists(dataDir)) Seq.empty[org.apache.hadoop.fs.Path]
+      else f.listStatus(dataDir).toSeq.map(_.getPath)
+        .filterNot(p => live.contains(s"data/${p.getName}"))
+    dropSegs.foreach(p => f.delete(p, true))
+    (dropManifests.size, dropSegs.size)
   }
 
   /** Snapshot read — the given version, or the latest when

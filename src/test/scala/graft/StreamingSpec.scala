@@ -176,6 +176,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq == Seq((7L, 12.0), (9L, 50.0)))
   }
 
+  test("versioned sink commits one snapshot per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("graft_vsink") + "/t"
+    val mem = MemoryStream[Event]
+    val q = EventStreams.versionedSink(
+      mem.toDF().selectExpr("event_id", "user_id", "value"), dir).start()
+    mem.addData(events.take(2): _*)
+    q.processAllAvailable() // batch 0 → v1
+    mem.addData(events(4))
+    q.processAllAvailable() // batch 1 → v2
+    q.processAllAvailable() // empty batch → no version
+    q.stop()
+    val vs = graft.warehouse.Versioned.versions(spark, dir)
+    assert(vs === Seq(1L, 2L))
+    // snapshot isolation: v1 = first batch only; latest = both
+    assert(graft.warehouse.Versioned.read(spark, dir, Some(1L))
+      .select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    assert(graft.warehouse.Versioned.read(spark, dir)
+      .select("event_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 5L))
+  }
+
   test("stream-stream interval join correlates within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -49,6 +49,37 @@ class VersionedSpec extends SparkSpec {
     assert(e2.getMessage.contains("version 7 not in"))
   }
 
+  test("vacuum keeps the retained snapshots intact, drops the rest") {
+    val path = tmpDir("vvac") + "/t"
+    Versioned.commit(Seq(1).toDF("x"), path): Unit           // v1
+    Versioned.commit(Seq(2).toDF("x"), path): Unit           // v2
+    Versioned.commit(Seq(9).toDF("x"), path, overwrite = true) // v3
+    // orphan segment from a simulated torn commit — vacuum sweeps it
+    Seq(99).toDF("x").write.parquet(s"$path/data/seg-zzzzz")
+    val (m, s) = Versioned.vacuum(spark, path, keepLast = 1)
+    // v1/v2 manifests dropped; seg-1/seg-2 (unreferenced by v3) and
+    // the orphan dropped; v3 reads exactly as before
+    assert((m, s) === (2, 3))
+    assert(Versioned.versions(spark, path) === Seq(3L))
+    assert(Versioned.read(spark, path).as[Int].collect().toSeq === Seq(9))
+    intercept[IllegalArgumentException] {
+      Versioned.read(spark, path, Some(2L))
+    }
+  }
+
+  test("vacuum retains shared segments an older live version needs") {
+    val path = tmpDir("vvac2") + "/t"
+    Versioned.commit(Seq(1).toDF("x"), path): Unit // v1
+    Versioned.commit(Seq(2).toDF("x"), path): Unit // v2 = seg1+seg2
+    Versioned.commit(Seq(3).toDF("x"), path): Unit // v3 = seg1+seg2+seg3
+    val (m, s) = Versioned.vacuum(spark, path, keepLast = 2)
+    assert((m, s) === (1, 0)) // seg-1 is still referenced by v2 and v3
+    assert(Versioned.read(spark, path, Some(2L))
+      .as[Int].collect().sorted.toSeq === Seq(1, 2))
+    assert(Versioned.read(spark, path, Some(3L))
+      .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+  }
+
   test("snapshot isolation: a reader plan resolved at v1 is unaffected " +
       "by a later commit") {
     val path = tmpDir("viso") + "/t"
