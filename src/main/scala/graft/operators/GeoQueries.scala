@@ -305,6 +305,64 @@ object GeoQueries {
         .orderBy("o_orderkey")
     },
 
+    // Suitability surface — the domain flagship composition: soil pH
+    // at each field point is IDW-interpolated from its ring stations
+    // (synthetic per-station pH in exact centi-units, 3.00–9.00), then
+    // every point is scored against the broadcast crop pH bands
+    // (reference `db/init/01-schema.sql` soil_ph_preference_min/max
+    // semantics) and the verdicts aggregate per grid cell — the
+    // "which crops fit where" map. Integer weights/sums end in ONE
+    // double division per point, so the band comparisons see
+    // bit-identical values in both engines.
+    Q("q275_suitability_surface", Some(s"""
+      WITH $duckGeo,
+      wgt AS (
+        SELECT c_custkey,
+          1000000000000000000 // (d2 + 1) AS w,
+          300 + ((CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+            % 601) + 601) % 601 AS vc
+        FROM cand),
+      est AS (
+        SELECT c_custkey,
+          CAST(SUM(CAST(w AS HUGEINT) * vc) AS DOUBLE)
+            / CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) / 100.0 AS ph
+        FROM wgt GROUP BY c_custkey),
+      crops(crop, lo, hi) AS (VALUES
+        ('maize', 5.5, 7.0), ('rice', 5.0, 6.5), ('wheat', 6.0, 7.5)),
+      pc AS (
+        SELECT p.c_custkey,
+          (p.plat + 90000000) // 10000000 AS cell_lat,
+          (p.plon + 180000000) // 10000000 AS cell_lon, e.ph
+        FROM pts p JOIN est e USING (c_custkey))
+      SELECT pc.cell_lat, pc.cell_lon, c.crop,
+        CAST(count(*) AS BIGINT) AS n_fields,
+        CAST(SUM(CASE WHEN pc.ph BETWEEN c.lo AND c.hi
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_compatible
+      FROM pc CROSS JOIN crops c
+      GROUP BY 1, 2, 3
+      ORDER BY cell_lat, cell_lon, crop""")) { (s, dir) =>
+      val st = stations(s, dir)
+      val ph = Spatial.idwEstimate(points(s, dir), "c_custkey", "plat",
+          "plon", st, "s_suppkey", "slat", "slon",
+          lit(300L) + pmod((Q.dec(col("s_acctbal")) * 100).cast("long"),
+            lit(601L)), CellMicro)
+        .where(col("est").isNotNull)
+        .select(col("c_custkey"), col("est").as("ph"))
+      val (pcl, pcn) = Spatial.cellOf(col("plat"), col("plon"), CellMicro)
+      val crops = s.createDataFrame(Seq(
+        ("maize", 5.5, 7.0), ("rice", 5.0, 6.5), ("wheat", 6.0, 7.5)))
+        .toDF("crop", "lo", "hi")
+      points(s, dir)
+        .select(col("c_custkey"), pcl.as("cell_lat"), pcn.as("cell_lon"))
+        .join(ph, Seq("c_custkey"))
+        .crossJoin(broadcast(crops))
+        .groupBy("cell_lat", "cell_lon", "crop")
+        .agg(count(lit(1)).as("n_fields"),
+          sum(when(col("ph").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).as("n_compatible"))
+        .orderBy("cell_lat", "cell_lon", "crop")
+    },
+
     // Grid-density spatial clustering (GriDBSCAN family): dense cells
     // (≥2 points) merge across 8-neighborhoods (lon wrap) via
     // connected components over the CELL graph — node count is dense
