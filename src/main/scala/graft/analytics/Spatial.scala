@@ -223,8 +223,9 @@ object Spatial {
     * is a cell-keyed equi-join back to points.
     *
     * Output: (pid, cell_lat, cell_lon, cluster BIGINT nullable)
-    * — cluster ids are `cell_lat·1000 + cell_lon` minima, stable
-    * across engines.
+    * — cluster ids are minima of the row-major cell index
+    * `cell_lat·nLonCells + cell_lon` (collision-free at every ladder
+    * width), stable across engines.
     */
   def gridClusters(points: DataFrame, pid: String, platCol: String,
       plonCol: String, cellMicro: Long, minPts: Long): DataFrame = {
@@ -235,7 +236,7 @@ object Spatial {
     val dense = pts.groupBy("cell_lat", "cell_lon")
       .agg(count(lit(1)).as("_n")).where(col("_n") >= minPts)
       .select(col("cell_lat"), col("cell_lon"),
-        (col("cell_lat") * lit(1000L) + col("cell_lon")).as("_cid"))
+        (col("cell_lat") * lit(nLonCells) + col("cell_lon")).as("_cid"))
     // dense-cell adjacency (8-neighborhood, lon wraps): probe the ring
     // and keep hits on other dense cells — an equi-join on cell id
     val probes = dense

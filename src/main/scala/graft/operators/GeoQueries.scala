@@ -377,7 +377,7 @@ object GeoQueries {
         FROM pts),
       dense AS (
         SELECT cell_lat, cell_lon,
-          cell_lat * 1000 + cell_lon AS cid
+          cell_lat * 36 + cell_lon AS cid
         FROM pc GROUP BY 1, 2 HAVING count(*) >= 2),
       edges AS (
         SELECT DISTINCT a.cid AS src, b.cid AS dst

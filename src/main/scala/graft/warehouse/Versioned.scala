@@ -30,12 +30,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * atomic rename — no table-wide locks, no data rewrite on append.
   *
   * Concurrency: optimistic single-winner commits — two writers racing
-  * to the same version both stage segments, but only one manifest
-  * rename can land (rename-to-existing fails on HDFS-semantics
-  * filesystems); the loser errors and retries on the next version,
-  * its staged segment left as an orphan for [[vacuum]]. Object stores
-  * without atomic rename need an external commit lock, same as every
-  * manifest-based format.
+  * to the same version target the same segment dir, so the second
+  * segment write fails (`errorifexists`) before any manifest is
+  * staged, and the rename-to-existing backstop catches the remaining
+  * interleavings on HDFS-semantics filesystems; the loser errors and
+  * retries at the next version, any staged debris left as an orphan
+  * for [[vacuum]]. Object stores without atomic rename need an
+  * external commit lock, same as every manifest-based format.
   */
 object Versioned {
 

@@ -104,9 +104,9 @@ class SpatialSpec extends SparkSpec {
 
   test("gridClusters: neighbor merge, wrap merge, noise, singleton") {
     // cells (9,0) and (9,35): dense, lon-adjacent by wrap → one
-    // cluster (min cid 9000... no: (9,35) cid 9035, (9,0) cid 9000 →
-    // rep 9000); cell (12,18): dense but isolated → singleton 12018;
-    // cell (0,18): one point → noise
+    // cluster, rep = min row-major index 9·36+0 = 324; cell (12,18):
+    // dense but isolated → singleton 12·36+18 = 450; cell (0,18):
+    // one point → noise
     val p = pts(
       (1L, 1000000L, -179000000L), (2L, 2000000L, -178000000L), // (9,0)
       (3L, 1000000L, 175000000L), (4L, 2000000L, 176000000L),   // (9,35)
@@ -116,9 +116,9 @@ class SpatialSpec extends SparkSpec {
       minPts = 2L).orderBy("pid")
       .as[(Long, Long, Long, Option[Long])].collect().toSeq
     assert(got === Seq(
-      (1L, 9L, 0L, Some(9000L)), (2L, 9L, 0L, Some(9000L)),
-      (3L, 9L, 35L, Some(9000L)), (4L, 9L, 35L, Some(9000L)),
-      (5L, 12L, 18L, Some(12018L)), (6L, 12L, 18L, Some(12018L)),
+      (1L, 9L, 0L, Some(324L)), (2L, 9L, 0L, Some(324L)),
+      (3L, 9L, 35L, Some(324L)), (4L, 9L, 35L, Some(324L)),
+      (5L, 12L, 18L, Some(450L)), (6L, 12L, 18L, Some(450L)),
       (7L, 0L, 18L, None)))
   }
 
