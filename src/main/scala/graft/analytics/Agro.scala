@@ -83,6 +83,43 @@ object Agro {
         coalesce(col("n_spells"), lit(0L)).as("n_spells"))
   }
 
+  /** Cumulative water-balance deficit per location over a daily
+    * (location, day, net_cents = ET₀ − precipitation) series — the
+    * clamped running recurrence D_t = max(0, D_{t−1} + net_t) (a
+    * reservoir that rain can empty but never over-fill), which looks
+    * sequential but is the Lindley recursion, so it rewrites to pure
+    * window algebra: D_t = S_t − min(0, min_{k≤t} S_k) with S the
+    * running prefix sum. Two windows over ONE sort per location —
+    * fully parallel across locations, no iterative fixpoint, the
+    * scale-safe form of every "carry a clamped balance forward"
+    * computation (inventory, queue depth, soil moisture).
+    *
+    * Output per location: (loc, n_days, max_deficit, final_deficit,
+    * days_over — days with deficit strictly above
+    * `thresholdCents`), all exact integer cents.
+    */
+  def waterBalance(daily: DataFrame, locCol: String, dayCol: String,
+      netCents: String, thresholdCents: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withS = daily.select(col(locCol).as("loc"),
+        col(dayCol).as("_day"), col(netCents).as("_net"))
+      .withColumn("_s", sum(col("_net")).over(
+        Window.partitionBy("loc").orderBy("_day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wS = Window.partitionBy("loc").orderBy("_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withS
+      .withColumn("_deficit",
+        col("_s") - least(lit(0L), min(col("_s")).over(wS)))
+      .groupBy("loc")
+      .agg(count(lit(1)).as("n_days"),
+        max(col("_deficit")).as("max_deficit"),
+        max(struct(col("_day"), col("_deficit")))
+          .getField("_deficit").as("final_deficit"),
+        sum(when(col("_deficit") > thresholdCents, 1L).otherwise(0L))
+          .as("days_over"))
+  }
+
   /** Multi-year monthly climate normals + anomaly census over a
     * monthly (location, year, month, value_cents) series: the normal
     * is the across-year mean of the month's value; a (loc, month,

@@ -473,6 +473,49 @@ object GeoQueries {
         .orderBy("loc")
     },
 
+    // Cumulative water-balance deficit: the clamped recurrence
+    // D_t = max(0, D_{t-1} + ET0 - precip) via the Lindley rewrite
+    // D_t = S_t - min(0, running-min S) — two windows over one sort
+    // per location instead of a sequential fold. ET0/precip derive
+    // from the exact daily cents (c % 700 / c % 2000).
+    Q("q276_water_balance", Some("""
+      WITH e AS (
+        SELECT user_id AS loc, CAST(ts AS DATE) AS day,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      d AS (
+        SELECT loc, day, CAST(SUM(c) AS BIGINT) AS cd
+        FROM e GROUP BY 1, 2),
+      n AS (
+        SELECT loc, day, (cd % 700) - (cd % 2000) AS net FROM d),
+      s AS (
+        SELECT loc, day,
+          CAST(SUM(net) OVER (PARTITION BY loc ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS s
+        FROM n),
+      dd AS (
+        SELECT loc, day,
+          s - least(0, min(s) OVER (PARTITION BY loc ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            AS deficit
+        FROM s)
+      SELECT loc, CAST(count(*) AS BIGINT) AS n_days,
+        max(deficit) AS max_deficit,
+        max_by(deficit, day) AS final_deficit,
+        CAST(SUM(CASE WHEN deficit > 500 THEN 1 ELSE 0 END) AS BIGINT)
+          AS days_over
+      FROM dd GROUP BY loc ORDER BY loc""")) { (s, dir) =>
+      val daily = dailyCents(s, dir)
+        .select(col("loc"), col("day"),
+          (col("c") % 700L - col("c") % 2000L).as("net"))
+      Agro.waterBalance(daily, "loc", "day", "net",
+        thresholdCents = 500L)
+        .orderBy("loc")
+    },
+
     // Multi-year monthly climate normals + anomaly census over the
     // orders-derived monthly series (1995–2001): normal = across-year
     // mean (exact Σ cents / n), anomaly = deviation > 50% of the

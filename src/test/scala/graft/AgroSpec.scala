@@ -50,6 +50,35 @@ class AgroSpec extends SparkSpec {
       (2L, 0L, 0L, None, 0L)))
   }
 
+  test("waterBalance: window rewrite equals the sequential clamped fold") {
+    // deterministic pseudo-random net series per loc; reference is the
+    // literal recurrence D_t = max(0, D_{t-1} + net_t)
+    val series = for (loc <- 1L to 3L; i <- 1 to 40) yield
+      (loc, Date.valueOf(s"2024-01-01").toLocalDate.plusDays(i),
+        ((loc * 7919 + i * 104729) % 1501) - 700L)
+    val daily = series.map { case (l, d, n) =>
+      (l, Date.valueOf(d), n) }.toDF("loc", "day", "net")
+    val got = Agro.waterBalance(daily, "loc", "day", "net", 500L)
+      .orderBy("loc")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val exp = series.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (loc, rows) =>
+        val deficits = rows.sortBy(_._2).map(_._3)
+          .scanLeft(0L)((d, x) => math.max(0L, d + x)).tail
+        (loc, rows.size.toLong, deficits.max, deficits.last,
+          deficits.count(_ > 500L).toLong)
+    }
+    assert(got === exp)
+  }
+
+  test("waterBalance: all-negative net never goes below zero") {
+    val daily = (1 to 5).map(i =>
+      (1L, Date.valueOf(s"2024-01-0$i"), -10L)).toDF("loc", "day", "net")
+    val got = Agro.waterBalance(daily, "loc", "day", "net", 0L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 5L, 0L, 0L, 0L)))
+  }
+
   test("monthlyNormals: exact normals; strict > anomaly threshold") {
     // loc 1 month 1 across 3 years: 100.00, 200.00, 300.00 → normal
     // 200.00; |100·3−600|·100 = 30000 vs 50·600 = 30000 → NOT > (50%
