@@ -365,6 +365,47 @@ object ScaleProbe {
         println(f"""{"probe":"spatial","op":"$op","sf":"$sfDir",""" +
           f""""stations":$nSt,"cellMicro":$w,"rows":$rows,""" +
           f""""sec":$sec%.3f}""")
+      case "agro" :: sfDir :: rest =>
+        // decade measurement for the agro tier: the full q266/q267/
+        // q276 chains (daily reduction + indicator) over events —
+        // expected linear (single-pass keyed aggregations + one
+        // window sort per location)
+        import org.apache.spark.sql.functions._
+        import graft.analytics.Agro
+        val op = rest.headOption.getOrElse("gdd")
+        val ev = Tables.load(spark, sfDir, "events")
+        ev.count(): Unit // warm the scan, untimed
+        val base = ev.where(col("user_id").isNotNull &&
+            col("ts").isNotNull && col("value").isNotNull)
+          .select(col("user_id").as("loc"), to_date(col("ts")).as("day"),
+            (col("value").cast("decimal(18,2)") * 100).cast("long")
+              .as("c"))
+        val t0 = System.nanoTime()
+        val rows: Long = op match {
+          case "gdd" =>
+            val daily = base
+              .withColumn("t_c", col("c") % 5000L - 1000L)
+              .groupBy("loc", "day")
+              .agg(max("t_c").as("tmax_c"), min("t_c").as("tmin_c"))
+            Agro.gdd(daily, "loc", "tmax_c", "tmin_c").count()
+          case "dryspells" =>
+            val daily = base.groupBy("loc", "day")
+              .agg(sum(col("c")).as("cd"))
+              .select(col("loc"), col("day"),
+                (col("cd") % 10L < 4L).as("is_dry"))
+            Agro.drySpells(daily, "loc", "day", "is_dry", 3).count()
+          case "waterbalance" =>
+            val daily = base.groupBy("loc", "day")
+              .agg(sum(col("c")).as("cd"))
+              .select(col("loc"), col("day"),
+                (col("cd") % 700L - col("cd") % 2000L).as("net"))
+            Agro.waterBalance(daily, "loc", "day", "net", 500L).count()
+          case m =>
+            sys.error(s"agro op must be gdd|dryspells|waterbalance: $m")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"agro","op":"$op","sf":"$sfDir",""" +
+          f""""rows":$rows,"sec":$sec%.3f}""")
       case other =>
         System.err.println(s"unknown probe args: $other")
         sys.exit(2)
