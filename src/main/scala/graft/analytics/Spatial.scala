@@ -263,6 +263,36 @@ object Spatial {
         col("cluster"))
   }
 
+  /** Spatial block split — train/val/test assignment at the CELL
+    * level, not the point level (Roberts et al. 2017, "blocked"
+    * cross-validation): spatially autocorrelated neighbors land in
+    * the SAME split because the whole cell does, so a model can't
+    * leak across splits through near-identical adjacent points (the
+    * geospatial analogue of the dedup tier's cluster-aware
+    * `clusterSplit`). Assignment hashes the row-major cell id through
+    * the engine's portable md5 idiom — deterministic, engine-portable,
+    * and independent of point order or partitioning.
+    *
+    * Output: (pid, cell_lat, cell_lon, split) with split ∈
+    * train/val/test at ≈(100−valPct−testPct)/valPct/testPct percent
+    * of CELLS. Map-only over points — no shuffle at all.
+    */
+  def blockSplit(points: DataFrame, pid: String, platCol: String,
+      plonCol: String, cellMicro: Long, valPct: Long = 20L,
+      testPct: Long = 20L): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
+      s"blockSplit: bad split percents ($valPct, $testPct)")
+    val nLonCells = LonWrapMicro / cellMicro
+    val (pcl, pcn) = cellOf(col(platCol), col(plonCol), cellMicro)
+    val cid = (pcl * lit(nLonCells) + pcn).cast("string")
+    val bucket = Dedup.h30(cid) % lit(100L)
+    points.select(col(pid).as(pid), pcl.as("cell_lat"),
+      pcn.as("cell_lon"),
+      when(bucket < lit(100L - valPct - testPct), "train")
+        .when(bucket < lit(100L - testPct), "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Per-cell density census with 3×3 ring smoothing: for every cell
     * that contains at least one point — (cell_lat, cell_lon, n_points,
     * n_stations, ring_points) where `ring_points` sums point counts

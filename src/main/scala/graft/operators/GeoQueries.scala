@@ -473,6 +473,45 @@ object GeoQueries {
         .orderBy("loc")
     },
 
+    // Spatial block split (Roberts et al. 2017): train/val/test
+    // assigned per CELL, so spatially-autocorrelated neighbors cannot
+    // straddle splits — the geospatial analogue of the dedup tier's
+    // cluster-aware clusterSplit (q245). Map-only; assignment hashes
+    // the row-major cell id (portable md5 idiom, q225's form).
+    Q("q277_spatial_block_split", Some(s"""
+      WITH pts AS (
+        SELECT c_custkey,
+          (c_custkey * 2654435761) % 170000001 - 85000000 AS plat,
+          (c_custkey * 1103515245 + 12345) % 360000000 - 180000000 AS plon
+        FROM customer),
+      pc AS (
+        SELECT c_custkey,
+          (plat + 90000000) // 10000000 AS cell_lat,
+          (plon + 180000000) // 10000000 AS cell_lon
+        FROM pts),
+      sp AS (
+        SELECT c_custkey, cell_lat, cell_lon,
+          CASE WHEN b < 60 THEN 'train' WHEN b < 80 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (
+          SELECT *,
+            (CAST('0x' || substr(md5(CAST(cell_lat * 36 + cell_lon
+              AS VARCHAR)), 1, 8) AS BIGINT)
+              % ${graft.analytics.Dedup.P}) % 100 AS b
+          FROM pc))
+      SELECT split, CAST(count(*) AS BIGINT) AS n_points,
+        CAST(count(DISTINCT cell_lat * 36 + cell_lon) AS BIGINT)
+          AS n_cells
+      FROM sp GROUP BY split ORDER BY split""")) { (s, dir) =>
+      Spatial.blockSplit(points(s, dir), "c_custkey", "plat", "plon",
+          CellMicro)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_points"),
+          count_distinct(col("cell_lat") * lit(36L) + col("cell_lon"))
+            .as("n_cells"))
+        .orderBy("split")
+    },
+
     // Cumulative water-balance deficit: the clamped recurrence
     // D_t = max(0, D_{t-1} + ET0 - precip) via the Lindley rewrite
     // D_t = S_t - min(0, running-min S) — two windows over one sort

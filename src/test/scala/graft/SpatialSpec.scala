@@ -122,6 +122,29 @@ class SpatialSpec extends SparkSpec {
       (7L, 0L, 18L, None)))
   }
 
+  test("blockSplit: same cell always same split; percents validated") {
+    // many points across many cells: every cell maps to exactly one
+    // split, and the assignment is stable across invocations
+    val p = pts((1L to 200L).map(i =>
+      (i, (i % 17) * 10000000L - 80000000L,
+        (i % 36) * 10000000L - 180000000L)): _*)
+    val df = Spatial.blockSplit(p, "pid", "plat", "plon", Cell)
+    val perCell = df.groupBy("cell_lat", "cell_lon")
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).collect()(0).getLong(0)
+    assert(perCell === 1L)
+    val again = Spatial.blockSplit(p, "pid", "plat", "plon", Cell)
+      .orderBy("pid").collect().toSeq
+    assert(df.orderBy("pid").collect().toSeq === again)
+    val splits = df.select("split").distinct()
+      .as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(splits.contains("train"))
+    intercept[IllegalArgumentException] {
+      Spatial.blockSplit(p, "pid", "plat", "plon", Cell, 60L, 40L)
+    }
+  }
+
   test("ringDensity: own cell included, neighbors summed, lon wraps") {
     // three points: two in cell (9,0) (lon near −180°), one in cell
     // (9,35) (lon near +180°) — lon-adjacent by wrap; a station in (9,0)
