@@ -207,6 +207,46 @@ object Spatial {
         coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("est"))
   }
 
+  /** Local hot-spot detection (the Getis–Ord Gi* family in its
+    * integer-deterministic form): a cell is HOT when the mean of its
+    * 3×3 ring exceeds `num/den` times the global mean. Means are
+    * never materialized — the comparison cross-multiplies exact
+    * integer sums (ring_sum·global_n·den > num·global_sum·ring_n), so
+    * no float boundary exists and the verdict hash-compares across
+    * engines. Two linear cell-keyed aggregations (per-cell, then 9×
+    * ring contributions) plus one broadcast global scalar.
+    *
+    * Output per occupied cell: (cell_lat, cell_lon, n, sum_cents,
+    * ring_n, ring_sum, is_hot) — is_hot non-null.
+    */
+  def hotSpots(points: DataFrame, platCol: String, plonCol: String,
+      valueCents: Column, cellMicro: Long, num: Long = 3L,
+      den: Long = 2L): DataFrame = {
+    val nLonCells = LonWrapMicro / cellMicro
+    val (pcl, pcn) = cellOf(col(platCol), col(plonCol), cellMicro)
+    val cells = points.select(pcl.as("cell_lat"), pcn.as("cell_lon"),
+      valueCents.as("_v"))
+    val perCell = cells.groupBy("cell_lat", "cell_lon")
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("sum_cents"))
+    val ring = perCell
+      .withColumn("_di", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dj", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select((col("cell_lat") + col("_di")).as("cell_lat"),
+        ((col("cell_lon") + col("_dj") + lit(nLonCells)) % lit(nLonCells))
+          .as("cell_lon"),
+        col("n"), col("sum_cents"))
+      .groupBy("cell_lat", "cell_lon")
+      .agg(sum(col("n")).as("ring_n"), sum(col("sum_cents")).as("ring_sum"))
+    val global = perCell.agg(sum(col("n")).as("g_n"),
+      sum(col("sum_cents")).as("g_sum"))
+    perCell.join(ring, Seq("cell_lat", "cell_lon"))
+      .crossJoin(broadcast(global))
+      .select(col("cell_lat"), col("cell_lon"), col("n"),
+        col("sum_cents"), col("ring_n"), col("ring_sum"),
+        (col("ring_sum") * col("g_n") * lit(den) >
+          lit(num) * col("g_sum") * col("ring_n")).as("is_hot"))
+  }
+
   /** Grid-density spatial clustering (the STING/GriDBSCAN family:
     * DBSCAN with the grid cell as the density unit): a cell is DENSE
     * when it holds at least `minPts` points; dense cells that are

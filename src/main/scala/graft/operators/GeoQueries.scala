@@ -473,6 +473,104 @@ object GeoQueries {
         .orderBy("loc")
     },
 
+    // Local hot-spot census (Getis–Ord Gi* family, integer form): a
+    // cell is hot when its 3×3-ring mean account balance exceeds
+    // 3/2 × the global mean — compared CROSS-MULTIPLIED on exact
+    // integer sums (positive multipliers only, so negative balances
+    // keep their direction); no float boundary anywhere.
+    Q("q279_hot_spots", Some(s"""
+      WITH pts AS (
+        SELECT c_custkey,
+          (c_custkey * 2654435761) % 170000001 - 85000000 AS plat,
+          (c_custkey * 1103515245 + 12345) % 360000000 - 180000000 AS plon,
+          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM customer),
+      pc AS (
+        SELECT (plat + 90000000) // 10000000 AS cell_lat,
+          (plon + 180000000) // 10000000 AS cell_lon, v
+        FROM pts),
+      per_cell AS (
+        SELECT cell_lat, cell_lon, CAST(count(*) AS BIGINT) AS n,
+          CAST(SUM(v) AS BIGINT) AS sum_cents
+        FROM pc GROUP BY 1, 2),
+      ring AS (
+        SELECT p.cell_lat + i.i AS cell_lat,
+          (p.cell_lon + j.j + 36) % 36 AS cell_lon,
+          CAST(SUM(p.n) AS BIGINT) AS ring_n,
+          CAST(SUM(p.sum_cents) AS BIGINT) AS ring_sum
+        FROM per_cell p,
+          (SELECT unnest([-1, 0, 1]) AS i) i,
+          (SELECT unnest([-1, 0, 1]) AS j) j
+        GROUP BY 1, 2),
+      g AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS g_n,
+          CAST(SUM(sum_cents) AS BIGINT) AS g_sum
+        FROM per_cell)
+      SELECT p.cell_lat, p.cell_lon, p.n, p.sum_cents,
+        r.ring_n, r.ring_sum,
+        r.ring_sum * g.g_n * 2 > 3 * g.g_sum * r.ring_n AS is_hot
+      FROM per_cell p
+      JOIN ring r USING (cell_lat, cell_lon)
+      CROSS JOIN g
+      ORDER BY p.cell_lat, p.cell_lon""")) { (s, dir) =>
+      val pts = Tables.load(s, dir, "customer").select(
+        latOf("c_custkey", 2654435761L, 0L).as("plat"),
+        lonOf("c_custkey", 1103515245L, 12345L).as("plon"),
+        col("c_acctbal"))
+      Spatial.hotSpots(pts, "plat", "plon",
+        (Q.dec(col("c_acctbal")) * 100).cast("long"), CellMicro,
+        num = 3L, den = 2L)
+        .orderBy("cell_lat", "cell_lon")
+    },
+
+    // Origin–destination matrix over the event stream: consecutive
+    // events per user (ordered by ts, event_id) become cell→cell
+    // moves; one lag window + one keyed aggregation — the standard
+    // mobility-warehouse artifact. Event positions derive from
+    // event_id (same multiplicative-hash family as the point tables).
+    Q("q278_od_matrix", Some("""
+      WITH e AS (
+        SELECT user_id, ts, event_id,
+          ((event_id * 2654435761) % 170000001 - 85000000 + 90000000)
+            // 10000000 AS cl,
+          ((event_id * 1103515245 + 12345) % 360000000 - 180000000
+            + 180000000) // 10000000 AS cn
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL),
+      mv AS (
+        SELECT user_id, cl AS to_lat, cn AS to_lon,
+          lag(cl) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS from_lat,
+          lag(cn) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS from_lon
+        FROM e)
+      SELECT from_lat, from_lon, to_lat, to_lon,
+        CAST(count(*) AS BIGINT) AS n_moves,
+        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM mv WHERE from_lat IS NOT NULL
+      GROUP BY 1, 2, 3, 4
+      ORDER BY from_lat, from_lon, to_lat, to_lon""")) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, dir, "events")
+        .where(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
+      val (cl, cn) = Spatial.cellOf(
+        latOf("event_id", 2654435761L, 0L),
+        lonOf("event_id", 1103515245L, 12345L), CellMicro)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      e.select(col("user_id"), cl.as("to_lat"), cn.as("to_lon"),
+          col("ts"), col("event_id"))
+        .withColumn("from_lat", lag(col("to_lat"), 1).over(w))
+        .withColumn("from_lon", lag(col("to_lon"), 1).over(w))
+        .where(col("from_lat").isNotNull)
+        .groupBy("from_lat", "from_lon", "to_lat", "to_lon")
+        .agg(count(lit(1)).as("n_moves"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("from_lat", "from_lon", "to_lat", "to_lon")
+    },
+
     // Spatial block split (Roberts et al. 2017): train/val/test
     // assigned per CELL, so spatially-autocorrelated neighbors cannot
     // straddle splits — the geospatial analogue of the dedup tier's

@@ -122,6 +122,27 @@ class SpatialSpec extends SparkSpec {
       (7L, 0L, 18L, None)))
   }
 
+  test("hotSpots: local ring mean vs global mean, cross-multiplied") {
+    // ten isolated cold cells (value 0) + one dense cell with two
+    // points of 1000: ring mean 1000 vs global mean 2000/12 → hot;
+    // cold rings are 0 → not hot
+    def center(k: Long, lonCell: Long) =
+      (k * 10000000L - 90000000L + 5000000L,
+        lonCell * 10000000L - 180000000L + 5000000L)
+    val cold = for (k <- Seq(0L, 2L, 4L, 6L, 8L); lc <- Seq(0L, 18L))
+      yield { val (la, lo) = center(k, lc); (la, lo, 0L) }
+    val (ha, ho) = center(12L, 18L)
+    val all = (cold ++ Seq((ha, ho, 1000L), (ha + 1L, ho + 1L, 1000L)))
+      .toDF("plat", "plon", "v")
+    val got = Spatial.hotSpots(all, "plat", "plon", col("v"), Cell)
+      .orderBy("cell_lat", "cell_lon")
+      .as[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(got.size === 11)
+    val hot = got.filter(_._7)
+    assert(hot === Seq((12L, 18L, 2L, 2000L, 2L, 2000L, true)))
+  }
+
   test("blockSplit: same cell always same split; percents validated") {
     // many points across many cells: every cell maps to exactly one
     // split, and the assignment is stable across invocations
