@@ -125,6 +125,21 @@ object Versioned {
     (dropManifests.size, dropSegs.size)
   }
 
+  /** Compaction: rewrite the LATEST snapshot as one fresh segment and
+    * commit it as an overwrite version — the small-segments cure for
+    * an append-heavy table (manifests otherwise accumulate one
+    * segment per micro-batch/commit and readers pay per-dir open
+    * costs). History is preserved: older versions still reference the
+    * original segments until [[vacuum]] retires them. Returns the new
+    * version. Optionally coalesces to `numFiles` output files.
+    */
+  def compact(spark: SparkSession, path: String,
+      numFiles: Option[Int] = None): Long = {
+    val latest = read(spark, path)
+    val df = numFiles.map(latest.coalesce).getOrElse(latest)
+    commit(df, path, overwrite = true)
+  }
+
   /** Snapshot read — the given version, or the latest when
     * unspecified. Fails with a named error on an unknown version
     * instead of an empty scan. */

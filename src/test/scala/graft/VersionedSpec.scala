@@ -80,6 +80,25 @@ class VersionedSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
   }
 
+  test("compact rewrites latest as one segment, history preserved") {
+    val path = tmpDir("vcomp") + "/t"
+    Versioned.commit(Seq(1).toDF("x"), path): Unit
+    Versioned.commit(Seq(2).toDF("x"), path): Unit
+    Versioned.commit(Seq(3).toDF("x"), path): Unit
+    val v = Versioned.compact(spark, path, numFiles = Some(1))
+    assert(v === 4L)
+    // same data, one segment; pre-compaction snapshots intact
+    assert(Versioned.read(spark, path)
+      .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+    assert(Versioned.read(spark, path, Some(2L))
+      .as[Int].collect().sorted.toSeq === Seq(1, 2))
+    // vacuum after compaction retires the three original segments
+    val (m, s) = Versioned.vacuum(spark, path, keepLast = 1)
+    assert((m, s) === (3, 3))
+    assert(Versioned.read(spark, path)
+      .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
+  }
+
   test("snapshot isolation: a reader plan resolved at v1 is unaffected " +
       "by a later commit") {
     val path = tmpDir("viso") + "/t"
