@@ -162,8 +162,14 @@ object ScaleProbe {
               embT, "vec_id", "embedding",
               k = graft.analytics.Similarity.autoCoarseCells(n0),
               dim = 64, iterations = 2, pruneFraction = 0.25).count()
+          case "kn" =>
+            // the q269 chain: interpolated KN trigram cross-entropy —
+            // six vocab-sized count aggregations joined back to one
+            // exploded trigram stream; expected linear in tokens
+            graft.analytics.LangModel.knTrigramCrossEntropy(
+              docs, "doc_id", "text").count()
           case m => sys.error(s"unknown corpusop '$m' (keepbest|" +
-            "split|shards|diff|fertility|semdecon|semincr|protopr)")
+            "split|shards|diff|fertility|semdecon|semincr|protopr|kn)")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"corpusop","op":"$op","sf":"$sfDir",""" +
