@@ -207,6 +207,30 @@ object Spatial {
         coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("est"))
   }
 
+  /** ε-near-duplicate point pairs — entity resolution for locations:
+    * the reference's location dimension dedups by EXACT coordinate
+    * hash (`generate_location_hash`), so GPS-jittered re-submissions
+    * of the same field create duplicate dimension rows; this returns
+    * every pair within `epsMicro` micro-degrees (equirectangular,
+    * wrap-aware) for the dedup tier's connected-components +
+    * keep-representative machinery to collapse. Candidates come from
+    * the 3×3 cell ring (requires `epsMicro ≤ cellMicro` so coverage
+    * is exact — enforced), distinct-ed because neighbor rings
+    * overlap; `id_a < id_b` canonical order.
+    */
+  def nearDupPoints(points: DataFrame, pid: String, platCol: String,
+      plonCol: String, cellMicro: Long, epsMicro: Long): DataFrame = {
+    require(epsMicro >= 0 && epsMicro <= cellMicro,
+      s"nearDupPoints: epsMicro=$epsMicro must be in [0, cellMicro]")
+    ringCandidates(points, pid, platCol, plonCol,
+      points, pid, platCol, plonCol, cellMicro)
+      .where(col("_pid") < col("_sid") &&
+        col("_d2") <= lit(epsMicro) * lit(epsMicro))
+      .select(col("_pid").as("id_a"), col("_sid").as("id_b"),
+        col("_d2").as("d2"))
+      .distinct()
+  }
+
   /** Local hot-spot detection (the Getis–Ord Gi* family in its
     * integer-deterministic form): a cell is HOT when the mean of its
     * 3×3 ring exceeds `num/den` times the global mean. Means are

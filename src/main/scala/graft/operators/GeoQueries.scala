@@ -571,6 +571,145 @@ object GeoQueries {
         .orderBy("from_lat", "from_lon", "to_lat", "to_lon")
     },
 
+    // ε-near-duplicate location resolution: the reference dedups
+    // locations by EXACT coordinate hash, so GPS-jittered
+    // re-submissions of the same field duplicate the dimension; this
+    // collapses them — ring candidates (never all-pairs), d² ≤ ε²,
+    // connected components, min-id representative. Input = customers
+    // plus a planted jittered copy of every 10th one (key + 100000,
+    // ≤0.0005° offset); the lattice spacing of the synthetic coords
+    // guarantees the planted pairs are the only ones.
+    Q("q281_geo_dedup", Some(s"""
+      WITH RECURSIVE base AS (
+        SELECT c_custkey,
+          (c_custkey * 2654435761) % 170000001 - 85000000 AS plat,
+          (c_custkey * 1103515245 + 12345) % 360000000 - 180000000 AS plon
+        FROM customer),
+      pts AS (
+        SELECT c_custkey AS pid, plat, plon FROM base
+        UNION ALL
+        SELECT c_custkey + 100000, plat + (c_custkey % 1000) - 500,
+          ((plon + 180000000 + (c_custkey % 700) - 350 + 360000000)
+            % 360000000) - 180000000
+        FROM base WHERE c_custkey % 10 = 0),
+      pc AS (
+        SELECT pid, plat, plon,
+          (plat + 90000000) // 10000000 AS cl,
+          (plon + 180000000) // 10000000 AS cn
+        FROM pts),
+      probe AS (
+        SELECT p.pid, p.plat, p.plon, p.cl + i.i AS cl,
+          (p.cn + j.j + 36) % 36 AS cn
+        FROM pc p,
+          (SELECT unnest([-1, 0, 1]) AS i) i,
+          (SELECT unnest([-1, 0, 1]) AS j) j),
+      pairs AS (
+        SELECT DISTINCT a.pid AS id_a, b.pid AS id_b
+        FROM probe a JOIN pc b ON a.cl = b.cl AND a.cn = b.cn
+          AND a.pid < b.pid
+        WHERE (a.plat - b.plat) * (a.plat - b.plat)
+          + least(abs(a.plon - b.plon), 360000000 - abs(a.plon - b.plon))
+          * least(abs(a.plon - b.plon), 360000000 - abs(a.plon - b.plon))
+          <= 100000000),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src)
+      SELECT CAST(id AS BIGINT) AS pid,
+        CAST(MIN(r) AS BIGINT) AS cluster_rep
+      FROM reach GROUP BY id ORDER BY pid""")) { (s, dir) =>
+      import graft.analytics.Dedup
+      val base = points(s, dir)
+      val jittered = base.where(col("c_custkey") % 10L === 0L)
+        .select((col("c_custkey") + 100000L).as("c_custkey"),
+          (col("plat") + col("c_custkey") % 1000L - 500L).as("plat"),
+          ((col("plon") + lit(180000000L) + col("c_custkey") % 700L
+            - lit(350L) + lit(360000000L)) % lit(360000000L)
+            - lit(180000000L)).as("plon"))
+      val pts = base.select(col("c_custkey").as("c_custkey"),
+          col("plat"), col("plon"))
+        .unionByName(jittered)
+        .withColumnRenamed("c_custkey", "pid")
+      val pairs = Spatial.nearDupPoints(pts, "pid", "plat", "plon",
+        CellMicro, epsMicro = 10000L)
+      Dedup.connectedComponentsStar(pairs, "id_a", "id_b",
+          materializeResult = false)
+        .select(col("doc_id").as("pid"), col("cluster_rep"))
+        .orderBy("pid")
+    },
+
+    // Spatial trend surface: Mann–Kendall + Theil–Sen per GRID CELL
+    // over the user-located daily series — "which regions are
+    // drifting" as one query; the q230 machinery keyed by row-major
+    // cell id instead of event type.
+    Q("q280_cell_trend", Some("""
+      WITH d AS (
+        SELECT (((user_id * 2654435761) % 170000001 - 85000000
+              + 90000000) // 10000000) * 36
+            + ((user_id * 1103515245 + 12345) % 360000000 - 180000000
+              + 180000000) // 10000000 AS g,
+          CAST(ts AS DATE) AS day,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS yc
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND user_id IS NOT NULL
+        GROUP BY 1, 2),
+      p AS (
+        SELECT a.g,
+          CASE WHEN b.yc > a.yc THEN 1
+               WHEN b.yc < a.yc THEN -1 ELSE 0 END AS sgn,
+          (CAST(b.yc - a.yc AS DOUBLE) / 100.0)
+            / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        FROM d a JOIN d b ON a.g = b.g AND a.day < b.day),
+      sa AS (
+        SELECT g, CAST(SUM(sgn) AS BIGINT) AS s,
+          CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p GROUP BY g),
+      nd AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY g),
+      tt AS (
+        SELECT g, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tc
+        FROM (SELECT g, yc, CAST(count(*) AS BIGINT) AS t
+              FROM d GROUP BY g, yc)
+        GROUP BY g),
+      sen AS (
+        SELECT g, SUM(slope) / count(*) AS sen_slope FROM (
+          SELECT g, slope,
+            row_number() OVER (PARTITION BY g ORDER BY slope) AS rn,
+            count(*) OVER (PARTITION BY g) AS m
+          FROM p)
+        WHERE rn = CAST(floor(CAST(m + 1 AS DOUBLE) / 2.0) AS BIGINT)
+           OR rn = CAST(floor(CAST(m + 2 AS DOUBLE) / 2.0) AS BIGINT)
+        GROUP BY g),
+      v AS (
+        SELECT nd.g, nd.n, sa.n_pairs, sa.s, sen.sen_slope,
+          CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - tt.tc AS DOUBLE)
+            / 18.0 AS var_s
+        FROM nd JOIN tt ON nd.g = tt.g JOIN sa ON nd.g = sa.g
+          JOIN sen ON nd.g = sen.g)
+      SELECT g, n AS n_days, n_pairs, s, var_s,
+        CASE WHEN var_s <= 0 THEN NULL
+             WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+             WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+             ELSE 0.0 END AS z,
+        sen_slope
+      FROM v ORDER BY g""")) { (s, dir) =>
+      val (cl, cn) = Spatial.cellOf(
+        latOf("user_id", 2654435761L, 0L),
+        lonOf("user_id", 1103515245L, 12345L), CellMicro)
+      val daily = Tables.load(s, dir, "events")
+        .where(col("ts").isNotNull && col("value").isNotNull &&
+          col("user_id").isNotNull)
+        .groupBy((cl * lit(36L) + cn).as("g"),
+          to_date(col("ts")).as("day"))
+        .agg((sum(Q.dec(col("value"))) * 100).cast("long").as("yc"))
+      graft.analytics.TimeSeries.mannKendall(daily, "g", "day", "yc")
+        .orderBy("g")
+    },
+
     // Spatial block split (Roberts et al. 2017): train/val/test
     // assigned per CELL, so spatially-autocorrelated neighbors cannot
     // straddle splits — the geospatial analogue of the dedup tier's

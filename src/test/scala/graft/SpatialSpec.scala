@@ -122,6 +122,24 @@ class SpatialSpec extends SparkSpec {
       (7L, 0L, 18L, None)))
   }
 
+  test("nearDupPoints: inclusive eps, wrap pair, no self/far pairs") {
+    val p = pts(
+      (1L, 0L, 0L), (2L, 3000L, 4000L),      // d = 5000 exactly
+      (3L, 0L, 179999000L), (4L, 0L, -179999000L), // 2000 across seam
+      (5L, 20000000L, 0L))                   // far from everything
+    val got = Spatial.nearDupPoints(p, "pid", "plat", "plon", Cell,
+      epsMicro = 5000L)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 25000000L),   // 3000² + 4000² = 5000² — inclusive
+      (3L, 4L, 4000000L)))   // wrapped distance 2000²
+    intercept[IllegalArgumentException] {
+      Spatial.nearDupPoints(p, "pid", "plat", "plon", Cell,
+        epsMicro = Cell + 1)
+    }
+  }
+
   test("hotSpots: local ring mean vs global mean, cross-multiplied") {
     // ten isolated cold cells (value 0) + one dense cell with two
     // points of 1000: ring mean 1000 vs global mean 2000/12 → hot;
