@@ -122,6 +122,21 @@ class SpatialSpec extends SparkSpec {
       (7L, 0L, 18L, None)))
   }
 
+  test("ring joins compile to equi-joins — no BNLJ, no cartesian") {
+    val p = pts((1L, 0L, 0L), (2L, 5000000L, 5000000L))
+    val s = sts((1L, 1000000L, 1000000L), (2L, 40000000L, 0L))
+    val plans = Seq(
+      Spatial.nearestStation(p, "pid", "plat", "plon",
+        s, "sid", "slat", "slon", Cell),
+      Spatial.nearDupPoints(p, "pid", "plat", "plon", Cell, 10000L),
+      Spatial.gridClusters(p, "pid", "plat", "plon", Cell, 2L))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach { ph =>
+      assert(!ph.contains("BroadcastNestedLoopJoin"), ph.take(400))
+      assert(!ph.contains("CartesianProduct"), ph.take(400))
+    }
+  }
+
   test("nearDupPoints: inclusive eps, wrap pair, no self/far pairs") {
     val p = pts(
       (1L, 0L, 0L), (2L, 3000L, 4000L),      // d = 5000 exactly
