@@ -18,44 +18,88 @@ import org.apache.spark.sql.types.DecimalType
   * Representation: coordinates are integer micro-degrees (lat ∈
   * [−90e6, 90e6], lon ∈ [−180e6, 180e6)) — exact in BIGINT in every
   * engine, no floating-point boundary behavior. The distance metric is
-  * squared equirectangular micro-degrees `dlat² + dlon_wrapped²`
-  * (longitude wraps at ±180°): monotone in true distance at warehouse
-  * extents, exact in 64-bit (max ≈ 6.5e16 < 2⁶³), and — because it is
-  * integer — bit-identical across engines, so nearest-neighbor
-  * argmins can be oracle-checked by value hash.
+  * squared LOCALLY-SCALED equirectangular micro-degrees
+  * `dlat² + ((dlon_wrapped · cosQ) div 2²⁰)²` (longitude wraps at
+  * ±180°), where `cosQ` is a fixed-point integer cos of the pair's
+  * midpoint-latitude degree band ([[CosQ]]): a degree of longitude
+  * shrinks by cos(lat), and an unscaled metric overweights longitude
+  * off the equator (at lat 60° it would rank a station 0.5° east
+  * (~28 km) behind one 0.4° south (~44 km)). Scaled micro-degrees
+  * track great-circle micro-degrees to within the 1°-band
+  * quantization of the table; the metric stays all-BIGINT (max
+  * ≈ 6.5e16 < 2⁶³) and — because the table is one shared integer
+  * array — bit-identical across engines, so nearest-neighbor argmins
+  * can be oracle-checked by value hash. Where geodesic truth is
+  * required (reported distances, ε-contracts), the integer metric is
+  * the candidate FILTER and [[haversineMeters]] the REFINE step
+  * ([[nearDupPointsVerified]]).
   *
   * Scale shape (the reason this is a library operator and not a SQL
   * cross join): every operator buckets both sides onto a fixed grid of
-  * `cellMicro`-sized cells and probes only the 3×3 neighbor ring — an
-  * EQUI-join on cell id. Candidates per point ≈ 9 · station density ·
-  * cell area; nothing is ever points × stations. At 100 TB the cell id
-  * is also the natural partition/bucket key: pre-bucketing both sides
-  * by cell makes the probe a zero-exchange sort-merge join.
+  * `cellMicro`-sized cells and probes a neighbor ring — ±1 cell in
+  * latitude and a PER-POINT longitude half-width `k` ≥ 1 cell sized so
+  * the ring covers one cell width of SCALED distance at that latitude
+  * (k ≈ sec(lat), full circle only adjacent to the poles where the
+  * row holds few cells' worth of area anyway) — an EQUI-join on cell
+  * id. Candidates per point ≈ ring cells · station density; nothing
+  * is ever points × stations. At 100 TB the cell id is also the
+  * natural partition/bucket key: pre-bucketing both sides by cell
+  * makes the probe a zero-exchange sort-merge join.
   *
   * Contract: the ring probe is EXACT for any true nearest neighbor
-  * within one cell width `cellMicro` of the query point (the 3×3 ring
-  * covers that disc entirely); a point whose nearest station is
-  * farther returns the nearest RING candidate if any, else a null
-  * match. This radius-bounded semantics is what scales — an unbounded
-  * exact NN over sparse stations degenerates to all-pairs — and the
-  * cell width is the explicit accuracy/cost knob.
+  * within one cell width `cellMicro` of the query point IN THE SCALED
+  * METRIC (the ring covers that disc entirely, at every latitude); a
+  * point whose nearest station is farther returns the nearest RING
+  * candidate if any, else a null match. This radius-bounded semantics
+  * is what scales — an unbounded exact NN over sparse stations
+  * degenerates to all-pairs — and the cell width is the explicit
+  * accuracy/cost knob.
   */
 object Spatial {
 
   /** Degrees of longitude in micro-degrees (wrap modulus). */
   val LonWrapMicro: Long = 360000000L
 
+  /** Fixed-point scale of the cos table: 2²⁰. */
+  val CosScale: Long = 1L << 20
+
+  /** Fixed-point cos table, one entry per whole degree of |latitude|:
+    * `CosQ(b) = round(cos(b°) · 2²⁰)` for b ∈ [0, 90] — CosQ(0) =
+    * 2²⁰ exactly (the equator is unscaled), CosQ(90) = 0. Computed
+    * via StrictMath (bit-reproducible on every JVM) and embedded
+    * VERBATIM in the DuckDB oracles via [[cosQSqlList]], so both
+    * engines read the same integers — the shared-coefficients idiom.
+    * Weakly decreasing, which the ring-coverage bound relies on. */
+  val CosQ: Array[Long] = Array.tabulate(91) { b =>
+    math.round(StrictMath.cos(StrictMath.toRadians(b.toDouble)) *
+      CosScale.toDouble)
+  }
+
+  /** [[CosQ]] as a DuckDB list literal (`[1048576, …, 0]`). */
+  def cosQSqlList: String = CosQ.mkString("[", ", ", "]")
+
+  /** Table lookup: `CosQ(band)` as a Column (band already clamped to
+    * [0, 90] by callers). */
+  private def cosAt(band: Column): Column =
+    element_at(typedLit(CosQ.toSeq), (band + lit(1L)).cast("int"))
+
+  /** Mean Earth radius, metres (IUGG). */
+  val EarthRadiusM: Double = 6371000.0
+
   /** Admissible cell widths, finest first — every rung divides both
     * 180e6 and 360e6 micro-degrees so the grid tiles exactly. */
   val CellLadderMicro: Seq[Long] = Seq(100000L, 200000L, 500000L,
     1000000L, 2000000L, 3000000L, 4000000L, 5000000L, 10000000L)
 
-  /** Auto cell width: the FINEST ladder rung whose expected 3×3-ring
-    * candidate count still reaches `targetPerRing` at the observed
-    * station density — 9·n / cells(w) ≥ target with cells(w) =
-    * (180e6/w)·(360e6/w). A pinned width is the q22-bug class of this
-    * tier: at fixed w the ring join degenerates to O(points·stations)
-    * as density grows; cells ∝ stations keeps per-point candidates
+  /** Auto cell width: the FINEST ladder rung whose expected base-ring
+    * (3×3) candidate count still reaches `targetPerRing` at the
+    * observed station density — 9·n / cells(w) ≥ target with cells(w)
+    * = (180e6/w)·(360e6/w). (The latitude-adaptive ring of
+    * [[ringCandidates]] widens that by ≈ sec(lat) per row — a bounded
+    * constant over the populated bands that does not change the rung
+    * choice.) A pinned width is the q22-bug class of this tier: at
+    * fixed w the ring join degenerates to O(points·stations) as
+    * density grows; cells ∝ stations keeps per-point candidates
     * constant, so total candidate volume stays linear in points.
     * Falls back to the coarsest rung (10°) for sparse station sets,
     * where a finer grid would leave rings empty.
@@ -76,35 +120,97 @@ object Spatial {
       : (Column, Column) = {
     require(LonWrapMicro % cellMicro == 0,
       s"cellMicro=$cellMicro must divide 360e6 micro-degrees")
+    // the ring operators' ±1 wrap offsets need >= 3 distinct longitude
+    // cells — at 2 (or 1) cells the wrapped probe offsets collapse
+    // onto the same cell and ring candidates double-count
+    require(cellMicro <= 120000000L,
+      s"cellMicro=$cellMicro leaves < 3 longitude cells (max 120e6)")
     (((latMicro + lit(90000000L)) / lit(cellMicro)).cast("long"),
       ((lonMicro + lit(180000000L)) / lit(cellMicro)).cast("long"))
   }
 
-  /** Squared equirectangular distance in micro-degrees², longitude
-    * wrapped at ±180°. Integer-exact (inputs are BIGINT micro-degrees).
-    */
-  def dist2(plat: Column, plon: Column, slat: Column, slon: Column)
-      : Column = {
+  /** Squared locally-scaled equirectangular distance in scaled
+    * micro-degrees², longitude wrapped at ±180° and scaled by the
+    * fixed-point cos of the pair's midpoint-latitude degree band:
+    * `dlat² + ((dlon · CosQ(band)) div 2²⁰)²` with
+    * `band = min(90, |plat + slat| div 2e6) + bandShift`. All-BIGINT
+    * and engine-portable (every division is non-negative, the cos
+    * factor is a shared integer table).
+    *
+    * `bandShift = 0` (default) reads cos at the band's LOWER edge —
+    * an upper bound of cos within the band, so the scaled distance
+    * can only round toward the unscaled one; `bandShift = 1` reads
+    * the UPPER edge — cos is then ≤ the true cos of any latitude in
+    * the band, making the metric ADMISSIBLE (never overestimates the
+    * band-quantized great-circle distance): the right pre-filter when
+    * an exact scorer ([[haversineMeters]]) refines survivors, because
+    * an admissible filter cannot drop a true match. */
+  def dist2(plat: Column, plon: Column, slat: Column, slon: Column,
+      bandShift: Int = 0): Column = {
     val dlat = plat - slat
     val rawDlon = abs(plon - slon)
     val dlon = least(rawDlon, lit(LonWrapMicro) - rawDlon)
-    dlat * dlat + dlon * dlon
+    val band = least(lit(90L),
+      (abs(plat + slat) / lit(2000000L)).cast("long")
+        + lit(bandShift.toLong))
+    val dlonEff = ((dlon * cosAt(band)) / lit(CosScale)).cast("long")
+    dlat * dlat + dlonEff * dlonEff
   }
 
-  /** 3×3 neighbor-ring candidate pairs between `points` and
-    * `stations`: one row per (point, station) with the station in any
-    * of the point's nine surrounding grid cells, carrying the exact
-    * integer `d2`. The join is an equi-join on cell id — the only
-    * shuffles are the two cell-keyed exchanges. Longitude cells wrap;
-    * latitude cells outside the grid simply match nothing.
+  /** Great-circle distance in metres (haversine, sphere of
+    * [[EarthRadiusM]]) between micro-degree coordinates — the exact
+    * geodesic RE-SCORER for candidates the integer metric pre-filters.
+    * Double-precision; the operation order matches the oracle SQL
+    * textually so both engines run the same IEEE expression (the
+    * only residual divergence is sub-ulp libm noise, which callers
+    * absorb by rounding reported distances). Wrap-safe: sin²(Δλ/2)
+    * is periodic, so the ±180° seam needs no special case. */
+  def haversineMeters(platM: Column, plonM: Column, slatM: Column,
+      slonM: Column): Column = {
+    val sdLat = sin(radians((slatM - platM).cast("double") /
+      lit(2000000.0)))
+    val sdLon = sin(radians((slonM - plonM).cast("double") /
+      lit(2000000.0)))
+    val h = sdLat * sdLat +
+      cos(radians(platM.cast("double") / lit(1000000.0))) *
+        cos(radians(slatM.cast("double") / lit(1000000.0))) *
+        sdLon * sdLon
+    lit(2.0) * lit(EarthRadiusM) * asin(sqrt(h))
+  }
+
+  /** Neighbor-ring candidate pairs between `points` and `stations`:
+    * one row per (point, station) with the station in any of the
+    * point's ring cells, carrying the exact integer scaled `_d2`
+    * ([[dist2]] at the same `bandShift`). The join is an equi-join on
+    * cell id — the only shuffles are the two cell-keyed exchanges.
+    * Longitude cells wrap; latitude cells outside the grid simply
+    * match nothing.
     *
-    * Output: point id/lat/lon, station id, `d2` (BIGINT), plus
+    * Ring shape: ±1 cell in latitude (dlat is unscaled, so one cell
+    * width of scaled distance never crosses two row boundaries) and a
+    * PER-POINT longitude half-width `k` — the smallest k such that
+    * every station within one cell width of SCALED distance falls
+    * inside ±k columns. Derivation (all-integer, mirrored in the
+    * oracle SQL): a qualifying station has
+    * `floor(dlon · cq_mid / 2²⁰) ≤ cellMicro`, and `cq_mid ≥ cq :=
+    * CosQ(min(90, (|plat| + cellMicro) div 1e6) + bandShift)` (table
+    * weakly decreasing, the station is ≤ cellMicro of latitude away),
+    * so `dlon ≤ Dmax := ((cellMicro+1)·2²⁰ − 1) div cq` and the
+    * column distance is ≤ `k := (Dmax + cellMicro − 1) div
+    * cellMicro`. k ≈ sec(lat): 1–2 at low latitude, growing toward
+    * the poles; when 2k+1 ≥ nLonCells the probe covers each column of
+    * the row EXACTLY once (offsets 0..nLonCells−1 — no duplicate
+    * candidates, ever). cq = 0 (coverage interval touching the pole)
+    * routes to the same full-circle branch via a guarded divisor.
+    *
+    * Output: point id/lat/lon, station id, `_d2` (BIGINT), plus
     * `_svalue` when `stationValue` is set (payload for interpolation).
     */
   def ringCandidates(points: DataFrame, pid: String, platCol: String,
       plonCol: String, stations: DataFrame, sid: String,
       slatCol: String, slonCol: String, cellMicro: Long,
-      stationValue: Option[Column] = None): DataFrame = {
+      stationValue: Option[Column] = None, bandShift: Int = 0)
+      : DataFrame = {
     val nLonCells = LonWrapMicro / cellMicro
     val (scl, scn) = cellOf(col(slatCol), col(slonCol), cellMicro)
     val svalue = stationValue.getOrElse(lit(null))
@@ -112,14 +218,26 @@ object Spatial {
       col(slatCol).as("_slat"), col(slonCol).as("_slon"),
       svalue.as("_svalue"), scl.as("_cl"), scn.as("_cn"))
     val (pcl, pcn) = cellOf(col(platCol), col(plonCol), cellMicro)
-    // nine probe cells per point: lat offsets clip off-grid naturally,
-    // lon offsets wrap (+nLonCells keeps the operand non-negative so
-    // % agrees across engines)
+    // per-point lon half-width (see scaladoc); every division has a
+    // non-negative numerator < 2^53, so the double-division + cast
+    // idiom is exact and floor/trunc agree with DuckDB's `//`
+    val bcov = least(lit(90L),
+      ((abs(col(platCol)) + lit(cellMicro)) / lit(1000000L))
+        .cast("long") + lit(bandShift.toLong))
+    val cqSafe = greatest(cosAt(bcov), lit(1L))
+    val dmax = (lit((cellMicro + 1L) * CosScale - 1L) / cqSafe)
+      .cast("long")
+    val k = least(
+      ((dmax + lit(cellMicro - 1L)) / lit(cellMicro)).cast("long"),
+      lit(nLonCells))
+    val lonOffs = when(k * lit(2L) + lit(1L) >= lit(nLonCells),
+      sequence(lit(0L), lit(nLonCells - 1L)))
+      .otherwise(sequence(-k, k))
     val probes = points.select(col(pid).as("_pid"),
       col(platCol).as("_plat"), col(plonCol).as("_plon"),
-      pcl.as("_pcl0"), pcn.as("_pcn0"))
+      pcl.as("_pcl0"), pcn.as("_pcn0"), lonOffs.as("_offs"))
       .withColumn("_di", explode(array(lit(-1L), lit(0L), lit(1L))))
-      .withColumn("_dj", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("_dj", explode(col("_offs")))
       .select(col("_pid"), col("_plat"), col("_plon"),
         (col("_pcl0") + col("_di")).as("_cl"),
         ((col("_pcn0") + col("_dj") + lit(nLonCells)) % lit(nLonCells))
@@ -127,8 +245,8 @@ object Spatial {
     probes.join(st, Seq("_cl", "_cn"))
       .select(col("_pid"), col("_plat"), col("_plon"), col("_sid"),
         col("_svalue"),
-        dist2(col("_plat"), col("_plon"), col("_slat"), col("_slon"))
-          .as("_d2"))
+        dist2(col("_plat"), col("_plon"), col("_slat"), col("_slon"),
+          bandShift).as("_d2"))
   }
 
   /** Nearest station per point within the 3×3 cell ring (radius-bounded
@@ -211,12 +329,14 @@ object Spatial {
     * the reference's location dimension dedups by EXACT coordinate
     * hash (`generate_location_hash`), so GPS-jittered re-submissions
     * of the same field create duplicate dimension rows; this returns
-    * every pair within `epsMicro` micro-degrees (equirectangular,
-    * wrap-aware) for the dedup tier's connected-components +
-    * keep-representative machinery to collapse. Candidates come from
-    * the 3×3 cell ring (requires `epsMicro ≤ cellMicro` so coverage
-    * is exact — enforced), distinct-ed because neighbor rings
-    * overlap; `id_a < id_b` canonical order.
+    * every pair within `epsMicro` SCALED micro-degrees ([[dist2]] —
+    * wrap-aware, cos-scaled) for the dedup tier's
+    * connected-components + keep-representative machinery to
+    * collapse. Candidates come from the cell ring (requires
+    * `epsMicro ≤ cellMicro` so coverage is exact — enforced),
+    * distinct-ed because neighbor rings overlap; `id_a < id_b`
+    * canonical order. For a geodesically-true ε in metres use
+    * [[nearDupPointsVerified]].
     */
   def nearDupPoints(points: DataFrame, pid: String, platCol: String,
       plonCol: String, cellMicro: Long, epsMicro: Long): DataFrame = {
@@ -228,6 +348,55 @@ object Spatial {
         col("_d2") <= lit(epsMicro) * lit(epsMicro))
       .select(col("_pid").as("id_a"), col("_sid").as("id_b"),
         col("_d2").as("d2"))
+      .distinct()
+  }
+
+  /** The finest [[CellLadderMicro]] rung ≥ `epsMicro` — the
+    * eps-matched cell width for ε-neighborhood operators. A width
+    * far coarser than ε is the tier's pinned-width bug class in its
+    * worst form: ring candidates scale with (cell/ε)² times the
+    * ε-neighborhood (e.g. 10° cells for ε = 0.01° probe ~10⁶× the
+    * target area); the finest covering rung cuts that to the ring
+    * constant. */
+  def epsCellMicro(epsMicro: Long): Long =
+    CellLadderMicro.find(_ >= epsMicro).getOrElse(CellLadderMicro.last)
+
+  /** Filter-and-refine ε-near-duplicate pairs with geodesically TRUE
+    * distances: candidates come from the integer ring at the
+    * ADMISSIBLE metric (`bandShift = 1` — never overestimates, so no
+    * true pair is dropped by the pre-filter), pre-gated at
+    * `pregateMicro` scaled micro-degrees, then RE-SCORED with exact
+    * [[haversineMeters]]; a pair survives iff its rounded haversine
+    * distance ≤ `epsMeters`. Callers size `pregateMicro` ≥
+    * epsMeters-in-micro-degrees with margin (1 m ≈ 8.99 micro-deg;
+    * ~30 % margin absorbs the equirect-vs-great-circle and band
+    * quantization slop at warehouse ε) and the cell width from
+    * [[epsCellMicro]] (default). Integer candidate generation keeps
+    * the plan deterministic and equi-joined; the one double
+    * expression runs only on the bounded survivor set.
+    *
+    * Output: (id_a, id_b, dist_m) with id_a < id_b, dist_m rounded
+    * to mm (absorbs sub-ulp libm divergence across engines).
+    */
+  def nearDupPointsVerified(points: DataFrame, pid: String,
+      platCol: String, plonCol: String, pregateMicro: Long,
+      epsMeters: Double, cellMicroOpt: Option[Long] = None)
+      : DataFrame = {
+    val cellMicro = cellMicroOpt.getOrElse(epsCellMicro(pregateMicro))
+    require(pregateMicro >= 0 && pregateMicro <= cellMicro,
+      s"nearDupPointsVerified: pregateMicro=$pregateMicro must be in " +
+        s"[0, cellMicro=$cellMicro]")
+    val cand = ringCandidates(points, pid, platCol, plonCol,
+      points, pid, platCol, plonCol, cellMicro,
+      stationValue = Some(struct(col(platCol).as("lat"),
+        col(plonCol).as("lon"))),
+      bandShift = 1)
+    cand.where(col("_pid") < col("_sid") &&
+        col("_d2") <= lit(pregateMicro) * lit(pregateMicro))
+      .select(col("_pid").as("id_a"), col("_sid").as("id_b"),
+        round(haversineMeters(col("_plat"), col("_plon"),
+          col("_svalue.lat"), col("_svalue.lon")), 3).as("dist_m"))
+      .where(col("dist_m") <= lit(epsMeters))
       .distinct()
   }
 
@@ -263,12 +432,19 @@ object Spatial {
       .agg(sum(col("n")).as("ring_n"), sum(col("sum_cents")).as("ring_sum"))
     val global = perCell.agg(sum(col("n")).as("g_n"),
       sum(col("sum_cents")).as("g_sum"))
+    // cross-multiply in DECIMAL(38,0): with ~1e10 points and cent
+    // sums ~1e15 the BIGINT triple products exceed 2^63 — Spark would
+    // silently wrap (non-ANSI) or error (ANSI) while DuckDB raises;
+    // exact decimals keep the verdict correct at any corpus scale
+    // (the idwEstimate idiom)
+    val d38 = DecimalType(38, 0)
     perCell.join(ring, Seq("cell_lat", "cell_lon"))
       .crossJoin(broadcast(global))
       .select(col("cell_lat"), col("cell_lon"), col("n"),
         col("sum_cents"), col("ring_n"), col("ring_sum"),
-        (col("ring_sum") * col("g_n") * lit(den) >
-          lit(num) * col("g_sum") * col("ring_n")).as("is_hot"))
+        (col("ring_sum").cast(d38) * col("g_n").cast(d38) * lit(den) >
+          lit(num) * col("g_sum").cast(d38) * col("ring_n").cast(d38))
+          .as("is_hot"))
   }
 
   /** Grid-density spatial clustering (the STING/GriDBSCAN family:

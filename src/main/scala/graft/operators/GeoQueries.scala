@@ -21,8 +21,14 @@ import graft.analytics.{Agro, Spatial}
   */
 object GeoQueries {
 
-  /** 10° grid cells: 17×36 over the globe — the accuracy/cost knob of
-    * the ring probe (contract: exact NN within one cell width). */
+  /** 10° REPORTING grid (17×36 over the globe) for the census/cluster
+    * queries whose output is keyed by cell (q265/q270/q277–q280) and
+    * for q275's suitability map. The metric queries (nearest station,
+    * IDW, as-of, ε-dedup) do NOT pin this width — they derive theirs
+    * from [[graft.analytics.Spatial.autoCellMicro]] /
+    * [[graft.analytics.Spatial.epsCellMicro]]; a pinned probe width
+    * is the tier's own documented bug class (O(points·stations) as
+    * density grows). */
   private val CellMicro = 10000000L
 
   // deterministic synthetic coordinates (micro-degrees) from keys;
@@ -43,12 +49,18 @@ object GeoQueries {
       latOf("s_suppkey", 2246822519L, 97L).as("slat"),
       lonOf("s_suppkey", 2654435761L, 31L).as("slon"))
 
-  /** Shared oracle CTEs: the same key→coordinate derivation, cell
-    * assignment, 3×3 ring probe, and integer wrap-aware d² as the
-    * Spark operators, in DuckDB SQL. `//` (floor div) and `div` agree
-    * because every dividend is non-negative.
+  /** Shared oracle CTEs: the same key→coordinate derivation as
+    * [[points]]/[[stations]], the CosQ fixed-point cos table embedded
+    * verbatim (shared-coefficients idiom — both engines read the SAME
+    * integers), and the auto cell width mirroring
+    * [[graft.analytics.Spatial.autoCellMicro]]'s rung ladder as a
+    * CASE over count(*) (thresholds are ceil(8·cells(w)/9) per rung,
+    * inlined as literals and pinned by SpatialSpec). `//` and Spark's
+    * non-negative-div idiom agree because every dividend here is
+    * shifted non-negative.
     */
-  private val duckGeo = """
+  private def duckBase = s"""
+    ct(q) AS (SELECT ${graft.analytics.Spatial.cosQSqlList}::BIGINT[]),
     pts AS (
       SELECT c_custkey,
         (c_custkey * 2654435761) % 170000001 - 85000000 AS plat,
@@ -59,110 +71,98 @@ object GeoQueries {
         (s_suppkey * 2246822519 + 97) % 170000001 - 85000000 AS slat,
         (s_suppkey * 2654435761 + 31) % 360000000 - 180000000 AS slon
       FROM supplier),
-    stc AS (
-      SELECT *, (slat + 90000000) // 10000000 AS cl,
-        (slon + 180000000) // 10000000 AS cn
-      FROM st),
-    probe AS (
-      SELECT p.c_custkey, p.plat, p.plon,
-        (p.plat + 90000000) // 10000000 + i.i AS cl,
-        ((p.plon + 180000000) // 10000000 + j.j + 36) % 36 AS cn
-      FROM pts p,
-        (SELECT unnest([-1, 0, 1]) AS i) i,
-        (SELECT unnest([-1, 0, 1]) AS j) j),
-    cand AS (
-      SELECT pr.c_custkey, s.s_suppkey, s.s_acctbal,
-        (pr.plat - s.slat) * (pr.plat - s.slat)
-          + least(abs(pr.plon - s.slon), 360000000 - abs(pr.plon - s.slon))
-          * least(abs(pr.plon - s.slon), 360000000 - abs(pr.plon - s.slon))
-          AS d2
-      FROM probe pr JOIN stc s ON pr.cl = s.cl AND pr.cn = s.cn)"""
+    wp AS (
+      SELECT w, 360000000 // w AS nlon FROM (
+        SELECT CASE WHEN c >= 5760000 THEN 100000
+                    WHEN c >= 1440000 THEN 200000
+                    WHEN c >= 230400 THEN 500000
+                    WHEN c >= 57600 THEN 1000000
+                    WHEN c >= 14400 THEN 2000000
+                    WHEN c >= 6400 THEN 3000000
+                    WHEN c >= 3600 THEN 4000000
+                    WHEN c >= 2304 THEN 5000000
+                    ELSE 10000000 END AS w
+        FROM (SELECT count(*) AS c FROM supplier)))"""
 
-  /** One auto-width oracle branch: the full nearest-station result at
-    * cell width `w`, gated on the station count range [lo, hi). Mirrors
-    * [[graft.analytics.Spatial.autoCellMicro]]'s rung selection —
-    * thresholds are the Scala rule's own values inlined as literals
-    * (the embAutoCandCtes idiom). */
-  private def duckNearestBranch(w: Long, lo: Long, hi: Long): String = {
-    val nLon = 360000000L / w
-    s"""
-      SELECT p.c_custkey, b.s_suppkey AS station, b.d2,
-        CAST(COALESCE(b.n_cand, 0) AS BIGINT) AS n_cand,
-        CAST($w AS BIGINT) AS cell_micro
-      FROM pts p LEFT JOIN (
-        SELECT * FROM (
-          SELECT pr.c_custkey, s.s_suppkey,
-            (pr.plat - s.slat) * (pr.plat - s.slat)
-              + least(abs(pr.plon - s.slon),
-                  360000000 - abs(pr.plon - s.slon))
-              * least(abs(pr.plon - s.slon),
-                  360000000 - abs(pr.plon - s.slon)) AS d2,
-            row_number() OVER (PARTITION BY pr.c_custkey
-              ORDER BY (pr.plat - s.slat) * (pr.plat - s.slat)
-                + least(abs(pr.plon - s.slon),
-                    360000000 - abs(pr.plon - s.slon))
-                * least(abs(pr.plon - s.slon),
-                    360000000 - abs(pr.plon - s.slon)),
-                s.s_suppkey) AS rn,
-            count(*) OVER (PARTITION BY pr.c_custkey) AS n_cand
-          FROM (
-            SELECT p2.c_custkey, p2.plat, p2.plon,
-              (p2.plat + 90000000) // $w + i.i AS cl,
-              ((p2.plon + 180000000) // $w + j.j + $nLon) % $nLon AS cn
-            FROM pts p2,
-              (SELECT unnest([-1, 0, 1]) AS i) i,
-              (SELECT unnest([-1, 0, 1]) AS j) j) pr
-          JOIN (
-            SELECT *, (slat + 90000000) // $w AS cl,
-              (slon + 180000000) // $w AS cn
-            FROM st) s
-          ON pr.cl = s.cl AND pr.cn = s.cn)
-        WHERE rn = 1) b USING (c_custkey)
-      WHERE (SELECT c FROM ns) >= $lo AND (SELECT c FROM ns) < $hi"""
-  }
+  /** Auto-width ring probe + exact scaled-d² candidates — mirrors
+    * [[graft.analytics.Spatial.ringCandidates]] (bandShift 0) in
+    * DuckDB SQL: per-point lon half-width k from the coverage bound,
+    * full-circle collapse when 2k+1 ≥ nlon (each column probed
+    * exactly once), and the midpoint-band cos-scaled metric of
+    * [[graft.analytics.Spatial.dist2]]. */
+  private val duckCand = """
+    stc AS (
+      SELECT st.*, (slat + 90000000) // wp.w AS cl,
+        (slon + 180000000) // wp.w AS cn
+      FROM st, wp),
+    pk AS (
+      SELECT p.c_custkey, p.plat, p.plon, wp.nlon,
+        (p.plat + 90000000) // wp.w AS cl0,
+        (p.plon + 180000000) // wp.w AS cn0,
+        least((((wp.w + 1) * CAST(1048576 AS BIGINT) - 1)
+            // greatest(list_extract((SELECT q FROM ct),
+                least(90, (abs(p.plat) + wp.w) // 1000000) + 1), 1)
+            + wp.w - 1) // wp.w,
+          wp.nlon) AS k
+      FROM pts p, wp),
+    probe0 AS (
+      SELECT c_custkey, plat, plon, cl0, cn0, nlon,
+        unnest(CASE WHEN 2 * k + 1 >= nlon THEN range(0, nlon)
+                    ELSE range(-k, k + 1) END) AS dj
+      FROM pk),
+    probe AS (
+      SELECT p.c_custkey, p.plat, p.plon, p.cl0 + i.i AS cl,
+        (p.cn0 + p.dj + p.nlon) % p.nlon AS cn
+      FROM probe0 p, (SELECT unnest([-1, 0, 1]) AS i) i),
+    cand AS (
+      SELECT c_custkey, s_suppkey, s_acctbal,
+        dlat * dlat + dle * dle AS d2
+      FROM (
+        SELECT pr.c_custkey, s.s_suppkey, s.s_acctbal,
+          pr.plat - s.slat AS dlat,
+          least(abs(pr.plon - s.slon),
+              360000000 - abs(pr.plon - s.slon))
+            * list_extract((SELECT q FROM ct),
+                least(90, abs(pr.plat + s.slat) // 2000000) + 1)
+            // 1048576 AS dle
+        FROM probe pr JOIN stc s ON pr.cl = s.cl AND pr.cn = s.cn))"""
 
   val all: Seq[Q] = Seq(
 
     // Auto-width nearest-station join: the cell width comes from the
     // autoCellMicro rule (cells ∝ stations — a pinned width is this
     // tier's q22-bug class: fixed grid + growing density ⇒
-    // O(points·stations) ring joins). Oracle unrolls one COUNT-gated
-    // branch per reachable rung (10° for n<2304, 5° for n<3600) with
-    // a terminal error branch beyond, mirroring the Scala thresholds.
+    // O(points·stations) ring joins). The oracle computes the width
+    // with the SAME rung ladder as a scalar CASE over count(*) (all
+    // rungs covered, so no terminal error branch is needed), and the
+    // metric/ring are the cos-scaled, latitude-adaptive forms.
     Q("q271_nearest_station_auto", Some(s"""
-      WITH pts AS (
-        SELECT c_custkey,
-          (c_custkey * 2654435761) % 170000001 - 85000000 AS plat,
-          (c_custkey * 1103515245 + 12345) % 360000000 - 180000000 AS plon
-        FROM customer),
-      st AS (
-        SELECT s_suppkey,
-          (s_suppkey * 2246822519 + 97) % 170000001 - 85000000 AS slat,
-          (s_suppkey * 2654435761 + 31) % 360000000 - 180000000 AS slon
-        FROM supplier),
-      ns AS (SELECT count(*) AS c FROM supplier),
-      res AS (${duckNearestBranch(10000000L, 0L, 2304L)}
-        UNION ALL${duckNearestBranch(5000000L, 2304L, 3600L)}
-        UNION ALL
-        SELECT CAST(error('q271 oracle: ' || c || ' stations >= 3600'
-            || ' - extend the rung unroll') AS BIGINT) AS c_custkey,
-          CAST(NULL AS BIGINT) AS station, CAST(NULL AS BIGINT) AS d2,
-          CAST(NULL AS BIGINT) AS n_cand,
-          CAST(NULL AS BIGINT) AS cell_micro
-        FROM ns WHERE c >= 3600)
-      SELECT c_custkey, station, d2, n_cand, cell_micro
-      FROM res ORDER BY c_custkey""")) { (s, dir) =>
+      WITH $duckBase, $duckCand,
+      best AS (
+        SELECT c_custkey, s_suppkey, d2,
+          row_number() OVER (PARTITION BY c_custkey
+            ORDER BY d2, s_suppkey) AS rn,
+          count(*) OVER (PARTITION BY c_custkey) AS n_cand
+        FROM cand)
+      SELECT p.c_custkey, b.s_suppkey AS station, b.d2,
+        CAST(COALESCE(b.n_cand, 0) AS BIGINT) AS n_cand,
+        CAST(wp.w AS BIGINT) AS cell_micro
+      FROM pts p CROSS JOIN wp
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        ON p.c_custkey = b.c_custkey
+      ORDER BY p.c_custkey""")) { (s, dir) =>
       Spatial.nearestStationAuto(points(s, dir), "c_custkey", "plat",
         "plon", stations(s, dir), "s_suppkey", "slat", "slon")
         .orderBy("c_custkey")
     },
 
-    // Radius-bounded nearest weather station per field point: 3×3
-    // grid-ring candidates (cell-keyed equi-join, never points ×
-    // stations), exact integer d² argmin, ties to the lowest station
-    // id, unmatched points preserved with null station / n_cand 0.
+    // Radius-bounded nearest weather station per field point:
+    // grid-ring candidates at the AUTO width (cell-keyed equi-join,
+    // never points × stations), exact integer cos-scaled d² argmin,
+    // ties to the lowest station id, unmatched points preserved with
+    // null station / n_cand 0.
     Q("q263_nearest_station", Some(s"""
-      WITH $duckGeo,
+      WITH $duckBase, $duckCand,
       best AS (
         SELECT c_custkey, s_suppkey, d2,
           row_number() OVER (PARTITION BY c_custkey
@@ -174,8 +174,10 @@ object GeoQueries {
       FROM pts p
       LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (c_custkey)
       ORDER BY p.c_custkey""")) { (s, dir) =>
+      val st = stations(s, dir)
       Spatial.nearestStation(points(s, dir), "c_custkey", "plat", "plon",
-        stations(s, dir), "s_suppkey", "slat", "slon", CellMicro)
+        st, "s_suppkey", "slat", "slon",
+        Spatial.autoCellMicro(st.count()))
         .orderBy("c_custkey")
     },
 
@@ -185,15 +187,16 @@ object GeoQueries {
     // HUGEINT), one double division at the end — bit-identical across
     // engines and partitionings.
     Q("q264_idw_interpolate", Some(s"""
-      WITH $duckGeo,
+      WITH $duckBase, $duckCand,
       wgt AS (
         SELECT c_custkey,
-          1000000000000000000 // (d2 + 1) AS w,
+          1000000000000000000 // (d2 + 1) AS wt,
           CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
         FROM cand),
       agg AS (
         SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_cand,
-          SUM(CAST(w AS HUGEINT) * vc) AS num, SUM(CAST(w AS HUGEINT)) AS den
+          SUM(CAST(wt AS HUGEINT) * vc) AS num,
+          SUM(CAST(wt AS HUGEINT)) AS den
         FROM wgt GROUP BY c_custkey)
       SELECT p.c_custkey, CAST(COALESCE(a.n_cand, 0) AS BIGINT) AS n_cand,
         CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) / 100.0 AS est
@@ -202,7 +205,8 @@ object GeoQueries {
       val st = stations(s, dir)
       Spatial.idwEstimate(points(s, dir), "c_custkey", "plat", "plon",
         st, "s_suppkey", "slat", "slon",
-        (Q.dec(col("s_acctbal")) * 100).cast("long"), CellMicro)
+        (Q.dec(col("s_acctbal")) * 100).cast("long"),
+        Spatial.autoCellMicro(st.count()))
         .orderBy("c_custkey")
     },
 
@@ -210,7 +214,11 @@ object GeoQueries {
     // hot-spot detection. Points emit one row per neighbor cell (9n,
     // one shuffle); all joins are cell-keyed.
     Q("q265_ring_density", Some(s"""
-      WITH $duckGeo,
+      WITH $duckBase,
+      stc10 AS (
+        SELECT st.*, (slat + 90000000) // 10000000 AS cl,
+          (slon + 180000000) // 10000000 AS cn
+        FROM st),
       pc AS (
         SELECT (plat + 90000000) // 10000000 AS cell_lat,
           (plon + 180000000) // 10000000 AS cell_lon
@@ -229,7 +237,7 @@ object GeoQueries {
       sc AS (
         SELECT cl AS cell_lat, cn AS cell_lon,
           CAST(count(*) AS BIGINT) AS n_stations
-        FROM stc GROUP BY 1, 2)
+        FROM stc10 GROUP BY 1, 2)
       SELECT p.cell_lat, p.cell_lon, p.n_points,
         CAST(COALESCE(s.n_stations, 0) AS BIGINT) AS n_stations,
         c.ring_points
@@ -252,7 +260,7 @@ object GeoQueries {
     // semantics); orders before their station's first reading keep
     // null as-of columns.
     Q("q272_station_asof", Some(s"""
-      WITH $duckGeo,
+      WITH $duckBase, $duckCand,
       best AS (
         SELECT c_custkey, s_suppkey, d2,
           row_number() OVER (PARTITION BY c_custkey
@@ -280,9 +288,10 @@ object GeoQueries {
         USING (o_orderkey)
       ORDER BY o.o_orderkey""")) { (s, dir) =>
       import graft.analytics.AsOfJoin
+      val st = stations(s, dir)
       val near = Spatial.nearestStation(points(s, dir), "c_custkey",
-          "plat", "plon", stations(s, dir), "s_suppkey", "slat", "slon",
-          CellMicro)
+          "plat", "plon", st, "s_suppkey", "slat", "slon",
+          Spatial.autoCellMicro(st.count()))
         .where(col("station").isNotNull)
         .select(col("c_custkey"), col("station"))
       val rd = Tables.load(s, dir, "lineitem")
@@ -315,17 +324,17 @@ object GeoQueries {
     // double division per point, so the band comparisons see
     // bit-identical values in both engines.
     Q("q275_suitability_surface", Some(s"""
-      WITH $duckGeo,
+      WITH $duckBase, $duckCand,
       wgt AS (
         SELECT c_custkey,
-          1000000000000000000 // (d2 + 1) AS w,
+          1000000000000000000 // (d2 + 1) AS wt,
           300 + ((CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
             % 601) + 601) % 601 AS vc
         FROM cand),
       est AS (
         SELECT c_custkey,
-          CAST(SUM(CAST(w AS HUGEINT) * vc) AS DOUBLE)
-            / CAST(SUM(CAST(w AS HUGEINT)) AS DOUBLE) / 100.0 AS ph
+          CAST(SUM(CAST(wt AS HUGEINT) * vc) AS DOUBLE)
+            / CAST(SUM(CAST(wt AS HUGEINT)) AS DOUBLE) / 100.0 AS ph
         FROM wgt GROUP BY c_custkey),
       crops(crop, lo, hi) AS (VALUES
         ('maize', 5.5, 7.0), ('rice', 5.0, 6.5), ('wheat', 6.0, 7.5)),
@@ -345,7 +354,7 @@ object GeoQueries {
       val ph = Spatial.idwEstimate(points(s, dir), "c_custkey", "plat",
           "plon", st, "s_suppkey", "slat", "slon",
           lit(300L) + pmod((Q.dec(col("s_acctbal")) * 100).cast("long"),
-            lit(601L)), CellMicro)
+            lit(601L)), Spatial.autoCellMicro(st.count()))
         .where(col("est").isNotNull)
         .select(col("c_custkey"), col("est").as("ph"))
       val (pcl, pcn) = Spatial.cellOf(col("plat"), col("plon"), CellMicro)
@@ -370,7 +379,11 @@ object GeoQueries {
     // Oracle reaches the same min-cell-id fixpoint by recursive CTE;
     // Spark by large-star/small-star contraction.
     Q("q270_grid_clusters", Some(s"""
-      WITH RECURSIVE $duckGeo,
+      WITH RECURSIVE pts AS (
+        SELECT c_custkey,
+          (c_custkey * 2654435761) % 170000001 - 85000000 AS plat,
+          (c_custkey * 1103515245 + 12345) % 360000000 - 180000000 AS plon
+        FROM customer),
       pc AS (
         SELECT c_custkey, (plat + 90000000) // 10000000 AS cell_lat,
           (plon + 180000000) // 10000000 AS cell_lon
@@ -508,7 +521,8 @@ object GeoQueries {
         FROM per_cell)
       SELECT p.cell_lat, p.cell_lon, p.n, p.sum_cents,
         r.ring_n, r.ring_sum,
-        r.ring_sum * g.g_n * 2 > 3 * g.g_sum * r.ring_n AS is_hot
+        CAST(r.ring_sum AS HUGEINT) * g.g_n * 2
+          > 3 * CAST(g.g_sum AS HUGEINT) * r.ring_n AS is_hot
       FROM per_cell p
       JOIN ring r USING (cell_lat, cell_lon)
       CROSS JOIN g
@@ -574,43 +588,82 @@ object GeoQueries {
     // ε-near-duplicate location resolution: the reference dedups
     // locations by EXACT coordinate hash, so GPS-jittered
     // re-submissions of the same field duplicate the dimension; this
-    // collapses them — ring candidates (never all-pairs), d² ≤ ε²,
-    // connected components, min-id representative. Input = customers
-    // plus a planted jittered copy of every 10th one (key + 100000,
-    // ≤0.0005° offset); the lattice spacing of the synthetic coords
+    // collapses every pair within 1 km TRUE geodesic distance —
+    // filter-and-refine: integer ring candidates at the EPS-MATCHED
+    // cell width (epsCellMicro: the finest ladder rung covering the
+    // pre-gate — 0.1° cells here, vs 10° cells the ring candidate
+    // volume drops ~10⁴×), admissible (bandShift=1) scaled pre-gate,
+    // exact haversine verdict on survivors, connected components,
+    // min-id representative. Input = customers plus a planted
+    // jittered copy of every 10th one (key + 100000, ≤0.0005°
+    // offset ≈ ≤70 m); the lattice spacing of the synthetic coords
     // guarantees the planted pairs are the only ones.
     Q("q281_geo_dedup", Some(s"""
-      WITH RECURSIVE base AS (
+      WITH RECURSIVE
+      ct(q) AS (SELECT ${graft.analytics.Spatial.cosQSqlList}::BIGINT[]),
+      base AS (
         SELECT c_custkey,
           (c_custkey * 2654435761) % 170000001 - 85000000 AS plat,
           (c_custkey * 1103515245 + 12345) % 360000000 - 180000000 AS plon
         FROM customer),
-      pts AS (
+      pp AS (
         SELECT c_custkey AS pid, plat, plon FROM base
         UNION ALL
         SELECT c_custkey + 100000, plat + (c_custkey % 1000) - 500,
           ((plon + 180000000 + (c_custkey % 700) - 350 + 360000000)
             % 360000000) - 180000000
         FROM base WHERE c_custkey % 10 = 0),
+      pk AS (
+        SELECT pid, plat, plon,
+          (plat + 90000000) // 100000 AS cl0,
+          (plon + 180000000) // 100000 AS cn0,
+          least((((100000 + 1) * CAST(1048576 AS BIGINT) - 1)
+              // greatest(list_extract((SELECT q FROM ct),
+                  least(90, (abs(plat) + 100000) // 1000000 + 1) + 1), 1)
+              + 100000 - 1) // 100000,
+            3600) AS k
+        FROM pp),
+      probe0 AS (
+        SELECT pid, plat, plon, cl0, cn0,
+          unnest(CASE WHEN 2 * k + 1 >= 3600 THEN range(0, 3600)
+                      ELSE range(-k, k + 1) END) AS dj
+        FROM pk),
+      probe AS (
+        SELECT p.pid, p.plat, p.plon, p.cl0 + i.i AS cl,
+          (p.cn0 + p.dj + 3600) % 3600 AS cn
+        FROM probe0 p, (SELECT unnest([-1, 0, 1]) AS i) i),
       pc AS (
         SELECT pid, plat, plon,
-          (plat + 90000000) // 10000000 AS cl,
-          (plon + 180000000) // 10000000 AS cn
-        FROM pts),
-      probe AS (
-        SELECT p.pid, p.plat, p.plon, p.cl + i.i AS cl,
-          (p.cn + j.j + 36) % 36 AS cn
-        FROM pc p,
-          (SELECT unnest([-1, 0, 1]) AS i) i,
-          (SELECT unnest([-1, 0, 1]) AS j) j),
-      pairs AS (
-        SELECT DISTINCT a.pid AS id_a, b.pid AS id_b
-        FROM probe a JOIN pc b ON a.cl = b.cl AND a.cn = b.cn
-          AND a.pid < b.pid
-        WHERE (a.plat - b.plat) * (a.plat - b.plat)
-          + least(abs(a.plon - b.plon), 360000000 - abs(a.plon - b.plon))
-          * least(abs(a.plon - b.plon), 360000000 - abs(a.plon - b.plon))
-          <= 100000000),
+          (plat + 90000000) // 100000 AS cl,
+          (plon + 180000000) // 100000 AS cn
+        FROM pp),
+      cpair AS (
+        SELECT id_a, id_b, plat_a, plon_a, plat_b, plon_b,
+          dlat * dlat + dle * dle AS d2
+        FROM (
+          SELECT a.pid AS id_a, b.pid AS id_b, a.plat AS plat_a,
+            a.plon AS plon_a, b.plat AS plat_b, b.plon AS plon_b,
+            a.plat - b.plat AS dlat,
+            least(abs(a.plon - b.plon),
+                360000000 - abs(a.plon - b.plon))
+              * list_extract((SELECT q FROM ct),
+                  least(90, abs(a.plat + b.plat) // 2000000 + 1) + 1)
+              // 1048576 AS dle
+          FROM probe a JOIN pc b ON a.cl = b.cl AND a.cn = b.cn
+            AND a.pid < b.pid)),
+      pairs AS MATERIALIZED (
+        SELECT DISTINCT id_a, id_b FROM (
+          SELECT id_a, id_b,
+            round(2 * 6371000.0 * asin(sqrt(
+              sin(radians((plat_b - plat_a) / 2000000.0))
+                * sin(radians((plat_b - plat_a) / 2000000.0))
+              + cos(radians(plat_a / 1000000.0))
+                * cos(radians(plat_b / 1000000.0))
+                * sin(radians((plon_b - plon_a) / 2000000.0))
+                * sin(radians((plon_b - plon_a) / 2000000.0)))), 3)
+              AS dist_m
+          FROM cpair WHERE d2 <= 144000000)
+        WHERE dist_m <= 1000.0),
       edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION SELECT id_b, id_a FROM pairs),
@@ -633,8 +686,9 @@ object GeoQueries {
           col("plat"), col("plon"))
         .unionByName(jittered)
         .withColumnRenamed("c_custkey", "pid")
-      val pairs = Spatial.nearDupPoints(pts, "pid", "plat", "plon",
-        CellMicro, epsMicro = 10000L)
+      val pairs = Spatial.nearDupPointsVerified(pts, "pid", "plat",
+          "plon", pregateMicro = 12000L, epsMeters = 1000.0)
+        .select("id_a", "id_b")
       Dedup.connectedComponentsStar(pairs, "id_a", "id_b",
           materializeResult = false)
         .select(col("doc_id").as("pid"), col("cluster_rep"))

@@ -59,7 +59,10 @@ object Versioned {
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.matches("v\\d{5}\\.list") =>
+      // %05d is a zero-padding MINIMUM: version 100000 renders as
+      // v100000.list, so the pattern must accept >5 digits or reads
+      // silently pin to v99999 after the 100k-th commit
+      .collect { case n if n.matches("v\\d{5,}\\.list") =>
         n.stripPrefix("v").stripSuffix(".list").toLong }
       .sorted
   }

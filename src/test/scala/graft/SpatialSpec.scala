@@ -54,6 +54,90 @@ class SpatialSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Spatial.cellOf(lit(0L), lit(0L), 7000000L)
     }
+    // and one that leaves < 3 longitude cells (wrap offsets collapse)
+    intercept[IllegalArgumentException] {
+      Spatial.cellOf(lit(0L), lit(0L), 180000000L)
+    }
+  }
+
+  test("CosQ: fixed-point cos table endpoints, monotone, 60° exact") {
+    assert(Spatial.CosQ.length === 91)
+    assert(Spatial.CosQ(0) === 1048576L)  // equator unscaled
+    assert(Spatial.CosQ(60) === 524288L)  // cos 60° = 1/2 exactly
+    assert(Spatial.CosQ(90) === 0L)
+    assert(Spatial.CosQ.toSeq === Spatial.CosQ.toSeq.sorted.reverse)
+  }
+
+  test("dist2 scales longitude by cos(lat): lat-60 nearest is correct") {
+    // at lat 60° a station 0.5° east is ~28 km away, one 0.4° south is
+    // ~44 km; the pre-fix unscaled metric ranked them 2.5e11 vs
+    // 1.6e11 and picked the SOUTH one — the scaled metric must pick
+    // east: dlon_eff = 500000·CosQ(60)/2^20 = 250000 → d2 = 6.25e10
+    val got = nearest(
+      pts((1L, 60000000L, 0L)),
+      sts((1L, 60000000L, 500000L), (2L, 59600000L, 0L)))
+    assert(got === Seq((1L, Some(1L), Some(62500000000L), 2L)))
+  }
+
+  test("epsCellMicro: finest ladder rung covering eps") {
+    assert(Spatial.epsCellMicro(1L) === 100000L)
+    assert(Spatial.epsCellMicro(12000L) === 100000L)
+    assert(Spatial.epsCellMicro(100000L) === 100000L)
+    assert(Spatial.epsCellMicro(100001L) === 200000L)
+    assert(Spatial.epsCellMicro(999999999L) === 10000000L) // coarsest
+  }
+
+  test("near-pole full-circle ring probes each column exactly once") {
+    // at lat 89.95° the coverage bound saturates (cq = 0 → full
+    // circle); both stations sit in the same lat row at opposite
+    // longitudes and each must be counted ONCE (offsets 0..nlon−1,
+    // not a wrapped double-count)
+    val got = Spatial.nearestStation(
+      pts((1L, 89950000L, 0L)), "pid", "plat", "plon",
+      sts((7L, 89940000L, 90000000L), (8L, 89940000L, -90000000L)),
+      "sid", "slat", "slon", 100000L)
+      .orderBy("pid")
+      .as[(Long, Option[Long], Option[Long], Long)].collect().toSeq
+    assert(got.head._4 === 2L) // n_cand: each station exactly once
+    assert(got.head._2 === Some(7L)) // equal d2 → lowest id
+  }
+
+  test("nearDupPointsVerified: geodesic gate, polar seam, mm rounding") {
+    // equator: 0.009°E is 1000.75 m — OUTSIDE the 1 km gate even
+    // though the scaled pre-gate (9000 ≤ 12000) admits it; 0.0089°E
+    // is 989.63 m — inside, with the true metres reported
+    val eq = Spatial.nearDupPointsVerified(
+      pts((1L, 0L, 0L), (2L, 0L, 9000L), (3L, 10000000L, 10000000L)),
+      "pid", "plat", "plon", pregateMicro = 12000L, epsMeters = 1000.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(eq.isEmpty)
+    val eq2 = Spatial.nearDupPointsVerified(
+      pts((1L, 0L, 0L), (2L, 0L, 8900L)),
+      "pid", "plat", "plon", pregateMicro = 12000L, epsMeters = 1000.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(eq2.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(math.abs(eq2.head._3 - 989.634) < 0.05)
+    // polar seam: 2° of raw longitude at lat 89.95° is ~194 m of true
+    // distance ACROSS the ±180° seam — the full-circle ring + the
+    // admissible pre-gate (band cos underestimates, never drops a
+    // true pair) must surface it; a 100 m gate must reject it
+    val pole = pts((1L, 89950000L, 179000000L),
+      (2L, 89950000L, -179000000L))
+    val found = Spatial.nearDupPointsVerified(pole, "pid", "plat",
+      "plon", pregateMicro = 12000L, epsMeters = 1000.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(found.map(p => (p._1, p._2)) === Seq((1L, 2L)))
+    assert(math.abs(found.head._3 - 194.1) < 0.5)
+    val strict = Spatial.nearDupPointsVerified(pole, "pid", "plat",
+      "plon", pregateMicro = 12000L, epsMeters = 100.0)
+      .collect()
+    assert(strict.isEmpty)
+    // pregate must fit inside the eps-matched cell
+    intercept[IllegalArgumentException] {
+      Spatial.nearDupPointsVerified(pole, "pid", "plat", "plon",
+        pregateMicro = 200001L, epsMeters = 1.0,
+        cellMicroOpt = Some(200000L))
+    }
   }
 
   test("idwEstimate: coincident station dominates; equidistant average") {
