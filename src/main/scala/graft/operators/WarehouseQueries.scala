@@ -408,10 +408,13 @@ object WarehouseQueries {
 
     // Incremental view maintenance over the versioned lake: a per-year
     // (cnt, sum, mx) aggregate VIEW folded commit-by-commit through
-    // mergeAggStates (never rescanning old segments), then audited
-    // against a direct aggregate of the final snapshot — `consistent`
-    // goes false (and the hash goes loud) on any divergence. The IVM
-    // pattern: refresh cost ∝ delta, not table.
+    // mergeAggStates, where each commit's input is Versioned.readDelta
+    // — the segments that commit ADDED, read back from the lake
+    // itself, so the refresh provably scans delta bytes, never the
+    // old segments. The fold is audited against a direct aggregate of
+    // the final snapshot — `consistent` goes false (and the hash goes
+    // loud) on any divergence. The IVM pattern: refresh cost ∝ delta,
+    // not table.
     Q("q274_incremental_view", Some("""
       WITH y AS (
         SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
@@ -426,18 +429,19 @@ object WarehouseQueries {
       val y = Tables.load(s, dir, "orders")
         .select(year(col("o_orderdate")).cast("long").as("yr"),
           (Q.dec(col("o_totalprice")) * 100).cast("long").as("c"))
-      val slices = Seq(
+      if (Versioned.versions(s, path).isEmpty) Seq(
         y.where(col("yr") <= 1996L),
         y.where(col("yr") >= 1997L && col("yr") <= 1998L),
         y.where(col("yr") >= 1999L))
-      if (Versioned.versions(s, path).isEmpty)
-        slices.foreach(sl => Versioned.commit(sl, path): Unit)
+        .foreach(sl => Versioned.commit(sl, path): Unit)
       def agg(df: org.apache.spark.sql.DataFrame) =
         df.groupBy("yr").agg(count(lit(1)).as("cnt"),
           sum(col("c")).as("sum"), max(col("c")).as("mx"))
-      // the view: fold each commit's DELTA into the running state
-      val view = slices.map(agg).reduce(
-        Merge.mergeAggStates(_, _, Seq("yr")))
+      // the view: fold each committed version's APPEND DELTA (read
+      // from the lake's own manifests) into the running state
+      val view = Versioned.versions(s, path)
+        .map(v => agg(Versioned.readDelta(s, path, v)))
+        .reduce(Merge.mergeAggStates(_, _, Seq("yr")))
       val table = agg(Versioned.read(s, path))
         .select(col("yr"), col("cnt").as("t_cnt"),
           col("sum").as("t_sum"), col("mx").as("t_mx"))
@@ -446,6 +450,53 @@ object WarehouseQueries {
           coalesce(col("cnt") === col("t_cnt") &&
             col("sum") === col("t_sum") && col("mx") === col("t_mx"),
             lit(false)).as("consistent"))
+        .orderBy("yr")
+    },
+
+    // Segment-selective compaction (the OPTIMIZE binpack): four
+    // append commits (one fat ≤1995 slice, three small year slices),
+    // then compact with the threshold at the fat segment's size —
+    // only the three small segments are read and packed into one;
+    // the fat segment is carried BY REFERENCE (VersionedSpec pins
+    // byte-identity via FileStatus). The query reads the compacted
+    // snapshot back, audits it against the pre-compact version, and
+    // exposes the structural outcome (2 live segments) — all
+    // hash-checked against a direct recompute from orders.
+    Q("q282_versioned_compact", Some("""
+      WITH y AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders)
+      SELECT yr, CAST(count(*) AS BIGINT) AS cnt,
+        CAST(SUM(c) AS BIGINT) AS total_cents,
+        CAST(2 AS BIGINT) AS n_segments, TRUE AS consistent
+      FROM y GROUP BY yr ORDER BY yr""")) { (s, dir) =>
+      import graft.warehouse.Versioned
+      val path = Q.scratchPath("compactsel", dir)
+      val y = Tables.load(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          (Q.dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      if (Versioned.versions(s, path).isEmpty) {
+        Seq(y.where(col("yr") <= 1995L), y.where(col("yr") === 1996L),
+          y.where(col("yr") === 1997L), y.where(col("yr") >= 1998L))
+          .foreach(sl => Versioned.commit(sl, path): Unit)
+        val maxBytes = Versioned.segmentBytes(s, path).map(_._2).max
+        Versioned.compact(s, path, smallerThanBytes = maxBytes): Unit
+      }
+      val nSegs = Versioned.segments(s, path).size.toLong
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("yr").agg(count(lit(1)).as("cnt"),
+          sum(col("c")).as("total_cents"))
+      val pre = agg(Versioned.read(s, path, Some(4L)))
+        .select(col("yr"), col("cnt").as("p_cnt"),
+          col("total_cents").as("p_tc"))
+      agg(Versioned.read(s, path))
+        .join(pre, Seq("yr"), "full_outer")
+        .select(col("yr"), col("cnt"), col("total_cents"),
+          lit(nSegs).as("n_segments"),
+          coalesce(col("cnt") === col("p_cnt") &&
+            col("total_cents") === col("p_tc"), lit(false))
+            .as("consistent"))
         .orderBy("yr")
     }
   )

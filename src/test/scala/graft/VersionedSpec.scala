@@ -99,6 +99,123 @@ class VersionedSpec extends SparkSpec {
       .as[Int].collect().sorted.toSeq === Seq(1, 2, 3))
   }
 
+  private def hfs(path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  test("selective compact: small segments binpack, big segment is " +
+      "carried by reference byte-identically") {
+    val path = tmpDir("vselc") + "/t"
+    Versioned.commit(spark.range(0, 5000).toDF("x"), path): Unit // fat
+    Versioned.commit(Seq(90001L).toDF("x"), path): Unit
+    Versioned.commit(Seq(90002L).toDF("x"), path): Unit
+    Versioned.commit(Seq(90003L).toDF("x"), path): Unit
+    val sizes = Versioned.segmentBytes(spark, path)
+    val fatSeg = sizes.head._1
+    assert(sizes.map(_._1).forall(_.startsWith("data/seg-")))
+    assert(sizes.size === 4)
+    val maxBytes = sizes.map(_._2).max
+    assert(sizes.head._2 === maxBytes) // the fat segment is largest
+    val (f, _) = hfs(path)
+    def fatFiles() = f.listStatus(
+      new org.apache.hadoop.fs.Path(s"$path/$fatSeg")).toSeq
+      .map(st => (st.getPath.toString, st.getLen,
+        st.getModificationTime)).sortBy(_._1)
+    val before = fatFiles()
+    val v = Versioned.compact(spark, path, smallerThanBytes = maxBytes)
+    assert(v === 5L)
+    // manifest = fat (by reference, FIRST) + one packed segment
+    val after = Versioned.segments(spark, path)
+    assert(after.size === 2 && after.head === fatSeg)
+    assert(after(1).startsWith("data/seg-00005"))
+    // the fat segment's files were not touched, byte for byte
+    assert(fatFiles() === before)
+    // read-back equality: compacted snapshot == pre-compact snapshot
+    assert(Versioned.read(spark, path).as[Long].collect().sorted.toSeq
+      === ((0L until 5000L) ++ Seq(90001L, 90002L, 90003L)))
+    // history preserved until vacuum; vacuum retires ONLY the small
+    // originals (3 manifests v1-v4 dropped; seg-2/3/4 dropped, the
+    // fat segment survives because v5 references it)
+    assert(Versioned.read(spark, path, Some(4L)).count() === 5003L)
+    val (m, s) = Versioned.vacuum(spark, path, keepLast = 1)
+    assert((m, s) === (4, 3))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$path/$fatSeg")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$path/${sizes(1)._1}")))
+    assert(Versioned.read(spark, path).count() === 5003L)
+  }
+
+  test("selective compact no-ops when fewer than two segments qualify") {
+    val path = tmpDir("vselnoop") + "/t"
+    Versioned.commit(spark.range(0, 1000).toDF("x"), path): Unit
+    Versioned.commit(Seq(1L).toDF("x"), path): Unit
+    val sizes = Versioned.segmentBytes(spark, path)
+    // threshold below both sizes: nothing qualifies; threshold between
+    // them: only one small segment - both are no-ops
+    assert(Versioned.compact(spark, path,
+      smallerThanBytes = 1L) === 2L)
+    assert(Versioned.compact(spark, path,
+      smallerThanBytes = sizes.map(_._2).max) === 2L)
+    assert(Versioned.versions(spark, path) === Seq(1L, 2L))
+  }
+
+  test("concurrent committers both succeed: CAS retry serializes " +
+      "versions, no commit is lost") {
+    val path = tmpDir("vcas") + "/t"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = (1 to 2).map { w =>
+      Future {
+        (0 until 3).map { i =>
+          Versioned.commit(Seq(w * 10L + i).toDF("x"), path)
+        }
+      }
+    }
+    val got = writers.map(Await.result(_, 120.seconds))
+    // six commits, all succeeded, versions are exactly 1..6
+    assert(got.flatten.sorted === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(Versioned.versions(spark, path) === (1L to 6L))
+    // nothing lost: the latest snapshot holds every committed row
+    assert(Versioned.read(spark, path).as[Long].collect().sorted.toSeq
+      === Seq(10L, 11L, 12L, 20L, 21L, 22L))
+    // every intermediate snapshot is readable and monotone in size
+    (1L to 6L).foreach { v =>
+      assert(Versioned.read(spark, path, Some(v)).count() === v)
+    }
+  }
+
+  test("readDelta: per-version append slices; overwrite delta is its " +
+      "segment; version gaps rejected") {
+    val path = tmpDir("vdelta") + "/t"
+    Versioned.commit(Seq(1, 2).toDF("x"), path): Unit
+    Versioned.commit(Seq(3).toDF("x"), path): Unit
+    Versioned.commit(Seq(9).toDF("x"), path, overwrite = true): Unit
+    def d(v: Long) = Versioned.readDelta(spark, path, v)
+      .as[Int].collect().sorted.toSeq
+    assert(d(1) === Seq(1, 2))
+    assert(d(2) === Seq(3))   // only the appended segment, not 1+2+3
+    assert(d(3) === Seq(9))   // overwrite: the added segment
+    intercept[IllegalArgumentException] { d(7) }
+  }
+
+  test("versions parses manifests past five digits") {
+    val path = tmpDir("vbig") + "/t"
+    Versioned.commit(Seq(1).toDF("x"), path): Unit
+    val (f, _) = hfs(path)
+    // simulate the 123456-th commit: same segment list, huge version
+    org.apache.hadoop.fs.FileUtil.copy(f,
+      new org.apache.hadoop.fs.Path(s"$path/_versions/v00001.list"),
+      f, new org.apache.hadoop.fs.Path(s"$path/_versions/v123456.list"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(Versioned.versions(spark, path) === Seq(1L, 123456L))
+    assert(Versioned.read(spark, path, Some(123456L))
+      .as[Int].collect().toSeq === Seq(1))
+    // and the next commit continues past it
+    assert(Versioned.commit(Seq(2).toDF("x"), path) === 123457L)
+  }
+
   test("snapshot isolation: a reader plan resolved at v1 is unaffected " +
       "by a later commit") {
     val path = tmpDir("viso") + "/t"
