@@ -476,6 +476,14 @@ object CorpusOps {
         .select("vec_id", "bench_id")
     }.reduce(_ unionByName _)
       .dropDuplicates("vec_id", "bench_id")
+    contaminationVerdict(c, b, cand, threshold)
+  }
+
+  /** Shared score-argmax-verdict tail of the contamination family:
+    * exact cosine over the candidate set, per-doc best match (max
+    * score, tie lowest bench id), clean docs kept with null match. */
+  private def contaminationVerdict(c: DataFrame, b: DataFrame,
+      cand: DataFrame, threshold: Double): DataFrame = {
     val scored = cand
       .join(c, Seq("vec_id"))
       .join(broadcast(b), Seq("bench_id"))
@@ -492,6 +500,25 @@ object CorpusOps {
         col("bench_id").isNotNull.as("contaminated"))
   }
 
+  /** EXACT semantic decontamination — every (corpus, benchmark) pair
+    * scored, no LSH candidates, recall 1 BY CONSTRUCTION: the
+    * routing target of [[semanticContaminationAuto]] when the
+    * sign-table inversion exceeds its cost cap. The benchmark side
+    * is eval-suite-sized and broadcast, so the cost is |corpus| ·
+    * |bench| codegen'd cosines, map-only over the corpus — linear
+    * in the corpus at any scale, priced by the benchmark size
+    * (which, unlike the corpus, does not grow with the crawl). */
+  def semanticContaminationExact(corpus: DataFrame, bench: DataFrame,
+      idCol: String, embCol: String, threshold: Double): DataFrame = {
+    val b = bench.select(col(idCol).as("bench_id"),
+      col(embCol).cast("array<double>").as("b_emb"))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("c_emb"))
+    val cand = c.select("vec_id")
+      .crossJoin(broadcast(b.select("bench_id")))
+    contaminationVerdict(c, b, cand, threshold)
+  }
+
   /** [[semanticContamination]] sized from the corpus and a recall
     * target: bucket width from the constant-bucket rule
     * ([[Dedup.autoSignBits]], one count(*)) and table count from the
@@ -504,9 +531,19 @@ object CorpusOps {
   def semanticContaminationAuto(corpus: DataFrame, bench: DataFrame,
       idCol: String, embCol: String, threshold: Double,
       targetRecall: Double = 0.8, dim: Int = 64,
-      targetBucket: Int = 32): DataFrame = {
+      targetBucket: Int = 32, maxTables: Int = 64): DataFrame = {
     val bits = Dedup.autoSignBits(corpus.count(), targetBucket)
-    semanticContamination(corpus, bench, idCol, embCol, threshold,
-      bits, dim, Dedup.autoSignTables(bits, threshold, targetRecall))
+    // when the inversion demands more tables than the cost cap,
+    // clamping would silently miss leaks below the stated recall —
+    // for THIS workload the bench side is bounded, so the honest
+    // route is the exact broadcast scorer (recall 1), not a thinner
+    // LSH (Dedup.moderateTauExceedsCap, pinned in NearDupsAutoSpec)
+    if (Dedup.moderateTauExceedsCap(bits, threshold, targetRecall,
+        maxTables))
+      semanticContaminationExact(corpus, bench, idCol, embCol,
+        threshold)
+    else semanticContamination(corpus, bench, idCol, embCol, threshold,
+      bits, dim,
+      Dedup.autoSignTables(bits, threshold, targetRecall, maxTables))
   }
 }

@@ -1487,16 +1487,29 @@ object Dedup {
   def embeddingNearDupsAuto(emb: DataFrame, idCol: String,
       embCol: String, threshold: Double, targetBucket: Int = 32,
       dim: Int = 64, tables: Int = 4,
-      targetRecall: Option[Double] = None): DataFrame = {
+      targetRecall: Option[Double] = None,
+      maxTables: Int = 64): DataFrame = {
     require(targetBucket >= 1, "targetBucket must be >= 1")
     val bits = autoSignBits(emb.count(), targetBucket)
-    // recall-targeted mode: the retention model is closed-form, so
-    // given (threshold, target recall) the table count is the model
-    // INVERTED rather than a knob the caller has to calibrate
-    val t = targetRecall.map(r => autoSignTables(bits, threshold, r))
-      .getOrElse(tables)
-    embeddingNearDupsBucketed(emb, idCol, embCol, threshold, bits,
-      dim, t)
+    targetRecall match {
+      // recall-targeted mode where the inversion stays under the cap:
+      // the retention model is closed-form, so given (threshold,
+      // target recall) the table count is the model INVERTED rather
+      // than a knob the caller has to calibrate
+      case Some(r) if !moderateTauExceedsCap(bits, threshold, r,
+          maxTables) =>
+        embeddingNearDupsBucketed(emb, idCol, embCol, threshold, bits,
+          dim, autoSignTables(bits, threshold, r, maxTables))
+      // cap would bind: clamping would silently deliver < R — route
+      // to the two-level centroid tier, whose recall is cluster
+      // locality (q255/q262-audited), not the sign-retention model
+      case Some(_) =>
+        Similarity.embeddingNearDupsCentroid(emb, idCol, embCol,
+          threshold, dim, targetCell = targetBucket)
+      case None =>
+        embeddingNearDupsBucketed(emb, idCol, embCol, threshold, bits,
+          dim, tables)
+    }
   }
 
   /** The 2^bits ∝ n rule behind [[embeddingNearDupsAuto]], pinned by
@@ -1545,23 +1558,59 @@ object Dedup {
     * recall at fixed moderate τ instead thins slowly with n; this
     * inversion buys back recall at a priced, capped cost. At 100 TB
     * the practical recipe is the near-identity band (τ ≥ 0.8, cost
-    * ≤ n^1.33 uncapped, usually a handful of tables) and routing
-    * moderate-τ semantic grouping to the two-level centroid tier
-    * ([[graft.analytics.Similarity.semDedupTwoLevel]]). */
+    * ≤ n^1.33, usually a handful of tables) and routing moderate-τ
+    * semantic grouping to the two-level centroid tier — and since
+    * round 17 that recipe is CODE, not advice: when the demand
+    * exceeds the cap ([[moderateTauExceedsCap]]) the auto entry
+    * points route to
+    * [[graft.analytics.Similarity.embeddingNearDupsCentroid]] /
+    * [[graft.analytics.CorpusOps.semanticContaminationExact]]
+    * instead of silently clamping below the stated recall
+    * (q283/q284 hash-pin the routed paths). */
   private[graft] def autoSignTables(bits: Int, threshold: Double,
       targetRecall: Double, maxTables: Int = 64): Int = {
+    val t = signTablesNeeded(bits, threshold, targetRecall)
+    math.min(maxTables.toLong, math.max(1L, t)).toInt
+  }
+
+  /** The UNCLAMPED table count the retention-model inversion demands
+    * for (bits, τ, targetRecall) — `⌈ln(1−R) / ln(1−p)⌉` with
+    * p = (1 − acos(τ)/π)^bits; Long.MaxValue when p underflows (the
+    * target is unreachable at any table count). Split out from
+    * [[autoSignTables]] so the ROUTING rule below can see whether the
+    * cap would bind BEFORE clamping. */
+  private[graft] def signTablesNeeded(bits: Int, threshold: Double,
+      targetRecall: Double): Long = {
     require(targetRecall > 0 && targetRecall < 1,
       s"targetRecall must be in (0, 1), got $targetRecall")
     val p1 = 1.0 -
       math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
     val p = math.pow(p1, bits)
-    if (p >= 1.0) 1
-    else if (p <= 0.0) maxTables
+    if (p >= 1.0) 1L
+    else if (p <= 0.0) Long.MaxValue
     else {
       val t = math.ceil(math.log1p(-targetRecall) / math.log1p(-p))
-      math.min(maxTables.toDouble, math.max(1.0, t)).toInt
+      if (t >= 9.0e18) Long.MaxValue else math.max(1.0, t).toLong
     }
   }
+
+  /** The moderate-τ ROUTING rule (pinned like [[autoSignBits]]): at
+    * the auto width the per-table retention p = p1^bits shrinks
+    * polynomially in n, so for a fixed (τ, R) the demanded table
+    * count eventually exceeds any cost cap — and silently CLAMPING
+    * (what `autoSignTables` alone would do) silently delivers LESS
+    * than the requested recall. When this rule fires, the recall-
+    * targeted entry points route to the tier whose recall does not
+    * ride the sign-retention model at all: the two-level CENTROID
+    * tier for corpus self-dedup
+    * ([[Similarity.embeddingNearDupsCentroid]]), and the exact
+    * broadcast scorer for contamination against a bounded benchmark
+    * ([[CorpusOps.semanticContaminationExact]], recall 1 by
+    * construction). */
+  private[graft] def moderateTauExceedsCap(bits: Int,
+      threshold: Double, targetRecall: Double,
+      maxTables: Int = 64): Boolean =
+    signTablesNeeded(bits, threshold, targetRecall) > maxTables
 
   /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995) —
     * the THIRD blocking family next to LSH banding and PPJoin prefix

@@ -768,6 +768,57 @@ object Similarity {
         coalesce(col("near_dups"), lit(0L)).as("near_dups"))
   }
 
+  /** Centroid-tier near-duplicate PAIRS — the moderate-τ routing
+    * target of [[graft.analytics.Dedup.embeddingNearDupsAuto]] when
+    * the sign-table inversion exceeds its cost cap
+    * (`Dedup.moderateTauExceedsCap`): candidates come from the
+    * two-level quantizer (same coarse cell AND same residual bucket
+    * in ≥1 of `tables` OR'd tables — the [[semDedupTwoLevel]]
+    * machinery, auto-sized k₁ = [[autoCoarseCells]], bits from
+    * [[autoResidualBits]]), every surviving pair exact-cosine
+    * verified at ≥ `threshold`. Recall here is CLUSTER LOCALITY — a
+    * pair is findable iff the quantizer co-locates it — which, for
+    * the moderate-τ semantic-grouping workload, is the designed
+    * trade: it does not decay with the n-driven bit growth that
+    * makes constant-recall sign-LSH cost n^1.70 at τ=0.35. Cost is
+    * the two-level shape: n·k₁ assignment + n·targetCell·tables
+    * in-bucket cosines, no term n^1.5.
+    *
+    * Output: (id_a, id_b, score) with id_a < id_b — the same shape
+    * as the bucketed tier, so the router swaps tiers without
+    * changing consumers.
+    */
+  def embeddingNearDupsCentroid(emb: DataFrame, idCol: String,
+      embCol: String, threshold: Double, dim: Int,
+      targetCell: Int = 32, tables: Int = 2, iterations: Int = 2,
+      codebook: Option[DataFrame] = None): DataFrame = {
+    val n = emb.count()
+    val k1 = autoCoarseCells(n)
+    val bits2 = autoResidualBits(n, k1, targetCell)
+    val cb = codebook.getOrElse(
+      kmeansCodebook(emb, idCol, embCol, k1, dim, iterations))
+    val bucketed = twoLevelBucketed(emb, idCol, embCol, cb, bits2,
+      dim, tables)
+    val cand = (0 until tables).map { t =>
+      val b = bucketed.select(col("vec_id"), col("cell"),
+        col(s"rb$t").as("rb"))
+      b.select(col("cell"), col("rb"), col("vec_id").as("id_a"))
+        .join(b.select(col("cell"), col("rb"),
+          col("vec_id").as("id_b")), Seq("cell", "rb"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+    }.reduce(_ unionByName _)
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(bucketed.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a")), Seq("id_a"))
+      .join(bucketed.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b")), Seq("id_b"))
+      .withColumn("score", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+
   /** The persisted cell-table schema, shared by the build and
     * append writers so the two parquet writes can never diverge. */
   private def semStateCols(tables: Int): Seq[String] =

@@ -1167,6 +1167,86 @@ object SimilarityQueries {
         .orderBy("vec_id")
     },
 
+    // ROUTED decontamination — the moderate-τ cap rule firing: at
+    // (τ=0.35, R=0.99, maxTables=4) the inverted table count exceeds
+    // the cap at EVERY corpus size here (needed grows with the auto
+    // bit width: 7 at sf0.001, 30 at sf0.01, 372 at sf0.1), so
+    // semanticContaminationAuto routes to the EXACT broadcast scorer
+    // instead of silently clamping below the stated recall — every
+    // (corpus, bench) pair scored, recall 1 by construction. The
+    // oracle is therefore parameter-free: the same all-pairs scoring
+    // + per-doc argmax, no bucket CTEs.
+    Q("q283_decontamination_routed", Some(s"""
+      WITH b AS (
+        SELECT vec_id AS bench_id, embedding FROM embeddings
+        WHERE vec_id < 32),
+      c AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 32),
+      scored AS (
+        SELECT c.vec_id, b.bench_id,
+          ${duckCosine("c.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}
+            AS score
+        FROM c CROSS JOIN b
+        WHERE ${duckCosine("c.embedding::DOUBLE[]",
+          "b.embedding::DOUBLE[]")} >= 0.35),
+      best AS (
+        SELECT vec_id, bench_id, score FROM (
+          SELECT vec_id, bench_id, score,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY score DESC, bench_id) AS rn
+          FROM scored) t
+        WHERE rn = 1)
+      SELECT c.vec_id, best.bench_id, best.score,
+        (best.bench_id IS NOT NULL) AS contaminated
+      FROM c LEFT JOIN best USING (vec_id)
+      ORDER BY c.vec_id""")) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      CorpusOps.semanticContaminationAuto(
+          emb.filter(col("vec_id") >= 32),
+          emb.filter(col("vec_id") < 32),
+          "vec_id", "embedding", threshold = 0.35,
+          targetRecall = 0.99, maxTables = 4)
+        .orderBy("vec_id")
+    },
+
+    // ROUTED embedding near-dup pairs — the cap rule firing on the
+    // self-dedup side: on a fixed 120-vector slice the auto width is
+    // bits=2, the (τ=0.35, R=0.9) inversion demands 5 tables > cap 2,
+    // so embeddingNearDupsAuto routes to the CENTROID tier
+    // (embeddingNearDupsCentroid: auto k₁=⌈120^⅓⌉=5 coarse cells,
+    // residual bits 0 at this size → within-cell exact pairs). The
+    // oracle replays the Lloyd training and the within-cell scored
+    // pairs; the fixed slice keeps every routed parameter
+    // sf-independent (no COUNT-gated branches needed), while the
+    // sizing rules themselves stay spec-pinned.
+    Q("q284_embdedup_centroid_routed", Some(s"""
+      WITH sub AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < 120),
+      ${trainedCentCtes(5, 64, 2, "sub")},
+      semcells AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.centroid_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+              ${duckCosine("e.embedding::DOUBLE[]", "c.cent_emb")} DESC,
+              c.centroid_id) AS rn
+          FROM sub e CROSS JOIN cent2 c) t
+        WHERE rn = 1)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        ${duckCosine("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}
+          AS score
+      FROM semcells a JOIN semcells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE ${duckCosine("a.embedding::DOUBLE[]",
+        "b.embedding::DOUBLE[]")} >= 0.35
+      ORDER BY id_a, id_b""")) { (s, dir) =>
+      import graft.analytics.Dedup
+      val emb = Tables.load(s, dir, "embeddings")
+        .filter(col("vec_id") < 120)
+      Dedup.embeddingNearDupsAuto(emb, "vec_id", "embedding",
+          threshold = 0.35, targetRecall = Some(0.9), maxTables = 2)
+        .orderBy("id_a", "id_b")
+    },
+
     // Prototypicality pruning (Sorscher et al. 2022): rank each
     // vector within its k-means cell by centroid cosine and drop the
     // most prototypical 25% per cell — the data-pruning rule that

@@ -110,6 +110,79 @@ class AutoSignBitsSpec extends SparkSpec {
     assert(targeted.toSeq === pinned.toSeq)
   }
 
+  test("moderate-tau cap rule: unclamped demand, pinned boundaries") {
+    // signTablesNeeded is autoSignTables BEFORE the clamp — the
+    // routing decision reads it so the cap binding is visible
+    assert(Dedup.signTablesNeeded(3, 0.35, 0.8) === 7L)
+    assert(Dedup.signTablesNeeded(6, 0.35, 0.8) === 30L)
+    assert(Dedup.signTablesNeeded(9, 0.35, 0.99) === 370L)
+    assert(Dedup.signTablesNeeded(24, 0.05, 0.99) === 36410432L)
+    // a fully-underflowed retention is an unreachable target
+    assert(Dedup.signTablesNeeded(24, -1.0, 0.99) === Long.MaxValue)
+    // the rule: route iff demand exceeds the cap
+    assert(!Dedup.moderateTauExceedsCap(6, 0.35, 0.8, 64))
+    assert(Dedup.moderateTauExceedsCap(6, 0.35, 0.8, 29))
+    assert(!Dedup.moderateTauExceedsCap(6, 0.35, 0.8, 30))
+    assert(Dedup.moderateTauExceedsCap(9, 0.35, 0.99, 64))
+    // near-identity band stays on sign-LSH at warehouse widths (the
+    // 100 TB recipe: tau >= 0.8 routes far later than moderate tau —
+    // at bits=14 it still fits the cap where tau=0.35 demands 1000s)
+    assert(!Dedup.moderateTauExceedsCap(14, 0.8, 0.8, 64))
+    assert(Dedup.moderateTauExceedsCap(14, 0.35, 0.8, 64))
+  }
+
+  test("cap binding routes embeddingNearDupsAuto to the centroid tier") {
+    val emb = (0L until 70L).map { i =>
+      (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    // n=70 -> bits=2; (tau=0.35, R=0.9) demands 5 tables > cap 2
+    assert(Dedup.signTablesNeeded(2, 0.35, 0.9) === 5L)
+    val routed = Dedup.embeddingNearDupsAuto(emb, "vec_id",
+        "embedding", threshold = 0.35, targetRecall = Some(0.9),
+        maxTables = 2)
+      .orderBy("id_a", "id_b").collect()
+    val centroid = graft.analytics.Similarity
+      .embeddingNearDupsCentroid(emb, "vec_id", "embedding",
+        threshold = 0.35, dim = 64)
+      .orderBy("id_a", "id_b").collect()
+    assert(routed.toSeq === centroid.toSeq)
+    // same request under a loose cap stays on the sign-LSH inversion
+    val unrouted = Dedup.embeddingNearDupsAuto(emb, "vec_id",
+        "embedding", threshold = 0.35, targetRecall = Some(0.9),
+        maxTables = 64)
+      .orderBy("id_a", "id_b").collect()
+    val pinned = Dedup.embeddingNearDupsBucketed(emb, "vec_id",
+        "embedding", threshold = 0.35, bits = 2, tables = 5)
+      .orderBy("id_a", "id_b").collect()
+    assert(unrouted.toSeq === pinned.toSeq)
+  }
+
+  test("cap binding routes semanticContaminationAuto to exact scoring") {
+    import graft.analytics.CorpusOps
+    val emb = (0L until 80L).map { i =>
+      (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val bench = emb.filter(col("vec_id") < 8)
+    val corpus = emb.filter(col("vec_id") >= 8)
+    val routed = CorpusOps.semanticContaminationAuto(corpus, bench,
+        "vec_id", "embedding", threshold = 0.35, targetRecall = 0.9,
+        maxTables = 2)
+      .orderBy("vec_id").collect()
+    val exact = CorpusOps.semanticContaminationExact(corpus, bench,
+        "vec_id", "embedding", threshold = 0.35)
+      .orderBy("vec_id").collect()
+    assert(routed.toSeq === exact.toSeq)
+    // exact scoring is recall 1 by construction: every contaminated
+    // verdict agrees with a brute-force recompute — and a corpus row
+    // identical to a bench row is always flagged
+    val planted = corpus.union(bench.limit(1)
+      .withColumn("vec_id", col("vec_id") + 1000L))
+    val flagged = CorpusOps.semanticContaminationExact(planted, bench,
+        "vec_id", "embedding", threshold = 0.35)
+      .filter(col("vec_id") === 1000L).collect()
+    assert(flagged.length === 1 && flagged(0).getBoolean(3))
+  }
+
   test("auto variant equals the bucketed form at the chosen width") {
     val emb = (0L until 70L).map { i =>
       (i, Array.tabulate(64)(d => ((i * 31 + d * 7) % 13 - 6).toFloat))
