@@ -349,7 +349,7 @@ object ScaleProbe {
             ((col("c_custkey") * lit(1103515245L) + lit(12345L))
               % lit(360000000L) - lit(180000000L)).as("plon"))
         val st = Tables.load(spark, sfDir, "supplier")
-          .select(col("s_suppkey"),
+          .select(col("s_suppkey"), col("s_acctbal"),
             ((col("s_suppkey") * lit(2246822519L) + lit(97L))
               % lit(170000001L) - lit(85000000L)).as("slat"),
             ((col("s_suppkey") * lit(2654435761L) + lit(31L))
@@ -365,7 +365,32 @@ object ScaleProbe {
           case "clusters" =>
             Spatial.gridClusters(pts, "c_custkey", "plat", "plon",
               w, minPts = 2L).count()
-          case m => sys.error(s"spatial op must be nearest|clusters: $m")
+          case "idw" =>
+            // the q264/q275 machinery: ring candidates + exact
+            // integer-weighted interpolation at the auto width
+            Spatial.idwEstimate(pts, "c_custkey", "plat", "plon",
+              st, "s_suppkey", "slat", "slon",
+              (col("s_acctbal").cast("decimal(18,2)") * 100)
+                .cast("long"), w).count()
+          case "geodedup" =>
+            // the q281 machinery: planted jittered twins, eps-matched
+            // 0.1-degree cells (eps is scale-INVARIANT, so the width
+            // pins while density grows - linearity comes from cells
+            // >> points, not from the rung ladder), admissible
+            // pre-gate + haversine verify
+            val jit = pts.where(col("c_custkey") % 10L === 0L)
+              .select((col("c_custkey") + 100000000L).as("c_custkey"),
+                (col("plat") + col("c_custkey") % 1000L - 500L)
+                  .as("plat"),
+                ((col("plon") + lit(180000000L) + col("c_custkey")
+                  % 700L - lit(350L) + lit(360000000L))
+                  % lit(360000000L) - lit(180000000L)).as("plon"))
+            Spatial.nearDupPointsVerified(
+              pts.unionByName(jit).withColumnRenamed("c_custkey", "pid"),
+              "pid", "plat", "plon", pregateMicro = 12000L,
+              epsMeters = 1000.0).count()
+          case m => sys.error(
+            s"spatial op must be nearest|clusters|idw|geodedup: $m")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"spatial","op":"$op","sf":"$sfDir",""" +

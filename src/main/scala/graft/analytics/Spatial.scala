@@ -249,7 +249,7 @@ object Spatial {
           bandShift).as("_d2"))
   }
 
-  /** Nearest station per point within the 3×3 cell ring (radius-bounded
+  /** Nearest station per point within the cell ring (radius-bounded
     * nearest neighbor — see class contract). Ties break to the lowest
     * station id via a lexicographic min(struct) aggregation (one
     * map-side-combined shuffle, no window sort). Points with no ring
@@ -286,6 +286,81 @@ object Spatial {
     nearestStation(points, pid, platCol, plonCol,
       stations, sid, slatCol, slonCol, w)
       .withColumn("cell_micro", lit(w))
+  }
+
+  /** The k nearest ring stations per point (radius-bounded kNN —
+    * same exactness contract as [[nearestStation]], extended to k:
+    * EXACT for every true neighbor within one cell width of scaled
+    * distance; ring candidates beyond that radius fill remaining
+    * slots best-effort). Rank orders by (scaled d², station id) —
+    * fully deterministic; one window sort per point group. Points
+    * with an empty ring emit no rows (left-join [[nearestStation]]'s
+    * preserved shape if presence matters).
+    *
+    * Output: (pid, station, d2, rank) with rank ∈ 1..kNearest.
+    */
+  def kNearestStations(points: DataFrame, pid: String, platCol: String,
+      plonCol: String, stations: DataFrame, sid: String,
+      slatCol: String, slonCol: String, cellMicro: Long,
+      kNearest: Int): DataFrame = {
+    require(kNearest >= 1, s"kNearest must be >= 1, got $kNearest")
+    val cand = ringCandidates(points, pid, platCol, plonCol,
+      stations, sid, slatCol, slonCol, cellMicro)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(col("_d2"), col("_sid"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kNearest)
+      .select(col("_pid").as(pid), col("_sid").as("station"),
+        col("_d2").as("d2"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Metres per degree of latitude on the [[EarthRadiusM]] sphere. */
+  val MetersPerDegree: Double = 2.0 * math.Pi * EarthRadiusM / 360.0
+
+  /** The integer pre-gate radius (scaled micro-degrees) for a
+    * geodesic radius of `meters`: the degree-equivalent × 1.3 — the
+    * same ~30 % margin as [[nearDupPointsVerified]], absorbing the
+    * equirect-vs-great-circle and band-quantization slop so the
+    * admissible pre-filter never drops a true in-radius station. */
+  def radiusPregateMicro(meters: Double): Long =
+    math.ceil(meters / MetersPerDegree * 1000000.0 * 1.3).toLong
+
+  /** All stations within `radiusMeters` TRUE geodesic distance of
+    * each point — the range-query member of the spatial family
+    * (nearest / kNN / range / ε-dedup), filter-and-refine like
+    * [[nearDupPointsVerified]]: integer ring candidates at the
+    * admissible metric (cell width = the coarser of the auto rung
+    * and the pre-gate-covering rung, so both the density rule AND
+    * ring coverage of the radius hold), pre-gated at
+    * [[radiusPregateMicro]], then one exact haversine verdict per
+    * survivor. Radii whose pre-gate exceeds the coarsest ladder rung
+    * (≈ 850 km) are rejected — a planet-scale radius should be a
+    * grid aggregation, not a ring probe.
+    *
+    * Output: (pid, station, dist_m) — mm-rounded geodesic metres,
+    * one row per in-radius (point, station).
+    */
+  def stationsWithinMeters(points: DataFrame, pid: String,
+      platCol: String, plonCol: String, stations: DataFrame,
+      sid: String, slatCol: String, slonCol: String,
+      radiusMeters: Double, targetPerRing: Long = 8L): DataFrame = {
+    val pregate = radiusPregateMicro(radiusMeters)
+    val cell = math.max(autoCellMicro(stations.count(), targetPerRing),
+      epsCellMicro(pregate))
+    require(pregate <= cell,
+      s"stationsWithinMeters: radius ${radiusMeters}m needs a " +
+        s"$pregate-micro pre-gate > the coarsest ladder rung " +
+        s"(${CellLadderMicro.last}) - use a grid aggregation instead")
+    ringCandidates(points, pid, platCol, plonCol,
+      stations, sid, slatCol, slonCol, cell,
+      stationValue = Some(struct(col(slatCol).as("lat"),
+        col(slonCol).as("lon"))),
+      bandShift = 1)
+      .where(col("_d2") <= lit(pregate) * lit(pregate))
+      .select(col("_pid").as(pid), col("_sid").as("station"),
+        round(haversineMeters(col("_plat"), col("_plon"),
+          col("_svalue.lat"), col("_svalue.lon")), 3).as("dist_m"))
+      .where(col("dist_m") <= lit(radiusMeters))
   }
 
   /** Inverse-distance-weighted estimate of a station attribute at each

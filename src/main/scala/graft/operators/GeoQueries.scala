@@ -156,6 +156,95 @@ object GeoQueries {
         .orderBy("c_custkey")
     },
 
+    // k-nearest stations per field point (k=3) at the AUTO width:
+    // the kNN member of the spatial family — same ring candidates,
+    // rank by (scaled d², station id) via one per-point window;
+    // exact for every true neighbor within one cell width of scaled
+    // distance.
+    Q("q285_knn_stations", Some(s"""
+      WITH $duckBase, $duckCand,
+      ranked AS (
+        SELECT c_custkey, s_suppkey, d2,
+          row_number() OVER (PARTITION BY c_custkey
+            ORDER BY d2, s_suppkey) AS rank
+        FROM cand)
+      SELECT c_custkey, s_suppkey AS station, d2,
+        CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY c_custkey, rank""")) { (s, dir) =>
+      val st = stations(s, dir)
+      Spatial.kNearestStations(points(s, dir), "c_custkey", "plat",
+        "plon", st, "s_suppkey", "slat", "slon",
+        Spatial.autoCellMicro(st.count()), kNearest = 3)
+        .orderBy("c_custkey", "rank")
+    },
+
+    // Geodesic radius query: every station within 800 km TRUE
+    // haversine distance of each field point — filter-and-refine:
+    // admissible (bandShift=1) integer ring pre-gate at the
+    // radius-covering width (max(auto rung, pre-gate-covering rung)
+    // = 10° here at every reachable station count, since the
+    // pre-gate rung IS the coarsest), one exact haversine verdict
+    // per survivor, mm-rounded.
+    Q("q286_stations_within_radius", Some {
+      val pre = Spatial.radiusPregateMicro(800000.0)
+      s"""
+      WITH $duckBase,
+      stc10 AS (
+        SELECT st.*, (slat + 90000000) // 10000000 AS cl,
+          (slon + 180000000) // 10000000 AS cn
+        FROM st),
+      pk2 AS (
+        SELECT c_custkey, plat, plon,
+          (plat + 90000000) // 10000000 AS cl0,
+          (plon + 180000000) // 10000000 AS cn0,
+          least((((10000000 + 1) * CAST(1048576 AS BIGINT) - 1)
+              // greatest(list_extract((SELECT q FROM ct),
+                  least(90, (abs(plat) + 10000000) // 1000000 + 1) + 1), 1)
+              + 10000000 - 1) // 10000000,
+            36) AS k
+        FROM pts),
+      probe02 AS (
+        SELECT c_custkey, plat, plon, cl0, cn0,
+          unnest(CASE WHEN 2 * k + 1 >= 36 THEN range(0, 36)
+                      ELSE range(-k, k + 1) END) AS dj
+        FROM pk2),
+      probe2 AS (
+        SELECT p.c_custkey, p.plat, p.plon, p.cl0 + i.i AS cl,
+          (p.cn0 + p.dj + 36) % 36 AS cn
+        FROM probe02 p, (SELECT unnest([-1, 0, 1]) AS i) i),
+      cand2 AS (
+        SELECT c_custkey, s_suppkey, plat, plon, slat, slon,
+          dlat * dlat + dle * dle AS d2
+        FROM (
+          SELECT pr.c_custkey, s.s_suppkey, pr.plat, pr.plon,
+            s.slat, s.slon,
+            pr.plat - s.slat AS dlat,
+            least(abs(pr.plon - s.slon),
+                360000000 - abs(pr.plon - s.slon))
+              * list_extract((SELECT q FROM ct),
+                  least(90, abs(pr.plat + s.slat) // 2000000 + 1) + 1)
+              // 1048576 AS dle
+          FROM probe2 pr JOIN stc10 s ON pr.cl = s.cl AND pr.cn = s.cn))
+      SELECT c_custkey, station, dist_m FROM (
+        SELECT c_custkey, s_suppkey AS station,
+          round(2 * 6371000.0 * asin(sqrt(
+            sin(radians((slat - plat) / 2000000.0))
+              * sin(radians((slat - plat) / 2000000.0))
+            + cos(radians(plat / 1000000.0))
+              * cos(radians(slat / 1000000.0))
+              * sin(radians((slon - plon) / 2000000.0))
+              * sin(radians((slon - plon) / 2000000.0)))), 3) AS dist_m
+        FROM cand2 WHERE d2 <= CAST($pre AS BIGINT) * $pre)
+      WHERE dist_m <= 800000.0
+      ORDER BY c_custkey, station"""
+    }) { (s, dir) =>
+      Spatial.stationsWithinMeters(points(s, dir), "c_custkey",
+        "plat", "plon", stations(s, dir), "s_suppkey", "slat", "slon",
+        radiusMeters = 800000.0)
+        .orderBy("c_custkey", "station")
+    },
+
     // Radius-bounded nearest weather station per field point:
     // grid-ring candidates at the AUTO width (cell-keyed equi-join,
     // never points × stations), exact integer cos-scaled d² argmin,

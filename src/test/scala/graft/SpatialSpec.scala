@@ -102,6 +102,37 @@ class SpatialSpec extends SparkSpec {
     assert(got.head._2 === Some(7L)) // equal d2 → lowest id
   }
 
+  test("kNearestStations: rank by (d2, id), cap at k, empty ring") {
+    val p = pts((1L, 0L, 0L), (2L, 80000000L, 0L))
+    val s = sts((9L, 1000000L, 0L), (3L, -1000000L, 0L),
+      (5L, 2000000L, 0L), (7L, 3000000L, 0L))
+    val got = Spatial.kNearestStations(p, "pid", "plat", "plon",
+      s, "sid", "slat", "slon", Cell, kNearest = 3)
+      .orderBy("pid", "rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // d2 ties at 1e12 break to the lower id (3 before 9); k caps at 3
+    // so station 7 is cut; point 2 has an empty ring -> no rows
+    assert(got === Seq(
+      (1L, 3L, 1000000000000L, 1L),
+      (1L, 9L, 1000000000000L, 2L),
+      (1L, 5L, 4000000000000L, 3L)))
+  }
+
+  test("stationsWithinMeters: geodesic gate; planet radius rejected") {
+    val p = pts((1L, 0L, 0L))
+    // 0.009 deg E = 1000.75 m (outside 1 km), 0.0089 deg E = 989.6 m
+    val s = sts((4L, 0L, 9000L), (6L, 0L, 8900L), (8L, 40000000L, 0L))
+    val got = Spatial.stationsWithinMeters(p, "pid", "plat", "plon",
+      s, "sid", "slat", "slon", radiusMeters = 1000.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === Seq((1L, 6L)))
+    assert(math.abs(got.head._3 - 989.634) < 0.05)
+    intercept[IllegalArgumentException] {
+      Spatial.stationsWithinMeters(p, "pid", "plat", "plon",
+        s, "sid", "slat", "slon", radiusMeters = 2000000.0)
+    }
+  }
+
   test("nearDupPointsVerified: geodesic gate, polar seam, mm rounding") {
     // equator: 0.009°E is 1000.75 m — OUTSIDE the 1 km gate even
     // though the scaled pre-gate (9000 ≤ 12000) admits it; 0.0089°E
