@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -211,16 +211,26 @@ object Spatial {
       slatCol: String, slonCol: String, cellMicro: Long,
       stationValue: Option[Column] = None, bandShift: Int = 0)
       : DataFrame = {
-    val nLonCells = LonWrapMicro / cellMicro
     val (scl, scn) = cellOf(col(slatCol), col(slonCol), cellMicro)
     val svalue = stationValue.getOrElse(lit(null))
     val st = stations.select(col(sid).as("_sid"),
       col(slatCol).as("_slat"), col(slonCol).as("_slon"),
       svalue.as("_svalue"), scl.as("_cl"), scn.as("_cn"))
+    candFromProbes(
+      probeRing(points, pid, platCol, plonCol, cellMicro, bandShift),
+      st, bandShift)
+  }
+
+  /** The exploded per-point probe-cell frame (_pid,_plat,_plon,_cl,
+    * _cn) — map-only; the per-point lon half-width derivation lives
+    * in the [[ringCandidates]] scaladoc. Every division has a
+    * non-negative numerator < 2^53, so the double-division + cast
+    * idiom is exact and floor/trunc agree with DuckDB's `//`. */
+  private def probeRing(points: DataFrame, pid: String,
+      platCol: String, plonCol: String, cellMicro: Long,
+      bandShift: Int): DataFrame = {
+    val nLonCells = LonWrapMicro / cellMicro
     val (pcl, pcn) = cellOf(col(platCol), col(plonCol), cellMicro)
-    // per-point lon half-width (see scaladoc); every division has a
-    // non-negative numerator < 2^53, so the double-division + cast
-    // idiom is exact and floor/trunc agree with DuckDB's `//`
     val bcov = least(lit(90L),
       ((abs(col(platCol)) + lit(cellMicro)) / lit(1000000L))
         .cast("long") + lit(bandShift.toLong))
@@ -233,7 +243,7 @@ object Spatial {
     val lonOffs = when(k * lit(2L) + lit(1L) >= lit(nLonCells),
       sequence(lit(0L), lit(nLonCells - 1L)))
       .otherwise(sequence(-k, k))
-    val probes = points.select(col(pid).as("_pid"),
+    points.select(col(pid).as("_pid"),
       col(platCol).as("_plat"), col(plonCol).as("_plon"),
       pcl.as("_pcl0"), pcn.as("_pcn0"), lonOffs.as("_offs"))
       .withColumn("_di", explode(array(lit(-1L), lit(0L), lit(1L))))
@@ -242,12 +252,17 @@ object Spatial {
         (col("_pcl0") + col("_di")).as("_cl"),
         ((col("_pcn0") + col("_dj") + lit(nLonCells)) % lit(nLonCells))
           .as("_cn"))
+  }
+
+  /** The cell-keyed equi-join + exact scaled d² tail shared by the
+    * inline and pre-bucketed candidate paths. */
+  private def candFromProbes(probes: DataFrame, st: DataFrame,
+      bandShift: Int): DataFrame =
     probes.join(st, Seq("_cl", "_cn"))
       .select(col("_pid"), col("_plat"), col("_plon"), col("_sid"),
         col("_svalue"),
         dist2(col("_plat"), col("_plon"), col("_slat"), col("_slon"),
           bandShift).as("_d2"))
-  }
 
   /** Nearest station per point within the cell ring (radius-bounded
     * nearest neighbor — see class contract). Ties break to the lowest
@@ -260,9 +275,15 @@ object Spatial {
     */
   def nearestStation(points: DataFrame, pid: String, platCol: String,
       plonCol: String, stations: DataFrame, sid: String,
-      slatCol: String, slonCol: String, cellMicro: Long): DataFrame = {
-    val cand = ringCandidates(points, pid, platCol, plonCol,
-      stations, sid, slatCol, slonCol, cellMicro)
+      slatCol: String, slonCol: String, cellMicro: Long): DataFrame =
+    nearestFromCand(points, pid,
+      ringCandidates(points, pid, platCol, plonCol,
+        stations, sid, slatCol, slonCol, cellMicro))
+
+  /** The argmin + point-preserving tail shared by the inline and
+    * pre-bucketed nearest-station paths. */
+  private def nearestFromCand(points: DataFrame, pid: String,
+      cand: DataFrame): DataFrame = {
     val best = cand.groupBy("_pid")
       .agg(min(struct(col("_d2"), col("_sid"))).as("_best"),
         count(lit(1)).as("n_cand"))
@@ -287,6 +308,61 @@ object Spatial {
       stations, sid, slatCol, slonCol, w)
       .withColumn("cell_micro", lit(w))
   }
+
+  /** Persist a station table BUCKETED BY GRID CELL — the co-location
+    * half of the class contract ("at 100 TB the cell id is the
+    * natural partition/bucket key"): once the big station/observation
+    * side lives in a cell-bucketed table, every ring probe against it
+    * is a one-sided exchange — the bucketed scan already satisfies
+    * the join's clustering, so ONLY the (much smaller, exploded)
+    * probe side shuffles, and repeated queries amortize the station
+    * shuffle to zero. Canonical schema: (station_id, slat, slon,
+    * cell_lat, cell_lon), bucketed+sorted by (cell_lat, cell_lon).
+    * SpatialBucketSpec pins the single-exchange plan. */
+  def bucketStations(stations: DataFrame, sid: String,
+      slatCol: String, slonCol: String, cellMicro: Long,
+      buckets: Int, table: String): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val (scl, scn) = cellOf(col(slatCol), col(slonCol), cellMicro)
+    stations.select(col(sid).as("station_id"),
+      col(slatCol).as("slat"), col(slonCol).as("slon"),
+      scl.as("cell_lat"), scn.as("cell_lon"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "cell_lat", "cell_lon")
+      .sortBy("cell_lat", "cell_lon")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** [[ringCandidates]] against a [[bucketStations]] table: the
+    * station side joins STRAIGHT OFF its bucketed scan (no exchange
+    * — the bucket key IS the join key), only the probe side
+    * shuffles. */
+  def ringCandidatesBucketed(spark: SparkSession, points: DataFrame,
+      pid: String, platCol: String, plonCol: String,
+      stationTable: String, cellMicro: Long,
+      stationValue: Option[Column] = None, bandShift: Int = 0)
+      : DataFrame = {
+    val svalue = stationValue.getOrElse(lit(null))
+    val st = spark.table(stationTable).select(
+      col("station_id").as("_sid"), col("slat").as("_slat"),
+      col("slon").as("_slon"), svalue.as("_svalue"),
+      col("cell_lat").as("_cl"), col("cell_lon").as("_cn"))
+    candFromProbes(
+      probeRing(points, pid, platCol, plonCol, cellMicro, bandShift),
+      st, bandShift)
+  }
+
+  /** [[nearestStation]] against a [[bucketStations]] table — same
+    * result, one-sided shuffle (SpatialBucketSpec asserts both). The
+    * caller passes the SAME `cellMicro` the table was bucketed with
+    * (the cell columns are physical there). */
+  def nearestStationBucketed(spark: SparkSession, points: DataFrame,
+      pid: String, platCol: String, plonCol: String,
+      stationTable: String, cellMicro: Long): DataFrame =
+    nearestFromCand(points, pid,
+      ringCandidatesBucketed(spark, points, pid, platCol, plonCol,
+        stationTable, cellMicro))
 
   /** The k nearest ring stations per point (radius-bounded kNN —
     * same exactness contract as [[nearestStation]], extended to k:

@@ -245,6 +245,35 @@ object GeoQueries {
         .orderBy("c_custkey", "station")
     },
 
+    // Co-located nearest-station join: the station side persisted as
+    // a CELL-BUCKETED table (bucketStations) and probed straight off
+    // its bucketed scan — one-sided shuffle (SpatialBucketSpec pins
+    // the plan), identical semantics to q263, so the oracle is
+    // q263's SQL verbatim. At 100 TB this is the amortization story:
+    // the big observation side shuffles ONCE at write time, never
+    // per query.
+    Q("q287_nearest_station_bucketed", Some(s"""
+      WITH $duckBase, $duckCand,
+      best AS (
+        SELECT c_custkey, s_suppkey, d2,
+          row_number() OVER (PARTITION BY c_custkey
+            ORDER BY d2, s_suppkey) AS rn,
+          count(*) OVER (PARTITION BY c_custkey) AS n_cand
+        FROM cand)
+      SELECT p.c_custkey, b.s_suppkey AS station, b.d2,
+        CAST(COALESCE(b.n_cand, 0) AS BIGINT) AS n_cand
+      FROM pts p
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (c_custkey)
+      ORDER BY p.c_custkey""")) { (s, dir) =>
+      val st = stations(s, dir)
+      val w = Spatial.autoCellMicro(st.count())
+      Spatial.bucketStations(st, "s_suppkey", "slat", "slon", w,
+        buckets = 8, table = "q287_stations")
+      Spatial.nearestStationBucketed(s, points(s, dir), "c_custkey",
+        "plat", "plon", "q287_stations", w)
+        .orderBy("c_custkey")
+    },
+
     // Radius-bounded nearest weather station per field point:
     // grid-ring candidates at the AUTO width (cell-keyed equi-join,
     // never points × stations), exact integer cos-scaled d² argmin,
