@@ -498,6 +498,57 @@ object WarehouseQueries {
             col("total_cents") === col("p_tc"), lit(false))
             .as("consistent"))
         .orderBy("yr")
+    },
+
+    // The compacting versioned sink's micro-batch loop
+    // (EventStreams.versionedSinkCompacting), folded explicitly (the
+    // q100 idiom): six event batches commit to the lake, every 3rd
+    // commit binpacks + vacuums (keepLast=1), and the final snapshot
+    // must still hold EVERY event — compaction and retention never
+    // lose data — with history and live-segment counts bounded
+    // (2 versions, 2 segments — deterministic from the cadence).
+    // Oracle recomputes the per-user aggregate straight from events.
+    Q("q288_stream_compacting_lake", Some("""
+      WITH e AS (
+        SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v
+        FROM events
+        WHERE user_id IS NOT NULL AND value IS NOT NULL
+          AND event_id IS NOT NULL)
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(SUM(v) * 100 AS BIGINT) AS total_cents,
+        CAST(2 AS BIGINT) AS n_versions,
+        CAST(2 AS BIGINT) AS n_segments
+      FROM e GROUP BY user_id ORDER BY user_id""")) { (s, dir) =>
+      import graft.warehouse.Versioned
+      val path = Q.scratchPath("q288", dir)
+      // the fold accumulates INTO the lake — start fresh or a bench
+      // re-run would fold onto old state
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true): Unit
+      val ev = Tables.load(s, dir, "events")
+        .where(col("user_id").isNotNull && col("value").isNotNull &&
+          col("event_id").isNotNull)
+        .select(col("user_id"), Q.dec(col("value")).as("v"),
+          (col("event_id") % 6L).as("bi"))
+      for (b <- 0L until 6L) {
+        val v = Versioned.commit(ev.filter(col("bi") === b).drop("bi"),
+          path)
+        if (v % 3 == 0) {
+          Versioned.compact(s, path,
+            smallerThanBytes = Long.MaxValue - 1): Unit
+          Versioned.vacuum(s, path, keepLast = 1): Unit
+        }
+      }
+      val nv = Versioned.versions(s, path).size.toLong
+      val ns = Versioned.segments(s, path).size.toLong
+      Versioned.read(s, path)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(col("v")) * 100).cast("long").as("total_cents"))
+        .select(col("user_id"), col("n_events"), col("total_cents"),
+          lit(nv).as("n_versions"), lit(ns).as("n_segments"))
+        .orderBy("user_id")
     }
   )
 }

@@ -233,4 +233,47 @@ object EventStreams {
         if (!batch.isEmpty)
           graft.warehouse.Versioned.commit(batch.toDF(), path): Unit
       }
+
+  /** [[versionedSink]] with INLINE MAINTENANCE — the complete
+    * operational loop for a micro-batch lake sink: one commit per
+    * non-empty batch creates exactly the small-segment debris
+    * [[graft.warehouse.Versioned.compact]] exists to cure, so every
+    * `compactEvery`-th commit binpacks the segments smaller than
+    * `smallerThanBytes` into one (large segments carried by
+    * reference, never rewritten) and retires history past
+    * `keepVersions` with a vacuum. Live-segment count is thus
+    * bounded by ≈ compactEvery + the number of big segments,
+    * regardless of how long the stream runs — the property a plain
+    * per-batch committer loses after a weekend. Maintenance runs in
+    * the foreachBatch callback (the stream's own cadence); a
+    * concurrent writer racing the compaction claim simply wins the
+    * version and compaction re-runs on a later batch (its loss is
+    * loud but caught, never data loss).
+    */
+  def versionedSinkCompacting(events: DataFrame, path: String,
+      compactEvery: Int = 8, smallerThanBytes: Long = 128L << 20,
+      keepVersions: Int = 64) = {
+    require(compactEvery >= 1, "compactEvery must be >= 1")
+    require(keepVersions >= 1, "keepVersions must be >= 1")
+    events.writeStream.outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val v = graft.warehouse.Versioned.commit(batch.toDF(), path)
+          if (v % compactEvery == 0) {
+            try graft.warehouse.Versioned.compact(spark, path,
+              smallerThanBytes = smallerThanBytes): Unit
+            catch { case e: RuntimeException =>
+              // a concurrent commit won the claim: skip this cycle
+              System.err.println(
+                s"versionedSinkCompacting: compaction skipped: " +
+                  e.getMessage)
+            }
+            graft.warehouse.Versioned.vacuum(spark, path,
+              keepLast = keepVersions): Unit
+          }
+        }
+      }
+  }
 }

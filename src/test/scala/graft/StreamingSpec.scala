@@ -199,6 +199,34 @@ class StreamingSpec extends SparkSpec {
       === Seq(1L, 2L, 5L))
   }
 
+  test("compacting versioned sink bounds live segments and keeps data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("graft_vsinkc") + "/t"
+    val mem = MemoryStream[Event]
+    // compact every 3rd commit, retire history immediately: after 6
+    // one-row batches the manifest must list far fewer than 6
+    // segments and the latest snapshot must still hold every row
+    val q = EventStreams.versionedSinkCompacting(
+      mem.toDF().selectExpr("event_id", "user_id", "value"), dir,
+      compactEvery = 3, smallerThanBytes = Long.MaxValue - 1,
+      keepVersions = 1).start()
+    events.take(6).foreach { e =>
+      mem.addData(e)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // commits v1-v3 → compact v4 + vacuum [4]; v5, v6 → compact v7 +
+    // vacuum [7]; v8 — history stays bounded at every point
+    val vs = graft.warehouse.Versioned.versions(spark, dir)
+    assert(vs.size <= 2, s"history not bounded: $vs")
+    val segs = graft.warehouse.Versioned.segments(spark, dir)
+    assert(segs.size <= 3, s"live segments not bounded: $segs")
+    assert(graft.warehouse.Versioned.read(spark, dir)
+      .select("event_id").as[Long].collect().sorted.toSeq
+      === events.take(6).map(_.event_id).sorted.toSeq)
+  }
+
   test("stream-stream interval join correlates within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
