@@ -455,10 +455,16 @@ object Spatial {
   def idwEstimate(points: DataFrame, pid: String, platCol: String,
       plonCol: String, stations: DataFrame, sid: String,
       slatCol: String, slonCol: String, valueCents: Column,
-      cellMicro: Long): DataFrame = {
-    val cand = ringCandidates(points, pid, platCol, plonCol,
-      stations, sid, slatCol, slonCol, cellMicro,
-      stationValue = Some(valueCents))
+      cellMicro: Long): DataFrame =
+    idwFromCand(points, pid,
+      ringCandidates(points, pid, platCol, plonCol,
+        stations, sid, slatCol, slonCol, cellMicro,
+        stationValue = Some(valueCents)))
+
+  /** The integer-weight + exact-decimal-sum + point-restore tail
+    * shared by the all-ring and k-nearest IDW variants. */
+  private def idwFromCand(points: DataFrame, pid: String,
+      cand: DataFrame): DataFrame = {
     val w = expr("CAST(1000000000000000000 AS BIGINT) div (_d2 + 1)")
     val dec38 = DecimalType(38, 0)
     val agg = cand
@@ -474,6 +480,30 @@ object Spatial {
       .join(agg, Seq("_pid"), "left")
       .select(col("_pid").as(pid),
         coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("est"))
+  }
+
+  /** IDW restricted to each point's k NEAREST ring stations — the
+    * textbook Shepard form (a far station's 1/d² weight is tiny but
+    * at warehouse density the tail COUNT isn't, and the k-cut also
+    * bounds the per-point work independent of ring density). Rank by
+    * (scaled d², station id) like [[kNearestStations]]; weights and
+    * sums stay the exact-integer [[idwEstimate]] arithmetic, so the
+    * estimate remains bit-identical across engines. `n_cand` reports
+    * the stations actually used (≤ kNearest).
+    */
+  def idwEstimateKnn(points: DataFrame, pid: String, platCol: String,
+      plonCol: String, stations: DataFrame, sid: String,
+      slatCol: String, slonCol: String, valueCents: Column,
+      cellMicro: Long, kNearest: Int): DataFrame = {
+    require(kNearest >= 1, s"kNearest must be >= 1, got $kNearest")
+    val cand = ringCandidates(points, pid, platCol, plonCol,
+      stations, sid, slatCol, slonCol, cellMicro,
+      stationValue = Some(valueCents))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_pid").orderBy(col("_d2"), col("_sid"))
+    idwFromCand(points, pid,
+      cand.withColumn("_rk", row_number().over(w))
+        .where(col("_rk") <= kNearest).drop("_rk"))
   }
 
   /** ε-near-duplicate point pairs — entity resolution for locations:

@@ -328,6 +328,41 @@ object GeoQueries {
         .orderBy("c_custkey")
     },
 
+    // k-nearest IDW (the textbook Shepard form): interpolation from
+    // each point's 4 NEAREST ring stations only — bounds per-point
+    // work independent of ring density; weights/sums stay the exact
+    // integer q264 arithmetic so the estimate hash-matches.
+    Q("q289_idw_knn", Some(s"""
+      WITH $duckBase, $duckCand,
+      top AS (
+        SELECT c_custkey, s_acctbal, d2 FROM (
+          SELECT c_custkey, s_acctbal, d2,
+            row_number() OVER (PARTITION BY c_custkey
+              ORDER BY d2, s_suppkey) AS rn
+          FROM cand) t
+        WHERE rn <= 4),
+      wgt AS (
+        SELECT c_custkey,
+          1000000000000000000 // (d2 + 1) AS wt,
+          CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        FROM top),
+      agg AS (
+        SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_cand,
+          SUM(CAST(wt AS HUGEINT) * vc) AS num,
+          SUM(CAST(wt AS HUGEINT)) AS den
+        FROM wgt GROUP BY c_custkey)
+      SELECT p.c_custkey, CAST(COALESCE(a.n_cand, 0) AS BIGINT) AS n_cand,
+        CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) / 100.0 AS est
+      FROM pts p LEFT JOIN agg a USING (c_custkey)
+      ORDER BY p.c_custkey""")) { (s, dir) =>
+      val st = stations(s, dir)
+      Spatial.idwEstimateKnn(points(s, dir), "c_custkey", "plat",
+        "plon", st, "s_suppkey", "slat", "slon",
+        (Q.dec(col("s_acctbal")) * 100).cast("long"),
+        Spatial.autoCellMicro(st.count()), kNearest = 4)
+        .orderBy("c_custkey")
+    },
+
     // Per-cell density census with 3×3 ring smoothing: observation
     // hot-spot detection. Points emit one row per neighbor cell (9n,
     // one shuffle); all joins are cell-keyed.

@@ -189,6 +189,21 @@ class SpatialSpec extends SparkSpec {
       (2L, 2L, Some(2.0)))) // equal weights: exact (100+300)/2 cents
   }
 
+  test("idwEstimateKnn: only the k nearest stations contribute") {
+    val p = pts((1L, 0L, 0L))
+    val s = Seq((1L, 1000000L, 0L, 100L), (2L, 2000000L, 0L, 200L),
+      (3L, 3000000L, 0L, 900L)).toDF("sid", "slat", "slon", "vc")
+    val knn = Spatial.idwEstimateKnn(p, "pid", "plat", "plon",
+      s, "sid", "slat", "slon", col("vc"), Cell, kNearest = 2)
+      .as[(Long, Long, Option[Double])].collect().toSeq
+    // identical to all-ring IDW over just the two nearest stations
+    val two = Spatial.idwEstimate(p, "pid", "plat", "plon",
+      s.where(col("sid") =!= 3L), "sid", "slat", "slon", col("vc"),
+      Cell).as[(Long, Long, Option[Double])].collect().toSeq
+    assert(knn === two)
+    assert(knn.head._2 === 2L) // n_cand = stations actually used
+  }
+
   test("idwEstimate: empty ring yields null estimate, n_cand 0") {
     val got = Spatial.idwEstimate(pts((1L, 0L, 0L)), "pid", "plat",
       "plon", Seq((1L, 80000000L, 0L, 5L)).toDF("sid", "slat", "slon", "vc"),
