@@ -404,6 +404,122 @@ object GeoQueries {
         .orderBy("cell_lat", "cell_lon")
     },
 
+    // STREAMING geo enrichment — the round-17 capstone composition:
+    // events arrive in four micro-batches (the q100 fold idiom), each
+    // batch is enriched with its nearest station via the CELL-BUCKETED
+    // station table (the stream-static join against the amortized
+    // layout — the station side never reshuffles per batch) and
+    // committed to the versioned lake; the final snapshot aggregates
+    // per station. Enrichment is stateless per event, so the fold
+    // provably equals the batch oracle (one ring CTE over all events;
+    // unmatched events keep station −1).
+    Q("q290_stream_geo_enrich", Some(s"""
+      WITH ct(q) AS (SELECT ${graft.analytics.Spatial.cosQSqlList}::BIGINT[]),
+      wp AS (
+        SELECT w, 360000000 // w AS nlon FROM (
+          SELECT CASE WHEN c >= 5760000 THEN 100000
+                      WHEN c >= 1440000 THEN 200000
+                      WHEN c >= 230400 THEN 500000
+                      WHEN c >= 57600 THEN 1000000
+                      WHEN c >= 14400 THEN 2000000
+                      WHEN c >= 6400 THEN 3000000
+                      WHEN c >= 3600 THEN 4000000
+                      WHEN c >= 2304 THEN 5000000
+                      ELSE 10000000 END AS w
+          FROM (SELECT count(*) AS c FROM supplier))),
+      epts AS (
+        SELECT event_id,
+          (event_id * 2654435761) % 170000001 - 85000000 AS plat,
+          (event_id * 1103515245 + 12345) % 360000000 - 180000000
+            AS plon,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        FROM events
+        WHERE event_id IS NOT NULL AND value IS NOT NULL),
+      st AS (
+        SELECT s_suppkey,
+          (s_suppkey * 2246822519 + 97) % 170000001 - 85000000 AS slat,
+          (s_suppkey * 2654435761 + 31) % 360000000 - 180000000 AS slon
+        FROM supplier),
+      stc AS (
+        SELECT st.*, (slat + 90000000) // wp.w AS cl,
+          (slon + 180000000) // wp.w AS cn
+        FROM st, wp),
+      pk AS (
+        SELECT p.event_id, p.plat, p.plon, wp.nlon,
+          (p.plat + 90000000) // wp.w AS cl0,
+          (p.plon + 180000000) // wp.w AS cn0,
+          least((((wp.w + 1) * CAST(1048576 AS BIGINT) - 1)
+              // greatest(list_extract((SELECT q FROM ct),
+                  least(90, (abs(p.plat) + wp.w) // 1000000) + 1), 1)
+              + wp.w - 1) // wp.w,
+            wp.nlon) AS k
+        FROM epts p, wp),
+      probe0 AS (
+        SELECT event_id, plat, plon, cl0, cn0, nlon,
+          unnest(CASE WHEN 2 * k + 1 >= nlon THEN range(0, nlon)
+                      ELSE range(-k, k + 1) END) AS dj
+        FROM pk),
+      probe AS (
+        SELECT p.event_id, p.plat, p.plon, p.cl0 + i.i AS cl,
+          (p.cn0 + p.dj + p.nlon) % p.nlon AS cn
+        FROM probe0 p, (SELECT unnest([-1, 0, 1]) AS i) i),
+      ecand AS (
+        SELECT event_id, s_suppkey, dlat * dlat + dle * dle AS d2
+        FROM (
+          SELECT pr.event_id, s.s_suppkey,
+            pr.plat - s.slat AS dlat,
+            least(abs(pr.plon - s.slon),
+                360000000 - abs(pr.plon - s.slon))
+              * list_extract((SELECT q FROM ct),
+                  least(90, abs(pr.plat + s.slat) // 2000000) + 1)
+              // 1048576 AS dle
+          FROM probe pr JOIN stc s ON pr.cl = s.cl AND pr.cn = s.cn)),
+      best AS (
+        SELECT event_id, s_suppkey FROM (
+          SELECT event_id, s_suppkey,
+            row_number() OVER (PARTITION BY event_id
+              ORDER BY d2, s_suppkey) AS rn
+          FROM ecand) t
+        WHERE rn = 1)
+      SELECT COALESCE(b.s_suppkey, -1) AS station,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(SUM(e.vc) AS BIGINT) AS total_cents
+      FROM epts e LEFT JOIN best b USING (event_id)
+      GROUP BY 1 ORDER BY station""")) { (s, dir) =>
+      import graft.warehouse.Versioned
+      val path = Q.scratchPath("q290", dir)
+      val hp = new org.apache.hadoop.fs.Path(path)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hp, true): Unit
+      val st = stations(s, dir)
+      val w = Spatial.autoCellMicro(st.count())
+      Spatial.bucketStations(st, "s_suppkey", "slat", "slon", w,
+        buckets = 8, table = "q290_stations")
+      val ev = Tables.load(s, dir, "events")
+        .where(col("event_id").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          latOf("event_id", 2654435761L, 0L).as("plat"),
+          lonOf("event_id", 1103515245L, 12345L).as("plon"),
+          (Q.dec(col("value")) * 100).cast("long").as("vc"),
+          (col("event_id") % 4L).as("bi"))
+      for (b <- 0L until 4L) {
+        val batch = ev.filter(col("bi") === b)
+        val enriched = Spatial.nearestStationBucketed(s,
+            batch.select("event_id", "plat", "plon"),
+            "event_id", "plat", "plon", "q290_stations", w)
+          .join(batch.select("event_id", "vc"), Seq("event_id"))
+          .select(col("event_id"),
+            coalesce(col("station"), lit(-1L)).as("station"),
+            col("vc"))
+        Versioned.commit(enriched, path): Unit
+      }
+      Versioned.read(s, path)
+        .groupBy("station")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("vc")).as("total_cents"))
+        .orderBy("station")
+    },
+
     // Spatio-temporal enrichment — the composed consumer query of this
     // tier: each order gets its customer's nearest station (grid-ring
     // NN) and that station's latest daily shipment reading at or
