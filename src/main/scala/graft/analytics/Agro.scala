@@ -149,4 +149,42 @@ object Agro {
           > lit(relThresholdPct) * abs(col("_sum")), 1L).otherwise(0L))
           .as("n_anom"))
   }
+
+  /** Standardized monthly anomaly (the SPI-family z-score on the
+    * calendar-month climatology): for each (location, year, month),
+    * `z = (v − mean_month) / sd_month` with the population sd over
+    * that location's same-calendar-month history. Determinism: the
+    * whole statistic reduces to ONE double division of exact
+    * integers — `z = (n·v − S) / sqrt(n·Q − S²)` with S = Σv,
+    * Q = Σv² accumulated as exact DECIMAL(38,0) cents (Q overflows
+    * BIGINT at warehouse scale) — so the doubles are bit-identical
+    * across engines and partitionings. Zero-variance months (every
+    * year identical) yield null z. Two cheap month-keyed
+    * aggregations; nothing wider than (loc, month) ever shuffles.
+    *
+    * Output: (loc, y, month, v_cents, n_years, z) — one row per
+    * input observation.
+    */
+  def monthlyZScores(monthly: DataFrame, locCol: String,
+      yearCol: String, monthCol: String, valueCents: String)
+      : DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val stats = monthly.groupBy(col(locCol).as("loc"),
+        col(monthCol).as("month"))
+      .agg(count(lit(1)).as("n_years"),
+        sum(col(valueCents).cast(d38)).as("_s"),
+        sum((col(valueCents).cast(d38) * col(valueCents).cast(d38)))
+          .as("_q"))
+    monthly.select(col(locCol).as("loc"), col(yearCol).as("y"),
+        col(monthCol).as("month"), col(valueCents).as("v_cents"))
+      .join(stats, Seq("loc", "month"))
+      .select(col("loc"), col("y"), col("month"), col("v_cents"),
+        col("n_years"),
+        when(col("n_years") * col("_q") - col("_s") * col("_s") >
+            lit(0),
+          (col("n_years") * col("v_cents").cast(d38) - col("_s"))
+            .cast("double") /
+            sqrt((col("n_years") * col("_q") - col("_s") * col("_s"))
+              .cast("double"))).as("z"))
+  }
 }

@@ -1148,6 +1148,43 @@ object GeoQueries {
       Agro.monthlyNormals(monthly, "loc", "y", "month", "v_c",
         relThresholdPct = 50L)
         .orderBy("loc", "month")
+    },
+
+    // Standardized monthly anomaly (SPI-family z-score on the
+    // calendar-month climatology): z = (v − mean)/sd per (loc, y,
+    // month), reduced to ONE double division of exact integers —
+    // (n·v − S)/√(n·Q − S²) with S, Q exact HUGEINT/DECIMAL(38)
+    // cent sums (Q overflows BIGINT at warehouse scale) — so the
+    // doubles hash-match under any partitioning. Zero-variance
+    // months yield null z.
+    Q("q291_monthly_zscore", Some("""
+      WITH m AS (
+        SELECT o_custkey % 25 AS loc,
+          CAST(year(o_orderdate) AS BIGINT) AS y,
+          CAST(month(o_orderdate) AS BIGINT) AS month,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+            AS v_c
+        FROM orders GROUP BY 1, 2, 3),
+      s AS (
+        SELECT loc, month, CAST(count(*) AS BIGINT) AS n_years,
+          SUM(CAST(v_c AS HUGEINT)) AS sm,
+          SUM(CAST(v_c AS HUGEINT) * v_c) AS q2
+        FROM m GROUP BY 1, 2)
+      SELECT m.loc, m.y, m.month, m.v_c AS v_cents, s.n_years,
+        CASE WHEN s.n_years * s.q2 - s.sm * s.sm > 0 THEN
+          CAST(s.n_years * m.v_c - s.sm AS DOUBLE)
+            / sqrt(CAST(s.n_years * s.q2 - s.sm * s.sm AS DOUBLE))
+        END AS z
+      FROM m JOIN s USING (loc, month)
+      ORDER BY m.loc, m.y, m.month""")) { (s, dir) =>
+      val monthly = Tables.load(s, dir, "orders")
+        .groupBy((col("o_custkey") % 25L).as("loc"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("month"))
+        .agg((sum(Q.dec(col("o_totalprice"))) * 100).cast("long")
+          .as("v_c"))
+      Agro.monthlyZScores(monthly, "loc", "y", "month", "v_c")
+        .orderBy("loc", "y", "month")
     }
   )
 

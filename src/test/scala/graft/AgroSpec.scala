@@ -99,4 +99,28 @@ class AgroSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Long)].collect().toSeq
     assert(got2 === Seq((1L, 1L, 3L, 200.0, 2L)))
   }
+
+  test("monthlyZScores: exact integer z; zero variance yields null") {
+    // month 1: values 100/200/300 → mean 200, population sd =
+    // sqrt(2/3)·100 → z = ±sqrt(3/2), 0 exactly; month 2: constant →
+    // null z
+    val m = Seq(
+      (1L, 1995L, 1L, 100L), (1L, 1996L, 1L, 200L),
+      (1L, 1997L, 1L, 300L),
+      (1L, 1995L, 2L, 77L), (1L, 1996L, 2L, 77L))
+      .toDF("loc", "y", "month", "v_c")
+    val got = Agro.monthlyZScores(m, "loc", "y", "month", "v_c")
+      .orderBy("loc", "y", "month")
+      .as[(Long, Long, Long, Long, Long, Option[Double])]
+      .collect().toSeq
+    // z = (n·v − S)/sqrt(n·Q − S²): n=3, S=600, Q=140000 →
+    // radicand 60000, numerators ∓300/0/+300
+    val z = 300.0 / math.sqrt(60000.0)
+    assert(got === Seq(
+      (1L, 1995L, 1L, 100L, 3L, Some(-z)),
+      (1L, 1995L, 2L, 77L, 2L, None),
+      (1L, 1996L, 1L, 200L, 3L, Some(0.0)),
+      (1L, 1996L, 2L, 77L, 2L, None),
+      (1L, 1997L, 1L, 300L, 3L, Some(z))))
+  }
 }
