@@ -150,6 +150,38 @@ object Agro {
           .as("n_anom"))
   }
 
+  /** Growing-season onset per (location, year): the first calendar
+    * day whose cumulative growing-degree-day sum reaches
+    * `thresholdDoubledCents` (the planting-date rule agronomists run
+    * on the GDD series; accumulation in DOUBLED cents like [[gdd]] —
+    * threshold 10000 ≡ 50 °C·day). One window sum per (loc, year)
+    * ordered by day, then a conditional min — no self-join, exact
+    * integers until the final `/200` render. Years that never reach
+    * the threshold keep a null onset.
+    *
+    * Output: (loc, y, onset_day yyyy-MM-dd or null, season_gdd,
+    * n_days).
+    */
+  def seasonOnset(daily: DataFrame, locCol: String, dayCol: String,
+      tmaxCol: String, tminCol: String,
+      thresholdDoubledCents: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(locCol), year(col(dayCol)))
+      .orderBy(col(dayCol))
+    daily
+      .withColumn("_g", greatest(lit(0L),
+        col(tmaxCol) + col(tminCol) - lit(2000L)))
+      .withColumn("_cum", sum(col("_g")).over(w))
+      .groupBy(col(locCol).as("loc"),
+        year(col(dayCol)).cast("long").as("y"))
+      .agg(
+        date_format(min(when(col("_cum") >= thresholdDoubledCents,
+          col(dayCol))), "yyyy-MM-dd").as("onset_day"),
+        (max(col("_cum")).cast("double") / lit(200.0))
+          .as("season_gdd"),
+        count(lit(1)).as("n_days"))
+  }
+
   /** Standardized monthly anomaly (the SPI-family z-score on the
     * calendar-month climatology): for each (location, year, month),
     * `z = (v − mean_month) / sd_month` with the population sd over

@@ -1185,6 +1185,38 @@ object GeoQueries {
           .as("v_c"))
       Agro.monthlyZScores(monthly, "loc", "y", "month", "v_c")
         .orderBy("loc", "y", "month")
+    },
+
+    // Growing-season onset: first calendar day whose cumulative GDD
+    // reaches 50 °C·day per (location, year) — the planting-date rule
+    // on the q266 synthetic daily series; one window sum + a
+    // conditional min, exact doubled-cents until the final /200.
+    Q("q292_season_onset", Some("""
+      WITH e AS (
+        SELECT user_id AS loc, CAST(ts AS DATE) AS day,
+          (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 5000)
+            - 1000 AS t_c
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      d AS (
+        SELECT loc, day, max(t_c) AS tmax_c, min(t_c) AS tmin_c
+        FROM e GROUP BY 1, 2),
+      c AS (
+        SELECT loc, CAST(year(day) AS BIGINT) AS y, day,
+          SUM(greatest(0, tmax_c + tmin_c - 2000)) OVER (
+            PARTITION BY loc, year(day) ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d)
+      SELECT loc, y,
+        strftime(min(CASE WHEN cum >= 10000 THEN day END),
+          '%Y-%m-%d') AS onset_day,
+        CAST(max(cum) AS DOUBLE) / 200.0 AS season_gdd,
+        CAST(count(*) AS BIGINT) AS n_days
+      FROM c GROUP BY 1, 2 ORDER BY loc, y""")) { (s, dir) =>
+      Agro.seasonOnset(dailyTemps(s, dir), "loc", "day",
+        "tmax_c", "tmin_c", thresholdDoubledCents = 10000L)
+        .orderBy("loc", "y")
     }
   )
 
