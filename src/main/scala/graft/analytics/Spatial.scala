@@ -43,8 +43,15 @@ import org.apache.spark.sql.types.DecimalType
   * row holds few cells' worth of area anyway) — an EQUI-join on cell
   * id. Candidates per point ≈ ring cells · station density; nothing
   * is ever points × stations. At 100 TB the cell id is also the
-  * natural partition/bucket key: pre-bucketing both sides by cell
-  * makes the probe a zero-exchange sort-merge join.
+  * natural partition/bucket key: [[bucketStations]] persists the big
+  * side cell-bucketed so every probe against it is a ONE-SIDED
+  * exchange (SpatialBucketSpec pins the plan). Real station sets are
+  * zipf-dense (cities): a hot cell's candidate fan-out is inherent
+  * output (every in-ring station IS a candidate), and the shuffle
+  * skew it causes on the sort-merge path is exactly what AQE's
+  * skew-join split handles — keep `spark.sql.adaptive.enabled` on
+  * (default); no salting is needed because the join key is already
+  * the finest meaningful unit.
   *
   * Contract: the ring probe is EXACT for any true nearest neighbor
   * within one cell width `cellMicro` of the query point IN THE SCALED

@@ -1217,6 +1217,48 @@ object GeoQueries {
       Agro.seasonOnset(dailyTemps(s, dir), "loc", "day",
         "tmax_c", "tmin_c", thresholdDoubledCents = 10000L)
         .orderBy("loc", "y")
+    },
+
+    // Heat-wave islands: consecutive observed days with tmax > 30 °C
+    // per location — the SAME islands machinery as q267's dry spells
+    // (Agro.drySpells is generic over the run flag), with waves =
+    // runs of ≥ 3 days. Missing calendar days break a run.
+    Q("q293_heat_waves", Some("""
+      WITH e AS (
+        SELECT user_id AS loc, CAST(ts AS DATE) AS day,
+          (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 5000)
+            - 1000 AS t_c
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      d AS (
+        SELECT loc, day, max(t_c) > 3000 AS is_hot
+        FROM e GROUP BY 1, 2),
+      hot AS (
+        SELECT loc, day,
+          day - CAST(row_number() OVER (PARTITION BY loc ORDER BY day)
+            AS INTEGER) AS grp
+        FROM d WHERE is_hot),
+      runs AS (
+        SELECT loc, grp, CAST(count(*) AS BIGINT) AS len
+        FROM hot GROUP BY 1, 2),
+      agg AS (
+        SELECT loc, CAST(SUM(len) AS BIGINT) AS dry_days,
+          CAST(count(*) AS BIGINT) AS n_runs, max(len) AS max_run,
+          CAST(SUM(CASE WHEN len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_spells
+        FROM runs GROUP BY loc)
+      SELECT l.loc, CAST(COALESCE(a.dry_days, 0) AS BIGINT) AS dry_days,
+        CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs, a.max_run,
+        CAST(COALESCE(a.n_spells, 0) AS BIGINT) AS n_spells
+      FROM (SELECT DISTINCT loc FROM d) l
+      LEFT JOIN agg a USING (loc)
+      ORDER BY l.loc""")) { (s, dir) =>
+      val daily = dailyTemps(s, dir)
+        .select(col("loc"), col("day"),
+          (col("tmax_c") > 3000L).as("is_hot"))
+      Agro.drySpells(daily, "loc", "day", "is_hot", spellMinDays = 3)
+        .orderBy("loc")
     }
   )
 

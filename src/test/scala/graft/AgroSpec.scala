@@ -100,6 +100,25 @@ class AgroSpec extends SparkSpec {
     assert(got2 === Seq((1L, 1L, 3L, 200.0, 2L)))
   }
 
+  test("seasonOnset: threshold day per year; unreached year is null") {
+    // loc 1, 1995: daily contributions 6000, 0 (clamped), 6000 →
+    // cum 6000/6000/12000 → onset on day 3; 1996: never reaches
+    val d = Seq(
+      (1L, "1995-03-01", 5000L, 3000L),  // +6000
+      (1L, "1995-03-02", 900L, -1000L),  // clamped to 0
+      (1L, "1995-03-03", 5000L, 3000L),  // +6000 → 12000 ≥ 10000
+      (1L, "1996-03-01", 2000L, 1000L))  // +1000 only
+      .toDF("loc", "day0", "tmax_c", "tmin_c")
+      .withColumn("day", to_date(col("day0"))).drop("day0")
+    val got = Agro.seasonOnset(d, "loc", "day", "tmax_c", "tmin_c",
+      thresholdDoubledCents = 10000L)
+      .orderBy("loc", "y")
+      .as[(Long, Long, Option[String], Double, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1995L, Some("1995-03-03"), 60.0, 3L),
+      (1L, 1996L, None, 5.0, 1L)))
+  }
+
   test("monthlyZScores: exact integer z; zero variance yields null") {
     // month 1: values 100/200/300 → mean 200, population sd =
     // sqrt(2/3)·100 → z = ±sqrt(3/2), 0 exactly; month 2: constant →
