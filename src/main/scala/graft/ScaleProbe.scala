@@ -431,8 +431,22 @@ object ScaleProbe {
               .select(col("loc"), col("day"),
                 (col("cd") % 700L - col("cd") % 2000L).as("net"))
             Agro.waterBalance(daily, "loc", "day", "net", 500L).count()
+          case "zscore" =>
+            val monthly = base.groupBy(col("loc"),
+              year(col("day")).cast("long").as("y"),
+              month(col("day")).cast("long").as("month"))
+              .agg(sum(col("c")).as("v_c"))
+            Agro.monthlyZScores(monthly, "loc", "y", "month", "v_c")
+              .count()
+          case "onset" =>
+            val daily = base.withColumn("t_c", col("c") % 5000L - 1000L)
+              .groupBy("loc", "day")
+              .agg(max("t_c").as("tmax_c"), min("t_c").as("tmin_c"))
+            Agro.seasonOnset(daily, "loc", "day", "tmax_c", "tmin_c",
+              10000L).count()
           case m =>
-            sys.error(s"agro op must be gdd|dryspells|waterbalance: $m")
+            sys.error(s"agro op must be gdd|dryspells|waterbalance|" +
+              s"zscore|onset: $m")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"agro","op":"$op","sf":"$sfDir",""" +

@@ -182,6 +182,28 @@ object Agro {
         count(lit(1)).as("n_days"))
   }
 
+  /** Last spring frost per (location, year): the latest day in
+    * months 1..`springEndMonth` with tmin below freezing — the
+    * frost-risk date that, with [[seasonOnset]], brackets the safe
+    * planting window. One keyed aggregation (conditional max +
+    * count); years without a spring frost keep a null date.
+    *
+    * Output: (loc, y, last_frost yyyy-MM-dd or null, n_frost_days).
+    */
+  def lastSpringFrost(daily: DataFrame, locCol: String, dayCol: String,
+      tminCol: String, springEndMonth: Int = 6): DataFrame = {
+    require(springEndMonth >= 1 && springEndMonth <= 12,
+      s"springEndMonth must be in [1, 12], got $springEndMonth")
+    val frost = month(col(dayCol)) <= springEndMonth &&
+      col(tminCol) < 0L
+    daily.groupBy(col(locCol).as("loc"),
+        year(col(dayCol)).cast("long").as("y"))
+      .agg(
+        date_format(max(when(frost, col(dayCol))), "yyyy-MM-dd")
+          .as("last_frost"),
+        sum(when(frost, 1L).otherwise(0L)).as("n_frost_days"))
+  }
+
   /** Standardized monthly anomaly (the SPI-family z-score on the
     * calendar-month climatology): for each (location, year, month),
     * `z = (v − mean_month) / sd_month` with the population sd over

@@ -1219,6 +1219,34 @@ object GeoQueries {
         .orderBy("loc", "y")
     },
 
+    // Last spring frost per (location, year): the latest Jan–Jun day
+    // with tmin < 0 °C — with q292's onset, the safe planting-window
+    // bracket. One conditional-max aggregation; frost-free springs
+    // keep a null date.
+    Q("q294_last_frost", Some("""
+      WITH e AS (
+        SELECT user_id AS loc, CAST(ts AS DATE) AS day,
+          (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 5000)
+            - 1000 AS t_c
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      d AS (
+        SELECT loc, day, min(t_c) AS tmin_c
+        FROM e GROUP BY 1, 2)
+      SELECT loc, CAST(year(day) AS BIGINT) AS y,
+        strftime(max(CASE WHEN month(day) <= 6 AND tmin_c < 0
+          THEN day END), '%Y-%m-%d') AS last_frost,
+        CAST(SUM(CASE WHEN month(day) <= 6 AND tmin_c < 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_frost_days
+      FROM d GROUP BY 1, 2 ORDER BY loc, y""")) { (s, dir) =>
+      Agro.lastSpringFrost(
+        dailyTemps(s, dir).select(col("loc"), col("day"),
+          col("tmin_c")),
+        "loc", "day", "tmin_c")
+        .orderBy("loc", "y")
+    },
+
     // Heat-wave islands: consecutive observed days with tmax > 30 °C
     // per location — the SAME islands machinery as q267's dry spells
     // (Agro.drySpells is generic over the run flag), with waves =
