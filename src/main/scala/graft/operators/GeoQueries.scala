@@ -274,6 +274,97 @@ object GeoQueries {
         .orderBy("c_custkey")
     },
 
+    // Station-coverage audit per 10° reporting cell: how many fields
+    // have at least one station within 800 km TRUE geodesic distance
+    // — the network-gap view an agro warehouse runs before trusting
+    // interpolated surfaces. Composes q286's radius machinery; the
+    // percentage is one double division of exact longs.
+    Q("q295_station_coverage", Some {
+      val pre = Spatial.radiusPregateMicro(800000.0)
+      s"""
+      WITH $duckBase,
+      stc10 AS (
+        SELECT st.*, (slat + 90000000) // 10000000 AS cl,
+          (slon + 180000000) // 10000000 AS cn
+        FROM st),
+      pk2 AS (
+        SELECT c_custkey, plat, plon,
+          (plat + 90000000) // 10000000 AS cl0,
+          (plon + 180000000) // 10000000 AS cn0,
+          least((((10000000 + 1) * CAST(1048576 AS BIGINT) - 1)
+              // greatest(list_extract((SELECT q FROM ct),
+                  least(90, (abs(plat) + 10000000) // 1000000 + 1) + 1), 1)
+              + 10000000 - 1) // 10000000,
+            36) AS k
+        FROM pts),
+      probe02 AS (
+        SELECT c_custkey, plat, plon, cl0, cn0,
+          unnest(CASE WHEN 2 * k + 1 >= 36 THEN range(0, 36)
+                      ELSE range(-k, k + 1) END) AS dj
+        FROM pk2),
+      probe2 AS (
+        SELECT p.c_custkey, p.plat, p.plon, p.cl0 + i.i AS cl,
+          (p.cn0 + p.dj + 36) % 36 AS cn
+        FROM probe02 p, (SELECT unnest([-1, 0, 1]) AS i) i),
+      cand2 AS (
+        SELECT c_custkey, plat, plon, slat, slon,
+          dlat * dlat + dle * dle AS d2
+        FROM (
+          SELECT pr.c_custkey, pr.plat, pr.plon, s.slat, s.slon,
+            pr.plat - s.slat AS dlat,
+            least(abs(pr.plon - s.slon),
+                360000000 - abs(pr.plon - s.slon))
+              * list_extract((SELECT q FROM ct),
+                  least(90, abs(pr.plat + s.slat) // 2000000 + 1) + 1)
+              // 1048576 AS dle
+          FROM probe2 pr JOIN stc10 s ON pr.cl = s.cl AND pr.cn = s.cn)),
+      covered AS (
+        SELECT DISTINCT c_custkey FROM (
+          SELECT c_custkey,
+            round(2 * 6371000.0 * asin(sqrt(
+              sin(radians((slat - plat) / 2000000.0))
+                * sin(radians((slat - plat) / 2000000.0))
+              + cos(radians(plat / 1000000.0))
+                * cos(radians(slat / 1000000.0))
+                * sin(radians((slon - plon) / 2000000.0))
+                * sin(radians((slon - plon) / 2000000.0)))), 3) AS dist_m
+          FROM cand2 WHERE d2 <= CAST($pre AS BIGINT) * $pre)
+        WHERE dist_m <= 800000.0),
+      pc AS (
+        SELECT p.c_custkey,
+          (p.plat + 90000000) // 10000000 AS cell_lat,
+          (p.plon + 180000000) // 10000000 AS cell_lon,
+          CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS cov
+        FROM pts p LEFT JOIN covered c USING (c_custkey))
+      SELECT cell_lat, cell_lon,
+        CAST(count(*) AS BIGINT) AS n_fields,
+        CAST(SUM(cov) AS BIGINT) AS n_covered,
+        CAST(SUM(cov) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+          AS coverage_pct
+      FROM pc GROUP BY 1, 2
+      ORDER BY cell_lat, cell_lon"""
+    }) { (s, dir) =>
+      val pts = points(s, dir)
+      val covered = Spatial.stationsWithinMeters(pts, "c_custkey",
+          "plat", "plon", stations(s, dir), "s_suppkey", "slat",
+          "slon", radiusMeters = 800000.0)
+        .select(col("c_custkey")).distinct()
+        .withColumn("_cov", lit(1L))
+      val (rcl, rcn) = Spatial.cellOf(col("plat"), col("plon"),
+        CellMicro)
+      pts.select(col("c_custkey"), rcl.as("cell_lat"),
+          rcn.as("cell_lon"))
+        .join(covered, Seq("c_custkey"), "left")
+        .groupBy("cell_lat", "cell_lon")
+        .agg(count(lit(1)).as("n_fields"),
+          sum(coalesce(col("_cov"), lit(0L))).as("n_covered"))
+        .select(col("cell_lat"), col("cell_lon"), col("n_fields"),
+          col("n_covered"),
+          (col("n_covered").cast("double") /
+            col("n_fields").cast("double")).as("coverage_pct"))
+        .orderBy("cell_lat", "cell_lon")
+    },
+
     // Radius-bounded nearest weather station per field point:
     // grid-ring candidates at the AUTO width (cell-keyed equi-join,
     // never points × stations), exact integer cos-scaled d² argmin,
