@@ -204,6 +204,36 @@ object Agro {
         sum(when(frost, 1L).otherwise(0L)).as("n_frost_days"))
   }
 
+  /** Frost-free season per (location, year): last spring frost
+    * (months 1..`splitMonth`), first autumn frost (months
+    * `splitMonth`+1..12), and the day count strictly between them —
+    * the growing-window metric that, with [[seasonOnset]], drives
+    * planting calendars. One keyed aggregation (two conditional
+    * extremes + one datediff); years missing either frost keep null
+    * season_days (an OPEN window, not zero).
+    *
+    * Output: (loc, y, last_spring_frost, first_autumn_frost — both
+    * yyyy-MM-dd or null, season_days BIGINT or null).
+    */
+  def frostFreeSeason(daily: DataFrame, locCol: String, dayCol: String,
+      tminCol: String, splitMonth: Int = 6): DataFrame = {
+    require(splitMonth >= 1 && splitMonth <= 11,
+      s"splitMonth must be in [1, 11], got $splitMonth")
+    val frost = col(tminCol) < 0L
+    val spring = frost && month(col(dayCol)) <= splitMonth
+    val autumn = frost && month(col(dayCol)) > splitMonth
+    daily.groupBy(col(locCol).as("loc"),
+        year(col(dayCol)).cast("long").as("y"))
+      .agg(
+        max(when(spring, col(dayCol))).as("_ls"),
+        min(when(autumn, col(dayCol))).as("_fa"))
+      .select(col("loc"), col("y"),
+        date_format(col("_ls"), "yyyy-MM-dd").as("last_spring_frost"),
+        date_format(col("_fa"), "yyyy-MM-dd").as("first_autumn_frost"),
+        (datediff(col("_fa"), col("_ls")) - lit(1))
+          .cast("long").as("season_days"))
+  }
+
   /** Standardized monthly anomaly (the SPI-family z-score on the
     * calendar-month climatology): for each (location, year, month),
     * `z = (v − mean_month) / sd_month` with the population sd over

@@ -328,12 +328,14 @@ object Spatial {
     * SpatialBucketSpec pins the single-exchange plan. */
   def bucketStations(stations: DataFrame, sid: String,
       slatCol: String, slonCol: String, cellMicro: Long,
-      buckets: Int, table: String): Unit = {
+      buckets: Int, table: String,
+      payloadCols: Seq[String] = Nil): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val (scl, scn) = cellOf(col(slatCol), col(slonCol), cellMicro)
-    stations.select(col(sid).as("station_id"),
-      col(slatCol).as("slat"), col(slonCol).as("slon"),
-      scl.as("cell_lat"), scn.as("cell_lon"))
+    stations.select(col(sid).as("station_id") +:
+        col(slatCol).as("slat") +: col(slonCol).as("slon") +:
+        scl.as("cell_lat") +: scn.as("cell_lon") +:
+        payloadCols.map(col): _*)
       .write.mode("overwrite")
       .bucketBy(buckets, "cell_lat", "cell_lon")
       .sortBy("cell_lat", "cell_lon")
@@ -370,6 +372,18 @@ object Spatial {
     nearestFromCand(points, pid,
       ringCandidatesBucketed(spark, points, pid, platCol, plonCol,
         stationTable, cellMicro))
+
+  /** [[idwEstimate]] against a [[bucketStations]] table —
+    * `valueCents` is evaluated over the table's payload columns
+    * (pass them at write time via `payloadCols`). Same one-sided
+    * shuffle as the other bucketed probes. */
+  def idwEstimateBucketed(spark: SparkSession, points: DataFrame,
+      pid: String, platCol: String, plonCol: String,
+      stationTable: String, cellMicro: Long, valueCents: Column)
+      : DataFrame =
+    idwFromCand(points, pid,
+      ringCandidatesBucketed(spark, points, pid, platCol, plonCol,
+        stationTable, cellMicro, stationValue = Some(valueCents)))
 
   /** The k nearest ring stations per point (radius-bounded kNN —
     * same exactness contract as [[nearestStation]], extended to k:

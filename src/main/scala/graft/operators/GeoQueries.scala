@@ -1338,6 +1338,39 @@ object GeoQueries {
         .orderBy("loc", "y")
     },
 
+    // Frost-free season per (location, year): last Jan–Jun frost,
+    // first Jul–Dec frost, and the day count strictly between — the
+    // growing-window metric driving planting calendars. Years
+    // missing either frost keep a null window (open, not zero).
+    Q("q296_frost_free_season", Some("""
+      WITH e AS (
+        SELECT user_id AS loc, CAST(ts AS DATE) AS day,
+          (CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) % 5000)
+            - 1000 AS t_c
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      d AS (
+        SELECT loc, day, min(t_c) AS tmin_c
+        FROM e GROUP BY 1, 2),
+      a AS (
+        SELECT loc, CAST(year(day) AS BIGINT) AS y,
+          max(CASE WHEN month(day) <= 6 AND tmin_c < 0
+            THEN day END) AS ls,
+          min(CASE WHEN month(day) > 6 AND tmin_c < 0
+            THEN day END) AS fa
+        FROM d GROUP BY 1, 2)
+      SELECT loc, y, strftime(ls, '%Y-%m-%d') AS last_spring_frost,
+        strftime(fa, '%Y-%m-%d') AS first_autumn_frost,
+        CAST(date_diff('day', ls, fa) - 1 AS BIGINT) AS season_days
+      FROM a ORDER BY loc, y""")) { (s, dir) =>
+      Agro.frostFreeSeason(
+        dailyTemps(s, dir).select(col("loc"), col("day"),
+          col("tmin_c")),
+        "loc", "day", "tmin_c")
+        .orderBy("loc", "y")
+    },
+
     // Heat-wave islands: consecutive observed days with tmax > 30 °C
     // per location — the SAME islands machinery as q267's dry spells
     // (Agro.drySpells is generic over the run flag), with waves =

@@ -39,6 +39,19 @@ class SpatialBucketSpec extends SparkSpec {
     assert(bucketed === inline)
   }
 
+  test("bucketed IDW with payload columns equals the inline estimate") {
+    val withV = stations.withColumn("vc", col("sid") * 100L)
+    Spatial.bucketStations(withV, "sid", "slat", "slon", Cell,
+      buckets = 4, table = "geo_stations_v", payloadCols = Seq("vc"))
+    val inline = Spatial.idwEstimate(points, "pid", "plat", "plon",
+      withV, "sid", "slat", "slon", col("vc"), Cell)
+      .orderBy("pid").collect().toSeq
+    val bucketed = Spatial.idwEstimateBucketed(spark, points, "pid",
+      "plat", "plon", "geo_stations_v", Cell, col("vc"))
+      .orderBy("pid").collect().toSeq
+    assert(bucketed === inline)
+  }
+
   test("ring probe against the bucketed table shuffles ONE side only") {
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     // disable broadcast so the ring join plans as SMJ/shuffle-hash —
