@@ -119,6 +119,25 @@ class AgroSpec extends SparkSpec {
       (1L, 1996L, None, 5.0, 1L)))
   }
 
+  test("frostFreeSeason: frost bracket; open window stays null") {
+    val d = Seq(
+      (1L, "1995-04-10", -100L), (1L, "1995-05-02", -50L), // spring
+      (1L, "1995-05-03", 500L),
+      (1L, "1995-10-01", -10L), (1L, "1995-11-01", -10L),  // autumn
+      (2L, "1995-04-01", -100L))                           // no autumn
+      .toDF("loc", "day0", "tmin_c")
+      .withColumn("day", to_date(col("day0"))).drop("day0")
+    val got = Agro.frostFreeSeason(d, "loc", "day", "tmin_c")
+      .orderBy("loc", "y")
+      .as[(Long, Long, Option[String], Option[String], Option[Long])]
+      .collect().toSeq
+    // loc 1: last spring 05-02, first autumn 10-01, 151 days strictly
+    // between; loc 2: no autumn frost → open (null) window
+    assert(got === Seq(
+      (1L, 1995L, Some("1995-05-02"), Some("1995-10-01"), Some(151L)),
+      (2L, 1995L, Some("1995-04-01"), None, None)))
+  }
+
   test("monthlyZScores: exact integer z; zero variance yields null") {
     // month 1: values 100/200/300 → mean 200, population sd =
     // sqrt(2/3)·100 → z = ±sqrt(3/2), 0 exactly; month 2: constant →
