@@ -385,7 +385,7 @@ object WarehouseQueries {
       ORDER BY snapshot, yr""")) { (s, dir) =>
       import graft.warehouse.Versioned
       val path = Q.scratchPath("timetravel", dir)
-      if (Versioned.versions(s, path).isEmpty) {
+      if (Versioned.latestVersion(s, path).isEmpty) {
         val y = Tables.load(s, dir, "orders")
           .select(year(col("o_orderdate")).cast("long").as("yr"),
             Q.dec(col("o_totalprice")).as("p"))
@@ -429,7 +429,7 @@ object WarehouseQueries {
       val y = Tables.load(s, dir, "orders")
         .select(year(col("o_orderdate")).cast("long").as("yr"),
           (Q.dec(col("o_totalprice")) * 100).cast("long").as("c"))
-      if (Versioned.versions(s, path).isEmpty) Seq(
+      if (Versioned.latestVersion(s, path).isEmpty) Seq(
         y.where(col("yr") <= 1996L),
         y.where(col("yr") >= 1997L && col("yr") <= 1998L),
         y.where(col("yr") >= 1999L))
@@ -476,7 +476,7 @@ object WarehouseQueries {
       val y = Tables.load(s, dir, "orders")
         .select(year(col("o_orderdate")).cast("long").as("yr"),
           (Q.dec(col("o_totalprice")) * 100).cast("long").as("c"))
-      if (Versioned.versions(s, path).isEmpty) {
+      if (Versioned.latestVersion(s, path).isEmpty) {
         Seq(y.where(col("yr") <= 1995L), y.where(col("yr") === 1996L),
           y.where(col("yr") === 1997L), y.where(col("yr") >= 1998L))
           .foreach(sl => Versioned.commit(sl, path): Unit)

@@ -204,16 +204,142 @@ class VersionedSpec extends SparkSpec {
     val path = tmpDir("vbig") + "/t"
     Versioned.commit(Seq(1).toDF("x"), path): Unit
     val (f, _) = hfs(path)
-    // simulate the 123456-th commit: same segment list, huge version
+    // simulate the 123456-th commit: same segment list, huge version.
+    // The out-of-band copy leaves a GAP (1 → 123456), which only the
+    // legacy full-listing path can discover — drop the hint to force
+    // it (a real lake's versions are protocol-contiguous).
     org.apache.hadoop.fs.FileUtil.copy(f,
       new org.apache.hadoop.fs.Path(s"$path/_versions/v00001.list"),
       f, new org.apache.hadoop.fs.Path(s"$path/_versions/v123456.list"),
       false, spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(
+      s"$path/_versions/_latest.hint"), false): Unit
     assert(Versioned.versions(spark, path) === Seq(1L, 123456L))
     assert(Versioned.read(spark, path, Some(123456L))
       .as[Int].collect().toSeq === Seq(1))
     // and the next commit continues past it
     assert(Versioned.commit(Seq(2).toDF("x"), path) === 123457L)
+  }
+
+  test("checkpointed reads: latest-snapshot resolution after 10k " +
+      "commits touches O(1) manifest files, CAS continues past it") {
+    val path = tmpDir("vchk") + "/t"
+    Versioned.commit(Seq(1).toDF("x"), path): Unit // v1: real segment
+    val (f, _) = hfs(path)
+    val seg = Versioned.segments(spark, path).head
+    // synthesize the manifest trail of 10k commits (each a full
+    // snapshot listing the same live segment — manifests are
+    // self-contained, so every one is a valid checkpoint), then
+    // refresh the pointer the way the winning committer would
+    (2 to 10000).foreach { v =>
+      val out = f.create(new org.apache.hadoop.fs.Path(
+        f"$path/_versions/v$v%05d.list"), true)
+      try out.write((seg + "\n").getBytes("UTF-8")) finally out.close()
+    }
+    val outH = f.create(new org.apache.hadoop.fs.Path(
+      s"$path/_versions/_latest.hint"), true)
+    try outH.write("10000".getBytes("UTF-8")) finally outH.close()
+    Versioned.metaOps.set(0L)
+    assert(Versioned.read(spark, path).as[Int].collect().toSeq === Seq(1))
+    val readOps = Versioned.metaOps.get()
+    // hint read + exists(10000) + gallop miss(10001) + manifest read —
+    // a LISTING would have counted 10k; assert an order-of-magnitude
+    // O(1) bound, not the exact op mix
+    assert(readOps <= 12L, s"read cost $readOps manifest ops")
+    // CAS preserved under the checkpoint: the next commit claims 10001
+    Versioned.metaOps.set(0L)
+    assert(Versioned.commit(Seq(2).toDF("x"), path) === 10001L)
+    val commitOps = Versioned.metaOps.get()
+    assert(commitOps <= 12L, s"commit cost $commitOps manifest ops")
+    // read-back equality: the snapshot the commit extended is intact
+    assert(Versioned.read(spark, path)
+      .as[Int].collect().sorted.toSeq === Seq(1, 2))
+    // a stale hint only costs gallop probes, never wrong answers
+    val outS = f.create(new org.apache.hadoop.fs.Path(
+      s"$path/_versions/_latest.hint"), true)
+    try outS.write("9990".getBytes("UTF-8")) finally outS.close()
+    assert(Versioned.latestVersion(spark, path) === Some(10001L))
+    // a corrupt hint falls back to the full listing, same answer
+    val outC = f.create(new org.apache.hadoop.fs.Path(
+      s"$path/_versions/_latest.hint"), true)
+    try outC.write("not-a-number".getBytes("UTF-8")) finally outC.close()
+    assert(Versioned.latestVersion(spark, path) === Some(10001L))
+  }
+
+  test("vacuum minAgeMs retention: young versions survive outside " +
+      "keepLast; a pinned young snapshot completes its scan") {
+    val path = tmpDir("vret") + "/t"
+    Versioned.commit(Seq(1).toDF("x"), path): Unit // v1
+    // v2 OVERWRITES: seg-1 is live only through v1's manifest, so an
+    // aggressive vacuum genuinely reclaims it under the pinned reader
+    Versioned.commit(Seq(2).toDF("x"), path, overwrite = true): Unit
+    Versioned.commit(Seq(3).toDF("x"), path): Unit // v3
+    // a time-travel reader resolves v1 (plan only — scan not yet run)
+    val pinned = Versioned.read(spark, path, Some(1L))
+    // retention guard: everything is younger than 1h, so even
+    // keepLast=1 retires NOTHING — the pinned reader is safe
+    val (m0, s0) = Versioned.vacuum(spark, path, keepLast = 1,
+      minAgeMs = 3600L * 1000L)
+    assert((m0, s0) === (0, 0))
+    assert(pinned.as[Int].collect().toSeq === Seq(1)) // scan completes
+    assert(Versioned.versions(spark, path) === Seq(1L, 2L, 3L))
+    // without the guard (minAgeMs=0) the old versions retire, and a
+    // reader of a retired version fails LOUDLY at manifest resolution
+    val (m1, _) = Versioned.vacuum(spark, path, keepLast = 1)
+    assert(m1 === 2)
+    intercept[IllegalArgumentException] {
+      Versioned.read(spark, path, Some(1L))
+    }
+    // an already-resolved plan over retired segments fails loudly at
+    // file open (missing part file), never silently partial
+    intercept[Exception] { pinned.collect(): Unit }
+  }
+
+  test("readDelta fails loudly when the immediate predecessor was " +
+      "vacuumed (never silently folds intermediate segments)") {
+    val path = tmpDir("vdpred") + "/t"
+    Versioned.commit(Seq(1).toDF("x"), path): Unit // v1
+    Versioned.commit(Seq(2).toDF("x"), path): Unit // v2
+    Versioned.commit(Seq(3).toDF("x"), path): Unit // v3
+    Versioned.commit(Seq(4).toDF("x"), path): Unit // v4
+    Versioned.vacuum(spark, path, keepLast = 2): Unit // v3,v4 survive
+    // v4's predecessor v3 is retained: the delta is exactly seg-4
+    assert(Versioned.readDelta(spark, path, 4L)
+      .as[Int].collect().toSeq === Seq(4))
+    // v3's predecessor v2 was vacuumed: the nearest-surviving-older
+    // fallback would return seg1+seg2+seg3 (the whole snapshot) as a
+    // "delta" — the contract is to refuse instead
+    val e = intercept[IllegalArgumentException] {
+      Versioned.readDelta(spark, path, 3L)
+    }
+    assert(e.getMessage.contains("predecessor"))
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("compact races a concurrent committer: either it succeeds or " +
+      "fails loudly - the interleaved commit is NEVER dropped") {
+    val path = tmpDir("vcrace") + "/t"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Versioned.commit(Seq(0L).toDF("x"), path): Unit
+    val committer = Future {
+      (1 to 6).map(i => Versioned.commit(Seq(i.toLong).toDF("x"), path))
+    }
+    val compactor = Future {
+      (1 to 6).map { _ =>
+        Thread.sleep(15L)
+        try Right(Versioned.compact(spark, path, numFiles = Some(1)))
+        catch { case e: RuntimeException
+            if e.getMessage.contains("lost the claim") => Left(e) }
+      }
+    }
+    Await.result(committer, 120.seconds): Unit
+    Await.result(compactor, 120.seconds): Unit
+    // the invariant the TOCTOU fix buys: every committed row is in the
+    // final snapshot no matter how compaction interleaved
+    assert(Versioned.read(spark, path).as[Long].collect().sorted.toSeq
+      === (0L to 6L))
   }
 
   test("snapshot isolation: a reader plan resolved at v1 is unaffected " +
