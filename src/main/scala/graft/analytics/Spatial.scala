@@ -434,6 +434,22 @@ object Spatial {
     * (≈ 850 km) are rejected — a planet-scale radius should be a
     * grid aggregation, not a ring probe.
     *
+    * Polar cap: the equirect/great-circle ratio is UNBOUNDED for
+    * over-the-pole paths (two points at lat 86.5° with Δλ = 180° are
+    * 778 km apart over the pole but measure ~9.4e6 scaled micro along
+    * the parallel), so no constant pre-gate margin is admissible
+    * there. A true over-the-pole in-radius pair necessarily has BOTH
+    * latitudes within the radius of a pole, i.e. within `pregate` of
+    * ±90e6 — for pairs whose latitude coverage reaches that cap the
+    * gate drops the dlon term entirely and keeps only `dlat²` (the
+    * meridional component never exceeds the great-circle distance, so
+    * dlat-only is always admissible), letting the exact haversine
+    * verdict decide. Ring coverage needs no special case: `cell ≥
+    * pregate`, so any cap point's coverage band reaches 90° where
+    * cq = 0 and [[ringCandidates]] already probes the full longitude
+    * circle. The caps are a vanishing fraction of the globe, so the
+    * extra haversine work is negligible.
+    *
     * Output: (pid, station, dist_m) — mm-rounded geodesic metres,
     * one row per in-radius (point, station).
     */
@@ -448,12 +464,17 @@ object Spatial {
       s"stationsWithinMeters: radius ${radiusMeters}m needs a " +
         s"$pregate-micro pre-gate > the coarsest ladder rung " +
         s"(${CellLadderMicro.last}) - use a grid aggregation instead")
+    val pre2 = lit(pregate) * lit(pregate)
+    val dlat = col("_plat") - col("_svalue.lat")
+    val polar = greatest(abs(col("_plat")), abs(col("_svalue.lat"))) +
+      lit(pregate) >= lit(90000000L)
     ringCandidates(points, pid, platCol, plonCol,
       stations, sid, slatCol, slonCol, cell,
       stationValue = Some(struct(col(slatCol).as("lat"),
         col(slonCol).as("lon"))),
       bandShift = 1)
-      .where(col("_d2") <= lit(pregate) * lit(pregate))
+      .where(when(polar, dlat * dlat <= pre2)
+        .otherwise(col("_d2") <= pre2))
       .select(col("_pid").as(pid), col("_sid").as("station"),
         round(haversineMeters(col("_plat"), col("_plon"),
           col("_svalue.lat"), col("_svalue.lon")), 3).as("dist_m"))

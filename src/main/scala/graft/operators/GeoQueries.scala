@@ -235,7 +235,15 @@ object GeoQueries {
               * cos(radians(slat / 1000000.0))
               * sin(radians((slon - plon) / 2000000.0))
               * sin(radians((slon - plon) / 2000000.0)))), 3) AS dist_m
-        FROM cand2 WHERE d2 <= CAST($pre AS BIGINT) * $pre)
+        FROM cand2
+        -- polar cap: over-the-pole in-radius pairs have both lats
+        -- within the pre-gate of a pole; the dlon term is not
+        -- admissible there, so gate on dlat alone (haversine refines)
+        WHERE CASE WHEN greatest(abs(plat), abs(slat)) + $pre
+                     >= 90000000
+              THEN (plat - slat) * (plat - slat)
+                     <= CAST($pre AS BIGINT) * $pre
+              ELSE d2 <= CAST($pre AS BIGINT) * $pre END)
       WHERE dist_m <= 800000.0
       ORDER BY c_custkey, station"""
     }) { (s, dir) =>
@@ -328,7 +336,15 @@ object GeoQueries {
                 * cos(radians(slat / 1000000.0))
                 * sin(radians((slon - plon) / 2000000.0))
                 * sin(radians((slon - plon) / 2000000.0)))), 3) AS dist_m
-          FROM cand2 WHERE d2 <= CAST($pre AS BIGINT) * $pre)
+          FROM cand2
+        -- polar cap: over-the-pole in-radius pairs have both lats
+        -- within the pre-gate of a pole; the dlon term is not
+        -- admissible there, so gate on dlat alone (haversine refines)
+        WHERE CASE WHEN greatest(abs(plat), abs(slat)) + $pre
+                     >= 90000000
+              THEN (plat - slat) * (plat - slat)
+                     <= CAST($pre AS BIGINT) * $pre
+              ELSE d2 <= CAST($pre AS BIGINT) * $pre END)
         WHERE dist_m <= 800000.0),
       pc AS (
         SELECT p.c_custkey,

@@ -133,6 +133,33 @@ class SpatialSpec extends SparkSpec {
     }
   }
 
+  test("stationsWithinMeters polar cap: over-the-pole in-radius " +
+      "stations survive the pre-gate (dlat-only in the cap)") {
+    // (86.5°, 0°) to (86.5°, 180°) is 778.4 km OVER THE POLE — true
+    // in-radius at 800 km — but measures ~9.42e6 scaled micro along
+    // the parallel, beyond the 9.36e6 pre-gate: the equirect dlon
+    // term is inadmissible in the cap and must be skipped there
+    val p = pts((1L, 86500000L, 0L))
+    val s = sts(
+      (2L, 86500000L, -180000000L), // 778.4 km over the pole: IN
+      (3L, 88000000L, -180000000L), // 611.6 km over the pole: IN
+      (4L, 86500000L, 179000000L),  // 778.7 km, near-antipodal: IN
+      (5L, 82000000L, -180000000L)) // 1279 km over the pole: OUT
+    val got = Spatial.stationsWithinMeters(p, "pid", "plat", "plon",
+      s, "sid", "slat", "slon", radiusMeters = 800000.0)
+      .orderBy("station")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) === Seq(2L, 3L, 4L))
+    assert(math.abs(got.head._3 - 778364.2) < 1.0)
+    // and a non-cap pair is still gated by the full scaled metric:
+    // same geometry at lat 40° is ~12,000 km apart — absent
+    val pLow = pts((9L, 40000000L, 0L))
+    val sLow = sts((10L, 40000000L, 180000000L))
+    assert(Spatial.stationsWithinMeters(pLow, "pid", "plat", "plon",
+      sLow, "sid", "slat", "slon", radiusMeters = 800000.0)
+      .count() === 0L)
+  }
+
   test("nearDupPointsVerified: geodesic gate, polar seam, mm rounding") {
     // equator: 0.009°E is 1000.75 m — OUTSIDE the 1 km gate even
     // though the scaled pre-gate (9000 ≤ 12000) admits it; 0.0089°E
