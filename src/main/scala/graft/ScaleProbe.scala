@@ -73,7 +73,8 @@ object ScaleProbe {
         lazy val embT = Tables.load(spark, sfDir, "embeddings")
         // warm the table the op actually scans, untimed (a cold
         // parquet scan is a fixed cost that skews decade ratios)
-        if (Set("semdecon", "semincr", "protopr")(op)) embT.count(): Unit
+        if (Set("semdecon", "semdeconpruned", "semincr", "protopr")(op))
+          embT.count(): Unit
         else docs.count(): Unit
         // semincr's 90 % state build is the one-time index cost, not
         // the recurring per-ingest cost this probe measures — run it
@@ -90,6 +91,21 @@ object ScaleProbe {
             iterations = 2, threshold = 0.35,
             bits2 = graft.analytics.Similarity.autoResidualBits(
               n0, k1, 32))
+        }
+        // semdeconpruned's index build is the one-time cost the
+        // persisted-IVF contract amortizes — warm phase, untimed; the
+        // timed phase is the recurring per-release decontamination
+        // read (bounds + partition-pruned cell scan + id-column scan)
+        lazy val prunedIdx = graft.operators.Q.scratchPath(
+          "semdeconpruned", sfDir)
+        if (op == "semdeconpruned") {
+          val sim = graft.analytics.Similarity
+          val corpus = embT.where(col("vec_id") >= 128L)
+          val kC = sim.autoNlist(corpus.count())
+          sim.buildIvfIndex(corpus, prunedIdx, k = kC, dim = 64,
+            iterations = 2,
+            codebook = Some(sim.kmeansCodebook(corpus, "vec_id",
+              "embedding", kC, 64, 2, initSmallestK = true)))
         }
         val t0 = System.nanoTime()
         val rows: Long = op match {
@@ -146,6 +162,13 @@ object ScaleProbe {
               embT.where(col("vec_id") < 128),
               "vec_id", "embedding", threshold = 0.35,
               targetRecall = 0.8).count()
+          case "semdeconpruned" =>
+            // the recurring read against the index built in the warm
+            // phase: recall-1 decontamination whose corpus bytes are
+            // bounded by the unpruned cells, not the corpus
+            graft.analytics.CorpusOps.semanticContaminationIndexed(
+              spark, prunedIdx, embT.where(col("vec_id") < 128L),
+              "vec_id", "embedding", threshold = 0.35).count()
           case "semincr" =>
             // ONE 10 %-batch increment against the state built in the
             // warm phase — the recurring per-ingest cost the
@@ -169,7 +192,7 @@ object ScaleProbe {
             graft.analytics.LangModel.knTrigramCrossEntropy(
               docs, "doc_id", "text").count()
           case m => sys.error(s"unknown corpusop '$m' (keepbest|" +
-            "split|shards|diff|fertility|semdecon|semincr|protopr|kn)")
+            "split|shards|diff|fertility|semdecon|semdeconpruned|semincr|protopr|kn)")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"corpusop","op":"$op","sf":"$sfDir",""" +

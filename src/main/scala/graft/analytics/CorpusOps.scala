@@ -489,34 +489,170 @@ object CorpusOps {
       .join(broadcast(b), Seq("bench_id"))
       .withColumn("score",
         Similarity.cosine(col("c_emb"), col("b_emb")))
-      .filter(col("score") >= threshold)
-    val best = scored.groupBy("vec_id")
+    verdictFromScored(c.select("vec_id"), scored, threshold)
+  }
+
+  /** The argmax-verdict tail over an ALREADY-SCORED candidate frame
+    * (vec_id, bench_id, score): per-doc best match at score ≥
+    * threshold (max score, tie lowest bench id), every id in `cIds`
+    * kept — clean docs with null match columns. Taking scored rows
+    * directly lets embedding-bearing candidate paths skip the
+    * re-join of the corpus by vec_id (a shuffle keyed on the full
+    * candidate set) that the id-only path pays. */
+  private def verdictFromScored(cIds: DataFrame, scored: DataFrame,
+      threshold: Double): DataFrame = {
+    val best = scored.filter(col("score") >= threshold)
+      .groupBy("vec_id")
       .agg(max(struct(col("score"), (-col("bench_id")).as("nb")))
         .as("__m"))
       .select(col("vec_id"), (-col("__m.nb")).as("bench_id"),
         col("__m.score").as("score"))
-    c.select("vec_id").join(best, Seq("vec_id"), "left")
+    cIds.join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("bench_id"), col("score"),
         col("bench_id").isNotNull.as("contaminated"))
   }
 
   /** EXACT semantic decontamination — every (corpus, benchmark) pair
-    * scored, no LSH candidates, recall 1 BY CONSTRUCTION: the
-    * routing target of [[semanticContaminationAuto]] when the
-    * sign-table inversion exceeds its cost cap. The benchmark side
-    * is eval-suite-sized and broadcast, so the cost is |corpus| ·
-    * |bench| codegen'd cosines, map-only over the corpus — linear
-    * in the corpus at any scale, priced by the benchmark size
-    * (which, unlike the corpus, does not grow with the crawl). */
+    * scored, no LSH candidates, recall 1 BY CONSTRUCTION. The
+    * benchmark side is eval-suite-sized and broadcast, and the
+    * embedding-bearing frames cross-join DIRECTLY (no candidate-id
+    * detour back through the corpus), so the cost is |corpus| ·
+    * |bench| codegen'd cosines, genuinely map-only over the corpus —
+    * linear in the corpus at any scale, priced by the benchmark size
+    * (which, unlike the corpus, does not grow with the crawl). The
+    * PRUNED tier ([[semanticContaminationPruned]]) keeps the same
+    * recall-1 contract while skipping provably sub-threshold cells. */
   def semanticContaminationExact(corpus: DataFrame, bench: DataFrame,
       idCol: String, embCol: String, threshold: Double): DataFrame = {
     val b = bench.select(col(idCol).as("bench_id"),
       col(embCol).cast("array<double>").as("b_emb"))
     val c = corpus.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("c_emb"))
-    val cand = c.select("vec_id")
-      .crossJoin(broadcast(b.select("bench_id")))
-    contaminationVerdict(c, b, cand, threshold)
+    val scored = c.crossJoin(broadcast(b))
+      .withColumn("score", Similarity.cosine(col("c_emb"), col("b_emb")))
+    verdictFromScored(c.select("vec_id"), scored, threshold)
+  }
+
+  /** The ADMISSIBLE cos upper bound of the pruning tier: for a bench
+    * vector q, a centroid c at angle `thetaQC`, and a cell whose
+    * members all lie within angle `r` of c (r = acos of the cell's
+    * MINIMUM member-to-centroid cosine), the spherical triangle
+    * inequality gives θ(q,x) ≥ θ(q,c) − r for every member x, so
+    * cos θ(q,x) ≤ cos(max(0, θ(q,c) − r)). Cosine depends only on
+    * direction, so the bound holds for un-normalized vectors too.
+    * NaN anywhere (zero vectors) keeps the cell — NaN ≥ τ is true
+    * under both engines' NaN-greatest comparisons, matching the
+    * exact tier's verdict for those rows. */
+  private def centroidCosBound(thetaQC: Column, r: Column): Column =
+    cos(greatest(lit(0.0), thetaQC - r))
+
+  private def clampAcos(c: Column): Column =
+    acos(least(lit(1.0), greatest(lit(-1.0), c)))
+
+  /** Exact-recall PRUNED semantic decontamination — the
+    * [[semanticContaminationExact]] contract (every ≥ τ match found,
+    * recall 1) at a fraction of the scoring work: corpus vectors are
+    * assigned to a k-means codebook, each cell carries its residual
+    * radius (max member angle from the centroid), and a (bench, cell)
+    * pair is scored ONLY when the triangle-inequality bound
+    * ([[centroidCosBound]]) admits a ≥ τ member — cells that provably
+    * cannot contain a match are never touched. A 1e-9 slack on the
+    * threshold absorbs the double-rounding of the acos/cos chain, so
+    * float noise can only ADD candidates, never drop one; output is
+    * therefore row-identical to the exact tier (pinned in
+    * CorpusOpsSpec).
+    *
+    * Cost shape: one codebook train (iterations · n·k broadcast
+    * cosines — amortize it at 100 TB by querying a PERSISTED index
+    * instead, [[semanticContaminationIndexed]]), one n·k assignment,
+    * then |unpruned cells| · |bench| exact cosines instead of n ·
+    * |bench|. Bench and codebook are both broadcast; the only
+    * corpus-keyed shuffle is the assignment argmax. */
+  def semanticContaminationPruned(corpus: DataFrame, bench: DataFrame,
+      idCol: String, embCol: String, threshold: Double, kCells: Int,
+      dim: Int = 64, iterations: Int = 2): DataFrame = {
+    val b = bench.select(col(idCol).as("bench_id"),
+      col(embCol).cast("array<double>").as("b_emb"))
+    val c = corpus.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("c_emb"))
+    val cb = Similarity.kmeansCodebook(corpus, idCol, embCol, kCells,
+      dim, iterations, initSmallestK = true)
+    val assigned = Similarity.assignNearestCellScored(cb, c,
+      "vec_id", "c_emb")
+    val radii = assigned
+      .select(col("cell"), nanvl(col("cscore"), lit(-1.0)).as("__cs"))
+      .groupBy("cell").agg(min(col("__cs")).as("min_cscore"))
+    prunedVerdict(c.select("vec_id"),
+      assigned.select("vec_id", "c_emb", "cell"),
+      b, cb.join(radii, col("centroid_id") === col("cell")).drop("cell"),
+      threshold)
+  }
+
+  /** The shared prune-score-verdict tail: bench × centroid bounds
+    * (both model-sized, broadcast), unpruned (cell, bench) pairs
+    * joined cell-keyed against the assigned corpus, exact cosine on
+    * survivors. `centStats` is (centroid_id, cent_emb, min_cscore). */
+  private def prunedVerdict(cIds: DataFrame, assigned: DataFrame,
+      b: DataFrame, centStats: DataFrame, threshold: Double)
+      : DataFrame = {
+    val pairs = b.crossJoin(broadcast(centStats))
+      .withColumn("__theta",
+        clampAcos(Similarity.cosine(col("b_emb"), col("cent_emb"))))
+      .withColumn("__r", clampAcos(col("min_cscore")))
+      .filter(!(centroidCosBound(col("__theta"), col("__r")) <
+        lit(threshold - 1e-9)))
+      .select(col("bench_id"), col("b_emb"),
+        col("centroid_id").as("cell"))
+    val scored = assigned.join(broadcast(pairs), Seq("cell"))
+      .withColumn("score",
+        Similarity.cosine(col("c_emb"), col("b_emb")))
+    verdictFromScored(cIds, scored, threshold)
+  }
+
+  /** [[semanticContaminationPruned]] against a PERSISTED IVF index
+    * ([[Similarity.buildIvfIndex]]) — the 100 TB operating point:
+    * training and assignment are paid once at index time, the
+    * per-cell stats table already holds the residual radii, and the
+    * unpruned-cell set (bounded by the codebook size) is collected to
+    * drive PARTITION PRUNING on the cell-partitioned assignment
+    * table, so a decontamination run reads only the cells some bench
+    * vector can reach — sublinear in the corpus when the bench suite
+    * is concentrated, never more than the exact tier's one scan. The
+    * clean-doc left-join reads only the id column of the skipped
+    * cells (column pruning). Output ≡ the exact tier (recall 1). */
+  def semanticContaminationIndexed(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      bench: DataFrame, idCol: String, embCol: String,
+      threshold: Double): DataFrame = {
+    graft.warehouse.Writer.recoverPartitions(spark,
+      s"$indexPath/cells", Seq("cell"))
+    val b = bench.select(col(idCol).as("bench_id"),
+      col(embCol).cast("array<double>").as("b_emb"))
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val stats = Similarity.readCellStats(spark, indexPath)
+    val centStats = cb.join(stats, col("centroid_id") === col("cell"))
+      .select(col("centroid_id"), col("cent_emb"), col("min_cscore"))
+    val pairs = b.crossJoin(broadcast(centStats))
+      .withColumn("__theta",
+        clampAcos(Similarity.cosine(col("b_emb"), col("cent_emb"))))
+      .withColumn("__r", clampAcos(col("min_cscore")))
+      .filter(!(centroidCosBound(col("__theta"), col("__r")) <
+        lit(threshold - 1e-9)))
+      .select(col("bench_id"), col("b_emb"),
+        col("centroid_id").as("cell"))
+    // codebook-bounded collect → a partition predicate on the scan
+    val live = pairs.select("cell").distinct().collect()
+      .map(_.getInt(0))
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    val assigned = cells
+      .filter(col("cell").isin(live.map(Integer.valueOf): _*))
+      .select(col("neighbor_id").as("vec_id"), col("c_emb"),
+        col("cell"))
+    val scored = assigned.join(broadcast(pairs), Seq("cell"))
+      .withColumn("score",
+        Similarity.cosine(col("c_emb"), col("b_emb")))
+    verdictFromScored(
+      cells.select(col("neighbor_id").as("vec_id")), scored, threshold)
   }
 
   /** [[semanticContamination]] sized from the corpus and a recall
@@ -532,16 +668,20 @@ object CorpusOps {
       idCol: String, embCol: String, threshold: Double,
       targetRecall: Double = 0.8, dim: Int = 64,
       targetBucket: Int = 32, maxTables: Int = 64): DataFrame = {
-    val bits = Dedup.autoSignBits(corpus.count(), targetBucket)
+    val n = corpus.count()
+    val bits = Dedup.autoSignBits(n, targetBucket)
     // when the inversion demands more tables than the cost cap,
     // clamping would silently miss leaks below the stated recall —
     // for THIS workload the bench side is bounded, so the honest
-    // route is the exact broadcast scorer (recall 1), not a thinner
-    // LSH (Dedup.moderateTauExceedsCap, pinned in NearDupsAutoSpec)
+    // route is a recall-1 scorer (Dedup.moderateTauExceedsCap,
+    // pinned in NearDupsAutoSpec). Since r18 that scorer is the
+    // centroid-PRUNED exact tier: same verdict as the all-pairs
+    // broadcast scan (recall 1 by the admissible bound), a fraction
+    // of the cosine work
     if (Dedup.moderateTauExceedsCap(bits, threshold, targetRecall,
         maxTables))
-      semanticContaminationExact(corpus, bench, idCol, embCol,
-        threshold)
+      semanticContaminationPruned(corpus, bench, idCol, embCol,
+        threshold, kCells = Similarity.autoNlist(n))
     else semanticContamination(corpus, bench, idCol, embCol, threshold,
       bits, dim,
       Dedup.autoSignTables(bits, threshold, targetRecall, maxTables))

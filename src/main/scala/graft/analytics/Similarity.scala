@@ -109,7 +109,8 @@ object Similarity {
   }
 
   def kmeansCodebook(corpus: DataFrame, idCol: String, embCol: String,
-      k: Int, dim: Int, iterations: Int): DataFrame = {
+      k: Int, dim: Int, iterations: Int,
+      initSmallestK: Boolean = false): DataFrame = {
     val q = 1048576L // 2^20 quantization step
     val sess = corpus.sparkSession
     checkCodebookBudget(sess, k, dim)
@@ -123,9 +124,22 @@ object Similarity {
         .map(r => (r.getInt(0), r.getSeq[Double](1).toIndexedSeq))
         .sortBy(_._1)
         .toDF("centroid_id", "cent_emb")
-    var cent = collected(corpus.filter(col(idCol) < k)
-      .select(col(idCol).cast("int").as("centroid_id"),
-        col(embCol).cast("array<double>").as("cent_emb")))
+    // default init is the id-VALUE rule (id < k), which every trained
+    // oracle CTE replays; initSmallestK seeds from the k SMALLEST ids
+    // instead (a TakeOrdered top-k, no full sort) — required when the
+    // id range doesn't start at 0 (e.g. a benchmark-split corpus whose
+    // ids begin past k, where id < k would seed an EMPTY codebook)
+    var cent =
+      if (initSmallestK)
+        corpus.select(col(idCol).cast("long").as("__id"),
+            col(embCol).cast("array<double>").as("__emb"))
+          .orderBy("__id").limit(k).collect().toSeq
+          .sortBy(_.getLong(0)).zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }
+          .toDF("centroid_id", "cent_emb")
+      else collected(corpus.filter(col(idCol) < k)
+        .select(col(idCol).cast("int").as("centroid_id"),
+          col(embCol).cast("array<double>").as("cent_emb")))
     for (_ <- 1 to iterations) {
       val assigned = nearestCell(cent, corpus
           .select(col(idCol).as("__vid"),
@@ -194,6 +208,15 @@ object Similarity {
         col("__best.score").as("cscore"))
   }
 
+  /** [[nearestCell]] as public surface — nearest-cell assignment
+    * KEEPING the assignment cosine: (idCol, embCol, cell, cscore).
+    * The input shape of the pruned contamination tier's per-cell
+    * residual radii ([[graft.analytics.CorpusOps
+    * .semanticContaminationPruned]]). */
+  def assignNearestCellScored(centroids: DataFrame, df: DataFrame,
+      idCol: String, embCol: String): DataFrame =
+    nearestCell(centroids, df, idCol, embCol)
+
   /** Nearest-`probes` centroid cells per vector (broadcast codebook,
     * deterministic centroid-id tie-break). The hot 1-probe path (all
     * corpus-side assignments) is the map-side [[nearestCell]]
@@ -252,11 +275,48 @@ object Similarity {
     val cb = codebook.getOrElse(kmeansCodebook(corpus, "vec_id",
       "embedding", k, dim, iterations))
     cb.write.mode("overwrite").parquet(s"$indexPath/codebook")
-    assignCells(cb, corpus.select(
+    val assigned = nearestCell(cb, corpus.select(
         col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
-        "neighbor_id", "c_emb", 1)
+        "neighbor_id", "c_emb")
+    assigned.select("neighbor_id", "c_emb", "cell")
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/cells")
+    // per-cell summary: size (the skew/health statistic) and the
+    // minimum member-to-centroid cosine (the residual-radius input of
+    // the triangle-inequality pruning in
+    // [[graft.analytics.CorpusOps.semanticContaminationIndexed]]).
+    // NaN assignment cosines (zero vectors) collapse to -1 so a cell
+    // holding one is never prunable — admissibility over cheapness.
+    writeCellStats(cellStatsOf(assigned), indexPath)
+  }
+
+  /** The (cell, n, min_cscore) summary of a cscore-bearing assignment
+    * frame — codebook-sized. */
+  private def cellStatsOf(assigned: DataFrame): DataFrame =
+    assigned.select(col("cell"),
+        nanvl(col("cscore"), lit(-1.0)).as("__cs"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), min(col("__cs")).as("min_cscore"))
+
+  private def writeCellStats(stats: DataFrame, indexPath: String): Unit =
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/cellstats")
+
+  /** The per-cell stats table of a persisted index: (cell, n,
+    * min_cscore). Rebuilt on the fly (one scan) for a pre-stats
+    * legacy index. */
+  def readCellStats(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/cellstats")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(p)) spark.read.parquet(s"$indexPath/cellstats")
+    else {
+      val cb = spark.read.parquet(s"$indexPath/codebook")
+      cellStatsOf(nearestCell(cb,
+        spark.read.parquet(s"$indexPath/cells")
+          .select("neighbor_id", "c_emb"),
+        "neighbor_id", "c_emb"))
+    }
   }
 
   /** Append new vectors to a persisted IVF index: assign against the
@@ -266,11 +326,80 @@ object Similarity {
   def appendToIvfIndex(newVectors: DataFrame, indexPath: String): Unit = {
     val spark = newVectors.sparkSession
     val codebook = spark.read.parquet(s"$indexPath/codebook")
-    assignCells(codebook, newVectors.select(
+    val assigned = nearestCell(codebook, newVectors.select(
         col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
-        "neighbor_id", "c_emb", 1)
+        "neighbor_id", "c_emb")
+    assigned.select("neighbor_id", "c_emb", "cell")
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexPath/cells")
+    // fold the batch into the per-cell stats; the merge is
+    // codebook-sized, so materializing it through the driver (the
+    // collect is bounded by nlist) is what lets us overwrite the
+    // stats table we just read
+    val merged = readCellStats(spark, indexPath)
+      .unionByName(cellStatsOf(assigned))
+      .groupBy("cell")
+      .agg(sum("n").as("n"), min("min_cscore").as("min_cscore"))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    merged.collect().foreach(rows.add(_): Unit)
+    writeCellStats(spark.createDataFrame(rows, merged.schema), indexPath)
+  }
+
+  /** Cell-size skew of a persisted index: max(n)/mean(n) over the
+    * stats table — 1.0 is perfectly balanced; a frozen-codebook index
+    * fed drifted appends ([[appendToIvfIndex]]) grows this silently,
+    * degrading probe cost (the hot cell dominates every probe that
+    * touches it) and recall (drifted vectors crowd into cells whose
+    * centroid no longer represents them). */
+  def ivfCellSkew(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Double = {
+    val r = readCellStats(spark, indexPath)
+      .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mean"))
+      .head()
+    r.getDouble(0) / r.getDouble(1)
+  }
+
+  /** Retrain a persisted float IVF index from its own stored vectors:
+    * fresh [[autoNlist]]-sized codebook (smallest-k init — stored ids
+    * are arbitrary), fresh assignment + stats, staged to a sibling
+    * path and swapped in atomically-per-table (the index can't be
+    * overwritten while its cells are the training input). Read
+    * equivalence is pinned in SimilaritySpec: the rebuilt index
+    * answers [[ivfTopKIndexed]] queries identically to an inline
+    * rebuild over the same vectors. */
+  def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, dim: Int = 64, iterations: Int = 2): Unit = {
+    graft.warehouse.Writer.recoverPartitions(spark,
+      s"$indexPath/cells", Seq("cell"))
+    val corpus = spark.read.parquet(s"$indexPath/cells")
+      .select(col("neighbor_id").as("vec_id"),
+        col("c_emb").as("embedding"))
+    val k = autoNlist(corpus.count())
+    val tmp = s"$indexPath/__rebuild"
+    buildIvfIndex(corpus, tmp, k, dim, iterations,
+      codebook = Some(kmeansCodebook(corpus, "vec_id", "embedding",
+        k, dim, iterations, initSmallestK = true)))
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("codebook", "cells", "cellstats").foreach { d =>
+      val dst = new org.apache.hadoop.fs.Path(root, d)
+      if (f.exists(dst)) f.delete(dst, true): Unit
+      f.rename(new org.apache.hadoop.fs.Path(s"$tmp/$d"), dst): Unit
+    }
+    f.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+  }
+
+  /** The maintenance trigger for frozen-codebook drift: rebuild when
+    * [[ivfCellSkew]] exceeds `maxOverMean` (default 4× — past it the
+    * hot cell dominates probe latency). Returns whether a rebuild
+    * ran. The ingest loop is append → check → occasionally rebuild,
+    * exactly a compacting lake's small-file maintenance shape. */
+  def rebalanceIvfIndexIfSkewed(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, maxOverMean: Double = 4.0, dim: Int = 64,
+      iterations: Int = 2): Boolean = {
+    val skew = ivfCellSkew(spark, indexPath)
+    if (skew <= maxOverMean) false
+    else { rebuildIvfIndex(spark, indexPath, dim, iterations); true }
   }
 
   /** IVF + int8 scalar quantization — the standard

@@ -1171,11 +1171,14 @@ object SimilarityQueries {
     // (τ=0.35, R=0.99, maxTables=4) the inverted table count exceeds
     // the cap at EVERY corpus size here (needed grows with the auto
     // bit width: 7 at sf0.001, 30 at sf0.01, 372 at sf0.1), so
-    // semanticContaminationAuto routes to the EXACT broadcast scorer
-    // instead of silently clamping below the stated recall — every
-    // (corpus, bench) pair scored, recall 1 by construction. The
-    // oracle is therefore parameter-free: the same all-pairs scoring
-    // + per-doc argmax, no bucket CTEs.
+    // semanticContaminationAuto routes to a recall-1 scorer instead
+    // of silently clamping below the stated recall. Since r18 that
+    // scorer is the centroid-PRUNED exact tier
+    // (semanticContaminationPruned): triangle-inequality bounds on a
+    // k-means codebook skip cells that provably cannot hold a ≥ τ
+    // match, verdict row-identical to the all-pairs scan (admissible
+    // bound, CorpusOpsSpec). The oracle is therefore parameter-free:
+    // the same all-pairs scoring + per-doc argmax, no centroid CTEs.
     Q("q283_decontamination_routed", Some(s"""
       WITH b AS (
         SELECT vec_id AS bench_id, embedding FROM embeddings
@@ -1245,6 +1248,58 @@ object SimilarityQueries {
       Dedup.embeddingNearDupsAuto(emb, "vec_id", "embedding",
           threshold = 0.35, targetRecall = Some(0.9), maxTables = 2)
         .orderBy("id_a", "id_b")
+    },
+
+    // INDEXED exact-recall decontamination — q283's verdict (recall
+    // 1) at the 100 TB operating point: the corpus lives in a
+    // persisted IVF index whose per-cell stats carry residual radii,
+    // a (bench, cell) pair is scored only when the spherical
+    // triangle-inequality bound cos(max(0, θ(q,c) − r_cell)) admits
+    // a ≥ τ member, and the unpruned-cell set drives PARTITION
+    // PRUNING on the cell-partitioned assignment table — sublinear
+    // corpus reads when the bench suite is concentrated, never more
+    // than one scan. Pruning is provably recall-exact (admissible
+    // bound + 1e-9 float slack, CorpusOpsSpec), so the oracle is the
+    // SAME parameter-free all-pairs scoring as q283 — no centroid
+    // CTEs to replay.
+    Q("q297_decontamination_indexed", Some(s"""
+      WITH b AS (
+        SELECT vec_id AS bench_id, embedding FROM embeddings
+        WHERE vec_id < 32),
+      c AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 32),
+      scored AS (
+        SELECT c.vec_id, b.bench_id,
+          ${duckCosine("c.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")}
+            AS score
+        FROM c CROSS JOIN b
+        WHERE ${duckCosine("c.embedding::DOUBLE[]",
+          "b.embedding::DOUBLE[]")} >= 0.35),
+      best AS (
+        SELECT vec_id, bench_id, score FROM (
+          SELECT vec_id, bench_id, score,
+            ROW_NUMBER() OVER (PARTITION BY vec_id
+              ORDER BY score DESC, bench_id) AS rn
+          FROM scored) t
+        WHERE rn = 1)
+      SELECT c.vec_id, best.bench_id, best.score,
+        (best.bench_id IS NOT NULL) AS contaminated
+      FROM c LEFT JOIN best USING (vec_id)
+      ORDER BY c.vec_id""")) { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 32)
+      val bench = emb.filter(col("vec_id") < 32)
+      val idx = Q.scratchPath("q297idx", dir)
+      val kC = Similarity.autoNlist(corpus.count())
+      // corpus ids start at 32: train via the smallest-k init (the
+      // default id<k rule would seed an empty codebook here)
+      Similarity.buildIvfIndex(corpus, idx, k = kC, dim = 64,
+        iterations = 2,
+        codebook = Some(Similarity.kmeansCodebook(corpus, "vec_id",
+          "embedding", kC, 64, 2, initSmallestK = true)))
+      CorpusOps.semanticContaminationIndexed(s, idx, bench,
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy("vec_id")
     },
 
     // Prototypicality pruning (Sorscher et al. 2022): rank each

@@ -454,6 +454,68 @@ class CorpusOpsSpec extends SparkSpec {
     assert(deg.getAs[Long]("n_docs") === 2L)
     assert(deg.isNullAt(deg.fieldIndex("beta"))) // N=4 for both docs
   }
+  test("pruned semantic decontamination equals the exact tier " +
+      "row-for-row (recall 1, zero false negatives)") {
+    import graft.analytics.Similarity
+    def v(i: Long): Array[Double] =
+      Array.tabulate(8)(d => ((i * 31 + d * 7) % 13 - 6).toDouble)
+    // corpus ids 0..12 (13 distinct directions); bench plants exact
+    // copies of corpus vectors 5 and 6 plus a near-orthogonal probe
+    val corpus = (0L until 13L).map(i => (i, v(i)))
+      .toDF("vec_id", "embedding")
+    val bench = Seq((1L, v(5)), (2L, v(6)),
+      (3L, Array.tabulate(8)(d => if (d == 7) 1e6 else 0.0)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().toSeq
+    for (tau <- Seq(0.35, 0.999)) {
+      val exact = rows(CorpusOps.semanticContaminationExact(
+        corpus, bench, "vec_id", "embedding", tau))
+      val pruned = rows(CorpusOps.semanticContaminationPruned(
+        corpus, bench, "vec_id", "embedding", tau, kCells = 4,
+        dim = 8))
+      assert(pruned === exact, s"pruned != exact at tau=$tau")
+      // recall-1 sanity, not just equality of two empty sets: at the
+      // tight threshold exactly the planted copies are flagged; the
+      // loose threshold legitimately matches more periodic vectors
+      val flagged = pruned.filter(_.getAs[Boolean]("contaminated"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bench_id")))
+      if (tau == 0.999) assert(flagged.toSet === Set((5L, 1L), (6L, 2L)))
+      else assert(Set((5L, 1L), (6L, 2L)).subsetOf(flagged.toSet))
+    }
+    // the INDEXED tier (persisted codebook + cellstats + partition-
+    // pruned cell scan) returns the identical verdict
+    val dir = tmpDir("graft-semdeconidx")
+    Similarity.buildIvfIndex(corpus, dir, k = 4, dim = 8,
+      iterations = 2)
+    for (tau <- Seq(0.35, 0.999)) {
+      val exact = rows(CorpusOps.semanticContaminationExact(
+        corpus, bench, "vec_id", "embedding", tau))
+      val indexed = rows(CorpusOps.semanticContaminationIndexed(
+        spark, dir, bench, "vec_id", "embedding", tau))
+      assert(indexed === exact, s"indexed != exact at tau=$tau")
+    }
+    // pruning actually FIRES at the tight threshold: the orthogonal
+    // bench probe (id 3) reaches no cell, and the scan plan carries
+    // a cell partition filter
+    val plan = CorpusOps.semanticContaminationIndexed(spark, dir,
+        bench, "vec_id", "embedding", 0.999)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PartitionFilters: \\[[^\\]]*cell".r
+      .findFirstIn(plan).isDefined,
+      s"expected a cell partition filter in:\n$plan")
+    // an offset-id corpus (ids starting past kCells) trains via the
+    // smallest-k init instead of seeding an empty codebook
+    val shifted = (100L until 113L).map(i => (i, v(i)))
+      .toDF("vec_id", "embedding")
+    val bench2 = Seq((1L, v(105)), (2L, v(106))).toDF("vec_id", "embedding")
+    assert(rows(CorpusOps.semanticContaminationPruned(shifted, bench2,
+        "vec_id", "embedding", 0.999, kCells = 4, dim = 8))
+      === rows(CorpusOps.semanticContaminationExact(shifted, bench2,
+        "vec_id", "embedding", 0.999)))
+  }
+
   test("semanticContamination flags planted paraphrase leaks only") {
     import graft.analytics.{Dedup, Similarity}
     // corpus: 13 distinct vectors (the generator is periodic mod 13,

@@ -148,6 +148,74 @@ class SimilaritySpec extends SparkSpec {
     assert(after.getDouble(2) > 0.9999)
   }
 
+  test("IVF index health: cellstats persisted and append-folded, " +
+      "drift skews cells, rebalance rebuilds read-equivalently") {
+    val dir = tmpDir("graft-ivfheal")
+    Similarity.buildIvfIndex(corpus, dir, k = 4, dim = Dim,
+      iterations = 2)
+    // stats agree with the cells table, per cell
+    def sizes() = spark.read.parquet(s"$dir/cells")
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val st0 = Similarity.readCellStats(spark, dir).collect()
+    assert(st0.map(_.getLong(1)).sum === 120L)
+    st0.foreach(r => assert(r.getLong(1) === sizes()(r.getInt(0))))
+    st0.foreach(r => assert(r.getDouble(2) > 0.0 &&
+      r.getDouble(2) <= 1.0)) // clustered corpus: cosines positive
+    val balanced = Similarity.ivfCellSkew(spark, dir)
+    assert(balanced < 1.5, s"seeded corpus should balance, got $balanced")
+    assert(!Similarity.rebalanceIvfIndexIfSkewed(spark, dir,
+      maxOverMean = 1.6, dim = Dim))
+    // DRIFTED ingest: a fifth direction the frozen codebook never
+    // saw — every appended vector crowds into its nearest stale cell
+    val rnd = new scala.util.Random(7)
+    val c5 = Array.tabulate(Dim)(i => if (i < 4) 1.0f else -1.0f)
+    import spark.implicits._
+    val drift = (1000L until 1120L).map { id =>
+      (id, c5.map(x => x + (rnd.nextFloat() - 0.5f) * 0.4f).toSeq)
+    }.toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(drift, dir)
+    // append folded the batch into the stats (no full rescan needed)
+    val st1 = Similarity.readCellStats(spark, dir).collect()
+    assert(st1.map(_.getLong(1)).sum === 240L)
+    st1.foreach(r => assert(r.getLong(1) === sizes()(r.getInt(0))))
+    val skewed = Similarity.ivfCellSkew(spark, dir)
+    assert(skewed > 1.6, s"drifted append should skew cells, got $skewed")
+    // recall under drift, before and after the rebuild
+    val dq = drift.filter(col("vec_id") < 1008L)
+    val dqid = dq.select(col("vec_id").as("query_id"))
+    val all = corpus.unionByName(drift)
+    val ex = Similarity.bruteForceTopK(dq, all, K)
+    def rec(approx: DataFrame): Double =
+      Similarity.recallAtK(dqid, ex, approx, K, "x")
+        .agg(avg("recall")).collect()(0).getDouble(0)
+    val before = rec(Similarity.ivfTopKIndexed(spark, dir, dq,
+      k = K, nprobe = 2))
+    // the trigger fires at the same threshold that passed above
+    assert(Similarity.rebalanceIvfIndexIfSkewed(spark, dir,
+      maxOverMean = 1.6, dim = Dim))
+    // read equivalence: the rebuilt index answers exactly like an
+    // inline IVF trained the same way over the same stored vectors
+    val inlineCb = Similarity.kmeansCodebook(all, "vec_id",
+      "embedding", Similarity.autoNlist(240L), Dim, 2,
+      initSmallestK = true)
+    def rows(df: DataFrame) = df.orderBy("query_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(rows(Similarity.ivfTopKIndexed(spark, dir, dq, k = K,
+        nprobe = 2))
+      === rows(Similarity.ivfTopKWith(dq, all, inlineCb, k = K,
+        nprobe = 2)))
+    val after = rec(Similarity.ivfTopKIndexed(spark, dir, dq,
+      k = K, nprobe = 2))
+    assert(after >= 0.9, s"post-rebuild recall@5 was $after")
+    assert(after >= before - 1e-9,
+      s"rebuild must not lose recall: $before -> $after")
+    // stats were rebuilt alongside
+    assert(Similarity.readCellStats(spark, dir).collect()
+      .map(_.getLong(1)).sum === 240L)
+  }
+
   test("IVF-SQ8 index: quantized cell-probe reaches recall@5 >= 0.9 " +
       "and stores measurably fewer bytes than the float index") {
     import spark.implicits._
