@@ -51,7 +51,18 @@ import org.apache.spark.sql.types.DecimalType
   * skew it causes on the sort-merge path is exactly what AQE's
   * skew-join split handles — keep `spark.sql.adaptive.enabled` on
   * (default); no salting is needed because the join key is already
-  * the finest meaningful unit.
+  * the finest meaningful unit. Skew price: AQE splits a hot probe
+  * partition into ≈ hotBytes/advisoryPartitionSize tasks (each
+  * re-reading the matching station partition), so the straggler bound
+  * drops from the hot cell's whole candidate set to one
+  * advisory-sized slice — rehearsed at 1M points with a 900k-point
+  * metro cell in SpatialBucketSpec (split fires, values identical).
+  * Caveat: the split needs BOTH join sides to be shuffle stages, so
+  * it applies to the inline probes; [[bucketStations]] trades that
+  * away (its scan side is fixed bucket files) — for a pathologically
+  * hot PROBE load against a bucketed table, either raise the bucket
+  * count at write time or route that one query through the inline
+  * path and let AQE split it.
   *
   * Contract: the ring probe is EXACT for any true nearest neighbor
   * within one cell width `cellMicro` of the query point IN THE SCALED
@@ -341,7 +352,57 @@ object Spatial {
       .sortBy("cell_lat", "cell_lon")
       .format("parquet")
       .saveAsTable(table)
+    // persist the stats every auto-width probe needs as TABLE
+    // PROPERTIES — the row count (one scan HERE, amortized across
+    // every query) and the grid width the cell columns were derived
+    // with. Readers get both from the catalog without launching a job
+    // ([[bucketedStationMeta]], zero-job assertion in
+    // SpatialBucketSpec).
+    val sess = stations.sparkSession
+    val n = sess.table(table).count()
+    sess.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
+      s"'graft.cell_micro'='$cellMicro','graft.n_stations'='$n')")
+      : Unit
   }
+
+  /** [[bucketStations]] at the [[autoCellMicro]] width: ONE count job
+    * at write time picks the rung, and both the rung and the count
+    * land in the table properties — every subsequent auto-width probe
+    * reads them from the catalog instead of re-scanning the station
+    * table per query. Returns the chosen width. */
+  def bucketStationsAuto(stations: DataFrame, sid: String,
+      slatCol: String, slonCol: String, buckets: Int, table: String,
+      payloadCols: Seq[String] = Nil, targetPerRing: Long = 8L): Long = {
+    val w = autoCellMicro(stations.count(), targetPerRing)
+    bucketStations(stations, sid, slatCol, slonCol, w, buckets, table,
+      payloadCols)
+    w
+  }
+
+  /** The persisted (cellMicro, nStations) of a [[bucketStations]]
+    * table — a catalog-metadata read, NO Spark job. Fails loudly on a
+    * pre-metadata legacy table. */
+  def bucketedStationMeta(spark: SparkSession, table: String)
+      : (Long, Long) = {
+    val props = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table))
+      .properties
+    (props.get("graft.cell_micro"), props.get("graft.n_stations")) match {
+      case (Some(w), Some(n)) => (w.toLong, n.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"bucketedStationMeta: $table carries no graft.cell_micro/" +
+          "graft.n_stations properties - rewrite it with " +
+          "bucketStations (r18+)")
+    }
+  }
+
+  /** [[nearestStationBucketed]] at the table's OWN persisted width —
+    * no per-query station count, no width-mismatch foot-gun. */
+  def nearestStationBucketedAuto(spark: SparkSession, points: DataFrame,
+      pid: String, platCol: String, plonCol: String,
+      stationTable: String): DataFrame =
+    nearestStationBucketed(spark, points, pid, platCol, plonCol,
+      stationTable, bucketedStationMeta(spark, stationTable)._1)
 
   /** [[ringCandidates]] against a [[bucketStations]] table: the
     * station side joins STRAIGHT OFF its bucketed scan (no exchange

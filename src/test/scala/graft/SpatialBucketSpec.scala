@@ -95,4 +95,128 @@ class SpatialBucketSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     }
   }
+
+  /** Spark jobs launched by `body`, counted deterministically: a
+    * sentinel job after the body flushes the (FIFO) listener bus, so
+    * when the sentinel is observed every job the body started has
+    * been counted. */
+  private def jobsLaunchedBy(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      body
+      // sentinel: an RDD count is EXACTLY one job (a DataFrame count
+      // under AQE is two), so jobs-minus-one is the body's count
+      spark.sparkContext.parallelize(Seq(1), 1).count(): Unit
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (n.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      assert(n.get() >= 1, "sentinel job never observed")
+      n.get() - 1
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("persisted station stats: width + count live in the catalog, " +
+      "reading them launches NO job, auto probe matches explicit") {
+    val w = Spatial.bucketStationsAuto(stations, "sid", "slat", "slon",
+      buckets = 4, table = "geo_stations_meta")
+    assert(w === Spatial.autoCellMicro(6L))
+    var meta: (Long, Long) = null
+    val jobs = jobsLaunchedBy {
+      meta = Spatial.bucketedStationMeta(spark, "geo_stations_meta")
+    }
+    assert(jobs === 0, s"metadata read launched $jobs jobs")
+    assert(meta === ((w, 6L)))
+    // the auto probe (width from the catalog) equals the explicit one
+    val auto = Spatial.nearestStationBucketedAuto(spark, points,
+      "pid", "plat", "plon", "geo_stations_meta")
+      .orderBy("pid").collect().toSeq
+    val explicit = Spatial.nearestStationBucketed(spark, points,
+      "pid", "plat", "plon", "geo_stations_meta", w)
+      .orderBy("pid").collect().toSeq
+    assert(auto === explicit)
+    // a legacy table without the properties fails loudly
+    stations.write.mode("overwrite").format("parquet")
+      .saveAsTable("geo_stations_legacy")
+    val e = intercept[IllegalArgumentException] {
+      Spatial.bucketedStationMeta(spark, "geo_stations_legacy")
+    }
+    assert(e.getMessage.contains("graft.cell_micro"))
+  }
+
+  test("auto-width station count is memoized per corpus dir: the " +
+      "second rung selection launches no job") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val first = graft.operators.GeoQueries.stationCount(spark, dir)
+    assert(first > 0L)
+    var second = 0L
+    val jobs = jobsLaunchedBy {
+      second = graft.operators.GeoQueries.stationCount(spark, dir)
+    }
+    assert(second === first)
+    assert(jobs === 0, s"memoized count launched $jobs jobs")
+  }
+
+  test("hot-cell skew rehearsal: 1M probe points in one metro cell " +
+      "— AQE splits the skewed probe partition, values identical") {
+    import spark.implicits._
+    // a real point/station distribution is zipf-dense: one metro cell
+    // can hold 10^3x the median. Model it: 100k points spread over
+    // the globe (the small-median baseline) + 900k points inside ONE
+    // 10-degree cell, whose ~15 probe keys each carry 900k rows while
+    // the median shuffle partition stays tiny
+    val spread = spark.range(0, 100000).select(
+      col("id").as("pid"),
+      ((col("id") * 2654435761L) % 170000001L - 85000000L).as("plat"),
+      ((col("id") * 1103515245L + 12345L) % 360000000L - 180000000L)
+        .as("plon"))
+    val hot = spark.range(100000, 1000000).select(
+      col("id").as("pid"),
+      (col("id") % 90000L).as("plat"),
+      (col("id") % 70000L).as("plon"))
+    val ptsM = spread.unionByName(hot)
+    val sts = Seq((1L, 50000L, 30000L), (2L, 40000L, -20000L),
+      (3L, 45000000L, 45000000L), (4L, -45000000L, -45000000L))
+      .toDF("sid", "slat", "slon")
+    def agg() = Spatial.ringCandidates(ptsM, "pid", "plat", "plon",
+        sts, "sid", "slat", "slon", Cell)
+      .agg(count(lit(1)).as("n"), sum("_d2").as("s"))
+    val keep = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      // force the SMJ shape the 100 TB station side would force;
+      // enough partitions that the median stays small next to the
+      // hot-cell keys; skew thresholds low enough for test-scale bytes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "262144")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "262144")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+      val base = agg().collect()(0)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      val q = agg()
+      val split = q.collect()(0)
+      // value-identical under the skew split
+      assert((split.getLong(0), split.getLong(1))
+        === ((base.getLong(0), base.getLong(1))))
+      assert(split.getLong(0) >= 1800000L) // 2 in-ring stations x 900k
+      // and the split actually fired on the probe join
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected an AQE skew split in:\n${plan.take(3000)}")
+    } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
