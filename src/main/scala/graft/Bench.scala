@@ -172,12 +172,26 @@ object Bench {
     // the machine was loaded during part of the window and the query
     // medians are not attributable to code. Flagging it here (instead of
     // a judge re-adjudicating post-hoc, as the r10 driver run required)
-    // makes a dirty total self-labeling.
+    // makes a dirty total self-labeling. Calibration alone passed the
+    // r16/r17 loaded artifacts (steady background load doesn't DRIFT
+    // the calibration — it inflates everything uniformly), so the
+    // 1-minute load average before the run gates independently: a
+    // run started on a machine above `maxStartLoad` is contaminated
+    // regardless of calibration, and the round artifact must be
+    // re-recorded quiet.
+    val maxStartLoad = sys.env.get("SPARK_GRAFT_MAX_START_LOAD")
+      .flatMap(_.toDoubleOption).getOrElse(2.0)
+    val load1 = loadBefore.split("\\s+").headOption
+      .flatMap(_.toDoubleOption).getOrElse(0.0)
     val contaminated = {
       val lo = math.min(calibBefore, calibAfter)
       val hi = math.max(calibBefore, calibAfter)
-      lo > 0 && hi / lo > 2.0
+      (lo > 0 && hi / lo > 2.0) || load1 > maxStartLoad
     }
+    if (load1 > maxStartLoad)
+      System.err.println(f"[bench] REFUSING a clean verdict: 1-min " +
+        f"load $load1%.2f > $maxStartLoad%.2f at start - summary is " +
+        "marked contaminated; rerun on a quiet machine")
     val machineJson =
       s""""load_before":"$loadBefore","load_after":"$loadAfter","calib_before":${ms(calibBefore)},"calib_after":${ms(calibAfter)},"contaminated":$contaminated"""
     val resultLine =

@@ -412,8 +412,40 @@ object ScaleProbe {
               pts.unionByName(jit).withColumnRenamed("c_custkey", "pid"),
               "pid", "plat", "plon", pregateMicro = 12000L,
               epsMeters = 1000.0).count()
+          case "geodedupfd" =>
+            // FIXED-DENSITY ε-dedup probe: the fixed-globe geodedup
+            // probe densifies as sf grows (a fixed surface ⇒ true
+            // ε-pair count grows quadratically), conflating inherent
+            // output growth with operator cost. The real 100 TB shape
+            // is the opposite — a bigger crawl covers MORE GEOGRAPHY
+            // at similar local density — so here the points spread
+            // over an AREA ∝ n (a 10° latitude band whose longitude
+            // width scales with the point count at a constant 1000
+            // points per square degree): cells ∝ points, per-cell
+            // occupancy constant, and the decade ratio isolates the
+            // algorithm. Same planted jittered twins and verified
+            // geodesic gate as geodedup.
+            val nPts = pts.count()
+            val lonWmicro = math.min(360000000L, math.max(1000000L,
+              math.round(nPts / 1000.0 / 10.0 * 1000000.0)))
+            val fd = pts.select(col("c_custkey"),
+              pmod(col("plat"), lit(10000000L)).as("plat"),
+              (pmod(col("plon"), lit(lonWmicro)) - lit(180000000L))
+                .as("plon"))
+            val jit = fd.where(col("c_custkey") % 10L === 0L)
+              .select((col("c_custkey") + 100000000L).as("c_custkey"),
+                (col("plat") + col("c_custkey") % 1000L - 500L)
+                  .as("plat"),
+                ((col("plon") + lit(180000000L) + col("c_custkey")
+                  % 700L - lit(350L) + lit(360000000L))
+                  % lit(360000000L) - lit(180000000L)).as("plon"))
+            Spatial.nearDupPointsVerified(
+              fd.unionByName(jit).withColumnRenamed("c_custkey", "pid"),
+              "pid", "plat", "plon", pregateMicro = 12000L,
+              epsMeters = 1000.0).count()
           case m => sys.error(
-            s"spatial op must be nearest|clusters|idw|geodedup: $m")
+            s"spatial op must be nearest|clusters|idw|geodedup|" +
+              s"geodedupfd: $m")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"spatial","op":"$op","sf":"$sfDir",""" +

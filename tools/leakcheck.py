@@ -47,7 +47,11 @@ def files():
 
 
 def main():
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    # the round number is REQUIRED: a defaulted 0 stamps the provenance
+    # with the wrong audit round (the r17 ADVICE finding) - fail loudly
+    if len(sys.argv) < 2:
+        sys.exit("usage: leakcheck.py <round-number>")
+    rnd = int(sys.argv[1])
     hits = {k: [] for k in PATTERNS}
     compiled = {k: re.compile(v) for k, v in PATTERNS.items()}
     for f in files():
