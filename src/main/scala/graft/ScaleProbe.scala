@@ -61,7 +61,12 @@ object ScaleProbe {
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"semdedup2","sf":"$sfDir","k1":$k1,""" +
           f""""bits2":$bits2,"threshold":$tau,"rows":$n,"sec":$sec%.3f}""")
-      case "corpusop" :: sfDir :: op :: _ =>
+      case "corpusop" :: sfDir :: op :: copRest =>
+        // optional trailing arg: cosine threshold for the semdecon*
+        // family (default 0.35, the q283 point; real paraphrase
+        // decontamination runs higher, where centroid pruning bites)
+        val copTau = copRest.headOption.flatMap(_.toDoubleOption)
+          .getOrElse(0.35)
         // sf1→sf10 decade measurements for the corpus-tier entry
         // points that previously had only one-shot numbers: each op
         // is the same chain its oracled query runs (keepbest/split
@@ -73,7 +78,8 @@ object ScaleProbe {
         lazy val embT = Tables.load(spark, sfDir, "embeddings")
         // warm the table the op actually scans, untimed (a cold
         // parquet scan is a fixed cost that skews decade ratios)
-        if (Set("semdecon", "semdeconpruned", "semincr", "protopr")(op))
+        if (Set("semdecon", "semdeconexact", "semdeconpruned", "semincr",
+            "protopr")(op))
           embT.count(): Unit
         else docs.count(): Unit
         // semincr's 90 % state build is the one-time index cost, not
@@ -160,15 +166,23 @@ object ScaleProbe {
             graft.analytics.CorpusOps.semanticContaminationAuto(
               embT.where(col("vec_id") >= 128),
               embT.where(col("vec_id") < 128),
-              "vec_id", "embedding", threshold = 0.35,
+              "vec_id", "embedding", threshold = copTau,
               targetRecall = 0.8).count()
+          case "semdeconexact" =>
+            // the all-pairs recall-1 baseline the pruned tier routes
+            // around: |corpus|·|bench| broadcast cosines, map-only —
+            // linear (10x/decade) by construction
+            graft.analytics.CorpusOps.semanticContaminationExact(
+              embT.where(col("vec_id") >= 128L),
+              embT.where(col("vec_id") < 128L),
+              "vec_id", "embedding", threshold = copTau).count()
           case "semdeconpruned" =>
             // the recurring read against the index built in the warm
             // phase: recall-1 decontamination whose corpus bytes are
             // bounded by the unpruned cells, not the corpus
             graft.analytics.CorpusOps.semanticContaminationIndexed(
               spark, prunedIdx, embT.where(col("vec_id") < 128L),
-              "vec_id", "embedding", threshold = 0.35).count()
+              "vec_id", "embedding", threshold = copTau).count()
           case "semincr" =>
             // ONE 10 %-batch increment against the state built in the
             // warm phase — the recurring per-ingest cost the
@@ -192,10 +206,11 @@ object ScaleProbe {
             graft.analytics.LangModel.knTrigramCrossEntropy(
               docs, "doc_id", "text").count()
           case m => sys.error(s"unknown corpusop '$m' (keepbest|" +
-            "split|shards|diff|fertility|semdecon|semdeconpruned|semincr|protopr|kn)")
+            "split|shards|diff|fertility|semdecon|semdeconexact|semdeconpruned|semincr|protopr|kn)")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"corpusop","op":"$op","sf":"$sfDir",""" +
+          (if (op.startsWith("semdecon")) f""""tau":$copTau,""" else "") +
           f""""rows":$rows,"sec":$sec%.3f}""")
       case "kmeans" :: sfDir :: k :: _ =>
         val emb = Tables.load(spark, sfDir, "embeddings")

@@ -567,7 +567,15 @@ object CorpusOps {
     * instead, [[semanticContaminationIndexed]]), one n·k assignment,
     * then |unpruned cells| · |bench| exact cosines instead of n ·
     * |bench|. Bench and codebook are both broadcast; the only
-    * corpus-keyed shuffle is the assignment argmax. */
+    * corpus-keyed shuffle is the assignment argmax.
+    *
+    * Priced honestly (sf1/sf10 measurements, SURVEY r18): at
+    * eval-suite bench sizes the exact broadcast scan is wall-FLAT (the
+    * n·|bench| cosines hide inside the scan), so this INLINE form —
+    * which must train the codebook first — is the oracle-checkable
+    * correctness primitive, not a routing win; the production entry is
+    * [[semanticContaminationIndexed]], where training is already paid
+    * and pruning becomes a partition predicate. */
   def semanticContaminationPruned(corpus: DataFrame, bench: DataFrame,
       idCol: String, embCol: String, threshold: Double, kCells: Int,
       dim: Int = 64, iterations: Int = 2): DataFrame = {
@@ -667,21 +675,34 @@ object CorpusOps {
   def semanticContaminationAuto(corpus: DataFrame, bench: DataFrame,
       idCol: String, embCol: String, threshold: Double,
       targetRecall: Double = 0.8, dim: Int = 64,
-      targetBucket: Int = 32, maxTables: Int = 64): DataFrame = {
+      targetBucket: Int = 32, maxTables: Int = 64,
+      indexPath: Option[String] = None): DataFrame = {
     val n = corpus.count()
     val bits = Dedup.autoSignBits(n, targetBucket)
     // when the inversion demands more tables than the cost cap,
     // clamping would silently miss leaks below the stated recall —
     // for THIS workload the bench side is bounded, so the honest
     // route is a recall-1 scorer (Dedup.moderateTauExceedsCap,
-    // pinned in NearDupsAutoSpec). Since r18 that scorer is the
-    // centroid-PRUNED exact tier: same verdict as the all-pairs
-    // broadcast scan (recall 1 by the admissible bound), a fraction
-    // of the cosine work
+    // pinned in NearDupsAutoSpec). WHICH recall-1 scorer is a priced
+    // choice, measured at sf1→sf10 (r18): the exact broadcast scan
+    // costs n·|bench| codegen'd cosines on data already streaming
+    // through the scan — wall-flat at eval-suite bench sizes — while
+    // INLINE centroid pruning must first train+assign a √n-cell
+    // codebook (≈3·n·√n cosines), which loses whenever |bench| ≲
+    // 3·√n, i.e. at every realistic (crawl, eval-suite) pairing. The
+    // pruned tier wins only when the training is ALREADY paid: pass
+    // `indexPath` (a persisted [[Similarity.buildIvfIndex]] of this
+    // same corpus) and the cap route reads radii from its cellstats
+    // and partition-prunes the cell scan
+    // ([[semanticContaminationIndexed]]) instead of rescanning.
     if (Dedup.moderateTauExceedsCap(bits, threshold, targetRecall,
         maxTables))
-      semanticContaminationPruned(corpus, bench, idCol, embCol,
-        threshold, kCells = Similarity.autoNlist(n))
+      indexPath match {
+        case Some(p) => semanticContaminationIndexed(
+          corpus.sparkSession, p, bench, idCol, embCol, threshold)
+        case None => semanticContaminationExact(corpus, bench, idCol,
+          embCol, threshold)
+      }
     else semanticContamination(corpus, bench, idCol, embCol, threshold,
       bits, dim,
       Dedup.autoSignTables(bits, threshold, targetRecall, maxTables))

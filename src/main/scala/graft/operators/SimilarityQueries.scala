@@ -1172,13 +1172,14 @@ object SimilarityQueries {
     // the cap at EVERY corpus size here (needed grows with the auto
     // bit width: 7 at sf0.001, 30 at sf0.01, 372 at sf0.1), so
     // semanticContaminationAuto routes to a recall-1 scorer instead
-    // of silently clamping below the stated recall. Since r18 that
-    // scorer is the centroid-PRUNED exact tier
-    // (semanticContaminationPruned): triangle-inequality bounds on a
-    // k-means codebook skip cells that provably cannot hold a ≥ τ
-    // match, verdict row-identical to the all-pairs scan (admissible
-    // bound, CorpusOpsSpec). The oracle is therefore parameter-free:
-    // the same all-pairs scoring + per-doc argmax, no centroid CTEs.
+    // of silently clamping below the stated recall: the EXACT
+    // broadcast scan here (wall-flat at eval-suite bench sizes -
+    // measured sf1->sf10 in SURVEY r18), or the centroid-PRUNED
+    // indexed tier when the caller passes a persisted IVF index whose
+    // training is already paid (q297 exercises that path; the two are
+    // verdict-identical by the admissible bound, CorpusOpsSpec). The
+    // oracle is therefore parameter-free: the same all-pairs scoring
+    // + per-doc argmax, no centroid CTEs.
     Q("q283_decontamination_routed", Some(s"""
       WITH b AS (
         SELECT vec_id AS bench_id, embedding FROM embeddings
