@@ -525,21 +525,55 @@ object Spatial {
       s"stationsWithinMeters: radius ${radiusMeters}m needs a " +
         s"$pregate-micro pre-gate > the coarsest ladder rung " +
         s"(${CellLadderMicro.last}) - use a grid aggregation instead")
+    radiusVerdict(ringCandidates(points, pid, platCol, plonCol,
+      stations, sid, slatCol, slonCol, cell,
+      stationValue = Some(struct(col(slatCol).as("lat"),
+        col(slonCol).as("lon"))),
+      bandShift = 1), pid, pregate, radiusMeters)
+  }
+
+  /** The polar-safe pre-gate + exact haversine verdict tail shared by
+    * the inline and bucketed radius queries ([[stationsWithinMeters]]
+    * scaladoc derives the cap rule). `cand` is a ring-candidate frame
+    * whose `_svalue` carries the station (lat, lon) struct and whose
+    * `_d2` was computed at `bandShift = 1`. */
+  private def radiusVerdict(cand: DataFrame, pid: String,
+      pregate: Long, radiusMeters: Double): DataFrame = {
     val pre2 = lit(pregate) * lit(pregate)
     val dlat = col("_plat") - col("_svalue.lat")
     val polar = greatest(abs(col("_plat")), abs(col("_svalue.lat"))) +
       lit(pregate) >= lit(90000000L)
-    ringCandidates(points, pid, platCol, plonCol,
-      stations, sid, slatCol, slonCol, cell,
-      stationValue = Some(struct(col(slatCol).as("lat"),
-        col(slonCol).as("lon"))),
-      bandShift = 1)
+    cand
       .where(when(polar, dlat * dlat <= pre2)
         .otherwise(col("_d2") <= pre2))
       .select(col("_pid").as(pid), col("_sid").as("station"),
         round(haversineMeters(col("_plat"), col("_plon"),
           col("_svalue.lat"), col("_svalue.lon")), 3).as("dist_m"))
       .where(col("dist_m") <= lit(radiusMeters))
+  }
+
+  /** [[stationsWithinMeters]] against a [[bucketStations]] table —
+    * the radius query on the one-sided-shuffle layout: candidates off
+    * the bucketed scan at the table's OWN persisted width, same
+    * polar-safe admissible pre-gate and haversine verdict. Requires
+    * the persisted width to cover the radius pre-gate (the ring
+    * coverage contract is per-width and the cell columns are
+    * physical) — rebucket coarser, or run the inline path, when it
+    * doesn't. */
+  def stationsWithinMetersBucketed(spark: SparkSession,
+      points: DataFrame, pid: String, platCol: String, plonCol: String,
+      stationTable: String, radiusMeters: Double): DataFrame = {
+    val (w, _) = bucketedStationMeta(spark, stationTable)
+    val pregate = radiusPregateMicro(radiusMeters)
+    require(pregate <= w,
+      s"stationsWithinMetersBucketed: radius ${radiusMeters}m needs a " +
+        s"$pregate-micro pre-gate > $stationTable's persisted cell " +
+        s"width $w - rebucket coarser or use stationsWithinMeters")
+    radiusVerdict(ringCandidatesBucketed(spark, points, pid, platCol,
+      plonCol, stationTable, w,
+      stationValue = Some(struct(col("slat").as("lat"),
+        col("slon").as("lon"))),
+      bandShift = 1), pid, pregate, radiusMeters)
   }
 
   /** Inverse-distance-weighted estimate of a station attribute at each

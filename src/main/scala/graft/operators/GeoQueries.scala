@@ -141,6 +141,71 @@ object GeoQueries {
             // 1048576 AS dle
         FROM probe pr JOIN stc s ON pr.cl = s.cl AND pr.cn = s.cn))"""
 
+
+  /** q286/q298 shared oracle: the radius query is layout-independent,
+    * so the bucketed variant hash-checks against the same SQL. */
+  private def radiusOracleSql: String = {
+    val pre = Spatial.radiusPregateMicro(800000.0)
+    s"""
+      WITH $duckBase,
+      stc10 AS (
+        SELECT st.*, (slat + 90000000) // 10000000 AS cl,
+          (slon + 180000000) // 10000000 AS cn
+        FROM st),
+      pk2 AS (
+        SELECT c_custkey, plat, plon,
+          (plat + 90000000) // 10000000 AS cl0,
+          (plon + 180000000) // 10000000 AS cn0,
+          least((((10000000 + 1) * CAST(1048576 AS BIGINT) - 1)
+              // greatest(list_extract((SELECT q FROM ct),
+                  least(90, (abs(plat) + 10000000) // 1000000 + 1) + 1), 1)
+              + 10000000 - 1) // 10000000,
+            36) AS k
+        FROM pts),
+      probe02 AS (
+        SELECT c_custkey, plat, plon, cl0, cn0,
+          unnest(CASE WHEN 2 * k + 1 >= 36 THEN range(0, 36)
+                      ELSE range(-k, k + 1) END) AS dj
+        FROM pk2),
+      probe2 AS (
+        SELECT p.c_custkey, p.plat, p.plon, p.cl0 + i.i AS cl,
+          (p.cn0 + p.dj + 36) % 36 AS cn
+        FROM probe02 p, (SELECT unnest([-1, 0, 1]) AS i) i),
+      cand2 AS (
+        SELECT c_custkey, s_suppkey, plat, plon, slat, slon,
+          dlat * dlat + dle * dle AS d2
+        FROM (
+          SELECT pr.c_custkey, s.s_suppkey, pr.plat, pr.plon,
+            s.slat, s.slon,
+            pr.plat - s.slat AS dlat,
+            least(abs(pr.plon - s.slon),
+                360000000 - abs(pr.plon - s.slon))
+              * list_extract((SELECT q FROM ct),
+                  least(90, abs(pr.plat + s.slat) // 2000000 + 1) + 1)
+              // 1048576 AS dle
+          FROM probe2 pr JOIN stc10 s ON pr.cl = s.cl AND pr.cn = s.cn))
+      SELECT c_custkey, station, dist_m FROM (
+        SELECT c_custkey, s_suppkey AS station,
+          round(2 * 6371000.0 * asin(sqrt(
+            sin(radians((slat - plat) / 2000000.0))
+              * sin(radians((slat - plat) / 2000000.0))
+            + cos(radians(plat / 1000000.0))
+              * cos(radians(slat / 1000000.0))
+              * sin(radians((slon - plon) / 2000000.0))
+              * sin(radians((slon - plon) / 2000000.0)))), 3) AS dist_m
+        FROM cand2
+        -- polar cap: over-the-pole in-radius pairs have both lats
+        -- within the pre-gate of a pole; the dlon term is not
+        -- admissible there, so gate on dlat alone (haversine refines)
+        WHERE CASE WHEN greatest(abs(plat), abs(slat)) + $pre
+                     >= 90000000
+              THEN (plat - slat) * (plat - slat)
+                     <= CAST($pre AS BIGINT) * $pre
+              ELSE d2 <= CAST($pre AS BIGINT) * $pre END)
+      WHERE dist_m <= 800000.0
+      ORDER BY c_custkey, station"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // Auto-width nearest-station join: the cell width comes from the
@@ -200,69 +265,27 @@ object GeoQueries {
     // = 10° here at every reachable station count, since the
     // pre-gate rung IS the coarsest), one exact haversine verdict
     // per survivor, mm-rounded.
-    Q("q286_stations_within_radius", Some {
-      val pre = Spatial.radiusPregateMicro(800000.0)
-      s"""
-      WITH $duckBase,
-      stc10 AS (
-        SELECT st.*, (slat + 90000000) // 10000000 AS cl,
-          (slon + 180000000) // 10000000 AS cn
-        FROM st),
-      pk2 AS (
-        SELECT c_custkey, plat, plon,
-          (plat + 90000000) // 10000000 AS cl0,
-          (plon + 180000000) // 10000000 AS cn0,
-          least((((10000000 + 1) * CAST(1048576 AS BIGINT) - 1)
-              // greatest(list_extract((SELECT q FROM ct),
-                  least(90, (abs(plat) + 10000000) // 1000000 + 1) + 1), 1)
-              + 10000000 - 1) // 10000000,
-            36) AS k
-        FROM pts),
-      probe02 AS (
-        SELECT c_custkey, plat, plon, cl0, cn0,
-          unnest(CASE WHEN 2 * k + 1 >= 36 THEN range(0, 36)
-                      ELSE range(-k, k + 1) END) AS dj
-        FROM pk2),
-      probe2 AS (
-        SELECT p.c_custkey, p.plat, p.plon, p.cl0 + i.i AS cl,
-          (p.cn0 + p.dj + 36) % 36 AS cn
-        FROM probe02 p, (SELECT unnest([-1, 0, 1]) AS i) i),
-      cand2 AS (
-        SELECT c_custkey, s_suppkey, plat, plon, slat, slon,
-          dlat * dlat + dle * dle AS d2
-        FROM (
-          SELECT pr.c_custkey, s.s_suppkey, pr.plat, pr.plon,
-            s.slat, s.slon,
-            pr.plat - s.slat AS dlat,
-            least(abs(pr.plon - s.slon),
-                360000000 - abs(pr.plon - s.slon))
-              * list_extract((SELECT q FROM ct),
-                  least(90, abs(pr.plat + s.slat) // 2000000 + 1) + 1)
-              // 1048576 AS dle
-          FROM probe2 pr JOIN stc10 s ON pr.cl = s.cl AND pr.cn = s.cn))
-      SELECT c_custkey, station, dist_m FROM (
-        SELECT c_custkey, s_suppkey AS station,
-          round(2 * 6371000.0 * asin(sqrt(
-            sin(radians((slat - plat) / 2000000.0))
-              * sin(radians((slat - plat) / 2000000.0))
-            + cos(radians(plat / 1000000.0))
-              * cos(radians(slat / 1000000.0))
-              * sin(radians((slon - plon) / 2000000.0))
-              * sin(radians((slon - plon) / 2000000.0)))), 3) AS dist_m
-        FROM cand2
-        -- polar cap: over-the-pole in-radius pairs have both lats
-        -- within the pre-gate of a pole; the dlon term is not
-        -- admissible there, so gate on dlat alone (haversine refines)
-        WHERE CASE WHEN greatest(abs(plat), abs(slat)) + $pre
-                     >= 90000000
-              THEN (plat - slat) * (plat - slat)
-                     <= CAST($pre AS BIGINT) * $pre
-              ELSE d2 <= CAST($pre AS BIGINT) * $pre END)
-      WHERE dist_m <= 800000.0
-      ORDER BY c_custkey, station"""
-    }) { (s, dir) =>
+    Q("q286_stations_within_radius", Some(radiusOracleSql)) { (s, dir) =>
       Spatial.stationsWithinMeters(points(s, dir), "c_custkey",
         "plat", "plon", stations(s, dir), "s_suppkey", "slat", "slon",
+        radiusMeters = 800000.0)
+        .orderBy("c_custkey", "station")
+    },
+
+    // Bucketed radius query: q286's semantics (polar-safe admissible
+    // pre-gate + exact haversine verdict) off the persisted
+    // cell-bucketed station layout at the table's OWN width — the
+    // one-sided-shuffle composition for the radius member of the
+    // family. Oracle = q286's SQL verbatim (identical semantics).
+    Q("q298_stations_within_radius_bucketed",
+        Some(radiusOracleSql)) { (s, dir) =>
+      val pregate = Spatial.radiusPregateMicro(800000.0)
+      val w = math.max(Spatial.autoCellMicro(stationCount(s, dir)),
+        Spatial.epsCellMicro(pregate))
+      Spatial.bucketStations(stations(s, dir), "s_suppkey", "slat",
+        "slon", w, buckets = 8, table = "q298_stations")
+      Spatial.stationsWithinMetersBucketed(s, points(s, dir),
+        "c_custkey", "plat", "plon", "q298_stations",
         radiusMeters = 800000.0)
         .orderBy("c_custkey", "station")
     },

@@ -96,6 +96,38 @@ class SpatialBucketSpec extends SparkSpec {
     }
   }
 
+  test("bucketed radius query equals the inline one, incl. the polar " +
+      "cap; a width below the pre-gate fails loudly") {
+    // stations straddling the 800 km gate at mid-latitudes AND an
+    // over-the-pole pair (the cap path); 10-degree cells cover the
+    // 9.36e6-micro pre-gate
+    val sts2 = Seq((1L, 1000000L, 1000000L), (2L, 8000000L, 0L),
+      (3L, 86500000L, -180000000L), (4L, 45000000L, 45000000L))
+      .toDF("sid", "slat", "slon")
+    val pts2 = pts((1L, 0L, 0L), (2L, 86500000L, 0L),
+      (3L, 44000000L, 44000000L))
+    Spatial.bucketStations(sts2, "sid", "slat", "slon", Cell,
+      buckets = 4, table = "geo_stations_rad")
+    val inline = Spatial.stationsWithinMeters(pts2, "pid", "plat",
+        "plon", sts2, "sid", "slat", "slon", radiusMeters = 800000.0)
+      .orderBy("pid", "station").collect().toSeq
+    val bucketed = Spatial.stationsWithinMetersBucketed(spark, pts2,
+        "pid", "plat", "plon", "geo_stations_rad",
+        radiusMeters = 800000.0)
+      .orderBy("pid", "station").collect().toSeq
+    assert(bucketed === inline)
+    assert(inline.nonEmpty) // not vacuous: the cap pair is in there
+    assert(inline.exists(r => r.getLong(0) == 2L && r.getLong(1) == 3L))
+    // a table bucketed finer than the pre-gate refuses the radius
+    Spatial.bucketStations(sts2, "sid", "slat", "slon", 1000000L,
+      buckets = 4, table = "geo_stations_fine")
+    val e = intercept[IllegalArgumentException] {
+      Spatial.stationsWithinMetersBucketed(spark, pts2, "pid", "plat",
+        "plon", "geo_stations_fine", radiusMeters = 800000.0)
+    }
+    assert(e.getMessage.contains("rebucket"))
+  }
+
   /** Spark jobs launched by `body`, counted deterministically: a
     * sentinel job after the body flushes the (FIFO) listener bus, so
     * when the sentinel is observed every job the body started has
