@@ -369,6 +369,17 @@ object Similarity {
     * rebuild over the same vectors. */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, dim: Int = 64, iterations: Int = 2): Unit = {
+    // an SQ8 sibling layout (buildIvfIndexSq8 at the same path) shares
+    // this codebook: replacing it would silently orphan the sq8 cell
+    // assignments (probes read the WRONG cells — recall degrades with
+    // no error). Refuse; the caller rebuilds both layouts explicitly.
+    val rootChk = new org.apache.hadoop.fs.Path(indexPath)
+    val fChk = rootChk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fChk.exists(new org.apache.hadoop.fs.Path(rootChk, "cells_sq8")),
+      s"rebuildIvfIndex: $indexPath has an SQ8 sibling sharing this " +
+        "codebook - a float-only rebuild would orphan its assignments; " +
+        "retrain one codebook and rebuild both layouts with it " +
+        "(buildIvfIndex + buildIvfIndexSq8, codebook = Some(...))")
     graft.warehouse.Writer.recoverPartitions(spark,
       s"$indexPath/cells", Seq("cell"))
     val corpus = spark.read.parquet(s"$indexPath/cells")

@@ -214,6 +214,19 @@ class SimilaritySpec extends SparkSpec {
     // stats were rebuilt alongside
     assert(Similarity.readCellStats(spark, dir).collect()
       .map(_.getLong(1)).sum === 240L)
+    // an SQ8 sibling shares the codebook: a float-only rebuild would
+    // orphan its cell assignments, so it must refuse loudly
+    val d2 = tmpDir("graft-ivfsq8guard")
+    val cbG = Similarity.kmeansCodebook(corpus, "vec_id", "embedding",
+      4, Dim, 2) // driver-local: safe to share across both writes
+    Similarity.buildIvfIndex(corpus, d2, k = 4, dim = Dim,
+      iterations = 2, codebook = Some(cbG))
+    Similarity.buildIvfIndexSq8(corpus, d2, k = 4, dim = Dim,
+      iterations = 2, codebook = Some(cbG))
+    val eg = intercept[IllegalArgumentException] {
+      Similarity.rebuildIvfIndex(spark, d2, dim = Dim)
+    }
+    assert(eg.getMessage.contains("SQ8 sibling"))
   }
 
   test("IVF-SQ8 index: quantized cell-probe reaches recall@5 >= 0.9 " +
