@@ -460,17 +460,36 @@ object Spatial {
   def kNearestStations(points: DataFrame, pid: String, platCol: String,
       plonCol: String, stations: DataFrame, sid: String,
       slatCol: String, slonCol: String, cellMicro: Long,
-      kNearest: Int): DataFrame = {
+      kNearest: Int): DataFrame =
+    knnTail(ringCandidates(points, pid, platCol, plonCol,
+      stations, sid, slatCol, slonCol, cellMicro), pid, kNearest)
+
+  /** The deterministic (scaled d², station id) rank cut shared by the
+    * kNN paths — one window sort per point group, `_rk` kept. */
+  private def knnCut(cand: DataFrame, kNearest: Int): DataFrame = {
     require(kNearest >= 1, s"kNearest must be >= 1, got $kNearest")
-    val cand = ringCandidates(points, pid, platCol, plonCol,
-      stations, sid, slatCol, slonCol, cellMicro)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_pid").orderBy(col("_d2"), col("_sid"))
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= kNearest)
-      .select(col("_pid").as(pid), col("_sid").as("station"),
-        col("_d2").as("d2"), col("rank").cast("long").as("rank"))
+    cand.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= kNearest)
   }
+
+  private def knnTail(cand: DataFrame, pid: String,
+      kNearest: Int): DataFrame =
+    knnCut(cand, kNearest)
+      .select(col("_pid").as(pid), col("_sid").as("station"),
+        col("_d2").as("d2"), col("_rk").cast("long").as("rank"))
+
+  /** [[kNearestStations]] against a [[bucketStations]] table at its
+    * OWN persisted width — the kNN member of the family on the
+    * one-sided-shuffle layout (the probe side shuffles, the station
+    * side joins straight off its bucketed scan). */
+  def kNearestStationsBucketed(spark: SparkSession, points: DataFrame,
+      pid: String, platCol: String, plonCol: String,
+      stationTable: String, kNearest: Int): DataFrame =
+    knnTail(ringCandidatesBucketed(spark, points, pid, platCol,
+      plonCol, stationTable, bucketedStationMeta(spark, stationTable)._1),
+      pid, kNearest)
 
   /** Metres per degree of latitude on the [[EarthRadiusM]] sphere. */
   val MetersPerDegree: Double = 2.0 * math.Pi * EarthRadiusM / 360.0
@@ -631,17 +650,24 @@ object Spatial {
   def idwEstimateKnn(points: DataFrame, pid: String, platCol: String,
       plonCol: String, stations: DataFrame, sid: String,
       slatCol: String, slonCol: String, valueCents: Column,
-      cellMicro: Long, kNearest: Int): DataFrame = {
-    require(kNearest >= 1, s"kNearest must be >= 1, got $kNearest")
-    val cand = ringCandidates(points, pid, platCol, plonCol,
-      stations, sid, slatCol, slonCol, cellMicro,
-      stationValue = Some(valueCents))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_pid").orderBy(col("_d2"), col("_sid"))
+      cellMicro: Long, kNearest: Int): DataFrame =
     idwFromCand(points, pid,
-      cand.withColumn("_rk", row_number().over(w))
-        .where(col("_rk") <= kNearest).drop("_rk"))
-  }
+      knnCut(ringCandidates(points, pid, platCol, plonCol,
+        stations, sid, slatCol, slonCol, cellMicro,
+        stationValue = Some(valueCents)), kNearest).drop("_rk"))
+
+  /** [[idwEstimateKnn]] against a [[bucketStations]] table at its OWN
+    * persisted width — `valueCents` evaluates over the table's payload
+    * columns, same one-sided shuffle as the other bucketed probes. */
+  def idwEstimateKnnBucketed(spark: SparkSession, points: DataFrame,
+      pid: String, platCol: String, plonCol: String,
+      stationTable: String, valueCents: Column, kNearest: Int)
+      : DataFrame =
+    idwFromCand(points, pid,
+      knnCut(ringCandidatesBucketed(spark, points, pid, platCol,
+        plonCol, stationTable,
+        bucketedStationMeta(spark, stationTable)._1,
+        stationValue = Some(valueCents)), kNearest).drop("_rk"))
 
   /** ε-near-duplicate point pairs — entity resolution for locations:
     * the reference's location dimension dedups by EXACT coordinate

@@ -142,6 +142,45 @@ object GeoQueries {
         FROM probe pr JOIN stc s ON pr.cl = s.cl AND pr.cn = s.cn))"""
 
 
+
+  /** q285/q299 shared oracle — kNN is layout-independent. */
+  private def knnOracleSql: String = s"""
+      WITH $duckBase, $duckCand,
+      ranked AS (
+        SELECT c_custkey, s_suppkey, d2,
+          row_number() OVER (PARTITION BY c_custkey
+            ORDER BY d2, s_suppkey) AS rank
+        FROM cand)
+      SELECT c_custkey, s_suppkey AS station, d2,
+        CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3
+      ORDER BY c_custkey, rank"""
+
+  /** q289/q300 shared oracle — kNN-IDW is layout-independent. */
+  private def idwKnnOracleSql: String = s"""
+      WITH $duckBase, $duckCand,
+      top AS (
+        SELECT c_custkey, s_acctbal, d2 FROM (
+          SELECT c_custkey, s_acctbal, d2,
+            row_number() OVER (PARTITION BY c_custkey
+              ORDER BY d2, s_suppkey) AS rn
+          FROM cand) t
+        WHERE rn <= 4),
+      wgt AS (
+        SELECT c_custkey,
+          1000000000000000000 // (d2 + 1) AS wt,
+          CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+        FROM top),
+      agg AS (
+        SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_cand,
+          SUM(CAST(wt AS HUGEINT) * vc) AS num,
+          SUM(CAST(wt AS HUGEINT)) AS den
+        FROM wgt GROUP BY c_custkey)
+      SELECT p.c_custkey, CAST(COALESCE(a.n_cand, 0) AS BIGINT) AS n_cand,
+        CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) / 100.0 AS est
+      FROM pts p LEFT JOIN agg a USING (c_custkey)
+      ORDER BY p.c_custkey"""
+
   /** q286/q298 shared oracle: the radius query is layout-independent,
     * so the bucketed variant hash-checks against the same SQL. */
   private def radiusOracleSql: String = {
@@ -240,21 +279,24 @@ object GeoQueries {
     // rank by (scaled d², station id) via one per-point window;
     // exact for every true neighbor within one cell width of scaled
     // distance.
-    Q("q285_knn_stations", Some(s"""
-      WITH $duckBase, $duckCand,
-      ranked AS (
-        SELECT c_custkey, s_suppkey, d2,
-          row_number() OVER (PARTITION BY c_custkey
-            ORDER BY d2, s_suppkey) AS rank
-        FROM cand)
-      SELECT c_custkey, s_suppkey AS station, d2,
-        CAST(rank AS BIGINT) AS rank
-      FROM ranked WHERE rank <= 3
-      ORDER BY c_custkey, rank""")) { (s, dir) =>
+    Q("q285_knn_stations", Some(knnOracleSql)) { (s, dir) =>
       val st = stations(s, dir)
       Spatial.kNearestStations(points(s, dir), "c_custkey", "plat",
         "plon", st, "s_suppkey", "slat", "slon",
         Spatial.autoCellMicro(stationCount(s, dir)), kNearest = 3)
+        .orderBy("c_custkey", "rank")
+    },
+
+    // Bucketed kNN: q285's semantics off the persisted cell-bucketed
+    // layout at the table's own width — completes the one-sided-
+    // shuffle family (nearest/kNN/radius/IDW). Oracle = q285's SQL
+    // verbatim (layout-independent semantics).
+    Q("q299_knn_stations_bucketed", Some(knnOracleSql)) { (s, dir) =>
+      val w = Spatial.autoCellMicro(stationCount(s, dir))
+      Spatial.bucketStations(stations(s, dir), "s_suppkey", "slat",
+        "slon", w, buckets = 8, table = "q299_stations")
+      Spatial.kNearestStationsBucketed(s, points(s, dir), "c_custkey",
+        "plat", "plon", "q299_stations", kNearest = 3)
         .orderBy("c_custkey", "rank")
     },
 
@@ -478,34 +520,27 @@ object GeoQueries {
     // each point's 4 NEAREST ring stations only — bounds per-point
     // work independent of ring density; weights/sums stay the exact
     // integer q264 arithmetic so the estimate hash-matches.
-    Q("q289_idw_knn", Some(s"""
-      WITH $duckBase, $duckCand,
-      top AS (
-        SELECT c_custkey, s_acctbal, d2 FROM (
-          SELECT c_custkey, s_acctbal, d2,
-            row_number() OVER (PARTITION BY c_custkey
-              ORDER BY d2, s_suppkey) AS rn
-          FROM cand) t
-        WHERE rn <= 4),
-      wgt AS (
-        SELECT c_custkey,
-          1000000000000000000 // (d2 + 1) AS wt,
-          CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
-        FROM top),
-      agg AS (
-        SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_cand,
-          SUM(CAST(wt AS HUGEINT) * vc) AS num,
-          SUM(CAST(wt AS HUGEINT)) AS den
-        FROM wgt GROUP BY c_custkey)
-      SELECT p.c_custkey, CAST(COALESCE(a.n_cand, 0) AS BIGINT) AS n_cand,
-        CAST(a.num AS DOUBLE) / CAST(a.den AS DOUBLE) / 100.0 AS est
-      FROM pts p LEFT JOIN agg a USING (c_custkey)
-      ORDER BY p.c_custkey""")) { (s, dir) =>
+    Q("q289_idw_knn", Some(idwKnnOracleSql)) { (s, dir) =>
       val st = stations(s, dir)
       Spatial.idwEstimateKnn(points(s, dir), "c_custkey", "plat",
         "plon", st, "s_suppkey", "slat", "slon",
         (Q.dec(col("s_acctbal")) * 100).cast("long"),
         Spatial.autoCellMicro(stationCount(s, dir)), kNearest = 4)
+        .orderBy("c_custkey")
+    },
+
+    // Bucketed kNN-IDW: q289's Shepard interpolation off the
+    // persisted layout — valueCents evaluates over the table's
+    // payload column, exact-integer weights/sums unchanged. Oracle =
+    // q289's SQL verbatim.
+    Q("q300_idw_knn_bucketed", Some(idwKnnOracleSql)) { (s, dir) =>
+      val w = Spatial.autoCellMicro(stationCount(s, dir))
+      Spatial.bucketStations(stations(s, dir), "s_suppkey", "slat",
+        "slon", w, buckets = 8, table = "q300_stations",
+        payloadCols = Seq("s_acctbal"))
+      Spatial.idwEstimateKnnBucketed(s, points(s, dir), "c_custkey",
+        "plat", "plon", "q300_stations",
+        (Q.dec(col("s_acctbal")) * 100).cast("long"), kNearest = 4)
         .orderBy("c_custkey")
     },
 

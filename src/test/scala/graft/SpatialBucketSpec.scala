@@ -96,6 +96,29 @@ class SpatialBucketSpec extends SparkSpec {
     }
   }
 
+  test("bucketed kNN and kNN-IDW equal their inline forms") {
+    val withV = stations.withColumn("vc", col("sid") * 100L)
+    Spatial.bucketStations(withV, "sid", "slat", "slon", Cell,
+      buckets = 4, table = "geo_stations_knn", payloadCols = Seq("vc"))
+    val knnInline = Spatial.kNearestStations(points, "pid", "plat",
+        "plon", withV, "sid", "slat", "slon", Cell, kNearest = 2)
+      .orderBy("pid", "rank").collect().toSeq
+    val knnBucketed = Spatial.kNearestStationsBucketed(spark, points,
+        "pid", "plat", "plon", "geo_stations_knn", kNearest = 2)
+      .orderBy("pid", "rank").collect().toSeq
+    assert(knnBucketed === knnInline)
+    assert(knnInline.nonEmpty)
+    val idwInline = Spatial.idwEstimateKnn(points, "pid", "plat",
+        "plon", withV, "sid", "slat", "slon", col("vc"), Cell,
+        kNearest = 2)
+      .orderBy("pid").collect().toSeq
+    val idwBucketed = Spatial.idwEstimateKnnBucketed(spark, points,
+        "pid", "plat", "plon", "geo_stations_knn", col("vc"),
+        kNearest = 2)
+      .orderBy("pid").collect().toSeq
+    assert(idwBucketed === idwInline)
+  }
+
   test("bucketed radius query equals the inline one, incl. the polar " +
       "cap; a width below the pre-gate fails loudly") {
     // stations straddling the 800 km gate at mid-latitudes AND an
