@@ -585,8 +585,12 @@ object CorpusOps {
       col(embCol).cast("array<double>").as("c_emb"))
     val cb = Similarity.kmeansCodebook(corpus, idCol, embCol, kCells,
       dim, iterations, initSmallestK = true)
-    val assigned = Similarity.assignNearestCellScored(cb, c,
-      "vec_id", "c_emb")
+    // consumed twice (the per-cell radii AND the exact scoring join in
+    // prunedVerdict) — checkpoint-materialize, or the n·k assignment
+    // cosines and the corpus scan execute twice per call (the semDedup
+    // idiom; persist would be pointless on a lazily-returned frame)
+    val assigned = Dedup.materialize(
+      Similarity.assignNearestCellScored(cb, c, "vec_id", "c_emb"))
     val radii = assigned
       .select(col("cell"), nanvl(col("cscore"), lit(-1.0)).as("__cs"))
       .groupBy("cell").agg(min(col("__cs")).as("min_cscore"))
@@ -632,12 +636,15 @@ object CorpusOps {
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
       bench: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
+    // resolve the index generation ONCE: codebook, cellstats and the
+    // cell scan below must come from the same frozen trio
+    val dir = Similarity.resolveIndexDir(spark, indexPath)
     graft.warehouse.Writer.recoverPartitions(spark,
-      s"$indexPath/cells", Seq("cell"))
+      s"$dir/cells", Seq("cell"))
     val b = bench.select(col(idCol).as("bench_id"),
       col(embCol).cast("array<double>").as("b_emb"))
-    val cb = spark.read.parquet(s"$indexPath/codebook")
-    val stats = Similarity.readCellStats(spark, indexPath)
+    val cb = spark.read.parquet(s"$dir/codebook")
+    val stats = Similarity.readCellStatsIn(spark, dir)
     val centStats = cb.join(stats, col("centroid_id") === col("cell"))
       .select(col("centroid_id"), col("cent_emb"), col("min_cscore"))
     val pairs = b.crossJoin(broadcast(centStats))
@@ -651,7 +658,7 @@ object CorpusOps {
     // codebook-bounded collect → a partition predicate on the scan
     val live = pairs.select("cell").distinct().collect()
       .map(_.getInt(0))
-    val cells = spark.read.parquet(s"$indexPath/cells")
+    val cells = spark.read.parquet(s"$dir/cells")
     val assigned = cells
       .filter(col("cell").isin(live.map(Integer.valueOf): _*))
       .select(col("neighbor_id").as("vec_id"), col("c_emb"),

@@ -302,47 +302,111 @@ object Similarity {
     stats.coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/cellstats")
 
+  /** The CURRENT generation dir of a persisted index — `indexPath/
+    * gen-<nonce>` after a [[rebuildIvfIndex]] swap ([[graft.warehouse
+    * .IndexGen]] pointer), `indexPath` itself for an index never
+    * retrained (flat legacy layout). Callers resolve ONCE per
+    * operation and use the returned dir for every table of the trio,
+    * so a retrain publishing mid-call can never hand them a mixed
+    * codebook/cells/cellstats set. */
+  private[graft] def resolveIndexDir(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String)
+      : String =
+    graft.warehouse.IndexGen.current(spark, indexPath)
+      .map { case (_, rel) => s"$indexPath/$rel" }
+      .getOrElse(indexPath)
+
   /** The per-cell stats table of a persisted index: (cell, n,
-    * min_cscore). Rebuilt on the fly (one scan) for a pre-stats
-    * legacy index. */
+    * min_cscore) — the base table written at build/rebuild time,
+    * folded with every append's DELTA dir ([[appendToIvfIndex]]); the
+    * fold is codebook-sized per delta. A pre-stats legacy index (no
+    * base table) rebuilds from ONE scan of the cell table instead —
+    * that scan already contains every appended batch, so deltas are
+    * deliberately IGNORED on this path (folding them in would count
+    * each appended batch twice). */
   def readCellStats(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/cellstats")
+      indexPath: String): DataFrame =
+    readCellStatsIn(spark, resolveIndexDir(spark, indexPath))
+
+  private[graft] def readCellStatsIn(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/cellstats")
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(p)) spark.read.parquet(s"$indexPath/cellstats")
-    else {
-      val cb = spark.read.parquet(s"$indexPath/codebook")
+    if (f.exists(p)) {
+      val base = spark.read.parquet(s"$dir/cellstats")
+      val dDir = new org.apache.hadoop.fs.Path(s"$dir/cellstats_deltas")
+      val deltas =
+        if (!f.exists(dDir)) Seq.empty[String]
+        else f.listStatus(dDir).toSeq.filter(_.isDirectory)
+          .map(_.getPath.toString)
+      if (deltas.isEmpty) base
+      else base.unionByName(spark.read.parquet(deltas: _*))
+        .groupBy("cell")
+        .agg(sum("n").as("n"), min("min_cscore").as("min_cscore"))
+    } else {
+      val cb = spark.read.parquet(s"$dir/codebook")
       cellStatsOf(nearestCell(cb,
-        spark.read.parquet(s"$indexPath/cells")
+        spark.read.parquet(s"$dir/cells")
           .select("neighbor_id", "c_emb"),
         "neighbor_id", "c_emb"))
     }
   }
 
+  /** Move a staged partitioned write's data files into the live cell
+    * table under nonce-unique names — the manual commit that makes
+    * concurrent appends safe: `mode("append")` writers SHARE the
+    * `_temporary/0` staging dir (the first job to commit deletes the
+    * second's in-flight task output), whereas each staged batch here
+    * has its own dir and every file lands with one atomic rename. */
+  private def moveStagedCells(f: org.apache.hadoop.fs.FileSystem,
+      stage: org.apache.hadoop.fs.Path,
+      cellsDir: org.apache.hadoop.fs.Path, nonce: String): Unit = {
+    f.listStatus(stage).toSeq.filter(_.isDirectory).foreach { part =>
+      val dst = new org.apache.hadoop.fs.Path(cellsDir,
+        part.getPath.getName)
+      if (!f.exists(dst)) f.mkdirs(dst): Unit
+      f.listStatus(part.getPath).toSeq.filterNot(_.isDirectory)
+        .foreach { file =>
+          f.rename(file.getPath, new org.apache.hadoop.fs.Path(dst,
+            s"$nonce-${file.getPath.getName}")): Unit
+        }
+    }
+    f.delete(stage, true): Unit
+  }
+
   /** Append new vectors to a persisted IVF index: assign against the
-    * FROZEN stored codebook and append to the cell table — the ingest
-    * path; periodic [[buildIvfIndex]] retrains when drift accumulates.
-    */
+    * FROZEN stored codebook, land the batch's cell files via a
+    * writer-unique stage + per-file renames, and record the batch's
+    * per-cell stats as a DELTA dir. Concurrent appenders therefore
+    * COMMUTE: no shared staging dir, no read-merge-overwrite of the
+    * stats table (the pre-r19 fold lost one appender's update when
+    * two interleaved), and [[readCellStats]] folds base + deltas on
+    * read. Delta debris is bounded by the append count between
+    * retrains — [[rebuildIvfIndex]] recomputes a fresh base and
+    * starts the next generation delta-free. Periodic
+    * [[rebalanceIvfIndexIfSkewed]] retrains when drift accumulates. */
   def appendToIvfIndex(newVectors: DataFrame, indexPath: String): Unit = {
     val spark = newVectors.sparkSession
-    val codebook = spark.read.parquet(s"$indexPath/codebook")
+    val dir = resolveIndexDir(spark, indexPath)
+    val codebook = spark.read.parquet(s"$dir/codebook")
     val assigned = nearestCell(codebook, newVectors.select(
         col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
         "neighbor_id", "c_emb")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val stagePath = new org.apache.hadoop.fs.Path(
+      s"$dir/cells_stage/$nonce")
+    val f = stagePath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     assigned.select("neighbor_id", "c_emb", "cell")
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexPath/cells")
-    // fold the batch into the per-cell stats; the merge is
-    // codebook-sized, so materializing it through the driver (the
-    // collect is bounded by nlist) is what lets us overwrite the
-    // stats table we just read
-    val merged = readCellStats(spark, indexPath)
-      .unionByName(cellStatsOf(assigned))
-      .groupBy("cell")
-      .agg(sum("n").as("n"), min("min_cscore").as("min_cscore"))
-    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    merged.collect().foreach(rows.add(_): Unit)
-    writeCellStats(spark.createDataFrame(rows, merged.schema), indexPath)
+      .write.mode("errorifexists").partitionBy("cell")
+      .parquet(stagePath.toString)
+    moveStagedCells(f, stagePath,
+      new org.apache.hadoop.fs.Path(s"$dir/cells"), nonce)
+    // the batch's (cell, n, min_cscore) as its own delta dir —
+    // codebook-bounded rows, one file
+    cellStatsOf(assigned).coalesce(1).write.mode("errorifexists")
+      .parquet(s"$dir/cellstats_deltas/delta-$nonce")
   }
 
   /** Cell-size skew of a persisted index: max(n)/mean(n) over the
@@ -361,43 +425,49 @@ object Similarity {
 
   /** Retrain a persisted float IVF index from its own stored vectors:
     * fresh [[autoNlist]]-sized codebook (smallest-k init — stored ids
-    * are arbitrary), fresh assignment + stats, staged to a sibling
-    * path and swapped in atomically-per-table (the index can't be
-    * overwritten while its cells are the training input). Read
-    * equivalence is pinned in SimilaritySpec: the rebuilt index
-    * answers [[ivfTopKIndexed]] queries identically to an inline
-    * rebuild over the same vectors. */
+    * are arbitrary), fresh assignment + stats, built into a NEW
+    * generation dir and swapped in with ONE atomic pointer publish
+    * ([[graft.warehouse.IndexGen]]). The pre-r19 swap renamed the
+    * three table dirs one by one — a reader mid-swap could pair the
+    * new codebook with the old cells (silent recall loss); under the
+    * pointer a reader resolves the generation once and reads a frozen
+    * trio, and the PREVIOUS generation is retained (retire keeps 2)
+    * so a reader that resolved just before the publish finishes its
+    * scan. Concurrent retrains CAS on the pointer — the loser fails
+    * loudly, its staged generation left as unpointed debris no reader
+    * resolves. Read equivalence is pinned in SimilaritySpec: the
+    * rebuilt index answers [[ivfTopKIndexed]] queries identically to
+    * an inline rebuild over the same vectors. */
   def rebuildIvfIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, dim: Int = 64, iterations: Int = 2): Unit = {
+    val cur = resolveIndexDir(spark, indexPath)
     // an SQ8 sibling layout (buildIvfIndexSq8 at the same path) shares
     // this codebook: replacing it would silently orphan the sq8 cell
     // assignments (probes read the WRONG cells — recall degrades with
     // no error). Refuse; the caller rebuilds both layouts explicitly.
-    val rootChk = new org.apache.hadoop.fs.Path(indexPath)
-    val fChk = rootChk.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fChk.exists(new org.apache.hadoop.fs.Path(rootChk, "cells_sq8")),
+    val curChk = new org.apache.hadoop.fs.Path(cur)
+    val fChk = curChk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fChk.exists(new org.apache.hadoop.fs.Path(curChk, "cells_sq8")),
       s"rebuildIvfIndex: $indexPath has an SQ8 sibling sharing this " +
         "codebook - a float-only rebuild would orphan its assignments; " +
         "retrain one codebook and rebuild both layouts with it " +
         "(buildIvfIndex + buildIvfIndexSq8, codebook = Some(...))")
     graft.warehouse.Writer.recoverPartitions(spark,
-      s"$indexPath/cells", Seq("cell"))
-    val corpus = spark.read.parquet(s"$indexPath/cells")
+      s"$cur/cells", Seq("cell"))
+    val corpus = spark.read.parquet(s"$cur/cells")
       .select(col("neighbor_id").as("vec_id"),
         col("c_emb").as("embedding"))
     val k = autoNlist(corpus.count())
-    val tmp = s"$indexPath/__rebuild"
-    buildIvfIndex(corpus, tmp, k, dim, iterations,
+    val genRel =
+      s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+    buildIvfIndex(corpus, s"$indexPath/$genRel", k, dim, iterations,
       codebook = Some(kmeansCodebook(corpus, "vec_id", "embedding",
         k, dim, iterations, initSmallestK = true)))
-    val root = new org.apache.hadoop.fs.Path(indexPath)
-    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("codebook", "cells", "cellstats").foreach { d =>
-      val dst = new org.apache.hadoop.fs.Path(root, d)
-      if (f.exists(dst)) f.delete(dst, true): Unit
-      f.rename(new org.apache.hadoop.fs.Path(s"$tmp/$d"), dst): Unit
-    }
-    f.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+    graft.warehouse.IndexGen.publish(spark, indexPath, genRel): Unit
+    // keep current + previous; the flat legacy dirs (never pointed)
+    // stay on disk untouched — the price of never breaking a reader
+    // that resolved before the first pointer existed
+    graft.warehouse.IndexGen.retire(spark, indexPath, keepLast = 2): Unit
   }
 
   /** The maintenance trigger for frozen-codebook drift: rebuild when
@@ -458,11 +528,13 @@ object Similarity {
       indexPath: String, queries: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
+    // resolve the generation ONCE — every read below sees one trio
+    val dir = resolveIndexDir(spark, indexPath)
     // a crashed cell-table compaction may have parked partitions aside
     // — restore before this read builds its file index
     graft.warehouse.Writer.recoverPartitions(spark,
-      s"$indexPath/cells_sq8", Seq("cell"))
-    val codebook = spark.read.parquet(s"$indexPath/codebook")
+      s"$dir/cells_sq8", Seq("cell"))
+    val codebook = spark.read.parquet(s"$dir/codebook")
     val queryCells = queryCellsOf(codebook, queries, nprobe)
     val probed = queryCells.select("cell").distinct().collect()
       .map(_.getInt(0))
@@ -471,7 +543,7 @@ object Similarity {
         col("norm2").as("q_n"))
     val q = queryCells.select("query_id", "cell")
       .join(qCodes, Seq("query_id"))
-    val cells = spark.read.parquet(s"$indexPath/cells_sq8")
+    val cells = spark.read.parquet(s"$dir/cells_sq8")
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
       .select(col("neighbor_id"), col("code").as("c_code"),
         col("norm2").as("c_n"), col("cell"))
@@ -496,18 +568,20 @@ object Similarity {
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queries: DataFrame, k: Int,
       nprobe: Int): DataFrame = {
+    // resolve the generation ONCE — every read below sees one trio
+    val dir = resolveIndexDir(spark, indexPath)
     // a crashed cell-table compaction may have parked partitions aside
     // — restore before this read builds its file index
     graft.warehouse.Writer.recoverPartitions(spark,
-      s"$indexPath/cells", Seq("cell"))
-    val codebook = spark.read.parquet(s"$indexPath/codebook")
+      s"$dir/cells", Seq("cell"))
+    val codebook = spark.read.parquet(s"$dir/codebook")
     // queryCells evaluates twice (the probed-cell collect here and the
     // join inside probeAndScore) — it is query-set-sized work against
     // a broadcast codebook, cheaper than managing a cache entry
     val queryCells = queryCellsOf(codebook, queries, nprobe)
     val probed = queryCells.select("cell").distinct().collect()
       .map(_.getInt(0))
-    val cells = spark.read.parquet(s"$indexPath/cells")
+    val cells = spark.read.parquet(s"$dir/cells")
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
       .select(col("neighbor_id"), col("c_emb"), col("cell"))
     probeAndScore(cells, queryCells, k)

@@ -549,6 +549,49 @@ object WarehouseQueries {
         .select(col("user_id"), col("n_events"), col("total_cents"),
           lit(nv).as("n_versions"), lit(ns).as("n_segments"))
         .orderBy("user_id")
+    },
+
+    // The scheduled-maintenance composition (Versioned.maintain =
+    // OPTIMIZE binpack + VACUUM as one pass): four append commits
+    // (one fat ≤1995 slice, three small year slices), one maintain
+    // call at the fat segment's size with keepLast=1 — the three
+    // small segments pack into one, history past the window retires,
+    // and table CONTENT is untouched: the snapshot read after
+    // maintenance hash-matches a direct recompute from orders. The
+    // structural outcome (1 retained version, 2 live segments —
+    // fat-by-reference + packed) is deterministic from the cadence
+    // and exposed as literals the oracle pins.
+    Q("q301_versioned_maintain", Some("""
+      WITH y AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM orders)
+      SELECT yr, CAST(count(*) AS BIGINT) AS cnt,
+        CAST(SUM(c) AS BIGINT) AS total_cents,
+        CAST(1 AS BIGINT) AS n_versions,
+        CAST(2 AS BIGINT) AS n_segments
+      FROM y GROUP BY yr ORDER BY yr""")) { (s, dir) =>
+      import graft.warehouse.Versioned
+      val path = Q.scratchPath("q301maint", dir)
+      val y = Tables.load(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("yr"),
+          (Q.dec(col("o_totalprice")) * 100).cast("long").as("c"))
+      if (Versioned.latestVersion(s, path).isEmpty) {
+        Seq(y.where(col("yr") <= 1995L), y.where(col("yr") === 1996L),
+          y.where(col("yr") === 1997L), y.where(col("yr") >= 1998L))
+          .foreach(sl => Versioned.commit(sl, path): Unit)
+        val maxBytes = Versioned.segmentBytes(s, path).map(_._2).max
+        Versioned.maintain(s, path, smallerThanBytes = maxBytes,
+          keepLast = 1): Unit
+      }
+      val nv = Versioned.versions(s, path).size.toLong
+      val ns = Versioned.segments(s, path).size.toLong
+      Versioned.read(s, path)
+        .groupBy("yr")
+        .agg(count(lit(1)).as("cnt"), sum(col("c")).as("total_cents"))
+        .select(col("yr"), col("cnt"), col("total_cents"),
+          lit(nv).as("n_versions"), lit(ns).as("n_segments"))
+        .orderBy("yr")
     }
   )
 }

@@ -260,7 +260,12 @@ object CorpusStreams {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val cellsPath = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+        // resolve the index generation per batch: a periodic retrain
+        // publishing between micro-batches is picked up on the next
+        // one, and the batch's reads all see one frozen trio
+        val dir = graft.analytics.Similarity
+          .resolveIndexDir(spark, indexPath)
+        val cellsPath = new org.apache.hadoop.fs.Path(s"$dir/cells")
         val fs = cellsPath
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         require(fs.exists(cellsPath),

@@ -288,14 +288,24 @@ object Versioned {
     * window rather than lifetime commits.
     *
     * `minAgeMs` is the reader-safety guard (Delta's
-    * `deletedFileRetentionDuration`): a time-travel reader that
-    * resolved its version less than `minAgeMs` ago can never have
-    * segments deleted out from under it mid-scan, because every
-    * version it could have resolved is still retained. The default 0
-    * is single-orchestrator mode — safe only when no reader holds a
-    * version older than `keepLast`; a reader of a retired version
-    * fails loudly (manifest resolution, or file open for an already
-    * resolved plan), never silently. */
+    * `deletedFileRetentionDuration`), and it gates BOTH deletion
+    * surfaces: a manifest is retired only once older than the window,
+    * and an UNREFERENCED segment dir is reclaimed only once its
+    * modification time is older than the window. The segment half is
+    * what makes vacuum safe against an IN-FLIGHT [[commit]]: commit
+    * stages its segment BEFORE publishing its manifest, so during
+    * that window the segment looks like a torn-commit orphan — the
+    * age floor keeps it alive until the publish lands (Delta's
+    * uncommitted-file retention rule). Size `minAgeMs` above the
+    * longest expected commit's segment-write time as well as the
+    * longest reader scan. A time-travel reader that resolved its
+    * version less than `minAgeMs` ago can never have segments deleted
+    * out from under it mid-scan, because every version it could have
+    * resolved is still retained. The default 0 is single-orchestrator
+    * mode — safe only when no reader holds a version older than
+    * `keepLast` AND no commit is concurrently staging; a reader of a
+    * retired version fails loudly (manifest resolution, or file open
+    * for an already resolved plan), never silently. */
   def vacuum(spark: SparkSession, path: String, keepLast: Int,
       minAgeMs: Long = 0L): (Int, Int) = {
     require(keepLast >= 1, "Versioned.vacuum: keepLast must be >= 1")
@@ -313,8 +323,14 @@ object Versioned {
     val dataDir = new org.apache.hadoop.fs.Path(root, "data")
     val dropSegs =
       if (!f.exists(dataDir)) Seq.empty[org.apache.hadoop.fs.Path]
-      else f.listStatus(dataDir).toSeq.map(_.getPath)
-        .filterNot(p => live.contains(s"data/${p.getName}"))
+      else f.listStatus(dataDir).toSeq
+        .filterNot(s => live.contains(s"data/${s.getPath.getName}"))
+        // the in-flight-commit guard: an unreferenced segment younger
+        // than the retention window may be a commit mid-stage (its
+        // manifest rename hasn't landed yet) — deleting it would let
+        // the commit publish a manifest over vanished data
+        .filter(s => minAgeMs <= 0L || s.getModificationTime < cutoff)
+        .map(_.getPath)
     dropSegs.foreach(p => f.delete(p, true))
     (dropManifests.size, dropSegs.size)
   }
@@ -380,6 +396,34 @@ object Versioned {
         "orphan for vacuum)")
     writeHint(f, root, v)
     v
+  }
+
+  /** The scheduled-maintenance composition a 100 TB lake actually
+    * runs (Delta's `OPTIMIZE` + `VACUUM` pass as one call): binpack
+    * the small-segment debris ([[compact]] at `smallerThanBytes`),
+    * then retire history past the retention window ([[vacuum]] at
+    * `keepLast`/`minAgeMs`). Interleaving safety is inherited from
+    * the parts, not re-derived: compact's plan and claim come from
+    * ONE manifest read, so a commit landing anywhere inside the pass
+    * makes compact LOSE its CAS claim and fail loudly (the abort
+    * signal — rerun maintenance; the concurrent commit is never
+    * dropped), and vacuum's `minAgeMs` floor protects both pinned
+    * readers and any commit mid-stage. Run with `minAgeMs > 0` in
+    * multi-writer mode for exactly that reason. Returns (latest
+    * version after compaction, manifests deleted, segments deleted)
+    * — the segments count includes the pre-compaction small segments
+    * once they age out of retention, plus any torn-commit orphans.
+    *
+    * Snapshot semantics: maintenance never changes table CONTENT —
+    * `read(path)` before ≡ after (oracled as q301) — only its
+    * physical layout and retained history. */
+  def maintain(spark: SparkSession, path: String,
+      smallerThanBytes: Long, keepLast: Int,
+      minAgeMs: Long = 0L, numFiles: Option[Int] = None)
+      : (Long, Int, Int) = {
+    val v = compact(spark, path, numFiles, smallerThanBytes)
+    val (m, s) = vacuum(spark, path, keepLast, minAgeMs)
+    (v, m, s)
   }
 
   /** The APPEND DELTA of a version: only the segments `version` added

@@ -342,6 +342,79 @@ class VersionedSpec extends SparkSpec {
       === (0L to 6L))
   }
 
+  test("vacuum minAgeMs spares an in-flight commit's staged segment: " +
+      "stage -> vacuum -> publish, and the commit survives") {
+    val path = tmpDir("vstage") + "/t"
+    Versioned.commit(Seq(1).toDF("x"), path): Unit // v1
+    val (f, _) = hfs(path)
+    // a second committer mid-flight: segment staged, manifest NOT yet
+    // published (exactly what commit() does before tryPublish)
+    val segRel = "data/seg-00002-deadbeef"
+    Seq(2).toDF("x").write.parquet(s"$path/$segRel")
+    // vacuum with the retention window: the staged segment is
+    // unreferenced but YOUNG - it must survive
+    val (m, s) = Versioned.vacuum(spark, path, keepLast = 1,
+      minAgeMs = 3600L * 1000L)
+    assert((m, s) === (0, 0))
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$path/$segRel")))
+    // the commit now publishes (parent segments + its own, as commit
+    // does) and the snapshot reads every row - no data loss
+    val parentSegs = Versioned.segments(spark, path, Some(1L))
+    val out = f.create(new org.apache.hadoop.fs.Path(
+      s"$path/_versions/v00002.list"), true)
+    try out.write(((parentSegs :+ segRel).mkString("\n") + "\n")
+      .getBytes("UTF-8")) finally out.close()
+    assert(Versioned.read(spark, path)
+      .as[Int].collect().sorted.toSeq === Seq(1, 2))
+    // contrast: WITHOUT the age floor (minAgeMs=0) the same staged
+    // segment would have been swept as an orphan - pin the bug class
+    val seg3 = "data/seg-00003-cafebabe"
+    Seq(3).toDF("x").write.parquet(s"$path/$seg3")
+    val (_, s0) = Versioned.vacuum(spark, path, keepLast = 2)
+    assert(s0 === 1)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/$seg3")))
+  }
+
+  test("vacuum minAgeMs still reclaims orphans PAST the age window") {
+    val path = tmpDir("vold") + "/t"
+    Versioned.commit(Seq(1).toDF("x"), path): Unit
+    val (f, _) = hfs(path)
+    val orphan = "data/seg-99999-torn0000"
+    Seq(99).toDF("x").write.parquet(s"$path/$orphan")
+    // age the torn-commit debris past the retention window
+    val p = new org.apache.hadoop.fs.Path(s"$path/$orphan")
+    f.setTimes(p, System.currentTimeMillis() - 7200L * 1000L, -1L)
+    val (m, s) = Versioned.vacuum(spark, path, keepLast = 1,
+      minAgeMs = 3600L * 1000L)
+    assert((m, s) === (0, 1))
+    assert(!f.exists(p))
+    assert(Versioned.read(spark, path).as[Int].collect().toSeq === Seq(1))
+  }
+
+  test("maintain composes compact+vacuum: content identical, layout " +
+      "binpacked, history retired past the window") {
+    val path = tmpDir("vmaint") + "/t"
+    Versioned.commit(spark.range(0, 5000).toDF("x"), path): Unit // fat
+    Versioned.commit(Seq(90001L).toDF("x"), path): Unit
+    Versioned.commit(Seq(90002L).toDF("x"), path): Unit
+    val before = Versioned.read(spark, path)
+      .as[Long].collect().sorted.toSeq
+    val maxBytes = Versioned.segmentBytes(spark, path).map(_._2).max
+    val (v, m, s) = Versioned.maintain(spark, path,
+      smallerThanBytes = maxBytes, keepLast = 1)
+    assert(v === 4L)
+    assert(m === 3) // v1-v3 manifests retired
+    assert(s === 2) // the two small originals reclaimed
+    // content unchanged (the q301 contract), layout = fat + one packed
+    assert(Versioned.read(spark, path)
+      .as[Long].collect().sorted.toSeq === before)
+    assert(Versioned.segments(spark, path).size === 2)
+    // a second maintenance pass is a no-op: only one small segment
+    val (v2, m2, s2) = Versioned.maintain(spark, path,
+      smallerThanBytes = maxBytes, keepLast = 1)
+    assert((v2, m2, s2) === (4L, 0, 0))
+  }
+
   test("snapshot isolation: a reader plan resolved at v1 is unaffected " +
       "by a later commit") {
     val path = tmpDir("viso") + "/t"
