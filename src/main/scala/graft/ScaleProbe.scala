@@ -67,6 +67,18 @@ object ScaleProbe {
         // decontamination runs higher, where centroid pruning bites)
         val copTau = copRest.headOption.flatMap(_.toDoubleOption)
           .getOrElse(0.35)
+        // second optional arg: bench-suite size for the clustered
+        // semdecon fixtures (default 128; a realistic eval union is
+        // thousands of vectors, which is where the n x |bench| exact
+        // scan finally leaves the wall-flat regime)
+        val copBench = copRest.drop(1).headOption.flatMap(_.toLongOption)
+          .getOrElse(128L)
+        // third optional arg: nlist override for the clustered index
+        // build (default autoNlist = sqrt n). The clustered rehearsal
+        // needs it to show BOTH sides of the granularity rule: at
+        // sqrt(n) < #clusters the radii collapse and pruning loses;
+        // at nlist >= #clusters it wins
+        val copNlist = copRest.drop(2).headOption.flatMap(_.toIntOption)
         // sf1→sf10 decade measurements for the corpus-tier entry
         // points that previously had only one-shot numbers: each op
         // is the same chain its oracled query runs (keepbest/split
@@ -81,7 +93,52 @@ object ScaleProbe {
         if (Set("semdecon", "semdeconexact", "semdeconpruned", "semincr",
             "protopr")(op))
           embT.count(): Unit
-        else docs.count(): Unit
+        else if (!op.endsWith("clus")) docs.count(): Unit
+        // CLUSTERED-corpus fixtures (r19 brief #5): the gen_sf
+        // synthetic embeddings are near-uniform — the data shape
+        // LEAST favorable to centroid pruning, while semDedup's own
+        // premise (and real crawl corpora) is clustered. Plant
+        // explicit Gaussian clusters of 256 members around seeded
+        // centers, SAME row count as the real embeddings table, and
+        // measure the same exact-vs-indexed-pruned pair on them —
+        // one-time generation + index build in the untimed warm
+        // phase (deterministic: the vectors are a pure function of
+        // (vec_id, dim index), no RNG state crosses executors)
+        lazy val clusPath = graft.operators.Q.scratchPath(
+          "clusemb2", sfDir)
+        lazy val clusEmb = {
+          val p = new org.apache.hadoop.fs.Path(clusPath)
+          val fsys = p.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (!fsys.exists(p)) {
+            val n = embT.count()
+            val nClusters = math.max(1L, n / 256L)
+            val rnd = new scala.util.Random(1234567L)
+            import spark.implicits._
+            val centers = (0L until nClusters).map { c =>
+              (c, IndexedSeq.fill(64)(rnd.nextGaussian() / 8.0))
+            }.toDF("cl", "cent")
+            // BLOCK assignment (id div 256), not id mod C: a bench
+            // slice vec_id < B then occupies ceil(B/256) clusters —
+            // concentrated, like a real eval suite — instead of
+            // touching every cluster and making pruning vacuously
+            // impossible
+            spark.range(n).select(col("id").as("vec_id"),
+                (col("id") / lit(256L)).cast("long").as("cl"))
+              .join(broadcast(centers), Seq("cl"))
+              .select(col("vec_id"), expr(
+                // center + hash-derived jitter (sigma ~ 0.012 per
+                // dim vs center entries ~ 0.125: intra-cluster
+                // cosines land ~ 0.95+, well above the 0.8 tau)
+                "zip_with(cent, transform(sequence(0, 63), i -> " +
+                  "((pmod(xxhash64(concat(cast(vec_id AS string), " +
+                  "':', cast(i AS string))), 2001) - 1000) / 1000.0)" +
+                  " / 80.0), (a, b) -> a + b)").as("embedding"))
+              .write.mode("overwrite").parquet(clusPath)
+          }
+          spark.read.parquet(clusPath)
+        }
+        if (op.endsWith("clus")) clusEmb.count(): Unit
         // semincr's 90 % state build is the one-time index cost, not
         // the recurring per-ingest cost this probe measures — run it
         // in the untimed warm phase so the standard corpusop line
@@ -112,6 +169,30 @@ object ScaleProbe {
             iterations = 2,
             codebook = Some(sim.kmeansCodebook(corpus, "vec_id",
               "embedding", kC, 64, 2, initSmallestK = true)))
+        }
+        // clustered-corpus index (one-time, untimed): same build as
+        // semdeconpruned but over the planted-cluster fixture
+        lazy val prunedIdxClus = graft.operators.Q.scratchPath(
+          s"semdeconprunedclus3-$copBench-${copNlist.getOrElse(0)}",
+          sfDir)
+        if (op == "semdeconprunedclus") {
+          val p = new org.apache.hadoop.fs.Path(prunedIdxClus)
+          val fsys = p.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (!fsys.exists(p)) {
+            val sim = graft.analytics.Similarity
+            val corpus = clusEmb.where(col("vec_id") >= copBench)
+            val kC = copNlist.getOrElse(sim.autoNlist(corpus.count()))
+            // HASH init, not smallest-k: block-clustered ids put all
+            // smallest-k seeds inside the first two clusters and the
+            // radii never tighten (measured 22 s vs the exact scan's
+            // 15 s before this) — the hash sample spreads one seed
+            // per ~cluster and the pruning bound gets its teeth
+            sim.buildIvfIndex(corpus, prunedIdxClus, k = kC, dim = 64,
+              iterations = 2,
+              codebook = Some(sim.kmeansCodebook(corpus, "vec_id",
+                "embedding", kC, 64, 2, initHashK = true)))
+          }
         }
         val t0 = System.nanoTime()
         val rows: Long = op match {
@@ -162,12 +243,21 @@ object ScaleProbe {
             // semantic decontamination at the recall-targeted auto
             // sizing: benchmark = 128 vectors (eval-suite-sized,
             // broadcast), corpus = the rest — map-only per table +
-            // one argmax aggregation, the linear tier by shape
+            // one argmax aggregation, the linear tier by shape.
+            // ALL semdecon* probes aggregate the `contaminated`
+            // column instead of a bare count(): the verdict is a
+            // left join against an aggregate UNIQUE on the key, so
+            // count() lets Catalyst eliminate the join AND the whole
+            // scoring cross join — the pre-r19 probes timed a
+            // parquet count (identical wall at bench=128 vs 4096
+            // exposed it)
             graft.analytics.CorpusOps.semanticContaminationAuto(
               embT.where(col("vec_id") >= 128),
               embT.where(col("vec_id") < 128),
               "vec_id", "embedding", threshold = copTau,
-              targetRecall = 0.8).count()
+              targetRecall = 0.8)
+              .agg(count(lit(1)), sum(col("contaminated").cast("long")))
+              .collect()(0).getLong(0)
           case "semdeconexact" =>
             // the all-pairs recall-1 baseline the pruned tier routes
             // around: |corpus|·|bench| broadcast cosines, map-only —
@@ -175,14 +265,40 @@ object ScaleProbe {
             graft.analytics.CorpusOps.semanticContaminationExact(
               embT.where(col("vec_id") >= 128L),
               embT.where(col("vec_id") < 128L),
-              "vec_id", "embedding", threshold = copTau).count()
+              "vec_id", "embedding", threshold = copTau)
+              .agg(count(lit(1)), sum(col("contaminated").cast("long")))
+              .collect()(0).getLong(0)
           case "semdeconpruned" =>
             // the recurring read against the index built in the warm
             // phase: recall-1 decontamination whose corpus bytes are
             // bounded by the unpruned cells, not the corpus
             graft.analytics.CorpusOps.semanticContaminationIndexed(
               spark, prunedIdx, embT.where(col("vec_id") < 128L),
-              "vec_id", "embedding", threshold = copTau).count()
+              "vec_id", "embedding", threshold = copTau)
+              .agg(count(lit(1)), sum(col("contaminated").cast("long")))
+              .collect()(0).getLong(0)
+          case "semdeconexactclus" =>
+            // the exact broadcast scan on the CLUSTERED fixture — the
+            // baseline of the clustered operating-point comparison
+            graft.analytics.CorpusOps.semanticContaminationExact(
+              clusEmb.where(col("vec_id") >= copBench),
+              clusEmb.where(col("vec_id") < copBench),
+              "vec_id", "embedding", threshold = copTau)
+              .agg(count(lit(1)), sum(col("contaminated").cast("long")))
+              .collect()(0).getLong(0)
+          case "semdeconprunedclus" =>
+            // indexed pruning on the clustered fixture; the radius
+            // stats line (stderr) carries the granularity health
+            // signal the timing is explained by
+            System.err.println("[probe] radius stats: " +
+              graft.analytics.Similarity.ivfRadiusStats(
+                spark, prunedIdxClus).collect()(0).toString)
+            graft.analytics.CorpusOps.semanticContaminationIndexed(
+              spark, prunedIdxClus,
+              clusEmb.where(col("vec_id") < copBench),
+              "vec_id", "embedding", threshold = copTau)
+              .agg(count(lit(1)), sum(col("contaminated").cast("long")))
+              .collect()(0).getLong(0)
           case "semincr" =>
             // ONE 10 %-batch increment against the state built in the
             // warm phase — the recurring per-ingest cost the
@@ -206,7 +322,9 @@ object ScaleProbe {
             graft.analytics.LangModel.knTrigramCrossEntropy(
               docs, "doc_id", "text").count()
           case m => sys.error(s"unknown corpusop '$m' (keepbest|" +
-            "split|shards|diff|fertility|semdecon|semdeconexact|semdeconpruned|semincr|protopr|kn)")
+            "split|shards|diff|fertility|semdecon|semdeconexact|" +
+            "semdeconpruned|semdeconexactclus|semdeconprunedclus|" +
+            "semincr|protopr|kn)")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"""{"probe":"corpusop","op":"$op","sf":"$sfDir",""" +

@@ -569,13 +569,20 @@ object CorpusOps {
     * |bench|. Bench and codebook are both broadcast; the only
     * corpus-keyed shuffle is the assignment argmax.
     *
-    * Priced honestly (sf1/sf10 measurements, SURVEY r18): at
-    * eval-suite bench sizes the exact broadcast scan is wall-FLAT (the
-    * n·|bench| cosines hide inside the scan), so this INLINE form —
-    * which must train the codebook first — is the oracle-checkable
-    * correctness primitive, not a routing win; the production entry is
-    * [[semanticContaminationIndexed]], where training is already paid
-    * and pruning becomes a partition predicate. */
+    * Priced honestly — RE-MEASURED r19 after fixing the probe's
+    * join-elimination artifact (a bare count() on the verdict let
+    * Catalyst drop the left join and the whole scoring cross join, so
+    * the r18 "wall-flat exact scan" numbers timed a parquet count):
+    * the exact scan is genuinely linear in n·|bench| (11.5 s at
+    * sf10 × 128 bench; 15.4 s at 200k × 4096), and the INDEXED read
+    * beats it about 2× at sf10 (5.6–6.8 s) once the partition-pruned
+    * cell scan stopped paying the 32-files-per-cell layout tax. This
+    * INLINE form — which must train the codebook first — remains the
+    * oracle-checkable correctness primitive, not a routing win
+    * (training costs ≈ iterations·n·√n cosines, more than the scan it
+    * saves); the production entry is [[semanticContaminationIndexed]],
+    * where training is already paid and pruning becomes a partition
+    * predicate. */
   def semanticContaminationPruned(corpus: DataFrame, bench: DataFrame,
       idCol: String, embCol: String, threshold: Double, kCells: Int,
       dim: Int = 64, iterations: Int = 2): DataFrame = {
@@ -691,17 +698,22 @@ object CorpusOps {
     // for THIS workload the bench side is bounded, so the honest
     // route is a recall-1 scorer (Dedup.moderateTauExceedsCap,
     // pinned in NearDupsAutoSpec). WHICH recall-1 scorer is a priced
-    // choice, measured at sf1→sf10 (r18): the exact broadcast scan
-    // costs n·|bench| codegen'd cosines on data already streaming
-    // through the scan — wall-flat at eval-suite bench sizes — while
-    // INLINE centroid pruning must first train+assign a √n-cell
-    // codebook (≈3·n·√n cosines), which loses whenever |bench| ≲
-    // 3·√n, i.e. at every realistic (crawl, eval-suite) pairing. The
-    // pruned tier wins only when the training is ALREADY paid: pass
-    // `indexPath` (a persisted [[Similarity.buildIvfIndex]] of this
-    // same corpus) and the cap route reads radii from its cellstats
-    // and partition-prunes the cell scan
-    // ([[semanticContaminationIndexed]]) instead of rescanning.
+    // choice, RE-measured r19 with the probe's join-elimination
+    // artifact fixed: the exact broadcast scan is linear in
+    // n·|bench| (11.5 s at sf10 × 128 bench — NOT the wall-flat the
+    // r18 probes read off an optimized-away join), while INLINE
+    // centroid pruning must first train+assign a √n-cell codebook
+    // (≈3·n·√n cosines), which loses whenever |bench| ≲ 3·√n — at
+    // every realistic (crawl, eval-suite) pairing. The pruned tier
+    // wins when training is ALREADY paid: pass `indexPath` (a
+    // persisted [[Similarity.buildIvfIndex]] of this same corpus)
+    // and the cap route reads radii from its cellstats and
+    // partition-prunes the cell scan
+    // ([[semanticContaminationIndexed]]) — measured ~2× faster than
+    // the exact scan at sf10 on BOTH near-uniform (τ 0.35 and 0.8)
+    // and clustered corpora. The routing policy is unchanged
+    // (indexed iff an index exists); only the r18 pricing narrative
+    // was wrong.
     if (Dedup.moderateTauExceedsCap(bits, threshold, targetRecall,
         maxTables))
       indexPath match {

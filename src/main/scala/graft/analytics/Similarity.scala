@@ -108,11 +108,33 @@ object Similarity {
         "spark.graft.maxCodebookDoubles if the driver can hold it.")
   }
 
+  /** `initHashK` seeds from the k vectors with the SMALLEST
+    * xxhash64(id) — a deterministic uniform-spread sample (one
+    * TakeOrdered pass, no full sort), the right init when cluster
+    * membership CORRELATES with id order: smallest-k init on a
+    * block-clustered corpus (ids 0..255 = cluster 0, …) packs every
+    * seed into the first few clusters, and a 2-iteration Lloyd never
+    * recovers — residual radii stay near 90° and every radius-based
+    * pruning bound ([[graft.analytics.CorpusOps
+    * .semanticContaminationIndexed]]) collapses to no-prune. Measured
+    * on the r19 clustered rehearsal: hash init cut the indexed
+    * decontamination read from slower-than-exact to a fraction of it.
+    * Oracle-replayed codebooks (q58/q98 CTEs) keep the id-value rule;
+    * hash init is for indexes whose RESULTS don't depend on the
+    * codebook (recall-1 pruned tiers) or whose recall is spec-floored
+    * rather than hash-pinned. */
   def kmeansCodebook(corpus: DataFrame, idCol: String, embCol: String,
       k: Int, dim: Int, iterations: Int,
-      initSmallestK: Boolean = false): DataFrame = {
+      initSmallestK: Boolean = false,
+      initHashK: Boolean = false): DataFrame = {
     val q = 1048576L // 2^20 quantization step
     val sess = corpus.sparkSession
+    // gates EVERY driver-side collect in this function — the per-round
+    // codebook AND the initSmallestK seed (a TakeOrdered of k rows ×
+    // dim-double embeddings: exactly codebook-sized, and k grows as
+    // √n under autoNlist, so at extreme corpus sizes this require is
+    // what keeps the driver from holding √n·dim doubles unnoticed;
+    // pinned in SimilaritySpec)
     checkCodebookBudget(sess, k, dim)
     import sess.implicits._
     // the codebook is MODEL state (k·dim doubles) — collecting it each
@@ -130,7 +152,15 @@ object Similarity {
     // id range doesn't start at 0 (e.g. a benchmark-split corpus whose
     // ids begin past k, where id < k would seed an EMPTY codebook)
     var cent =
-      if (initSmallestK)
+      if (initHashK)
+        corpus.select(col(idCol).cast("long").as("__id"),
+            col(embCol).cast("array<double>").as("__emb"))
+          .orderBy(xxhash64(col("__id")), col("__id")).limit(k)
+          .collect().toSeq
+          .sortBy(_.getLong(0)).zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](1).toIndexedSeq) }
+          .toDF("centroid_id", "cent_emb")
+      else if (initSmallestK)
         corpus.select(col(idCol).cast("long").as("__id"),
             col(embCol).cast("array<double>").as("__emb"))
           .orderBy("__id").limit(k).collect().toSeq
@@ -278,7 +308,13 @@ object Similarity {
     val assigned = nearestCell(cb, corpus.select(
         col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
         "neighbor_id", "c_emb")
+    // cluster by cell BEFORE the partitioned write: without it every
+    // shuffle partition writes its own sliver into every cell dir —
+    // nlist x shuffle-partitions footer-dominated files (~14k at the
+    // sf10 rehearsal) whose open cost alone was ~5 s of every indexed
+    // read; clustered, the table is ~one file per cell
     assigned.select("neighbor_id", "c_emb", "cell")
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/cells")
     // per-cell summary: size (the skew/health statistic) and the
@@ -399,6 +435,7 @@ object Similarity {
     val f = stagePath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     assigned.select("neighbor_id", "c_emb", "cell")
+      .repartition(col("cell")) // ~one file per cell per batch
       .write.mode("errorifexists").partitionBy("cell")
       .parquet(stagePath.toString)
     moveStagedCells(f, stagePath,
@@ -408,6 +445,28 @@ object Similarity {
     cellStatsOf(assigned).coalesce(1).write.mode("errorifexists")
       .parquet(s"$dir/cellstats_deltas/delta-$nonce")
   }
+
+  /** Residual-RADIUS health of a persisted index: one row of
+    * (n_cells, min/p50/max of the per-cell minimum member-to-centroid
+    * cosine). A cell's pruning radius is acos(min_cscore), so this is
+    * the statistic that says whether radius-based pruning
+    * ([[graft.analytics.CorpusOps.semanticContaminationIndexed]]) has
+    * any teeth: p50 near 1 → tight cells, strong pruning; p50 near 0
+    * (radii near 90°) → the triangle bound admits every (bench, cell)
+    * pair and the "pruned" read degrades to the exact scan plus
+    * overhead. The r19 clustered rehearsal pinned the failure mode:
+    * when the corpus has MORE natural clusters than the codebook has
+    * cells (765 planted clusters vs √n ≈ 443), every cell must merge
+    * distant clusters and p50 collapses — the fix is a finer codebook
+    * (nlist ≥ cluster count), which this statistic tells you to buy.
+    * Codebook-sized aggregation over the stats table. */
+  def ivfRadiusStats(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): DataFrame =
+    readCellStats(spark, indexPath)
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("min_cscore")).as("worst_cscore"),
+        expr("percentile_approx(min_cscore, 0.5)").as("p50_cscore"),
+        max(col("min_cscore")).as("best_cscore"))
 
   /** Cell-size skew of a persisted index: max(n)/mean(n) over the
     * stats table — 1.0 is perfectly balanced; a frozen-codebook index
@@ -513,6 +572,7 @@ object Similarity {
       .select(col("vec_id").as("neighbor_id"), col("code"),
         col("norm2"))
     cells.join(codes, Seq("neighbor_id"))
+      .repartition(col("cell")) // ~one file per cell, see buildIvfIndex
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexPath/cells_sq8")
   }

@@ -59,10 +59,13 @@ import org.apache.spark.sql.types.DecimalType
   * metro cell in SpatialBucketSpec (split fires, values identical).
   * Caveat: the split needs BOTH join sides to be shuffle stages, so
   * it applies to the inline probes; [[bucketStations]] trades that
-  * away (its scan side is fixed bucket files) — for a pathologically
-  * hot PROBE load against a bucketed table, either raise the bucket
-  * count at write time or route that one query through the inline
-  * path and let AQE split it.
+  * away (its scan side is fixed bucket files). A pathologically hot
+  * PROBE load against a bucketed table is therefore DETECTED
+  * ([[probeHotCellStats]], one map-side-combined aggregation) and
+  * routed through the inline AQE-splittable path automatically by the
+  * auto entry ([[nearestStationBucketedRouted]]) — values identical,
+  * only the physical plan changes; width-explicit callers can also
+  * raise the bucket count at write time.
   *
   * Contract: the ring probe is EXACT for any true nearest neighbor
   * within one cell width `cellMicro` of the query point IN THE SCALED
@@ -340,7 +343,8 @@ object Spatial {
   def bucketStations(stations: DataFrame, sid: String,
       slatCol: String, slonCol: String, cellMicro: Long,
       buckets: Int, table: String,
-      payloadCols: Seq[String] = Nil): Unit = {
+      payloadCols: Seq[String] = Nil,
+      nStations: Option[Long] = None): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val (scl, scn) = cellOf(col(slatCol), col(slonCol), cellMicro)
     stations.select(col(sid).as("station_id") +:
@@ -353,13 +357,17 @@ object Spatial {
       .format("parquet")
       .saveAsTable(table)
     // persist the stats every auto-width probe needs as TABLE
-    // PROPERTIES — the row count (one scan HERE, amortized across
-    // every query) and the grid width the cell columns were derived
-    // with. Readers get both from the catalog without launching a job
-    // ([[bucketedStationMeta]], zero-job assertion in
-    // SpatialBucketSpec).
+    // PROPERTIES — the row count and the grid width the cell columns
+    // were derived with. Readers get both from the catalog without
+    // launching a job ([[bucketedStationMeta]], zero-job assertion in
+    // SpatialBucketSpec). Callers that already counted the input
+    // ([[bucketStationsAuto]]'s rung pick, a memoized corpus count)
+    // thread it via `nStations` — counting the just-written table
+    // again was one of the two redundant scans per bucketing the r18
+    // review flagged; the count-here fallback stays for callers with
+    // a pinned width and no count in hand.
     val sess = stations.sparkSession
-    val n = sess.table(table).count()
+    val n = nStations.getOrElse(sess.table(table).count())
     sess.sql(s"ALTER TABLE $table SET TBLPROPERTIES(" +
       s"'graft.cell_micro'='$cellMicro','graft.n_stations'='$n')")
       : Unit
@@ -373,9 +381,10 @@ object Spatial {
   def bucketStationsAuto(stations: DataFrame, sid: String,
       slatCol: String, slonCol: String, buckets: Int, table: String,
       payloadCols: Seq[String] = Nil, targetPerRing: Long = 8L): Long = {
-    val w = autoCellMicro(stations.count(), targetPerRing)
+    val n = stations.count()
+    val w = autoCellMicro(n, targetPerRing)
     bucketStations(stations, sid, slatCol, slonCol, w, buckets, table,
-      payloadCols)
+      payloadCols, nStations = Some(n))
     w
   }
 
@@ -396,13 +405,67 @@ object Spatial {
     }
   }
 
+  /** (total probe points, hottest-cell count) of a probe set at grid
+    * width `cellMicro` — ONE map-side-combined aggregation whose
+    * shuffle carries only occupied-cell rows. The detector input for
+    * hot-PROBE routing: the class contract notes AQE's skew split
+    * cannot fire against a bucketed scan side, so a pathologically
+    * concentrated probe load must be DETECTED and routed through the
+    * inline (both-sides-shuffle, AQE-splittable) path instead of
+    * silently straggling on one bucket. */
+  def probeHotCellStats(points: DataFrame, platCol: String,
+      plonCol: String, cellMicro: Long): (Long, Long) = {
+    val (pcl, pcn) = cellOf(col(platCol), col(plonCol), cellMicro)
+    val r = points.select(pcl.as("_cl"), pcn.as("_cn"))
+      .groupBy("_cl", "_cn").agg(count(lit(1)).as("_n"))
+      .agg(coalesce(sum("_n"), lit(0L)).as("_total"),
+        coalesce(max("_n"), lit(0L)).as("_mx"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** [[nearestStationBucketedAuto]] with the routing decision
+    * exposed: returns (result, routedInline). A probe load whose
+    * hottest cell holds more than `maxHotShare` of the points AND at
+    * least `minHotRows` rows routes through the INLINE path reading
+    * the same persisted table — both join sides are then shuffle
+    * stages, so AQE's skew split bounds the straggler to one
+    * advisory-sized slice (rehearsed at 1M points in
+    * SpatialBucketSpec); everything else keeps the one-sided-shuffle
+    * bucketed plan. Values are identical on both routes (the inline
+    * path re-derives the same cells from the table's slat/slon), so
+    * routing never changes results — only the physical plan. The
+    * `minHotRows` floor keeps small probe sets (where a straggler
+    * partition is small anyway) from paying the inline re-shuffle of
+    * the station side. */
+  def nearestStationBucketedRouted(spark: SparkSession,
+      points: DataFrame, pid: String, platCol: String, plonCol: String,
+      stationTable: String, maxHotShare: Double = 0.25,
+      minHotRows: Long = 100000L): (DataFrame, Boolean) = {
+    val w = bucketedStationMeta(spark, stationTable)._1
+    val (total, mx) = probeHotCellStats(points, platCol, plonCol, w)
+    val hot = mx >= minHotRows &&
+      mx.toDouble > maxHotShare * total.toDouble
+    if (hot)
+      (nearestStation(points, pid, platCol, plonCol,
+        spark.table(stationTable), "station_id", "slat", "slon", w),
+        true)
+    else
+      (nearestStationBucketed(spark, points, pid, platCol, plonCol,
+        stationTable, w), false)
+  }
+
   /** [[nearestStationBucketed]] at the table's OWN persisted width —
-    * no per-query station count, no width-mismatch foot-gun. */
+    * no per-query station count, no width-mismatch foot-gun — with
+    * automatic hot-probe mitigation ([[nearestStationBucketedRouted]]
+    * at the default thresholds): the detection aggregation is one
+    * cheap two-column pass, and a pathological probe load transparently
+    * takes the AQE-splittable inline plan. */
   def nearestStationBucketedAuto(spark: SparkSession, points: DataFrame,
       pid: String, platCol: String, plonCol: String,
       stationTable: String): DataFrame =
-    nearestStationBucketed(spark, points, pid, platCol, plonCol,
-      stationTable, bucketedStationMeta(spark, stationTable)._1)
+    nearestStationBucketedRouted(spark, points, pid, platCol, plonCol,
+      stationTable)._1
 
   /** [[ringCandidates]] against a [[bucketStations]] table: the
     * station side joins STRAIGHT OFF its bucketed scan (no exchange

@@ -294,7 +294,8 @@ object GeoQueries {
     Q("q299_knn_stations_bucketed", Some(knnOracleSql)) { (s, dir) =>
       val w = Spatial.autoCellMicro(stationCount(s, dir))
       Spatial.bucketStations(stations(s, dir), "s_suppkey", "slat",
-        "slon", w, buckets = 8, table = "q299_stations")
+        "slon", w, buckets = 8, table = "q299_stations",
+        nStations = Some(stationCount(s, dir)))
       Spatial.kNearestStationsBucketed(s, points(s, dir), "c_custkey",
         "plat", "plon", "q299_stations", kNearest = 3)
         .orderBy("c_custkey", "rank")
@@ -325,7 +326,8 @@ object GeoQueries {
       val w = math.max(Spatial.autoCellMicro(stationCount(s, dir)),
         Spatial.epsCellMicro(pregate))
       Spatial.bucketStations(stations(s, dir), "s_suppkey", "slat",
-        "slon", w, buckets = 8, table = "q298_stations")
+        "slon", w, buckets = 8, table = "q298_stations",
+        nStations = Some(stationCount(s, dir)))
       Spatial.stationsWithinMetersBucketed(s, points(s, dir),
         "c_custkey", "plat", "plon", "q298_stations",
         radiusMeters = 800000.0)
@@ -355,7 +357,8 @@ object GeoQueries {
       val st = stations(s, dir)
       val w = Spatial.autoCellMicro(stationCount(s, dir))
       Spatial.bucketStations(st, "s_suppkey", "slat", "slon", w,
-        buckets = 8, table = "q287_stations")
+        buckets = 8, table = "q287_stations",
+        nStations = Some(stationCount(s, dir)))
       // probe at the table's OWN persisted width (catalog metadata,
       // no station re-scan and no width-mismatch foot-gun)
       Spatial.nearestStationBucketedAuto(s, points(s, dir), "c_custkey",
@@ -537,7 +540,8 @@ object GeoQueries {
       val w = Spatial.autoCellMicro(stationCount(s, dir))
       Spatial.bucketStations(stations(s, dir), "s_suppkey", "slat",
         "slon", w, buckets = 8, table = "q300_stations",
-        payloadCols = Seq("s_acctbal"))
+        payloadCols = Seq("s_acctbal"),
+        nStations = Some(stationCount(s, dir)))
       Spatial.idwEstimateKnnBucketed(s, points(s, dir), "c_custkey",
         "plat", "plon", "q300_stations",
         (Q.dec(col("s_acctbal")) * 100).cast("long"), kNearest = 4)

@@ -130,4 +130,31 @@ object IndexGen {
     }
     drop.size
   }
+
+  /** Sweep UNPOINTED `gen-*` dirs — debris from retrains that crashed
+    * (or lost their CAS) after staging but before publishing. The
+    * [[graft.warehouse.Versioned.vacuum]] age rule applies unchanged:
+    * only dirs older than `minAgeMs` go, so a retrain mid-stage (its
+    * pointer not yet published) can never lose its build to a
+    * concurrent sweep. Returns the number of dirs removed. */
+  def vacuumOrphans(spark: SparkSession, path: String,
+      minAgeMs: Long): Int = {
+    require(minAgeMs > 0L,
+      "IndexGen.vacuumOrphans: minAgeMs must be > 0 (an unguarded " +
+        "sweep would delete a retrain mid-stage)")
+    val (f, root) = fs(spark, path)
+    if (!f.exists(root)) return 0
+    val pointed = listGens(f, root).flatMap { v =>
+      try Some(readPtr(f, root, v))
+      catch { case _: java.io.IOException => None }
+    }.toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val orphans = f.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("gen-") &&
+        !pointed.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+    orphans.foreach(st => f.delete(st.getPath, true): Unit)
+    orphans.size
+  }
 }

@@ -158,4 +158,68 @@ class IvfMaintenanceSpec extends SparkSpec {
     assert(statsMap(dir).values.map(_._1).sum === 150L)
     assert(statsMap(dir) === truthMap(dir))
   }
+
+  test("ivfRadiusStats exposes codebook granularity: enough cells " +
+      "for the cluster structure gives tight radii, fewer cells " +
+      "than clusters collapses them") {
+    // the r19 clustered-rehearsal rule at spec size: when the
+    // codebook has at least as many cells as the corpus has natural
+    // clusters, every cell is one tight cluster (p50 min_cscore near
+    // 1 — pruning has teeth); with FEWER cells than clusters each
+    // cell must merge near-orthogonal clusters and the p50 radius
+    // blows toward 90° (min_cscore toward cos 45-90°) — the
+    // statistic a maintainer reads before trusting the pruned
+    // decontamination tier
+    val corpus = mkCorpus(0 until 120, id => (id / 30).toInt)
+    def p50(k: Int): Double = {
+      val dir = tmpDir(s"ivf-rad-$k")
+      val cb = Similarity.kmeansCodebook(corpus, "vec_id", "embedding",
+        k, Dim, 2, initHashK = true)
+      Similarity.buildIvfIndex(corpus, dir, k = k, dim = Dim,
+        iterations = 2, codebook = Some(cb))
+      val r = Similarity.ivfRadiusStats(spark, dir).collect()(0)
+      assert(r.getLong(0) >= 2L) // occupied cells
+      r.getDouble(2) // p50_cscore
+    }
+    val tight = p50(4)   // cells == clusters
+    val merged = p50(2)  // cells < clusters: forced merges
+    assert(tight > 0.9, s"cluster-resolving p50 cscore $tight")
+    assert(merged < 0.85, s"merged-cell p50 cscore $merged")
+    assert(tight > merged + 0.1,
+      s"granularity must separate the stats: $tight vs $merged")
+  }
+
+  test("vacuumOrphans sweeps only UNPOINTED gen dirs past the age " +
+      "window; pointed generations and young stages survive") {
+    import graft.warehouse.IndexGen
+    val dir = tmpDir("ivf-orphan")
+    Similarity.buildIvfIndex(mkCorpus(0 until 120, id => (id % 4).toInt),
+      dir, k = 4, dim = Dim, iterations = 2)
+    Similarity.rebuildIvfIndex(spark, dir, dim = Dim)
+    val cur = Similarity.resolveIndexDir(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed retrain: staged gen dir, no pointer — one OLD (aged
+    // past the window) and one YOUNG (a retrain possibly mid-stage)
+    val oldOrphan = new org.apache.hadoop.fs.Path(root, "gen-deadcafe")
+    val youngOrphan = new org.apache.hadoop.fs.Path(root, "gen-00beef00")
+    f.mkdirs(oldOrphan): Unit
+    f.mkdirs(youngOrphan): Unit
+    f.setTimes(oldOrphan, System.currentTimeMillis() - 7200L * 1000L,
+      -1L)
+    val swept = IndexGen.vacuumOrphans(spark, dir,
+      minAgeMs = 3600L * 1000L)
+    assert(swept === 1)
+    assert(!f.exists(oldOrphan))
+    assert(f.exists(youngOrphan), "young stage must survive the sweep")
+    // the pointed current generation is untouched and still answers
+    assert(f.exists(new org.apache.hadoop.fs.Path(cur)))
+    assert(Similarity.readCellStats(spark, dir).collect()
+      .map(_.getLong(1)).sum === 120L)
+    // the unguarded mode is refused outright
+    val e = intercept[IllegalArgumentException] {
+      IndexGen.vacuumOrphans(spark, dir, minAgeMs = 0L)
+    }
+    assert(e.getMessage.contains("minAgeMs"))
+  }
 }

@@ -47,6 +47,39 @@ class SimilaritySpec extends SparkSpec {
     rec.agg(avg("recall")).collect()(0).getDouble(0)
   }
 
+  test("codebook budget fences BOTH init paths: id-value AND " +
+      "initSmallestK refuse before any driver collect") {
+    // the initSmallestK seed collects k rows of dim-double embeddings
+    // — codebook-sized driver state that must hit the same require as
+    // the trained codebook itself (k grows as sqrt(n) under autoNlist,
+    // so an unfenced seed would silently scale driver memory with the
+    // corpus)
+    val key = "spark.graft.maxCodebookDoubles"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, (3L * Dim).toString) // budget below k=4 x Dim
+    try {
+      for (smallest <- Seq(false, true)) {
+        val e = intercept[IllegalArgumentException] {
+          Similarity.kmeansCodebook(corpus, "vec_id", "embedding",
+            k = 4, dim = Dim, iterations = 1,
+            initSmallestK = smallest)
+        }
+        assert(e.getMessage.contains("exceeds"), s"init=$smallest")
+        assert(e.getMessage.contains("maxCodebookDoubles"))
+      }
+      // at the budget boundary both paths proceed
+      spark.conf.set(key, (4L * Dim).toString)
+      assert(Similarity.kmeansCodebook(corpus, "vec_id", "embedding",
+        k = 4, dim = Dim, iterations = 1,
+        initSmallestK = true).count() === 4L)
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("IVF with trained k-means codebook reaches recall@5 >= 0.9 " +
       "at nprobe=2 of 4 cells") {
     val codebook = Similarity.kmeansCodebook(corpus, "vec_id",

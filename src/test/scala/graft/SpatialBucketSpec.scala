@@ -218,6 +218,86 @@ class SpatialBucketSpec extends SparkSpec {
     assert(jobs === 0, s"memoized count launched $jobs jobs")
   }
 
+  test("hot-PROBE auto-routing: a 1M-point load concentrated in one " +
+      "cell routes to the inline AQE-splittable path, values " +
+      "identical; a spread load keeps the bucketed plan") {
+    import spark.implicits._
+    // the 1M-hot-probe shape of the AQE rehearsal below: 100k spread
+    // + 900k inside ONE 10-degree cell (share 0.9 > 0.25, hot cell
+    // 900k > the 100k floor)
+    val spread = spark.range(0, 100000).select(
+      col("id").as("pid"),
+      ((col("id") * 2654435761L) % 170000001L - 85000000L).as("plat"),
+      ((col("id") * 1103515245L + 12345L) % 360000000L - 180000000L)
+        .as("plon"))
+    val hot = spark.range(100000, 1000000).select(
+      col("id").as("pid"),
+      (col("id") % 90000L).as("plat"),
+      (col("id") % 70000L).as("plon"))
+    val ptsM = spread.unionByName(hot)
+    Spatial.bucketStations(stations, "sid", "slat", "slon", Cell,
+      buckets = 4, table = "geo_stations_hot")
+    // detector reads the load's shape
+    val (total, mx) = Spatial.probeHotCellStats(ptsM, "plat", "plon",
+      Cell)
+    assert(total === 1000000L && mx >= 900000L)
+    // hot load → inline route; results equal the bucketed plan's
+    // (aggregate compare: count/sums are a strong value fingerprint
+    // at this size)
+    val (routed, wentInline) = Spatial.nearestStationBucketedRouted(
+      spark, ptsM, "pid", "plat", "plon", "geo_stations_hot")
+    assert(wentInline, "0.9 hot share must route inline")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum("station"), sum("d2"), sum("n_cand"))
+        .collect()(0).toSeq
+    assert(fp(routed) === fp(Spatial.nearestStationBucketed(spark,
+      ptsM, "pid", "plat", "plon", "geo_stations_hot", Cell)))
+    // and the inline route's join is genuinely AQE-splittable: with
+    // skew thresholds at test-scale bytes the split fires
+    val keep = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // enough partitions that the median stays small next to the
+      // hot-cell keys (the rehearsal's setting — at the test default
+      // the hot explosion inflates every partition and the 5x-median
+      // skew factor never trips)
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "262144")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "262144")
+      val (routedSmj, inl) = Spatial.nearestStationBucketedRouted(
+        spark, ptsM, "pid", "plat", "plon", "geo_stations_hot")
+      assert(inl)
+      // execute THIS dataset's query so AQE finalizes, then read the
+      // adaptive plan (a noop write runs a separate QueryExecution);
+      // aggregate a JOINED column — a bare count(1) lets Catalyst
+      // eliminate the left join entirely
+      val q = routedSmj.agg(count(col("d2")).as("n"))
+      assert(q.collect()(0).getLong(0) >= 900000L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"expected an AQE skew split in:\n${plan.take(3000)}")
+    } finally keep.foreach { case (k, v) => spark.conf.set(k, v) }
+    // a spread load stays on the one-sided-shuffle bucketed plan
+    val (viaBucket, inline2) = Spatial.nearestStationBucketedRouted(
+      spark, spread, "pid", "plat", "plon", "geo_stations_hot")
+    assert(!inline2, "spread load must keep the bucketed plan")
+    assert(viaBucket.count() === 100000L)
+    // a SMALL fully-concentrated load also stays bucketed (floor):
+    // a straggler partition of 4 rows is not worth re-shuffling the
+    // station side
+    val tiny = pts((1L, 0L, 0L), (2L, 10L, 10L), (3L, 20L, 20L),
+      (4L, 30L, 30L))
+    assert(!Spatial.nearestStationBucketedRouted(spark, tiny, "pid",
+      "plat", "plon", "geo_stations_hot")._2)
+  }
+
   test("hot-cell skew rehearsal: 1M probe points in one metro cell " +
       "— AQE splits the skewed probe partition, values identical") {
     import spark.implicits._
