@@ -30,27 +30,59 @@ object Dedup {
   /** Largest prime below 2^30 — keeps `a·h + b` within int64. */
   val P: Long = 1073741789L
 
-  /** Materialize a result durably and CUT ITS LINEAGE via a reliable
-    * checkpoint (a staged write to the configured checkpoint dir — on
-    * a cluster a shared filesystem, fault-tolerant). Lineage
-    * truncation is the point: unpersisting an internal index after
-    * `persist+count` INVALIDATES every dependent cache entry (Spark
-    * rebuilds dependents lazily), silently forcing a full recompute on
-    * the next access — measured as a 2-3× slowdown on q19/q20/q61
-    * before this was understood. A checkpointed frame is a LogicalRDD
-    * with no dependency to invalidate.
+  /** Materialize a result and CUT ITS LINEAGE via a checkpoint.
+    * Lineage truncation is the point: unpersisting an internal index
+    * after `persist+count` INVALIDATES every dependent cache entry
+    * (Spark rebuilds dependents lazily), silently forcing a full
+    * recompute on the next access — measured as a 2-3× slowdown on
+    * q19/q20/q61 before this was understood. A checkpointed frame is a
+    * LogicalRDD with no dependency to invalidate.
     *
-    * Checkpoint dir handling: in local mode an unset dir defaults to
-    * the JVM tmpdir and is deleted on JVM exit (checkpoint files are
-    * otherwise never reclaimed unless
+    * WHICH checkpoint matters for cost. A reliable
+    * `Dataset.checkpoint(eager = true)` executes the plan TWICE — the
+    * eager count is one job, and the checkpoint write is a SECOND job
+    * that recomputes the RDD from lineage (Spark's own scaladoc says
+    * "strongly recommended that this RDD is persisted" for exactly
+    * this reason) — and then every consumer re-reads the partitions
+    * from checkpoint files on disk. `localCheckpoint(eager = true)`
+    * marks the RDD MEMORY_AND_DISK-persisted and materializes it in
+    * the ONE eager job; consumers read the stored blocks. Measured on
+    * the r19 bench this halves the materialization cost of every
+    * iterative operator (graph loops, LSH candidate frames, star
+    * contraction).
+    *
+    * Mode (`spark.graft.materialize` = auto|local|reliable, default
+    * auto): `auto` uses the local checkpoint in local mode — a lost
+    * block there means the JVM died, so reliability buys nothing —
+    * and the reliable one on a cluster, where executor loss must not
+    * kill a long job and the checkpoint doubles as a shared-FS
+    * artifact. Cluster deployments that prefer speed over
+    * fault-tolerance can pin `local` explicitly.
+    *
+    * Reliable-path dir handling: in local mode an unset dir defaults
+    * to the JVM tmpdir and is deleted on JVM exit (checkpoint files
+    * are otherwise never reclaimed unless
     * `spark.cleaner.referenceTracking.cleanCheckpoints` is on). On a
     * real cluster a driver-local default would scatter partition files
     * across executors' disks and fail on read — so there we FAIL FAST
     * and require an explicit shared `setCheckpointDir`. */
-  private[graft] def materialize(df: DataFrame): DataFrame = {
-    ensureCheckpointDir(df.sparkSession.sparkContext)
-    df.checkpoint(eager = true)
-  }
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    if (useLocalCheckpoint(df.sparkSession)) df.localCheckpoint(eager = true)
+    else {
+      ensureCheckpointDir(df.sparkSession.sparkContext)
+      df.checkpoint(eager = true)
+    }
+
+  /** Resolve `spark.graft.materialize` (see [[materialize]]). */
+  private[graft] def useLocalCheckpoint(
+      spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.graft.materialize", "auto") match {
+      case "local" => true
+      case "reliable" => false
+      case "auto" => spark.sparkContext.isLocal
+      case other => sys.error("spark.graft.materialize must be " +
+        s"auto|local|reliable, got '$other'")
+    }
 
   /** The checkpoint dir currently in force (as Spark reports it — a
     * UUID leaf under the directory passed to `setCheckpointDir`),
@@ -795,20 +827,26 @@ object Dedup {
       .distinct()
   }
 
-  /** Eager reliable checkpoint that RETURNS the materialization count
-    * and content fingerprint, via
+  /** Eager checkpoint that RETURNS the materialization count and
+    * content fingerprint, via
     * [[org.apache.spark.sql.graft.CheckpointBridge]] — the loop below
     * needs them every iteration, and the stock `checkpoint(eager=true)`
     * discards its internal count, forcing a second full action per
-    * iteration to recover it. (Cheaper-looking materializers measured
-    * SLOWER here: a parquet scratch round-trip loses the distinct's
-    * output partitioning that the checkpointed LogicalRDD preserves
-    * for the next round's aggregations, +50% across q61/q78/q97/q99;
-    * persist-then-checkpoint and batching two contraction rounds per
-    * barrier both added more job/stage latency than they saved.) */
+    * iteration to recover it. Follows the [[materialize]] mode: the
+    * local-checkpoint form computes the frame ONCE (the stats
+    * aggregate doubles as the persisting job) where the reliable form
+    * pays a second recompute-and-write job. (Other materializers
+    * measured SLOWER here: a parquet scratch round-trip loses the
+    * distinct's output partitioning that the checkpointed LogicalRDD
+    * preserves for the next round's aggregations, +50% across
+    * q61/q78/q97/q99; persist-then-reliable-checkpoint and batching
+    * two contraction rounds per barrier both added more job/stage
+    * latency than they saved.) */
   private def materializeWithStats(df: DataFrame): (DataFrame, Long, Long) = {
-    ensureCheckpointDir(df.sparkSession.sparkContext)
-    org.apache.spark.sql.graft.CheckpointBridge.checkpointWithStats(df)
+    val local = useLocalCheckpoint(df.sparkSession)
+    if (!local) ensureCheckpointDir(df.sparkSession.sparkContext)
+    org.apache.spark.sql.graft.CheckpointBridge.checkpointWithStats(df,
+      local)
   }
 
   /** Deduplicated edge count below which the star loop collects the

@@ -31,10 +31,11 @@ object CheckpointBridge {
     * by missing a change. The caller must have a checkpoint dir set.
     */
   def checkpointWithStats(
-      df: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Long, Long) = {
+      df: org.apache.spark.sql.DataFrame,
+      local: Boolean = false): (org.apache.spark.sql.DataFrame, Long, Long) = {
     val cds = df.asInstanceOf[Dataset[Row]]
     val internalRdd = cds.queryExecution.executedPlan.execute().map(_.copy())
-    internalRdd.checkpoint()
+    if (local) internalRdd.localCheckpoint() else internalRdd.checkpoint()
     val (n, fp) = internalRdd.aggregate((0L, 0L))(
       // spread the 32-bit row hash over 64 bits (splitmix64 finalizer)
       // before XOR so fingerprints of small integer-ish rows do not
