@@ -33,6 +33,52 @@ object AnalyticsQueries {
                 CAST(regexp_extract(p_brand, '(\d+)', 1) AS INT) AS bn
               FROM part))"""
 
+  /** Ordered co-purchase pair OCCURRENCES: one row per basket per
+    * unordered part pair (item_a < item_b) — the shared input of the
+    * whole graph-query family below.
+    *
+    * Shape (guide §2.4, remove shuffles): one basket aggregation
+    * (`collect_set` — the within-basket dedup the old formulation
+    * paid a corpus-wide `distinct` exchange for) and a map-side pair
+    * explode of the sorted basket array. The previous per-query
+    * derivation was distinct(bk,it) → self-join on bk → pair project,
+    * i.e. THREE exchanges plus two sort-merge sorts before the
+    * query's own dedup/aggregation; this is ONE exchange with the
+    * same output multiset (each basket contributes each of its
+    * C(|basket|,2) pairs exactly once — the self-join on distinct
+    * (bk,it) rows did exactly that). Downstream queries dedup
+    * (`distinct`, inside the Graph normalizers) or support-count
+    * (`groupBy ≥ minSup`) exactly as before, so results are
+    * bit-identical and the oracles are untouched.
+    *
+    * Scale: the pair stream is Σ C(|basket|,2) rows either way; the
+    * per-row basket array is basket-bounded (TPC-H orders ≤ 7 lines;
+    * the association-rule queries keep their explicit maxBasket=100
+    * guard for adversarial inputs). */
+  private def copurchasePairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val baskets = Tables.load(s, dir, "lineitem")
+      .where(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(array_sort(collect_set(col("l_partkey"))).as("its"))
+    baskets.select(explode(flatten(transform(col("its"), (x, i) =>
+        transform(slice(col("its"), i + lit(2), size(col("its"))),
+          y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
+  }
+
+  /** [[copurchasePairs]] thresholded to pairs co-bought in at least
+    * `minSup` baskets (the support-filtered graph of
+    * q174/q178/q190/q195/q217/q184), columns renamed (ua, va). */
+  private def copurchaseSupport(s: org.apache.spark.sql.SparkSession,
+      dir: String, minSup: Long, ua: String,
+      va: String): org.apache.spark.sql.DataFrame =
+    copurchasePairs(s, dir)
+      .groupBy(col("item_a").as(ua), col("item_b").as(va))
+      .agg(count(lit(1)).as("__sup"))
+      .where(col("__sup") >= minSup)
+      .select(ua, va)
+
   private def sparkDims(s: org.apache.spark.sql.SparkSession,
       dir: String) = {
     val nation = Tables.load(s, dir, "nation")
@@ -89,16 +135,7 @@ object AnalyticsQueries {
           3.0 * CAST(n_triangles AS DOUBLE)
             / CAST(n_wedges AS DOUBLE) END AS clustering_coeff
       FROM ne, tri""")) { (s, dir) =>
-      val base = Tables.load(s, dir, "lineitem")
-        .where(col("l_orderkey").isNotNull &&
-          col("l_partkey").isNotNull)
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      val edges = base.as("a")
-        .join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-        .select(col("a.it").as("item_a"), col("b.it").as("item_b"))
-        .distinct()
+      val edges = copurchasePairs(s, dir)
       graft.analytics.Graph.triangleCensus(edges, "item_a", "item_b")
     },
 
@@ -134,16 +171,7 @@ object AnalyticsQueries {
         CAST(t_sparse * 8 AS BIGINT) AS est_triangles,
         CAST(t_sparse AS DOUBLE) * 8 / 1 AS est_triangles_d
       FROM ne, ns, tri""")) { (s, dir) =>
-      val base = Tables.load(s, dir, "lineitem")
-        .where(col("l_orderkey").isNotNull &&
-          col("l_partkey").isNotNull)
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      val edges = base.as("a")
-        .join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-        .select(col("a.it").as("item_a"), col("b.it").as("item_b"))
-        .distinct()
+      val edges = copurchasePairs(s, dir)
       graft.analytics.Graph.approxTriangles(edges, "item_a", "item_b",
         pNum = 1, pDen = 2, seed = 7)
     },
@@ -191,16 +219,7 @@ object AnalyticsQueries {
              * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) END
           AS assortativity
       FROM ns, s""")) { (s, dir) =>
-      val base = Tables.load(s, dir, "lineitem")
-        .where(col("l_orderkey").isNotNull &&
-          col("l_partkey").isNotNull)
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      val edges = base.as("a")
-        .join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-        .select(col("a.it").as("item_a"), col("b.it").as("item_b"))
-        .distinct()
+      val edges = copurchasePairs(s, dir)
       graft.analytics.Graph.degreeStats(edges, "item_a", "item_b")
     },
 
@@ -251,16 +270,7 @@ object AnalyticsQueries {
       SELECT CAST(doc_id AS BIGINT) AS doc_id,
         CAST(rank AS BIGINT) AS rank
       FROM pr$Iters ORDER BY rank DESC, doc_id LIMIT 20""")) { (s, dir) =>
-        val base = Tables.load(s, dir, "lineitem")
-          .where(col("l_orderkey").isNotNull &&
-            col("l_partkey").isNotNull)
-          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-          .distinct()
-        val edges = base.as("a")
-          .join(base.as("b"),
-            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-          .select(col("a.it").as("item_a"), col("b.it").as("item_b"))
-          .distinct()
+        val edges = copurchasePairs(s, dir)
         val seeds = Tables.load(s, dir, "part")
           .where(col("p_partkey") % 7 === 0)
           .select(col("p_partkey"))
@@ -321,16 +331,7 @@ object AnalyticsQueries {
       )
       SELECT label, CAST(count(*) AS BIGINT) AS n_parts
       FROM l2 GROUP BY 1 ORDER BY 1""")) { (s, dir) =>
-      val base = Tables.load(s, dir, "lineitem")
-        .where(col("l_orderkey").isNotNull &&
-          col("l_partkey").isNotNull)
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      val edges = base.as("a")
-        .join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-        .select(col("a.it").as("item_a"), col("b.it").as("item_b"))
-        .distinct()
+      val edges = copurchasePairs(s, dir)
       val seeds = Tables.load(s, dir, "part")
         .where(col("p_partkey") % 3 === 0 && col("p_brand").isNotNull)
         .select(col("p_partkey").as("item_a"),
@@ -487,18 +488,7 @@ object AnalyticsQueries {
         FROM comp GROUP BY rep)
       SELECT size, CAST(count(*) AS BIGINT) AS n_components
       FROM sizes GROUP BY size ORDER BY size""")) { (s, dir) =>
-      val base = Tables.load(s, dir, "lineitem")
-        .where(col("l_orderkey").isNotNull &&
-          col("l_partkey").isNotNull)
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      val pairs = base.as("a")
-        .join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-        .groupBy(col("a.it").as("u"), col("b.it").as("v"))
-        .agg(count(lit(1)).as("__sup"))
-        .where(col("__sup") >= 2)
-        .select("u", "v")
+      val pairs = copurchaseSupport(s, dir, 2, "u", "v")
       graft.analytics.Dedup.connectedComponentsStar(pairs, "u", "v")
         .groupBy(col("cluster_rep"))
         .agg(count(lit(1)).as("size"))
@@ -594,18 +584,7 @@ object AnalyticsQueries {
       ), $peelCtes
       SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
       FROM e$R GROUP BY src ORDER BY node""")) { (s, dir) =>
-        val base = Tables.load(s, dir, "lineitem")
-          .where(col("l_orderkey").isNotNull &&
-            col("l_partkey").isNotNull)
-          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-          .distinct()
-        val edges = base.as("a")
-          .join(base.as("b"),
-            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-          .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
-          .agg(count(lit(1)).as("__sup"))
-          .where(col("__sup") >= 2)
-          .select("item_a", "item_b")
+        val edges = copurchaseSupport(s, dir, 2, "item_a", "item_b")
         graft.analytics.Graph.kCore(edges, "item_a", "item_b",
           k = 2, rounds = R)
       }
@@ -648,18 +627,7 @@ object AnalyticsQueries {
         END AS lcc
       FROM deg LEFT JOIN pernode ON deg.n = pernode.n
       ORDER BY node""")) { (s, dir) =>
-      val base = Tables.load(s, dir, "lineitem")
-        .where(col("l_orderkey").isNotNull &&
-          col("l_partkey").isNotNull)
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      val edges = base.as("a")
-        .join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-        .groupBy(col("a.it").as("item_a"), col("b.it").as("item_b"))
-        .agg(count(lit(1)).as("__sup"))
-        .where(col("__sup") >= 2)
-        .select("item_a", "item_b")
+      val edges = copurchaseSupport(s, dir, 2, "item_a", "item_b")
       graft.analytics.Graph.localClustering(edges, "item_a", "item_b")
     },
 
@@ -699,18 +667,7 @@ object AnalyticsQueries {
           CAST(d_c AS HUGEINT) * d_c AS DOUBLE) /
         CAST(4 * CAST(m.m AS HUGEINT) * m.m AS DOUBLE) AS q_contrib
       FROM d CROSS JOIN m ORDER BY label""")) { (s, dir) =>
-      val base = Tables.load(s, dir, "lineitem")
-        .where(col("l_orderkey").isNotNull &&
-          col("l_partkey").isNotNull)
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      val edges = base.as("a")
-        .join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-        .groupBy(col("a.it").as("u"), col("b.it").as("v"))
-        .agg(count(lit(1)).as("__sup"))
-        .where(col("__sup") >= 2)
-        .select("u", "v")
+      val edges = copurchaseSupport(s, dir, 2, "u", "v")
       graft.analytics.Graph.modularity(edges, "u", "v",
         Tables.load(s, dir, "part"), "p_partkey", "p_brand")
     },
@@ -789,18 +746,7 @@ object AnalyticsQueries {
       SELECT CAST(hop AS INT) AS hop,
         CAST(count(*) AS BIGINT) AS n_nodes
       FROM v$H GROUP BY hop ORDER BY hop""")) { (s, dir) =>
-        val base = Tables.load(s, dir, "lineitem")
-          .where(col("l_orderkey").isNotNull &&
-            col("l_partkey").isNotNull)
-          .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-          .distinct()
-        val edges = base.as("a")
-          .join(base.as("b"),
-            col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-          .groupBy(col("a.it").as("u"), col("b.it").as("v"))
-          .agg(count(lit(1)).as("__sup"))
-          .where(col("__sup") >= 2)
-          .select("u", "v")
+        val edges = copurchaseSupport(s, dir, 2, "u", "v")
         val seeds = edges.select(col("u").as("n"))
           .unionByName(edges.select(col("v").as("n")))
           .distinct().orderBy("n").limit(3)
@@ -882,17 +828,7 @@ object AnalyticsQueries {
           100.0 * 1000000000000.0 /
             CAST(SUM(q) - 101 * MIN(q) AS DOUBLE) END AS alpha
       FROM qx""")) { (s, dir) =>
-      val base = Tables.load(s, dir, "lineitem")
-        .where(col("l_orderkey").isNotNull &&
-          col("l_partkey").isNotNull)
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      val sup = base.as("a")
-        .join(base.as("b"),
-          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-        .groupBy(col("a.it").as("u"), col("b.it").as("v"))
-        .agg(count(lit(1)).as("__sup"))
-        .where(col("__sup") >= 2)
+      val sup = copurchaseSupport(s, dir, 2, "u", "v")
       val deg = sup.select(col("u").as("n"))
         .unionByName(sup.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("d"))
