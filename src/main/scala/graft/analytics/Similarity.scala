@@ -21,12 +21,17 @@ object Similarity {
 
   /** Cosine similarity between two array<float|double> columns — the
     * native [[graft.expressions.CosineSim]] expression (compiled
-    * single pass, bit-identical to the original HOF fold). */
+    * single pass, bit-identical to the original HOF fold). Float
+    * arrays are consumed directly: the former `cast("array<double>")`
+    * here sat above every pair join and re-materialized both arrays
+    * once per PAIR (O(pairs·dim) allocation in the q251/q256-class
+    * exact scans); CosineSim now widens per element instead, which is
+    * bit-identical. */
   def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(graft.expressions.CosineSim(
-      ColumnBridge.expression(a.cast("array<double>")),
-      ColumnBridge.expression(b.cast("array<double>"))))
+      ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
   }
 
   /** Seeded Rademacher (±1) hyperplane signs, `bits` rows × `dim`
