@@ -201,9 +201,18 @@ object Histograms {
     val fr = array((1 until k).map(i => lit(i.toDouble / k)): _*)
     val stats = src.agg(percentile(value, fr).as("__bs"),
       min(value).as("__lo"), max(value).as("__hi"))
+    // bucket = #boundaries strictly below the value. The obvious
+    // size(filter(__bs, b => value > b)) is a higher-order function —
+    // interpreted per row, breaking whole-stage codegen for the whole
+    // scan (guide §1.2 per-task work); the boundary count is fixed and
+    // small, so an unrolled boolean sum computes the identical count
+    // inside codegen.
+    val bucketOf = (1 until k)
+      .map(i => (value > element_at(col("__bs"), i)).cast("int"))
+      .reduce(_ + _)
     src.crossJoin(broadcast(stats))
       .select(
-        size(filter(col("__bs"), b => value > b)).as("bucket"),
+        bucketOf.as("bucket"),
         col("__bs"), col("__lo"), col("__hi"))
       .select(col("bucket"),
         when(col("bucket") === 0, col("__lo"))
