@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_EVENTLOG").toSeq.flatMap(d => Seq(
+  // stage-level profiling for optimization work: run any main with
+  // SPARK_GRAFT_EVENTLOG=<dir> and read the event log JSON
+  "-Dspark.eventLog.enabled=true", "-Dspark.eventLog.compress=false",
+  s"-Dspark.eventLog.dir=$d"))

@@ -31,6 +31,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Partition count for a stage whose OUTPUT explodes relative to its
+    * input (the wedge join: Σ outdeg² candidates from m edges). AQE
+    * sizes post-shuffle partitions by the exchange's INPUT bytes, so a
+    * small edge frame coalesces to a handful of tasks and the
+    * explosion runs nearly serial (measured on q154: the wedge stage
+    * got 3 tasks of 4.5 s on 32 cores). Floor at the cluster's
+    * default parallelism, keep the input's own width when it is
+    * already wider (at scale the frame arrives with many partitions —
+    * never shrink it). Scale-adaptive by construction, not a local
+    * constant (guide §2.5 input-vs-output skew). */
+  private def explodingJoinPartitions(df: DataFrame): Int = {
+    val sc = df.sparkSession.sparkContext
+    math.max(sc.defaultParallelism, df.rdd.getNumPartitions)
+  }
+
+  /** Repartition the oriented edge frame by `src` with an explicit
+    * width (explicit numPartitions is exempt from AQE coalescing), so
+    * the wedge self-join that follows reads it co-partitioned and runs
+    * the explosion at full parallelism with NO additional exchange —
+    * both join sides derive from this one frame, so the join's
+    * requirement is already satisfied. */
+  private def spreadBySrc(oriented: DataFrame): DataFrame =
+    oriented.repartition(explodingJoinPartitions(oriented), col("src"))
+
   /** Fixed-point PageRank over an UNDIRECTED edge set.
     *
     * `edges` is one row per undirected edge (aCol, bCol); it is
@@ -138,9 +162,10 @@ object Graph {
     // out-neighbor pairs of one source, canonically ordered by the
     // SAME (degree, id) key — the closing edge, if present, is then
     // guaranteed to be oriented b→c
-    val x = oriented.select(col("src"),
+    val orientedP = spreadBySrc(oriented)
+    val x = orientedP.select(col("src"),
       col("dst").as("b"), col("dstKey").as("kb"))
-    val y = oriented.select(col("src"),
+    val y = orientedP.select(col("src"),
       col("dst").as("c"), col("dstKey").as("kc"))
     val tri = x.join(y, Seq("src"))
       .where(col("kb") < col("kc"))
@@ -200,9 +225,10 @@ object Graph {
             .otherwise(
               struct(col("du").as("kd"), col("u").as("kn")))
             .as("dstKey")))
-    val x = oriented.select(col("src"),
+    val orientedP = spreadBySrc(oriented)
+    val x = orientedP.select(col("src"),
       col("dst").as("b"), col("dstKey").as("kb"))
-    val y = oriented.select(col("src"),
+    val y = orientedP.select(col("src"),
       col("dst").as("c"), col("dstKey").as("kc"))
     val triCorners = x.join(y, Seq("src"))
       .where(col("kb") < col("kc"))
