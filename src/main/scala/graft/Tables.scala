@@ -20,7 +20,59 @@ object Tables {
       if (name == "events") loadEvents(spark, dir)
       else spark.read.parquet(s"$dir/$name.parquet")
     assertSchema(name, df)
-    df
+    if (SpreadTables(name)) spreadSmallScan(spark, df) else df
+  }
+
+  /** Tables whose consumers do heavy PER-ROW work on the scan side
+    * (regex cascades, shingle explodes, hash signatures, vector
+    * kernels) — the ones where a single-split scan serializes real
+    * compute. The relational tables (lineitem/orders/events/…) are
+    * deliberately NOT spread: their tiny star/rollup queries pay the
+    * extra exchange without heavy map work to parallelize — measured
+    * +0.1–0.5 s per query across the 20-query tail vs −0.2 s gains,
+    * a net loss, while the documents family measured −13 % to −81 %
+    * per query. `embeddings` was measured both ways and stays
+    * UNSPREAD: its per-row map work is trivial (the expensive kernels
+    * are pair-bound and already parallel behind join exchanges), and
+    * spreading the 2k-row frame added an exchange to every candidate
+    * chain (q256 +1.4 s, q255/q58/q103 +0.3 s each; only q251 gained). */
+  private val SpreadTables = Set("documents")
+
+  /** Widen a scan that parquet physically caps at fewer splits than
+    * the cluster has cores. Parquet files split only at ROW-GROUP
+    * boundaries, and every table in this corpus ships as one file with
+    * ONE row group — so without this, every scan-side map stage in the
+    * engine (regex cascades, shingle explodes, hash signatures) ran as
+    * a single task regardless of `spark.sql.files.*` (measured: q30's
+    * whole map-only extraction on 1 of 32 cores; the q19 shingle
+    * explode emitted 1.1M index rows from one task). A round-robin
+    * repartition after the scan moves the heavy per-row work onto
+    * every core; the serial parquet decode of the single row group is
+    * unavoidable, but it is the cheap part.
+    *
+    * Scale posture (guide §2.5 "input skew … repartition immediately
+    * after the read"): the spread fires only when the scan has fewer
+    * splits than `defaultParallelism` AND the relation is at least
+    * `spark.graft.spreadScanMinBytes` (default 256 KB; 0 disables) —
+    * at any realistic warehouse scale the scan already has more splits
+    * than cores and this is a planning-time no-op, and trivially small
+    * dimensions (nation, region) skip the pointless exchange. Filters
+    * and column pruning push through a Repartition node, so
+    * PushedFilters/ReadSchema at the scan are unchanged (checked in
+    * the r19 plan audit); round-robin repartition is
+    * deterministic under retry (sortBeforeRepartition is on) and every
+    * engine result is partitioning-insensitive by the oracle
+    * determinism contract. */
+  private def spreadSmallScan(spark: SparkSession,
+      df: DataFrame): DataFrame = {
+    val minBytes = spark.conf.get("spark.graft.spreadScanMinBytes",
+      "262144").toLong
+    if (minBytes <= 0L) return df
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df
+    else if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
+        BigInt(minBytes)) df
+    else df.repartition(par)
   }
 
   /** Accepted logical shapes per corpus table: column → admissible Spark
