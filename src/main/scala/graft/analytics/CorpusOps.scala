@@ -485,10 +485,13 @@ object CorpusOps {
   private def contaminationVerdict(c: DataFrame, b: DataFrame,
       cand: DataFrame, threshold: Double): DataFrame = {
     val scored = cand
-      .join(c, Seq("vec_id"))
-      .join(broadcast(b), Seq("bench_id"))
-      .withColumn("score",
-        Similarity.cosine(col("c_emb"), col("b_emb")))
+      .join(c.withColumn("__cn", Similarity.embNorm(col("c_emb"))),
+        Seq("vec_id"))
+      .join(broadcast(b.withColumn("__bn",
+        Similarity.embNorm(col("b_emb")))), Seq("bench_id"))
+      .withColumn("score", Similarity.cosinePre(
+        Similarity.dot(col("c_emb"), col("b_emb")),
+        col("__cn"), col("__bn")))
     verdictFromScored(c.select("vec_id"), scored, threshold)
   }
 
@@ -528,8 +531,12 @@ object CorpusOps {
       col(embCol).cast("array<double>").as("b_emb"))
     val c = corpus.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("c_emb"))
-    val scored = c.crossJoin(broadcast(b))
-      .withColumn("score", Similarity.cosine(col("c_emb"), col("b_emb")))
+    val scored = c.withColumn("__cn", Similarity.embNorm(col("c_emb")))
+      .crossJoin(broadcast(b.withColumn("__bn",
+        Similarity.embNorm(col("b_emb")))))
+      .withColumn("score", Similarity.cosinePre(
+        Similarity.dot(col("c_emb"), col("b_emb")),
+        col("__cn"), col("__bn")))
     verdictFromScored(c.select("vec_id"), scored, threshold)
   }
 
@@ -614,17 +621,21 @@ object CorpusOps {
   private def prunedVerdict(cIds: DataFrame, assigned: DataFrame,
       b: DataFrame, centStats: DataFrame, threshold: Double)
       : DataFrame = {
-    val pairs = b.crossJoin(broadcast(centStats))
+    val pairs = b.withColumn("__bn", Similarity.embNorm(col("b_emb")))
+      .crossJoin(broadcast(centStats))
       .withColumn("__theta",
         clampAcos(Similarity.cosine(col("b_emb"), col("cent_emb"))))
       .withColumn("__r", clampAcos(col("min_cscore")))
       .filter(!(centroidCosBound(col("__theta"), col("__r")) <
         lit(threshold - 1e-9)))
-      .select(col("bench_id"), col("b_emb"),
+      .select(col("bench_id"), col("b_emb"), col("__bn"),
         col("centroid_id").as("cell"))
-    val scored = assigned.join(broadcast(pairs), Seq("cell"))
-      .withColumn("score",
-        Similarity.cosine(col("c_emb"), col("b_emb")))
+    val scored = assigned
+      .withColumn("__cn", Similarity.embNorm(col("c_emb")))
+      .join(broadcast(pairs), Seq("cell"))
+      .withColumn("score", Similarity.cosinePre(
+        Similarity.dot(col("c_emb"), col("b_emb")),
+        col("__cn"), col("__bn")))
     verdictFromScored(cIds, scored, threshold)
   }
 
@@ -654,13 +665,14 @@ object CorpusOps {
     val stats = Similarity.readCellStatsIn(spark, dir)
     val centStats = cb.join(stats, col("centroid_id") === col("cell"))
       .select(col("centroid_id"), col("cent_emb"), col("min_cscore"))
-    val pairs = b.crossJoin(broadcast(centStats))
+    val pairs = b.withColumn("__bn", Similarity.embNorm(col("b_emb")))
+      .crossJoin(broadcast(centStats))
       .withColumn("__theta",
         clampAcos(Similarity.cosine(col("b_emb"), col("cent_emb"))))
       .withColumn("__r", clampAcos(col("min_cscore")))
       .filter(!(centroidCosBound(col("__theta"), col("__r")) <
         lit(threshold - 1e-9)))
-      .select(col("bench_id"), col("b_emb"),
+      .select(col("bench_id"), col("b_emb"), col("__bn"),
         col("centroid_id").as("cell"))
     // codebook-bounded collect → a partition predicate on the scan
     val live = pairs.select("cell").distinct().collect()
@@ -669,10 +681,11 @@ object CorpusOps {
     val assigned = cells
       .filter(col("cell").isin(live.map(Integer.valueOf): _*))
       .select(col("neighbor_id").as("vec_id"), col("c_emb"),
-        col("cell"))
+        Similarity.embNorm(col("c_emb")).as("__cn"), col("cell"))
     val scored = assigned.join(broadcast(pairs), Seq("cell"))
-      .withColumn("score",
-        Similarity.cosine(col("c_emb"), col("b_emb")))
+      .withColumn("score", Similarity.cosinePre(
+        Similarity.dot(col("c_emb"), col("b_emb")),
+        col("__cn"), col("__bn")))
     verdictFromScored(
       cells.select(col("neighbor_id").as("vec_id")), scored, threshold)
   }

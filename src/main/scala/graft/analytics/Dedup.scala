@@ -1456,10 +1456,15 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    // norms per ROW before the all-pairs join (Similarity.cosinePre)
+    val a = emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      Similarity.embNorm(col(embCol)).as("__na"))
+    val b = emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      Similarity.embNorm(col(embCol)).as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("score", Similarity.cosine(col("emb_a"), col("emb_b")))
+      .withColumn("score", Similarity.cosinePre(
+        Similarity.dot(col("emb_a"), col("emb_b")),
+        col("__na"), col("__nb")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }
@@ -1492,11 +1497,13 @@ object Dedup {
     }.reduce(_ unionByName _)
       .dropDuplicates("id_a", "id_b")
     pairs
-      .join(emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a")),
-        Seq("id_a"))
-      .join(emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b")),
-        Seq("id_b"))
-      .withColumn("score", Similarity.cosine(col("emb_a"), col("emb_b")))
+      .join(emb.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
+        Similarity.embNorm(col(embCol)).as("__na")), Seq("id_a"))
+      .join(emb.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
+        Similarity.embNorm(col(embCol)).as("__nb")), Seq("id_b"))
+      .withColumn("score", Similarity.cosinePre(
+        Similarity.dot(col("emb_a"), col("emb_b")),
+        col("__na"), col("__nb")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }

@@ -34,6 +34,40 @@ object Similarity {
       ColumnBridge.expression(b)))
   }
 
+  /** Dot product of two array<float|double> columns — the pair half
+    * of [[cosine]] (identical IEEE fold, see
+    * [[graft.expressions.Dot]]). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.Dot(
+      ColumnBridge.expression(a),
+      ColumnBridge.expression(b)))
+  }
+
+  /** ‖e‖ exactly as [[cosine]] computes it internally: `dot(e,e)` is
+    * CosineSim's own `na += xi·xi` fold and `sqrt` is the same
+    * correctly-rounded IEEE op as `math.sqrt(na)` — precomputing this
+    * per ROW (instead of per pair inside CosineSim) is bit-neutral. */
+  def embNorm(e: Column): Column = sqrt(dot(e, e))
+
+  /** cosine(a,b) from precomputed [[embNorm]]s:
+    * `dot / (sqrt(na)·sqrt(nb))` — the exact [[CosineSim]] result
+    * expression, at a third of the per-pair flops (guide §1.2: the
+    * norms are per-row folds the pair kernel was re-running per
+    * PAIR). Null set identical: dot(a,b) is null exactly when
+    * CosineSim is (length mismatch / null element / null array), and
+    * a null norm implies a null dot. The division is the native
+    * [[graft.expressions.CosineFromNorms]], NOT the SQL Divide —
+    * ANSI mode would raise DIVIDE_BY_ZERO where CosineSim yields the
+    * IEEE NaN the oracles expect (zero vectors). */
+  def cosinePre(dotAB: Column, normA: Column, normB: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.CosineFromNorms(
+      ColumnBridge.expression(dotAB),
+      ColumnBridge.expression(normA),
+      ColumnBridge.expression(normB)))
+  }
+
   /** Seeded Rademacher (±1) hyperplane signs, `bits` rows × `dim`
     * columns — shared by the Column expression and the oracle-SQL
     * generator so both engines bucket identically. ±1 projections are
@@ -69,12 +103,16 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
+    // norms per ROW before the pair join — see [[cosinePre]]
     val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
+      col("embedding").as("q_emb"),
+      embNorm(col("embedding")).as("__qn"))
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"))
+      col("embedding").as("c_emb"),
+      embNorm(col("embedding")).as("__cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("score", cosinePre(dot(col("q_emb"), col("c_emb")),
+        col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -233,8 +271,13 @@ object Similarity {
       ColumnBridge.column(graft.expressions.ArgMaxCell(
         ColumnBridge.expression(s), ColumnBridge.expression(i),
         ColumnBridge.expression(p)).toAggregateExpression())
-    df.crossJoin(broadcast(centroids))
-      .withColumn("__cscore", cosine(col(embCol), col("cent_emb")))
+    // row/centroid norms once each, not once per (row × centroid) —
+    // the n·k assignment is the family's hottest kernel ([[cosinePre]])
+    df.withColumn("__vn", embNorm(col(embCol)))
+      .crossJoin(broadcast(
+        centroids.withColumn("__cn", embNorm(col("cent_emb")))))
+      .withColumn("__cscore", cosinePre(
+        dot(col(embCol), col("cent_emb")), col("__vn"), col("__cn")))
       .groupBy(col(idCol))
       .agg(argmax(col("__cscore"), col("centroid_id").cast("int"),
         col(embCol)).as("__best"))
@@ -264,8 +307,11 @@ object Similarity {
         .select(col(idCol), col(embCol), col("cell"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("__cscore").desc, col("centroid_id"))
-    df.crossJoin(broadcast(centroids))
-      .withColumn("__cscore", cosine(col(embCol), col("cent_emb")))
+    df.withColumn("__vn", embNorm(col(embCol)))
+      .crossJoin(broadcast(
+        centroids.withColumn("__cn", embNorm(col("cent_emb")))))
+      .withColumn("__cscore", cosinePre(
+        dot(col(embCol), col("cent_emb")), col("__vn"), col("__cn")))
       .withColumn("__crn", row_number().over(w))
       .filter(col("__crn") <= probes)
       .select(col(idCol), col(embCol),
@@ -279,9 +325,12 @@ object Similarity {
     * ([[ivfTopKIndexed]]). */
   private def probeAndScore(corpusCells: DataFrame,
       queryCells: DataFrame, k: Int): DataFrame = {
-    val scored = corpusCells.join(queryCells, Seq("cell"))
+    val scored = corpusCells.withColumn("__cn", embNorm(col("c_emb")))
+      .join(queryCells.withColumn("__qn", embNorm(col("q_emb"))),
+        Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("score", cosinePre(dot(col("q_emb"), col("c_emb")),
+        col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -889,10 +938,13 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cand
       .join(broadcast(queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"))), Seq("query_id"))
+        col("embedding").as("q_emb"),
+        embNorm(col("embedding")).as("__qn"))), Seq("query_id"))
       .join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("c_emb")), Seq("neighbor_id"))
-      .withColumn("score", cosine(col("q_emb"), col("c_emb")))
+        col("embedding").as("c_emb"),
+        embNorm(col("embedding")).as("__cn")), Seq("neighbor_id"))
+      .withColumn("score", cosinePre(dot(col("q_emb"), col("c_emb")),
+        col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rn", row_number().over(w))
@@ -1026,12 +1078,15 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
     val pairs = cand
       .join(bucketed.select(col("vec_id").as("id_a"),
-        col("embedding").as("emb_a"), col("cscore").as("ca")),
+        col("embedding").as("emb_a"), col("cscore").as("ca"),
+        embNorm(col("embedding")).as("__na")),
         Seq("id_a"))
       .join(bucketed.select(col("vec_id").as("id_b"),
-        col("embedding").as("emb_b"), col("cscore").as("cb")),
+        col("embedding").as("emb_b"), col("cscore").as("cb"),
+        embNorm(col("embedding")).as("__nb")),
         Seq("id_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("sim", cosinePre(dot(col("emb_a"), col("emb_b")),
+        col("__na"), col("__nb")))
       .filter(col("sim") >= threshold)
     val nearCnt = pairs.groupBy(col("id_a").as("vec_id"))
       .agg(count(lit(1)).as("near_dups"))
@@ -1090,10 +1145,13 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
     cand
       .join(bucketed.select(col("vec_id").as("id_a"),
-        col("embedding").as("emb_a")), Seq("id_a"))
+        col("embedding").as("emb_a"),
+        embNorm(col("embedding")).as("__na")), Seq("id_a"))
       .join(bucketed.select(col("vec_id").as("id_b"),
-        col("embedding").as("emb_b")), Seq("id_b"))
-      .withColumn("score", cosine(col("emb_a"), col("emb_b")))
+        col("embedding").as("emb_b"),
+        embNorm(col("embedding")).as("__nb")), Seq("id_b"))
+      .withColumn("score", cosinePre(dot(col("emb_a"), col("emb_b")),
+        col("__na"), col("__nb")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }
@@ -1222,11 +1280,14 @@ object Similarity {
         col("embedding").as("n_emb"), col("cscore").as("n_cscore"))
       .unionByName(nb.select(col("vec_id").as("nid"),
         col("embedding").as("n_emb"), col("cscore").as("n_cscore")))
+      .withColumn("__nn", embNorm(col("n_emb")))
     val scored = cand
       .join(nb.select(col("vec_id"), col("embedding"),
-        col("cscore")), Seq("vec_id"))
+        col("cscore"), embNorm(col("embedding")).as("__vn")),
+        Seq("vec_id"))
       .join(nbrs, Seq("nid"))
-      .withColumn("sim", cosine(col("embedding"), col("n_emb")))
+      .withColumn("sim", cosinePre(dot(col("embedding"), col("n_emb")),
+        col("__vn"), col("__nn")))
       .filter(col("sim") >= threshold)
     val nearCnt = scored.groupBy("vec_id")
       .agg(count(lit(1)).as("near_dups"),
@@ -1393,12 +1454,15 @@ object Similarity {
       "vec_id", "embedding"))
     val pairs = cells
       .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-        col("cell"), col("cscore").as("ca"))
+        col("cell"), col("cscore").as("ca"),
+        embNorm(col("embedding")).as("__na"))
       .join(cells.select(col("vec_id").as("id_b"),
         col("embedding").as("emb_b"), col("cell"),
-        col("cscore").as("cb")), Seq("cell"))
+        col("cscore").as("cb"),
+        embNorm(col("embedding")).as("__nb")), Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
-      .withColumn("sim", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("sim", cosinePre(dot(col("emb_a"), col("emb_b")),
+        col("__na"), col("__nb")))
       .filter(col("sim") >= threshold)
     val nearCnt = pairs.groupBy(col("id_a").as("vec_id"))
       .agg(count(lit(1)).as("near_dups"))
