@@ -12,35 +12,60 @@ import org.apache.spark.sql.functions._
   *
   * all exact integers and one double division — hash-reproducible.
   *
-  * Scale shape: the pair generation is a SELF-JOIN KEYED BY BASKET,
-  * so each basket contributes |basket|²/2 pairs and nothing crosses
-  * baskets — the standard market-basket bound (cost is Σ|basket|²,
-  * linear when basket sizes are domain-bounded, e.g. order lines).
-  * A degenerate giant basket is the one hazard: `maxBasket` drops
-  * baskets above it BEFORE the join (mirroring the df-cap guard on
-  * the dedup tier), trading those baskets' pairs for a hard
-  * quadratic bound. `minSupport` prunes before the per-item joins;
-  * the final top-k is a distributed TakeOrdered.
+  * Scale shape: pair generation is a map-side explode of per-basket
+  * sorted item arrays ([[basketsOf]] + [[pairsFromBaskets]], r19 —
+  * one exchange where the old distinct + bk-keyed self-join paid
+  * three), so each basket contributes |basket|²/2 pairs and nothing
+  * crosses baskets — the standard market-basket bound (cost is
+  * Σ|basket|², linear when basket sizes are domain-bounded, e.g.
+  * order lines). A degenerate giant basket is the one hazard:
+  * `maxBasket` drops baskets above it at the basket aggregate
+  * (mirroring the df-cap guard on the dedup tier), trading those
+  * baskets' pairs for a hard quadratic bound. `minSupport` prunes
+  * before the per-item joins; the final top-k is a distributed
+  * TakeOrdered.
   */
 object CoOccurrence {
 
-  /** The giant-basket guard shared by every basket-keyed self-join in
-    * this file: drop baskets larger than `maxBasket` BEFORE pair
-    * generation, bounding the Σ|basket|² candidate space. One
-    * bk-partitioned window count — a single shuffle, partition-
-    * aligned with the self-join that follows (the groupBy+semi-join
-    * form recomputed the deduped base and shuffled it twice; measured
-    * +2.3 s on q216 at sf0.1). */
-  private def capBaskets(base: DataFrame,
-      maxBasket: Option[Long]): DataFrame = maxBasket match {
-    case None => base
-    case Some(m) =>
-      require(m >= 1, "maxBasket must be >= 1")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("bk")
-      base.withColumn("__bsz", count(lit(1)).over(w))
-        .where(col("__bsz") <= m)
-        .drop("__bsz")
+  /** One basket per row — (bk, its = sorted distinct item array) —
+    * the shared base of every basket-keyed pair generation here
+    * (r19, the [[graft.operators.AnalyticsQueries]] `copurchasePairs`
+    * idiom, guide §2.4): ONE exchange replaces the old
+    * distinct + window-count cap + bk-keyed SELF-JOIN chain (three
+    * exchanges and two sort-merge sorts before each query's own
+    * aggregation). `collect_set` IS the within-basket dedup the
+    * distinct paid a corpus-wide shuffle for, and the giant-basket
+    * guard becomes a plain `size(its) <= maxBasket` filter —
+    * identical semantics (the window counted the same deduped rows).
+    * Per-row arrays are basket-bounded: the callers' maxBasket caps
+    * them hard, and uncapped callers (TPC-H orders, ≤ 7 lines) are
+    * domain-bounded — same Σ|basket| state the windowed form held
+    * per partition, now one row. */
+  private def basketsOf(df: DataFrame, basketCol: String,
+      itemCol: String, maxBasket: Option[Long]): DataFrame = {
+    val b = df
+      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .groupBy(col(basketCol).as("bk"))
+      .agg(array_sort(collect_set(col(itemCol))).as("its"))
+    maxBasket match {
+      case None => b
+      case Some(m) =>
+        require(m >= 1, "maxBasket must be >= 1")
+        b.where(size(col("its")) <= m)
+    }
   }
+
+  /** Map-side unordered-pair explode of the sorted basket arrays:
+    * each basket emits each of its C(|basket|,2) item pairs
+    * (item_a < item_b) exactly once — the same pair multiset the
+    * bk-keyed self-join with `x.it < y.it` produced, with no
+    * exchange at all (the pairs flow straight into the caller's
+    * groupBy). */
+  private def pairsFromBaskets(baskets: DataFrame): DataFrame =
+    baskets.select(explode(flatten(transform(col("its"), (x, i) =>
+        transform(slice(col("its"), i + lit(2), size(col("its"))),
+          y => struct(x.as("item_a"), y.as("item_b")))))).as("p"))
+      .select(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
 
   /** Top-`topK` item pairs by basket-set Jaccard. Output:
     * (item_a, item_b, n_ab, n_a, n_b, jaccard), item_a < item_b,
@@ -51,18 +76,16 @@ object CoOccurrence {
       maxBasket: Option[Long] = None): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
     require(topK >= 1, "topK must be >= 1")
-    val base = capBaskets(df
-      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct(), maxBasket)
-    val a = base.select(col("bk"), col("it").as("item_a"))
-    val b = base.select(col("bk"), col("it").as("item_b"))
-    val pairs = a.join(b, Seq("bk"))
-      .where(col("item_a") < col("item_b"))
+    val baskets = basketsOf(df, basketCol, itemCol, maxBasket)
+    val pairs = pairsFromBaskets(baskets)
       .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minSupport)
-    val per = base.groupBy(col("it")).agg(count(lit(1)).as("n"))
+    // per-item basket counts from the same basket frame: each basket
+    // contributes each distinct item once — exactly the old deduped
+    // (bk,it) groupBy
+    val per = baskets.select(explode(col("its")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n"))
     pairs
       .join(per.select(col("it").as("item_a"), col("n").as("n_a")),
         Seq("item_a"))
@@ -89,7 +112,7 @@ object CoOccurrence {
     * Scale shape: identical to [[itemPairs]] — the pair join is an
     * equi-join on basket id, so candidates are Σ basket_size²;
     * `maxBasket` drops degenerate giant baskets BEFORE the join (the
-    * same [[capBaskets]] guard), bounding the quadratic; counts are
+    * same [[basketsOf]] guard), bounding the quadratic; counts are
     * one keyed aggregation; the per-item table joins back by item
     * key. Every ratio is one double division of exact BIGINTs
     * (n_ab·n_baskets and n_a·n_b stay < 2⁶³ below ~3·10⁹ baskets) —
@@ -104,20 +127,24 @@ object CoOccurrence {
       topK: Int = 25, maxBasket: Option[Long] = None): DataFrame = {
     require(minSupport >= 1, "minSupport must be >= 1")
     require(topK >= 1, "topK must be >= 1")
-    val base = capBaskets(df
-      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct(), maxBasket)
-    val nBaskets = base.agg(
-      countDistinct(col("bk")).as("n_baskets"))
-    val a = base.select(col("bk"), col("it").as("antecedent"))
-    val b = base.select(col("bk"), col("it").as("consequent"))
-    val pairs = a.join(b, Seq("bk"))
-      .where(col("antecedent") =!= col("consequent"))
-      .groupBy("antecedent", "consequent")
+    val baskets = basketsOf(df, basketCol, itemCol, maxBasket)
+    // one row per capped basket, so n_baskets is a plain count
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    // the directed a≠b count equals the unordered count for both
+    // directions (n(a→b) = #baskets holding both = n(b→a)), so count
+    // the a<b pair stream ONCE and mirror the surviving (minSupport-
+    // filtered, item-pair-bounded) aggregate — half the shuffled pair
+    // rows of the old directed self-join
+    val und = pairsFromBaskets(baskets)
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_ab"))
       .where(col("n_ab") >= minSupport)
-    val per = base.groupBy(col("it")).agg(count(lit(1)).as("n"))
+    val pairs = und.select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("n_ab"))
+      .unionByName(und.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_ab")))
+    val per = baskets.select(explode(col("its")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("n"))
     pairs
       .join(per.select(col("it").as("antecedent"), col("n").as("n_a")),
         Seq("antecedent"))
@@ -154,23 +181,27 @@ object CoOccurrence {
   def userSimilarity(df: DataFrame, userCol: String, itemCol: String,
       maxItemDf: Long, topK: Int): DataFrame = {
     require(maxItemDf >= 1 && topK >= 1, "maxItemDf, topK >= 1")
-    val base = df
+    // one row per item — (it, us = sorted distinct user array) — the
+    // [[basketsOf]] idiom keyed by ITEM: collect_set is the (u,it)
+    // dedup the old distinct paid a corpus-wide shuffle for, the df
+    // cap is a plain size(us) filter (identical: df counted the same
+    // deduped rows), and the Σ df² pair stream is a map-side explode
+    // of df-BOUNDED arrays (≤ maxItemDf elements per row) feeding ONE
+    // pair-count exchange — replacing distinct + df-agg + semi-join +
+    // the it-keyed self-join (r19; guide §2.4)
+    val byItem = df
       .where(col(userCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(userCol).as("u"), col(itemCol).as("it"))
-      .distinct()
-    val keptItems = base.groupBy("it").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxItemDf).select("it")
-    // deliberately NOT materialized: the cost is the Σ df² pair join
-    // itself (measured 186 M candidate rows at the sf1 rehearsal —
-    // 52 s; checkpointing the 6 M-row capped frame first measured
-    // SLOWER, 64 s, because the write adds a full pass while the
-    // recomputed scan lineage is cheap columnar parquet)
-    val capped = base.join(keptItems, Seq("it"), "left_semi")
-    val deg = capped.groupBy("u").agg(count(lit(1)).as("d"))
-    val shared = capped.as("x")
-      .join(capped.as("y"),
-        col("x.it") === col("y.it") && col("x.u") < col("y.u"))
-      .groupBy(col("x.u").as("ua"), col("y.u").as("ub"))
+      .groupBy(col(itemCol).as("it"))
+      .agg(array_sort(collect_set(col(userCol))).as("us"))
+      .where(size(col("us")) <= maxItemDf)
+    val deg = byItem.select(explode(col("us")).as("u"))
+      .groupBy("u").agg(count(lit(1)).as("d"))
+    val shared = byItem
+      .select(explode(flatten(transform(col("us"), (x, i) =>
+        transform(slice(col("us"), i + lit(2), size(col("us"))),
+          y => struct(x.as("ua"), y.as("ub")))))).as("p"))
+      .select(col("p.ua").as("ua"), col("p.ub").as("ub"))
+      .groupBy("ua", "ub")
       .agg(count(lit(1)).as("shared"))
     shared
       .join(deg.select(col("u").as("ua"), col("d").as("deg_a")),
@@ -197,7 +228,7 @@ object CoOccurrence {
     * cost Σ_cand df — never basket-wise triple explosion). The
     * level-2 pair generation is still a basket-keyed self-join
     * (Σ basket_size²): `maxBasket` drops degenerate giant baskets
-    * BEFORE it ([[capBaskets]]), the guard the sf3 rehearsal showed
+    * BEFORE it ([[basketsOf]]), the guard the sf3 rehearsal showed
     * this needs (4.1× at 3× data unguarded).
     *
     * Exact BIGINT counts throughout; ties broken by the item triple.
@@ -208,15 +239,14 @@ object CoOccurrence {
       itemCol: String, minSupport: Long = 2L,
       topK: Int = 20, maxBasket: Option[Long] = None): DataFrame = {
     require(minSupport >= 1 && topK >= 1, "minSupport, topK >= 1")
-    val base = capBaskets(df
-      .where(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("bk"), col(itemCol).as("it"))
-      .distinct(), maxBasket)
-    val nBaskets = base.agg(countDistinct(col("bk")).as("n_baskets"))
-    val pairs = base.as("x")
-      .join(base.as("y"),
-        col("x.bk") === col("y.bk") && col("x.it") < col("y.it"))
-      .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+    val baskets = basketsOf(df, basketCol, itemCol, maxBasket)
+    // the candidate-driven level-3 counting joins need the flat
+    // (bk, it) relation — derived from the capped basket frame, the
+    // same rows the old distinct+cap chain produced
+    val base = baskets.select(col("bk"), explode(col("its")).as("it"))
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val pairs = pairsFromBaskets(baskets)
+      .groupBy(col("item_a").as("a"), col("item_b").as("b"))
       .agg(count(lit(1)).as("s"))
       .where(col("s") >= minSupport)
       .select("a", "b")
