@@ -181,27 +181,29 @@ object CoOccurrence {
   def userSimilarity(df: DataFrame, userCol: String, itemCol: String,
       maxItemDf: Long, topK: Int): DataFrame = {
     require(maxItemDf >= 1 && topK >= 1, "maxItemDf, topK >= 1")
-    // one row per item — (it, us = sorted distinct user array) — the
-    // [[basketsOf]] idiom keyed by ITEM: collect_set is the (u,it)
-    // dedup the old distinct paid a corpus-wide shuffle for, the df
-    // cap is a plain size(us) filter (identical: df counted the same
-    // deduped rows), and the Σ df² pair stream is a map-side explode
-    // of df-BOUNDED arrays (≤ maxItemDf elements per row) feeding ONE
-    // pair-count exchange — replacing distinct + df-agg + semi-join +
-    // the it-keyed self-join (r19; guide §2.4)
-    val byItem = df
+    val base = df
       .where(col(userCol).isNotNull && col(itemCol).isNotNull)
-      .groupBy(col(itemCol).as("it"))
-      .agg(array_sort(collect_set(col(userCol))).as("us"))
-      .where(size(col("us")) <= maxItemDf)
-    val deg = byItem.select(explode(col("us")).as("u"))
-      .groupBy("u").agg(count(lit(1)).as("d"))
-    val shared = byItem
-      .select(explode(flatten(transform(col("us"), (x, i) =>
-        transform(slice(col("us"), i + lit(2), size(col("us"))),
-          y => struct(x.as("ua"), y.as("ub")))))).as("p"))
-      .select(col("p.ua").as("ua"), col("p.ub").as("ub"))
-      .groupBy("ua", "ub")
+      .select(col(userCol).as("u"), col(itemCol).as("it"))
+      .distinct()
+    val keptItems = base.groupBy("it").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxItemDf).select("it")
+    // deliberately NOT materialized: the cost is the Σ df² pair join
+    // itself (measured 186 M candidate rows at the sf1 rehearsal —
+    // 52 s; checkpointing the 6 M-row capped frame first measured
+    // SLOWER, 64 s, because the write adds a full pass while the
+    // recomputed scan lineage is cheap columnar parquet)
+    val capped = base.join(keptItems, Seq("it"), "left_semi")
+    val deg = capped.groupBy("u").agg(count(lit(1)).as("d"))
+    // deliberately NOT the [[basketsOf]] array-explode idiom: with
+    // df-capped arrays up to maxItemDf=64 elements the interpreted
+    // nested-HOF explode allocates C(64,2) ≈ 2k structs per item row
+    // and MEASURED 2× slower than this join (q224 5.6 → 11.1 s,
+    // same-machine A/B at sf0.1, r19) — the idiom only wins on the
+    // small-basket relations above (TPC-H baskets ≤ 7 items)
+    val shared = capped.as("x")
+      .join(capped.as("y"),
+        col("x.it") === col("y.it") && col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("ua"), col("y.u").as("ub"))
       .agg(count(lit(1)).as("shared"))
     shared
       .join(deg.select(col("u").as("ua"), col("d").as("deg_a")),
